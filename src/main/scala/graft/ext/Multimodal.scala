@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column support (north-star extension): media payloads as
+  * opaque `binary` columns with typed metadata, plus decode /
+  * feature-extract / resize / frame-sample stages.
+  *
+  * The Spark-side plumbing is real — schema, partition-parallel batch
+  * decode via `mapPartitions`, deterministic output shape — while the
+  * actual codec work is stubbed behind [[MediaDecoder]] (no image/audio
+  * libraries exist in this container; a production deployment swaps in
+  * a JNI/ffmpeg-backed decoder per executor without touching the plan).
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside each binary payload. */
+  case class MediaMeta(docId: Long, mime: String, nBytes: Long, width: Int, height: Int)
+
+  /** One sampled "frame": (docId, frameIdx, payload slice, feature). */
+  case class Frame(docId: Long, frameIdx: Int, nBytes: Long, feature: Double)
+
+  /** Decoder contract: one instance per partition (amortizes native
+    * library setup, mirroring how a real ffmpeg/libav handle is reused).
+    */
+  trait MediaDecoder extends Serializable {
+    def frames(docId: Long, payload: Array[Byte], every: Int): Iterator[Frame]
+  }
+
+  /** Deterministic fake decoder: "frames" are fixed-size byte windows,
+    * the "feature" a normalized byte sum — stands in for
+    * decode→resize→embed until a real codec is plugged in.
+    */
+  class StubDecoder extends MediaDecoder {
+    override def frames(docId: Long, payload: Array[Byte], every: Int): Iterator[Frame] =
+      payload.grouped(every).zipWithIndex.map { case (win, i) =>
+        Frame(docId, i, win.length.toLong, win.map(_ & 0xff).sum.toDouble / (255.0 * win.length))
+      }
+  }
+
+  /** Attach a binary payload + metadata columns to a text table —
+    * the ingestion shape a real media table would have (payload column
+    * stays opaque; metadata is columnar and prunable).
+    */
+  def asAssets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val payload = encode(col(textCol), "UTF-8")
+    df.select(
+      col(idCol).as("doc_id"),
+      payload.as("payload"),
+      lit("application/octet-stream").as("mime"),
+      octet_length(payload).cast("long").as("n_bytes"),
+      (Hashing.h32(col(textCol)) % 1280).cast("int").as("width"),
+      (Hashing.h32(col(textCol)) % 720).cast("int").as("height"))
+  }
+
+  /** Frame-sampling stage: partition-parallel decode of every asset,
+    * one decoder per partition. Output is a flat typed Dataset — the
+    * shape a downstream embedding/training stage consumes.
+    */
+  def sampleFrames(spark: SparkSession, assets: DataFrame,
+                   decoder: MediaDecoder = new StubDecoder, every: Int = 64): Dataset[Frame] = {
+    import spark.implicits._
+    assets.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) => decoder.frames(id, payload, every) }
+      }
+  }
+
+  /** Declarative (oracle-checkable) metadata/feature projection over the
+    * stub decode: byte length, lowercase hex header, frame count at a
+    * 64-byte window — everything computable without the codec.
+    */
+  def assetSummary(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val payload = encode(col(textCol), "UTF-8")
+    df.select(
+      col(idCol),
+      octet_length(payload).cast("long").as("n_bytes"),
+      lower(substring(hex(payload), 1, 16)).as("header_hex"),
+      (octet_length(payload).cast("long") / lit(64)).cast("long").as("n_full_frames"),
+      (Hashing.h32(col(textCol)) % 1280).cast("int").as("width"),
+      (Hashing.h32(col(textCol)) % 720).cast("int").as("height"))
+      .orderBy(idCol)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (north-star
+  * extension): language-ID heuristic, quality scoring, token counting,
+  * document fingerprinting, tf-idf top terms. All pure column
+  * expressions (whole-stage codegen) or standard shuffle aggregations.
+  */
+object TextAnalytics {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Stopword-indicator sets for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny — the point is the plumbing (argmax
+    * over per-language evidence counts), swappable for real profiles.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "es", "y"))
+
+  private def markerCount(t: Column, markers: Seq[String]): Column =
+    size(filter(t, x => array_contains(array(markers.map(lit): _*), x)))
+
+  /** Language guess: argmax of marker counts, first-listed wins ties,
+    * 'und' (undetermined) when no marker hits.
+    */
+  def langGuess(text: Column): Column = {
+    val t = toks(text)
+    val scores = langMarkers.map { case (l, ms) => (l, markerCount(t, ms)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), rest) =>
+      when(s > 0 && s === best, lit(l)).otherwise(rest)
+    }
+  }
+
+  /** Quality-score projection: token stats + stopword ratio. Ratios are
+    * exact small-int divisions rounded to 6 dp (engine-stable).
+    */
+  def qualityScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    val nTok = size(t)
+    val stop = markerCount(t, langMarkers.flatMap(_._2))
+    df.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars"),
+      nTok.as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct"),
+      round(aggregate(t, lit(0), (a, x) => a + length(x)).cast("double") / nTok, 6)
+        .as("avg_token_len"),
+      round(stop.cast("double") / nTok, 6).as("stopword_ratio"),
+      round(size(array_distinct(t)).cast("double") / nTok, 6).as("ttr"))
+      .orderBy(idCol)
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs, digit runs, single other-chars).
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(toks(col(textCol))).as("ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .as("bpe_tokens"))
+      .orderBy(idCol)
+
+  /** Document fingerprint: 31-polynomial rolling hash over portable
+    * token hashes, mod 1e9+7 — sequential fold, identical in DuckDB's
+    * `list_reduce`.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(transform(toks(text), t => Hashing.h32(t)),
+      lit(0L), (a, x) => (a * 31 + x) % lit(1000000007L))
+
+  /** Top-`k` tf-idf terms per document. Scoring is exact-integer —
+    * (tf · N · 10^6) div df — which orders identically to tf·idf for a
+    * fixed corpus and is reproducible bit-for-bit in any engine (no
+    * floating log).
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val exploded = df.select(col(idCol).as("doc"), explode(toks(col(textCol))).as("term"))
+    val tf = exploded.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = exploded.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .select(col("doc"), col("term"),
+        expr("tf * n_docs * 1000000 div df").as("score"))
+    val w = Window.partitionBy("doc").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc").as("doc_id"), col("rank"), col("term"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+}

@@ -1,0 +1,357 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalytics}
+import graft.model.Tables
+
+/** North-star extension queries (BASELINE.json): dedup family,
+  * similarity search, text analysis, multimodal — each deterministic and
+  * oracle-mirrored in DuckDB. Naming: x<N>_<op>.
+  */
+object ExtQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // --- shared SQL fragments ------------------------------------------------
+
+  /** Explicit double-precision cosine over 64-dim float lists (DuckDB).
+    * `round(…, 6)` absorbs engine summation-order differences.
+    */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1,65), i -> CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE)))"
+    s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)"
+  }
+
+  // --- x1: exact dedup -----------------------------------------------------
+
+  val x1DedupExact: Q = (spark, sfDir) =>
+    Dedup.exactDupGroups(Tables.documents(spark, sfDir), "doc_id", "text").orderBy("h")
+
+  private val x1Sql =
+    """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
+      |FROM documents GROUP BY 1 ORDER BY h""".stripMargin
+
+  // --- x2: MinHash + LSH near-dup candidates -------------------------------
+
+  val x2MinhashLsh: Q = (spark, sfDir) =>
+    Dedup.minhashLshPairs(Tables.documents(spark, sfDir), "doc_id", "text")
+
+  private val x2Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, length(tokens)),
+      |    i -> array_to_string(list_slice(tokens, i, i+1), ' '))) AS shingles
+      |  FROM tok WHERE length(tokens) >= 2
+      |), hs AS (
+      |  SELECT doc_id, shingles,
+      |    list_transform(shingles, s -> ('0x' || substr(md5(s),1,8))::BIGINT) AS hs
+      |  FROM sh
+      |), sig AS (
+      |  SELECT doc_id, list_transform(range(0,16),
+      |    j -> list_min(list_transform(hs, x -> ((2*j+1)*x + 7919*j) % 4294967311))) AS sig
+      |  FROM hs
+      |), bands AS (
+      |  SELECT doc_id, unnest(list_transform(range(0,8),
+      |    b -> b || ':' || array_to_string(list_slice(sig, 2*b+1, 2*b+2), '-'))) AS bk
+      |  FROM sig
+      |), pairs AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      |), ws AS (
+      |  SELECT p.a_id, p.b_id, sa.shingles AS sa, sb.shingles AS sb
+      |  FROM pairs p
+      |  JOIN sh sa ON p.a_id = sa.doc_id
+      |  JOIN sh sb ON p.b_id = sb.doc_id
+      |), j AS (
+      |  SELECT a_id, b_id,
+      |    length(list_filter(sa, x -> list_contains(sb, x))) AS inter,
+      |    length(sa) AS la, length(sb) AS lb
+      |  FROM ws
+      |)
+      |SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
+      |FROM j ORDER BY a_id, b_id""".stripMargin
+
+  // --- x3: SimHash sketches -------------------------------------------------
+
+  val x3Simhash: Q = (spark, sfDir) =>
+    Dedup.simhashSketch(Tables.documents(spark, sfDir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("simhash")).orderBy("doc_id")
+
+  private val x3Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, list_transform(string_split(text, ' '),
+      |    t -> ('0x' || substr(md5(t),1,15))::BIGINT) AS th
+      |  FROM documents
+      |)
+      |SELECT doc_id, array_to_string(list_transform(range(0,60), b ->
+      |  CASE WHEN list_sum(list_transform(th,
+      |    x -> CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+      |  THEN '1' ELSE '0' END), '') AS simhash
+      |FROM tok ORDER BY doc_id""".stripMargin
+
+  // --- x4: n-gram Jaccard over blocked candidates ---------------------------
+
+  val x4NgramJaccard: Q = (spark, sfDir) =>
+    Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir), "doc_id", "text", "source")
+
+  private val x4Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS tokens FROM documents
+      |), sh AS (
+      |  SELECT doc_id, source, list_distinct(list_transform(range(1, length(tokens)-1),
+      |    i -> array_to_string(list_slice(tokens, i, i+2), ' '))) AS sh
+      |  FROM tok WHERE length(tokens) >= 3
+      |), p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS sa, b.sh AS sb
+      |  FROM sh a JOIN sh b
+      |    ON a.source = b.source AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 10
+      |), j AS (
+      |  SELECT a_id, b_id,
+      |    length(list_filter(sa, x -> list_contains(sb, x))) AS inter,
+      |    length(sa) AS la, length(sb) AS lb
+      |  FROM p
+      |)
+      |SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
+      |FROM j ORDER BY a_id, b_id""".stripMargin
+
+  // --- x5: embedding-cosine near-dups (label-blocked) -----------------------
+
+  val x5EmbeddingNearDups: Q = (spark, sfDir) =>
+    Similarity.embeddingNearDups(Tables.embeddings(spark, sfDir), "label", 0.5)
+
+  private val x5Sql =
+    s"""WITH d AS (
+       |  SELECT x.vec_id AS a_id, y.vec_id AS b_id, x.embedding AS xe, y.embedding AS ye
+       |  FROM embeddings x JOIN embeddings y
+       |    ON x.label = y.label AND x.vec_id < y.vec_id
+       |), s AS (
+       |  SELECT a_id, b_id, ${cosSql("xe", "ye")} AS sim FROM d
+       |)
+       |SELECT a_id, b_id, sim FROM s WHERE sim >= 0.5 ORDER BY a_id, b_id""".stripMargin
+
+  // --- x6: brute-force cosine top-k ----------------------------------------
+
+  val x6SimBruteForce: Q = (spark, sfDir) =>
+    Similarity.bruteForceTopK(Tables.embeddings(spark, sfDir), col("vec_id") < 20, 5)
+
+  private val x6Sql =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20
+       |), c AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |), s AS (
+       |  SELECT qid, cid, ${cosSql("qe", "ce")} AS sim FROM q JOIN c ON qid != cid
+       |), r AS (
+       |  SELECT qid, cid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+       |  FROM s
+       |)
+       |SELECT qid, rank, cid, sim FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  // --- x7: hyperplane-LSH bucketed top-k ------------------------------------
+
+  val x7SimLsh: Q = (spark, sfDir) =>
+    Similarity.lshTopK(Tables.embeddings(spark, sfDir), col("vec_id") < 20, 5)
+
+  private val bucketSql =
+    """array_to_string(list_transform(range(0,8), j ->
+      |    CASE WHEN list_sum(list_transform(range(1,65), i ->
+      |      CAST(embedding[i] AS DOUBLE) *
+      |      CASE WHEN ('0x' || substr(md5('rp-' || j || '-' || i),1,8))::BIGINT % 2 = 0
+      |        THEN 1.0 ELSE -1.0 END)) > 0
+      |    THEN '1' ELSE '0' END), '')""".stripMargin
+
+  private val x7Sql =
+    s"""WITH bk AS (
+       |  SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS qid, embedding AS qe, bucket FROM bk WHERE vec_id < 20
+       |), c AS (
+       |  SELECT vec_id AS cid, embedding AS ce, bucket FROM bk
+       |), s AS (
+       |  SELECT qid, cid, ${cosSql("qe", "ce")} AS sim
+       |  FROM q JOIN c USING (bucket) WHERE qid != cid
+       |), r AS (
+       |  SELECT qid, cid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+       |  FROM s
+       |)
+       |SELECT qid, rank, cid, sim FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  // --- x8: language-ID heuristic --------------------------------------------
+
+  val x8LangId: Q = (spark, sfDir) =>
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextAnalytics.langGuess(col("text")).as("lang_guess"))
+      .orderBy("doc_id")
+
+  private val x8Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), s AS (
+      |  SELECT doc_id,
+      |    length(list_filter(tk, x -> list_contains(['the','a','of','and','to','in'], x))) AS s_en,
+      |    length(list_filter(tk, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+      |    length(list_filter(tk, x -> list_contains(['le','la','les','et','est'], x))) AS s_fr,
+      |    length(list_filter(tk, x -> list_contains(['el','los','las','es','y'], x))) AS s_es
+      |  FROM t
+      |)
+      |SELECT doc_id, CASE
+      |  WHEN s_en > 0 AND s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+      |  WHEN s_de > 0 AND s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+      |  WHEN s_fr > 0 AND s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+      |  WHEN s_es > 0 AND s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+      |  ELSE 'und' END AS lang_guess
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  // --- x9: quality scoring ----------------------------------------------------
+
+  val x9Quality: Q = (spark, sfDir) =>
+    TextAnalytics.qualityScores(Tables.documents(spark, sfDir), "doc_id", "text")
+
+  private val x9Sql =
+    """WITH t AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+      |)
+      |SELECT doc_id,
+      |  length(text) AS n_chars,
+      |  length(tk) AS n_tokens,
+      |  length(list_distinct(tk)) AS n_distinct,
+      |  round(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / length(tk), 6) AS avg_token_len,
+      |  round(CAST(length(list_filter(tk, x -> list_contains(
+      |    ['the','a','of','and','to','in','der','die','das','und','ist',
+      |     'le','la','les','et','est','el','los','las','es','y'], x))) AS DOUBLE) / length(tk), 6) AS stopword_ratio,
+      |  round(CAST(length(list_distinct(tk)) AS DOUBLE) / length(tk), 6) AS ttr
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // --- x10: token counting -----------------------------------------------------
+
+  val x10TokenCounts: Q = (spark, sfDir) =>
+    TextAnalytics.tokenCounts(Tables.documents(spark, sfDir), "doc_id", "text")
+
+  private val x10Sql =
+    """SELECT doc_id,
+      |  length(string_split(text, ' ')) AS ws_tokens,
+      |  length(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- x11: document fingerprint -----------------------------------------------
+
+  val x11Fingerprint: Q = (spark, sfDir) =>
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextAnalytics.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  private val x11Sql =
+    """SELECT doc_id,
+      |  list_reduce(list_concat([CAST(0 AS BIGINT)],
+      |    list_transform(string_split(text, ' '),
+      |      t -> ('0x' || substr(md5(t),1,8))::BIGINT)),
+      |    (a, x) -> (a*31 + x) % 1000000007) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- x12: tf-idf top terms ------------------------------------------------------
+
+  val x12Tfidf: Q = (spark, sfDir) =>
+    TextAnalytics.tfidfTopTerms(Tables.documents(spark, sfDir), "doc_id", "text")
+
+  private val x12Sql =
+    """WITH ex AS (
+      |  SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc, term, count(*) AS tf FROM ex GROUP BY doc, term
+      |), dfq AS (
+      |  SELECT term, count(*) AS df FROM (SELECT DISTINCT doc, term FROM ex) GROUP BY term
+      |), n AS (
+      |  SELECT count(*) AS n_docs FROM documents
+      |), sc AS (
+      |  SELECT doc, term, tf * n_docs * 1000000 // df AS score
+      |  FROM tf JOIN dfq USING (term) CROSS JOIN n
+      |), r AS (
+      |  SELECT doc, term, score,
+      |    row_number() OVER (PARTITION BY doc ORDER BY score DESC, term) AS rank
+      |  FROM sc
+      |)
+      |SELECT doc AS doc_id, rank, term, score FROM r WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
+  // --- x13: multimodal asset summary -----------------------------------------------
+
+  val x13Multimodal: Q = (spark, sfDir) =>
+    Multimodal.assetSummary(Tables.documents(spark, sfDir), "doc_id", "text")
+
+  private val x13Sql =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  lower(substr(hex(encode(text)), 1, 16)) AS header_hex,
+      |  CAST(octet_length(encode(text)) // 64 AS BIGINT) AS n_full_frames,
+      |  CAST(('0x' || substr(md5(text),1,8))::BIGINT % 1280 AS INT) AS width,
+      |  CAST(('0x' || substr(md5(text),1,8))::BIGINT % 720 AS INT) AS height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- x14: multimodal frame sampling (the mapPartitions decode path) ---------------
+
+  /** Drives the real partition-parallel decode stage; payload is UTF-8
+    * text (pure ASCII), so the oracle can reproduce the stub decoder's
+    * byte windows with character arithmetic.
+    */
+  val x14Frames: Q = (spark, sfDir) => {
+    val assets = Multimodal.asAssets(Tables.documents(spark, sfDir), "doc_id", "text")
+    Multimodal.sampleFrames(spark, assets)
+      .select(col("docId").as("doc_id"), col("frameIdx").cast("long").as("frame_idx"),
+        col("nBytes").as("n_bytes"), round(col("feature"), 6).as("feature"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private val x14Sql =
+    """WITH f AS (
+      |  SELECT doc_id, text,
+      |    unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS frame_idx
+      |  FROM documents
+      |), w AS (
+      |  SELECT doc_id, frame_idx, substr(text, CAST(frame_idx*64+1 AS INT), 64) AS win FROM f
+      |)
+      |SELECT doc_id, frame_idx,
+      |  CAST(length(win) AS BIGINT) AS n_bytes,
+      |  round(CAST(list_sum(list_transform(range(1, length(win)+1),
+      |    i -> ascii(substr(win, CAST(i AS INT), 1)))) AS DOUBLE) / (255.0 * length(win)), 6) AS feature
+      |FROM w ORDER BY doc_id, frame_idx""".stripMargin
+
+  // --- assembled maps -----------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "x1_dedup_exact" -> x1DedupExact,
+    "x2_minhash_lsh" -> x2MinhashLsh,
+    "x3_simhash" -> x3Simhash,
+    "x4_ngram_jaccard" -> x4NgramJaccard,
+    "x5_embedding_neardups" -> x5EmbeddingNearDups,
+    "x6_sim_bruteforce" -> x6SimBruteForce,
+    "x7_sim_lsh" -> x7SimLsh,
+    "x8_langid" -> x8LangId,
+    "x9_quality" -> x9Quality,
+    "x10_token_counts" -> x10TokenCounts,
+    "x11_fingerprint" -> x11Fingerprint,
+    "x12_tfidf" -> x12Tfidf,
+    "x13_multimodal" -> x13Multimodal,
+    "x14_frames" -> x14Frames)
+
+  val oracle: Map[String, String] = Map(
+    "x1_dedup_exact" -> x1Sql,
+    "x2_minhash_lsh" -> x2Sql,
+    "x3_simhash" -> x3Sql,
+    "x4_ngram_jaccard" -> x4Sql,
+    "x5_embedding_neardups" -> x5Sql,
+    "x6_sim_bruteforce" -> x6Sql,
+    "x7_sim_lsh" -> x7Sql,
+    "x8_langid" -> x8Sql,
+    "x9_quality" -> x9Sql,
+    "x10_token_counts" -> x10Sql,
+    "x11_fingerprint" -> x11Sql,
+    "x12_tfidf" -> x12Sql,
+    "x13_multimodal" -> x13Sql,
+    "x14_frames" -> x14Sql)
+}
