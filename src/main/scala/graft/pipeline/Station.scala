@@ -107,8 +107,13 @@ object Station {
   /** Full batch pipeline: raw lines → stations. The resolver is injected
     * as a DataFrame transform so production (network) and test (mock)
     * implementations share the plan shape (SURVEY.md §2.1 S3).
+    *
+    * `ts` is the P2 "now" stamped on every record
+    * (`video_processor.py:257-258`); pass a fixed timestamp for
+    * deterministic/golden runs.
     */
   def pipeline(lines: DataFrame, resolve: DataFrame => DataFrame,
-               ids: Column => Seq[(String, Column)] = deterministicIds): DataFrame =
-    enrich(validResolutions(resolve(dedupLinks(parseLinks(lines)))), ids)
+               ids: Column => Seq[(String, Column)] = deterministicIds,
+               ts: Column = current_timestamp()): DataFrame =
+    enrich(validResolutions(resolve(dedupLinks(parseLinks(lines)))).withColumn("ts", ts), ids)
 }

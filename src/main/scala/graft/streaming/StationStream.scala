@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.pipeline.Station
+
+/** Streaming incarnation of the reference pipeline (SURVEY.md §3 E2/E3).
+  *
+  * The reference is a cron-driven full recompute: every 2 h (or on input
+  * change) it re-reads `links.txt`, re-enriches everything, and rewrites
+  * one JSON array file committed by CI (`update-streams.yml:4-10,80-100`).
+  * Spark-natively that is a file-source stream with
+  * `Trigger.AvailableNow` (one drain per invocation — the cron analog) or
+  * `Trigger.ProcessingTime("2 hours")` (long-running daemon analog), a
+  * streaming dedup, and an idempotent `foreachBatch` sink that rewrites
+  * the full output — checkpointed, so re-delivery can't double-publish
+  * (the S5 "idempotent publish" contract).
+  */
+object StationStream {
+
+  /** S1 as a stream: one text line per record from a watched directory. */
+  def linkStream(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream.text(inputDir)
+
+  /** The full streaming pipeline: parse → streaming dedup → resolve →
+    * filter → enrich.
+    *
+    * Dedup in motion uses `dropDuplicatesWithinWatermark` on a
+    * processing-time column: links carry no event time, so state for a
+    * URL can be dropped once the watermark passes — bounded state at
+    * 100 TB-scale ingest, unlike an unbounded `dropDuplicates`
+    * (`video_processor.py:330` only ever deduped within one batch).
+    */
+  def stations(links: DataFrame, resolve: DataFrame => DataFrame,
+               ids: Column => Seq[(String, Column)] = Station.deterministicIds): DataFrame = {
+    val parsed = Station.parseLinks(links)
+      .withColumn("seen_at", current_timestamp())
+      .withWatermark("seen_at", "2 hours")
+      .dropDuplicatesWithinWatermark("url")
+      .drop("seen_at")
+    Station.enrich(
+      Station.validResolutions(resolve(parsed))
+        .withColumn("ts", current_timestamp()), ids)
+  }
+
+  /** S4: the whole batch as ONE JSON array file
+    * (`video_processor.py:338-354`). Inherently a driver-side write —
+    * the reference's output is a single small artifact (its scale is the
+    * station list, not the data volume), so `collect()` here is the
+    * correct tool, not an anti-pattern.
+    */
+  def writeJsonArray(batch: DataFrame, outFile: String): Unit = {
+    val rows = batch.toJSON.collect()
+    // AvailableNow emits a trailing empty watermark-advance batch; don't
+    // let it clobber the output written by the data batch (the reference
+    // likewise never overwrites with an empty run — C6 exit contract,
+    // `video_processor.py:411-416`).
+    val path = Paths.get(outFile)
+    if (rows.nonEmpty || !Files.exists(path)) {
+      val json =
+        if (rows.isEmpty) "[]"
+        else rows.mkString("[\n  ", ",\n  ", "\n]")
+      Files.createDirectories(path.toAbsolutePath.getParent)
+      Files.write(path, json.getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  /** E2/E3: start the checkpointed stream. `availableNow = true` mirrors
+    * the cron batch (drain everything, exit); false runs the 2-hourly
+    * daemon (C5).
+    */
+  def run(spark: SparkSession, inputDir: String, outFile: String,
+          checkpointDir: String, resolve: DataFrame => DataFrame,
+          availableNow: Boolean = true): StreamingQuery = {
+    val trigger =
+      if (availableNow) Trigger.AvailableNow()
+      else Trigger.ProcessingTime("2 hours")
+    stations(linkStream(spark, inputDir), resolve)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writeJsonArray(batch, outFile)
+      }
+      .start()
+  }
+}

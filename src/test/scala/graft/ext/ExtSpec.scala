@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Sanity checks for the dedup / similarity / text-analytics operators
+  * on planted inputs where the right answer is known.
+  */
+class ExtSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank", "s0"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bend", "s0"), // near-dup of 0
+      (2L, "completely different words about spark catalyst optimizer plans", "s0"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank", "s1")  // exact dup of 0
+    ).toDF("doc_id", "text", "source")
+  }
+
+  test("exact dedup groups identical content") {
+    val groups = Dedup.exactDupGroups(docs, "doc_id", "text")
+    assert(groups.count() == 3)
+    assert(groups.filter(col("n") === 2).select("keep_id").collect().head.getLong(0) == 0L)
+  }
+
+  test("minhash LSH finds the planted near-dup pair with high jaccard") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text").collect()
+    val nearDup = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(nearDup.isDefined, s"expected (0,1) among ${pairs.mkString(",")}")
+    assert(nearDup.get.getDouble(2) > 0.7)
+    // exact dup pair has jaccard 1.0 if banded together
+    pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 3L)
+      .foreach(r => assert(r.getDouble(2) == 1.0))
+  }
+
+  test("simhash: identical docs share sketches, near-dups are close") {
+    val sk = Dedup.simhashSketch(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sk(0L) == sk(3L))
+    val hamming = sk(0L).zip(sk(1L)).count { case (a, b) => a != b }
+    assert(hamming < 12, s"hamming=$hamming")
+    val hammingFar = sk(0L).zip(sk(2L)).count { case (a, b) => a != b }
+    assert(hammingFar > hamming)
+  }
+
+  test("cosine similarity: orthogonal vs identical") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 0f, 0f, 0f), Array(1f, 0f, 0f, 0f)),
+      (Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f))).toDF("a", "b")
+    val sims = df.select(round(Similarity.cosine(col("a"), col("b")), 6)).collect().map(_.getDouble(0))
+    assert(sims(0) == 1.0 && sims(1) == 0.0)
+  }
+
+  test("brute-force topk ranks by similarity then id") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(1f, 0.01f), 0),
+      (2L, Array(0f, 1f), 0), (3L, Array(1f, 0.02f), 0)).toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteForceTopK(emb, col("vec_id") === 0, 2).collect()
+    assert(top.map(_.getLong(2)).toSeq == Seq(1L, 3L))
+  }
+
+  test("language guess picks the marked language") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "der hund und die katze ist hier"),
+      (1L, "the cat of the house and a dog"),
+      (2L, "xyzzy plugh")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalytics.langGuess(col("text")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "de" && got(1L) == "en" && got(2L) == "und")
+  }
+
+  test("fingerprint is deterministic and content-sensitive") {
+    val fps = docs.select(col("doc_id"), TextAnalytics.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) == fps(3L))
+    assert(fps(0L) != fps(2L))
+  }
+
+  test("multimodal frame sampling windows the payload") {
+    val assets = Multimodal.asAssets(docs, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(spark, assets).collect()
+    val d0 = docs.collect().find(_.getLong(0) == 0L).get.getString(1)
+    val expected = math.ceil(d0.length / 64.0).toInt
+    assert(frames.count(_.docId == 0L) == expected)
+    assert(frames.forall(f => f.feature >= 0.0 && f.feature <= 1.0))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.model.Tables
+import graft.resolve.MockResolver
+
+/** Streaming end-to-end: file-source link stream → enrichment →
+  * single-JSON-array sink (E2/E3), and event-time windows vs their batch
+  * equivalents.
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("station stream drains a link directory into one JSON array (AvailableNow)") {
+    val dir = Files.createTempDirectory("links").toString
+    val out = Files.createTempDirectory("out").resolve("output.json").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    Files.write(Paths.get(dir, "links.txt"),
+      ("# comment\n\nhttps://www.youtube.com/watch?v=AAAAAAAAAAA\n" +
+        "https://www.youtube.com/watch?v=BBBBBBBBBBB\n" +
+        "https://www.youtube.com/watch?v=AAAAAAAAAAA\n").getBytes)
+
+    val q = StationStream.run(spark, dir, out, ckpt, new MockResolver().stage(spark))
+    q.awaitTermination(60000)
+
+    val json = new String(Files.readAllBytes(Paths.get(out)))
+    assert(json.startsWith("[") && json.trim.endsWith("]"))
+    assert(json.contains("\"stationuuid\""))
+    // dedup-in-motion: AAA appears once
+    assert("AAAAAAAAAAA".r.findAllIn(json).length == 1)
+  }
+
+  test("streaming tumbling counts equal the batch groupBy (complete mode)") {
+    val events = Tables.events(spark, sf())
+    // stream the same rows through a file source
+    val dir = Files.createTempDirectory("ev").toString
+    events.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+
+    val streamed = EventWindows.drainToMemory(
+      spark, EventWindows.tumbling(stream), "tumb", OutputMode.Complete)
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+    val batch = events
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("mapGroupsWithState tracks per-user counts") {
+    val events = Tables.events(spark, sf())
+    val dir = Files.createTempDirectory("ev2").toString
+    events.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+
+    val activity = EventWindows.userActivity(spark, stream)
+    val got = EventWindows.drainToMemory(spark, activity.toDF(), "act", OutputMode.Update)
+    // last update per user must match the batch count
+    val latest = got.groupBy("userId").agg(max(col("events")).as("events"))
+    val expected = events.groupBy(col("user_id").as("userId")).agg(count(lit(1)).as("events"))
+    assert(latest.exceptAll(expected).isEmpty && expected.exceptAll(latest).isEmpty)
+  }
+}
