@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large text corpora — the training-data
@@ -52,46 +53,61 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
-  /** Per-doc distinct shingle sets: (id, shingles). */
-  def shingleSets(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  /** Per-doc (id, extra…, shingle-set array + the signature columns),
+    * computed the shuffle-friendly way: explode distinct shingles to
+    * rows (so the md5 hash runs in whole-stage codegen, not inside an
+    * interpreted array lambda), then ONE partial-aggregating groupBy
+    * producing all `nSig` MinHash slots (`min` combines map-side) and
+    * re-collecting the shingle set for later exact verification.
+    */
+  private def shingleSigs(df: DataFrame, idCol: String, textCol: String,
+                          extraCols: Seq[String], k: Int, nSig: Int): DataFrame = {
     val toks = tokens(col(textCol))
-    df.filter(size(toks) >= k)
-      .select(col(idCol).as("id"), shingles(toks, k).as("shingles"))
+    val exploded = df.filter(size(toks) >= k)
+      .select((Seq(col(idCol).as("id")) ++ extraCols.map(col) :+
+        explode(shingles(toks, k)).as("s")): _*)
+    val h = Hashing.h32(col("s"))
+    val sigAggs = (0 until nSig).map { j =>
+      min((lit(2L * j + 1) * h + lit(7919L * j)) % lit(4294967311L)).as(s"sig_$j")
+    }
+    val aggs = collect_list(col("s")).as("sh") +: sigAggs
+    exploded.groupBy((col("id") +: extraCols.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash+LSH near-duplicate candidates with exact-Jaccard
     * verification: (a_id, b_id, jaccard), totally ordered.
     *
-    * Pipeline: shingle → hash → 16-slot signature → 8×2 band keys →
-    * explode + self-equi-join on band key (the scalable step) →
-    * distinct pairs → exact Jaccard on the candidates only.
+    * Pipeline: explode shingles → codegen'd hash → partial-agg MinHash
+    * signature → band-key explode → self-equi-join on band key (the
+    * scalable step; both sides shuffle identically, so the exchange is
+    * computed once and reused) → exact Jaccard on candidates → distinct.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 2, bands: Int = 8, rows: Int = 2): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, k)
-    val hashed = sets.select(col("id"), col("shingles"),
-      transform(col("shingles"), s => Hashing.h32(s)).as("hs"))
-    val banded = hashed
-      .select(col("id"),
-        explode(lshBandKeys(minhashSignature(col("hs")), bands, rows)).as("bk"))
-    val pairs = banded.as("a")
+    val sigs = shingleSigs(df, idCol, textCol, Nil, k, bands * rows)
+    val bandKeys = (0 until bands).map { b =>
+      concat(lit(s"$b:"), concat_ws("-",
+        (0 until rows).map(r => col(s"sig_${b * rows + r}").cast("string")): _*))
+    }
+    val banded = sigs.select(col("id"), col("sh"),
+      explode(array(bandKeys: _*)).as("bk"))
+    banded.as("a")
       .join(banded.as("b"), col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
       .distinct()
-    val withSets = pairs
-      .join(sets.select(col("id"), col("shingles").as("sa")), col("a_id") === col("id")).drop("id")
-      .join(sets.select(col("id"), col("shingles").as("sb")), col("b_id") === col("id")).drop("id")
-    withSets.select(col("a_id"), col("b_id"),
-      jaccard(col("sa"), col("sb")).as("jaccard"))
       .orderBy("a_id", "b_id")
   }
 
   /** Exact Jaccard of two distinct-element arrays, rounded to 6 dp (the
     * rounding absorbs engine-order float differences; the division itself
-    * is exact small-int / small-int).
+    * is exact small-int / small-int). `array_intersect` is hash-based —
+    * O(|a|+|b|) per pair, vs O(|a|·|b|) for a contains-filter — which is
+    * what keeps candidate verification cheap on wide shingle sets.
     */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(filter(a, x => array_contains(b, x)))
+    val inter = size(array_intersect(a, b))
     round(inter.cast("double") / (size(a) + size(b) - inter), 6)
   }
 
@@ -119,16 +135,22 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, k: Int = 3, window: Int = 10): DataFrame = {
-    val sets = {
-      val toks = tokens(col(textCol))
-      df.filter(size(toks) >= k)
-        .select(col(idCol).as("id"), col(blockCol).as("blk"), shingles(toks, k).as("sh"))
-    }
-    sets.as("a").join(sets.as("b"),
-        col("a.blk") === col("b.blk") &&
-          col("b.id") > col("a.id") && col("b.id") <= col("a.id") + window)
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+    val toks = tokens(col(textCol))
+    val base = df.filter(size(toks) >= k)
+      .select(col(idCol).as("id"), col(blockCol).as("blk"), shingles(toks, k).as("sh"))
+    // Bucketize the id-window predicate into an equi-join key so the
+    // hash join emits ~2·window candidates per row instead of the whole
+    // per-block cross product (blocks can be huge — the blow-up guard is
+    // what survives a 100× scale-up): a matches b only when
+    // a.id div W ∈ {b.id div W, b.id div W − 1}, so explode b into both.
+    val a = base.select(col("id").as("a_id"), col("blk"), col("sh").as("sa"),
+      expr(s"id div $window").as("ga"))
+    val b = base.select(col("id").as("b_id"), col("blk").as("blkb"), col("sh").as("sb"),
+      explode(array(expr(s"id div $window"), expr(s"id div $window - 1"))).as("gb"))
+    a.join(b,
+        col("blk") === col("blkb") && col("ga") === col("gb") &&
+          col("b_id") > col("a_id") && col("b_id") <= col("a_id") + window)
+      .select(col("a_id"), col("b_id"), jaccard(col("sa"), col("sb")).as("jaccard"))
       .orderBy("a_id", "b_id")
   }
 }

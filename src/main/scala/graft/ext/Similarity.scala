@@ -17,29 +17,47 @@ import org.apache.spark.sql.functions._
   *    cross join into an equi-join on bucket. Recall < 1 by design;
   *    bucket count (2^planes) tunes the recall/cost trade.
   *
-  * All arithmetic is double-precision with results rounded to 6 dp so
-  * summation-order differences between engines vanish (SURVEY.md §7.4
-  * risk 5); ranking orders by the rounded value with id tie-breaks, so
-  * ranks are engine-stable too.
+  * Performance notes: vectors are unit-normalized ONCE before any join,
+  * so the per-pair work is a single 64-slot dot product; the hyperplane
+  * sign matrix is materialized as a literal at plan-build time (it's
+  * input-independent — recomputing its hashes per row would be 512
+  * md5 calls/row). All arithmetic is double with results rounded to
+  * 6 dp so engine summation-order differences vanish (SURVEY.md §7.4
+  * risk 5); ranking orders by the rounded value with id tie-breaks.
   */
 object Similarity {
 
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
   /** Cosine similarity of two float-array columns, in doubles. */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
+    def d(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b)))
+  }
+
+  /** (vec_id, unit, extra…) with unit = embedding/‖embedding‖ as doubles —
+    * normalize once, join after.
+    */
+  private def unitized(emb: DataFrame, extra: Seq[String] = Nil): DataFrame = {
+    val ed = transform(col("embedding"), x => x.cast("double"))
+    emb.select((Seq(col("vec_id"), ed.as("ed")) ++ extra.map(col)): _*)
+      .withColumn("nrm", sqrt(aggregate(col("ed"), lit(0.0), (a, x) => a + x * x)))
+      .select((Seq(col("vec_id"),
+        transform(col("ed"), x => x / col("nrm")).as("unit")) ++ extra.map(col)): _*)
   }
 
   /** Exact top-k neighbors for each query vector (`queryPred` selects the
     * query rows; self-matches excluded): (qid, rank, cid, sim).
     */
   def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val q = emb.filter(queryPred).select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val u = unitized(emb)
+    val q = u.filter(queryPred).select(col("vec_id").as("qid"), col("unit").as("qu"))
+    val c = u.select(col("vec_id").as("cid"), col("unit").as("cu"))
     val scored = broadcast(q).join(c, col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), round(cosine(col("qe"), col("ce")), 6).as("sim"))
+      .select(col("qid"), col("cid"), round(dot(col("qu"), col("cu")), 6).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -47,36 +65,39 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component r(j, i) ∈ {+1, −1}
-    * derived from a portable hash of the (plane, dimension) pair.
+  /** Deterministic ±1 hyperplane components, precomputed at plan build.
+    * Must stay bit-identical to the oracle's runtime derivation:
+    * +1 iff ('0x' ‖ md5("rp-<j>-<i>")[0,8)) is even.
     */
-  private def rComp(j: Column, i: Column): Column =
-    when(Hashing.h32(concat(lit("rp-"), j.cast("string"), lit("-"), i.cast("string"))) % 2 === 0,
-      lit(1.0)).otherwise(lit(-1.0))
+  private lazy val planeSigns: IndexedSeq[Seq[Double]] =
+    (0 until 8).map { j =>
+      (1 to 64).map { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"rp-$j-$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+      }
+    }
 
-  /** 8-bit sign bucket of a vector under planes j = 0..7. */
-  def hyperplaneBucket(e: Column, planes: Int = 8, dim: Int = 64): Column =
-    array_join(
-      transform(sequence(lit(0), lit(planes - 1)), j =>
-        when(
-          aggregate(sequence(lit(1), lit(dim)),
-            lit(0.0),
-            (acc, i) => acc + element_at(e, i).cast("double") * rComp(j, i)) > 0,
-          lit("1")).otherwise(lit("0"))),
-      "")
+  /** 8-bit sign bucket of a vector under the precomputed planes. */
+  def hyperplaneBucket(e: Column): Column =
+    concat((0 until 8).map { j =>
+      val plane = typedLit(planeSigns(j))
+      when(dot(transform(e, x => x.cast("double")), plane) > 0, lit("1")).otherwise(lit("0"))
+    }: _*)
 
   /** Bucketed ANN: same output shape as [[bruteForceTopK]] but candidates
     * restricted to the query's hyperplane bucket.
     */
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val bucketed = emb.select(col("vec_id"), col("embedding"),
-      hyperplaneBucket(col("embedding")).as("bucket"))
+    val bucketed = unitized(emb.withColumn("bucket", hyperplaneBucket(col("embedding"))),
+      extra = Seq("bucket"))
     val q = bucketed.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
-    val c = bucketed.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("unit").as("qu"), col("bucket"))
+    val c = bucketed.select(col("vec_id").as("cid"), col("unit").as("cu"), col("bucket"))
     val scored = broadcast(q).join(c, Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), round(cosine(col("qe"), col("ce")), 6).as("sim"))
+      .select(col("qid"), col("cid"), round(dot(col("qu"), col("cu")), 6).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -88,10 +109,11 @@ object Similarity {
     * `label`) to bound the pair count: (a_id, b_id, sim ≥ threshold).
     */
   def embeddingNearDups(emb: DataFrame, blockCol: String, threshold: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("ae"), col(blockCol).as("blk"))
-    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("be"), col(blockCol).as("blk"))
+    val u = unitized(emb, extra = Seq(blockCol)).withColumnRenamed(blockCol, "blk")
+    val a = u.select(col("vec_id").as("a_id"), col("unit").as("au"), col("blk"))
+    val b = u.select(col("vec_id").as("b_id"), col("unit").as("bu"), col("blk"))
     a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), round(cosine(col("ae"), col("be")), 6).as("sim"))
+      .select(col("a_id"), col("b_id"), round(dot(col("au"), col("bu")), 6).as("sim"))
       .filter(col("sim") >= threshold)
       .orderBy("a_id", "b_id")
   }

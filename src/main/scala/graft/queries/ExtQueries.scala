@@ -95,20 +95,23 @@ object ExtQueries {
 
   // --- x4: n-gram Jaccard over blocked candidates ---------------------------
 
+  /** Blocked by `lang` (coarse blocks — real candidate volume; `source`
+    * blocks almost never coincide with the id window).
+    */
   val x4NgramJaccard: Q = (spark, sfDir) =>
-    Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir), "doc_id", "text", "source")
+    Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir), "doc_id", "text", "lang")
 
   private val x4Sql =
     """WITH tok AS (
-      |  SELECT doc_id, source, string_split(text, ' ') AS tokens FROM documents
+      |  SELECT doc_id, lang, string_split(text, ' ') AS tokens FROM documents
       |), sh AS (
-      |  SELECT doc_id, source, list_distinct(list_transform(range(1, length(tokens)-1),
+      |  SELECT doc_id, lang, list_distinct(list_transform(range(1, length(tokens)-1),
       |    i -> array_to_string(list_slice(tokens, i, i+2), ' '))) AS sh
       |  FROM tok WHERE length(tokens) >= 3
       |), p AS (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS sa, b.sh AS sb
       |  FROM sh a JOIN sh b
-      |    ON a.source = b.source AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 10
+      |    ON a.lang = b.lang AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 10
       |), j AS (
       |  SELECT a_id, b_id,
       |    length(list_filter(sa, x -> list_contains(sb, x))) AS inter,
