@@ -38,6 +38,60 @@ trait Resolver extends Serializable {
   }
 }
 
+/** C1 — retry with linear backoff around another resolver
+  * (`video_processor.py:41-42,130-136`): `attempts` tries, sleeping
+  * `baseDelayMs·(attempt+1)` between failures. Infra-level failures are
+  * additionally covered by Spark task retries (`spark.task.maxFailures`);
+  * this wrapper is for per-record, retryable resolution errors.
+  *
+  * A resolver signals "retryable failure" by throwing; `None` means a
+  * definitive no-result (the reference's error-classified fast-exit,
+  * D5/`video_processor.py:115-128`, which is deliberately NOT retried).
+  */
+class RetryingResolver(inner: Resolver, attempts: Int = 2,
+                       baseDelayMs: Long = 0L) extends Resolver {
+  override def resolve(url: String): Option[VideoInfo] = {
+    var attempt = 0
+    while (true) {
+      try return inner.resolve(url)
+      catch {
+        case e: Exception =>
+          attempt += 1
+          if (attempt >= attempts) return None
+          if (baseDelayMs > 0) Thread.sleep(baseDelayMs * attempt)
+      }
+    }
+    None
+  }
+}
+
+/** C2 — fallback extraction chain (`video_processor.py:138-180`): try the
+  * primary strategy, fall back to the secondary when it yields nothing —
+  * the flat-extraction → ios-client chain of the reference.
+  */
+class FallbackResolver(primary: Resolver, secondary: Resolver) extends Resolver {
+  override def resolve(url: String): Option[VideoInfo] =
+    primary.resolve(url).orElse(secondary.resolve(url))
+}
+
+/** C3 — per-partition rate limiter (`video_processor.py:377-381,51,58-59`).
+  * The reference sleeps uniform(3,8)s between records on one thread; the
+  * Spark analog is a minimum inter-call interval per partition (each
+  * partition owns one "client"), NOT row-level sleeps on the driver.
+  * Token-bucket-of-one: enough to bound the aggregate request rate at
+  * `partitions / minIntervalMs` without coordinating executors.
+  */
+class RateLimitedResolver(inner: Resolver, minIntervalMs: Long) extends Resolver {
+  @transient private var lastCall = 0L
+  override def resolve(url: String): Option[VideoInfo] = {
+    val now = System.nanoTime() / 1000000L
+    val wait = lastCall + minIntervalMs - now
+    if (wait > 0) Thread.sleep(wait)
+    lastCall = System.nanoTime() / 1000000L
+    inner.resolve(url)
+  }
+}
+
 /** Deterministic mock resolver: derives a stable VideoInfo from the URL
   * alone, covering every downstream branch — HLS and non-HLS extensions,
   * extension-less paths, language indicators, stopword-heavy titles,

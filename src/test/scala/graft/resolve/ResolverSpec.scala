@@ -1,0 +1,84 @@
+package graft.resolve
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.SparkSpec
+import graft.model.VideoInfo
+import graft.sources.Sources
+
+/** C1/C2/C3 control-flow semantics (`SURVEY.md §2.6`) + the S2
+  * pre-flight guard.
+  */
+class ResolverSpec extends SparkSpec {
+
+  private def info(url: String) =
+    VideoInfo(url, "t", "d", "th", s"$url/stream.m4a", 1L, "u", 1L)
+
+  test("C1: retry succeeds after transient failures, gives up after attempts") {
+    val calls = new AtomicInteger(0)
+    val flaky = new Resolver {
+      override def resolve(url: String): Option[VideoInfo] = {
+        if (calls.incrementAndGet() < 2) throw new RuntimeException("transient")
+        Some(info(url))
+      }
+    }
+    assert(new RetryingResolver(flaky, attempts = 2).resolve("u").isDefined)
+
+    val alwaysFails = new Resolver {
+      override def resolve(url: String): Option[VideoInfo] =
+        throw new RuntimeException("down")
+    }
+    assert(new RetryingResolver(alwaysFails, attempts = 2).resolve("u").isEmpty)
+  }
+
+  test("C1: definitive None is not retried (error-class fast exit, D5)") {
+    val calls = new AtomicInteger(0)
+    val definitive = new Resolver {
+      override def resolve(url: String): Option[VideoInfo] = {
+        calls.incrementAndGet(); None
+      }
+    }
+    assert(new RetryingResolver(definitive, attempts = 3).resolve("u").isEmpty)
+    assert(calls.get() == 1)
+  }
+
+  test("C2: fallback chain consults secondary only when primary is empty") {
+    val primaryHit = new Resolver {
+      override def resolve(url: String): Option[VideoInfo] = Some(info("primary"))
+    }
+    val secondary = new Resolver {
+      override def resolve(url: String): Option[VideoInfo] = Some(info("secondary"))
+    }
+    val none = new Resolver {
+      override def resolve(url: String): Option[VideoInfo] = None
+    }
+    assert(new FallbackResolver(primaryHit, secondary).resolve("u").get.url == "primary")
+    assert(new FallbackResolver(none, secondary).resolve("u").get.url == "secondary")
+  }
+
+  test("C3: rate limiter enforces a minimum inter-call interval") {
+    val fast = new Resolver {
+      override def resolve(url: String): Option[VideoInfo] = Some(info(url))
+    }
+    val limited = new RateLimitedResolver(fast, minIntervalMs = 30)
+    val t0 = System.nanoTime()
+    (1 to 4).foreach(i => limited.resolve(s"u$i"))
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(elapsedMs >= 90, s"4 calls at 30ms spacing took ${elapsedMs}ms")
+  }
+
+  test("S2: missing input file fails fast") {
+    intercept[IllegalArgumentException] {
+      Sources.linkFile(spark, "/nonexistent/links.txt")
+    }
+  }
+
+  test("resolver stage maps partitions without collecting (distributed shape)") {
+    import spark.implicits._
+    val links = (0 until 100).map(i => s"https://www.youtube.com/watch?v=$i").toDF("url")
+    val resolved = new MockResolver().stage(spark)(links)
+    assert(resolved.columns.contains("stream_url"))
+    assert(resolved.count() == 100)
+    assert(resolved.rdd.getNumPartitions >= 1)
+  }
+}
