@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{ExtQueries, RefQueries}
+import graft.queries.{AnalyticsQueries, ExtQueries, RefQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -14,10 +14,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RefQueries.queries ++ ExtQueries.queries
+    RefQueries.queries ++ ExtQueries.queries ++ AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RefQueries.oracle ++ ExtQueries.oracle
+    RefQueries.oracle ++ ExtQueries.oracle ++ AnalyticsQueries.oracle
 }

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.model.Tables
+
+/** Beyond-reference analytics breadth — the relational surface a user of
+  * a complete engine expects (top-k, grouping sets, set operations,
+  * semi/anti joins, ranking windows, JSON extraction), each
+  * oracle-mirrored. Naming: a<N>_<op>.
+  */
+object AnalyticsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // --- a1: global top-k (ORDER BY ... LIMIT) --------------------------------
+
+  val a1TopOrders: Q = (spark, sfDir) =>
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .limit(10)
+
+  private val a1Sql =
+    """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // --- a2: rollup (grouping sets) -------------------------------------------
+
+  /** ROLLUP over (returnflag, linestatus); grouping nulls are coalesced to
+    * 'ALL' so the total order behaves identically in both engines (Spark
+    * sorts nulls first, DuckDB last).
+    */
+  val a2Rollup: Q = (spark, sfDir) =>
+    Tables.lineitem(spark, sfDir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  private val a2Sql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  // --- a3: set operations ----------------------------------------------------
+
+  /** Customers that bought (semi via INTERSECT) minus a price-band cohort
+    * (EXCEPT).
+    */
+  val a3SetOps: Q = (spark, sfDir) => {
+    val o = Tables.orders(spark, sfDir)
+    val big = o.filter(col("o_totalprice") > 100000).select(col("o_custkey").as("ck"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("ck"))
+    val recent = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      .select(col("o_custkey").as("ck"))
+    big.intersect(urgent).except(recent).orderBy("ck")
+  }
+
+  private val a3Sql =
+    """(SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 100000
+      | INTERSECT
+      | SELECT o_custkey AS ck FROM orders WHERE o_orderpriority = '1-URGENT')
+      |EXCEPT
+      |SELECT o_custkey AS ck FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |ORDER BY ck""".stripMargin
+
+  // --- a4: semi / anti joins --------------------------------------------------
+
+  /** Customers partitioned into buyers (EXISTS) and dormant (NOT EXISTS),
+    * via left_semi/left_anti + union.
+    */
+  val a4SemiAnti: Q = (spark, sfDir) => {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val buyers = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("buyer").as("segment"))
+    val dormant = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("dormant").as("segment"))
+    buyers.unionAll(dormant).orderBy("c_custkey")
+  }
+
+  private val a4Sql =
+    """SELECT c_custkey, 'buyer' AS segment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |UNION ALL
+      |SELECT c_custkey, 'dormant' AS segment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // --- a5: ranking window over aggregates --------------------------------------
+
+  /** Suppliers dense-ranked by total shipped quantity (aggregate first →
+    * unique keys → deterministic window).
+    */
+  val a5SupplierRank: Q = (spark, sfDir) => {
+    val per = Tables.lineitem(spark, sfDir)
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_quantity")).cast("long").as("qty"))
+    per.withColumn("rnk", dense_rank().over(Window.orderBy(col("qty").desc)))
+      .select(col("l_suppkey"), col("qty"), col("rnk"))
+      .orderBy("l_suppkey")
+  }
+
+  private val a5Sql =
+    """WITH per AS (
+      |  SELECT l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+      |  FROM lineitem GROUP BY l_suppkey
+      |)
+      |SELECT l_suppkey, qty, dense_rank() OVER (ORDER BY qty DESC) AS rnk
+      |FROM per ORDER BY l_suppkey""".stripMargin
+
+  // --- a6: JSON extraction -------------------------------------------------------
+
+  /** The props JSON column → typed value (radio-station API records are
+    * JSON; this is the parse side).
+    */
+  val a6JsonExtract: Q = (spark, sfDir) =>
+    Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+
+  private val a6Sql =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // --- assembled maps -------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "a1_top_orders" -> a1TopOrders,
+    "a2_rollup" -> a2Rollup,
+    "a3_setops" -> a3SetOps,
+    "a4_semi_anti" -> a4SemiAnti,
+    "a5_supplier_rank" -> a5SupplierRank,
+    "a6_json_extract" -> a6JsonExtract)
+
+  val oracle: Map[String, String] = Map(
+    "a1_top_orders" -> a1Sql,
+    "a2_rollup" -> a2Sql,
+    "a3_setops" -> a3Sql,
+    "a4_semi_anti" -> a4Sql,
+    "a5_supplier_rank" -> a5Sql,
+    "a6_json_extract" -> a6Sql)
+}
