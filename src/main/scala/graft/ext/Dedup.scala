@@ -22,11 +22,23 @@ object Dedup {
   /** Whitespace tokens; mirrors DuckDB `string_split(c, ' ')`. */
   def tokens(c: Column): Column = split(c, " ")
 
-  /** Distinct k-word shingles of a token array. */
+  /** Distinct k-word shingles of a token array (lambda composition —
+    * kept as the reference implementation; [[shinglesOf]] is the
+    * codegen'd fast path used by the operators).
+    */
   def shingles(toks: Column, k: Int): Column =
     array_distinct(transform(
       sequence(lit(1), size(toks) - lit(k - 1)),
       i => concat_ws(" ", slice(toks, i, lit(k)))))
+
+  /** Distinct k-word shingles straight from the text column via the
+    * codegen'd [[graft.expr.WordShingles]] expression (single pass, no
+    * interpreted lambdas).
+    */
+  def shinglesOf(text: Column, k: Int): Column =
+    array_distinct(org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expr.WordShingles(
+        org.apache.spark.sql.GraftColumnBridge.expression(text.cast("string")), k)))
 
   /** 16-element MinHash signature over a 32-bit shingle-hash array,
     * universal-hash family ((2j+1)·x + 7919j) mod 4294967311 (prime >
@@ -62,10 +74,10 @@ object Dedup {
     */
   private def shingleSigs(df: DataFrame, idCol: String, textCol: String,
                           extraCols: Seq[String], k: Int, nSig: Int): DataFrame = {
-    val toks = tokens(col(textCol))
-    val exploded = df.filter(size(toks) >= k)
+    val sh = shinglesOf(col(textCol), k)
+    val exploded = df.filter(size(sh) >= 1)
       .select((Seq(col(idCol).as("id")) ++ extraCols.map(col) :+
-        explode(shingles(toks, k)).as("s")): _*)
+        explode(sh).as("s")): _*)
     val h = Hashing.h32(col("s"))
     val sigAggs = (0 until nSig).map { j =>
       min((lit(2L * j + 1) * h + lit(7919L * j)) % lit(4294967311L)).as(s"sig_$j")
@@ -135,9 +147,9 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, k: Int = 3, window: Int = 10): DataFrame = {
-    val toks = tokens(col(textCol))
-    val base = df.filter(size(toks) >= k)
-      .select(col(idCol).as("id"), col(blockCol).as("blk"), shingles(toks, k).as("sh"))
+    val sh = shinglesOf(col(textCol), k)
+    val base = df.filter(size(sh) >= 1)
+      .select(col(idCol).as("id"), col(blockCol).as("blk"), sh.as("sh"))
     // Bucketize the id-window predicate into an equi-join key so the
     // hash join emits ~2·window candidates per row instead of the whole
     // per-block cross product (blocks can be huge — the blow-up guard is
