@@ -135,6 +135,42 @@ object AnalyticsQueries {
     """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
       |FROM events ORDER BY event_id""".stripMargin
 
+  // --- a7: as-of (point-in-time) join ---------------------------------------
+
+  /** Each event matched to the latest order of the same customer at or
+    * before the event time — composed as union + running last_value (one
+    * shuffle on the key; see [[graft.ext.AsOf]]), oracle-checked against
+    * DuckDB's native ASOF LEFT JOIN.
+    */
+  val a7AsofJoin: Q = (spark, sfDir) => {
+    val e = Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"))
+    graft.ext.AsOf.asOfTime(e, o, "user_id", "ts", "o_orderdate")
+      .select(col("event_id"), col("user_id"), col("matched"))
+      .orderBy("event_id")
+  }
+
+  private val a7Sql =
+    """SELECT e.event_id, e.user_id, o.o_orderdate AS matched
+      |FROM events e ASOF LEFT JOIN orders o
+      |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
+  // --- a8: salted two-phase aggregation ---------------------------------------
+
+  /** Skew-mitigated count: salt → partial → merge. The oracle is the
+    * plain GROUP BY — the whole point is that the salted plan produces
+    * identical results.
+    */
+  val a8SaltedCounts: Q = (spark, sfDir) =>
+    graft.ext.Skew.saltedCounts(Tables.events(spark, sfDir),
+      "event_type", col("event_id"), 8)
+      .orderBy("event_type")
+
+  private val a8Sql =
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"
+
   // --- assembled maps -------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -143,7 +179,9 @@ object AnalyticsQueries {
     "a3_setops" -> a3SetOps,
     "a4_semi_anti" -> a4SemiAnti,
     "a5_supplier_rank" -> a5SupplierRank,
-    "a6_json_extract" -> a6JsonExtract)
+    "a6_json_extract" -> a6JsonExtract,
+    "a7_asof_join" -> a7AsofJoin,
+    "a8_salted_counts" -> a8SaltedCounts)
 
   val oracle: Map[String, String] = Map(
     "a1_top_orders" -> a1Sql,
@@ -151,5 +189,7 @@ object AnalyticsQueries {
     "a3_setops" -> a3Sql,
     "a4_semi_anti" -> a4Sql,
     "a5_supplier_rank" -> a5Sql,
-    "a6_json_extract" -> a6Sql)
+    "a6_json_extract" -> a6Sql,
+    "a7_asof_join" -> a7Sql,
+    "a8_salted_counts" -> a8Sql)
 }

@@ -81,6 +81,27 @@ class ExtSpec extends SparkSpec {
     assert(fps(0L) != fps(2L))
   }
 
+  test("as-of join picks the latest right row at or before each left time") {
+    import spark.implicits._
+    val left = Seq((1L, 100L), (1L, 205L), (2L, 50L)).toDF("k", "t")
+    val right = Seq((1L, 90L), (1L, 100L), (1L, 210L), (2L, 60L)).toDF("k", "rt")
+    val got = AsOf.asOfTime(left, right, "k", "t", "rt")
+      .select("k", "t", "matched").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // t=100 matches the equal-time right row; t=205 matches 100 (210 is
+    // after); k=2 t=50 has no preceding right row -> null
+    assert(got == Set((1L, 100L, 100L), (1L, 205L, 100L), (2L, 50L, -1L)))
+  }
+
+  test("salted aggregation equals the direct groupBy") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i.toLong, if (i % 10 == 0) "hot" else s"k${i % 7}"))
+      .toDF("event_id", "event_type")
+    val salted = Skew.saltedCounts(df, "event_type", col("event_id"), 8)
+    val direct = df.groupBy("event_type").agg(count(lit(1)).as("n"))
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+  }
+
   test("multimodal frame sampling windows the payload") {
     val assets = Multimodal.asAssets(docs, "doc_id", "text")
     val frames = Multimodal.sampleFrames(spark, assets).collect()
