@@ -105,6 +105,53 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector to
+    * its nearest centroid cell; queries probe only their own cell.
+    *
+    * Centroids here are the per-`label` means (deterministic, no
+    * iterative k-means — the plumbing is the point; components rounded
+    * to 6 dp so both engines agree bit-for-bit). At scale this is the
+    * classic IVF shape: centroid table broadcast, one shuffle to
+    * cell-partition the corpus, probes are equi-joins on cell id.
+    */
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    // per-dimension centroid means, re-assembled into ordered arrays
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy("label", "i").agg(round(avg(col("v").cast("double")), 6).as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s.getField("c")).as("ce"))
+      .select(col("label").as("cent_label"), col("ce"))
+
+    // assign each vector to its nearest centroid (L2, label tiebreak)
+    val ed = transform(col("embedding"), x => x.cast("double"))
+    val dist = aggregate(
+      zip_with(col("ed"), col("ce"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val assigned = emb.select(col("vec_id"), ed.as("ed"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("ed"), col("cent_label"), dist.as("d"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d"), col("cent_label"))))
+      .filter(col("rn") === 1)
+      .withColumn("nrm", sqrt(aggregate(col("ed"), lit(0.0), (a, y) => a + y * y)))
+      .select(col("vec_id"), col("cent_label").as("cell"),
+        transform(col("ed"), x => x / col("nrm")).as("unit"))
+
+    val q = assigned.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("unit").as("qu"), col("cell"))
+    val c = assigned.select(col("vec_id").as("cid"), col("unit").as("cu"), col("cell"))
+    val scored = broadcast(q).join(c, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), round(dot(col("qu"), col("cu")), 6).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("sim"))
+      .orderBy("qid", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked by a column (e.g.
     * `label`) to bound the pair count: (a_id, b_id, sim ≥ threshold).
     */

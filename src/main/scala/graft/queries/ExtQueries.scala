@@ -185,6 +185,42 @@ object ExtQueries {
        |)
        |SELECT qid, rank, cid, sim FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  // --- x15: IVF-cell ANN -----------------------------------------------------
+
+  val x15SimIvf: Q = (spark, sfDir) =>
+    Similarity.ivfTopK(Tables.embeddings(spark, sfDir), col("vec_id") < 20, 5)
+
+  private val x15Sql =
+    s"""WITH pe AS (
+       |  SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+       |  FROM embeddings
+       |), cent AS (
+       |  SELECT label, i, round(avg(CAST(v AS DOUBLE)), 6) AS c FROM pe GROUP BY label, i
+       |), centarr AS (
+       |  SELECT label AS cent_label, list(c ORDER BY i) AS ce FROM cent GROUP BY label
+       |), assigned AS (
+       |  SELECT vec_id, cell, embedding FROM (
+       |    SELECT e.vec_id, e.embedding, ca.cent_label AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_sum(list_transform(range(1,65),
+       |          i -> (CAST(e.embedding[i] AS DOUBLE) - ca.ce[i]) *
+       |               (CAST(e.embedding[i] AS DOUBLE) - ca.ce[i]))), ca.cent_label) AS rn
+       |    FROM embeddings e CROSS JOIN centarr ca
+       |  ) WHERE rn = 1
+       |), q AS (
+       |  SELECT vec_id AS qid, embedding AS qe, cell FROM assigned WHERE vec_id < 20
+       |), c AS (
+       |  SELECT vec_id AS cid, embedding AS ce, cell FROM assigned
+       |), s AS (
+       |  SELECT qid, cid, ${cosSql("qe", "ce")} AS sim
+       |  FROM q JOIN c USING (cell) WHERE qid != cid
+       |), r AS (
+       |  SELECT qid, cid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+       |  FROM s
+       |)
+       |SELECT qid, rank, cid, sim FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   // --- x8: language-ID heuristic --------------------------------------------
 
   val x8LangId: Q = (spark, sfDir) =>
@@ -334,6 +370,7 @@ object ExtQueries {
     "x5_embedding_neardups" -> x5EmbeddingNearDups,
     "x6_sim_bruteforce" -> x6SimBruteForce,
     "x7_sim_lsh" -> x7SimLsh,
+    "x15_sim_ivf" -> x15SimIvf,
     "x8_langid" -> x8LangId,
     "x9_quality" -> x9Quality,
     "x10_token_counts" -> x10TokenCounts,
@@ -350,6 +387,7 @@ object ExtQueries {
     "x5_embedding_neardups" -> x5Sql,
     "x6_sim_bruteforce" -> x6Sql,
     "x7_sim_lsh" -> x7Sql,
+    "x15_sim_ivf" -> x15Sql,
     "x8_langid" -> x8Sql,
     "x9_quality" -> x9Sql,
     "x10_token_counts" -> x10Sql,
