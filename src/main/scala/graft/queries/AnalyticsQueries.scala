@@ -171,6 +171,29 @@ object AnalyticsQueries {
   private val a8Sql =
     "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"
 
+  // --- a9: range (interval) join ----------------------------------------------
+
+  /** Events matched to every overlapping value band — bucketized
+    * equi-join (see [[graft.ext.RangeJoin]]), never a nested loop.
+    */
+  val a9RangeJoin: Q = (spark, sfDir) => {
+    val bands = spark.range(20).select(col("id").as("band_id"),
+      (col("id") * lit(25.0)).as("lo"), (col("id") * lit(25.0) + lit(37.5)).as("hi"))
+    graft.ext.RangeJoin.pointsInIntervals(spark,
+      Tables.events(spark, sfDir).select("event_id", "value"), bands,
+      "value", "lo", "hi", bucketWidth = 25.0)
+      .select("event_id", "band_id")
+      .orderBy("event_id", "band_id")
+  }
+
+  private val a9Sql =
+    """WITH bands AS (
+      |  SELECT range AS band_id, range*25.0 AS lo, range*25.0 + 37.5 AS hi FROM range(20)
+      |)
+      |SELECT e.event_id, b.band_id
+      |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+      |ORDER BY event_id, band_id""".stripMargin
+
   // --- assembled maps -------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -181,7 +204,8 @@ object AnalyticsQueries {
     "a5_supplier_rank" -> a5SupplierRank,
     "a6_json_extract" -> a6JsonExtract,
     "a7_asof_join" -> a7AsofJoin,
-    "a8_salted_counts" -> a8SaltedCounts)
+    "a8_salted_counts" -> a8SaltedCounts,
+    "a9_range_join" -> a9RangeJoin)
 
   val oracle: Map[String, String] = Map(
     "a1_top_orders" -> a1Sql,
@@ -191,5 +215,6 @@ object AnalyticsQueries {
     "a5_supplier_rank" -> a5Sql,
     "a6_json_extract" -> a6Sql,
     "a7_asof_join" -> a7Sql,
-    "a8_salted_counts" -> a8Sql)
+    "a8_salted_counts" -> a8Sql,
+    "a9_range_join" -> a9Sql)
 }
