@@ -52,6 +52,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming session windows equal the batch session_window (complete mode)") {
+    val events = Tables.events(spark, sf())
+    val dir = Files.createTempDirectory("ev3").toString
+    events.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+
+    val streamed = EventWindows.drainToMemory(
+      spark, EventWindows.sessions(stream), "sess", OutputMode.Complete)
+      .select(col("session_window.start").as("ss"), col("user_id"), col("n"))
+
+    val batch = events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("ss"), col("user_id"), col("n"))
+
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("mapGroupsWithState tracks per-user counts") {
     val events = Tables.events(spark, sf())
     val dir = Files.createTempDirectory("ev2").toString
