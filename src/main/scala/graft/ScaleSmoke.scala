@@ -1,0 +1,35 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ext.Dedup
+import graft.model.Tables
+
+/** Manual scale probe (not part of the driver contract): replicate
+  * documents Nx with distinct ids and run the MinHash-LSH pipeline, to
+  * sanity-check that candidate volume and runtime scale as designed.
+  * `runMain graft.ScaleSmoke [factor]`.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = Tables.documents(spark, "/root/testdata/sf0.1")
+    val big = d.crossJoin(spark.range(factor).select(col("id").as("rep")))
+      .select((col("doc_id") * factor + col("rep")).as("doc_id"),
+        // perturb replicas so they are near-dups, not exact dups
+        concat(col("text"), lit(" rep"), col("rep")).as("text"))
+    println(s"docs: ${big.count()}")
+    val t0 = System.nanoTime()
+    val pairs = Dedup.minhashLshPairs(big, "doc_id", "text")
+    val n = pairs.count()
+    println(f"minhash pairs: $n%d in ${(System.nanoTime()-t0)/1e9}%.1fs")
+    val high = pairs.filter(col("jaccard") >= 0.8).count()
+    println(s"near-dups (j>=0.8): $high")
+    spark.stop()
+  }
+}

@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -79,6 +80,27 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fps(0L) == fps(3L))
     assert(fps(0L) != fps(2L))
+  }
+
+  test("MinHashAggregator matches the declarative signature computation") {
+    import spark.implicits._
+    val minhash = udaf(new MinHashAggregator(16), Encoders.scalaLong)
+    val viaAgg = docs
+      .select(col("doc_id"), explode(Dedup.shinglesOf(col("text"), 2)).as("s"))
+      .select(col("doc_id"), Hashing.h32(col("s")).as("h"))
+      .groupBy("doc_id").agg(minhash(col("h")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // declarative: min over ((2j+1)h + 7919j) % P per slot
+    val viaSql = docs
+      .select(col("doc_id"), explode(Dedup.shinglesOf(col("text"), 2)).as("s"))
+      .select(col("doc_id"), Hashing.h32(col("s")).as("h"))
+      .groupBy("doc_id")
+      .agg(
+        min((lit(1L) * col("h")) % lit(4294967311L)).as("s0"),
+        (1 until 16).map(j =>
+          min((lit(2L * j + 1) * col("h") + lit(7919L * j)) % lit(4294967311L)).as(s"s$j")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getLong(_)).toSeq).toMap
+    assert(viaAgg == viaSql)
   }
 
   test("as-of join picks the latest right row at or before each left time") {
