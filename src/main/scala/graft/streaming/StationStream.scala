@@ -76,10 +76,11 @@ object StationStream {
     */
   def run(spark: SparkSession, inputDir: String, outFile: String,
           checkpointDir: String, resolve: DataFrame => DataFrame,
-          availableNow: Boolean = true): StreamingQuery = {
+          availableNow: Boolean = true,
+          interval: String = "2 hours"): StreamingQuery = {
     val trigger =
       if (availableNow) Trigger.AvailableNow()
-      else Trigger.ProcessingTime("2 hours")
+      else Trigger.ProcessingTime(interval)
     stations(linkStream(spark, inputDir), resolve)
       .writeStream
       .outputMode("append")

@@ -70,6 +70,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("processing-time trigger (daemon mode, C5) drains and keeps running") {
+    val dir = Files.createTempDirectory("links2").toString
+    val out = Files.createTempDirectory("out2").resolve("output.json").toString
+    val ckpt = Files.createTempDirectory("ckpt2").toString
+    Files.write(Paths.get(dir, "links.txt"),
+      "https://www.youtube.com/watch?v=PT0000000001\n".getBytes)
+    val q = StationStream.run(spark, dir, out, ckpt,
+      new MockResolver().stage(spark), availableNow = false, interval = "1 second")
+    try {
+      q.processAllAvailable()
+      assert(q.isActive)
+      val json = new String(Files.readAllBytes(Paths.get(out)))
+      assert(json.contains("PT0000000001"))
+    } finally q.stop()
+  }
+
+  test("stream-static join: streaming events enrich against a static dimension") {
+    val events = Tables.events(spark, sf())
+    val dir = Files.createTempDirectory("ev4").toString
+    events.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+    val dim = Tables.customer(spark, sf())
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+
+    val joined = stream.join(broadcast(dim), Seq("user_id"), "left")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    val streamed = EventWindows.drainToMemory(spark, joined, "ssj", OutputMode.Complete)
+
+    val batch = events.join(broadcast(dim), Seq("user_id"), "left")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("mapGroupsWithState tracks per-user counts") {
     val events = Tables.events(spark, sf())
     val dir = Files.createTempDirectory("ev2").toString
