@@ -171,6 +171,22 @@ object AnalyticsQueries {
   private val a8Sql =
     "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"
 
+  // --- a10: native as-of join (custom LogicalPlan + Strategy + ExecNode) ------
+
+  /** Identical semantics and oracle to a7, but executed by the native
+    * [[graft.plans.AsOfJoinExec]] operator — one exchange + sort per
+    * side, O(|L|+|R|) merge per partition.
+    */
+  val a10AsofNative: Q = (spark, sfDir) => {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts").cast("timestamp_ntz").as("ts"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"))
+    graft.plans.AsOfJoinNative.asOf(e, o, "user_id", "ts", "o_orderdate")
+      .select(col("event_id"), col("user_id"), col("matched"))
+      .orderBy("event_id")
+  }
+
   // --- a9: range (interval) join ----------------------------------------------
 
   /** Events matched to every overlapping value band — bucketized
@@ -205,7 +221,8 @@ object AnalyticsQueries {
     "a6_json_extract" -> a6JsonExtract,
     "a7_asof_join" -> a7AsofJoin,
     "a8_salted_counts" -> a8SaltedCounts,
-    "a9_range_join" -> a9RangeJoin)
+    "a9_range_join" -> a9RangeJoin,
+    "a10_asof_native" -> a10AsofNative)
 
   val oracle: Map[String, String] = Map(
     "a1_top_orders" -> a1Sql,
@@ -216,5 +233,6 @@ object AnalyticsQueries {
     "a6_json_extract" -> a6Sql,
     "a7_asof_join" -> a7Sql,
     "a8_salted_counts" -> a8Sql,
-    "a9_range_join" -> a9Sql)
+    "a9_range_join" -> a9Sql,
+    "a10_asof_native" -> a7Sql)
 }
