@@ -103,6 +103,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("MinHashAggregator maintains signatures incrementally over a stream") {
+    import graft.ext.{Dedup, Hashing, MinHashAggregator}
+    val docs = Tables.documents(spark, sf())
+    val dir = Files.createTempDirectory("docs").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+
+    val minhash = udaf(new MinHashAggregator(16), org.apache.spark.sql.Encoders.scalaLong)
+    def sigs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), explode(Dedup.shinglesOf(col("text"), 2)).as("s"))
+      .select(col("doc_id"), Hashing.h32(col("s")).as("h"))
+      .groupBy("doc_id").agg(minhash(col("h")).as("sig"))
+
+    val streamed = EventWindows.drainToMemory(spark, sigs(stream), "mh", OutputMode.Complete)
+    val batch = sigs(docs)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("mapGroupsWithState tracks per-user counts") {
     val events = Tables.events(spark, sf())
     val dir = Files.createTempDirectory("ev2").toString
