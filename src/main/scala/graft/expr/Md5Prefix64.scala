@@ -59,6 +59,14 @@ case class Md5Prefix64(child: Expression, digits: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = "md5_prefix64"
 
+  // reject non-string input at analysis instead of codegen/runtime
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"md5_prefix64 requires STRING input, got ${child.dataType.sql}")
+
   override def nullSafeEval(input: Any): Any =
     HashUtil.md5Prefix64(input.asInstanceOf[UTF8String], digits)
 
@@ -83,7 +91,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.size == 2, "md5_prefix64(str, digits)")
         val digits = exprs(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => other.eval().asInstanceOf[Int]
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"md5_prefix64 digits must be an integer literal, got $other")
         }
         Md5Prefix64(exprs.head, digits)
       }))

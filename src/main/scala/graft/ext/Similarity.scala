@@ -72,10 +72,7 @@ object Similarity {
   private lazy val planeSigns: IndexedSeq[Seq[Double]] =
     (0 until 8).map { j =>
       (1 to 64).map { i =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val hex = md.digest(s"rp-$j-$i".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(8)
-        if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+        if (graft.expr.HashUtil.md5Prefix64(s"rp-$j-$i", 8) % 2 == 0) 1.0 else -1.0
       }
     }
 

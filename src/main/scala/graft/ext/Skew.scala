@@ -15,11 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Two-phase salted count/sum aggregation over `key`.
-    * `aggs` are (partialExpr → mergeExpr) pairs applied around the salt.
+  /** Two-phase salted count over `key`: partial counts per (key, salt),
+    * then merge per key. The salt is row-position-derived
+    * (`monotonically_increasing_id`), NOT value-derived — a value-based
+    * salt fails to split a hot key whose values are themselves low-
+    * cardinality (every row of the hot key would land in one salt
+    * bucket). The count is invariant to the salt, so the result equals
+    * the direct groupBy exactly.
     */
   def saltedCounts(df: DataFrame, key: String, valueCol: Column, salts: Int): DataFrame = {
-    val salted = df.withColumn("_salt", pmod(hash(valueCol), lit(salts)))
+    val salted = df.withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
     val partial = salted.groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_n"))
     partial.groupBy(col(key))

@@ -84,15 +84,20 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var rHead: InternalRow = null
       var rKey: Any = null
       var rTime: Any = null
-      def advanceR(): Unit =
-        if (rIt.hasNext) {
-          rHead = rIt.next()
-          rKey = rkB.eval(rHead)
-          rTime = rtB.eval(rHead)
-        } else rHead = null
+      // skip right rows that can never match (null key or null time —
+      // both sort first under the required NULLS FIRST ordering)
+      def advanceR(): Unit = {
+        var ok = false
+        while (!ok) {
+          if (rIt.hasNext) {
+            rHead = rIt.next()
+            rKey = rkB.eval(rHead)
+            rTime = rtB.eval(rHead)
+            ok = rKey != null && rTime != null
+          } else { rHead = null; ok = true }
+        }
+      }
       advanceR()
-      // right rows with null keys sort first and can never match
-      while (rHead != null && rKey == null) advanceR()
 
       var curKey: Any = null
       var haveCur = false
@@ -111,7 +116,10 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           while (continue) {
             val kc = keyOrd.compare(rKey, lk)
             if (kc < 0 || (kc == 0 && timeOrd.compare(rTime, lt) <= 0)) {
-              if (kc == 0) lastTime = rTime
+              // copy buffer-backed values (e.g. UTF8String): rTime may
+              // point into a reused sort/spill buffer that the next
+              // advanceR() overwrites
+              if (kc == 0) lastTime = InternalRow.copyValue(rTime)
               advanceR()
               continue = rHead != null
             } else continue = false
@@ -139,12 +147,18 @@ object AsOfJoinNative {
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String) = p.output.find(_.name == n)
+      .orElse(p.output.find(_.name.equalsIgnoreCase(n)))
       .getOrElse(throw new IllegalArgumentException(s"column $n not found"))
-    val rTime = attr(rPlan, rightTime)
+    val lKey = attr(lPlan, key); val rKey = attr(rPlan, key)
+    val lTime = attr(lPlan, leftTime); val rTime = attr(rPlan, rightTime)
+    // the merge compares raw values — mismatched types would mis-compare
+    // or ClassCastException at runtime, so fail at build time instead
+    require(lKey.dataType == rKey.dataType,
+      s"as-of key types differ: ${lKey.dataType} vs ${rKey.dataType}")
+    require(lTime.dataType == rTime.dataType,
+      s"as-of time types differ: ${lTime.dataType} vs ${rTime.dataType} (cast first)")
     val matched = AttributeReference("matched", rTime.dataType, nullable = true)()
-    val node = AsOfJoinPlan(lPlan, rPlan,
-      attr(lPlan, key), attr(rPlan, key),
-      attr(lPlan, leftTime), rTime, matched)
+    val node = AsOfJoinPlan(lPlan, rPlan, lKey, rKey, lTime, rTime, matched)
     org.apache.spark.sql.GraftColumnBridge.ofRows(spark, node)
   }
 }

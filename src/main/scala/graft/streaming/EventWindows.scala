@@ -37,8 +37,12 @@ object EventWindows {
 
   /** Per-user running state via `mapGroupsWithState` — the custom-state
     * escape hatch (SURVEY.md §7 north star). Tracks a running count and
-    * last-seen time per user with an idle timeout, emitting one row per
-    * user per trigger.
+    * last-seen time per user, emitting one row per updated user per
+    * trigger. State never expires here (`NoTimeout` — a timeout-driven
+    * variant would set `ProcessingTimeTimeout` + `setTimeoutDuration`,
+    * at the cost of the scheduler firing timeout batches forever, which
+    * is also why the drain-based local tests use NoTimeout); production
+    * deployments with unbounded key spaces should add the timeout.
     */
   case class UserActivity(userId: Long, events: Long, lastTs: java.sql.Timestamp)
 

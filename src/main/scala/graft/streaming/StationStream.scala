@@ -48,23 +48,38 @@ object StationStream {
         .withColumn("ts", current_timestamp()), ids)
   }
 
-  /** S4: the whole batch as ONE JSON array file
+  /** S4: the full published station set as ONE JSON array file
     * (`video_processor.py:338-354`). Inherently a driver-side write —
     * the reference's output is a single small artifact (its scale is the
     * station list, not the data volume), so `collect()` here is the
     * correct tool, not an anti-pattern.
+    *
+    * Streaming batches are incremental (the file source reads each input
+    * once), while the reference's contract is "the output file holds ALL
+    * current stations" — so each batch MERGES into the existing file
+    * keyed by `url` (new batch wins), never rewrites with only its own
+    * rows. This also makes re-delivered batches idempotent (S5) and
+    * makes the trailing empty watermark-advance batch of AvailableNow a
+    * no-op (C6: never clobber output with an empty run,
+    * `video_processor.py:411-416`).
     */
   def writeJsonArray(batch: DataFrame, outFile: String): Unit = {
     val rows = batch.toJSON.collect()
-    // AvailableNow emits a trailing empty watermark-advance batch; don't
-    // let it clobber the output written by the data batch (the reference
-    // likewise never overwrites with an empty run — C6 exit contract,
-    // `video_processor.py:411-416`).
     val path = Paths.get(outFile)
     if (rows.nonEmpty || !Files.exists(path)) {
+      val existing: Seq[String] =
+        if (Files.exists(path)) {
+          val txt = new String(Files.readAllBytes(path), StandardCharsets.UTF_8).trim
+          txt.stripPrefix("[").stripSuffix("]").split("\n")
+            .map(_.trim.stripSuffix(",")).filter(_.nonEmpty).toSeq
+        } else Seq.empty
+      def urlOf(json: String): String =
+        "\"url\":\"([^\"]*)\"".r.findFirstMatchIn(json).map(_.group(1)).getOrElse(json)
+      val newUrls = rows.map(urlOf).toSet
+      val merged = existing.filterNot(r => newUrls.contains(urlOf(r))) ++ rows
       val json =
-        if (rows.isEmpty) "[]"
-        else rows.mkString("[\n  ", ",\n  ", "\n]")
+        if (merged.isEmpty) "[]"
+        else merged.mkString("[\n  ", ",\n  ", "\n]")
       Files.createDirectories(path.toAbsolutePath.getParent)
       Files.write(path, json.getBytes(StandardCharsets.UTF_8))
     }

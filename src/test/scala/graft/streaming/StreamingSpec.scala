@@ -34,6 +34,21 @@ class StreamingSpec extends SparkSpec {
     assert("AAAAAAAAAAA".r.findAllIn(json).length == 1)
   }
 
+  test("sink merges incremental batches: second drain keeps first drain's stations") {
+    val dir = Files.createTempDirectory("links3").toString
+    val out = Files.createTempDirectory("out3").resolve("output.json").toString
+    val ckpt = Files.createTempDirectory("ckpt3").toString
+    Files.write(Paths.get(dir, "a.txt"), "https://www.youtube.com/watch?v=FIRST0000001\n".getBytes)
+    StationStream.run(spark, dir, out, ckpt, new MockResolver().stage(spark))
+      .awaitTermination(60000)
+    Files.write(Paths.get(dir, "b.txt"), "https://www.youtube.com/watch?v=SECOND000001\n".getBytes)
+    StationStream.run(spark, dir, out, ckpt, new MockResolver().stage(spark))
+      .awaitTermination(60000)
+    val json = new String(Files.readAllBytes(Paths.get(out)))
+    assert(json.contains("FIRST0000001"), "first batch lost after second drain")
+    assert(json.contains("SECOND000001"))
+  }
+
   test("streaming tumbling counts equal the batch groupBy (complete mode)") {
     val events = Tables.events(spark, sf())
     // stream the same rows through a file source
