@@ -41,13 +41,14 @@ object Enrich {
 
   // --- P4: URL path extension ----------------------------------------------
 
-  /** Path portion of a URL: everything between the authority and `?`/`#`.
-    * Mirrors `urlparse(url).path` for absolute URLs
-    * (`video_processor.py:188-189`). Pure-regex (not `parse_url`) so the
-    * same expression is portable to the DuckDB oracle.
+  /** Path portion of a URL: everything between the authority (when a
+    * scheme is present) and `?`/`#`. Mirrors `urlparse(url).path`
+    * including schemeless inputs (`video_processor.py:188-189`).
+    * Pure-regex (not `parse_url`) so the same expression is portable to
+    * the DuckDB oracle.
     */
   def urlPath(url: Column): Column =
-    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    regexp_extract(url, "^(?:[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)?([^?#]*)", 1)
 
   /** Lower-cased text after the last `.` of the path; empty when the path
     * has no dot (`video_processor.py:186-192`: `path.split('.')[-1]
@@ -87,12 +88,15 @@ object Enrich {
 
   /** Tokenize lowercased title on `\w+`, drop stopwords and tokens ≤2
     * chars, keep the first 6, join with "," (`video_processor.py:219-224`).
+    * `(?U)` makes Java's `\w` unicode-aware like Python's `re` (the
+    * reference tokenizes unicode titles; identical to plain `\w` on the
+    * ASCII oracle data).
     */
   def tagsFromTitle(title: Column): Column =
     array_join(
       slice(
         filter(
-          regexp_extract_all(lower(title), lit("\\w+"), lit(0)),
+          regexp_extract_all(lower(title), lit("(?U)\\w+"), lit(0)),
           t => length(t) > 2 && !array_contains(stopwordArray, t)),
         1, 6),
       ",")
@@ -133,10 +137,11 @@ object Enrich {
 
   /** `re.sub(r'[^\w\s-]','',t)` then `re.sub(r'[-\s]+','_',t)`
     * (`video_processor.py:246-251`). Spark regexp_replace is global by
-    * default (DuckDB needs the 'g' flag — SURVEY.md §2.3 P8 gotcha).
+    * default (DuckDB needs the 'g' flag — SURVEY.md §2.3 P8 gotcha);
+    * `(?U)` matches Python's unicode `\w`/`\s` classes.
     */
   def sanitizeTitle(title: Column): Column =
-    regexp_replace(regexp_replace(title, "[^\\w\\s-]", ""), "[-\\s]+", "_")
+    regexp_replace(regexp_replace(title, "(?U)[^\\w\\s-]", ""), "(?U)[-\\s]+", "_")
 
   /** `f"{safe_title}.{ext}"`, defaulting to `.m4a` when the URL has no
     * extension (`video_processor.py:250-251`).

@@ -26,7 +26,7 @@ object RefQueries {
 
   /** DuckDB mirror of the P4 extension extract on a column named by `c`. */
   private def extSql(c: String): String =
-    s"lower(regexp_extract(regexp_extract($c, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '\\.([^.]*)$$', 1))"
+    s"lower(regexp_extract(regexp_extract($c, '^(?:[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)?([^?#]*)', 1), '\\.([^.]*)$$', 1))"
 
   /** DuckDB mirror of the P7 language CASE chain over expression `t`. */
   private def langSql(t: String): String =
