@@ -210,6 +210,49 @@ object AnalyticsQueries {
       |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
       |ORDER BY event_id, band_id""".stripMargin
 
+  // --- a11: pivot --------------------------------------------------------------
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Per-user event-type matrix via `pivot`; absent combinations
+    * coalesced to 0 to match the FILTER-count oracle.
+    */
+  val a11Pivot: Q = (spark, sfDir) => {
+    val pivoted = Tables.events(spark, sfDir)
+      .groupBy("user_id").pivot("event_type", eventTypes).agg(count(lit(1)))
+    pivoted.select(col("user_id") +:
+      eventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("user_id")
+  }
+
+  private val a11Sql =
+    """SELECT user_id,
+      |  count(*) FILTER (WHERE event_type = 'click') AS click,
+      |  count(*) FILTER (WHERE event_type = 'error') AS error,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  count(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // --- a12: exact percentiles ----------------------------------------------------
+
+  /** Exact linear-interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont` — both use the (n−1)·p convention).
+    */
+  val a12Quantiles: Q = (spark, sfDir) =>
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90"))
+      .orderBy("l_returnflag")
+
+  private val a12Sql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.9) AS p90
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // --- assembled maps -------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -222,7 +265,9 @@ object AnalyticsQueries {
     "a7_asof_join" -> a7AsofJoin,
     "a8_salted_counts" -> a8SaltedCounts,
     "a9_range_join" -> a9RangeJoin,
-    "a10_asof_native" -> a10AsofNative)
+    "a10_asof_native" -> a10AsofNative,
+    "a11_pivot" -> a11Pivot,
+    "a12_quantiles" -> a12Quantiles)
 
   val oracle: Map[String, String] = Map(
     "a1_top_orders" -> a1Sql,
@@ -234,5 +279,7 @@ object AnalyticsQueries {
     "a7_asof_join" -> a7Sql,
     "a8_salted_counts" -> a8Sql,
     "a9_range_join" -> a9Sql,
-    "a10_asof_native" -> a7Sql)
+    "a10_asof_native" -> a7Sql,
+    "a11_pivot" -> a11Sql,
+    "a12_quantiles" -> a12Sql)
 }

@@ -82,6 +82,17 @@ class ExtSpec extends SparkSpec {
     assert(fps(0L) != fps(2L))
   }
 
+  test("HLL sketch (approx_count_distinct) stays within its error bound") {
+    val events = graft.model.Tables.events(spark, sf())
+    val row = events.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id"), 0.02).as("approx")).collect().head
+    val exact = row.getLong(0).toDouble
+    val approx = row.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
   test("MinHashAggregator matches the declarative signature computation") {
     import spark.implicits._
     val minhash = udaf(new MinHashAggregator(16), Encoders.scalaLong)
