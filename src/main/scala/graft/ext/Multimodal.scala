@@ -39,6 +39,33 @@ object Multimodal {
       }
   }
 
+  /** Stub resize: deterministic stride-downsample of a payload to at
+    * most `targetBytes` — the stand-in for an image/video resize kernel
+    * (a real deployment swaps the kernel; the Spark-side shape — a
+    * narrow per-row binary transform, no shuffle — is what matters).
+    */
+  def resizePayload(payload: Array[Byte], targetBytes: Int): Array[Byte] =
+    if (payload.length <= targetBytes) payload
+    else {
+      val stride = math.ceil(payload.length.toDouble / targetBytes).toInt
+      payload.indices.collect { case i if i % stride == 0 => payload(i) }.toArray
+    }
+
+  /** Resize stage over an asset table: payload → resized payload +
+    * updated byte count, partition-parallel, schema-preserving.
+    */
+  def resizeAssets(spark: SparkSession, assets: DataFrame, targetBytes: Int): DataFrame = {
+    import spark.implicits._
+    val resized = assets.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val r = resizePayload(p, targetBytes)
+        (id, r, r.length.toLong)
+      })
+      .toDF("doc_id", "payload_resized", "n_bytes_resized")
+    assets.drop("payload").join(resized, "doc_id")
+  }
+
   /** Attach a binary payload + metadata columns to a text table —
     * the ingestion shape a real media table would have (payload column
     * stays opaque; metadata is columnar and prunable).

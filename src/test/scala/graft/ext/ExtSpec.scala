@@ -135,6 +135,15 @@ class ExtSpec extends SparkSpec {
     assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
   }
 
+  test("multimodal resize stage bounds payload size and preserves schema") {
+    val assets = Multimodal.asAssets(docs, "doc_id", "text")
+    val resized = Multimodal.resizeAssets(spark, assets, targetBytes = 16)
+    val rows = resized.select("doc_id", "n_bytes_resized").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(1) <= 16))
+    assert(resized.columns.contains("width") && resized.columns.contains("mime"))
+  }
+
   test("multimodal frame sampling windows the payload") {
     val assets = Multimodal.asAssets(docs, "doc_id", "text")
     val frames = Multimodal.sampleFrames(spark, assets).collect()

@@ -118,6 +118,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming exact dedup keeps one row per content hash") {
+    import spark.implicits._
+    val docs = Seq((0L, "same text"), (1L, "same text"), (2L, "other text"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("dd").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val deduped = stream
+      .withColumn("h", md5(col("text")))
+      .withColumn("seen_at", current_timestamp())
+      .withWatermark("seen_at", "1 hour")
+      .dropDuplicatesWithinWatermark("h")
+    val got = EventWindows.drainToMemory(spark, deduped, "dd", OutputMode.Append)
+    assert(got.count() == 2)
+    assert(got.select("h").distinct().count() == 2)
+  }
+
   test("MinHashAggregator maintains signatures incrementally over a stream") {
     import graft.ext.{Dedup, Hashing, MinHashAggregator}
     val docs = Tables.documents(spark, sf())
