@@ -38,6 +38,40 @@ object TextAnalytics {
     }
   }
 
+  /** Deterministic char-trigram profile per language, derived from the
+    * marker words (padded with spaces so word boundaries contribute) —
+    * the classic n-gram language-ID shape with tiny profiles.
+    */
+  lazy val langTrigramProfiles: Seq[(String, Seq[String])] =
+    langMarkers.map { case (l, words) =>
+      l -> words.flatMap { w =>
+        val p = s" $w "
+        (0 to p.length - 3).map(i => p.substring(i, i + 3))
+      }.distinct
+    }
+
+  /** Char trigrams of a text column (distinct, empty for length < 3). */
+  def charTrigrams(text: Column): Column =
+    when(length(text) >= 3,
+      array_distinct(transform(
+        sequence(lit(1), length(text) - 2),
+        i => text.substr(i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** N-gram language guess: argmax of |doc trigrams ∩ profile| with
+    * first-listed tie-break, 'und' when nothing overlaps.
+    */
+  def langGuessNgram(text: Column): Column = {
+    val tris = charTrigrams(text)
+    val scores = langTrigramProfiles.map { case (l, prof) =>
+      (l, size(array_intersect(tris, typedLit(prof))))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), rest) =>
+      when(s > 0 && s === best, lit(l)).otherwise(rest)
+    }
+  }
+
   /** Quality-score projection: token stats + stopword ratio. Ratios are
     * exact small-int divisions rounded to 6 dp (engine-stable).
     */

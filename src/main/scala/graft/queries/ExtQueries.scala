@@ -247,6 +247,43 @@ object ExtQueries {
       |  ELSE 'und' END AS lang_guess
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // --- x16: char-n-gram language-ID --------------------------------------------
+
+  val x16LangIdNgram: Q = (spark, sfDir) =>
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextAnalytics.langGuessNgram(col("text")).as("lang_guess"))
+      .orderBy("doc_id")
+
+  /** SQL literal profiles are generated from the same Scala constants as
+    * the Spark side — identical by construction.
+    */
+  private val x16Sql: String = {
+    val profiles = TextAnalytics.langTrigramProfiles
+    def lst(xs: Seq[String]) = xs.map(s => "'" + s.replace("'", "''") + "'").mkString("[", ",", "]")
+    val scoreCols = profiles.map { case (l, prof) =>
+      s"length(list_filter(tris, t -> list_contains(${lst(prof)}, t))) AS s_$l"
+    }.mkString(",\n    ")
+    val names = profiles.map { case (l, _) => s"s_$l" }.mkString(", ")
+    val cases = profiles.map { case (l, _) =>
+      s"WHEN s_$l > 0 AND s_$l = greatest($names) THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH tri AS (
+       |  SELECT doc_id, CASE WHEN length(text) >= 3
+       |    THEN list_distinct(list_transform(range(1, length(text)-1),
+       |      i -> substr(text, CAST(i AS INT), 3)))
+       |    ELSE [] END AS tris
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id,
+       |    $scoreCols
+       |  FROM tri
+       |)
+       |SELECT doc_id, CASE
+       |    $cases
+       |    ELSE 'und' END AS lang_guess
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   // --- x9: quality scoring ----------------------------------------------------
 
   val x9Quality: Q = (spark, sfDir) =>
@@ -372,6 +409,7 @@ object ExtQueries {
     "x7_sim_lsh" -> x7SimLsh,
     "x15_sim_ivf" -> x15SimIvf,
     "x8_langid" -> x8LangId,
+    "x16_langid_ngram" -> x16LangIdNgram,
     "x9_quality" -> x9Quality,
     "x10_token_counts" -> x10TokenCounts,
     "x11_fingerprint" -> x11Fingerprint,
@@ -389,6 +427,7 @@ object ExtQueries {
     "x7_sim_lsh" -> x7Sql,
     "x15_sim_ivf" -> x15Sql,
     "x8_langid" -> x8Sql,
+    "x16_langid_ngram" -> x16Sql,
     "x9_quality" -> x9Sql,
     "x10_token_counts" -> x10Sql,
     "x11_fingerprint" -> x11Sql,
