@@ -66,7 +66,10 @@ object ParityDump {
       Enrich.bitrateFor(Enrich.fileExtension(col("url"))).as("bitrate"),
       Enrich.hlsFlag(col("url")).as("hls"),
       Enrich.truncate(col("title"), 80).as("name80"))
-    df.coalesce(1).write.mode("overwrite").json(out)
+    // keep null fields in the JSON: a regression to null must NOT read
+    // back as the same as empty string in the parity diff
+    df.coalesce(1).write.mode("overwrite")
+      .option("ignoreNullFields", "false").json(out)
     println(s"parity dump: $out (${rows.size} rows)")
     spark.stop()
   }

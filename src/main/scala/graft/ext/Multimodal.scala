@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column support (north-star extension): media payloads as
@@ -51,19 +51,22 @@ object Multimodal {
       payload.indices.collect { case i if i % stride == 0 => payload(i) }.toArray
     }
 
-  /** Resize stage over an asset table: payload → resized payload +
-    * updated byte count, partition-parallel, schema-preserving.
+  /** Resize stage over an asset table: one narrow partition-parallel
+    * pass that rewrites `payload` in place and adds the resized byte
+    * count — metadata columns ride along, no second scan, no join.
     */
   def resizeAssets(spark: SparkSession, assets: DataFrame, targetBytes: Int): DataFrame = {
     import spark.implicits._
-    val resized = assets.select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, p) =>
+    assets
+      .select(col("doc_id"), col("payload"), col("mime"), col("n_bytes"),
+        col("width"), col("height"))
+      .as[(Long, Array[Byte], String, Long, Int, Int)]
+      .mapPartitions(_.map { case (id, p, mime, n, w, h) =>
         val r = resizePayload(p, targetBytes)
-        (id, r, r.length.toLong)
+        (id, r, mime, n, w, h, r.length.toLong)
       })
-      .toDF("doc_id", "payload_resized", "n_bytes_resized")
-    assets.drop("payload").join(resized, "doc_id")
+      .toDF("doc_id", "payload", "mime", "n_bytes", "width", "height",
+        "n_bytes_resized")
   }
 
   /** Attach a binary payload + metadata columns to a text table —
@@ -97,17 +100,16 @@ object Multimodal {
 
   /** Declarative (oracle-checkable) metadata/feature projection over the
     * stub decode: byte length, lowercase hex header, frame count at a
-    * 64-byte window — everything computable without the codec.
+    * 64-byte window — a projection over [[asAssets]] so the metadata
+    * formulas live in exactly one place.
     */
-  def assetSummary(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val payload = encode(col(textCol), "UTF-8")
-    df.select(
-      col(idCol),
-      octet_length(payload).cast("long").as("n_bytes"),
-      lower(substring(hex(payload), 1, 16)).as("header_hex"),
-      (octet_length(payload).cast("long") / lit(64)).cast("long").as("n_full_frames"),
-      (Hashing.h32(col(textCol)) % 1280).cast("int").as("width"),
-      (Hashing.h32(col(textCol)) % 720).cast("int").as("height"))
+  def assetSummary(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    asAssets(df, idCol, textCol).select(
+      col("doc_id").as(idCol),
+      col("n_bytes"),
+      lower(substring(hex(col("payload")), 1, 16)).as("header_hex"),
+      (col("n_bytes") / lit(64)).cast("long").as("n_full_frames"),
+      col("width"),
+      col("height"))
       .orderBy(idCol)
-  }
 }

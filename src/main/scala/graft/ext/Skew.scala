@@ -23,7 +23,7 @@ object Skew {
     * bucket). The count is invariant to the salt, so the result equals
     * the direct groupBy exactly.
     */
-  def saltedCounts(df: DataFrame, key: String, valueCol: Column, salts: Int): DataFrame = {
+  def saltedCounts(df: DataFrame, key: String, salts: Int): DataFrame = {
     val salted = df.withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
     val partial = salted.groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_n"))

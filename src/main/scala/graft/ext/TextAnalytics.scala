@@ -26,16 +26,23 @@ object TextAnalytics {
   private def markerCount(t: Column, markers: Seq[String]): Column =
     size(filter(t, x => array_contains(array(markers.map(lit): _*), x)))
 
+  /** Argmax over (language, score) pairs: first-listed wins ties, 'und'
+    * when nothing scores — shared by both language-ID variants so the
+    * tie-break semantics can't drift apart.
+    */
+  private def argmaxLang(scores: Seq[(String, Column)]): Column = {
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), rest) =>
+      when(s > 0 && s === best, lit(l)).otherwise(rest)
+    }
+  }
+
   /** Language guess: argmax of marker counts, first-listed wins ties,
     * 'und' (undetermined) when no marker hits.
     */
   def langGuess(text: Column): Column = {
     val t = toks(text)
-    val scores = langMarkers.map { case (l, ms) => (l, markerCount(t, ms)) }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und"): Column) { case ((l, s), rest) =>
-      when(s > 0 && s === best, lit(l)).otherwise(rest)
-    }
+    argmaxLang(langMarkers.map { case (l, ms) => (l, markerCount(t, ms)) })
   }
 
   /** Deterministic char-trigram profile per language, derived from the
@@ -63,13 +70,9 @@ object TextAnalytics {
     */
   def langGuessNgram(text: Column): Column = {
     val tris = charTrigrams(text)
-    val scores = langTrigramProfiles.map { case (l, prof) =>
+    argmaxLang(langTrigramProfiles.map { case (l, prof) =>
       (l, size(array_intersect(tris, typedLit(prof))))
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und"): Column) { case ((l, s), rest) =>
-      when(s > 0 && s === best, lit(l)).otherwise(rest)
-    }
+    })
   }
 
   /** Quality-score projection: token stats + stopword ratio. Ratios are

@@ -164,8 +164,7 @@ object AnalyticsQueries {
     * identical results.
     */
   val a8SaltedCounts: Q = (spark, sfDir) =>
-    graft.ext.Skew.saltedCounts(Tables.events(spark, sfDir),
-      "event_type", col("event_id"), 8)
+    graft.ext.Skew.saltedCounts(Tables.events(spark, sfDir), "event_type", 8)
       .orderBy("event_type")
 
   private val a8Sql =

@@ -130,7 +130,7 @@ class ExtSpec extends SparkSpec {
     import spark.implicits._
     val df = (0 until 1000).map(i => (i.toLong, if (i % 10 == 0) "hot" else s"k${i % 7}"))
       .toDF("event_id", "event_type")
-    val salted = Skew.saltedCounts(df, "event_type", col("event_id"), 8)
+    val salted = Skew.saltedCounts(df, "event_type", 8)
     val direct = df.groupBy("event_type").agg(count(lit(1)).as("n"))
     assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
   }
