@@ -118,6 +118,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-stream interval join matches the batch equivalent") {
+    val events = Tables.events(spark, sf())
+    val dir = Files.createTempDirectory("ev5").toString
+    events.write.mode("overwrite").parquet(dir)
+    def stream() = spark.readStream.schema(events.schema).parquet(dir)
+
+    // purchases joined to clicks by the same user within the prior 30 min
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("user_id"), col("click_ts"))
+    val streamed = EventWindows.drainToMemory(spark, joined, "ssj2", OutputMode.Append)
+
+    val bc = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val bp = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    val batch = bp.join(bc,
+      col("p_user") === col("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("user_id"), col("click_ts"))
+
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming exact dedup keeps one row per content hash") {
     import spark.implicits._
     val docs = Seq((0L, "same text"), (1L, "same text"), (2L, "other text"))
