@@ -48,6 +48,17 @@ class StationPipelineSpec extends SparkSpec {
     assert(out.filter(col("url_resolved").contains("youtube.com/watch")).count() == 0)
   }
 
+  test("random-id mode (reference parity) yields fresh distinct uuids") {
+    import spark.implicits._
+    val lines = (0 until 30).map(i => s"https://www.youtube.com/watch?v=$i").toDF("value")
+    val out = Station.pipeline(lines, new MockResolver().stage(spark), Station.randomIds)
+      .select("changeuuid", "stationuuid", "serveruuid").collect()
+    val all = out.flatMap(r => Seq(r.getString(0), r.getString(1), r.getString(2)))
+    assert(all.distinct.length == all.length, "uuid collision")
+    val uuidRe = "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}".r
+    assert(all.forall(u => uuidRe.matches(u)), s"not a uuid: ${all.find(u => !uuidRe.matches(u))}")
+  }
+
   test("constants and invariants hold on every row") {
     import spark.implicits._
     val lines = (0 until 50).map(i => s"https://www.youtube.com/watch?v=$i").toDF("value")
