@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.SparkSpec
+import graft.plans.AsOfJoinNative
+
+/** Randomized cross-implementation properties: independently generated
+  * inputs, two formulations, results must agree.
+  */
+class PropertySpec extends SparkSpec {
+
+  test("property: native and composed as-of agree on random key/time data") {
+    import spark.implicits._
+    val seed = org.scalacheck.rng.Seed(42L)
+    val gen = Gen.listOfN(400, for {
+      k <- Gen.choose(0L, 20L)
+      t <- Gen.choose(0L, 1000L)
+    } yield (k, t))
+    val leftRows = gen.pureApply(Gen.Parameters.default, seed)
+    val rightRows = gen.pureApply(Gen.Parameters.default, seed.next)
+    // unique-ify left rows so the comparison has no duplicate ambiguity
+    val left = leftRows.zipWithIndex
+      .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("id", "k", "t")
+    val right = rightRows.toDF("k", "rt")
+
+    val native = AsOfJoinNative.asOf(left, right, "k", "t", "rt")
+      .select("id", "matched")
+    val composed = AsOf.asOfTime(left, right, "k", "t", "rt")
+      .select("id", "matched")
+    assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty)
+    assert(native.count() == left.count())
+  }
+
+  test("property: minhash signature agreement rate tracks true jaccard") {
+    import spark.implicits._
+    // three corpora of known overlap: identical, ~half, disjoint
+    val base = (0 until 200).map(i => s"tok$i")
+    val half = (0 until 100).map(i => s"tok$i") ++ (0 until 100).map(i => s"alt$i")
+    val disjoint = (0 until 200).map(i => s"other$i")
+    val df = Seq(
+      (0L, base.mkString(" ")), (1L, base.mkString(" ")),
+      (2L, half.mkString(" ")), (3L, disjoint.mkString(" ")))
+      .toDF("doc_id", "text")
+    val sigs = df
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("s"))
+      .select(col("doc_id"), Hashing.h32(col("s")).as("h"))
+      .groupBy("doc_id")
+      .agg(udaf(new MinHashAggregator(64), org.apache.spark.sql.Encoders.scalaLong)(col("h")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def agree(a: Long, b: Long): Double =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 64.0
+    assert(agree(0L, 1L) == 1.0)                   // identical -> all slots agree
+    val est = agree(0L, 2L)                         // true jaccard ~ 100/300 = 0.33
+    assert(est > 0.15 && est < 0.55, s"est=$est")
+    assert(agree(0L, 3L) < 0.15)                    // disjoint -> near zero
+  }
+}
