@@ -49,6 +49,14 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
+  // reject non-string input at analysis instead of codegen/runtime
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_shingles requires STRING input, got ${child.dataType.sql}")
+
   override def nullSafeEval(input: Any): Any =
     ShingleUtil.wordShingles(input.asInstanceOf[UTF8String], k)
 

@@ -33,8 +33,13 @@ object AsOf {
       .withColumn("_t", col(leftTime).cast(rtType))
       .withColumn("_side", lit(1))
       .withColumn("_rt", lit(null).cast(rtType))
-    val r = right.select(col(key), col(rightTime).cast(rtType).as("_t"),
-      lit(0).as("_side"), col(rightTime).cast(rtType).as("_rt"))
+    // drop null-key right rows: window partitionBy groups NULLs together,
+    // which would let a null-key left row match a null-key right row —
+    // SQL ASOF equality (and the native operator) treat NULL keys as
+    // matching nothing
+    val r = right.filter(col(key).isNotNull)
+      .select(col(key), col(rightTime).cast(rtType).as("_t"),
+        lit(0).as("_side"), col(rightTime).cast(rtType).as("_rt"))
     val w = Window.partitionBy(key).orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)

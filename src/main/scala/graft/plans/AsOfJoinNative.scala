@@ -110,7 +110,11 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           matchRow.update(0, null)
         } else {
           if (!haveCur || keyOrd.compare(lk, curKey) != 0) {
-            curKey = lk; haveCur = true; lastTime = null
+            // copy like rTime below: for buffer-backed key types
+            // (UTF8String/binary/decimal) lk can alias the left sort
+            // iterator's reused buffer, and an aliased curKey would make
+            // the key-change compare above always return 0
+            curKey = InternalRow.copyValue(lk); haveCur = true; lastTime = null
           }
           var continue = rHead != null && lt != null
           while (continue) {
@@ -140,9 +144,13 @@ object AsOfJoinNative {
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTime: String, rightTime: String): DataFrame = {
     val spark: SparkSession = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // read-modify-write of a session-global: synchronize so concurrent
+    // first calls can't lose the update or install duplicates
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ AsOfJoinStrategy
+      }
     }
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed

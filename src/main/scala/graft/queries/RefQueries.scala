@@ -415,21 +415,25 @@ object RefQueries {
     val c = Tables.customer(spark, sfDir)
     val o = Tables.orders(spark, sfDir)
     val l = Tables.lineitem(spark, sfDir)
-    val revenue = sum(
-      col("l_extendedprice").cast(DecimalType(18, 2)) *
-        (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2))))
-      .cast(DecimalType(38, 4))
+    // Fixed-point money: price in cents and discount in percent are exact
+    // BIGINTs (the generator emits 2-dp doubles, so round() is never at a
+    // tie), making the sum bit-identical on any engine — double→decimal
+    // cast rounding modes vary across DuckDB versions. revenue_e4 is in
+    // units of 1e-4 dollars: cents * (100 - pct) = (price*1e2)*(frac*1e2).
+    val revE4 = sum(
+      round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long")))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
-      .agg(revenue.as("revenue"), count(lit(1)).as("n"))
+      .agg(revE4.as("revenue_e4"), count(lit(1)).as("n"))
       .orderBy("c_mktsegment")
   }
 
   private val q3RevenueSql: String =
     """SELECT c_mktsegment,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-      |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
       |  count(*) AS n
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey

@@ -63,20 +63,48 @@ object StationStream {
     * no-op (C6: never clobber output with an empty run,
     * `video_processor.py:411-416`).
     */
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+
+  /** Merge key: the parsed `url` field; rows without one key on their own
+    * serialized form (self-identity — such a row is only replaced by an
+    * identical row).
+    */
+  private def mergeKey(node: com.fasterxml.jackson.databind.JsonNode): String =
+    if (node.hasNonNull("url")) node.get("url").asText
+    else mapper.writeValueAsString(node)
+
   def writeJsonArray(batch: DataFrame, outFile: String): Unit = {
     val rows = batch.toJSON.collect()
     val path = Paths.get(outFile)
     if (rows.nonEmpty || !Files.exists(path)) {
-      val existing: Seq[String] =
+      // parse the existing array with Jackson (not line/regex heuristics):
+      // survives re-formatting, hand edits, and other writers, and keys on
+      // the actual url field
+      val existing: Seq[(String, String)] =
         if (Files.exists(path)) {
-          val txt = new String(Files.readAllBytes(path), StandardCharsets.UTF_8).trim
-          txt.stripPrefix("[").stripSuffix("]").split("\n")
-            .map(_.trim.stripSuffix(",")).filter(_.nonEmpty).toSeq
+          val txt = new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
+          try {
+            val root = mapper.readTree(txt)
+            if (root != null && root.isArray) {
+              import scala.jdk.CollectionConverters._
+              root.elements().asScala
+                .map(e => (mergeKey(e), mapper.writeValueAsString(e))).toSeq
+            } else {
+              System.err.println(
+                s"[StationStream] $outFile is not a JSON array; rewriting from this batch")
+              Seq.empty
+            }
+          } catch {
+            case e: com.fasterxml.jackson.core.JacksonException =>
+              System.err.println(
+                s"[StationStream] $outFile unparseable (${e.getMessage}); rewriting from this batch")
+              Seq.empty
+          }
         } else Seq.empty
-      def urlOf(json: String): String =
-        "\"url\":\"([^\"]*)\"".r.findFirstMatchIn(json).map(_.group(1)).getOrElse(json)
-      val newUrls = rows.map(urlOf).toSet
-      val merged = existing.filterNot(r => newUrls.contains(urlOf(r))) ++ rows
+      val newKeys = rows.map(r => mergeKey(mapper.readTree(r))).toSet
+      val merged = existing.collect {
+        case (k, json) if !newKeys.contains(k) => json
+      } ++ rows
       val json =
         if (merged.isEmpty) "[]"
         else merged.mkString("[\n  ", ",\n  ", "\n]")
