@@ -27,15 +27,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+
+  // codegen'd tight loop (graft.expr.VecDot) — the interpreted
+  // aggregate(zip_with(...)) formulation dominated every ANN/near-dup
+  // query because it runs once per candidate PAIR
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    toCol(graft.expr.VecDot(toExpr(a), toExpr(b)))
+
+  private def l2sq(a: Column, b: Column): Column =
+    toCol(graft.expr.VecL2Sq(toExpr(a), toExpr(b)))
 
   /** Cosine similarity of two float-array columns, in doubles. */
   def cosine(a: Column, b: Column): Column = {
-    def d(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b)))
+    def dd(x: Column) = transform(x, v => v.cast("double"))
+    val (ad, bd) = (dd(a), dd(b))
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
   }
 
   /** (vec_id, unit, extra…) with unit = embedding/‖embedding‖ as doubles —
@@ -44,7 +51,7 @@ object Similarity {
   private def unitized(emb: DataFrame, extra: Seq[String] = Nil): DataFrame = {
     val ed = transform(col("embedding"), x => x.cast("double"))
     emb.select((Seq(col("vec_id"), ed.as("ed")) ++ extra.map(col)): _*)
-      .withColumn("nrm", sqrt(aggregate(col("ed"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("nrm", sqrt(dot(col("ed"), col("ed"))))
       .select((Seq(col("vec_id"),
         transform(col("ed"), x => x / col("nrm")).as("unit")) ++ extra.map(col)): _*)
   }
@@ -123,16 +130,14 @@ object Similarity {
 
     // assign each vector to its nearest centroid (L2, label tiebreak)
     val ed = transform(col("embedding"), x => x.cast("double"))
-    val dist = aggregate(
-      zip_with(col("ed"), col("ce"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+    val dist = l2sq(col("ed"), col("ce"))
     val assigned = emb.select(col("vec_id"), ed.as("ed"))
       .crossJoin(broadcast(cent))
       .select(col("vec_id"), col("ed"), col("cent_label"), dist.as("d"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("d"), col("cent_label"))))
       .filter(col("rn") === 1)
-      .withColumn("nrm", sqrt(aggregate(col("ed"), lit(0.0), (a, y) => a + y * y)))
+      .withColumn("nrm", sqrt(dot(col("ed"), col("ed"))))
       .select(col("vec_id"), col("cent_label").as("cell"),
         transform(col("ed"), x => x / col("nrm")).as("unit"))
 

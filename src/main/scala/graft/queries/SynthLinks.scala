@@ -36,8 +36,22 @@ object SynthLinks {
   private val extSuffixes = Seq(
     ".m4a", ".mp3", ".webm", ".m3u8", ".ogg", ".aac", ".mp4", "")
 
+  // Materialized shared intermediate: ~16 declared queries start from this
+  // derivation (lineitem ⋈ part + groupBy), so build it once per
+  // (session, sfDir) and persist. The derivation *shrinks* its input
+  // (~7.6% of lineitem rows, 6 narrow columns), so at 100 TB this is the
+  // classic "materialize the shared dimension-like intermediate" move —
+  // one shuffle total instead of one per consuming query. MEMORY_AND_DISK
+  // spills instead of recomputing under memory pressure.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** Synthetic links table: lkey, url, title, thumbnail, stream_url, ts. */
-  def links(spark: SparkSession, sfDir: String): DataFrame = {
+  def links(spark: SparkSession, sfDir: String): DataFrame =
+    cache.computeIfAbsent((spark, sfDir), (k: (SparkSession, String)) =>
+      build(k._1, k._2).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def build(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val p = Tables.part(spark, sfDir)
     // lkey is de-duplicated via GROUP BY + min() because the generator's
