@@ -102,13 +102,24 @@ object Dedup {
       concat(lit(s"$b:"), concat_ws("-",
         (0 until rows).map(r => col(s"sig_${b * rows + r}").cast("string")): _*))
     }
-    val banded = sigs.select(col("id"), col("sh"),
-      explode(array(bandKeys: _*)).as("bk"))
-    banded.as("a")
-      .join(banded.as("b"), col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+    // Candidate generation joins (id, band-key) ONLY — the shingle sets
+    // never ride the band shuffle (they dominate the row width; at corpus
+    // scale that shuffle is the whole job). Pairs found in several bands
+    // are deduped BEFORE verification, so exact Jaccard runs once per
+    // candidate, not once per colliding band. The shingle sets are then
+    // fetched by two id-equi-joins; the explode→exchange(id) feeding the
+    // signature aggregation is an identical subtree in all three uses, so
+    // Spark's ReuseExchange materializes it once.
+    val bandedIds = sigs.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+    val pairs = bandedIds.as("a")
+      .join(bandedIds.as("b"), col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
+    val sets = sigs.select(col("id"), col("sh"))
+    pairs
+      .join(sets.select(col("id").as("a_id"), col("sh").as("sa")), "a_id")
+      .join(sets.select(col("id").as("b_id"), col("sh").as("sb")), "b_id")
+      .select(col("a_id"), col("b_id"), jaccard(col("sa"), col("sb")).as("jaccard"))
       .orderBy("a_id", "b_id")
   }
 
