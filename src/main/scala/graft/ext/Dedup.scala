@@ -123,6 +123,48 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Duplicate-cluster resolution: connected components of the near-dup
+    * pair graph, labeling every member with the minimum doc id of its
+    * component (the canonical "keep" document). Docs in no pair are
+    * singletons and are omitted.
+    *
+    * Iterative min-label propagation: each round every vertex takes the
+    * min of its own label and its neighbors' labels — one equi-join +
+    * one partial-aggregating groupBy per round, converging in
+    * O(component diameter) rounds (near-dup clusters are shallow). This
+    * is the standard distributed connected-components shape: no driver
+    * collect of the graph, each round shuffles only (vertex, label)
+    * pairs, and every intermediate is persisted then dropped so lineage
+    * stays O(1) instead of growing per round.
+    */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("a_id").cast("long").as("u"), col("b_id").cast("long").as("v"))
+      .union(pairs.select(col("b_id").cast("long").as("u"), col("a_id").cast("long").as("v")))
+      .persist()
+    var lbl = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).persist()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val neighborMin = edges
+        .join(lbl.select(col("id").as("u"), col("lbl")), "u")
+        .groupBy(col("v").as("id")).agg(min("lbl").as("nlbl"))
+      val next = lbl.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .persist()
+      val changed = next.join(lbl.select(col("id"), col("lbl").as("old")), "id")
+        .filter(col("lbl") =!= col("old")).count() // materializes `next`
+      lbl.unpersist()
+      lbl = next
+      done = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id")).orderBy("doc_id")
+  }
+
   /** Exact Jaccard of two distinct-element arrays, rounded to 6 dp (the
     * rounding absorbs engine-order float differences; the division itself
     * is exact small-int / small-int). `array_intersect` is hash-based —

@@ -110,7 +110,10 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector to
-    * its nearest centroid cell; queries probe only their own cell.
+    * its nearest centroid cell; queries probe their `probes` nearest
+    * cells (multi-probe recovers recall lost at cell boundaries for the
+    * cost of `probes`× the candidate volume — still an equi-join, never a
+    * cross join).
     *
     * Centroids here are the per-`label` means (deterministic, no
     * iterative k-means — the plumbing is the point; components rounded
@@ -118,7 +121,7 @@ object Similarity {
     * classic IVF shape: centroid table broadcast, one shuffle to
     * cell-partition the corpus, probes are equi-joins on cell id.
     */
-  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int, probes: Int = 1): DataFrame = {
     // per-dimension centroid means, re-assembled into ordered arrays
     val cent = emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
@@ -131,19 +134,22 @@ object Similarity {
     // assign each vector to its nearest centroid (L2, label tiebreak)
     val ed = transform(col("embedding"), x => x.cast("double"))
     val dist = l2sq(col("ed"), col("ce"))
-    val assigned = emb.select(col("vec_id"), ed.as("ed"))
+    val ranked = emb.select(col("vec_id"), ed.as("ed"))
       .crossJoin(broadcast(cent))
       .select(col("vec_id"), col("ed"), col("cent_label"), dist.as("d"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("d"), col("cent_label"))))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= math.max(1, probes))
       .withColumn("nrm", sqrt(dot(col("ed"), col("ed"))))
-      .select(col("vec_id"), col("cent_label").as("cell"),
+      .select(col("vec_id"), col("cent_label").as("cell"), col("rn"),
         transform(col("ed"), x => x / col("nrm")).as("unit"))
 
-    val q = assigned.filter(queryPred)
+    // corpus vectors live in their home cell only; queries fan out to all
+    // probed cells (each candidate has one home cell, so no pair dedup)
+    val q = ranked.filter(queryPred)
       .select(col("vec_id").as("qid"), col("unit").as("qu"), col("cell"))
-    val c = assigned.select(col("vec_id").as("cid"), col("unit").as("cu"), col("cell"))
+    val c = ranked.filter(col("rn") === 1)
+      .select(col("vec_id").as("cid"), col("unit").as("cu"), col("cell"))
     val scored = broadcast(q).join(c, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), round(dot(col("qu"), col("cu")), 6).as("sim"))

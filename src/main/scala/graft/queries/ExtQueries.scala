@@ -75,6 +75,64 @@ object ExtQueries {
       |SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
       |FROM j ORDER BY a_id, b_id""".stripMargin
 
+  // --- x17: duplicate clusters (connected components over near-dup pairs) ---
+
+  /** MinHash-LSH pairs at jaccard ≥ 0.6 → connected components → each doc
+    * labeled with its component's minimum doc id (the canonical keeper).
+    * The oracle mirrors the fixpoint with a recursive CTE.
+    */
+  val x17DedupClusters: Q = (spark, sfDir) =>
+    Dedup.dedupClusters(
+      Dedup.minhashLshPairs(Tables.documents(spark, sfDir), "doc_id", "text")
+        .filter(col("jaccard") >= 0.6))
+
+  private val x17Sql =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, length(tokens)),
+      |    i -> array_to_string(list_slice(tokens, i, i+1), ' '))) AS shingles
+      |  FROM tok WHERE length(tokens) >= 2
+      |), hs AS (
+      |  SELECT doc_id, shingles,
+      |    list_transform(shingles, s -> ('0x' || substr(md5(s),1,8))::BIGINT) AS hs
+      |  FROM sh
+      |), sig AS (
+      |  SELECT doc_id, list_transform(range(0,16),
+      |    j -> list_min(list_transform(hs, x -> ((2*j+1)*x + 7919*j) % 4294967311))) AS sig
+      |  FROM hs
+      |), bands AS (
+      |  SELECT doc_id, unnest(list_transform(range(0,8),
+      |    b -> b || ':' || array_to_string(list_slice(sig, 2*b+1, 2*b+2), '-'))) AS bk
+      |  FROM sig
+      |), pairs AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      |), ws AS (
+      |  SELECT p.a_id, p.b_id, sa.shingles AS sa, sb.shingles AS sb
+      |  FROM pairs p
+      |  JOIN sh sa ON p.a_id = sa.doc_id
+      |  JOIN sh sb ON p.b_id = sb.doc_id
+      |), j AS (
+      |  SELECT a_id, b_id,
+      |    length(list_filter(sa, x -> list_contains(sb, x))) AS inter,
+      |    length(sa) AS la, length(sb) AS lb
+      |  FROM ws
+      |), pr AS (
+      |  SELECT a_id, b_id FROM j
+      |  WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) >= 0.6
+      |), e AS (
+      |  SELECT a_id AS u, b_id AS v FROM pr
+      |  UNION ALL
+      |  SELECT b_id, a_id FROM pr
+      |), reach AS (
+      |  SELECT u AS id, u AS r FROM e
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.id
+      |)
+      |SELECT id AS doc_id, min(r) AS cluster_id
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   // --- x3: SimHash sketches -------------------------------------------------
 
   val x3Simhash: Q = (spark, sfDir) =>
@@ -190,7 +248,16 @@ object ExtQueries {
   val x15SimIvf: Q = (spark, sfDir) =>
     Similarity.ivfTopK(Tables.embeddings(spark, sfDir), col("vec_id") < 20, 5)
 
-  private val x15Sql =
+  // --- x18: IVF multi-probe (2 nearest cells per query) ----------------------
+
+  val x18SimIvfProbe2: Q = (spark, sfDir) =>
+    Similarity.ivfTopK(Tables.embeddings(spark, sfDir), col("vec_id") < 20, 5, probes = 2)
+
+  /** IVF oracle, parameterized on the probe count: corpus vectors sit in
+    * their home cell (rn = 1); queries fan out to their `probes` nearest
+    * cells.
+    */
+  private def ivfSql(probes: Int) =
     s"""WITH pe AS (
        |  SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
        |  FROM embeddings
@@ -198,19 +265,18 @@ object ExtQueries {
        |  SELECT label, i, round(avg(CAST(v AS DOUBLE)), 6) AS c FROM pe GROUP BY label, i
        |), centarr AS (
        |  SELECT label AS cent_label, list(c ORDER BY i) AS ce FROM cent GROUP BY label
-       |), assigned AS (
-       |  SELECT vec_id, cell, embedding FROM (
-       |    SELECT e.vec_id, e.embedding, ca.cent_label AS cell,
-       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |        list_sum(list_transform(range(1,65),
-       |          i -> (CAST(e.embedding[i] AS DOUBLE) - ca.ce[i]) *
-       |               (CAST(e.embedding[i] AS DOUBLE) - ca.ce[i]))), ca.cent_label) AS rn
-       |    FROM embeddings e CROSS JOIN centarr ca
-       |  ) WHERE rn = 1
+       |), ranked AS (
+       |  SELECT e.vec_id, e.embedding, ca.cent_label AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_sum(list_transform(range(1,65),
+       |        i -> (CAST(e.embedding[i] AS DOUBLE) - ca.ce[i]) *
+       |             (CAST(e.embedding[i] AS DOUBLE) - ca.ce[i]))), ca.cent_label) AS rn
+       |  FROM embeddings e CROSS JOIN centarr ca
        |), q AS (
-       |  SELECT vec_id AS qid, embedding AS qe, cell FROM assigned WHERE vec_id < 20
+       |  SELECT vec_id AS qid, embedding AS qe, cell FROM ranked
+       |  WHERE rn <= $probes AND vec_id < 20
        |), c AS (
-       |  SELECT vec_id AS cid, embedding AS ce, cell FROM assigned
+       |  SELECT vec_id AS cid, embedding AS ce, cell FROM ranked WHERE rn = 1
        |), s AS (
        |  SELECT qid, cid, ${cosSql("qe", "ce")} AS sim
        |  FROM q JOIN c USING (cell) WHERE qid != cid
@@ -220,6 +286,9 @@ object ExtQueries {
        |  FROM s
        |)
        |SELECT qid, rank, cid, sim FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  private val x15Sql = ivfSql(1)
+  private val x18Sql = ivfSql(2)
 
   // --- x8: language-ID heuristic --------------------------------------------
 
@@ -402,12 +471,14 @@ object ExtQueries {
   val queries: Map[String, Q] = Map(
     "x1_dedup_exact" -> x1DedupExact,
     "x2_minhash_lsh" -> x2MinhashLsh,
+    "x17_dedup_clusters" -> x17DedupClusters,
     "x3_simhash" -> x3Simhash,
     "x4_ngram_jaccard" -> x4NgramJaccard,
     "x5_embedding_neardups" -> x5EmbeddingNearDups,
     "x6_sim_bruteforce" -> x6SimBruteForce,
     "x7_sim_lsh" -> x7SimLsh,
     "x15_sim_ivf" -> x15SimIvf,
+    "x18_sim_ivf_probe2" -> x18SimIvfProbe2,
     "x8_langid" -> x8LangId,
     "x16_langid_ngram" -> x16LangIdNgram,
     "x9_quality" -> x9Quality,
@@ -420,12 +491,14 @@ object ExtQueries {
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
     "x2_minhash_lsh" -> x2Sql,
+    "x17_dedup_clusters" -> x17Sql,
     "x3_simhash" -> x3Sql,
     "x4_ngram_jaccard" -> x4Sql,
     "x5_embedding_neardups" -> x5Sql,
     "x6_sim_bruteforce" -> x6Sql,
     "x7_sim_lsh" -> x7Sql,
     "x15_sim_ivf" -> x15Sql,
+    "x18_sim_ivf_probe2" -> x18Sql,
     "x8_langid" -> x8Sql,
     "x16_langid_ngram" -> x16Sql,
     "x9_quality" -> x9Sql,

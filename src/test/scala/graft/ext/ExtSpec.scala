@@ -36,6 +36,19 @@ class ExtSpec extends SparkSpec {
       .foreach(r => assert(r.getDouble(2) == 1.0))
   }
 
+  test("dedup clusters: chained near-dups collapse to one component, isolated docs omitted") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text").filter(col("jaccard") >= 0.6)
+    val clusters = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 0, 1, 3 are pairwise near/exact dups -> one cluster rooted at 0
+    assert(clusters == Map(0L -> 0L, 1L -> 0L, 3L -> 0L))
+    // transitivity through a chain: a-b and b-c but never a-c directly
+    import spark.implicits._
+    val chain = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("a_id", "b_id")
+    val got = Dedup.dedupClusters(chain).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L, 50L -> 40L))
+  }
+
   test("simhash: identical docs share sketches, near-dups are close") {
     val sk = Dedup.simhashSketch(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -62,6 +75,20 @@ class ExtSpec extends SparkSpec {
       (2L, Array(0f, 1f), 0), (3L, Array(1f, 0.02f), 0)).toDF("vec_id", "embedding", "label")
     val top = Similarity.bruteForceTopK(emb, col("vec_id") === 0, 2).collect()
     assert(top.map(_.getLong(2)).toSeq == Seq(1L, 3L))
+  }
+
+  test("IVF multi-probe recall is at least single-probe recall") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val pred = col("vec_id") < 10
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, pred, 5))
+    val p1 = pairs(Similarity.ivfTopK(emb, pred, 5, probes = 1))
+    val p2 = pairs(Similarity.ivfTopK(emb, pred, 5, probes = 2))
+    def recall(s: Set[(Long, Long)]) = s.intersect(exact).size.toDouble / exact.size
+    assert(recall(p2) >= recall(p1))
+    // probing a second cell can only widen each query's candidate pool
+    assert(p1.groupBy(_._1).keySet.subsetOf(p2.groupBy(_._1).keySet))
   }
 
   test("language guess picks the marked language") {
