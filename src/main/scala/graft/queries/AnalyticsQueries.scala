@@ -209,6 +209,22 @@ object AnalyticsQueries {
       |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
       |ORDER BY event_id, band_id""".stripMargin
 
+  // --- a13: native range join ---------------------------------------------------
+
+  /** Same query as a9 through the native sweep operator
+    * ([[graft.plans.RangeJoinNative]]): broadcast intervals, zero shuffle
+    * of the point side, O(n + m log m + output) per partition.
+    */
+  val a13RangeJoinNative: Q = (spark, sfDir) => {
+    val bands = spark.range(20).select(col("id").as("band_id"),
+      (col("id") * lit(25.0)).as("lo"), (col("id") * lit(25.0) + lit(37.5)).as("hi"))
+    graft.plans.RangeJoinNative.pointsInIntervals(
+      Tables.events(spark, sfDir).select(col("event_id"), col("value").cast("double").as("value")),
+      bands, "value", "lo", "hi")
+      .select("event_id", "band_id")
+      .orderBy("event_id", "band_id")
+  }
+
   // --- a11: pivot --------------------------------------------------------------
 
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
@@ -266,7 +282,8 @@ object AnalyticsQueries {
     "a9_range_join" -> a9RangeJoin,
     "a10_asof_native" -> a10AsofNative,
     "a11_pivot" -> a11Pivot,
-    "a12_quantiles" -> a12Quantiles)
+    "a12_quantiles" -> a12Quantiles,
+    "a13_range_join_native" -> a13RangeJoinNative)
 
   val oracle: Map[String, String] = Map(
     "a1_top_orders" -> a1Sql,
@@ -280,5 +297,6 @@ object AnalyticsQueries {
     "a9_range_join" -> a9Sql,
     "a10_asof_native" -> a7Sql,
     "a11_pivot" -> a11Sql,
-    "a12_quantiles" -> a12Sql)
+    "a12_quantiles" -> a12Sql,
+    "a13_range_join_native" -> a9Sql)
 }
