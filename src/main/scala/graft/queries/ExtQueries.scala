@@ -384,6 +384,41 @@ object ExtQueries {
       |  length(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- x19: greedy subword tokenization (BPE-style frozen merges) ------------
+
+  /** Per-doc subword token count under the frozen greedy longest-match
+    * vocabulary ([[graft.expr.SubwordUtil.vocab]]); the oracle replays
+    * the greedy loop with a recursive CTE, its vocab literal generated
+    * from the same Scala constant.
+    */
+  val x19SubwordTokens: Q = (spark, sfDir) =>
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.expr.SubwordTokenCount(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("text"))))
+          .as("subword_tokens"))
+      .orderBy("doc_id")
+
+  private val x19Sql: String = {
+    val vocabLit = graft.expr.SubwordUtil.vocab
+      .map(v => "'" + v.replace("'", "''") + "'").mkString("[", ",", "]")
+    s"""WITH RECURSIVE words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+       |), steps AS (
+       |  SELECT doc_id, w, w AS rest, 0 AS n FROM words
+       |  UNION ALL
+       |  SELECT doc_id, w,
+       |    substr(rest, 1 + coalesce(list_max(list_transform(
+       |      list_filter($vocabLit, v -> starts_with(rest, v)),
+       |      v -> length(v))), 1)),
+       |    n + 1
+       |  FROM steps WHERE rest != ''
+       |)
+       |SELECT doc_id, CAST(sum(n) AS BIGINT) AS subword_tokens
+       |FROM steps WHERE rest = '' GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // --- x11: document fingerprint -----------------------------------------------
 
   val x11Fingerprint: Q = (spark, sfDir) =>
@@ -483,6 +518,7 @@ object ExtQueries {
     "x16_langid_ngram" -> x16LangIdNgram,
     "x9_quality" -> x9Quality,
     "x10_token_counts" -> x10TokenCounts,
+    "x19_subword_tokens" -> x19SubwordTokens,
     "x11_fingerprint" -> x11Fingerprint,
     "x12_tfidf" -> x12Tfidf,
     "x13_multimodal" -> x13Multimodal,
@@ -503,6 +539,7 @@ object ExtQueries {
     "x16_langid_ngram" -> x16Sql,
     "x9_quality" -> x9Sql,
     "x10_token_counts" -> x10Sql,
+    "x19_subword_tokens" -> x19Sql,
     "x11_fingerprint" -> x11Sql,
     "x12_tfidf" -> x12Sql,
     "x13_multimodal" -> x13Sql,
