@@ -1,0 +1,37 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for pipeline curation — unlike `df.sample`
+  * (seeded RNG over partition iteration order, unstable under
+  * repartition/retry), these sample on a *content hash* of a key: the
+  * decision for a row is a pure function of the row, so re-runs, retried
+  * tasks, and both engines of the oracle agree exactly, and the sample is
+  * stable as the corpus grows (a kept id stays kept).
+  *
+  * Rates are basis points (1/10000) against a 32-bit md5-prefix hash —
+  * uniform enough for sampling, engine-portable (see [[Hashing]]). The
+  * salt decorrelates independent samples of the same keys.
+  */
+object Sampling {
+
+  private def bucket(key: Column, salt: String): Column =
+    Hashing.h32(concat(key.cast("string"), lit(salt))) % 10000
+
+  /** Keep rows whose hash bucket falls under `rateBp` basis points. */
+  def hashSample(df: DataFrame, key: Column, rateBp: Int, salt: String = ""): DataFrame =
+    df.filter(bucket(key, salt) < rateBp)
+
+  /** Per-stratum rates (basis points) with a default for unlisted strata —
+    * deterministic replacement for `sampleBy`.
+    */
+  def stratifiedSample(df: DataFrame, key: Column, strata: Column,
+                       ratesBp: Map[String, Int], defaultBp: Int,
+                       salt: String = ""): DataFrame = {
+    val rate = ratesBp.foldLeft(lit(defaultBp)) { case (acc, (s, r)) =>
+      when(strata === s, lit(r)).otherwise(acc)
+    }
+    df.filter(bucket(key, salt) < rate)
+  }
+}

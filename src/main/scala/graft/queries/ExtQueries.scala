@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalytics}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalytics}
 import graft.model.Tables
 
 /** North-star extension queries (BASELINE.json): dedup family,
@@ -419,6 +419,27 @@ object ExtQueries {
        |FROM steps WHERE rest = '' GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // --- x20: deterministic stratified sampling ---------------------------------
+
+  /** Content-hash stratified sample of documents (20% of 'en', 10% of
+    * 'de', 5% otherwise) — the decision is a pure function of
+    * (doc_id, salt), so re-runs, task retries, and the oracle agree
+    * row-for-row, unlike RNG-seeded `df.sample`.
+    */
+  val x20StratifiedSample: Q = (spark, sfDir) =>
+    Sampling.stratifiedSample(
+      Tables.documents(spark, sfDir),
+      col("doc_id"), col("lang"),
+      Map("en" -> 2000, "de" -> 1000), defaultBp = 500, salt = ":s20")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  private val x20Sql =
+    """SELECT doc_id, lang FROM documents
+      |WHERE ('0x' || substr(md5(doc_id || ':s20'),1,8))::BIGINT % 10000 <
+      |  CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 1000 ELSE 500 END
+      |ORDER BY doc_id""".stripMargin
+
   // --- x11: document fingerprint -----------------------------------------------
 
   val x11Fingerprint: Q = (spark, sfDir) =>
@@ -519,6 +540,7 @@ object ExtQueries {
     "x9_quality" -> x9Quality,
     "x10_token_counts" -> x10TokenCounts,
     "x19_subword_tokens" -> x19SubwordTokens,
+    "x20_stratified_sample" -> x20StratifiedSample,
     "x11_fingerprint" -> x11Fingerprint,
     "x12_tfidf" -> x12Tfidf,
     "x13_multimodal" -> x13Multimodal,
@@ -540,6 +562,7 @@ object ExtQueries {
     "x9_quality" -> x9Sql,
     "x10_token_counts" -> x10Sql,
     "x19_subword_tokens" -> x19Sql,
+    "x20_stratified_sample" -> x20Sql,
     "x11_fingerprint" -> x11Sql,
     "x12_tfidf" -> x12Sql,
     "x13_multimodal" -> x13Sql,

@@ -77,6 +77,22 @@ class ExtSpec extends SparkSpec {
     assert(top.map(_.getLong(2)).toSeq == Seq(1L, 3L))
   }
 
+  test("hash sampling is deterministic, rate-accurate, and stable under growth") {
+    val d = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val s1 = Sampling.hashSample(d, col("doc_id"), 2000, ":t").select("doc_id").collect().toSet
+    val s2 = Sampling.hashSample(d, col("doc_id"), 2000, ":t").select("doc_id").collect().toSet
+    assert(s1 == s2)
+    val n = d.count().toDouble
+    assert(math.abs(s1.size / n - 0.2) < 0.05)
+    // growth stability: the sample of a prefix is a subset of the full sample
+    val prefix = Sampling.hashSample(d.filter(col("doc_id") < 100), col("doc_id"), 2000, ":t")
+      .select("doc_id").collect().toSet
+    assert(prefix.subsetOf(s1))
+    // a different salt decorrelates
+    val other = Sampling.hashSample(d, col("doc_id"), 2000, ":u").select("doc_id").collect().toSet
+    assert(other != s1)
+  }
+
   test("IVF multi-probe recall is at least single-probe recall") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
     val pred = col("vec_id") < 10
