@@ -78,12 +78,18 @@ object Dedup {
     val exploded = df.filter(size(sh) >= 1)
       .select((Seq(col(idCol).as("id")) ++ extraCols.map(col) :+
         explode(sh).as("s")): _*)
-    val h = Hashing.h32(col("s"))
+    // hash each shingle ONCE in the (codegen'd) projection; every MinHash
+    // slot and the collected set reuse the value
+    val hashed = exploded.select(
+      (Seq(col("id")) ++ extraCols.map(col) :+ Hashing.h32(col("s")).as("h")): _*)
     val sigAggs = (0 until nSig).map { j =>
-      min((lit(2L * j + 1) * h + lit(7919L * j)) % lit(4294967311L)).as(s"sig_$j")
+      min((lit(2L * j + 1) * col("h") + lit(7919L * j)) % lit(4294967311L)).as(s"sig_$j")
     }
-    val aggs = collect_list(col("s")).as("sh") +: sigAggs
-    exploded.groupBy((col("id") +: extraCols.map(col)): _*)
+    // the shingle set is kept as a SORTED hash array: exact verification
+    // then runs as an allocation-free primitive merge (SortedLongIntersect)
+    // instead of per-pair string hash sets
+    val aggs = sort_array(collect_list(col("h"))).as("sh") +: sigAggs
+    hashed.groupBy((col("id") +: extraCols.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
 
@@ -119,8 +125,22 @@ object Dedup {
     pairs
       .join(sets.select(col("id").as("a_id"), col("sh").as("sa")), "a_id")
       .join(sets.select(col("id").as("b_id"), col("sh").as("sb")), "b_id")
-      .select(col("a_id"), col("b_id"), jaccard(col("sa"), col("sb")).as("jaccard"))
+      .select(col("a_id"), col("b_id"), jaccardHashed(col("sa"), col("sb")).as("jaccard"))
       .orderBy("a_id", "b_id")
+  }
+
+  /** Exact Jaccard over two SORTED hash arrays (as built by the minhash
+    * pipeline): membership-count via one primitive merge. Numerically the
+    * oracle's `length(list_filter(ha, x -> list_contains(hb, x)))` — both
+    * engines hash identically, so collisions (if any) affect both the
+    * same way.
+    */
+  def jaccardHashed(a: Column, b: Column): Column = {
+    val inter = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expr.SortedLongIntersect(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+    round(inter.cast("double") / (size(a) + size(b) - inter), 6)
   }
 
   /** Duplicate-cluster resolution: connected components of the near-dup
@@ -138,30 +158,47 @@ object Dedup {
     * stays O(1) instead of growing per round.
     */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = pairs
+    // Eager localCheckpoint (not persist): the loop's self-join doubles
+    // the logical plan every round, so without lineage truncation
+    // Catalyst re-analyzes an exponentially growing plan each iteration
+    // even though execution hits the cache — planning time, not compute,
+    // becomes the bottleneck. Checkpointing keeps every round's plan a
+    // flat scan. (On a real cluster prefer reliable `checkpoint` with a
+    // checkpoint dir for executor-loss tolerance.)
+    // materialize the (possibly expensive) pair pipeline ONCE, then derive
+    // both edge directions from the checkpointed rows
+    val p0 = pairs
       .select(col("a_id").cast("long").as("u"), col("b_id").cast("long").as("v"))
-      .union(pairs.select(col("b_id").cast("long").as("u"), col("a_id").cast("long").as("v")))
-      .persist()
+      .localCheckpoint()
+    val edges = p0.union(p0.select(col("v").as("u"), col("u").as("v")))
     var lbl = edges.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl")).persist()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint()
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
       val neighborMin = edges
         .join(lbl.select(col("id").as("u"), col("lbl")), "u")
         .groupBy(col("v").as("id")).agg(min("lbl").as("nlbl"))
-      val next = lbl.join(neighborMin, Seq("id"), "left")
+      val stepped = lbl.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .persist()
+      // pointer jumping (path halving): also adopt the label OF the
+      // current label, turning O(diameter) convergence into O(log n) —
+      // a chain component would otherwise need one round per hop
+      val next = stepped
+        .join(stepped.select(col("id").as("lbl"), col("lbl").as("ll")), Seq("lbl"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
       val changed = next.join(lbl.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") =!= col("old")).count() // materializes `next`
-      lbl.unpersist()
+        .filter(col("lbl") =!= col("old")).count()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"CC iter=$iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.3f s")
       lbl = next
       done = changed == 0
       iter += 1
     }
-    edges.unpersist()
     lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id")).orderBy("doc_id")
   }
 

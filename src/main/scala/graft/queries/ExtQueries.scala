@@ -62,10 +62,10 @@ object ExtQueries {
       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
       |), ws AS (
-      |  SELECT p.a_id, p.b_id, sa.shingles AS sa, sb.shingles AS sb
+      |  SELECT p.a_id, p.b_id, sa.hs AS sa, sb.hs AS sb
       |  FROM pairs p
-      |  JOIN sh sa ON p.a_id = sa.doc_id
-      |  JOIN sh sb ON p.b_id = sb.doc_id
+      |  JOIN hs sa ON p.a_id = sa.doc_id
+      |  JOIN hs sb ON p.b_id = sb.doc_id
       |), j AS (
       |  SELECT a_id, b_id,
       |    length(list_filter(sa, x -> list_contains(sb, x))) AS inter,
@@ -109,10 +109,10 @@ object ExtQueries {
       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
       |), ws AS (
-      |  SELECT p.a_id, p.b_id, sa.shingles AS sa, sb.shingles AS sb
+      |  SELECT p.a_id, p.b_id, sa.hs AS sa, sb.hs AS sb
       |  FROM pairs p
-      |  JOIN sh sa ON p.a_id = sa.doc_id
-      |  JOIN sh sb ON p.b_id = sb.doc_id
+      |  JOIN hs sa ON p.a_id = sa.doc_id
+      |  JOIN hs sb ON p.b_id = sb.doc_id
       |), j AS (
       |  SELECT a_id, b_id,
       |    length(list_filter(sa, x -> list_contains(sb, x))) AS inter,
