@@ -79,23 +79,38 @@ case class Md5Prefix64(child: Expression, digits: Int)
 
 /** `SparkSessionExtensions` installer (SURVEY.md §7.3 tier (c) machinery):
   * `.withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.expr.GraftExtensions` exposes
-  * `md5_prefix64(str, digits)` to SQL.
+  * `spark.sql.extensions=graft.expr.GraftExtensions` exposes the custom
+  * expression library to SQL: `md5_prefix64(str, digits)`,
+  * `word_shingles(str, k)`, `vec_dot(a, b)`, `vec_l2sq(a, b)`,
+  * `sorted_long_intersect(a, b)`, `subword_token_count(str)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def inject(e: SparkSessionExtensions, name: String, arity: Int,
+                     build: Seq[Expression] => Expression): Unit =
     e.injectFunction((
-      new FunctionIdentifier("md5_prefix64"),
-      new ExpressionInfo(classOf[Md5Prefix64].getName, "md5_prefix64"),
+      new FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name),
       (exprs: Seq[Expression]) => {
-        require(exprs.size == 2, "md5_prefix64(str, digits)")
-        val digits = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
-          case other => throw new IllegalArgumentException(
-            s"md5_prefix64 digits must be an integer literal, got $other")
-        }
-        Md5Prefix64(exprs.head, digits)
+        require(exprs.size == arity, s"$name takes $arity argument(s)")
+        build(exprs)
       }))
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    inject(e, "md5_prefix64", 2,
+      xs => Md5Prefix64(xs.head, intLit(xs(1), "md5_prefix64 digits")))
+    inject(e, "word_shingles", 2,
+      xs => WordShingles(xs.head, intLit(xs(1), "word_shingles k")))
+    inject(e, "vec_dot", 2, xs => VecDot(xs.head, xs(1)))
+    inject(e, "vec_l2sq", 2, xs => VecL2Sq(xs.head, xs(1)))
+    inject(e, "sorted_long_intersect", 2, xs => SortedLongIntersect(xs.head, xs(1)))
+    inject(e, "subword_token_count", 1, xs => SubwordTokenCount(xs.head))
   }
 }

@@ -34,4 +34,27 @@ class SqlSurfaceSpec extends SparkSpec {
     val got = spark.sql("SELECT word_shingles('a b c') AS s").collect().head.getSeq[String](0)
     assert(got == Seq("a b", "b c"))
   }
+
+  test("the full GraftExtensions function library is SQL-callable") {
+    import graft.expr._
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot", xs => VecDot(xs.head, xs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_l2sq", xs => VecL2Sq(xs.head, xs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("sorted_long_intersect",
+      xs => SortedLongIntersect(xs.head, xs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("subword_token_count",
+      xs => SubwordTokenCount(xs.head), "scala_udf")
+    val r = spark.sql(
+      """SELECT
+        |  vec_dot(array(1d, 2d), array(3d, 4d)) AS d,
+        |  vec_l2sq(array(0d, 0d), array(3d, 4d)) AS l2,
+        |  sorted_long_intersect(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS n,
+        |  subword_token_count('the ration') AS t""".stripMargin).collect().head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 25.0)
+    assert(r.getLong(2) == 2L)
+    assert(r.getLong(3) == 3L)
+    // the extensions installer injects the same builders without throwing
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
 }
