@@ -25,7 +25,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression,
-                        matchedAttr: AttributeReference) extends BinaryNode {
+                        matchedAttr: AttributeReference,
+                        forward: Boolean = false,
+                        toleranceUs: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] = left.output :+ matchedAttr
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(matchedAttr)
@@ -36,8 +38,8 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, m) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, m) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, m, fwd, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, m, fwd, tol) :: Nil
     case _ => Nil
   }
 }
@@ -45,7 +47,9 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression,
-                        matchedAttr: AttributeReference) extends BinaryExecNode {
+                        matchedAttr: AttributeReference,
+                        forward: Boolean = false,
+                        toleranceUs: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output :+ matchedAttr
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
@@ -103,10 +107,21 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var haveCur = false
       var lastTime: Any = null
 
+      // tolerance needs a numeric time difference: datetime/integral types
+      // are Long/Int-backed internally
+      def micros(v: Any): Long = v match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case other => throw new IllegalStateException(
+          s"as-of tolerance unsupported for time value of ${other.getClass}")
+      }
+      def withinTol(later: Any, earlier: Any): Boolean =
+        toleranceUs.forall(tol => micros(later) - micros(earlier) <= tol)
+
       lIt.map { lRow =>
         val lk = lkB.eval(lRow)
         val lt = ltB.eval(lRow)
-        if (lk == null) {
+        if (lk == null || lt == null) {
           matchRow.update(0, null)
         } else {
           if (!haveCur || keyOrd.compare(lk, curKey) != 0) {
@@ -116,19 +131,40 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             // the key-change compare above always return 0
             curKey = InternalRow.copyValue(lk); haveCur = true; lastTime = null
           }
-          var continue = rHead != null && lt != null
-          while (continue) {
-            val kc = keyOrd.compare(rKey, lk)
-            if (kc < 0 || (kc == 0 && timeOrd.compare(rTime, lt) <= 0)) {
-              // copy buffer-backed values (e.g. UTF8String): rTime may
-              // point into a reused sort/spill buffer that the next
-              // advanceR() overwrites
-              if (kc == 0) lastTime = InternalRow.copyValue(rTime)
-              advanceR()
-              continue = rHead != null
-            } else continue = false
+          if (forward) {
+            // earliest right ≥ lt: consume strictly-earlier rows (they can
+            // never match this or any later left row), then peek
+            var continue = rHead != null
+            while (continue) {
+              val kc = keyOrd.compare(rKey, lk)
+              if (kc < 0 || (kc == 0 && timeOrd.compare(rTime, lt) < 0)) {
+                advanceR()
+                continue = rHead != null
+              } else continue = false
+            }
+            val m =
+              if (rHead != null && keyOrd.compare(rKey, lk) == 0 &&
+                  withinTol(rTime, lt)) rTime
+              else null
+            matchRow.update(0, m)
+          } else {
+            // latest right ≤ lt
+            var continue = rHead != null
+            while (continue) {
+              val kc = keyOrd.compare(rKey, lk)
+              if (kc < 0 || (kc == 0 && timeOrd.compare(rTime, lt) <= 0)) {
+                // copy buffer-backed values (e.g. UTF8String): rTime may
+                // point into a reused sort/spill buffer that the next
+                // advanceR() overwrites
+                if (kc == 0) lastTime = InternalRow.copyValue(rTime)
+                advanceR()
+                continue = rHead != null
+              } else continue = false
+            }
+            val m =
+              if (lastTime != null && withinTol(lt, lastTime)) lastTime else null
+            matchRow.update(0, m)
           }
-          matchRow.update(0, lastTime)
         }
         proj(joined(lRow, matchRow))
       }
@@ -141,8 +177,17 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   * the analyzed children.
   */
 object AsOfJoinNative {
+  /** `direction`: "backward" (latest right ≤ t, the default) or "forward"
+    * (earliest right ≥ t). `toleranceUs` bounds |rightTime − leftTime|
+    * in the time type's internal units (µs for timestamps, the raw value
+    * for integral columns) — pandas `merge_asof` semantics.
+    */
   def asOf(left: DataFrame, right: DataFrame, key: String,
-           leftTime: String, rightTime: String): DataFrame = {
+           leftTime: String, rightTime: String,
+           direction: String = "backward",
+           toleranceUs: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val spark: SparkSession = left.sparkSession
     // read-modify-write of a session-global: synchronize so concurrent
     // first calls can't lose the update or install duplicates
@@ -165,8 +210,20 @@ object AsOfJoinNative {
       s"as-of key types differ: ${lKey.dataType} vs ${rKey.dataType}")
     require(lTime.dataType == rTime.dataType,
       s"as-of time types differ: ${lTime.dataType} vs ${rTime.dataType} (cast first)")
+    toleranceUs.foreach { _ =>
+      val ok = lTime.dataType match {
+        case _: org.apache.spark.sql.types.LongType => true
+        case _: org.apache.spark.sql.types.IntegerType => true
+        case _: org.apache.spark.sql.types.TimestampType => true
+        case _: org.apache.spark.sql.types.TimestampNTZType => true
+        case _: org.apache.spark.sql.types.DateType => true
+        case _ => false
+      }
+      require(ok, s"tolerance unsupported for time type ${lTime.dataType.sql}")
+    }
     val matched = AttributeReference("matched", rTime.dataType, nullable = true)()
-    val node = AsOfJoinPlan(lPlan, rPlan, lKey, rKey, lTime, rTime, matched)
+    val node = AsOfJoinPlan(lPlan, rPlan, lKey, rKey, lTime, rTime, matched,
+      forward = direction == "forward", toleranceUs = toleranceUs)
     org.apache.spark.sql.GraftColumnBridge.ofRows(spark, node)
   }
 }

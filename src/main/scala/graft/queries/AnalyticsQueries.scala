@@ -186,6 +186,52 @@ object AnalyticsQueries {
       .orderBy("event_id")
   }
 
+  // --- a14/a15: as-of directions and tolerance (pandas merge_asof parity) -----
+
+  /** Forward as-of: for each event, the EARLIEST order date ≥ ts of the
+    * same user. The oracle is the plain min-aggregated theta join (fine
+    * at oracle scale; the operator is the scalable formulation).
+    */
+  val a14AsofForward: Q = (spark, sfDir) => {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts").cast("timestamp_ntz").as("ts"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"))
+    graft.plans.AsOfJoinNative.asOf(e, o, "user_id", "ts", "o_orderdate",
+      direction = "forward")
+      .select(col("event_id"), col("user_id"), col("matched"))
+      .orderBy("event_id")
+  }
+
+  private val a14Sql =
+    """SELECT e.event_id, e.user_id, min(o.o_orderdate) AS matched
+      |FROM events e LEFT JOIN orders o
+      |  ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+      |GROUP BY e.event_id, e.user_id
+      |ORDER BY e.event_id""".stripMargin
+
+  /** Backward as-of with a 30-day tolerance: latest order within
+    * [ts − 30d, ts].
+    */
+  val a15AsofTolerance: Q = (spark, sfDir) => {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts").cast("timestamp_ntz").as("ts"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"))
+    graft.plans.AsOfJoinNative.asOf(e, o, "user_id", "ts", "o_orderdate",
+      toleranceUs = Some(30L * 86400 * 1000000))
+      .select(col("event_id"), col("user_id"), col("matched"))
+      .orderBy("event_id")
+  }
+
+  private val a15Sql =
+    """SELECT e.event_id, e.user_id, max(o.o_orderdate) AS matched
+      |FROM events e LEFT JOIN orders o
+      |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+      |  AND o.o_orderdate >= e.ts - INTERVAL 30 DAY
+      |GROUP BY e.event_id, e.user_id
+      |ORDER BY e.event_id""".stripMargin
+
   // --- a9: range (interval) join ----------------------------------------------
 
   /** Events matched to every overlapping value band — bucketized
@@ -283,7 +329,9 @@ object AnalyticsQueries {
     "a10_asof_native" -> a10AsofNative,
     "a11_pivot" -> a11Pivot,
     "a12_quantiles" -> a12Quantiles,
-    "a13_range_join_native" -> a13RangeJoinNative)
+    "a13_range_join_native" -> a13RangeJoinNative,
+    "a14_asof_forward" -> a14AsofForward,
+    "a15_asof_tolerance" -> a15AsofTolerance)
 
   val oracle: Map[String, String] = Map(
     "a1_top_orders" -> a1Sql,
@@ -298,5 +346,7 @@ object AnalyticsQueries {
     "a10_asof_native" -> a7Sql,
     "a11_pivot" -> a11Sql,
     "a12_quantiles" -> a12Sql,
-    "a13_range_join_native" -> a9Sql)
+    "a13_range_join_native" -> a9Sql,
+    "a14_asof_forward" -> a14Sql,
+    "a15_asof_tolerance" -> a15Sql)
 }
