@@ -522,6 +522,63 @@ object ExtQueries {
       |    i -> ascii(substr(win, CAST(i AS INT), 1)))) AS DOUBLE) / (255.0 * length(win)), 6) AS feature
       |FROM w ORDER BY doc_id, frame_idx""".stripMargin
 
+  // --- x21: end-to-end corpus curation --------------------------------------
+
+  /** The flagship training-data composition: exact-dedup to canonical
+    * docs (min doc_id per content hash), quality-gate (≥ 30 tokens,
+    * type-token ratio ≥ 0.3), language-gate (stopword language ID found
+    * a language), then a deterministic 50% content-hash sample — each
+    * stage is an operator proven green on its own query (x1/x9/x8/x20).
+    */
+  val x21Curation: Q = (spark, sfDir) => {
+    val docs = Tables.documents(spark, sfDir)
+    val canonical = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val quality = TextAnalytics.qualityScores(docs, "doc_id", "text")
+      .select("doc_id", "n_tokens", "ttr")
+    val lang = docs.select(col("doc_id"),
+      TextAnalytics.langGuess(col("text")).as("lang_guess"))
+    val curated = docs.join(canonical, Seq("doc_id"), "left_semi")
+      .join(quality, "doc_id")
+      .join(lang, "doc_id")
+      .filter(col("n_tokens") >= 30 && col("ttr") >= 0.3 && col("lang_guess") =!= "und")
+    Sampling.hashSample(curated, col("doc_id"), 5000, ":cur")
+      .select("doc_id", "lang_guess", "n_tokens")
+      .orderBy("doc_id")
+  }
+
+  private val x21Sql =
+    """WITH canonical AS (
+      |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+      |), t AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+      |  WHERE doc_id IN (SELECT doc_id FROM canonical)
+      |), q AS (
+      |  SELECT doc_id, tk,
+      |    length(tk) AS n_tokens,
+      |    round(CAST(length(list_distinct(tk)) AS DOUBLE) / length(tk), 6) AS ttr
+      |  FROM t
+      |), s AS (
+      |  SELECT doc_id, n_tokens, ttr,
+      |    length(list_filter(tk, x -> list_contains(['the','a','of','and','to','in'], x))) AS s_en,
+      |    length(list_filter(tk, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+      |    length(list_filter(tk, x -> list_contains(['le','la','les','et','est'], x))) AS s_fr,
+      |    length(list_filter(tk, x -> list_contains(['el','los','las','es','y'], x))) AS s_es
+      |  FROM q
+      |), lg AS (
+      |  SELECT doc_id, n_tokens, ttr, CASE
+      |    WHEN s_en > 0 AND s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+      |    WHEN s_de > 0 AND s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+      |    WHEN s_fr > 0 AND s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+      |    WHEN s_es > 0 AND s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+      |    ELSE 'und' END AS lang_guess
+      |  FROM s
+      |)
+      |SELECT doc_id, lang_guess, n_tokens FROM lg
+      |WHERE n_tokens >= 30 AND ttr >= 0.3 AND lang_guess != 'und'
+      |  AND ('0x' || substr(md5(doc_id || ':cur'),1,8))::BIGINT % 10000 < 5000
+      |ORDER BY doc_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -544,7 +601,8 @@ object ExtQueries {
     "x11_fingerprint" -> x11Fingerprint,
     "x12_tfidf" -> x12Tfidf,
     "x13_multimodal" -> x13Multimodal,
-    "x14_frames" -> x14Frames)
+    "x14_frames" -> x14Frames,
+    "x21_curation" -> x21Curation)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -566,5 +624,6 @@ object ExtQueries {
     "x11_fingerprint" -> x11Sql,
     "x12_tfidf" -> x12Sql,
     "x13_multimodal" -> x13Sql,
-    "x14_frames" -> x14Sql)
+    "x14_frames" -> x14Sql,
+    "x21_curation" -> x21Sql)
 }
