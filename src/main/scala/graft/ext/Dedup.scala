@@ -237,9 +237,14 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, k: Int = 3, window: Int = 10): DataFrame = {
+    // sorted hash-array shingle sets (same kernel as the minhash path):
+    // narrower join rows, and verification is the allocation-free merge
     val sh = shinglesOf(col(textCol), k)
-    val base = df.filter(size(sh) >= 1)
-      .select(col(idCol).as("id"), col(blockCol).as("blk"), sh.as("sh"))
+    val exploded = df.filter(size(sh) >= 1)
+      .select(col(idCol).as("id"), col(blockCol).as("blk"), explode(sh).as("s"))
+      .select(col("id"), col("blk"), Hashing.h32(col("s")).as("h"))
+    val base = exploded.groupBy("id", "blk")
+      .agg(sort_array(collect_list(col("h"))).as("sh"))
     // Bucketize the id-window predicate into an equi-join key so the
     // hash join emits ~2·window candidates per row instead of the whole
     // per-block cross product (blocks can be huge — the blow-up guard is
@@ -252,7 +257,7 @@ object Dedup {
     a.join(b,
         col("blk") === col("blkb") && col("ga") === col("gb") &&
           col("b_id") > col("a_id") && col("b_id") <= col("a_id") + window)
-      .select(col("a_id"), col("b_id"), jaccard(col("sa"), col("sb")).as("jaccard"))
+      .select(col("a_id"), col("b_id"), jaccardHashed(col("sa"), col("sb")).as("jaccard"))
       .orderBy("a_id", "b_id")
   }
 }

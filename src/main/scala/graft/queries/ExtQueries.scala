@@ -162,10 +162,14 @@ object ExtQueries {
   private val x4Sql =
     """WITH tok AS (
       |  SELECT doc_id, lang, string_split(text, ' ') AS tokens FROM documents
-      |), sh AS (
+      |), sh0 AS (
       |  SELECT doc_id, lang, list_distinct(list_transform(range(1, length(tokens)-1),
       |    i -> array_to_string(list_slice(tokens, i, i+2), ' '))) AS sh
       |  FROM tok WHERE length(tokens) >= 3
+      |), sh AS (
+      |  SELECT doc_id, lang,
+      |    list_transform(sh, s -> ('0x' || substr(md5(s),1,8))::BIGINT) AS sh
+      |  FROM sh0
       |), p AS (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS sa, b.sh AS sb
       |  FROM sh a JOIN sh b
