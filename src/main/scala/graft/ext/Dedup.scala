@@ -231,6 +231,39 @@ object Dedup {
       transform(tokens(col(textCol)), t => Hashing.h60(t)).as("th"))
       .select(col("id"), simhash60("th").as("simhash"))
 
+  /** Count-min sketch as a relation: the depth×width counter matrix of a
+    * term stream, built with ONE shuffle on (row, bucket) — each term
+    * explodes into `depth` (row, h_row(term) mod width) cells and a
+    * partial-aggregating groupBy counts them. Engine-portable hashing
+    * (row-salted md5 prefix), so the oracle can build the identical
+    * sketch. Query-time estimate for a term = min over rows of its cell
+    * count (the classic CMS upper bound).
+    *
+    * At corpus scale this is the point of the sketch: the counter matrix
+    * is `depth·width` cells regardless of cardinality, the build is one
+    * map-side-combining shuffle of the exploded stream, and estimates
+    * are a broadcast lookup — no full term-frequency table materialized.
+    */
+  def countMinSketch(terms: DataFrame, termCol: String,
+                     depth: Int = 4, width: Int = 1024): DataFrame = {
+    val cells = terms.select(
+      explode(sequence(lit(0), lit(depth - 1))).as("r"), col(termCol).as("t"))
+      .select(col("r"),
+        (Hashing.h32(concat(col("r").cast("string"), lit(":"), col("t"))) % width).as("b"))
+    cells.groupBy("r", "b").agg(count(lit(1)).as("c"))
+  }
+
+  /** CMS point estimates for `probes` (small, broadcast): (term, est). */
+  def cmsEstimates(sketch: DataFrame, probes: DataFrame, termCol: String,
+                   depth: Int = 4, width: Int = 1024): DataFrame = {
+    val probeCells = probes.select(col(termCol).as("t"))
+      .select(col("t"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("t"), col("r"),
+        (Hashing.h32(concat(col("r").cast("string"), lit(":"), col("t"))) % width).as("b"))
+    probeCells.join(broadcast(sketch), Seq("r", "b"), "left")
+      .groupBy("t").agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
+
   /** N-gram Jaccard over blocked candidate pairs: same `blockCol`, id
     * within `window` ahead — a deterministic, bounded candidate set that
     * exercises the verification kernel without the quadratic blowup.

@@ -232,6 +232,36 @@ object AnalyticsQueries {
       |GROUP BY e.event_id, e.user_id
       |ORDER BY e.event_id""".stripMargin
 
+  // --- a16: running / framed window aggregates ---------------------------------
+
+  /** Per-customer running order-value sum, previous order gap (lag), and
+    * a centered 3-order moving count — the window-frame breadth beyond
+    * a5's ranking.
+    */
+  val a16RunningWindows: Q = (spark, sfDir) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), cents.as("price_e2"))
+      .withColumn("running_e2",
+        sum("price_e2").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_order", lag("o_orderkey", 1).over(w))
+      .withColumn("win3",
+        count(lit(1)).over(w.rowsBetween(-1, 1)))
+      .orderBy("o_orderkey")
+  }
+
+  private val a16Sql =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_e2,
+      |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_e2,
+      |  lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_order,
+      |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+      |     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS win3
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   // --- a9: range (interval) join ----------------------------------------------
 
   /** Events matched to every overlapping value band — bucketized
@@ -331,7 +361,8 @@ object AnalyticsQueries {
     "a12_quantiles" -> a12Quantiles,
     "a13_range_join_native" -> a13RangeJoinNative,
     "a14_asof_forward" -> a14AsofForward,
-    "a15_asof_tolerance" -> a15AsofTolerance)
+    "a15_asof_tolerance" -> a15AsofTolerance,
+    "a16_running_windows" -> a16RunningWindows)
 
   val oracle: Map[String, String] = Map(
     "a1_top_orders" -> a1Sql,
@@ -348,5 +379,6 @@ object AnalyticsQueries {
     "a12_quantiles" -> a12Sql,
     "a13_range_join_native" -> a9Sql,
     "a14_asof_forward" -> a14Sql,
-    "a15_asof_tolerance" -> a15Sql)
+    "a15_asof_tolerance" -> a15Sql,
+    "a16_running_windows" -> a16Sql)
 }

@@ -583,6 +583,47 @@ object ExtQueries {
       |  AND ('0x' || substr(md5(doc_id || ':cur'),1,8))::BIGINT % 10000 < 5000
       |ORDER BY doc_id""".stripMargin
 
+  // --- x22: count-min sketch heavy-hitter estimates --------------------------
+
+  private val cmsProbes = Seq(
+    "the", "and", "of", "der", "und", "le", "la", "el", "los", "ist")
+
+  /** CMS (depth 4 × width 1024, row-salted md5 hashing) over the corpus
+    * term stream; point estimates for the marker-word probes. The oracle
+    * builds the identical sketch — both engines agree cell-for-cell.
+    */
+  val x22CmsHeavyHitters: Q = (spark, sfDir) => {
+    import spark.implicits._
+    val terms = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val sketch = Dedup.countMinSketch(terms, "term")
+    Dedup.cmsEstimates(sketch, cmsProbes.toDF("term"), "term")
+      .select(col("t").as("term"), col("est"))
+      .orderBy("term")
+  }
+
+  private val x22Sql = {
+    val probeLit = cmsProbes.map(s => s"'$s'").mkString("[", ",", "]")
+    s"""WITH terms AS (
+       |  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+       |), rows_ AS (
+       |  SELECT unnest(range(0, 4)) AS r
+       |), cells AS (
+       |  SELECT r, ('0x' || substr(md5(r || ':' || t),1,8))::BIGINT % 1024 AS b
+       |  FROM terms CROSS JOIN rows_
+       |), sk AS (
+       |  SELECT r, b, count(*) AS c FROM cells GROUP BY r, b
+       |), probes AS (
+       |  SELECT unnest($probeLit) AS t
+       |), pc AS (
+       |  SELECT t, r, ('0x' || substr(md5(r || ':' || t),1,8))::BIGINT % 1024 AS b
+       |  FROM probes CROSS JOIN rows_
+       |)
+       |SELECT t AS term, min(coalesce(c, 0)) AS est
+       |FROM pc LEFT JOIN sk USING (r, b)
+       |GROUP BY t ORDER BY term""".stripMargin
+  }
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -606,7 +647,8 @@ object ExtQueries {
     "x12_tfidf" -> x12Tfidf,
     "x13_multimodal" -> x13Multimodal,
     "x14_frames" -> x14Frames,
-    "x21_curation" -> x21Curation)
+    "x21_curation" -> x21Curation,
+    "x22_cms_heavy_hitters" -> x22CmsHeavyHitters)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -629,5 +671,6 @@ object ExtQueries {
     "x12_tfidf" -> x12Sql,
     "x13_multimodal" -> x13Sql,
     "x14_frames" -> x14Sql,
-    "x21_curation" -> x21Sql)
+    "x21_curation" -> x21Sql,
+    "x22_cms_heavy_hitters" -> x22Sql)
 }

@@ -77,6 +77,21 @@ class ExtSpec extends SparkSpec {
     assert(top.map(_.getLong(2)).toSeq == Seq(1L, 3L))
   }
 
+  test("count-min estimates upper-bound exact counts and are tight for heavy hitters") {
+    import spark.implicits._
+    val stream = (Seq.fill(500)("heavy") ++ Seq.tabulate(200)(i => s"rare$i")).toDF("term")
+    val sketch = Dedup.countMinSketch(stream, "term")
+    val probes = Seq("heavy", "rare7", "absent").toDF("term")
+    val est = Dedup.cmsEstimates(sketch, probes, "term")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("heavy") >= 500L)
+    assert(est("rare7") >= 1L)
+    // CMS never under-counts; with 700 items in 1024-wide rows the min
+    // over 4 rows is almost surely exact for the dominant key
+    assert(est("heavy") <= 520L)
+    assert(est("absent") <= 5L)
+  }
+
   test("hash sampling is deterministic, rate-accurate, and stable under growth") {
     val d = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
     val s1 = Sampling.hashSample(d, col("doc_id"), 2000, ":t").select("doc_id").collect().toSet

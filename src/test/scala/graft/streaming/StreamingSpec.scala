@@ -154,6 +154,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stateless curation operators run unchanged over a stream (sample + tokenize)") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val dir = Files.createTempDirectory("docs").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Sampling.hashSample(df, col("doc_id"), 3000, ":st")
+        .select(col("doc_id"),
+          org.apache.spark.sql.GraftColumnBridge.column(
+            graft.expr.SubwordTokenCount(
+              org.apache.spark.sql.GraftColumnBridge.expression(col("text"))))
+            .as("n_sub"))
+
+    val streamed = EventWindows.drainToMemory(spark, curate(stream), "curate_stream")
+    val batch = curate(docs)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(streamed.count() > 0)
+  }
+
   test("streaming exact dedup keeps one row per content hash") {
     import spark.implicits._
     val docs = Seq((0L, "same text"), (1L, "same text"), (2L, "other text"))
