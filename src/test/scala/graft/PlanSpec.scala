@@ -55,6 +55,54 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("partitioned layout prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("part").toString
+    graft.model.Tables.events(spark, sf())
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val df = spark.read.parquet(dir).filter(col("event_type") === "click")
+      .select("event_id")
+    val p = plan(df)
+    // the event_type predicate must move into PartitionFilters, not a
+    // post-scan Filter over all partitions
+    assert(p.contains("PartitionFilters: ["), p.take(2000))
+    assert("PartitionFilters: [^\\n]*event_type[^\\n]*".r.findFirstIn(p).isDefined,
+      p.take(2000))
+  }
+
+  test("bucketed tables co-locate the join: no exchange between them") {
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a crashed prior run can leave the managed location behind
+      rmrf(new java.io.File(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath, t))
+    }
+    graft.model.Tables.orders(spark, sf()).limit(1000)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    graft.model.Tables.lineitem(spark, sf()).limit(1000)
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    // force the sort-merge path (tiny test tables would broadcast, which
+    // hides bucketing); at real scale both sides exceed the threshold
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "o_custkey")
+      val p = plan(j)
+      // co-bucketed scans feed the join directly: no shuffle on either side
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+      assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+      assert(p.contains("Bucketed: true"), p.take(3000))
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+  }
+
   test("flagship enrichment stays inside whole-stage codegen") {
     // AQE reveals codegen stages only in the final (executed) plan
     val df = RefQueries.flagshipStation(spark, sf())
