@@ -53,6 +53,30 @@ object AnalyticsQueries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY rf, ls""".stripMargin
 
+  // --- a17: cube + grouping_id -------------------------------------------------
+
+  /** Full cube over (returnflag, linestatus) with the standard
+    * `grouping_id` bit-vector disambiguating aggregated-away NULLs from
+    * data NULLs (both engines follow the SQL-standard bit order).
+    */
+  val a17Cube: Q = (spark, sfDir) =>
+    Tables.lineitem(spark, sfDir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("gid").cast("long").as("gid"), col("n"))
+      .orderBy("gid", "rf", "ls")
+
+  private val a17Sql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, rf, ls""".stripMargin
+
   // --- a3: set operations ----------------------------------------------------
 
   /** Customers that bought (semi via INTERSECT) minus a price-band cohort
@@ -362,7 +386,8 @@ object AnalyticsQueries {
     "a13_range_join_native" -> a13RangeJoinNative,
     "a14_asof_forward" -> a14AsofForward,
     "a15_asof_tolerance" -> a15AsofTolerance,
-    "a16_running_windows" -> a16RunningWindows)
+    "a16_running_windows" -> a16RunningWindows,
+    "a17_cube" -> a17Cube)
 
   val oracle: Map[String, String] = Map(
     "a1_top_orders" -> a1Sql,
@@ -380,5 +405,6 @@ object AnalyticsQueries {
     "a13_range_join_native" -> a9Sql,
     "a14_asof_forward" -> a14Sql,
     "a15_asof_tolerance" -> a15Sql,
-    "a16_running_windows" -> a16Sql)
+    "a16_running_windows" -> a16Sql,
+    "a17_cube" -> a17Sql)
 }
