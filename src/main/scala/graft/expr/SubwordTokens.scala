@@ -25,7 +25,9 @@ object SubwordUtil {
 
   /** Number of greedy longest-prefix-match subword tokens in `s`: at each
     * position take the longest vocab entry that prefixes the remainder,
-    * else consume one character; spaces delimit and are not counted.
+    * else consume one CODE POINT (not one UTF-16 char — the oracle's
+    * substr counts code points, so a surrogate pair must be one fallback
+    * token, not two); spaces delimit and are not counted.
     */
   def count(s: UTF8String): Long = {
     val str = s.toString
@@ -35,14 +37,14 @@ object SubwordUtil {
     while (i < len) {
       if (str.charAt(i) == ' ') i += 1
       else {
-        var m = 1
+        var m = 0
         var j = 0
-        var found = false
-        while (!found && j < byLenDesc.length) {
+        while (m == 0 && j < byLenDesc.length) {
           val v = byLenDesc(j)
-          if (v.length <= len - i && str.startsWith(v, i)) { m = v.length; found = true }
+          if (v.length <= len - i && str.startsWith(v, i)) m = v.length
           j += 1
         }
+        if (m == 0) m = Character.charCount(str.codePointAt(i))
         n += 1
         i += m
       }

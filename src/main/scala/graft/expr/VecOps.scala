@@ -14,11 +14,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * and near-dup family).
   */
 object VecUtil {
-  /** Σ aᵢ·bᵢ over the common prefix (mirrors `zip_with`, which stops at
-    * the shorter array when lengths differ).
-    */
+  // mismatched dimensions mean corrupt input; a silent common-prefix
+  // result would rank a truncated vector with a plausible-but-wrong
+  // similarity, so fail loudly instead
+  private def checkLen(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (b.numElements() != n) throw new IllegalArgumentException(
+      s"vector length mismatch: $n vs ${b.numElements()}")
+    n
+  }
+
+  /** Σ aᵢ·bᵢ; both arrays must have the same length. */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkLen(a, b)
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -28,9 +36,9 @@ object VecUtil {
     s
   }
 
-  /** Σ (aᵢ−bᵢ)² over the common prefix. */
+  /** Σ (aᵢ−bᵢ)²; both arrays must have the same length. */
   def l2sq(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkLen(a, b)
     var s = 0.0
     var i = 0
     while (i < n) {

@@ -85,10 +85,12 @@ object Dedup {
     val sigAggs = (0 until nSig).map { j =>
       min((lit(2L * j + 1) * col("h") + lit(7919L * j)) % lit(4294967311L)).as(s"sig_$j")
     }
-    // the shingle set is kept as a SORTED hash array: exact verification
-    // then runs as an allocation-free primitive merge (SortedLongIntersect)
-    // instead of per-pair string hash sets
-    val aggs = sort_array(collect_list(col("h"))).as("sh") +: sigAggs
+    // the shingle set is kept as a SORTED DISTINCT hash array (collect_set:
+    // h32 collisions between distinct shingles inside one doc would
+    // otherwise leave duplicates that push the jaccard formula past 1.0);
+    // exact verification then runs as an allocation-free primitive merge
+    // (SortedLongIntersect) instead of per-pair string hash sets
+    val aggs = sort_array(collect_set(col("h"))).as("sh") +: sigAggs
     hashed.groupBy((col("id") +: extraCols.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -199,6 +201,10 @@ object Dedup {
       done = changed == 0
       iter += 1
     }
+    // silent non-convergence would label one component with several
+    // cluster ids and keep duplicates as "canonical" — fail loudly instead
+    if (!done) throw new IllegalStateException(
+      s"dedupClusters did not converge in $maxIters rounds; raise maxIters")
     lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id")).orderBy("doc_id")
   }
 
@@ -244,25 +250,34 @@ object Dedup {
     * map-side-combining shuffle of the exploded stream, and estimates
     * are a broadcast lookup — no full term-frequency table materialized.
     */
-  def countMinSketch(terms: DataFrame, termCol: String,
-                     depth: Int = 4, width: Int = 1024): DataFrame = {
-    val cells = terms.select(
-      explode(sequence(lit(0), lit(depth - 1))).as("r"), col(termCol).as("t"))
-      .select(col("r"),
-        (Hashing.h32(concat(col("r").cast("string"), lit(":"), col("t"))) % width).as("b"))
-    cells.groupBy("r", "b").agg(count(lit(1)).as("c"))
-  }
+  /** A built sketch carries its (depth, width) so probes can never hash
+    * against mismatched parameters — a width drift would silently break
+    * the never-undercount guarantee.
+    */
+  final case class CmsSketch(cells: DataFrame, depth: Int, width: Int)
 
-  /** CMS point estimates for `probes` (small, broadcast): (term, est). */
-  def cmsEstimates(sketch: DataFrame, probes: DataFrame, termCol: String,
-                   depth: Int = 4, width: Int = 1024): DataFrame = {
-    val probeCells = probes.select(col(termCol).as("t"))
-      .select(col("t"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+  /** (row, bucket) cell of every term × sketch row — the ONE hash
+    * definition shared by build and probe.
+    */
+  private def cmsCells(df: DataFrame, termCol: String,
+                       depth: Int, width: Int): DataFrame =
+    df.select(col(termCol).as("t"),
+      explode(sequence(lit(0), lit(depth - 1))).as("r"))
       .select(col("t"), col("r"),
         (Hashing.h32(concat(col("r").cast("string"), lit(":"), col("t"))) % width).as("b"))
-    probeCells.join(broadcast(sketch), Seq("r", "b"), "left")
+
+  def countMinSketch(terms: DataFrame, termCol: String,
+                     depth: Int = 4, width: Int = 1024): CmsSketch =
+    CmsSketch(
+      cmsCells(terms, termCol, depth, width)
+        .groupBy("r", "b").agg(count(lit(1)).as("c")),
+      depth, width)
+
+  /** CMS point estimates for `probes` (small, broadcast): (term, est). */
+  def cmsEstimates(sketch: CmsSketch, probes: DataFrame, termCol: String): DataFrame =
+    cmsCells(probes, termCol, sketch.depth, sketch.width)
+      .join(broadcast(sketch.cells), Seq("r", "b"), "left")
       .groupBy("t").agg(min(coalesce(col("c"), lit(0L))).as("est"))
-  }
 
   /** N-gram Jaccard over blocked candidate pairs: same `blockCol`, id
     * within `window` ahead — a deterministic, bounded candidate set that
@@ -277,7 +292,7 @@ object Dedup {
       .select(col(idCol).as("id"), col(blockCol).as("blk"), explode(sh).as("s"))
       .select(col("id"), col("blk"), Hashing.h32(col("s")).as("h"))
     val base = exploded.groupBy("id", "blk")
-      .agg(sort_array(collect_list(col("h"))).as("sh"))
+      .agg(sort_array(collect_set(col("h"))).as("sh"))
     // Bucketize the id-window predicate into an equi-join key so the
     // hash join emits ~2·window candidates per row instead of the whole
     // per-block cross product (blocks can be huge — the blow-up guard is

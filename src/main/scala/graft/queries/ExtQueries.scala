@@ -48,7 +48,7 @@ object ExtQueries {
       |  FROM tok WHERE length(tokens) >= 2
       |), hs AS (
       |  SELECT doc_id, shingles,
-      |    list_transform(shingles, s -> ('0x' || substr(md5(s),1,8))::BIGINT) AS hs
+      |    list_distinct(list_transform(shingles, s -> ('0x' || substr(md5(s),1,8))::BIGINT)) AS hs
       |  FROM sh
       |), sig AS (
       |  SELECT doc_id, list_transform(range(0,16),
@@ -95,7 +95,7 @@ object ExtQueries {
       |  FROM tok WHERE length(tokens) >= 2
       |), hs AS (
       |  SELECT doc_id, shingles,
-      |    list_transform(shingles, s -> ('0x' || substr(md5(s),1,8))::BIGINT) AS hs
+      |    list_distinct(list_transform(shingles, s -> ('0x' || substr(md5(s),1,8))::BIGINT)) AS hs
       |  FROM sh
       |), sig AS (
       |  SELECT doc_id, list_transform(range(0,16),
@@ -168,7 +168,7 @@ object ExtQueries {
       |  FROM tok WHERE length(tokens) >= 3
       |), sh AS (
       |  SELECT doc_id, lang,
-      |    list_transform(sh, s -> ('0x' || substr(md5(s),1,8))::BIGINT) AS sh
+      |    list_distinct(list_transform(sh, s -> ('0x' || substr(md5(s),1,8))::BIGINT)) AS sh
       |  FROM sh0
       |), p AS (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS sa, b.sh AS sb

@@ -47,9 +47,13 @@ object SynthLinks {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Synthetic links table: lkey, url, title, thumbnail, stream_url, ts. */
-  def links(spark: SparkSession, sfDir: String): DataFrame =
+  def links(spark: SparkSession, sfDir: String): DataFrame = {
+    // drop entries of stopped sessions so the static map doesn't pin dead
+    // sessions (and their cached-block metadata) for the JVM lifetime
+    cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     cache.computeIfAbsent((spark, sfDir), (k: (SparkSession, String)) =>
       build(k._1, k._2).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   private def build(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)

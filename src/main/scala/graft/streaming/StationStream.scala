@@ -109,7 +109,17 @@ object StationStream {
         if (merged.isEmpty) "[]"
         else merged.mkString("[\n  ", ",\n  ", "\n]")
       Files.createDirectories(path.toAbsolutePath.getParent)
-      Files.write(path, json.getBytes(StandardCharsets.UTF_8))
+      // write-temp-then-atomic-rename: a crash mid-write must never leave
+      // a truncated array on disk — the parse fallback above would then
+      // discard all accumulated output (C6: never clobber)
+      val tmp = path.toAbsolutePath.getParent.resolve(path.getFileName.toString + ".tmp")
+      Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+      try Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(tmp, path, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     }
   }
 

@@ -26,6 +26,10 @@ class SubwordTokensSpec extends SparkSpec {
     assert(count("   ") == 0L)
     // longest match wins over shorter: "ing" (3) not "in"+"g"
     assert(count("ing") == 1L)
+    // a non-BMP code point (surrogate pair in UTF-16) is ONE fallback
+    // token, matching the oracle's code-point substr
+    assert(count("𝄞") == 1L) // 𝄞
+    assert(count("a𝄞b") == 3L)
   }
 
   test("expression matches the helper over real documents") {
