@@ -624,6 +624,74 @@ object ExtQueries {
        |GROUP BY t ORDER BY term""".stripMargin
   }
 
+  // --- x23: per-language bigram statistics ------------------------------------
+
+  /** Top-5 bigrams per language (count desc, bigram tiebreak) — the
+    * n-gram frequency table an LM-data pipeline derives per corpus
+    * stratum. Bigrams come from the codegen'd WordShingles expression
+    * WITH multiplicity (no distinct — these are counts).
+    */
+  val x23BigramStats: Q = (spark, sfDir) => {
+    val bigrams = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expr.WordShingles(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("text")), 2))
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(bigrams).as("bigram"))
+      .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("n").desc, col("bigram"))))
+      .filter(col("rank") <= 5)
+      .select("lang", "rank", "bigram", "n")
+      .orderBy("lang", "rank")
+  }
+
+  private val x23Sql =
+    """WITH tok AS (
+      |  SELECT lang, string_split(text, ' ') AS tk FROM documents
+      |), bg AS (
+      |  SELECT lang, unnest(list_transform(range(1, length(tk)),
+      |    i -> array_to_string(list_slice(tk, i, i+1), ' '))) AS bigram
+      |  FROM tok
+      |), c AS (
+      |  SELECT lang, bigram, count(*) AS n FROM bg GROUP BY lang, bigram
+      |), r AS (
+      |  SELECT lang, bigram, n,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rank
+      |  FROM c
+      |)
+      |SELECT lang, rank, bigram, n FROM r WHERE rank <= 5
+      |ORDER BY lang, rank""".stripMargin
+
+  // --- x24: text normalization --------------------------------------------------
+
+  /** Canonical preprocessing: lowercase, non-alphanumerics → space,
+    * whitespace collapsed, trimmed — plus the resulting token count.
+    * (DuckDB regexp_replace needs the 'g' flag; Spark is global.)
+    */
+  val x24Normalize: Q = (spark, sfDir) =>
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9\\s]", " "), "\\s+", " ")).as("norm_text"))
+      .withColumn("n_norm_tokens",
+        when(col("norm_text") === "", lit(0))
+          .otherwise(size(split(col("norm_text"), " "))).cast("long"))
+      .orderBy("doc_id")
+
+  private val x24Sql =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+      |      '\s+', ' ', 'g')) AS norm_text
+      |  FROM documents
+      |)
+      |SELECT doc_id, norm_text,
+      |  CAST(CASE WHEN norm_text = '' THEN 0
+      |    ELSE length(string_split(norm_text, ' ')) END AS BIGINT) AS n_norm_tokens
+      |FROM n ORDER BY doc_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -648,7 +716,9 @@ object ExtQueries {
     "x13_multimodal" -> x13Multimodal,
     "x14_frames" -> x14Frames,
     "x21_curation" -> x21Curation,
-    "x22_cms_heavy_hitters" -> x22CmsHeavyHitters)
+    "x22_cms_heavy_hitters" -> x22CmsHeavyHitters,
+    "x23_bigram_stats" -> x23BigramStats,
+    "x24_normalize" -> x24Normalize)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -672,5 +742,7 @@ object ExtQueries {
     "x13_multimodal" -> x13Sql,
     "x14_frames" -> x14Sql,
     "x21_curation" -> x21Sql,
-    "x22_cms_heavy_hitters" -> x22Sql)
+    "x22_cms_heavy_hitters" -> x22Sql,
+    "x23_bigram_stats" -> x23Sql,
+    "x24_normalize" -> x24Sql)
 }

@@ -174,6 +174,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("streaming count-min sketch equals the batch sketch (complete mode)") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val dir = Files.createTempDirectory("cms").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    def terms(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(split(col("text"), " ")).as("term"))
+    val streamed = EventWindows.drainToMemory(spark,
+      graft.ext.Dedup.countMinSketch(terms(stream), "term").cells,
+      "cms_stream", OutputMode.Complete)
+    val batch = graft.ext.Dedup.countMinSketch(terms(docs), "term").cells
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming exact dedup keeps one row per content hash") {
     import spark.implicits._
     val docs = Seq((0L, "same text"), (1L, "same text"), (2L, "other text"))
