@@ -28,8 +28,16 @@ object ScaleSmoke {
     val pairs = Dedup.minhashLshPairs(big, "doc_id", "text")
     val n = pairs.count()
     println(f"minhash pairs: $n%d in ${(System.nanoTime()-t0)/1e9}%.1fs")
-    val high = pairs.filter(col("jaccard") >= 0.8).count()
-    println(s"near-dups (j>=0.8): $high")
+    val high = pairs.filter(col("jaccard") >= 0.8)
+    println(s"near-dups (j>=0.8): ${high.count()}")
+    // connected-components at scale: every original doc should collapse
+    // its replica clique into one cluster
+    val t1 = System.nanoTime()
+    val clusters = Dedup.dedupClusters(high)
+    val members = clusters.count()
+    val distinctClusters = clusters.select("cluster_id").distinct().count()
+    println(f"clusters: $distinctClusters%d over $members%d members " +
+      f"in ${(System.nanoTime() - t1) / 1e9}%.1fs")
     spark.stop()
   }
 }
