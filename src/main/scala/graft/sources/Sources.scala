@@ -24,4 +24,21 @@ object Sources {
     require(Files.isDirectory(Paths.get(dir)), s"input link directory not found: $dir")
     spark.readStream.text(dir)
   }
+
+  /** S6 — sink validation / count (`update-streams.yml:49-72`): the
+    * reference re-reads the written file and counts entries; Spark-native
+    * is an in-flight `observe` — metrics ride the job that writes, no
+    * second scan. Returns the instrumented frame plus the observation
+    * handle (`obs.get` after the action). Also covers G1's run counters
+    * without an accumulator side channel.
+    */
+  def withSinkMetrics(df: DataFrame, resolvedCol: String):
+      (DataFrame, org.apache.spark.sql.Observation) = {
+    import org.apache.spark.sql.functions._
+    val obs = org.apache.spark.sql.Observation()
+    (df.observe(obs,
+      count(lit(1)).as("rows"),
+      count(col(resolvedCol)).as("resolved"),
+      sum(when(col(resolvedCol).isNull, 1L).otherwise(0L)).as("failed")), obs)
+  }
 }

@@ -73,6 +73,18 @@ class ResolverSpec extends SparkSpec {
     }
   }
 
+  test("S6: in-flight observe metrics count rows/resolved/failed without a second scan") {
+    import spark.implicits._
+    val df = Seq(("a", Some("s1")), ("b", None), ("c", Some("s3")))
+      .toDF("url", "stream_url")
+    val (instrumented, obs) = Sources.withSinkMetrics(df, "stream_url")
+    assert(instrumented.count() == 3)
+    val m = obs.get
+    assert(m("rows") == 3L)
+    assert(m("resolved") == 2L)
+    assert(m("failed") == 1L)
+  }
+
   test("resolver stage maps partitions without collecting (distributed shape)") {
     import spark.implicits._
     val links = (0 until 100).map(i => s"https://www.youtube.com/watch?v=$i").toDF("url")
