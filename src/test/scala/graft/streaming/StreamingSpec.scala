@@ -174,6 +174,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("watermark drops late events in append mode; on-time windows finalize once") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("late").toString
+    def write(name: String, rows: Seq[String]): Unit =
+      rows.toDF("s").select(col("s").cast("timestamp").as("ts"))
+        .write.parquet(s"$dir/$name")
+    // batch 1: one 10:30 event (window 10:00) and a 12:05 event that
+    // advances the watermark past 11:00, finalizing the 10:00 window
+    write("f1", Seq("2024-01-01 10:30:00", "2024-01-01 12:05:00"))
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+    val agg = stream.withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("string").as("ws"), col("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("late_drop").start()
+    q.processAllAvailable()
+    // batch 2: a LATE 10:45 event (below the 12:05 watermark — must be
+    // dropped) plus a 13:10 event that finalizes the 12:00 window
+    write("f2", Seq("2024-01-01 10:45:00", "2024-01-01 13:10:00"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("late_drop").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 10:00 window emitted once with ONLY the on-time event; the late row
+    // neither re-opened nor re-emitted it
+    assert(got("2024-01-01 10:00:00") == 1L, got.toString)
+    assert(got("2024-01-01 12:00:00") == 1L, got.toString)
+    assert(!got.contains("2024-01-01 13:00:00"), got.toString)
+  }
+
   test("streaming count-min sketch equals the batch sketch (complete mode)") {
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
     val dir = Files.createTempDirectory("cms").toString
