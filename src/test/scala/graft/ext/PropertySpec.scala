@@ -33,6 +33,49 @@ class PropertySpec extends SparkSpec {
     assert(native.count() == left.count())
   }
 
+  test("property: forward as-of equals the min-aggregated theta join on random data") {
+    import spark.implicits._
+    val seed = org.scalacheck.rng.Seed(7L)
+    val gen = Gen.listOfN(400, for {
+      k <- Gen.choose(0L, 20L)
+      t <- Gen.choose(0L, 1000L)
+    } yield (k, t))
+    val leftRows = gen.pureApply(Gen.Parameters.default, seed)
+    val rightRows = gen.pureApply(Gen.Parameters.default, seed.next)
+    val left = leftRows.zipWithIndex
+      .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("id", "k", "t")
+    val right = rightRows.toDF("k", "rt")
+
+    val native = AsOfJoinNative.asOf(left, right, "k", "t", "rt", direction = "forward")
+      .select("id", "matched")
+    val reference = left.as("l")
+      .join(right.as("r"), col("l.k") === col("r.k") && col("rt") >= col("t"), "left")
+      .groupBy(col("id")).agg(min("rt").as("matched"))
+    assert(native.exceptAll(reference).isEmpty && reference.exceptAll(native).isEmpty)
+    assert(native.count() == left.count())
+  }
+
+  test("property: native range join equals the bucketized join on random intervals") {
+    import spark.implicits._
+    val seed = org.scalacheck.rng.Seed(13L)
+    val pGen = Gen.listOfN(500, Gen.choose(0.0, 500.0))
+    val iGen = Gen.listOfN(60, for {
+      lo <- Gen.choose(0.0, 480.0)
+      len <- Gen.choose(0.0, 60.0)
+    } yield (lo, lo + len))
+    val pts = pGen.pureApply(Gen.Parameters.default, seed)
+      .zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("pid", "p")
+      .repartition(7) // exercise the per-partition sweep across many partitions
+    val ivs = iGen.pureApply(Gen.Parameters.default, seed.next)
+      .zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+      .toDF("iid", "lo", "hi")
+    val native = graft.plans.RangeJoinNative.pointsInIntervals(pts, ivs, "p", "lo", "hi")
+      .select("pid", "iid")
+    val bucketized = RangeJoin.pointsInIntervals(spark, pts, ivs, "p", "lo", "hi",
+      bucketWidth = 25.0).select("pid", "iid")
+    assert(native.exceptAll(bucketized).isEmpty && bucketized.exceptAll(native).isEmpty)
+  }
+
   test("property: minhash signature agreement rate tracks true jaccard") {
     import spark.implicits._
     // three corpora of known overlap: identical, ~half, disjoint
