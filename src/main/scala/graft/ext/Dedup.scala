@@ -250,6 +250,31 @@ object Dedup {
     * map-side-combining shuffle of the exploded stream, and estimates
     * are a broadcast lookup — no full term-frequency table materialized.
     */
+  /** Benchmark decontamination: flag training docs sharing at least
+    * `minShared` distinct k-gram shingles with any benchmark item — the
+    * standard n-gram-overlap contamination check run before training.
+    *
+    * Shape at scale: per-doc DISTINCT shingle hashes as exploded rows
+    * (never materialized as arrays), one equi-join on the hash (benchmark
+    * side is small → broadcast), one partial-aggregating count per
+    * (train, bench) pair. Output: (t_id, b_id, n_shared).
+    */
+  def contamination(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, k: Int = 3, minShared: Int = 10): DataFrame = {
+    def hashes(df: DataFrame, as: String): DataFrame = {
+      val sh = shinglesOf(col(textCol), k)
+      df.filter(size(sh) >= 1)
+        .select(col(idCol).as(as), explode(sh).as("s"))
+        .select(col(as), Hashing.h32(col("s")).as("h"))
+        .distinct()
+    }
+    hashes(train, "t_id")
+      .join(broadcast(hashes(bench, "b_id")), "h")
+      .filter(col("t_id") =!= col("b_id"))
+      .groupBy("t_id", "b_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** A built sketch carries its (depth, width) so probes can never hash
     * against mismatched parameters — a width drift would silently break
     * the never-undercount guarantee.

@@ -692,6 +692,42 @@ object ExtQueries {
       |    ELSE length(string_split(norm_text, ' ')) END AS BIGINT) AS n_norm_tokens
       |FROM n ORDER BY doc_id""".stripMargin
 
+  // --- x25: benchmark decontamination ------------------------------------------
+
+  /** Every 8th document plays the "benchmark set"; training docs sharing
+    * ≥ 10 distinct 3-gram shingles with a benchmark item are flagged
+    * (catching the near-dups the curation pipeline must drop before
+    * training).
+    */
+  val x25Decontamination: Q = (spark, sfDir) => {
+    val docs = Tables.documents(spark, sfDir)
+    Dedup.contamination(docs, docs.filter(col("doc_id") % 8 === 0),
+      "doc_id", "text")
+      .orderBy("t_id", "b_id")
+  }
+
+  private val x25Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, length(tk)-1),
+      |    i -> array_to_string(list_slice(tk, i, i+2), ' '))) AS sh
+      |  FROM tok WHERE length(tk) >= 3
+      |), tr AS (
+      |  SELECT doc_id AS t_id,
+      |    unnest(list_distinct(list_transform(sh,
+      |      s -> ('0x' || substr(md5(s),1,8))::BIGINT))) AS h
+      |  FROM sh
+      |), bn AS (
+      |  SELECT t_id AS b_id, h FROM tr WHERE t_id % 8 = 0
+      |)
+      |SELECT t_id, b_id, count(*) AS n_shared
+      |FROM tr JOIN bn USING (h)
+      |WHERE t_id != b_id
+      |GROUP BY t_id, b_id
+      |HAVING count(*) >= 10
+      |ORDER BY t_id, b_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -718,7 +754,8 @@ object ExtQueries {
     "x21_curation" -> x21Curation,
     "x22_cms_heavy_hitters" -> x22CmsHeavyHitters,
     "x23_bigram_stats" -> x23BigramStats,
-    "x24_normalize" -> x24Normalize)
+    "x24_normalize" -> x24Normalize,
+    "x25_decontamination" -> x25Decontamination)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -744,5 +781,6 @@ object ExtQueries {
     "x21_curation" -> x21Sql,
     "x22_cms_heavy_hitters" -> x22Sql,
     "x23_bigram_stats" -> x23Sql,
-    "x24_normalize" -> x24Sql)
+    "x24_normalize" -> x24Sql,
+    "x25_decontamination" -> x25Sql)
 }

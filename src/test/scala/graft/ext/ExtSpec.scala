@@ -77,6 +77,19 @@ class ExtSpec extends SparkSpec {
     assert(top.map(_.getLong(2)).toSeq == Seq(1L, 3L))
   }
 
+  test("decontamination flags near-copies of benchmark docs, not unrelated docs") {
+    import spark.implicits._
+    val benchText = (0 until 30).map(i => s"bench$i").mkString(" ")
+    val nearCopy = ((0 until 25).map(i => s"bench$i") ++ Seq("x", "y", "z")).mkString(" ")
+    val unrelated = (0 until 30).map(i => s"other$i").mkString(" ")
+    val train = Seq((1L, nearCopy), (2L, unrelated), (100L, benchText))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val flagged = Dedup.contamination(train, bench, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged == Set((1L, 100L)))
+  }
+
   test("count-min estimates upper-bound exact counts and are tight for heavy hitters") {
     import spark.implicits._
     val stream = (Seq.fill(500)("heavy") ++ Seq.tabulate(200)(i => s"rare$i")).toDF("term")
