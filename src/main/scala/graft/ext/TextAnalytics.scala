@@ -126,10 +126,14 @@ object TextAnalytics {
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
       .select(col("doc"), col("term"),
         expr("tf * n_docs * 1000000 div df").as("score"))
-    val w = Window.partitionBy("doc").orderBy(col("score").desc, col("term"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("doc").as("doc_id"), col("rank"), col("term"), col("score"))
+    // partial top-k via the typed aggregator instead of a windowed
+    // row_number: each partition forwards at most k (score, term) pairs
+    // per doc — no full per-group sort rides the exchange
+    val topk = org.apache.spark.sql.functions.udaf(new TopKAggregator(k))
+    scored.groupBy("doc").agg(topk(col("score"), col("term")).as("top"))
+      .select(col("doc"), posexplode(col("top")).as(Seq("pos", "ts")))
+      .select(col("doc").as("doc_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("ts._2").as("term"), col("ts._1").as("score"))
       .orderBy("doc_id", "rank")
   }
 }

@@ -77,6 +77,22 @@ class ExtSpec extends SparkSpec {
     assert(top.map(_.getLong(2)).toSeq == Seq(1L, 3L))
   }
 
+  test("TopKAggregator matches the windowed row_number formulation") {
+    import spark.implicits._
+    val rows = (0 until 500).map(i => (i % 7L, (i * 37 % 100).toLong, s"t$i"))
+    val df = rows.toDF("g", "score", "term")
+    val topk = org.apache.spark.sql.functions.udaf(new TopKAggregator(3))
+    val viaAgg = df.groupBy("g").agg(topk(col("score"), col("term")).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "ts")))
+      .select(col("g"), (col("pos") + 1).as("rank"), col("ts._1").as("score"),
+        col("ts._2").as("term"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc, col("term"))
+    val viaWindow = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3).select("g", "rank", "score", "term")
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
+  }
+
   test("decontamination flags near-copies of benchmark docs, not unrelated docs") {
     import spark.implicits._
     val benchText = (0 until 30).map(i => s"bench$i").mkString(" ")
