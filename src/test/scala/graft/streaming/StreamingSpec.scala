@@ -49,6 +49,29 @@ class StreamingSpec extends SparkSpec {
     assert(json.contains("SECOND000001"))
   }
 
+  test("sink merge survives a reformatted file and recovers from a corrupt one") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("sinkrec").resolve("output.json")
+    def batch(url: String) = Seq((url, s"name-$url")).toDF("url", "name")
+    StationStream.writeJsonArray(batch("u1"), out.toString)
+    // another writer pretty-prints the array: the Jackson parser (not the
+    // old line/regex heuristic) must still find and key every entry
+    val pretty = new String(Files.readAllBytes(out))
+      .replace("{", "{\n    ").replace(",\"", ",\n    \"")
+    Files.write(out, pretty.getBytes)
+    StationStream.writeJsonArray(batch("u2"), out.toString)
+    val merged = new String(Files.readAllBytes(out))
+    assert(merged.contains("u1") && merged.contains("u2"))
+    // corrupt file (e.g. torn by an external writer): lenient recovery
+    // rewrites from the current batch instead of crashing the stream
+    Files.write(out, "[{\"url\":\"u1\",\"na".getBytes)
+    StationStream.writeJsonArray(batch("u3"), out.toString)
+    val recovered = new String(Files.readAllBytes(out))
+    assert(recovered.contains("u3"))
+    assert(com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      .readTree(recovered).isArray)
+  }
+
   test("streaming tumbling counts equal the batch groupBy (complete mode)") {
     val events = Tables.events(spark, sf())
     // stream the same rows through a file source
