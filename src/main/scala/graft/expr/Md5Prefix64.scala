@@ -82,7 +82,8 @@ case class Md5Prefix64(child: Expression, digits: Int)
   * `spark.sql.extensions=graft.expr.GraftExtensions` exposes the custom
   * expression library to SQL: `md5_prefix64(str, digits)`,
   * `word_shingles(str, k)`, `vec_dot(a, b)`, `vec_l2sq(a, b)`,
-  * `sorted_long_intersect(a, b)`, `subword_token_count(str)`.
+  * `sorted_long_intersect(a, b)`, `subword_token_count(str)`,
+  * `top_k_pairs(score, key, k)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -112,5 +113,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "vec_l2sq", 2, xs => VecL2Sq(xs.head, xs(1)))
     inject(e, "sorted_long_intersect", 2, xs => SortedLongIntersect(xs.head, xs(1)))
     inject(e, "subword_token_count", 1, xs => SubwordTokenCount(xs.head))
+    // aggregate: the analyzer wraps a bare AggregateFunction from the
+    // registry in an AggregateExpression itself
+    inject(e, "top_k_pairs", 3,
+      xs => TopKPairs(xs.head, xs(1), intLit(xs(2), "top_k_pairs k")))
   }
 }

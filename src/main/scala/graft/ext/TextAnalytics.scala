@@ -126,14 +126,15 @@ object TextAnalytics {
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
       .select(col("doc"), col("term"),
         expr("tf * n_docs * 1000000 div df").as("score"))
-    // partial top-k via the typed aggregator instead of a windowed
-    // row_number: each partition forwards at most k (score, term) pairs
-    // per doc — no full per-group sort rides the exchange
-    val topk = org.apache.spark.sql.functions.udaf(new TopKAggregator(k))
-    scored.groupBy("doc").agg(topk(col("score"), col("term")).as("top"))
+    // partial top-k via the native imperative aggregate instead of a
+    // windowed row_number: each partition forwards at most k
+    // (score, term) pairs per doc — no full per-group sort rides the
+    // exchange, and the heap buffer never round-trips an encoder
+    scored.groupBy("doc")
+      .agg(graft.expr.TopKPairs.topK(col("score"), col("term"), k).as("top"))
       .select(col("doc"), posexplode(col("top")).as(Seq("pos", "ts")))
       .select(col("doc").as("doc_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("ts._2").as("term"), col("ts._1").as("score"))
+        col("ts.key").as("term"), col("ts.score").as("score"))
       .orderBy("doc_id", "rank")
   }
 }

@@ -275,12 +275,15 @@ object AnalyticsQueries {
       .orderBy("o_orderkey")
   }
 
+  // The outer CAST wraps the whole window expression: DuckDB's windowed
+  // sum(BIGINT) widens to HUGEINT (arrow decimal128), which the driver
+  // hashes differently from Spark's int64 even when values are equal.
   private val a16Sql =
     """SELECT o_orderkey, o_custkey,
       |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_e2,
-      |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
       |    (PARTITION BY o_custkey ORDER BY o_orderkey
-      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_e2,
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_e2,
       |  lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_order,
       |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
       |     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS win3

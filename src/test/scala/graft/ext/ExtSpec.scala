@@ -77,20 +77,34 @@ class ExtSpec extends SparkSpec {
     assert(top.map(_.getLong(2)).toSeq == Seq(1L, 3L))
   }
 
-  test("TopKAggregator matches the windowed row_number formulation") {
+  test("top_k_pairs native aggregate matches the windowed row_number formulation") {
     import spark.implicits._
     val rows = (0 until 500).map(i => (i % 7L, (i * 37 % 100).toLong, s"t$i"))
-    val df = rows.toDF("g", "score", "term")
-    val topk = org.apache.spark.sql.functions.udaf(new TopKAggregator(3))
-    val viaAgg = df.groupBy("g").agg(topk(col("score"), col("term")).as("top"))
+    val df = rows.toDF("g", "score", "term").repartition(5)
+    val viaAgg = df.groupBy("g")
+      .agg(graft.expr.TopKPairs.topK(col("score"), col("term"), 3).as("top"))
       .select(col("g"), posexplode(col("top")).as(Seq("pos", "ts")))
-      .select(col("g"), (col("pos") + 1).as("rank"), col("ts._1").as("score"),
-        col("ts._2").as("term"))
+      .select(col("g"), (col("pos") + 1).as("rank"), col("ts.score").as("score"),
+        col("ts.key").as("term"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("g").orderBy(col("score").desc, col("term"))
     val viaWindow = df.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3).select("g", "rank", "score", "term")
     assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
+  }
+
+  test("top_k_pairs: k larger than group, nulls skipped, duplicate scores tie-break by key") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(5L), Some("b")), (1L, Some(5L), Some("a")), (1L, None, Some("z")),
+      (1L, Some(7L), None), (2L, Some(1L), Some("only"))).toDF("g", "score", "term")
+    val got = df.groupBy("g")
+      .agg(graft.expr.TopKPairs.topK(col("score"), col("term"), 10).as("top"))
+      .orderBy("g")
+      .collect()
+      .map(_.getSeq[org.apache.spark.sql.Row](1).map(r => (r.getLong(0), r.getString(1))))
+    assert(got(0) == Seq((5L, "a"), (5L, "b")))
+    assert(got(1) == Seq((1L, "only")))
   }
 
   test("decontamination flags near-copies of benchmark docs, not unrelated docs") {

@@ -29,6 +29,40 @@ def norm(v):
     return v
 
 
+def arrow_family(t):
+    """Coarse arrow-type family. The driver hashes typed values, so
+    cross-family drift (decimal128 vs int64, string vs int) fails
+    remotely; within-family width/unit differences (int32 vs int64,
+    timestamp units, string vs large_string) have always hash-matched."""
+    import pyarrow as pa
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return ("list", arrow_family(t.value_type))
+    if pa.types.is_struct(t):
+        return ("struct", tuple(sorted(
+            (f.name, arrow_family(f.type)) for f in t)))
+    return str(t)
+
+
+def compatible_arrow_types(st, dt):
+    return arrow_family(st) == arrow_family(dt)
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -56,6 +90,24 @@ def main():
         s_cols, d_cols = sorted(spark_tbl.column_names), sorted(duck_tbl.column_names)
         if s_cols != d_cols:
             print(f"FAIL {name}: columns spark={s_cols} duck={d_cols}")
+            failures += 1
+            continue
+        # The driver hashes TYPED arrow values, so a type mismatch fails
+        # remotely even when the pylist values compare equal locally
+        # (e.g. DuckDB widening a windowed sum(BIGINT) to HUGEINT /
+        # decimal128 vs Spark's int64). Compare arrow types up to
+        # nullability and int/float width families we know the driver
+        # treats as distinct.
+        type_bad = None
+        for c in s_cols:
+            st = spark_tbl.schema.field(c).type
+            dt = duck_tbl.schema.field(c).type
+            if not compatible_arrow_types(st, dt):
+                type_bad = (c, st, dt)
+                break
+        if type_bad:
+            c, st, dt = type_bad
+            print(f"FAIL {name}: arrow type of '{c}' differs: spark={st} duck={dt}")
             failures += 1
             continue
         if spark_tbl.num_rows != duck_tbl.num_rows:
