@@ -181,23 +181,37 @@ object Dedup {
       val neighborMin = edges
         .join(lbl.select(col("id").as("u"), col("lbl")), "u")
         .groupBy(col("v").as("id")).agg(min("lbl").as("nlbl"))
+      // carry the pre-round label so convergence is decided from the
+      // SAME rows the round materializes — no second join+count job
       val stepped = lbl.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
       // pointer jumping (path halving): also adopt the label OF the
       // current label, turning O(diameter) convergence into O(log n) —
       // a chain component would otherwise need one round per hop
+      val obs = new org.apache.spark.sql.Observation(s"cc_round_$iter")
       val next = stepped
         .join(stepped.select(col("id").as("lbl"), col("lbl").as("ll")), Seq("lbl"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl"),
+          col("old"))
+        .observe(obs, count(when(col("lbl") =!= col("old"), 1)).as("changed"))
         .localCheckpoint()
-      val t0 = System.nanoTime()
-      val changed = next.join(lbl.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") =!= col("old")).count()
+      // the eager checkpoint IS the round's one job; the observed metric
+      // arrives on the (async) listener bus — bounded wait, then fall
+      // back to a scan of the already-checkpointed rows (still no join)
+      val changed = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration._
+        try Await.result(Future(obs.get), 10.seconds)("changed").asInstanceOf[Long]
+        catch { case _: java.util.concurrent.TimeoutException =>
+          next.filter(col("lbl") =!= col("old")).count()
+        }
+      }
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(f"CC iter=$iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.3f s")
-      lbl = next
+        println(s"CC iter=$iter changed=$changed")
+      lbl = next.select("id", "lbl")
       done = changed == 0
       iter += 1
     }

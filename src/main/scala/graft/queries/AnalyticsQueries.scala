@@ -125,13 +125,16 @@ object AnalyticsQueries {
   // --- a5: ranking window over aggregates --------------------------------------
 
   /** Suppliers dense-ranked by total shipped quantity (aggregate first →
-    * unique keys → deterministic window).
+    * unique keys → deterministic rank). The global rank is computed by
+    * [[graft.ext.Ranking.denseRankDesc]] — range-partition +
+    * partition-offset merge — instead of an unpartitioned window, which
+    * would move every row to a single task.
     */
   val a5SupplierRank: Q = (spark, sfDir) => {
     val per = Tables.lineitem(spark, sfDir)
       .groupBy("l_suppkey")
       .agg(sum(col("l_quantity")).cast("long").as("qty"))
-    per.withColumn("rnk", dense_rank().over(Window.orderBy(col("qty").desc)))
+    graft.ext.Ranking.denseRankDesc(per, "qty", "rnk")
       .select(col("l_suppkey"), col("qty"), col("rnk"))
       .orderBy("l_suppkey")
   }
@@ -141,7 +144,8 @@ object AnalyticsQueries {
       |  SELECT l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS qty
       |  FROM lineitem GROUP BY l_suppkey
       |)
-      |SELECT l_suppkey, qty, dense_rank() OVER (ORDER BY qty DESC) AS rnk
+      |SELECT l_suppkey, qty,
+      |  CAST(dense_rank() OVER (ORDER BY qty DESC) AS BIGINT) AS rnk
       |FROM per ORDER BY l_suppkey""".stripMargin
 
   // --- a6: JSON extraction -------------------------------------------------------

@@ -103,6 +103,21 @@ class PlanSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
 
+  test("no declared query plans an unpartitioned (single-partition) window") {
+    // Window.orderBy with no partitionBy moves EVERY row to one task
+    // ("No Partition Defined" warning) — correct, but a scale-killer.
+    // Global ranks must go through graft.ext.Ranking or a top-k
+    // aggregate instead.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf())
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$name plans an unpartitioned window: ${bad.headOption}")
+    }
+  }
+
   test("flagship enrichment stays inside whole-stage codegen") {
     // AQE reveals codegen stages only in the final (executed) plan
     val df = RefQueries.flagshipStation(spark, sf())
