@@ -95,10 +95,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   private def inject(e: SparkSessionExtensions, name: String, arity: Int,
-                     build: Seq[Expression] => Expression): Unit =
+                     usage: String, build: Seq[Expression] => Expression): Unit =
     e.injectFunction((
       new FunctionIdentifier(name),
-      new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
       (exprs: Seq[Expression]) => {
         require(exprs.size == arity, s"$name takes $arity argument(s)")
         build(exprs)
@@ -106,16 +106,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     inject(e, "md5_prefix64", 2,
+      "md5_prefix64(str, digits) - value of the first `digits` hex chars of md5(str); " +
+        "digits must be an integer literal in [1, 15]",
       xs => Md5Prefix64(xs.head, intLit(xs(1), "md5_prefix64 digits")))
     inject(e, "word_shingles", 2,
+      "word_shingles(str, k) - overlapping k-word shingles of a space-tokenized string; " +
+        "k must be an integer literal",
       xs => WordShingles(xs.head, intLit(xs(1), "word_shingles k")))
-    inject(e, "vec_dot", 2, xs => VecDot(xs.head, xs(1)))
-    inject(e, "vec_l2sq", 2, xs => VecL2Sq(xs.head, xs(1)))
-    inject(e, "sorted_long_intersect", 2, xs => SortedLongIntersect(xs.head, xs(1)))
-    inject(e, "subword_token_count", 1, xs => SubwordTokenCount(xs.head))
+    inject(e, "vec_dot", 2,
+      "vec_dot(a, b) - dot product of two ARRAY<DOUBLE> of equal length",
+      xs => VecDot(xs.head, xs(1)))
+    inject(e, "vec_l2sq", 2,
+      "vec_l2sq(a, b) - squared L2 distance of two ARRAY<DOUBLE> of equal length",
+      xs => VecL2Sq(xs.head, xs(1)))
+    inject(e, "sorted_long_intersect", 2,
+      "sorted_long_intersect(a, b) - count of elements of a present in b. BOTH " +
+        "ARRAY<BIGINT> INPUTS MUST BE SORTED ASCENDING (e.g. sort_array(...)); " +
+        "unsorted input silently under-counts - run with -Dgraft.sorted.check=true " +
+        "to turn misuse into an error",
+      xs => SortedLongIntersect(xs.head, xs(1)))
+    inject(e, "subword_token_count", 1,
+      "subword_token_count(str) - BPE-ish subword token count of a string",
+      xs => SubwordTokenCount(xs.head))
     // aggregate: the analyzer wraps a bare AggregateFunction from the
     // registry in an AggregateExpression itself
     inject(e, "top_k_pairs", 3,
+      "top_k_pairs(score, key, k) - aggregate: the k best (BIGINT score, STRING key) " +
+        "pairs per group, ordered score DESC then key ASC; k must be an integer literal",
       xs => TopKPairs(xs.head, xs(1), intLit(xs(2), "top_k_pairs k")))
   }
 }

@@ -8,12 +8,33 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Runtime helper for [[SortedLongIntersect]]. */
 object SortedIntersectUtil {
+
+  /** Opt-in precondition check (`-Dgraft.sorted.check=true`): the merge
+    * silently under-counts on unsorted input, so SQL users debugging a
+    * plausible-but-wrong intersect count can turn misuse into a loud
+    * error. A static final boolean — JIT erases the branch when off.
+    */
+  private val strict = java.lang.Boolean.getBoolean("graft.sorted.check")
+
+  private def requireSorted(a: ArrayData, side: String): Unit = {
+    var i = 1
+    while (i < a.numElements()) {
+      if (a.getLong(i - 1) > a.getLong(i))
+        throw new IllegalArgumentException(
+          s"sorted_long_intersect: $side array is not ascending at index $i " +
+            s"(${a.getLong(i - 1)} > ${a.getLong(i)}); sort_array(...) the input")
+      i += 1
+    }
+  }
+
   /** Count of elements of sorted array `a` present in sorted array `b`,
     * with a-side multiplicity (each a element counted once if found) —
     * exactly DuckDB's `length(list_filter(a, x -> list_contains(b, x)))`.
-    * Single merge pass, no allocation.
+    * Single merge pass, no allocation. BOTH INPUTS MUST BE SORTED
+    * ASCENDING (see [[strict]]).
     */
   def count(a: ArrayData, b: ArrayData): Long = {
+    if (strict) { requireSorted(a, "left"); requireSorted(b, "right") }
     val na = a.numElements()
     val nb = b.numElements()
     var i = 0

@@ -31,14 +31,63 @@ object Sources {
     * second scan. Returns the instrumented frame plus the observation
     * handle (`obs.get` after the action). Also covers G1's run counters
     * without an accumulator side channel.
+    *
+    * BATCH ONLY: `Observation` rejects streaming Datasets — for a
+    * streaming sink use [[withSinkMetricsStream]] +
+    * [[SinkMetricsListener]].
     */
   def withSinkMetrics(df: DataFrame, resolvedCol: String):
       (DataFrame, org.apache.spark.sql.Observation) = {
-    import org.apache.spark.sql.functions._
+    require(!df.isStreaming,
+      "withSinkMetrics is batch-only (Observation rejects streaming frames); " +
+        "use withSinkMetricsStream + SinkMetricsListener")
     val obs = org.apache.spark.sql.Observation()
-    (df.observe(obs,
-      count(lit(1)).as("rows"),
+    val cols = sinkMetricCols(resolvedCol)
+    (df.observe(obs, cols.head, cols.tail: _*), obs)
+  }
+
+  /** Streaming variant of S6: the named `observe` overload is legal on
+    * streaming frames, and per-microbatch metric rows surface through
+    * `StreamingQueryProgress.observedMetrics` — attach a
+    * [[SinkMetricsListener]] (or read `query.lastProgress`) to consume
+    * them. Same metric columns as the batch path.
+    */
+  def withSinkMetricsStream(df: DataFrame, resolvedCol: String,
+                            name: String = "sink_metrics"): DataFrame = {
+    val cols = sinkMetricCols(resolvedCol)
+    df.observe(name, cols.head, cols.tail: _*)
+  }
+
+  private def sinkMetricCols(resolvedCol: String): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    Seq(count(lit(1)).as("rows"),
       count(col(resolvedCol)).as("resolved"),
-      sum(when(col(resolvedCol).isNull, 1L).otherwise(0L)).as("failed")), obs)
+      sum(when(col(resolvedCol).isNull, 1L).otherwise(0L)).as("failed"))
+  }
+
+  /** Accumulates the observed sink metrics across microbatches (S6/G1
+    * for the streaming path). Register with
+    * `spark.streams.addListener(...)`; totals are monotone sums over all
+    * progress events carrying the named metric row.
+    */
+  class SinkMetricsListener(name: String = "sink_metrics")
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+    @volatile var rows: Long = 0L
+    @volatile var resolved: Long = 0L
+    @volatile var failed: Long = 0L
+
+    override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(event: QueryProgressEvent): Unit = {
+      val m = event.progress.observedMetrics
+      if (m.containsKey(name)) {
+        val r = m.get(name)
+        rows += r.getAs[Long]("rows")
+        resolved += r.getAs[Long]("resolved")
+        failed += r.getAs[Long]("failed")
+      }
+    }
   }
 }

@@ -16,6 +16,11 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // the whole test suite runs through the installed extension
+      // library, so the injectFunction wiring (names, arity checks,
+      // literal extraction) is exercised end-to-end, not just the
+      // expression classes
+      .withExtensions(new graft.expr.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

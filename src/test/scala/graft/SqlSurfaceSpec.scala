@@ -28,33 +28,46 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql.collect().toSeq == viaApi.collect().toSeq)
   }
 
-  test("custom expressions are SQL-callable after registration") {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_shingles", exprs => graft.expr.WordShingles(exprs.head, 2), "scala_udf")
-    val got = spark.sql("SELECT word_shingles('a b c') AS s").collect().head.getSeq[String](0)
-    assert(got == Seq("a b", "b c"))
-  }
-
-  test("the full GraftExtensions function library is SQL-callable") {
-    import graft.expr._
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("vec_dot", xs => VecDot(xs.head, xs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("vec_l2sq", xs => VecL2Sq(xs.head, xs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("sorted_long_intersect",
-      xs => SortedLongIntersect(xs.head, xs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("subword_token_count",
-      xs => SubwordTokenCount(xs.head), "scala_udf")
+  test("the full GraftExtensions function library is SQL-callable end-to-end") {
+    // the shared test session is built .withExtensions(new
+    // GraftExtensions) (SparkSpec) — every call here goes through the
+    // real injectFunction wiring, no hand-registered builders
     val r = spark.sql(
       """SELECT
+        |  md5_prefix64('hello', 8) AS h,
+        |  word_shingles('a b c', 2) AS s,
         |  vec_dot(array(1d, 2d), array(3d, 4d)) AS d,
         |  vec_l2sq(array(0d, 0d), array(3d, 4d)) AS l2,
         |  sorted_long_intersect(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS n,
         |  subword_token_count('the ration') AS t""".stripMargin).collect().head
-    assert(r.getDouble(0) == 11.0)
-    assert(r.getDouble(1) == 25.0)
-    assert(r.getLong(2) == 2L)
-    assert(r.getLong(3) == 3L)
-    // the extensions installer injects the same builders without throwing
-    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    assert(r.getLong(0) == graft.expr.HashUtil.md5Prefix64("hello", 8))
+    assert(r.getSeq[String](1) == Seq("a b", "b c"))
+    assert(r.getDouble(2) == 11.0)
+    assert(r.getDouble(3) == 25.0)
+    assert(r.getLong(4) == 2L)
+    assert(r.getLong(5) == 3L)
+  }
+
+  test("top_k_pairs aggregate is SQL-callable end-to-end") {
+    val rows = spark.sql(
+      """SELECT g, top_k_pairs(score, term, 2) AS top
+        |FROM VALUES (1, 5L, 'a'), (1, 7L, 'b'), (1, 3L, 'c'), (2, 1L, 'z')
+        |  AS t(g, score, term)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    val g1 = rows(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(x => (x.getLong(0), x.getString(1)))
+    assert(g1 == Seq((7L, "b"), (5L, "a")))
+    assert(rows(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)) == Seq(1L))
+  }
+
+  test("extension functions enforce arity and literal parameters") {
+    val wrongArity = intercept[Exception] {
+      spark.sql("SELECT md5_prefix64('a')").collect()
+    }
+    assert(wrongArity.getMessage.contains("2 argument"))
+    val nonLiteral = intercept[Exception] {
+      spark.sql("SELECT md5_prefix64('a', length('xy'))").collect()
+    }
+    assert(nonLiteral.getMessage.contains("integer literal"))
   }
 }

@@ -232,6 +232,35 @@ class StreamingSpec extends SparkSpec {
     assert(!got.contains("2024-01-01 13:00:00"), got.toString)
   }
 
+  test("S6 streaming: named observe + listener counts rows/resolved/failed per microbatch") {
+    import spark.implicits._
+    val df = Seq(("u1", Option("s1")), ("u2", None: Option[String]), ("u3", Option("s3")))
+      .toDF("url", "stream_url")
+    val dir = Files.createTempDirectory("s6").toString
+    df.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(df.schema).parquet(dir)
+    val listener = new graft.sources.Sources.SinkMetricsListener("sm_test")
+    spark.streams.addListener(listener)
+    try {
+      val instrumented =
+        graft.sources.Sources.withSinkMetricsStream(stream, "stream_url", "sm_test")
+      val q = instrumented.writeStream.format("memory").queryName("sm_out")
+        .outputMode(OutputMode.Append).start()
+      q.processAllAvailable()
+      q.stop()
+      // the listener bus is async — bounded wait for delivery
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.rows < 3 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(listener.rows == 3 && listener.resolved == 2 && listener.failed == 1,
+        s"rows=${listener.rows} resolved=${listener.resolved} failed=${listener.failed}")
+      // the batch helper refuses streaming frames instead of throwing mid-plan
+      val err = intercept[IllegalArgumentException] {
+        graft.sources.Sources.withSinkMetrics(stream, "stream_url")
+      }
+      assert(err.getMessage.contains("batch-only"))
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("streaming count-min sketch equals the batch sketch (complete mode)") {
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
     val dir = Files.createTempDirectory("cms").toString
