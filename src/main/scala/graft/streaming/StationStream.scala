@@ -73,7 +73,58 @@ object StationStream {
     if (node.hasNonNull("url")) node.get("url").asText
     else mapper.writeValueAsString(node)
 
-  def writeJsonArray(batch: DataFrame, outFile: String): Unit = {
+  /** Python-parity escaping: identical to `json.dumps(...,
+    * ensure_ascii=False)` — short escapes for the JSON control set,
+    * `\\uXXXX` for other chars < 0x20, everything else raw UTF-8.
+    */
+  private def pyEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Renders a parsed node exactly as `json.dump(..., indent=2,
+    * ensure_ascii=False)` does (the reference's write call,
+    * `video_processor.py:347`): 2-space nesting, `": "` key separator,
+    * empty containers inline, ints/bools/null byte-identical. (Floats
+    * follow Jackson's shortest-round-trip rendering, which matches
+    * Python `repr` for the values the pipeline emits.)
+    */
+  private def pyRender(node: com.fasterxml.jackson.databind.JsonNode, indent: Int): String = {
+    import scala.jdk.CollectionConverters._
+    val pad = " " * indent
+    val childPad = " " * (indent + 2)
+    if (node.isTextual) "\"" + pyEscape(node.asText) + "\""
+    else if (node.isObject) {
+      if (!node.fields().hasNext) "{}"
+      else node.fields().asScala.map { e =>
+        childPad + "\"" + pyEscape(e.getKey) + "\": " + pyRender(e.getValue, indent + 2)
+      }.mkString("{\n", ",\n", "\n" + pad + "}")
+    } else if (node.isArray) {
+      if (node.size() == 0) "[]"
+      else node.elements().asScala.map(e => childPad + pyRender(e, indent + 2))
+        .mkString("[\n", ",\n", "\n" + pad + "]")
+    } else node.toString
+  }
+
+  /** `pretty = true` writes the byte format of the reference's
+    * `json.dump(stations, f, indent=2, ensure_ascii=False)`, so a user
+    * diffing against the reference's committed `output.json` sees
+    * identical bytes; the default stays the compact one-object-per-line
+    * array (smaller, still a valid JSON array, and what the merge parser
+    * reads back either way).
+    */
+  def writeJsonArray(batch: DataFrame, outFile: String, pretty: Boolean = false): Unit = {
     val rows = batch.toJSON.collect()
     val path = Paths.get(outFile)
     if (rows.nonEmpty || !Files.exists(path)) {
@@ -107,6 +158,9 @@ object StationStream {
       } ++ rows
       val json =
         if (merged.isEmpty) "[]"
+        else if (pretty)
+          merged.map(s => "  " + pyRender(mapper.readTree(s), 2))
+            .mkString("[\n", ",\n", "\n]")
         else merged.mkString("[\n  ", ",\n  ", "\n]")
       Files.createDirectories(path.toAbsolutePath.getParent)
       // write-temp-then-atomic-rename: a crash mid-write must never leave
@@ -130,7 +184,8 @@ object StationStream {
   def run(spark: SparkSession, inputDir: String, outFile: String,
           checkpointDir: String, resolve: DataFrame => DataFrame,
           availableNow: Boolean = true,
-          interval: String = "2 hours"): StreamingQuery = {
+          interval: String = "2 hours",
+          prettyJson: Boolean = false): StreamingQuery = {
     val trigger =
       if (availableNow) Trigger.AvailableNow()
       else Trigger.ProcessingTime(interval)
@@ -140,7 +195,7 @@ object StationStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        writeJsonArray(batch, outFile)
+        writeJsonArray(batch, outFile, prettyJson)
       }
       .start()
   }

@@ -72,6 +72,26 @@ class StreamingSpec extends SparkSpec {
       .readTree(recovered).isArray)
   }
 
+  test("pretty sink is byte-identical to json.dump(indent=2, ensure_ascii=False)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("pretty").resolve("output.json")
+    val df = Seq(("u1", "café \"quoted\"\nline\ttab", 1L), ("u2", "plain", 3L))
+      .toDF("url", "name", "n")
+    StationStream.writeJsonArray(df, out.toString, pretty = true)
+    val got = new String(Files.readAllBytes(out), java.nio.charset.StandardCharsets.UTF_8)
+    // golden bytes produced by the reference's exact write-call shape:
+    // python json.dumps(rows, indent=2, ensure_ascii=False)
+    val expected = "[\n  {\n    \"url\": \"u1\",\n    \"name\": \"café \\\"quoted\\\"\\nline\\ttab\",\n    \"n\": 1\n  },\n  {\n    \"url\": \"u2\",\n    \"name\": \"plain\",\n    \"n\": 3\n  }\n]"
+    assert(got == expected, got)
+    // a second pretty drain merges and stays in the pretty byte format
+    StationStream.writeJsonArray(
+      Seq(("u3", "x", 9L)).toDF("url", "name", "n"), out.toString, pretty = true)
+    val merged = new String(Files.readAllBytes(out), java.nio.charset.StandardCharsets.UTF_8)
+    assert(merged.contains("\n    \"url\": \"u1\",") && merged.contains("\"u3\""))
+    assert(com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      .readTree(merged).isArray)
+  }
+
   test("streaming tumbling counts equal the batch groupBy (complete mode)") {
     val events = Tables.events(spark, sf())
     // stream the same rows through a file source
