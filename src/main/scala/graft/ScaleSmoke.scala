@@ -5,9 +5,12 @@ import graft.ext.Dedup
 import graft.model.Tables
 
 /** Manual scale probe (not part of the driver contract): replicate
-  * documents Nx with distinct ids and run the MinHash-LSH pipeline, to
-  * sanity-check that candidate volume and runtime scale as designed.
-  * `runMain graft.ScaleSmoke [factor]`.
+  * documents/embeddings Nx with distinct ids and run the MinHash-LSH,
+  * ANN (LSH + IVF with planted neighbors), and tf-idf pipelines, to
+  * sanity-check that candidate volume, recall, and runtime scale as
+  * designed. Asserts (require) recall and runtime budgets — a silent
+  * scale regression fails the probe instead of just printing slower
+  * numbers. `runMain graft.ScaleSmoke [factor]`.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -38,6 +41,48 @@ object ScaleSmoke {
     val distinctClusters = clusters.select("cluster_id").distinct().count()
     println(f"clusters: $distinctClusters%d over $members%d members " +
       f"in ${(System.nanoTime() - t1) / 1e9}%.1fs")
+    require(distinctClusters > 0 && members > distinctClusters,
+      "CC at scale produced no multi-member clusters")
+
+    // --- ANN at scale with PLANTED neighbors -------------------------------
+    // Each replica scales its source vector by a positive factor: cosine
+    // is scale-invariant, so a query's replicas are exact sim-1.0
+    // neighbors with identical hyperplane signs and IVF cell — ground
+    // truth for recall without an O(n²) oracle.
+    import graft.ext.Similarity
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val bigEmb = emb.crossJoin(spark.range(factor).select(col("id").as("rep")))
+      .select((col("vec_id") * factor + col("rep")).as("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") * (lit(1.0) + col("rep").cast("double") / 100))
+          .as("embedding"),
+        col("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nVec = bigEmb.count()
+    val nQ = 20
+    val pred = col("vec_id") % factor === 0 && col("vec_id") < nQ * factor
+    def plantedRecall(name: String, df: org.apache.spark.sql.DataFrame): Double = {
+      val t = System.nanoTime()
+      val rows = df.select(col("qid"), col("cid")).collect()
+      val planted = rows.count(r => r.getLong(0) / factor == r.getLong(1) / factor)
+      val recall = planted.toDouble / rows.length
+      println(f"$name%s: $nVec vectors, ${rows.length} results, planted recall " +
+        f"$recall%.3f in ${(System.nanoTime() - t) / 1e9}%.1fs")
+      recall
+    }
+    val rBrute = plantedRecall("ann brute", Similarity.bruteForceTopK(bigEmb, pred, 5))
+    val rLsh = plantedRecall("ann lsh", Similarity.lshTopK(bigEmb, pred, 5))
+    val rIvf = plantedRecall("ann ivf p2", Similarity.ivfTopK(bigEmb, pred, 5, probes = 2))
+    require(rBrute >= 0.99, f"brute-force planted recall $rBrute%.3f < 0.99")
+    require(rLsh >= 0.95, f"LSH planted recall $rLsh%.3f < 0.95")
+    require(rIvf >= 0.95, f"IVF planted recall $rIvf%.3f < 0.95")
+
+    // --- tf-idf top-k at scale ---------------------------------------------
+    val t2 = System.nanoTime()
+    val nTfidf = graft.ext.TextAnalytics.tfidfTopTerms(big, "doc_id", "text", 3).count()
+    val tfidfSec = (System.nanoTime() - t2) / 1e9
+    println(f"tfidf top-3: $nTfidf%d rows in $tfidfSec%.1fs")
+    require(tfidfSec < 300, f"tfidf at ${factor}x blew the 300s budget: $tfidfSec%.1fs")
     spark.stop()
   }
 }

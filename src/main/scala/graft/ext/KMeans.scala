@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Lloyd k-means for IVF coarse quantization, in EXACT integer
+  * arithmetic so any engine reproduces it bit-for-bit (the x26 oracle
+  * runs the same rounds in DuckDB):
+  *
+  *  - embeddings quantize to `round(x·10^6) + 10^7` — the offset keeps
+  *    every value positive, so integer division for the means is
+  *    floor == truncate in every engine, and it cancels in distances
+  *    ((a+o)−(b+o) = a−b), leaving assignments unaffected;
+  *  - seeds are the k lowest `vec_id`s (deterministic, no RNG);
+  *  - each round: assign to the nearest centroid by integer squared L2
+  *    (ties → lowest centroid id), then recompute centroids as
+  *    element-wise `sum div count`.
+  *
+  * The distributed shape is the classic one (VERDICT r2 §missing #3):
+  * centroids are k·dim rows broadcast to the assignment join, the
+  * assignment is one partial-aggregating groupBy per round, and every
+  * round's output is checkpointed so lineage stays flat. Magnitudes:
+  * |x| ≤ ~200 ⇒ |v| ≤ 2·10^8, dist ≤ dim·(4·10^8)² ≈ 10^19/60 — inside
+  * signed-64 for the 64-dim unit-ish embeddings this targets.
+  */
+object KMeans {
+
+  val Scale = 1000000L
+  val Offset = 10000000L
+
+  /** (vec_id, e: ARRAY<BIGINT>) quantized positive integer embeddings. */
+  private def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * Scale).cast("long") + Offset).as("e"))
+
+  /** Runs `iters` Lloyd rounds; returns (final assignment, final
+    * exploded centroids (cid, i, v)). The assignment is the one computed
+    * against the last recomputed centroids.
+    */
+  private def run(emb: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    require(k >= 1 && iters >= 1, "kmeans: k and iters must be >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = quantized(emb).localCheckpoint()
+    val qe = q.select(col("vec_id"), posexplode(col("e")).as(Seq("i", "v")))
+    val seedIds = q.select("vec_id").orderBy("vec_id").limit(k)
+      .collect().map(_.getLong(0))
+    val seedDf = seedIds.sorted.zipWithIndex
+      .map { case (id, c) => (id, c.toLong) }.toSeq.toDF("vec_id", "cid")
+    var centE = qe.join(broadcast(seedDf), "vec_id")
+      .select(col("cid"), col("i"), col("v"))
+      .localCheckpoint()
+    var assign: DataFrame = null
+    for (it <- 1 to iters) {
+      val dists = qe
+        .join(broadcast(centE.select(col("cid"), col("i"), col("v").as("cv"))), "i")
+        .groupBy("vec_id", "cid")
+        .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))
+      // argmin with deterministic tie-break: min over (dist, cid) structs
+      assign = dists.groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+        .localCheckpoint()
+      if (it < iters)
+        centE = qe.join(assign.select("vec_id", "cid"), "vec_id")
+          .groupBy("cid", "i").agg(expr("sum(v) div count(1)").as("v"))
+          .localCheckpoint()
+    }
+    (assign, centE)
+  }
+
+  /** Final cell assignment: (vec_id, cell, dist) — `dist` is the exact
+    * integer squared L2 to the winning centroid in quantized units.
+    */
+  def assign(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
+    run(emb, k, iters)._1
+      .select(col("vec_id"), col("cid").as("cell"), col("dist"))
+
+  /** Learned centroids de-quantized for ANN search:
+    * (cell, ce: ARRAY<DOUBLE>).
+    */
+  def centroids(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
+    run(emb, k, iters)._2
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("v")))),
+        s => (s.getField("v") - Offset).cast("double") / Scale).as("ce"))
+      .select(col("cid").as("cell"), col("ce"))
+}

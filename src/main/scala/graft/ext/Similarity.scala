@@ -130,7 +130,15 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
         s => s.getField("c")).as("ce"))
       .select(col("label").as("cent_label"), col("ce"))
+    ivfTopKWith(emb, cent, queryPred, k, probes)
+  }
 
+  /** IVF search against learned centroids (e.g. [[KMeans.centroids]],
+    * renamed to (cent_label, ce)) — same cell-equi-join shape, no label
+    * column required on the corpus.
+    */
+  def ivfTopKWith(emb: DataFrame, cent: DataFrame, queryPred: Column,
+                  k: Int, probes: Int = 1): DataFrame = {
     // assign each vector to its nearest centroid (L2, label tiebreak)
     val ed = transform(col("embedding"), x => x.cast("double"))
     val dist = l2sq(col("ed"), col("ce"))

@@ -294,6 +294,57 @@ object ExtQueries {
   private val x15Sql = ivfSql(1)
   private val x18Sql = ivfSql(2)
 
+  // --- x26: k-means IVF coarse quantizer (2 Lloyd rounds, no labels) ---------
+
+  /** Final cell assignment of every vector under learned centroids —
+    * exact integer arithmetic end-to-end (see [[graft.ext.KMeans]]), so
+    * the DuckDB oracle replays the identical rounds bit-for-bit.
+    */
+  val x26SimIvfKmeans: Q = (spark, sfDir) =>
+    graft.ext.KMeans.assign(Tables.embeddings(spark, sfDir), k = 8, iters = 2)
+      .orderBy("vec_id")
+
+  /** The oracle unrolls the two Lloyd rounds as CTEs: quantize (+10^7
+    * offset keeps values positive so `//` == Spark's `div`), seed with
+    * the 8 lowest vec_ids, assign (ties → lowest cid), recompute means,
+    * re-assign. DuckDB's sum(BIGINT) widens to HUGEINT, hence the final
+    * BIGINT casts.
+    */
+  private val x26Sql =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 10000000) AS e
+      |  FROM embeddings
+      |), qe AS (
+      |  SELECT vec_id, generate_subscripts(e, 1) AS i, unnest(e) AS v FROM q
+      |), seeds AS (
+      |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      |  FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT 8)
+      |), c0 AS (
+      |  SELECT s.cid, qe.i, qe.v FROM qe JOIN seeds s USING (vec_id)
+      |), d1 AS (
+      |  SELECT qe.vec_id, c.cid, sum((qe.v - c.v) * (qe.v - c.v)) AS dist
+      |  FROM qe JOIN c0 c USING (i) GROUP BY qe.vec_id, c.cid
+      |), a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM d1) WHERE rn = 1
+      |), c1 AS (
+      |  SELECT a1.cid, qe.i, CAST(sum(qe.v) // count(*) AS BIGINT) AS v
+      |  FROM qe JOIN a1 USING (vec_id) GROUP BY a1.cid, qe.i
+      |), d2 AS (
+      |  SELECT qe.vec_id, c.cid, sum((qe.v - c.v) * (qe.v - c.v)) AS dist
+      |  FROM qe JOIN c1 c USING (i) GROUP BY qe.vec_id, c.cid
+      |), a2 AS (
+      |  SELECT vec_id, cid, dist FROM (
+      |    SELECT vec_id, cid, dist,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM d2) WHERE rn = 1
+      |)
+      |SELECT vec_id, cid AS cell, CAST(dist AS BIGINT) AS dist
+      |FROM a2 ORDER BY vec_id""".stripMargin
+
   // --- x8: language-ID heuristic --------------------------------------------
 
   val x8LangId: Q = (spark, sfDir) =>
@@ -741,6 +792,7 @@ object ExtQueries {
     "x7_sim_lsh" -> x7SimLsh,
     "x15_sim_ivf" -> x15SimIvf,
     "x18_sim_ivf_probe2" -> x18SimIvfProbe2,
+    "x26_sim_ivf_kmeans" -> x26SimIvfKmeans,
     "x8_langid" -> x8LangId,
     "x16_langid_ngram" -> x16LangIdNgram,
     "x9_quality" -> x9Quality,
@@ -768,6 +820,7 @@ object ExtQueries {
     "x7_sim_lsh" -> x7Sql,
     "x15_sim_ivf" -> x15Sql,
     "x18_sim_ivf_probe2" -> x18Sql,
+    "x26_sim_ivf_kmeans" -> x26Sql,
     "x8_langid" -> x8Sql,
     "x16_langid_ngram" -> x16Sql,
     "x9_quality" -> x9Sql,

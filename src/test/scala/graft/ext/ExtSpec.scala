@@ -165,6 +165,34 @@ class ExtSpec extends SparkSpec {
     assert(p1.groupBy(_._1).keySet.subsetOf(p2.groupBy(_._1).keySet))
   }
 
+  test("k-means IVF: learned centroids give decent recall vs brute force, assignment is total") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val n = emb.count()
+    // every vector lands in exactly one of the k cells, more than one
+    // cell is populated (2 Lloyd rounds actually separated the space)
+    val a = KMeans.assign(emb, k = 8, iters = 2)
+    assert(a.count() == n)
+    assert(a.select("vec_id").distinct().count() == n)
+    val cells = a.select("cell").distinct().count()
+    assert(cells > 1 && cells <= 8, s"cells=$cells")
+    // Lloyd improves (or at least never worsens) the quantization error
+    val e1 = KMeans.assign(emb, k = 8, iters = 1).agg(sum("dist")).collect()(0).getLong(0)
+    val e2 = a.agg(sum("dist")).collect()(0).getLong(0)
+    assert(e2 <= e1, s"iter2 error $e2 > iter1 error $e1")
+    // IVF search over the learned centroids: recall vs brute force
+    val pred = col("vec_id") < 10
+    val cent = KMeans.centroids(emb, k = 8, iters = 2)
+      .select(col("cell").as("cent_label"), col("ce"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, pred, 5))
+    val km1 = pairs(Similarity.ivfTopKWith(emb, cent, pred, 5, probes = 1))
+    val km2 = pairs(Similarity.ivfTopKWith(emb, cent, pred, 5, probes = 2))
+    def recall(s: Set[(Long, Long)]) = s.intersect(exact).size.toDouble / exact.size
+    assert(recall(km2) >= recall(km1))
+    assert(recall(km2) > 0.2, f"kmeans-IVF probe-2 recall ${recall(km2)}%.2f")
+  }
+
   test("language guess picks the marked language") {
     import spark.implicits._
     val df = Seq(
