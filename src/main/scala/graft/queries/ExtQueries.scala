@@ -680,21 +680,24 @@ object ExtQueries {
   /** Top-5 bigrams per language (count desc, bigram tiebreak) — the
     * n-gram frequency table an LM-data pipeline derives per corpus
     * stratum. Bigrams come from the codegen'd WordShingles expression
-    * WITH multiplicity (no distinct — these are counts).
+    * WITH multiplicity (no distinct — these are counts). The per-stratum
+    * top-5 uses the native partial top-k aggregate: with only a handful
+    * of language partitions, a window would sort each language's whole
+    * bigram table in one task — top_k_pairs forwards at most 5 pairs per
+    * language per partition instead.
     */
   val x23BigramStats: Q = (spark, sfDir) => {
     val bigrams = org.apache.spark.sql.GraftColumnBridge.column(
       graft.expr.WordShingles(
         org.apache.spark.sql.GraftColumnBridge.expression(col("text")), 2))
-    val counts = Tables.documents(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .select(col("lang"), explode(bigrams).as("bigram"))
       .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
-    counts
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("lang").orderBy(col("n").desc, col("bigram"))))
-      .filter(col("rank") <= 5)
-      .select("lang", "rank", "bigram", "n")
+      .groupBy("lang")
+      .agg(graft.expr.TopKPairs.topK(col("n"), col("bigram"), 5).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "ts")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("ts.key").as("bigram"), col("ts.score").as("n"))
       .orderBy("lang", "rank")
   }
 

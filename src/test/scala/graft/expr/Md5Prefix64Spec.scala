@@ -34,16 +34,11 @@ class Md5Prefix64Spec extends SparkSpec {
     assert(fromExpr.toSeq == fromDriver)
   }
 
-  test("md5_prefix64 is callable from SQL once registered") {
-    // getOrCreate reuses the suite session (withExtensions only applies
-    // to brand-new sessions), so install on the live registry — the same
-    // builder GraftExtensions injects.
-    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "md5_prefix64",
-      exprs => Md5Prefix64(exprs.head, 8),
-      "scala_udf")
-    val got = spark.sql("SELECT md5_prefix64('abc') AS h").collect().head.getLong(0)
+  test("md5_prefix64 is callable from SQL via the installed extensions") {
+    // the shared test session is built withExtensions(GraftExtensions)
+    // (SparkSpec) — no hand registration; a temp-function copy here
+    // would shadow the injected one and mask arity/wiring bugs
+    val got = spark.sql("SELECT md5_prefix64('abc', 8) AS h").collect().head.getLong(0)
     assert(got == HashUtil.md5Prefix64("abc", 8))
   }
 }
