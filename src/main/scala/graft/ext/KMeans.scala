@@ -29,7 +29,7 @@ object KMeans {
   val Offset = 10000000L
 
   /** (vec_id, e: ARRAY<BIGINT>) quantized positive integer embeddings. */
-  private def quantized(emb: DataFrame): DataFrame =
+  private[ext] def quantized(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
       transform(col("embedding"),
         x => round(x.cast("double") * Scale).cast("long") + Offset).as("e"))

@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization for memory-bounded ANN: split each embedding
+  * into `m` contiguous subvectors, k-means each subspace independently
+  * (same exact integer arithmetic as [[KMeans]] — any engine replays the
+  * rounds bit-for-bit), and represent a vector by its `m` centroid ids
+  * (the "PQ code", m·log2(k) bits instead of dim·32).
+  *
+  * At 100 TB this is the standard IVF-PQ memory story: the corpus's
+  * float vectors never have to sit in RAM for search — only the codes
+  * (here: 2 bytes/vector at m=4, k=4) and the m·k centroid table, with
+  * asymmetric-distance (ADC) scoring against per-query lookup tables.
+  *
+  * All subspaces train in ONE pipeline: `sub` rides the group-by keys,
+  * so the per-round cost is the same two shuffles as plain k-means —
+  * not m separate jobs. The global dimension index `i` determines its
+  * subspace, so the assignment join on `i` never mixes subspaces.
+  */
+object PQ {
+
+  /** Exploded quantized embeddings tagged with their subspace:
+    * (vec_id, sub, i, v). `subWidth` = dim / m.
+    */
+  private def explodedSub(emb: DataFrame, subWidth: Int): DataFrame =
+    KMeans.quantized(emb)
+      .select(col("vec_id"), posexplode(col("e")).as(Seq("i", "v")))
+      .withColumn("sub", (col("i") / subWidth).cast("int"))
+
+  /** Runs `iters` Lloyd rounds per subspace; returns (assignment
+    * (vec_id, sub, cid, dist), centroids (sub, cid, i, v)) — the
+    * centroids are the ones the final assignment was computed against.
+    */
+  private def run(emb: DataFrame, m: Int, k: Int, iters: Int,
+                  subWidth: Int): (DataFrame, DataFrame) = {
+    require(m >= 1 && k >= 1 && iters >= 1, "pq: m, k, iters must be >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qe = explodedSub(emb, subWidth).localCheckpoint()
+    // seeds: the k lowest vec_ids seed every subspace (deterministic)
+    val seedIds = qe.select("vec_id").distinct().orderBy("vec_id").limit(k)
+      .collect().map(_.getLong(0))
+    val seedDf = seedIds.sorted.zipWithIndex
+      .map { case (id, c) => (id, c.toLong) }.toSeq.toDF("vec_id", "cid")
+    var centE = qe.join(broadcast(seedDf), "vec_id")
+      .select(col("sub"), col("cid"), col("i"), col("v"))
+      .localCheckpoint()
+    var assign: DataFrame = null
+    for (it <- 1 to iters) {
+      // join on the global index i: each centroid only carries its own
+      // subspace's indices, so this is implicitly subspace-local
+      val dists = qe
+        .join(broadcast(centE.select(col("cid"), col("i"), col("v").as("cv"))), "i")
+        .groupBy("vec_id", "sub", "cid")
+        .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))
+      assign = dists.groupBy("vec_id", "sub")
+        .agg(min(struct(col("dist"), col("cid"))).as("mn"))
+        .select(col("vec_id"), col("sub"), col("mn.cid").as("cid"),
+          col("mn.dist").as("dist"))
+        .localCheckpoint()
+      if (it < iters)
+        centE = qe.join(assign.select("vec_id", "sub", "cid"), Seq("vec_id", "sub"))
+          .groupBy("sub", "cid", "i").agg(expr("sum(v) div count(1)").as("v"))
+          .localCheckpoint()
+    }
+    (assign, centE)
+  }
+
+  /** PQ codes: one row per (vector, subspace) — (vec_id, sub, cell,
+    * dist), `dist` the exact integer squared L2 to the winning subspace
+    * centroid. `m · ceil(log2 k)` bits of code per vector.
+    */
+  def codes(emb: DataFrame, m: Int = 4, k: Int = 4, iters: Int = 2,
+            subWidth: Int = 16): DataFrame =
+    run(emb, m, k, iters, subWidth)._1
+      .select(col("vec_id"), col("sub"), col("cid").as("cell"), col("dist"))
+
+  /** Asymmetric-distance top-`topK` search: queries score every corpus
+    * code by sum over subspaces of the EXACT query-subvector→centroid
+    * distance (the classic ADC lookup-table evaluation; the corpus side
+    * touches only codes, never raw vectors).
+    */
+  def adcTopK(emb: DataFrame, queryPred: Column, topK: Int,
+              m: Int = 4, k: Int = 4, iters: Int = 2,
+              subWidth: Int = 16): DataFrame = {
+    val (assign, centE) = run(emb, m, k, iters, subWidth)
+    val codesDf = assign.select(col("vec_id").as("cid_vec"), col("sub"),
+      col("cid").as("cell"))
+    val qe = explodedSub(emb, subWidth)
+    val qids = emb.filter(queryPred).select(col("vec_id"))
+    // per-query distance table: (qid, sub, cell, d) — m·k entries/query
+    val qdt = qe.join(broadcast(qids), "vec_id")
+      .join(broadcast(centE.select(col("cid").as("cell"), col("i"), col("v").as("cv"))), "i")
+      .groupBy(col("vec_id").as("qid"), col("sub"), col("cell"))
+      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d"))
+    // ADC: codes ⋈ table on (sub, cell), summed per (query, candidate)
+    val approx = codesDf.join(broadcast(qdt), Seq("sub", "cell"))
+      .filter(col("qid") =!= col("cid_vec"))
+      .groupBy("qid", "cid_vec").agg(sum("d").as("adist"))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("cid_vec"))
+    approx.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank"), col("cid_vec").as("cid"), col("adist"))
+      .orderBy("qid", "rank")
+  }
+}

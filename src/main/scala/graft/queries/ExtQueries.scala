@@ -345,6 +345,57 @@ object ExtQueries {
       |SELECT vec_id, cid AS cell, CAST(dist AS BIGINT) AS dist
       |FROM a2 ORDER BY vec_id""".stripMargin
 
+  // --- x27: product-quantization codes (per-subspace k-means) ----------------
+
+  /** PQ codes for every vector: 4 subspaces × 4 centroids, two Lloyd
+    * rounds per subspace, all exact-integer ([[graft.ext.PQ]]) — the
+    * memory-bounded ANN representation (2 bytes/vector of code).
+    */
+  val x27SimPqCodes: Q = (spark, sfDir) =>
+    graft.ext.PQ.codes(Tables.embeddings(spark, sfDir),
+      m = 4, k = 4, iters = 2, subWidth = 16)
+      .orderBy("vec_id", "sub")
+
+  /** Same CTE chain as x26 with the subspace id riding every key:
+    * `sub = (i-1)//16` off the 1-based dimension index, so the
+    * assignment join on `i` is implicitly subspace-local.
+    */
+  private val x27Sql =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 10000000) AS e
+      |  FROM embeddings
+      |), qs AS (
+      |  SELECT vec_id, CAST((i - 1) // 16 AS INT) AS sub, i, v FROM (
+      |    SELECT vec_id, generate_subscripts(e, 1) AS i, unnest(e) AS v FROM q)
+      |), seeds AS (
+      |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      |  FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT 4)
+      |), c0 AS (
+      |  SELECT qs.sub, s.cid, qs.i, qs.v FROM qs JOIN seeds s USING (vec_id)
+      |), d1 AS (
+      |  SELECT qs.vec_id, qs.sub, c.cid, sum((qs.v - c.v) * (qs.v - c.v)) AS dist
+      |  FROM qs JOIN c0 c USING (i) GROUP BY qs.vec_id, qs.sub, c.cid
+      |), a1 AS (
+      |  SELECT vec_id, sub, cid FROM (
+      |    SELECT vec_id, sub, cid,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+      |    FROM d1) WHERE rn = 1
+      |), c1 AS (
+      |  SELECT qs.sub, a1.cid, qs.i, CAST(sum(qs.v) // count(*) AS BIGINT) AS v
+      |  FROM qs JOIN a1 USING (vec_id, sub) GROUP BY qs.sub, a1.cid, qs.i
+      |), d2 AS (
+      |  SELECT qs.vec_id, qs.sub, c.cid, sum((qs.v - c.v) * (qs.v - c.v)) AS dist
+      |  FROM qs JOIN c1 c USING (i) GROUP BY qs.vec_id, qs.sub, c.cid
+      |), a2 AS (
+      |  SELECT vec_id, sub, cid, dist FROM (
+      |    SELECT vec_id, sub, cid, dist,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+      |    FROM d2) WHERE rn = 1
+      |)
+      |SELECT vec_id, sub, cid AS cell, CAST(dist AS BIGINT) AS dist
+      |FROM a2 ORDER BY vec_id, sub""".stripMargin
+
   // --- x8: language-ID heuristic --------------------------------------------
 
   val x8LangId: Q = (spark, sfDir) =>
@@ -796,6 +847,7 @@ object ExtQueries {
     "x15_sim_ivf" -> x15SimIvf,
     "x18_sim_ivf_probe2" -> x18SimIvfProbe2,
     "x26_sim_ivf_kmeans" -> x26SimIvfKmeans,
+    "x27_sim_pq_codes" -> x27SimPqCodes,
     "x8_langid" -> x8LangId,
     "x16_langid_ngram" -> x16LangIdNgram,
     "x9_quality" -> x9Quality,
@@ -824,6 +876,7 @@ object ExtQueries {
     "x15_sim_ivf" -> x15Sql,
     "x18_sim_ivf_probe2" -> x18Sql,
     "x26_sim_ivf_kmeans" -> x26Sql,
+    "x27_sim_pq_codes" -> x27Sql,
     "x8_langid" -> x8Sql,
     "x16_langid_ngram" -> x16Sql,
     "x9_quality" -> x9Sql,

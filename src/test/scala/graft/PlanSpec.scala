@@ -103,6 +103,33 @@ class PlanSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
 
+  test("runtime bloom-filter pruning injects into selective shuffle joins") {
+    // At 100 TB the selective side of a shuffle join should row-filter
+    // the big side's scan before the exchange: Spark's runtime bloom
+    // filter does exactly that. The size thresholds are tuned for real
+    // clusters, so lower the application-side floor to let the rewrite
+    // fire at test scale and assert the bloom agg + might_contain pair
+    // lands in the optimized plan.
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val scanKey = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val prevScan = spark.conf.get(scanKey)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(scanKey, "0")
+      val li = graft.model.Tables.lineitem(spark, sf("sf0.01"))
+      val o = graft.model.Tables.orders(spark, sf("sf0.01"))
+        .filter(col("o_totalprice") > 400000)
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "o_totalprice")
+      val p = j.queryExecution.optimizedPlan.treeString
+      assert(p.contains("bloom_filter_agg") && p.contains("might_contain"),
+        p.take(3000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set(scanKey, prevScan)
+    }
+  }
+
   test("no declared query plans an unpartitioned (single-partition) window") {
     // Window.orderBy with no partitionBy moves EVERY row to one task
     // ("No Partition Defined" warning) — correct, but a scale-killer.

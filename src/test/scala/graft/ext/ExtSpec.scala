@@ -193,6 +193,35 @@ class ExtSpec extends SparkSpec {
     assert(recall(km2) > 0.2, f"kmeans-IVF probe-2 recall ${recall(km2)}%.2f")
   }
 
+  test("PQ: codes are total per subspace, duplicates share codes, ADC finds planted twins") {
+    val base = spark.read.parquet(sf() + "/embeddings.parquet")
+    val n = base.count()
+    // plant exact duplicates: vec_id + 100000 carries an identical vector
+    val twins = base.withColumn("vec_id", col("vec_id") + 100000L)
+    val emb = base.unionAll(twins)
+    val codes = PQ.codes(emb, m = 4, k = 4, iters = 2, subWidth = 16)
+    // one code per (vector, subspace)
+    assert(codes.count() == 2 * n * 4)
+    // identical vectors quantize to identical codes in every subspace
+    val joined = codes.alias("a")
+      .join(codes.alias("b"),
+        col("a.vec_id") + 100000L === col("b.vec_id") && col("a.sub") === col("b.sub"))
+    assert(joined.filter(col("a.cell") =!= col("b.cell")).count() == 0)
+    // ADC: each query's planted twin has lookup distance equal to the
+    // query's own quantization error — the minimum possible — so it must
+    // appear at rank 1 (cid tie-break can only prefer another exact twin)
+    val top = PQ.adcTopK(emb, col("vec_id") < 5, topK = 1,
+      m = 4, k = 4, iters = 2, subWidth = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(top.length == 5)
+    top.foreach { case (qid, cid, _) =>
+      val sameCode = codes.filter(col("vec_id").isin(qid, cid))
+        .groupBy("sub").agg(countDistinct("cell").as("nc"))
+        .filter(col("nc") > 1).count()
+      assert(sameCode == 0, s"ADC top-1 of $qid is $cid with a different code")
+    }
+  }
+
   test("language guess picks the marked language") {
     import spark.implicits._
     val df = Seq(
