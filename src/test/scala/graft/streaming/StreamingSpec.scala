@@ -330,6 +330,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming as-of enrichment matches batch as-of across microbatch boundaries") {
+    val events = Tables.events(spark, sf())
+    val orders = Tables.orders(spark, sf())
+    val lb = events.select(col("user_id").cast("long").as("key"),
+      unix_micros(col("ts").cast("timestamp")).as("ts"),
+      col("event_id").cast("long").as("leftId"))
+    val rb = orders.select(col("o_custkey").cast("long").as("key"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("rts"))
+    val expected = graft.ext.AsOf.asOfTime(lb, rb, "key", "ts", "rts")
+      .select(col("leftId"), col("key"), col("matched"))
+
+    // rights land in batch 1, lefts in batch 2 — cross-batch state
+    val rDir = Files.createTempDirectory("asof_r").toString
+    val lDir = Files.createTempDirectory("asof_l").toString
+    rb.withColumnRenamed("rts", "ts").write.mode("overwrite").parquet(rDir)
+    val lSchema = lb.schema
+    val rStream = spark.readStream.schema(rb.withColumnRenamed("rts", "ts").schema).parquet(rDir)
+    val lStream = spark.readStream.schema(lSchema).parquet(lDir)
+    // prune at the earliest left time: everything the pruner may drop is
+    // provably not the as-of match of any left — output must be identical
+    val horizon = lb.agg(min("ts")).collect()(0).getLong(0)
+    val out = StreamingAsOf.asOfStream(lStream, rStream, pruneBelow = horizon)
+    val q = out.toDF().writeStream.format("memory").queryName("asof_stream")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable() // batch 1: rights only
+    lb.write.mode("overwrite").parquet(lDir)
+    q.processAllAvailable() // batch 2: lefts
+    q.stop()
+    val streamed = spark.table("asof_stream")
+    assert(streamed.count() == expected.count())
+    assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty)
+  }
+
   test("mapGroupsWithState tracks per-user counts") {
     val events = Tables.events(spark, sf())
     val dir = Files.createTempDirectory("ev2").toString
