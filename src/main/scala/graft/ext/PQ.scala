@@ -106,4 +106,37 @@ object PQ {
       .select(col("qid"), col("rank"), col("cid_vec").as("cid"), col("adist"))
       .orderBy("qid", "rank")
   }
+
+  /** IVF-PQ: the production ANN composition — a coarse [[KMeans]] cell
+    * restricts candidates (equi-join on cell, queries probe their
+    * nearest cell), then ADC over PQ codes ranks WITHIN the cell. The
+    * corpus side of the scoring join carries only (cell, codes): at
+    * 100 TB neither raw vectors nor per-query full scans exist anywhere
+    * in the plan.
+    */
+  def ivfAdcTopK(emb: DataFrame, queryPred: Column, topK: Int,
+                 coarseK: Int = 8, m: Int = 4, k: Int = 4, iters: Int = 2,
+                 subWidth: Int = 16): DataFrame = {
+    val cells = KMeans.assign(emb, coarseK, iters).select("vec_id", "cell")
+    val (assign, centE) = run(emb, m, k, iters, subWidth)
+    val codesDf = assign.select(col("vec_id").as("cid_vec"), col("sub"),
+      col("cid").as("pcell"))
+      .join(cells.select(col("vec_id").as("cid_vec"), col("cell")), "cid_vec")
+    val qe = explodedSub(emb, subWidth)
+    val qids = emb.filter(queryPred).select(col("vec_id"))
+    val qdt = qe.join(broadcast(qids), "vec_id")
+      .join(broadcast(centE.select(col("cid").as("pcell"), col("i"), col("v").as("cv"))), "i")
+      .groupBy(col("vec_id").as("qid"), col("sub"), col("pcell"))
+      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d"))
+      .join(cells.select(col("vec_id").as("qid"), col("cell")), "qid")
+    // candidates restricted to the query's coarse cell, then ADC-ranked
+    val approx = codesDf.join(broadcast(qdt), Seq("cell", "sub", "pcell"))
+      .filter(col("qid") =!= col("cid_vec"))
+      .groupBy("qid", "cid_vec").agg(sum("d").as("adist"))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("cid_vec"))
+    approx.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank"), col("cid_vec").as("cid"), col("adist"))
+      .orderBy("qid", "rank")
+  }
 }

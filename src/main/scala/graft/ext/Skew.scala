@@ -30,4 +30,20 @@ object Skew {
     partial.groupBy(col(key))
       .agg(sum(col("_n")).as("n"))
   }
+
+  /** Salted equi-join for a skewed big side: the big side salts each row
+    * (position-derived, same rationale as [[saltedCounts]]) and the
+    * small side replicates once per salt, so the hot key's rows spread
+    * over `salts` reducers instead of one. `salts`× the small side rides
+    * the shuffle — the classic trade when the small side is modest but
+    * too big (or too mid-plan) to broadcast. Row-for-row identical to
+    * the direct join; the oracle checks exactly that.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
+    val b = big.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val s = small.withColumn("_salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    b.join(s, Seq(key, "_salt")).drop("_salt")
+  }
 }

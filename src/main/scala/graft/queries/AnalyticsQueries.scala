@@ -375,6 +375,83 @@ object AnalyticsQueries {
       |  quantile_cont(l_quantity, 0.9) AS p90
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --- a18: unpivot / melt -------------------------------------------------------
+
+  /** Wide per-flag measures melted to (flag, measure, value) — the
+    * relational unpivot surface. Money sums in exact integer cents so
+    * both engines agree bit-for-bit regardless of summation order.
+    */
+  val a18Unpivot: Q = (spark, sfDir) => {
+    val wide = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("l_quantity")).cast("long").as("qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("price_e2"),
+        count(lit(1)).as("n"))
+    wide.unpivot(Array(col("l_returnflag")),
+        Array(col("qty"), col("price_e2"), col("n")), "measure", "value")
+      .orderBy("l_returnflag", "measure")
+  }
+
+  private val a18Sql =
+    """WITH wide AS (
+      |  SELECT l_returnflag,
+      |    CAST(sum(l_quantity) AS BIGINT) AS qty,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_e2,
+      |    count(*) AS n
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, 'qty' AS measure, qty AS value FROM wide
+      |UNION ALL SELECT l_returnflag, 'price_e2' AS measure, price_e2 AS value FROM wide
+      |UNION ALL SELECT l_returnflag, 'n' AS measure, n AS value FROM wide
+      |ORDER BY l_returnflag, measure""".stripMargin
+
+  // --- a19: window navigation (ntile / percent_rank / cume_dist) -----------------
+
+  /** Distribution-style window functions per customer — all windows
+    * PARTITIONED (the PlanSpec gate forbids the unpartitioned kind);
+    * fractional ranks rounded to 6 dp for engine-stable hashing.
+    */
+  val a19WindowNav: Q = (spark, sfDir) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .withColumn("nt", ntile(4).over(w))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .orderBy("o_orderkey")
+  }
+
+  private val a19Sql =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(ntile(4) OVER w AS INT) AS nt,
+      |  round(percent_rank() OVER w, 6) AS pr,
+      |  round(cume_dist() OVER w, 6) AS cd
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // --- a20: salted skew join -----------------------------------------------------
+
+  /** Events joined to their customer's nation through the SALTED join
+    * ([[graft.ext.Skew.saltedJoin]], 8 salts) — the skewed-fact-table
+    * mitigation when the dimension can't broadcast. The oracle is the
+    * plain join: salting must be invisible in the result.
+    */
+  val a20SaltedJoin: Q = (spark, sfDir) => {
+    val e = Tables.events(spark, sfDir).select(col("user_id"))
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+    graft.ext.Skew.saltedJoin(e, c, "user_id", 8)
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+  }
+
+  private val a20Sql =
+    """SELECT c_nationkey, count(*) AS n
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   // --- assembled maps -------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -394,7 +471,10 @@ object AnalyticsQueries {
     "a14_asof_forward" -> a14AsofForward,
     "a15_asof_tolerance" -> a15AsofTolerance,
     "a16_running_windows" -> a16RunningWindows,
-    "a17_cube" -> a17Cube)
+    "a17_cube" -> a17Cube,
+    "a18_unpivot" -> a18Unpivot,
+    "a19_window_nav" -> a19WindowNav,
+    "a20_salted_join" -> a20SaltedJoin)
 
   val oracle: Map[String, String] = Map(
     "a1_top_orders" -> a1Sql,
@@ -413,5 +493,8 @@ object AnalyticsQueries {
     "a14_asof_forward" -> a14Sql,
     "a15_asof_tolerance" -> a15Sql,
     "a16_running_windows" -> a16Sql,
-    "a17_cube" -> a17Sql)
+    "a17_cube" -> a17Sql,
+    "a18_unpivot" -> a18Sql,
+    "a19_window_nav" -> a19Sql,
+    "a20_salted_join" -> a20Sql)
 }

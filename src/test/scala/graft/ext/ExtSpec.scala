@@ -220,6 +220,30 @@ class ExtSpec extends SparkSpec {
         .filter(col("nc") > 1).count()
       assert(sameCode == 0, s"ADC top-1 of $qid is $cid with a different code")
     }
+    // IVF-PQ composition: the twin shares the query's coarse cell (same
+    // vector → same coarse assignment), so cell restriction keeps it and
+    // ADC still ranks a same-code candidate first
+    val topIvf = PQ.ivfAdcTopK(emb, col("vec_id") < 5, topK = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(topIvf.length == 5)
+    topIvf.foreach { case (qid, cid) =>
+      val sameCode = codes.filter(col("vec_id").isin(qid, cid))
+        .groupBy("sub").agg(countDistinct("cell").as("nc"))
+        .filter(col("nc") > 1).count()
+      assert(sameCode == 0, s"IVF-PQ top-1 of $qid is $cid with a different code")
+    }
+  }
+
+  test("salted join equals the plain join on a skewed key distribution") {
+    import spark.implicits._
+    // 90% of the big side shares one hot key
+    val big = (0 until 1000).map(i => (if (i < 900) 7L else i.toLong % 50, i))
+      .toDF("k", "payload")
+    val small = (0 until 50).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val plain = big.join(small, "k")
+    val salted = Skew.saltedJoin(big, small, "k", 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
   test("language guess picks the marked language") {
