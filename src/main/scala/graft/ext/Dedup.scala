@@ -199,15 +199,26 @@ object Dedup {
         .localCheckpoint()
       // the eager checkpoint IS the round's one job; the observed metric
       // arrives on the (async) listener bus — bounded wait, then fall
-      // back to a scan of the already-checkpointed rows (still no join)
+      // back to a scan of the already-checkpointed rows (still no join).
+      // The waiter is a dedicated daemon thread that gets INTERRUPTED on
+      // timeout (Observation.get blocks in Object.wait, which is
+      // interruptible) — a fire-and-forget Future here would leak one
+      // permanently-blocked pool thread per timed-out round.
       val changed = {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration._
-        try Await.result(Future(obs.get), 10.seconds)("changed").asInstanceOf[Long]
-        catch { case _: java.util.concurrent.TimeoutException =>
-          next.filter(col("lbl") =!= col("old")).count()
+        import java.util.concurrent.{Executors, TimeUnit, TimeoutException, Callable}
+        val ex = Executors.newSingleThreadExecutor { r =>
+          val t = new Thread(r, "cc-observe-wait"); t.setDaemon(true); t
         }
+        try {
+          val fut = ex.submit(new Callable[Long] {
+            def call(): Long = obs.get("changed").asInstanceOf[Long]
+          })
+          try fut.get(10, TimeUnit.SECONDS)
+          catch { case _: TimeoutException =>
+            fut.cancel(true)
+            next.filter(col("lbl") =!= col("old")).count()
+          }
+        } finally ex.shutdownNow()
       }
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"CC iter=$iter changed=$changed")

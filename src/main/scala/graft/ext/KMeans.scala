@@ -7,8 +7,11 @@ import org.apache.spark.sql.functions._
   * arithmetic so any engine reproduces it bit-for-bit (the x26 oracle
   * runs the same rounds in DuckDB):
   *
-  *  - embeddings quantize to `round(x·10^6) + 10^7` — the offset keeps
-  *    every value positive, so integer division for the means is
+  *  - embeddings quantize to `round(x·10^6) + 10^7` — for inputs in the
+  *    supported domain |x| ≤ 10 the offset keeps every value positive
+  *    (enforced at runtime in [[quantized]]; a negative quantized value
+  *    would make `div` diverge between engines — Spark truncates toward
+  *    zero, DuckDB `//` floors), so integer division for the means is
   *    floor == truncate in every engine, and it cancels in distances
   *    ((a+o)−(b+o) = a−b), leaving assignments unaffected;
   *  - seeds are the k lowest `vec_id`s (deterministic, no RNG);
@@ -20,19 +23,28 @@ import org.apache.spark.sql.functions._
   * centroids are k·dim rows broadcast to the assignment join, the
   * assignment is one partial-aggregating groupBy per round, and every
   * round's output is checkpointed so lineage stays flat. Magnitudes:
-  * |x| ≤ ~200 ⇒ |v| ≤ 2·10^8, dist ≤ dim·(4·10^8)² ≈ 10^19/60 — inside
-  * signed-64 for the 64-dim unit-ish embeddings this targets.
+  * |x| ≤ 10 ⇒ v ≤ 2·10^7, per-pair dist ≤ 64·(4·10^7)² ≈ 1.0·10^17 —
+  * two orders of magnitude inside signed-64 (max 9.2·10^18) for the
+  * 64-dim unit-ish embeddings this targets.
   */
 object KMeans {
 
   val Scale = 1000000L
   val Offset = 10000000L
 
-  /** (vec_id, e: ARRAY<BIGINT>) quantized positive integer embeddings. */
+  /** (vec_id, e: ARRAY<BIGINT>) quantized positive integer embeddings.
+    * Values outside the supported domain (quantized < 0, i.e. x < −10)
+    * fail the job loudly rather than silently breaking cross-engine
+    * floor/truncate division parity.
+    */
   private[ext] def quantized(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
-      transform(col("embedding"),
-        x => round(x.cast("double") * Scale).cast("long") + Offset).as("e"))
+      transform(col("embedding"), x => {
+        val v = round(x.cast("double") * Scale).cast("long") + Offset
+        when(v >= 0L, v).otherwise(raise_error(concat(
+          lit("KMeans.quantized: embedding value below supported domain [-10, 10]: "),
+          x.cast("string"))))
+      }).as("e"))
 
   /** Runs `iters` Lloyd rounds; returns (final assignment, final
     * exploded centroids (cid, i, v)). The assignment is the one computed

@@ -22,12 +22,20 @@ object Ranking {
 
   /** Adds a global `dense_rank() OVER (ORDER BY valueCol DESC)` as
     * column `rankCol` (BIGINT), computed with partitioned windows only.
+    *
+    * `valueCol` must be non-null: `count_distinct` skips NULLs, so a
+    * null mixed into a non-final range partition would shift every
+    * downstream offset. Enforced in the (already driver-sized) stats
+    * job rather than silently mis-ranking.
     */
   def denseRankDesc(df: DataFrame, valueCol: String, rankCol: String,
                     numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
-      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      else try spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      catch { // e.g. "auto" on some platforms — fall back to the data's layout
+        case _: NumberFormatException => math.max(df.rdd.getNumPartitions, 1)
+      }
     // localCheckpoint: the ranged layout must be identical for the
     // stats job and the final job (partition ids ride the rows), and
     // the lineage re-planning is wasted work anyway
@@ -35,11 +43,14 @@ object Ranking {
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint()
     // one row per partition — driver-sized no matter the data volume
-    val stats = ranged.groupBy("_pid")
-      .agg(count_distinct(col(valueCol)).as("nd"))
+    val stats0 = ranged.groupBy("_pid")
+      .agg(count_distinct(col(valueCol)).as("nd"),
+        count(when(col(valueCol).isNull, 1)).as("nulls"))
       .collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
-      .sortBy(_._1)
+    val nullCount = stats0.map(_.getLong(2)).sum
+    require(nullCount == 0,
+      s"denseRankDesc: $valueCol contains $nullCount NULLs — offsets would skew; filter them first")
+    val stats = stats0.map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offsets = stats.map { case (p, nd) =>
       val o = (p, acc); acc += nd; o

@@ -26,6 +26,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    the match for future lefts), bounding state like a watermark
   *    would; at 100 TB keys this is the difference between O(rights)
   *    and O(1)-ish state.
+  *  - Rows with a null key/ts/leftId are DROPPED on both sides (the
+  *    typed `Ev` pipeline has primitive Long fields, so a null would
+  *    otherwise NPE inside the running streaming query).
   */
 object StreamingAsOf {
 
@@ -69,9 +72,11 @@ object StreamingAsOf {
                  pruneBelow: Long = Long.MinValue): Dataset[Matched] = {
     val spark = left.sparkSession
     import spark.implicits._
-    val l = left.select(col("key").cast("long"), col("ts").cast("long"),
-      lit(1).as("side"), col("leftId").cast("long"))
-    val r = right.filter(col("key").isNotNull)
+    val l = left
+      .filter(col("key").isNotNull && col("ts").isNotNull && col("leftId").isNotNull)
+      .select(col("key").cast("long"), col("ts").cast("long"),
+        lit(1).as("side"), col("leftId").cast("long"))
+    val r = right.filter(col("key").isNotNull && col("ts").isNotNull)
       .select(col("key").cast("long"), col("ts").cast("long"),
         lit(0).as("side"), lit(-1L).as("leftId"))
     l.unionByName(r).as[Ev]

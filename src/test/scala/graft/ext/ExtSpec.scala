@@ -334,4 +334,24 @@ class ExtSpec extends SparkSpec {
     assert(frames.count(_.docId == 0L) == expected)
     assert(frames.forall(f => f.feature >= 0.0 && f.feature <= 1.0))
   }
+
+  test("kmeans quantization rejects inputs outside the [-10,10] parity domain") {
+    import spark.implicits._
+    // -10.0 quantizes to exactly 0 (still positive-domain); -10.1 goes negative
+    val ok = Seq((0L, Array(-10.0, 10.0))).toDF("vec_id", "embedding")
+    assert(KMeans.quantized(ok).select(expr("e[0]")).collect().head.getLong(0) == 0L)
+    val bad = Seq((0L, Array(-10.1))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] { KMeans.quantized(bad).collect() }
+    assert(e.getMessage.contains("below supported domain") ||
+      Option(e.getCause).exists(_.getMessage.contains("below supported domain")))
+  }
+
+  test("denseRankDesc refuses NULL rank values instead of silently skewing offsets") {
+    import spark.implicits._
+    val withNull = Seq(Some(3L), Some(1L), None, Some(2L)).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      Ranking.denseRankDesc(withNull, "v", "rnk").collect()
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
 }

@@ -363,6 +363,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming as-of drops null-keyed rows on BOTH sides instead of NPEing") {
+    import spark.implicits._
+    val lDir = Files.createTempDirectory("asofn_l").toString
+    val rDir = Files.createTempDirectory("asofn_r").toString
+    // one good left row, one null-key, one null-ts; right: one good + one null-key
+    Seq((Some(1L), Some(100L), Some(10L)), (None, Some(101L), Some(11L)),
+      (Some(1L), None, Some(12L)))
+      .toDF("key", "ts", "leftId").write.mode("overwrite").parquet(lDir)
+    Seq((Some(1L), Some(50L)), (None, Some(60L)))
+      .toDF("key", "ts").write.mode("overwrite").parquet(rDir)
+    val lSchema = spark.read.parquet(lDir).schema
+    val rSchema = spark.read.parquet(rDir).schema
+    val out = StreamingAsOf.asOfStream(
+      spark.readStream.schema(lSchema).parquet(lDir),
+      spark.readStream.schema(rSchema).parquet(rDir))
+    val q = out.toDF().writeStream.format("memory").queryName("asof_nulls")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("asof_nulls").collect()
+    assert(rows.length == 1) // only the fully-non-null left survives
+    assert(rows.head.getLong(0) == 10L && rows.head.getLong(2) == 50L)
+  }
+
   test("mapGroupsWithState tracks per-user counts") {
     val events = Tables.events(spark, sf())
     val dir = Files.createTempDirectory("ev2").toString
