@@ -23,6 +23,33 @@ object Sampling {
   def hashSample(df: DataFrame, key: Column, rateBp: Int, salt: String = ""): DataFrame =
     df.filter(bucket(key, salt) < rateBp)
 
+  /** Weighted sampling without replacement (sequential Poisson /
+    * priority sampling, Ohlsson '98): each row gets priority
+    * `u div w` where `u` is its uniform content-hash draw and `w` its
+    * weight; the k smallest priorities are the sample, so heavy rows
+    * (large `w` → small priority) are proportionally more likely. All
+    * arithmetic is INTEGER (u scaled by 10^9 before the division) so
+    * both engines of the oracle agree bit-for-bit — no float `pow`/`ln`
+    * whose last ulp could flip the selection boundary.
+    *
+    * Scale shape: the top-k runs as `TakeOrderedAndProject` —
+    * per-partition bounded heaps merged on the driver, k rows total —
+    * never a global sort.
+    */
+  def priorityWeighted(df: DataFrame, key: Column, weight: Column, k: Int,
+                       salt: String = ""): DataFrame = {
+    val u = Hashing.h32(concat(key.cast("string"), lit(salt))) % 1000000L
+    df.withColumn("_u_scaled", u * 1000000000L)
+      .withColumn("_w", weight.cast("long"))
+      // zero/negative/null weight = "never sampled" (and keeps the ANSI
+      // integer division from throwing on w = 0)
+      .filter(col("_w") > 0)
+      .withColumn("priority", expr("_u_scaled div _w"))
+      .drop("_u_scaled", "_w")
+      .orderBy(col("priority").asc, key.asc)
+      .limit(k)
+  }
+
   /** Per-stratum rates (basis points) with a default for unlisted strata —
     * deterministic replacement for `sampleBy`.
     */

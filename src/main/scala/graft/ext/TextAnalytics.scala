@@ -113,6 +113,48 @@ object TextAnalytics {
     aggregate(transform(toks(text), t => Hashing.h32(t)),
       lit(0L), (a, x) => (a * 31 + x) % lit(1000000007L))
 
+  /** Repetition-based quality signals (the Gopher-rules family):
+    * per-document duplicate-word fraction, most-frequent-word fraction,
+    * and most-frequent-bigram fraction, plus a pass flag. Highly
+    * repetitive documents (boilerplate, keyword stuffing, generation
+    * loops) score high and get filtered before training.
+    *
+    * Shape at scale: explode → two partial-aggregating groupBys keyed by
+    * (doc, gram) then doc — both map-side combined, no windows, no
+    * per-doc skew (a doc's grams all hash to ONE reducer only in the
+    * final doc-keyed agg, where the carried state is 3 longs).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      maxDupWordFrac: Double = 0.5,
+                      maxTopBigramFrac: Double = 0.05): DataFrame = {
+    val words = df.select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("g"))
+    val wStats = words.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max("c").as("top_word_n"))
+    val bigrams = df.select(col(idCol).as("doc_id"),
+      explode(org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expr.WordShingles(
+          org.apache.spark.sql.GraftColumnBridge.expression(col(textCol)), 2))).as("g"))
+    val bStats = bigrams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_bigrams"), max("c").as("top_bigram_n"))
+    val dupFrac = round(lit(1.0) -
+      col("n_distinct_words").cast("double") / col("n_words"), 6)
+    val topWordFrac = round(col("top_word_n").cast("double") / col("n_words"), 6)
+    val topBigramFrac = round(coalesce(
+      col("top_bigram_n").cast("double") / col("n_bigrams"), lit(0.0)), 6)
+    wStats.join(bStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        dupFrac.as("dup_word_frac"),
+        topWordFrac.as("top_word_frac"),
+        topBigramFrac.as("top_bigram_frac"))
+      .withColumn("pass",
+        (col("dup_word_frac") <= maxDupWordFrac &&
+          col("top_bigram_frac") <= maxTopBigramFrac).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Top-`k` tf-idf terms per document. Scoring is exact-integer —
     * (tf · N · 10^6) div df — which orders identically to tf·idf for a
     * fixed corpus and is reproducible bit-for-bit in any engine (no

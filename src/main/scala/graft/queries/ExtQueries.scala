@@ -833,6 +833,192 @@ object ExtQueries {
       |HAVING count(*) >= 10
       |ORDER BY t_id, b_id""".stripMargin
 
+  // --- x28: PII redaction --------------------------------------------------------
+
+  /** PII scrub over text with deterministically planted contacts (the
+    * synthetic corpus has none of its own): every doc gets an email,
+    * even docs a phone, every-third docs an IP — counts and the redacted
+    * text must match the oracle byte-for-byte (compared via md5).
+    */
+  val x28RedactPii: Q = (spark, sfDir) => {
+    val phone = when(col("doc_id") % 2 === 0,
+      concat(lit(" call +91 "),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit(""))
+    val ip = when(col("doc_id") % 3 === 0,
+      concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (expr("doc_id div 256") % 256).cast("string"))).otherwise(lit(""))
+    val pii = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@mail.example.com"), phone, ip)
+    val counted = graft.ext.Redact.counts(pii)
+      .foldLeft(Tables.documents(spark, sfDir).withColumn("_pii", pii)) {
+        case (d, (name, c)) => d.withColumn(name, c.cast("long"))
+      }
+    counted.select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        md5(graft.ext.Redact.redact(col("_pii"))).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val x28Sql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || doc_id || '@mail.example.com'
+      |      || CASE WHEN doc_id % 2 = 0 THEN ' call +91 '
+      |           || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+      |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+      |      || CASE WHEN doc_id % 3 = 0 THEN ' from 10.' || (doc_id % 256)
+      |           || '.0.' || ((doc_id // 256) % 256) ELSE '' END AS pii
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(pii, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(pii, '\+\d{2} \d{3}-\d{4}')) AS BIGINT) AS n_phones,
+      |  CAST(len(regexp_extract_all(pii, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS BIGINT) AS n_ips,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(pii,
+      |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |    '\+\d{2} \d{3}-\d{4}', '<PHONE>', 'g'),
+      |    '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g')) AS redacted_md5
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  // --- x29: repetition quality (Gopher-rules family) -----------------------------
+
+  val x29Repetition: Q = (spark, sfDir) =>
+    TextAnalytics.repetitionStats(Tables.documents(spark, sfDir), "doc_id", "text")
+
+  private val x29Sql =
+    """WITH ex AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM documents
+      |), wc AS (
+      |  SELECT doc_id, g, count(*) AS c FROM ex GROUP BY doc_id, g
+      |), ws AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+      |    CAST(count(*) AS BIGINT) AS nd, CAST(max(c) AS BIGINT) AS tw
+      |  FROM wc GROUP BY doc_id
+      |), tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), bgx AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, length(tk)),
+      |    i -> array_to_string(list_slice(tk, i, i+1), ' '))) AS g
+      |  FROM tok
+      |), bc AS (
+      |  SELECT doc_id, g, count(*) AS c FROM bgx GROUP BY doc_id, g
+      |), bs AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb, CAST(max(c) AS BIGINT) AS tb
+      |  FROM bc GROUP BY doc_id
+      |), f AS (
+      |  SELECT ws.doc_id, n_words,
+      |    round(1.0 - CAST(nd AS DOUBLE) / n_words, 6) AS dup_word_frac,
+      |    round(CAST(tw AS DOUBLE) / n_words, 6) AS top_word_frac,
+      |    round(coalesce(CAST(tb AS DOUBLE) / nb, 0.0), 6) AS top_bigram_frac
+      |  FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+      |)
+      |SELECT doc_id, n_words, dup_word_frac, top_word_frac, top_bigram_frac,
+      |  CAST(CASE WHEN dup_word_frac <= 0.5 AND top_bigram_frac <= 0.05
+      |    THEN 1 ELSE 0 END AS INT) AS pass
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  // --- x30: weighted sampling (sequential Poisson) ---------------------------------
+
+  /** Token-weighted corpus sample: k = 100 docs picked by integer
+    * priority `(u·10^9) div n_tokens` — long documents are
+    * proportionally likelier, selection is a pure function of content.
+    */
+  val x30WeightedSample: Q = (spark, sfDir) => {
+    val t = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    Sampling.priorityWeighted(t, col("doc_id"), col("n_tokens"), 100, ":ws")
+      .select(col("doc_id"), col("n_tokens"), col("priority"))
+      .orderBy("doc_id")
+  }
+
+  private val x30Sql =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    ('0x' || substr(md5(doc_id || ':ws'),1,8))::BIGINT % 1000000 AS u
+      |  FROM documents
+      |), p AS (
+      |  SELECT doc_id, n_tokens, (u * 1000000000) // n_tokens AS priority
+      |  FROM w WHERE n_tokens > 0
+      |), s AS (
+      |  SELECT * FROM p ORDER BY priority, doc_id LIMIT 100
+      |)
+      |SELECT doc_id, n_tokens, CAST(priority AS BIGINT) AS priority
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  // --- x31: sequence packing (concat-and-chunk token offsets) ----------------------
+
+  val x31SeqPacking: Q = (spark, sfDir) => {
+    val t = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    graft.ext.Packing.tokenOffsets(t, "doc_id", "n_tokens", 2048L)
+      .select(col("doc_id"), col("n_tokens"), col("token_offset"),
+        col("bin_id"), col("bin_pos"))
+      .orderBy("doc_id")
+  }
+
+  private val x31Sql =
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      |  FROM t
+      |)
+      |SELECT doc_id, n_tokens, off AS token_offset,
+      |  off // 2048 AS bin_id, off % 2048 AS bin_pos
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  // --- x32: semantic dedup (embedding near-dups -> clusters -> canonical) ----------
+
+  /** End-to-end embedding-based dedup: label-blocked cosine pairs at
+    * sim ≥ 0.35 (x5's operator), connected components over the pair
+    * graph (x17's operator), singletons keep their own id; the
+    * component-min id is the canonical representative.
+    */
+  val x32SemanticDedup: Q = (spark, sfDir) => {
+    val emb = Tables.embeddings(spark, sfDir)
+    val pairs = Similarity.embeddingNearDups(emb, "label", 0.35)
+      .select(col("a_id"), col("b_id"))
+    val clusters = Dedup.dedupClusters(pairs)
+      .withColumnRenamed("doc_id", "vec_id")
+    emb.select(col("vec_id"))
+      .join(clusters, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .withColumn("is_canonical", (col("vec_id") === col("cluster_id")).cast("int"))
+      .orderBy("vec_id")
+  }
+
+  private val x32Sql =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT x.vec_id AS a_id, y.vec_id AS b_id, x.embedding AS xe, y.embedding AS ye
+       |  FROM embeddings x JOIN embeddings y
+       |    ON x.label = y.label AND x.vec_id < y.vec_id
+       |), s AS (
+       |  SELECT a_id, b_id, ${cosSql("xe", "ye")} AS sim FROM d
+       |), pr AS (
+       |  SELECT a_id, b_id FROM s WHERE sim >= 0.35
+       |), e AS (
+       |  SELECT a_id AS u, b_id AS v FROM pr
+       |  UNION ALL
+       |  SELECT b_id, a_id FROM pr
+       |), reach AS (
+       |  SELECT u AS id, u AS r FROM e
+       |  UNION
+       |  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.id
+       |), cl AS (
+       |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+       |)
+       |SELECT v.vec_id,
+       |  coalesce(cl.cluster_id, v.vec_id) AS cluster_id,
+       |  CAST(CASE WHEN v.vec_id = coalesce(cl.cluster_id, v.vec_id)
+       |    THEN 1 ELSE 0 END AS INT) AS is_canonical
+       |FROM embeddings v LEFT JOIN cl ON cl.id = v.vec_id
+       |ORDER BY vec_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -862,7 +1048,12 @@ object ExtQueries {
     "x22_cms_heavy_hitters" -> x22CmsHeavyHitters,
     "x23_bigram_stats" -> x23BigramStats,
     "x24_normalize" -> x24Normalize,
-    "x25_decontamination" -> x25Decontamination)
+    "x25_decontamination" -> x25Decontamination,
+    "x28_redact_pii" -> x28RedactPii,
+    "x29_repetition" -> x29Repetition,
+    "x30_weighted_sample" -> x30WeightedSample,
+    "x31_seq_packing" -> x31SeqPacking,
+    "x32_semantic_dedup" -> x32SemanticDedup)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -891,5 +1082,10 @@ object ExtQueries {
     "x22_cms_heavy_hitters" -> x22Sql,
     "x23_bigram_stats" -> x23Sql,
     "x24_normalize" -> x24Sql,
-    "x25_decontamination" -> x25Sql)
+    "x25_decontamination" -> x25Sql,
+    "x28_redact_pii" -> x28Sql,
+    "x29_repetition" -> x29Sql,
+    "x30_weighted_sample" -> x30Sql,
+    "x31_seq_packing" -> x31Sql,
+    "x32_semantic_dedup" -> x32Sql)
 }

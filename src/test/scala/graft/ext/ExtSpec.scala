@@ -335,6 +335,68 @@ class ExtSpec extends SparkSpec {
     assert(frames.forall(f => f.feature >= 0.0 && f.feature <= 1.0))
   }
 
+  test("repetition stats: a looping doc fails the gate, a diverse doc passes") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // all distinct
+      (1L, "spam spam spam spam spam spam ham spam spam spam")          // generation loop
+    ).toDF("doc_id", "text")
+    // thresholds sized for these 10-word docs (the defaults are tuned
+    // for the ~50-word corpus, where 1/n_bigrams is far below 0.05)
+    val s = TextAnalytics.repetitionStats(d, "doc_id", "text",
+      maxDupWordFrac = 0.5, maxTopBigramFrac = 0.2).collect()
+    val diverse = s.find(_.getLong(0) == 0L).get
+    val looping = s.find(_.getLong(0) == 1L).get
+    assert(diverse.getAs[Double]("dup_word_frac") == 0.0)
+    assert(diverse.getAs[Int]("pass") == 1)
+    assert(looping.getAs[Double]("dup_word_frac") == 0.8)
+    assert(looping.getAs[Double]("top_word_frac") == 0.9)
+    assert(looping.getAs[Double]("top_bigram_frac") > 0.5)
+    assert(looping.getAs[Int]("pass") == 0)
+  }
+
+  test("redact masks planted email, phone and ip but leaves clean text alone") {
+    import spark.implicits._
+    val d = Seq(
+      "reach me at jo.doe+x@corp.example.org or +49 170-1234 from 192.168.0.1 thanks",
+      "no pii in this sentence at all").toDF("t")
+    val out = d.select(Redact.redact(col("t")).as("r")).collect().map(_.getString(0))
+    assert(out(0) == "reach me at <EMAIL> or <PHONE> from <IP> thanks")
+    assert(out(1) == "no pii in this sentence at all")
+    val cnt = d.select(Redact.counts(col("t")).map { case (n, c) => c.as(n) }: _*)
+      .collect()
+    assert(cnt(0).getInt(0) == 1 && cnt(0).getInt(1) == 1 && cnt(0).getInt(2) == 1)
+    assert(cnt(1).getInt(0) == 0 && cnt(1).getInt(1) == 0 && cnt(1).getInt(2) == 0)
+  }
+
+  test("priority sampling: deterministic under repartition, drops non-positive weights") {
+    import spark.implicits._
+    val d = (0L until 200L).map(i => (i, if (i % 50 == 0) 0L else 1L + i % 7)).toDF("id", "w")
+    val s1 = Sampling.priorityWeighted(d, col("id"), col("w"), 40)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.priorityWeighted(d.repartition(13), col("id"), col("w"), 40)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)                       // content-hash priority, not partition order
+    assert(s1.size == 40)
+    assert(s1.intersect(Set(0L, 50L, 100L, 150L)).isEmpty) // zero-weight never sampled
+  }
+
+  test("token offsets: distributed prefix sum equals the sequential scan") {
+    import spark.implicits._
+    val d = (0L until 300L).map(i => (i, 1L + i % 37)).toDF("doc_id", "n")
+    val got = graft.ext.Packing.tokenOffsets(d.repartition(7), "doc_id", "n", 100L)
+      .orderBy("doc_id")
+      .select("doc_id", "token_offset", "bin_id", "bin_pos")
+      .collect()
+    var cum = 0L
+    (0L until 300L).zip(got).foreach { case (i, r) =>
+      assert(r.getLong(0) == i)
+      assert(r.getLong(1) == cum, s"offset at $i")
+      assert(r.getLong(2) == cum / 100 && r.getLong(3) == cum % 100)
+      cum += 1 + i % 37
+    }
+  }
+
   test("kmeans quantization rejects inputs outside the [-10,10] parity domain") {
     import spark.implicits._
     // -10.0 quantizes to exactly 0 (still positive-domain); -10.1 goes negative
