@@ -83,7 +83,7 @@ case class Md5Prefix64(child: Expression, digits: Int)
   * expression library to SQL: `md5_prefix64(str, digits)`,
   * `word_shingles(str, k)`, `vec_dot(a, b)`, `vec_l2sq(a, b)`,
   * `sorted_long_intersect(a, b)`, `subword_token_count(str)`,
-  * `top_k_pairs(score, key, k)`.
+  * `top_k_pairs(score, key, k)`, `cms_sketch(term, depth, width)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -134,5 +134,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "top_k_pairs(score, key, k) - aggregate: the k best (BIGINT score, STRING key) " +
         "pairs per group, ordered score DESC then key ASC; k must be an integer literal",
       xs => TopKPairs(xs.head, xs(1), intLit(xs(2), "top_k_pairs k")))
+    inject(e, "cms_sketch", 3,
+      "cms_sketch(term, depth, width) - aggregate: count-min sketch of STRING terms " +
+        "as a row-major depth*width ARRAY<BIGINT>; depth and width must be integer literals",
+      xs => CmsSketchAgg(xs.head, intLit(xs(1), "cms_sketch depth"),
+        intLit(xs(2), "cms_sketch width")))
   }
 }

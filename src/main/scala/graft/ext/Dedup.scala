@@ -329,6 +329,33 @@ object Dedup {
       .join(broadcast(sketch.cells), Seq("r", "b"), "left")
       .groupBy("t").agg(min(coalesce(col("c"), lit(0L))).as("est"))
 
+  /** The same sketch via the native `cms_sketch` aggregate: ONE row with
+    * the row-major depth×width matrix. Cell-identical to
+    * [[countMinSketch]] (same portable hash), but the exchange carries a
+    * fixed-size matrix per partition instead of partial counts for every
+    * touched (r, b) cell — the preferred shape when the term stream is
+    * huge and the matrix is small.
+    */
+  def countMinSketchNative(terms: DataFrame, termCol: String,
+                           depth: Int = 4, width: Int = 1024): DataFrame =
+    terms.agg(graft.expr.CmsSketchAgg.sketch(col(termCol), depth, width).as("sk"))
+
+  /** Point estimates against a native one-row sketch: least over the
+    * `depth` probed cells (1-based `element_at` into the flat matrix).
+    */
+  def cmsEstimatesNative(sketch: DataFrame, probes: DataFrame, termCol: String,
+                         depth: Int = 4, width: Int = 1024): DataFrame = {
+    val est = (0 until depth).map { r =>
+      coalesce(try_element_at(col("sk"),
+        (lit(r * width) +
+          (Hashing.h32(concat(lit(s"$r:"), col("t"))) % width) + 1).cast("int")),
+        lit(0L))
+    }.reduce(least(_, _))
+    probes.select(col(termCol).as("t"))
+      .crossJoin(broadcast(sketch))
+      .select(col("t"), est.as("est"))
+  }
+
   /** N-gram Jaccard over blocked candidate pairs: same `blockCol`, id
     * within `window` ahead — a deterministic, bounded candidate set that
     * exercises the verification kernel without the quadratic blowup.

@@ -726,6 +726,24 @@ object ExtQueries {
        |GROUP BY t ORDER BY term""".stripMargin
   }
 
+  // --- x33: CMS heavy hitters via the native sketch aggregate -----------------
+
+  /** Same estimates as x22, but the sketch is built by the native
+    * `cms_sketch` TypedImperativeAggregate: the exchange carries one
+    * 4×1024 matrix per partition (fixed bytes, corpus-size independent)
+    * instead of partial counts per touched (r, b) cell. Oracle is x22's
+    * — the two sketches must agree cell-for-cell.
+    */
+  val x33CmsNative: Q = (spark, sfDir) => {
+    import spark.implicits._
+    val terms = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val sketch = Dedup.countMinSketchNative(terms, "term")
+    Dedup.cmsEstimatesNative(sketch, cmsProbes.toDF("term"), "term")
+      .select(col("t").as("term"), col("est"))
+      .orderBy("term")
+  }
+
   // --- x23: per-language bigram statistics ------------------------------------
 
   /** Top-5 bigrams per language (count desc, bigram tiebreak) — the
@@ -1053,7 +1071,8 @@ object ExtQueries {
     "x29_repetition" -> x29Repetition,
     "x30_weighted_sample" -> x30WeightedSample,
     "x31_seq_packing" -> x31SeqPacking,
-    "x32_semantic_dedup" -> x32SemanticDedup)
+    "x32_semantic_dedup" -> x32SemanticDedup,
+    "x33_cms_native" -> x33CmsNative)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -1087,5 +1106,6 @@ object ExtQueries {
     "x29_repetition" -> x29Sql,
     "x30_weighted_sample" -> x30Sql,
     "x31_seq_packing" -> x31Sql,
-    "x32_semantic_dedup" -> x32Sql)
+    "x32_semantic_dedup" -> x32Sql,
+    "x33_cms_native" -> x22Sql)
 }

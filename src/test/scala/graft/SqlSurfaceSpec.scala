@@ -60,6 +60,18 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(rows(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)) == Seq(1L))
   }
 
+  test("cms_sketch aggregate is SQL-callable end-to-end") {
+    val r = spark.sql(
+      """SELECT cms_sketch(t, 2, 8) AS sk
+        |FROM VALUES ('a'), ('a'), ('b') AS v(t)""".stripMargin).collect().head
+    val sk = r.getSeq[Long](0)
+    assert(sk.length == 16)
+    assert(sk.sum == 6L) // 3 terms x 2 rows
+    // row-0 cell of 'a' holds both copies
+    val b0 = (graft.expr.HashUtil.md5Prefix64("0:a", 8) % 8).toInt
+    assert(sk(b0) >= 2L)
+  }
+
   test("extension functions enforce arity and literal parameters") {
     val wrongArity = intercept[Exception] {
       spark.sql("SELECT md5_prefix64('a')").collect()

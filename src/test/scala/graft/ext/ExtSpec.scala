@@ -135,6 +135,27 @@ class ExtSpec extends SparkSpec {
     assert(est("absent") <= 5L)
   }
 
+  test("native cms_sketch aggregate is cell-identical to the relational sketch") {
+    import spark.implicits._
+    val stream = (Seq.fill(500)("heavy") ++ Seq.tabulate(200)(i => s"rare$i"))
+      .toDF("term").repartition(8) // partial matrices must merge correctly
+    val native = Dedup.countMinSketchNative(stream, "term")
+      .collect().head.getSeq[Long](0)
+    val relational = Dedup.countMinSketch(stream, "term").cells
+      .collect().map(r => (r.getInt(0) * 1024 + r.getLong(1).toInt, r.getLong(2))).toMap
+    assert(native.length == 4 * 1024)
+    native.zipWithIndex.foreach { case (c, i) =>
+      assert(c == relational.getOrElse(i, 0L), s"cell $i")
+    }
+    // and the probe path agrees with the relational estimates
+    val probes = Seq("heavy", "rare7", "absent").toDF("term")
+    val en = Dedup.cmsEstimatesNative(Dedup.countMinSketchNative(stream, "term"), probes, "term")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val er = Dedup.cmsEstimates(Dedup.countMinSketch(stream, "term"), probes, "term")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(en == er)
+  }
+
   test("hash sampling is deterministic, rate-accurate, and stable under growth") {
     val d = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
     val s1 = Sampling.hashSample(d, col("doc_id"), 2000, ":t").select("doc_id").collect().toSet
