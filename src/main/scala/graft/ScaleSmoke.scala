@@ -83,6 +83,36 @@ object ScaleSmoke {
     val tfidfSec = (System.nanoTime() - t2) / 1e9
     println(f"tfidf top-3: $nTfidf%d rows in $tfidfSec%.1fs")
     require(tfidfSec < 300, f"tfidf at ${factor}x blew the 300s budget: $tfidfSec%.1fs")
+
+    // --- sequence packing at scale ------------------------------------------
+    // The two-phase prefix sum must stay exact at any partition count:
+    // the LAST doc's offset + its tokens equals the corpus token total.
+    val t3 = System.nanoTime()
+    val toks = big.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val packed = graft.ext.Packing.tokenOffsets(toks, "doc_id", "n_tokens", 2048L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lastEnd = packed.orderBy(col("doc_id").desc).limit(1)
+      .select(col("token_offset") + col("n_tokens")).collect()(0).getLong(0)
+    val totalToks = toks.agg(sum("n_tokens")).collect()(0).getLong(0)
+    require(lastEnd == totalToks,
+      s"packing prefix sum drifted: last end $lastEnd != total $totalToks")
+    val nBins = packed.select(max("bin_id")).collect()(0).getLong(0) + 1
+    println(f"packing: $totalToks%d tokens into $nBins%d bins of 2048 " +
+      f"in ${(System.nanoTime() - t3) / 1e9}%.1fs")
+    packed.unpersist()
+
+    // --- weighted sampling at scale ------------------------------------------
+    // TakeOrderedAndProject top-k: runtime stays flat and the selection is
+    // identical no matter how the corpus is partitioned.
+    val t4 = System.nanoTime()
+    val s1 = graft.ext.Sampling.priorityWeighted(toks, col("doc_id"), col("n_tokens"), 1000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = graft.ext.Sampling.priorityWeighted(toks.repartition(64), col("doc_id"),
+      col("n_tokens"), 1000).select("doc_id").collect().map(_.getLong(0)).toSet
+    require(s1 == s2 && s1.size == 1000, "weighted sample unstable under repartition")
+    println(f"weighted sample: 1000 of ${big.count()}%d docs " +
+      f"in ${(System.nanoTime() - t4) / 1e9}%.1fs (both layouts)")
     spark.stop()
   }
 }
