@@ -452,6 +452,38 @@ object AnalyticsQueries {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  // --- a21: value-based RANGE window frames ----------------------------------------
+
+  /** Per customer, for each order: how many of their orders (and how
+    * much total) fall within $10.00 BELOW this order's price — a
+    * value-based `RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW` frame,
+    * deterministic because the frame is defined by the ORDER BY value
+    * itself (peers share identical results, no tie ambiguity).
+    */
+  val a21RangeFrames: Q = (spark, sfDir) => {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val w = Window.partitionBy("o_custkey").orderBy("price_e2")
+      .rangeBetween(-1000L, 0L)
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), cents.as("price_e2"))
+      .withColumn("near_cnt", count(lit(1)).over(w))
+      .withColumn("near_sum_e2", sum("price_e2").over(w).cast("long"))
+      .orderBy("o_orderkey")
+  }
+
+  private val a21Sql =
+    """WITH t AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_e2
+      |  FROM orders
+      |)
+      |SELECT o_orderkey, o_custkey, price_e2,
+      |  count(*) OVER (PARTITION BY o_custkey ORDER BY price_e2
+      |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS near_cnt,
+      |  CAST(sum(price_e2) OVER (PARTITION BY o_custkey ORDER BY price_e2
+      |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_sum_e2
+      |FROM t ORDER BY o_orderkey""".stripMargin
+
   // --- assembled maps -------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -474,7 +506,8 @@ object AnalyticsQueries {
     "a17_cube" -> a17Cube,
     "a18_unpivot" -> a18Unpivot,
     "a19_window_nav" -> a19WindowNav,
-    "a20_salted_join" -> a20SaltedJoin)
+    "a20_salted_join" -> a20SaltedJoin,
+    "a21_range_frames" -> a21RangeFrames)
 
   val oracle: Map[String, String] = Map(
     "a1_top_orders" -> a1Sql,
@@ -496,5 +529,6 @@ object AnalyticsQueries {
     "a17_cube" -> a17Sql,
     "a18_unpivot" -> a18Sql,
     "a19_window_nav" -> a19Sql,
-    "a20_salted_join" -> a20Sql)
+    "a20_salted_join" -> a20Sql,
+    "a21_range_frames" -> a21Sql)
 }

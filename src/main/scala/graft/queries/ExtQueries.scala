@@ -744,6 +744,36 @@ object ExtQueries {
       .orderBy("term")
   }
 
+  // --- x34: corpus vocabulary (global top-k terms) -----------------------------
+
+  /** Top-20 corpus terms by frequency — the vocabulary-build step of a
+    * tokenizer pipeline. The global top-k is the native `top_k_pairs`
+    * aggregate over the term counts: each partition forwards at most 20
+    * pairs into the (single-group) merge, so the reduction is
+    * O(partitions·k) no matter the vocabulary size.
+    */
+  val x34Vocab: Q = (spark, sfDir) => {
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    counts.agg(graft.expr.TopKPairs.topK(col("n"), col("term"), 20).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "ts")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("ts.key").as("term"), col("ts.score").as("n"))
+      .orderBy("rank")
+  }
+
+  private val x34Sql =
+    """WITH c AS (
+      |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+      |), g AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY term
+      |), r AS (
+      |  SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS rank FROM g
+      |)
+      |SELECT CAST(rank AS INT) AS rank, term, n FROM r
+      |WHERE rank <= 20 ORDER BY rank""".stripMargin
+
   // --- x23: per-language bigram statistics ------------------------------------
 
   /** Top-5 bigrams per language (count desc, bigram tiebreak) — the
@@ -1072,7 +1102,8 @@ object ExtQueries {
     "x30_weighted_sample" -> x30WeightedSample,
     "x31_seq_packing" -> x31SeqPacking,
     "x32_semantic_dedup" -> x32SemanticDedup,
-    "x33_cms_native" -> x33CmsNative)
+    "x33_cms_native" -> x33CmsNative,
+    "x34_vocab" -> x34Vocab)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -1107,5 +1138,6 @@ object ExtQueries {
     "x30_weighted_sample" -> x30Sql,
     "x31_seq_packing" -> x31Sql,
     "x32_semantic_dedup" -> x32Sql,
-    "x33_cms_native" -> x22Sql)
+    "x33_cms_native" -> x22Sql,
+    "x34_vocab" -> x34Sql)
 }
