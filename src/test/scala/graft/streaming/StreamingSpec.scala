@@ -209,7 +209,12 @@ class StreamingSpec extends SparkSpec {
           org.apache.spark.sql.GraftColumnBridge.column(
             graft.expr.SubwordTokenCount(
               org.apache.spark.sql.GraftColumnBridge.expression(col("text"))))
-            .as("n_sub"))
+            .as("n_sub"),
+          // PII scrub is a stateless projection too — identical per-row
+          // output in batch and stream
+          md5(graft.ext.Redact.redact(
+            concat(col("text"), lit(" mail "), col("doc_id").cast("string"),
+              lit("@x.example.net")))).as("redacted_md5"))
 
     val streamed = EventWindows.drainToMemory(spark, curate(stream), "curate_stream")
     val batch = curate(docs)
@@ -361,6 +366,28 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.table("asof_stream")
     assert(streamed.count() == expected.count())
     assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty)
+  }
+
+  test("streaming repetition stats equal the batch stats (foreachBatch)") {
+    // repetitionStats chains two aggregations + a join of aggregates —
+    // not expressible as ONE incremental streaming query; the supported
+    // deployment is foreachBatch (recompute per microbatch), which is
+    // what this exercises.
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val dir = Files.createTempDirectory("repdocs").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val got = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        got ++= graft.ext.TextAnalytics.repetitionStats(batch.toDF(), "doc_id", "text")
+          .collect()
+        ()
+    }.start()
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.ext.TextAnalytics.repetitionStats(docs, "doc_id", "text").collect()
+    assert(got.sortBy(_.getLong(0)) == expected.sortBy(_.getLong(0)).toSeq)
   }
 
   test("streaming as-of drops null-keyed rows on BOTH sides instead of NPEing") {
