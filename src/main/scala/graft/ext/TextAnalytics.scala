@@ -155,6 +155,30 @@ object TextAnalytics {
       .orderBy("doc_id")
   }
 
+  /** Overlapping token-window chunking (the RAG/indexing shape): chunk
+    * `i` covers tokens `[i·stride, i·stride + window)`; the last chunk
+    * may be short; a doc shorter than one window is one chunk. Pure
+    * narrow explode+slice projection — no shuffle, chunk count rides
+    * the row, so the operator is embarrassingly parallel at any scale.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            window: Int = 32, stride: Int = 24): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"chunk: need 1 <= stride <= window, got window=$window stride=$stride")
+    val t = toks(col(textCol))
+    val n = size(t)
+    val nChunks = when(n <= window, lit(1))
+      .otherwise(ceil((n - window).cast("double") / stride).cast("int") + 1)
+    df.select(col(idCol).as("doc_id"), t.as("tk"), nChunks.as("nc"))
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0), col("nc") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(slice(col("tk"), col("chunk_idx") * stride + 1, lit(window)), " ")
+          .as("chunk_text"),
+        size(slice(col("tk"), col("chunk_idx") * stride + 1, lit(window))).cast("long")
+          .as("n_chunk_tokens"))
+  }
+
   /** Top-`k` tf-idf terms per document. Scoring is exact-integer —
     * (tf · N · 10^6) div df — which orders identically to tf·idf for a
     * fixed corpus and is reproducible bit-for-bit in any engine (no

@@ -774,6 +774,70 @@ object ExtQueries {
       |SELECT CAST(rank AS INT) AS rank, term, n FROM r
       |WHERE rank <= 20 ORDER BY rank""".stripMargin
 
+  // --- x35: overlapping chunking ------------------------------------------------
+
+  val x35Chunking: Q = (spark, sfDir) =>
+    TextAnalytics.chunk(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy("doc_id", "chunk_idx")
+
+  private val x35Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, tk,
+      |    unnest(range(0, CASE WHEN n <= 32 THEN 1
+      |      ELSE CAST(ceil((n - 32) / 24.0) AS BIGINT) + 1 END)) AS chunk_idx
+      |  FROM t
+      |)
+      |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |  array_to_string(list_slice(tk, CAST(chunk_idx*24+1 AS INT),
+      |    CAST(chunk_idx*24+32 AS INT)), ' ') AS chunk_text,
+      |  CAST(len(list_slice(tk, CAST(chunk_idx*24+1 AS INT),
+      |    CAST(chunk_idx*24+32 AS INT))) AS BIGINT) AS n_chunk_tokens
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // --- x36: out-of-vocabulary rate vs the learned top-20 vocab ---------------------
+
+  /** Tokenizer coverage check: the x34 vocabulary (a 20-row aggregate,
+    * broadcast) left-joins the exploded token stream; per-doc OOV
+    * fraction = tokens outside the vocab / tokens. The vocab side being
+    * a broadcast of a tiny aggregate is the point — no shuffle of the
+    * corpus beyond the per-doc count.
+    */
+  val x36OovRate: Q = (spark, sfDir) => {
+    val ex = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val vocab = ex.groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(20)
+      .select(col("term"), lit(1).as("iv"))
+    ex.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val x36Sql =
+    """WITH ex AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), g AS (
+      |  SELECT term, count(*) AS n FROM ex GROUP BY term
+      |), v AS (
+      |  SELECT term FROM g ORDER BY n DESC, term LIMIT 20
+      |), j AS (
+      |  SELECT ex.doc_id, ex.term, v.term IS NOT NULL AS iv
+      |  FROM ex LEFT JOIN v ON ex.term = v.term
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+      |  round(CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 6)
+      |    AS oov_frac
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --- x23: per-language bigram statistics ------------------------------------
 
   /** Top-5 bigrams per language (count desc, bigram tiebreak) — the
@@ -1103,7 +1167,9 @@ object ExtQueries {
     "x31_seq_packing" -> x31SeqPacking,
     "x32_semantic_dedup" -> x32SemanticDedup,
     "x33_cms_native" -> x33CmsNative,
-    "x34_vocab" -> x34Vocab)
+    "x34_vocab" -> x34Vocab,
+    "x35_chunking" -> x35Chunking,
+    "x36_oov_rate" -> x36OovRate)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -1139,5 +1205,7 @@ object ExtQueries {
     "x31_seq_packing" -> x31Sql,
     "x32_semantic_dedup" -> x32Sql,
     "x33_cms_native" -> x22Sql,
-    "x34_vocab" -> x34Sql)
+    "x34_vocab" -> x34Sql,
+    "x35_chunking" -> x35Sql,
+    "x36_oov_rate" -> x36Sql)
 }

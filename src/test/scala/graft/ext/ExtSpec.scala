@@ -418,6 +418,26 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("chunking: overlap, short docs, and exact-multiple lengths") {
+    import spark.implicits._
+    def words(n: Int) = (0 until n).map(i => s"w$i").mkString(" ")
+    val d = Seq((0L, words(5)), (1L, words(32)), (2L, words(33)), (3L, words(80)))
+      .toDF("doc_id", "text")
+    val c = TextAnalytics.chunk(d, "doc_id", "text", window = 32, stride = 24)
+      .collect().groupBy(_.getLong(0))
+    assert(c(0L).length == 1 && c(0L).head.getLong(3) == 5)   // short doc: one chunk
+    assert(c(1L).length == 1 && c(1L).head.getLong(3) == 32)  // exactly one window
+    assert(c(2L).length == 2)                                  // one token spills over
+    // 80 tokens: starts 0,24,48 -> 3 chunks; last has 32 tokens exactly
+    assert(c(3L).map(_.getLong(1)).sorted.toSeq == Seq(0L, 1L, 2L))
+    val last = c(3L).maxBy(_.getLong(1))
+    assert(last.getLong(3) == 32 && last.getString(2).startsWith("w48 "))
+    // consecutive chunks overlap by window - stride = 8 tokens
+    val ch0 = c(3L).find(_.getLong(1) == 0L).get.getString(2).split(" ")
+    val ch1 = c(3L).find(_.getLong(1) == 1L).get.getString(2).split(" ")
+    assert(ch0.takeRight(8).toSeq == ch1.take(8).toSeq)
+  }
+
   test("kmeans quantization rejects inputs outside the [-10,10] parity domain") {
     import spark.implicits._
     // -10.0 quantizes to exactly 0 (still positive-domain); -10.1 goes negative
