@@ -50,6 +50,25 @@ object Sampling {
       .limit(k)
   }
 
+  /** Deterministic train/valid/test split assignment: `cuts` are
+    * (name, cumulative basis points) with the last at 10000; a row's
+    * split is the first cut whose bound exceeds its hash bucket. Pure
+    * function of the key — a doc keeps its split across reruns, retries,
+    * and corpus growth, and the same doc can never leak from train into
+    * eval by a repartition.
+    */
+  def assignSplits(df: DataFrame, key: Column, cuts: Seq[(String, Int)],
+                   salt: String = ""): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 10000 &&
+      cuts.map(_._2) == cuts.map(_._2).sorted,
+      "assignSplits: cuts must be ascending cumulative basis points ending at 10000")
+    val b = bucket(key, salt)
+    val split = cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((name, bound), rest) => when(b < bound, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", split)
+  }
+
   /** Per-stratum rates (basis points) with a default for unlisted strata —
     * deterministic replacement for `sampleBy`.
     */

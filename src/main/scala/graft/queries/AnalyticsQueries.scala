@@ -484,6 +484,31 @@ object AnalyticsQueries {
       |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_sum_e2
       |FROM t ORDER BY o_orderkey""".stripMargin
 
+  // --- a22: conditional / boolean / exact-median aggregates -------------------------
+
+  /** Aggregate-function breadth: conditional count, boolean aggregates,
+    * exact median per status. Median interpolation of two doubles is
+    * rounded to 4 dp (inputs carry 2 decimal digits, so the midpoint has
+    * at most 3 — the rounding is exact, not a fudge).
+    */
+  val a22MiscAggs: Q = (spark, sfDir) =>
+    Tables.orders(spark, sfDir)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(when(col("o_totalprice") > 150000, 1)).as("n_big"),
+        bool_and(col("o_totalprice") > 0).as("all_positive"),
+        bool_or(col("o_totalprice") > 400000).as("any_huge"),
+        round(median(col("o_totalprice")), 4).as("med_price"))
+      .orderBy("o_orderstatus")
+
+  private val a22Sql =
+    """SELECT o_orderstatus,
+      |  CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+      |  bool_and(o_totalprice > 0) AS all_positive,
+      |  bool_or(o_totalprice > 400000) AS any_huge,
+      |  round(median(o_totalprice), 4) AS med_price
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // --- assembled maps -------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -507,7 +532,8 @@ object AnalyticsQueries {
     "a18_unpivot" -> a18Unpivot,
     "a19_window_nav" -> a19WindowNav,
     "a20_salted_join" -> a20SaltedJoin,
-    "a21_range_frames" -> a21RangeFrames)
+    "a21_range_frames" -> a21RangeFrames,
+    "a22_misc_aggs" -> a22MiscAggs)
 
   val oracle: Map[String, String] = Map(
     "a1_top_orders" -> a1Sql,
@@ -530,5 +556,6 @@ object AnalyticsQueries {
     "a18_unpivot" -> a18Sql,
     "a19_window_nav" -> a19Sql,
     "a20_salted_join" -> a20Sql,
-    "a21_range_frames" -> a21Sql)
+    "a21_range_frames" -> a21Sql,
+    "a22_misc_aggs" -> a22Sql)
 }

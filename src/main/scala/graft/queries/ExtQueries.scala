@@ -838,6 +838,78 @@ object ExtQueries {
       |    AS oov_frac
       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- x37: deterministic train/valid/test split -----------------------------------
+
+  val x37Split: Q = (spark, sfDir) =>
+    Sampling.assignSplits(Tables.documents(spark, sfDir).select("doc_id"),
+        col("doc_id"), Seq("train" -> 8000, "valid" -> 9000, "test" -> 10000), ":sp")
+      .orderBy("doc_id")
+
+  private val x37Sql =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(doc_id || ':sp'),1,8))::BIGINT % 10000 AS bp
+      |  FROM documents
+      |)
+      |SELECT doc_id, CASE WHEN bp < 8000 THEN 'train'
+      |  WHEN bp < 9000 THEN 'valid' ELSE 'test' END AS split
+      |FROM b ORDER BY doc_id""".stripMargin
+
+  // --- x38: edit-distance verification of LSH candidates ----------------------------
+
+  /** The second-stage verifier a dedup pipeline runs on LSH candidates:
+    * exact Levenshtein distance (both engines ship a native
+    * implementation) and a normalized similarity ratio. The point of
+    * the composition is that the O(len²) edit distance only ever runs
+    * on the bucketed candidate pairs — never all-pairs.
+    */
+  val x38EditVerify: Q = (spark, sfDir) => {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .select("a_id", "b_id")
+    val t = docs.select(col("doc_id"), col("text"))
+    pairs
+      .join(t.select(col("doc_id").as("a_id"), col("text").as("ta")), "a_id")
+      .join(t.select(col("doc_id").as("b_id"), col("text").as("tb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+        round(lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
+          greatest(length(col("ta")), length(col("tb"))), 6).as("sim_ratio"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private val x38Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, length(tokens)),
+      |    i -> array_to_string(list_slice(tokens, i, i+1), ' '))) AS shingles
+      |  FROM tok WHERE length(tokens) >= 2
+      |), hs AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(shingles, s -> ('0x' || substr(md5(s),1,8))::BIGINT)) AS hs
+      |  FROM sh
+      |), sig AS (
+      |  SELECT doc_id, list_transform(range(0,16),
+      |    j -> list_min(list_transform(hs, x -> ((2*j+1)*x + 7919*j) % 4294967311))) AS sig
+      |  FROM hs
+      |), bands AS (
+      |  SELECT doc_id, unnest(list_transform(range(0,8),
+      |    b -> b || ':' || array_to_string(list_slice(sig, 2*b+1, 2*b+2), '-'))) AS bk
+      |  FROM sig
+      |), pairs AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      |)
+      |SELECT p.a_id, p.b_id,
+      |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+      |  round(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
+      |    greatest(length(da.text), length(db.text)), 6) AS sim_ratio
+      |FROM pairs p
+      |JOIN documents da ON p.a_id = da.doc_id
+      |JOIN documents db ON p.b_id = db.doc_id
+      |ORDER BY a_id, b_id""".stripMargin
+
   // --- x23: per-language bigram statistics ------------------------------------
 
   /** Top-5 bigrams per language (count desc, bigram tiebreak) — the
@@ -1169,7 +1241,9 @@ object ExtQueries {
     "x33_cms_native" -> x33CmsNative,
     "x34_vocab" -> x34Vocab,
     "x35_chunking" -> x35Chunking,
-    "x36_oov_rate" -> x36OovRate)
+    "x36_oov_rate" -> x36OovRate,
+    "x37_split_assign" -> x37Split,
+    "x38_edit_verify" -> x38EditVerify)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -1207,5 +1281,7 @@ object ExtQueries {
     "x33_cms_native" -> x22Sql,
     "x34_vocab" -> x34Sql,
     "x35_chunking" -> x35Sql,
-    "x36_oov_rate" -> x36Sql)
+    "x36_oov_rate" -> x36Sql,
+    "x37_split_assign" -> x37Sql,
+    "x38_edit_verify" -> x38Sql)
 }
