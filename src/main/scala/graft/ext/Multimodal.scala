@@ -98,6 +98,64 @@ object Multimodal {
       }
   }
 
+  /** A decode attempt: either a frame (`error` null) or one error row
+    * per failed asset (`frameIdx` -1, `error` = class keyword).
+    */
+  case class DecodeResult(docId: Long, frameIdx: Int, nBytes: Long,
+                          feature: Double, error: String)
+
+  /** Raised by decoders on malformed payloads; `kind` is the stable
+    * error class routed downstream (mirrors the reference's error-class
+    * routing, `video_processor.py` D5).
+    */
+  final class MediaFormatException(val kind: String, msg: String)
+    extends RuntimeException(msg)
+
+  /** Wraps a decoder with payload validation: empty payloads are
+    * `empty`, payloads shorter than `minBytes` are `truncated`, and a
+    * non-zero first byte requirement stands in for a magic-number check
+    * (`bad_magic`). A real codec already fails on these — the wrapper
+    * gives the STUB the same failure surface so the error path is
+    * testable before a real codec exists.
+    */
+  class ValidatingDecoder(inner: MediaDecoder, minBytes: Int = 4)
+    extends MediaDecoder {
+    override def frames(docId: Long, payload: Array[Byte], every: Int): Iterator[Frame] = {
+      if (payload.length == 0)
+        throw new MediaFormatException("empty", s"doc $docId: empty payload")
+      if (payload.length < minBytes)
+        throw new MediaFormatException("truncated",
+          s"doc $docId: ${payload.length} bytes < $minBytes")
+      if (payload(0) == 0)
+        throw new MediaFormatException("bad_magic", s"doc $docId: zero magic byte")
+      inner.frames(docId, payload, every)
+    }
+  }
+
+  /** Fault-isolated decode: one corrupt asset becomes ONE error row —
+    * it cannot kill its partition (and with it thousands of co-located
+    * good assets, the failure mode of a naive mapPartitions at 100 TB).
+    * Unknown exceptions still propagate: only classified media errors
+    * are data, everything else is a bug.
+    */
+  def sampleFramesWithErrors(spark: SparkSession, assets: DataFrame,
+                             decoder: MediaDecoder = new ValidatingDecoder(new StubDecoder),
+                             every: Int = 64): Dataset[DecodeResult] = {
+    import spark.implicits._
+    assets.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          try decoder.frames(id, payload, every)
+            .map(f => DecodeResult(f.docId, f.frameIdx, f.nBytes, f.feature, null))
+          catch {
+            case e: MediaFormatException =>
+              Iterator.single(DecodeResult(id, -1, payload.length.toLong, 0.0, e.kind))
+          }
+        }
+      }
+  }
+
   /** Declarative (oracle-checkable) metadata/feature projection over the
     * stub decode: byte length, lowercase hex header, frame count at a
     * 64-byte window — a projection over [[asAssets]] so the metadata

@@ -910,6 +910,36 @@ object ExtQueries {
       |JOIN documents db ON p.b_id = db.doc_id
       |ORDER BY a_id, b_id""".stripMargin
 
+  // --- x39: fault-isolated decode with error-class routing --------------------------
+
+  /** Corrupt payloads planted by doc_id arithmetic (every 13th truncated
+    * to 2 bytes, every 17th given a zero magic byte) flow through the
+    * REAL mapPartitions decode stage; the oracle re-derives each doc's
+    * status and row count declaratively. One corrupt asset = one
+    * classified error row; its partition's good assets still decode.
+    */
+  val x39DecodeRoute: Q = (spark, sfDir) => {
+    val assets = Tables.documents(spark, sfDir).select(col("doc_id"),
+      when(col("doc_id") % 13 === 0, encode(substring(col("text"), 1, 2), "UTF-8"))
+        .when(col("doc_id") % 17 === 0,
+          concat(unhex(lit("00")), encode(col("text"), "UTF-8")))
+        .otherwise(encode(col("text"), "UTF-8")).as("payload"))
+    Multimodal.sampleFramesWithErrors(spark, assets).toDF()
+      .groupBy(col("docId").as("doc_id"))
+      .agg(coalesce(max(col("error")), lit("ok")).as("status"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("doc_id")
+  }
+
+  private val x39Sql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 13 = 0 THEN 'truncated'
+      |       WHEN doc_id % 17 = 0 THEN 'bad_magic'
+      |       ELSE 'ok' END AS status,
+      |  CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0 THEN 1
+      |       ELSE CAST(ceil(length(text) / 64.0) AS BIGINT) END AS n_rows
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // --- x23: per-language bigram statistics ------------------------------------
 
   /** Top-5 bigrams per language (count desc, bigram tiebreak) — the
@@ -1243,7 +1273,8 @@ object ExtQueries {
     "x35_chunking" -> x35Chunking,
     "x36_oov_rate" -> x36OovRate,
     "x37_split_assign" -> x37Split,
-    "x38_edit_verify" -> x38EditVerify)
+    "x38_edit_verify" -> x38EditVerify,
+    "x39_decode_route" -> x39DecodeRoute)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -1283,5 +1314,6 @@ object ExtQueries {
     "x35_chunking" -> x35Sql,
     "x36_oov_rate" -> x36Sql,
     "x37_split_assign" -> x37Sql,
-    "x38_edit_verify" -> x38Sql)
+    "x38_edit_verify" -> x38Sql,
+    "x39_decode_route" -> x39Sql)
 }

@@ -418,6 +418,25 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("decode errors route to classified rows without killing the partition") {
+    import spark.implicits._
+    val assets = Seq(
+      (0L, "a healthy payload with plenty of bytes".getBytes("UTF-8")),
+      (1L, Array.empty[Byte]),                 // empty
+      (2L, Array[Byte](1, 2)),                 // truncated (< 4 bytes)
+      (3L, Array[Byte](0, 9, 9, 9, 9, 9)),     // bad magic (leading zero)
+      (4L, "another good one".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload").repartition(1) // all five share ONE partition
+    val out = Multimodal.sampleFramesWithErrors(spark, assets, every = 8).collect()
+    val errs = out.filter(_.error != null).map(r => r.docId -> r.error).toMap
+    assert(errs == Map(1L -> "empty", 2L -> "truncated", 3L -> "bad_magic"))
+    // the good assets on the same partition still decoded fully
+    val good = out.filter(_.error == null)
+    assert(good.count(_.docId == 0L) == math.ceil(38 / 8.0).toInt)
+    assert(good.count(_.docId == 4L) == 2)
+    assert(out.filter(_.error != null).forall(_.frameIdx == -1))
+  }
+
   test("chunking: overlap, short docs, and exact-multiple lengths") {
     import spark.implicits._
     def words(n: Int) = (0 until n).map(i => s"w$i").mkString(" ")
