@@ -99,4 +99,69 @@ class PropertySpec extends SparkSpec {
     assert(est > 0.15 && est < 0.55, s"est=$est")
     assert(agree(0L, 3L) < 0.15)                    // disjoint -> near zero
   }
+
+  test("property: token offsets telescope over random lengths and partition counts") {
+    import spark.implicits._
+    val seed = org.scalacheck.rng.Seed(11L)
+    val lens = Gen.listOfN(500, Gen.choose(0L, 400L))
+      .pureApply(Gen.Parameters.default, seed)
+    val d = lens.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("doc_id", "n")
+    for (parts <- Seq(1, 5, 32)) {
+      val got = Packing.tokenOffsets(d.repartition(parts), "doc_id", "n", 64L)
+        .orderBy("doc_id").select("doc_id", "n", "token_offset").collect()
+      var cum = 0L
+      got.foreach { r =>
+        assert(r.getLong(2) == cum, s"parts=$parts doc=${r.getLong(0)}")
+        cum += r.getLong(1)
+      }
+      assert(cum == lens.sum)
+    }
+  }
+
+  test("property: priority sample is nested in k and respects zero weights") {
+    import spark.implicits._
+    val seed = org.scalacheck.rng.Seed(13L)
+    val ws = Gen.listOfN(300, Gen.choose(0L, 9L))
+      .pureApply(Gen.Parameters.default, seed)
+    val d = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "w")
+    val positives = ws.count(_ > 0)
+    def sel(k: Int) = Sampling.priorityWeighted(d, col("id"), col("w"), k)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val s50 = sel(50)
+    val s100 = sel(100)
+    assert(s50.subsetOf(s100))                      // top-k nests
+    assert(s50.size == 50 && s100.size == 100)
+    assert(sel(1000).size == positives)             // zero weights never selected
+  }
+
+  test("property: chunking with stride == window reconstructs the document exactly") {
+    import spark.implicits._
+    val seed = org.scalacheck.rng.Seed(17L)
+    val texts = Gen.listOfN(60, Gen.choose(1, 90).map(n =>
+      (0 until n).map(i => s"t$i").mkString(" ")))
+      .pureApply(Gen.Parameters.default, seed)
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rebuilt = TextAnalytics.chunk(d, "doc_id", "text", window = 16, stride = 16)
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+        s => s.getField("chunk_text")), " ").as("re"))
+    // array_sort on struct(chunk_idx, text) orders by chunk_idx first
+    val joined = d.join(rebuilt, "doc_id")
+      .filter(col("text") =!= col("re")).count()
+    assert(joined == 0L)
+  }
+
+  test("property: split assignment is total, exclusive, and near the target fractions") {
+    import spark.implicits._
+    val d = (0L until 20000L).toDF("id")
+    val s = Sampling.assignSplits(d, col("id"),
+      Seq("train" -> 8000, "valid" -> 9000, "test" -> 10000), ":p")
+    val counts = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 20000L)             // total & exclusive
+    assert(math.abs(counts("train") - 16000L) < 400, s"train=${counts("train")}")
+    assert(math.abs(counts("valid") - 2000L) < 200, s"valid=${counts("valid")}")
+    assert(math.abs(counts("test") - 2000L) < 200, s"test=${counts("test")}")
+  }
 }
