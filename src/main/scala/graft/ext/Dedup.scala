@@ -300,6 +300,39 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Cross-document duplication profile (the CCNet/FineWeb "fraction of
+    * duplicated n-grams" quality signal): for each document, how many of
+    * its DISTINCT k-gram shingle hashes also appear in at least one
+    * other document, and that count as a fraction of the doc's shingles.
+    * High `dup_frac` → boilerplate / template / mirrored content.
+    *
+    * Shape at scale: distinct shingle hashes as exploded rows (never
+    * arrays on the shuffle), one partial-aggregating corpus count per
+    * hash, one equi-join back, one per-doc count — two shuffles total,
+    * all on uniformly distributed 32-bit hashes. `dup_frac` is a single
+    * division of two exact BIGINTs (bit-identical in any engine; no
+    * float accumulation order to drift).
+    *
+    * Because every hash key is `(doc count ≥ 2)`-classified corpus-wide,
+    * this is the degenerate single-round case of the shingle-join used
+    * by [[contamination]] — but self-joined and fraction-valued.
+    */
+  def crossDocDup(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3): DataFrame = {
+    val sh = shinglesOf(col(textCol), k)
+    val hashes = docs
+      .select(col(idCol).as("doc_id"), explode(sh).as("s"))
+      .select(col("doc_id"), Hashing.h32(col("s")).as("h"))
+      .distinct()
+    val perHash = hashes.groupBy("h").agg(count(lit(1)).as("nd"))
+    hashes.join(perHash, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("nd") >= 2, lit(1L)).otherwise(lit(0L))).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        round(col("n_shared") / col("n_shingles"), 6).as("dup_frac"))
+  }
+
   /** A built sketch carries its (depth, width) so probes can never hash
     * against mismatched parameters — a width drift would silently break
     * the never-undercount guarantee.

@@ -203,4 +203,45 @@ object TextAnalytics {
         col("ts.key").as("term"), col("ts.score").as("score"))
       .orderBy("doc_id", "rank")
   }
+
+  /** Integer-exact bigram "surprisal" quality score — the LM-free proxy
+    * for per-document perplexity used to downrank incoherent text: a
+    * bigram occurring rarely *relative to its first word* is surprising.
+    *
+    * Per bigram occurrence `w1 w2`:
+    * `weight = (c(w1 ·) * 10^6) div c(w1 w2)` — the integer-quantized
+    * inverse conditional frequency 1/P(w2|w1). `c(w1 ·)` counts bigrams
+    * starting with `w1` (not unigrams), so Σ_w2 P(w2|w1) = 1 exactly.
+    * Per document: `surprisal_sum = Σ weight` (BIGINT, order-independent)
+    * and `mean_surprisal = round(sum / n_bigrams, 6)` — ONE float
+    * division of exact integers, so the result is bit-identical across
+    * engines and run-to-run (no float-accumulation-order drift; same
+    * discipline as tf-idf above and the weighted sampler).
+    *
+    * Shape at scale: explode bigrams once, two partial-aggregating
+    * counts (bigram vocab, first-word vocab), two equi-joins back, one
+    * per-doc aggregate. The count relations are vocabulary-sized —
+    * orders of magnitude smaller than the token stream — and are left
+    * unhinted so AQE broadcasts them when they fit and shuffles when a
+    * 100 TB corpus's vocabulary doesn't.
+    *
+    * Overflow guard: `c(w1 ·) * 10^6` caps the corpus at ~9.2e12
+    * occurrences of one leading word (Long.MaxValue / 10^6) — beyond
+    * even a 100 TB token stream for any non-degenerate vocabulary.
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bigramsCol = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expr.WordShingles(
+        org.apache.spark.sql.GraftColumnBridge.expression(col(textCol).cast("string")), 2))
+    val bg = docs.select(col(idCol).as("doc_id"), explode(bigramsCol).as("bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val cb = bg.groupBy("bigram").agg(count(lit(1)).as("cb"))
+    val cu = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
+    bg.join(cb, "bigram").join(cu, "w1")
+      .select(col("doc_id"), expr("cu * 1000000 div cb").as("wt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("wt")).as("surprisal_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("surprisal_sum"),
+        round(col("surprisal_sum") / col("n_bigrams"), 6).as("mean_surprisal"))
+  }
 }

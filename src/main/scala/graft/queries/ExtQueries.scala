@@ -1233,6 +1233,62 @@ object ExtQueries {
        |FROM embeddings v LEFT JOIN cl ON cl.id = v.vec_id
        |ORDER BY vec_id""".stripMargin
 
+  // --- x40: cross-document duplicate-shingle profile --------------------------------
+
+  /** FineWeb/CCNet-style cross-doc duplication signal: per doc, the
+    * count and fraction of its distinct 3-gram shingle hashes that occur
+    * in at least one OTHER document (corpus-wide hash counts ≥ 2).
+    */
+  val x40CrossDocDup: Q = (spark, sfDir) =>
+    Dedup.crossDocDup(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val x40Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, length(tk)-1),
+      |    i -> ('0x' || substr(md5(array_to_string(list_slice(tk, i, i+2), ' ')),1,8))::BIGINT))) AS h
+      |  FROM tok WHERE length(tk) >= 3
+      |), c AS (
+      |  SELECT h, count(*) AS nd FROM sh GROUP BY h
+      |), j AS (
+      |  SELECT doc_id, count(*) AS n_shingles,
+      |    CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      |  FROM sh JOIN c USING (h) GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_shingles, n_shared,
+      |  round(n_shared / n_shingles, 6) AS dup_frac
+      |FROM j ORDER BY doc_id""".stripMargin
+
+  // --- x41: integer-exact bigram surprisal (LM-free perplexity proxy) ---------------
+
+  val x41BigramSurprisal: Q = (spark, sfDir) =>
+    TextAnalytics.bigramSurprisal(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val x41Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, length(tk)),
+      |    i -> array_to_string(list_slice(tk, i, i+1), ' '))) AS bigram
+      |  FROM tok WHERE length(tk) >= 2
+      |), b2 AS (
+      |  SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS w1 FROM bg
+      |), cb AS (
+      |  SELECT bigram, count(*) AS cb FROM b2 GROUP BY bigram
+      |), cu AS (
+      |  SELECT w1, count(*) AS cu FROM b2 GROUP BY w1
+      |), w AS (
+      |  SELECT doc_id, (cu.cu * 1000000) // cb.cb AS wt
+      |  FROM b2 JOIN cb USING (bigram) JOIN cu USING (w1)
+      |)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(wt) AS BIGINT) AS surprisal_sum,
+      |  round(CAST(sum(wt) AS BIGINT) / count(*), 6) AS mean_surprisal
+      |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1274,7 +1330,9 @@ object ExtQueries {
     "x36_oov_rate" -> x36OovRate,
     "x37_split_assign" -> x37Split,
     "x38_edit_verify" -> x38EditVerify,
-    "x39_decode_route" -> x39DecodeRoute)
+    "x39_decode_route" -> x39DecodeRoute,
+    "x40_crossdoc_dup" -> x40CrossDocDup,
+    "x41_bigram_surprisal" -> x41BigramSurprisal)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -1315,5 +1373,7 @@ object ExtQueries {
     "x36_oov_rate" -> x36Sql,
     "x37_split_assign" -> x37Sql,
     "x38_edit_verify" -> x38Sql,
-    "x39_decode_route" -> x39Sql)
+    "x39_decode_route" -> x39Sql,
+    "x40_crossdoc_dup" -> x40Sql,
+    "x41_bigram_surprisal" -> x41Sql)
 }

@@ -468,6 +468,30 @@ class ExtSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("below supported domain")))
   }
 
+  test("cross-doc duplication: exact dups read 1.0, unique doc reads 0, near-dup in between") {
+    val r = Dedup.crossDocDup(docs, "doc_id", "text")
+      .collect().map(row => row.getLong(0) -> row).toMap
+    // docs 0 and 3 are identical -> every shingle shared
+    assert(r(0L).getDouble(3) == 1.0 && r(3L).getDouble(3) == 1.0)
+    // doc 2 shares no 3-gram with anyone
+    assert(r(2L).getLong(2) == 0L && r(2L).getDouble(3) == 0.0)
+    // doc 1 differs from 0 only in the last word, which sits in exactly
+    // one 3-gram -> 10 of its 11 shingles shared
+    assert(r(1L).getLong(1) == 11L && r(1L).getLong(2) == 10L)
+  }
+
+  test("bigram surprisal: exact integer weights, rare follow-up scores highest") {
+    import spark.implicits._
+    val d = Seq((0L, "a b a b a b"), (1L, "a b a c")).toDF("doc_id", "text")
+    val r = TextAnalytics.bigramSurprisal(d, "doc_id", "text")
+      .collect().map(row => row.getLong(0) -> row).toMap
+    // corpus: cb(a b)=4, cb(b a)=3, cb(a c)=1; first-word counts a=5, b=3
+    // weights: a b -> 5e6 div 4 = 1_250_000; b a -> 1_000_000; a c -> 5_000_000
+    assert(r(0L).getLong(2) == 3L * 1250000 + 2L * 1000000)
+    assert(r(1L).getLong(2) == 1250000L + 1000000L + 5000000L)
+    assert(r(1L).getDouble(3) > r(0L).getDouble(3))
+  }
+
   test("denseRankDesc refuses NULL rank values instead of silently skewing offsets") {
     import spark.implicits._
     val withNull = Seq(Some(3L), Some(1L), None, Some(2L)).toDF("v")
