@@ -139,5 +139,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "as a row-major depth*width ARRAY<BIGINT>; depth and width must be integer literals",
       xs => CmsSketchAgg(xs.head, intLit(xs(1), "cms_sketch depth"),
         intLit(xs(2), "cms_sketch width")))
+
+    // table-valued surface for the native as-of join: the planner node
+    // (AsOfJoinPlan + AsOfJoinExec, plans/AsOfJoinNative.scala) becomes
+    // reachable from pure SQL — `FROM asof_join('l','r','k','t')` — so a
+    // SQL-only user gets the single-exchange merge, not the windowed
+    // composition. Args are name literals resolved against the session
+    // catalog at analysis time.
+    e.injectTableFunction((
+      new FunctionIdentifier("asof_join"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, "asof_join",
+        "asof_join(left, right, key, time[, direction]) - table function: " +
+          "point-in-time join of catalog tables/views `left` and `right` on " +
+          "`key`, matching the latest right `time` <= left `time` " +
+          "(direction 'backward', default) or earliest >= ('forward'); " +
+          "appends a `matched` column. All arguments string literals.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 4 || exprs.size == 5,
+          "asof_join takes (left, right, key, time[, direction])")
+        val args = exprs.zipWithIndex.map {
+          case (org.apache.spark.sql.catalyst.expressions.Literal(s: UTF8String, _), _) =>
+            s.toString
+          case (other, i) => throw new IllegalArgumentException(
+            s"asof_join argument ${i + 1} must be a string literal, got $other")
+        }
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.plans.AsOfJoinNative.asOf(
+          spark.table(args(0)), spark.table(args(1)), args(2), args(3), args(3),
+          direction = if (args.size == 5) args(4) else "backward")
+          .queryExecution.analyzed
+      }))
   }
 }

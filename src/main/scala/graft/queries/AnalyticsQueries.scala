@@ -509,6 +509,41 @@ object AnalyticsQueries {
       |  round(median(o_totalprice), 4) AS med_price
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // --- a23: explicit GROUPING SETS ------------------------------------------------
+
+  /** Arbitrary grouping-set lattice — the general form that ROLLUP (a2)
+    * and CUBE (a17) are shorthands of, via the Spark 4 `groupingSets`
+    * Dataset API. One pass over orders produces all three granularities
+    * (priority×status, priority, grand total); Catalyst expands the
+    * sets before aggregation so partial (map-side) aggregation still
+    * applies per set. Money in exact integer cents (a18's discipline)
+    * so summation order can't drift the hash.
+    */
+  val a23GroupingSets: Q = (spark, sfDir) =>
+    Tables.orders(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderpriority")), Seq.empty[org.apache.spark.sql.Column]),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("price_e2"),
+        grouping_id().as("g"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        col("g").cast("long").as("gid"), col("n"), col("price_e2"))
+      .orderBy("gid", "pri", "st")
+
+  private val a23Sql =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS pri,
+      |  coalesce(o_orderstatus, 'ALL') AS st,
+      |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_e2
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+      |ORDER BY gid, pri, st""".stripMargin
+
   // --- assembled maps -------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -533,7 +568,8 @@ object AnalyticsQueries {
     "a19_window_nav" -> a19WindowNav,
     "a20_salted_join" -> a20SaltedJoin,
     "a21_range_frames" -> a21RangeFrames,
-    "a22_misc_aggs" -> a22MiscAggs)
+    "a22_misc_aggs" -> a22MiscAggs,
+    "a23_grouping_sets" -> a23GroupingSets)
 
   val oracle: Map[String, String] = Map(
     "a1_top_orders" -> a1Sql,
@@ -557,5 +593,6 @@ object AnalyticsQueries {
     "a19_window_nav" -> a19Sql,
     "a20_salted_join" -> a20Sql,
     "a21_range_frames" -> a21Sql,
-    "a22_misc_aggs" -> a22Sql)
+    "a22_misc_aggs" -> a22Sql,
+    "a23_grouping_sets" -> a23Sql)
 }

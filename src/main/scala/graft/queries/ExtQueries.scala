@@ -1289,6 +1289,41 @@ object ExtQueries {
       |  round(CAST(sum(wt) AS BIGINT) / count(*), 6) AS mean_surprisal
       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- x42: per-host URL stats (web-corpus domain profile) --------------------------
+
+  /** Per-(host, role) URL profile over the link corpus: unpivot the
+    * three URL-bearing columns to rows, extract the registrable host
+    * with Spark's native `parse_url`, count occurrences and distinct
+    * links. This is the web-curation "per-domain budget" primitive —
+    * the groupBy key is the domain (uniformly hashable, millions at
+    * corpus scale), never the raw URL, so the aggregation shuffles a
+    * vocabulary-sized relation.
+    */
+  val x42HostStats: Q = (spark, sfDir) =>
+    SynthLinks.links(spark, sfDir)
+      .select(col("lkey"), col("url"), col("thumbnail"), col("stream_url"))
+      .unpivot(Array(col("lkey")),
+        Array(col("url"), col("thumbnail"), col("stream_url")), "role", "u")
+      .filter(col("u").isNotNull)
+      .select(col("role"), col("lkey"), parse_url(col("u"), lit("HOST")).as("host"))
+      .groupBy("host", "role")
+      .agg(count(lit(1)).as("n"), countDistinct(col("lkey")).as("n_links"))
+      .orderBy("host", "role")
+
+  private val x42Sql =
+    graft.queries.SynthLinks.cte +
+      """, up AS (
+        |  SELECT lkey, 'url' AS role, url AS u FROM links
+        |  UNION ALL SELECT lkey, 'thumbnail', thumbnail FROM links
+        |  UNION ALL SELECT lkey, 'stream_url', stream_url FROM links
+        |), h AS (
+        |  SELECT lkey, role, regexp_extract(u, '^[a-z]+://([^/?#]+)', 1) AS host
+        |  FROM up WHERE u IS NOT NULL
+        |)
+        |SELECT host, role, count(*) AS n, count(DISTINCT lkey) AS n_links
+        |FROM h GROUP BY host, role
+        |ORDER BY host, role""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1332,7 +1367,8 @@ object ExtQueries {
     "x38_edit_verify" -> x38EditVerify,
     "x39_decode_route" -> x39DecodeRoute,
     "x40_crossdoc_dup" -> x40CrossDocDup,
-    "x41_bigram_surprisal" -> x41BigramSurprisal)
+    "x41_bigram_surprisal" -> x41BigramSurprisal,
+    "x42_host_stats" -> x42HostStats)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -1375,5 +1411,6 @@ object ExtQueries {
     "x38_edit_verify" -> x38Sql,
     "x39_decode_route" -> x39Sql,
     "x40_crossdoc_dup" -> x40Sql,
-    "x41_bigram_surprisal" -> x41Sql)
+    "x41_bigram_surprisal" -> x41Sql,
+    "x42_host_stats" -> x42Sql)
 }

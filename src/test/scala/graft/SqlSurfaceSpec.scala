@@ -72,6 +72,25 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sk(b0) >= 2L)
   }
 
+  test("asof_join is callable as a SQL table-valued function") {
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 10L)).toDF("k", "t").createOrReplaceTempView("asof_l")
+    Seq((1L, 5L), (1L, 9L), (1L, 11L)).toDF("k", "t").createOrReplaceTempView("asof_r")
+    val back = spark.sql(
+      "SELECT k, matched FROM asof_join('asof_l', 'asof_r', 'k', 't') ORDER BY k")
+      .collect()
+    assert(back(0).getLong(1) == 9L)   // latest right <= 10
+    assert(back(1).isNullAt(1))        // key 2 has no right rows
+    val fwd = spark.sql(
+      "SELECT matched FROM asof_join('asof_l', 'asof_r', 'k', 't', 'forward') WHERE k = 1")
+      .collect()
+    assert(fwd.head.getLong(0) == 11L) // earliest right >= 10
+    val nonLit = intercept[Exception] {
+      spark.sql("SELECT * FROM asof_join('asof_l', 'asof_r', 'k', lower('T'))").collect()
+    }
+    assert(nonLit.getMessage.contains("string literal"))
+  }
+
   test("extension functions enforce arity and literal parameters") {
     val wrongArity = intercept[Exception] {
       spark.sql("SELECT md5_prefix64('a')").collect()
