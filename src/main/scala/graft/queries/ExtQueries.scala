@@ -1324,6 +1324,137 @@ object ExtQueries {
         |FROM h GROUP BY host, role
         |ORDER BY host, role""".stripMargin
 
+  // --- x43: URL canonicalization + canonical-key dedup ------------------------------
+
+  /** Canonical-URL dedup over deterministic link variants: every
+    * resolved link appears as (a) its raw stream URL and (b) an
+    * uppercased-host copy with `utm_*` tracking params appended — the
+    * two MUST collapse to one canonical group — plus, for every 7th
+    * link, (c) a copy with a real `quality=hi` param that canonicalization
+    * must PRESERVE as a distinct group. Group counts prove both
+    * directions: tracking noise collapses, semantics survive.
+    */
+  val x43UrlCanon: Q = (spark, sfDir) => {
+    val base = SynthLinks.links(spark, sfDir).filter(col("stream_url").isNotNull)
+    val pat = graft.ext.UrlCanon.schemeHostPattern
+    val v1 = base.select(col("lkey"), col("stream_url").as("u"))
+    val v2 = base.select(col("lkey"), concat(
+      upper(regexp_extract(col("stream_url"), pat, 0)),
+      regexp_replace(col("stream_url"), pat, ""),
+      lit("&utm_source=feed&utm_campaign=x")).as("u"))
+    val v3 = base.filter(col("lkey") % 7 === 0)
+      .select(col("lkey"), concat(col("stream_url"), lit("&quality=hi")).as("u"))
+    v1.unionAll(v2).unionAll(v3)
+      .select(col("lkey"), graft.ext.UrlCanon.canonicalize(col("u")).as("canon"))
+      .groupBy("canon").agg(count(lit(1)).as("n"), min(col("lkey")).as("lkey"))
+      .orderBy("canon")
+  }
+
+  private val x43Sql =
+    graft.queries.SynthLinks.cte +
+      s""", b AS (
+         |  SELECT lkey, stream_url FROM links WHERE stream_url IS NOT NULL
+         |), raw AS (
+         |  SELECT lkey, stream_url AS u FROM b
+         |  UNION ALL
+         |  SELECT lkey,
+         |    upper(regexp_extract(stream_url, '${graft.ext.UrlCanon.schemeHostPattern}')) ||
+         |    regexp_replace(stream_url, '${graft.ext.UrlCanon.schemeHostPattern}', '') ||
+         |    '&utm_source=feed&utm_campaign=x' AS u FROM b
+         |  UNION ALL
+         |  SELECT lkey, stream_url || '&quality=hi' AS u FROM b WHERE lkey % 7 = 0
+         |), c AS (
+         |  SELECT lkey, ${graft.ext.UrlCanon.canonicalizeSql("u")} AS canon FROM raw
+         |)
+         |SELECT canon, count(*) AS n, min(lkey) AS lkey
+         |FROM c GROUP BY canon ORDER BY canon""".stripMargin
+
+  // --- x44: token-length histogram (training-mix design stat) -----------------------
+
+  /** Decade-bucketed document-length histogram with exact corpus
+    * shares: per bucket, doc count, token mass, and each as a fraction
+    * of the corpus. Shares are ONE division of exact BIGINTs (broadcast
+    * grand totals, no float accumulation); the cumulative count comes
+    * from a bucket≤bucket self-join over the ~dozen aggregated rows —
+    * post-aggregation, so the quadratic stays trivially small at any
+    * corpus size.
+    */
+  val x44LengthHistogram: Q = (spark, sfDir) => {
+    val sized = Tables.documents(spark, sfDir)
+      .select(size(split(col("text"), " ")).cast("long").as("nt"))
+    val hist = sized.groupBy(expr("nt div 10 * 10").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val tot = sized.agg(count(lit(1)).as("tot_docs"), sum(col("nt")).as("tot_tokens"))
+    val cum = hist.select(col("bucket").as("b2"), col("n_docs").as("nd2"))
+      .join(hist.select(col("bucket")), col("b2") <= col("bucket"))
+      .groupBy("bucket").agg(sum(col("nd2")).as("cum_docs"))
+    hist.join(cum, "bucket").crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"), col("cum_docs"),
+        round(col("n_docs") / col("tot_docs"), 6).as("doc_share"),
+        round(col("n_tokens") / col("tot_tokens"), 6).as("token_share"))
+      .orderBy("bucket")
+  }
+
+  private val x44Sql =
+    """WITH sized AS (
+      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents
+      |), hist AS (
+      |  SELECT (nt // 10) * 10 AS bucket, count(*) AS n_docs,
+      |    CAST(sum(nt) AS BIGINT) AS n_tokens
+      |  FROM sized GROUP BY 1
+      |), tot AS (
+      |  SELECT count(*) AS tot_docs, CAST(sum(nt) AS BIGINT) AS tot_tokens FROM sized
+      |), cum AS (
+      |  SELECT h1.bucket, CAST(sum(h2.n_docs) AS BIGINT) AS cum_docs
+      |  FROM hist h1 JOIN hist h2 ON h2.bucket <= h1.bucket
+      |  GROUP BY h1.bucket
+      |)
+      |SELECT bucket, n_docs, n_tokens, cum_docs,
+      |  round(n_docs / tot_docs, 6) AS doc_share,
+      |  round(n_tokens / tot_tokens, 6) AS token_share
+      |FROM hist JOIN cum USING (bucket) CROSS JOIN tot
+      |ORDER BY bucket""".stripMargin
+
+  // --- x45: source mixture weights (alpha=0.5 temperature reweighting) --------------
+
+  /** Pile-style mixture reweighting: per source, token mass and an
+    * α=0.5 sampling weight `w = floor(sqrt(n_tokens))` with its
+    * parts-per-million share `(w·10^6) div Σw`. `sqrt` is IEEE
+    * correctly-rounded in both engines and the normalization is integer
+    * division against an exact BIGINT total, so shares are bit-stable
+    * regardless of aggregation order — the same no-float-accumulation
+    * discipline as tf-idf and the weighted sampler.
+    */
+  val x45MixtureWeights: Q = (spark, sfDir) => {
+    val perSource = Tables.documents(spark, sfDir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        floor(sqrt(col("n_tokens"))).cast("long").as("w"))
+    val tot = perSource.agg(sum(col("w")).as("tot_w"))
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("w"),
+        expr("w * 1000000 div tot_w").as("share_ppm"))
+      .orderBy("source")
+  }
+
+  private val x45Sql =
+    """WITH s AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |), w AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    CAST(floor(sqrt(n_tokens)) AS BIGINT) AS w
+      |  FROM s
+      |), t AS (
+      |  SELECT CAST(sum(w) AS BIGINT) AS tot_w FROM w
+      |)
+      |SELECT source, n_docs, n_tokens, w, (w * 1000000) // tot_w AS share_ppm
+      |FROM w CROSS JOIN t
+      |ORDER BY source""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1368,7 +1499,10 @@ object ExtQueries {
     "x39_decode_route" -> x39DecodeRoute,
     "x40_crossdoc_dup" -> x40CrossDocDup,
     "x41_bigram_surprisal" -> x41BigramSurprisal,
-    "x42_host_stats" -> x42HostStats)
+    "x42_host_stats" -> x42HostStats,
+    "x43_url_canon" -> x43UrlCanon,
+    "x44_length_histogram" -> x44LengthHistogram,
+    "x45_mixture_weights" -> x45MixtureWeights)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -1412,5 +1546,8 @@ object ExtQueries {
     "x39_decode_route" -> x39Sql,
     "x40_crossdoc_dup" -> x40Sql,
     "x41_bigram_surprisal" -> x41Sql,
-    "x42_host_stats" -> x42Sql)
+    "x42_host_stats" -> x42Sql,
+    "x43_url_canon" -> x43Sql,
+    "x44_length_histogram" -> x44Sql,
+    "x45_mixture_weights" -> x45Sql)
 }

@@ -492,6 +492,21 @@ class ExtSpec extends SparkSpec {
     assert(r(1L).getDouble(3) > r(0L).getDouble(3))
   }
 
+  test("URL canonicalization collapses tracking noise but preserves real params") {
+    import spark.implicits._
+    val urls = Seq(
+      "HTTPS://CDN.Example.org/a.mp3?expire=1&utm_source=x",
+      "https://cdn.example.org/a.mp3",
+      "https://h.org/p?utm_a=1&q=2&utm_b=3#frag",
+      "https://h.org/p?utm_a=1").toDF("u")
+    val got = urls.select(UrlCanon.canonicalize(col("u")).as("c"))
+      .as[String].collect()
+    assert(got(0) == "https://cdn.example.org/a.mp3") // host lowered, tracking gone
+    assert(got(0) == got(1))                          // variant collapses to raw
+    assert(got(2) == "https://h.org/p?q=2")           // real param survives, frag gone
+    assert(got(3) == "https://h.org/p")               // empty query tidied away
+  }
+
   test("denseRankDesc refuses NULL rank values instead of silently skewing offsets") {
     import spark.implicits._
     val withNull = Seq(Some(3L), Some(1L), None, Some(2L)).toDF("v")
