@@ -544,6 +544,82 @@ object AnalyticsQueries {
       |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
       |ORDER BY gid, pri, st""".stripMargin
 
+  // --- a24: weekly cohort retention -----------------------------------------------
+
+  /** Cohort analysis: users bucketed by first-seen week; for each
+    * (cohort, weeks-since-cohort offset), distinct returning users.
+    * Week keys are epoch seconds (the engine-portable window-key
+    * pattern from w1) and the offset is integer division of exact
+    * epoch deltas. Two aggregations + one equi-join on user_id — the
+    * user dimension shuffles once, and the per-(cohort, k) counts are
+    * partial-aggregated.
+    */
+  val a24CohortRetention: Q = (spark, sfDir) => {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_timestamp(date_trunc("week", col("ts"))).as("wk"))
+    val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+    val active = ev.distinct()
+    active.join(cohort, "user_id")
+      .select(col("cohort"), expr("(wk - cohort) div 604800").as("k"), col("user_id"))
+      .groupBy("cohort", "k")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort", "k")
+  }
+
+  private val a24Sql =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    CAST(floor(epoch(date_trunc('week', ts))) AS BIGINT) AS wk
+      |  FROM events
+      |), cohort AS (
+      |  SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id
+      |), active AS (
+      |  SELECT DISTINCT user_id, wk FROM ev
+      |)
+      |SELECT cohort, (wk - cohort) // 604800 AS k,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM active JOIN cohort USING (user_id)
+      |GROUP BY cohort, k ORDER BY cohort, k""".stripMargin
+
+  // --- a25: ordered funnel --------------------------------------------------------
+
+  /** Strictly-ordered conversion funnel signup → click → purchase: a
+    * user advances a step only if that event's FIRST occurrence is
+    * after the previous step's first occurrence. One conditional
+    * min-aggregation per user (single shuffle), then a global count —
+    * timestamps compare as exact µs integers, no float anywhere.
+    */
+  val a25Funnel: Q = (spark, sfDir) => {
+    val m = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    m.select(
+      sum(when(col("t_signup").isNotNull, 1L).otherwise(0L)).as("n_signup"),
+      sum(when(col("t_signup").isNotNull && col("t_click") > col("t_signup"), 1L)
+        .otherwise(0L)).as("n_click_after"),
+      sum(when(col("t_signup").isNotNull && col("t_click") > col("t_signup") &&
+        col("t_purchase") > col("t_click"), 1L).otherwise(0L)).as("n_purchase_after"))
+  }
+
+  private val a25Sql =
+    """WITH m AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+      |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT
+      |  CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after,
+      |  CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+      |    AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_after
+      |FROM m""".stripMargin
+
   // --- assembled maps -------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -569,7 +645,9 @@ object AnalyticsQueries {
     "a20_salted_join" -> a20SaltedJoin,
     "a21_range_frames" -> a21RangeFrames,
     "a22_misc_aggs" -> a22MiscAggs,
-    "a23_grouping_sets" -> a23GroupingSets)
+    "a23_grouping_sets" -> a23GroupingSets,
+    "a24_cohort_retention" -> a24CohortRetention,
+    "a25_funnel" -> a25Funnel)
 
   val oracle: Map[String, String] = Map(
     "a1_top_orders" -> a1Sql,
@@ -594,5 +672,7 @@ object AnalyticsQueries {
     "a20_salted_join" -> a20Sql,
     "a21_range_frames" -> a21Sql,
     "a22_misc_aggs" -> a22Sql,
-    "a23_grouping_sets" -> a23Sql)
+    "a23_grouping_sets" -> a23Sql,
+    "a24_cohort_retention" -> a24Sql,
+    "a25_funnel" -> a25Sql)
 }
