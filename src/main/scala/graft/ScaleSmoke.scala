@@ -113,6 +113,31 @@ object ScaleSmoke {
     require(s1 == s2 && s1.size == 1000, "weighted sample unstable under repartition")
     println(f"weighted sample: 1000 of ${big.count()}%d docs " +
       f"in ${(System.nanoTime() - t4) / 1e9}%.1fs (both layouts)")
+
+    // --- cross-doc duplication at scale --------------------------------------
+    // Every replica family shares all but the " repN" tail shingles, so
+    // the corpus is near-total duplication: the profile must (a) finish
+    // inside budget on factor× docs and (b) report high dup fractions.
+    val t5 = System.nanoTime()
+    val dup = Dedup.crossDocDup(big, "doc_id", "text")
+      .agg(count(lit(1)).as("n"), avg("dup_frac").as("mean_frac"))
+      .collect()(0)
+    val dupSec = (System.nanoTime() - t5) / 1e9
+    println(f"crossdoc dup: ${dup.getLong(0)}%d docs, mean dup_frac " +
+      f"${dup.getDouble(1)}%.3f in $dupSec%.1fs")
+    require(dup.getDouble(1) > 0.5,
+      "replica corpus should profile as majority-duplicated")
+    require(dupSec < 300, f"crossdoc dup at ${factor}x blew the 300s budget: $dupSec%.1fs")
+
+    // --- bigram surprisal at scale -------------------------------------------
+    // Vocabulary-sized count relations joined back to the token stream:
+    // runtime must stay near-linear in the corpus, and every doc scores.
+    val t6 = System.nanoTime()
+    val surN = graft.ext.TextAnalytics.bigramSurprisal(big, "doc_id", "text").count()
+    val surSec = (System.nanoTime() - t6) / 1e9
+    println(f"bigram surprisal: $surN%d docs in $surSec%.1fs")
+    require(surN == big.count(), "every doc must receive a surprisal score")
+    require(surSec < 300, f"surprisal at ${factor}x blew the 300s budget: $surSec%.1fs")
     spark.stop()
   }
 }

@@ -173,8 +173,11 @@ object Dedup {
       .select(col("a_id").cast("long").as("u"), col("b_id").cast("long").as("v"))
       .localCheckpoint()
     val edges = p0.union(p0.select(col("v").as("u"), col("u").as("v")))
-    var lbl = edges.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl")).localCheckpoint()
+    // initialize each vertex at min(self, direct neighbors) — the first
+    // propagation round folded into the (already necessary) vertex-set
+    // aggregation, saving one full join round on shallow components
+    var lbl = edges.groupBy(col("u").as("id"))
+      .agg(least(col("id"), min(col("v"))).as("lbl")).localCheckpoint()
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
