@@ -544,6 +544,35 @@ object AnalyticsQueries {
       |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
       |ORDER BY gid, pri, st""".stripMargin
 
+  // --- a26: window distribution functions ------------------------------------------
+
+  /** ntile / percent_rank / cume_dist over per-priority windows.
+    * `o_orderkey` is unique (verified in the generated data), so window
+    * order is total and the rank-ratio doubles are single divisions of
+    * exact integers — bit-identical across engines. Windows partition
+    * by priority (5-way parallel, never single-partition).
+    */
+  val a26WindowDist: Q = (spark, sfDir) => {
+    val w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("o_orderkey")
+  }
+
+  private val a26Sql =
+    """SELECT o_orderpriority, o_orderkey,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pr,
+      |  round(cume_dist() OVER w, 6) AS cd
+      |FROM orders
+      |WHERE o_orderkey % 10 = 0
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   // --- a24: weekly cohort retention -----------------------------------------------
 
   /** Cohort analysis: users bucketed by first-seen week; for each
@@ -647,7 +676,8 @@ object AnalyticsQueries {
     "a22_misc_aggs" -> a22MiscAggs,
     "a23_grouping_sets" -> a23GroupingSets,
     "a24_cohort_retention" -> a24CohortRetention,
-    "a25_funnel" -> a25Funnel)
+    "a25_funnel" -> a25Funnel,
+    "a26_window_dist" -> a26WindowDist)
 
   val oracle: Map[String, String] = Map(
     "a1_top_orders" -> a1Sql,
@@ -674,5 +704,6 @@ object AnalyticsQueries {
     "a22_misc_aggs" -> a22Sql,
     "a23_grouping_sets" -> a23Sql,
     "a24_cohort_retention" -> a24Sql,
-    "a25_funnel" -> a25Sql)
+    "a25_funnel" -> a25Sql,
+    "a26_window_dist" -> a26Sql)
 }

@@ -317,6 +317,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("h").distinct().count() == 2)
   }
 
+  test("streaming canonical-URL dedup collapses tracking variants incrementally") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://cdn.example.org/a.mp3?expire=1"),
+      (2L, "HTTPS://CDN.EXAMPLE.ORG/a.mp3?utm_source=x"), // same canonical as 1
+      (3L, "https://cdn.example.org/a.mp3?quality=hi"))   // real param -> distinct
+      .toDF("id", "u")
+    val dir = Files.createTempDirectory("canon").toString
+    urls.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(urls.schema).parquet(dir)
+    val deduped = stream
+      .withColumn("canon", graft.ext.UrlCanon.canonicalize(col("u")))
+      .withColumn("seen_at", current_timestamp())
+      .withWatermark("seen_at", "1 hour")
+      .dropDuplicatesWithinWatermark("canon")
+    val got = EventWindows.drainToMemory(spark, deduped, "canonDD", OutputMode.Append)
+    assert(got.count() == 2)
+    assert(got.select("canon").as[String].collect().toSet ==
+      Set("https://cdn.example.org/a.mp3", "https://cdn.example.org/a.mp3?quality=hi"))
+  }
+
   test("MinHashAggregator maintains signatures incrementally over a stream") {
     import graft.ext.{Dedup, Hashing, MinHashAggregator}
     val docs = Tables.documents(spark, sf())
