@@ -1455,6 +1455,82 @@ object ExtQueries {
       |FROM w CROSS JOIN t
       |ORDER BY source""".stripMargin
 
+  // --- x46: Z-order clustering keys (multi-dim layout / pruning) --------------------
+
+  /** Morton-key histogram over two part dimensions with a planted 2-D
+    * box predicate: the per-key-range `n_box` column shows the box's
+    * rows concentrating in few Z-buckets — exactly the file-skipping
+    * win `ZORDER BY` buys at 100 TB, where `zb` would be the sort/
+    * clustering key at write time and readers prune row-groups by the
+    * box's `[morton(x0,y0), morton(x1,y1)]` superset range. Pure
+    * integer bit arithmetic; `floor()` before the BIGINT cast because
+    * Spark truncates and DuckDB rounds on raw double→int casts.
+    */
+  val x46ZOrder: Q = (spark, sfDir) => {
+    val d = Tables.part(spark, sfDir)
+      .select((col("p_size") % 256).cast("long").as("x"),
+        (expr("CAST(floor(p_retailprice) AS BIGINT)") % 256).as("y"))
+    d.select(col("x"), col("y"),
+        graft.ext.ZOrder.morton8(col("x"), col("y")).as("z"),
+        when(col("x").between(10, 20) && col("y").between(50, 100), 1L)
+          .otherwise(0L).as("in_box"))
+      .groupBy(expr("z div 1024").as("zb"))
+      .agg(count(lit(1)).as("n"), sum("in_box").as("n_box"))
+      .orderBy("zb")
+  }
+
+  private val x46Sql =
+    s"""WITH d AS (
+       |  SELECT CAST(p_size % 256 AS BIGINT) AS x,
+       |    CAST(floor(p_retailprice) AS BIGINT) % 256 AS y
+       |  FROM part
+       |), z AS (
+       |  SELECT x, y, ${graft.ext.ZOrder.morton8Sql("x", "y")} AS z,
+       |    CASE WHEN x BETWEEN 10 AND 20 AND y BETWEEN 50 AND 100
+       |      THEN 1 ELSE 0 END AS in_box
+       |  FROM d
+       |)
+       |SELECT CAST(z // 1024 AS BIGINT) AS zb, count(*) AS n,
+       |  CAST(sum(in_box) AS BIGINT) AS n_box
+       |FROM z GROUP BY 1 ORDER BY zb""".stripMargin
+
+  // --- x47: class-balanced deterministic sample -------------------------------------
+
+  /** Exactly-k-per-stratum sampling (the class-balanced subsample used
+    * to de-skew training mixes): rank docs inside each language by a
+    * content hash and keep the first k. Selection is a pure function of
+    * content — stable under repartition and re-runs — and the per-group
+    * top-k runs through the native bounded-heap aggregate, so each
+    * partition forwards at most k rows per stratum and NO full
+    * per-stratum sort ever rides the exchange (the window-function
+    * formulation would sort whole strata at 100 TB). Hash ties (32-bit
+    * hashes collide at corpus scale) break on the doc id.
+    */
+  val x47BalancedSample: Q = (spark, sfDir) => {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id").cast("string").as("did"),
+        graft.ext.Hashing.h32(concat(col("doc_id").cast("string"), lit(":bal"))).as("h"))
+    docs.groupBy("lang")
+      .agg(graft.expr.TopKPairs.topK(-col("h"), col("did"), 20).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "ts")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rn"),
+        col("ts.key").as("doc_id"), (-col("ts.score")).as("h"))
+      .orderBy("lang", "rn")
+  }
+
+  private val x47Sql =
+    """WITH h AS (
+      |  SELECT lang, CAST(doc_id AS VARCHAR) AS did,
+      |    ('0x' || substr(md5(doc_id || ':bal'),1,8))::BIGINT AS h
+      |  FROM documents
+      |), r AS (
+      |  SELECT lang, did, h,
+      |    row_number() OVER (PARTITION BY lang ORDER BY h, did) AS rn
+      |  FROM h
+      |)
+      |SELECT lang, CAST(rn AS INT) AS rn, did AS doc_id, h
+      |FROM r WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1502,7 +1578,9 @@ object ExtQueries {
     "x42_host_stats" -> x42HostStats,
     "x43_url_canon" -> x43UrlCanon,
     "x44_length_histogram" -> x44LengthHistogram,
-    "x45_mixture_weights" -> x45MixtureWeights)
+    "x45_mixture_weights" -> x45MixtureWeights,
+    "x46_zorder" -> x46ZOrder,
+    "x47_balanced_sample" -> x47BalancedSample)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -1549,5 +1627,7 @@ object ExtQueries {
     "x42_host_stats" -> x42Sql,
     "x43_url_canon" -> x43Sql,
     "x44_length_histogram" -> x44Sql,
-    "x45_mixture_weights" -> x45Sql)
+    "x45_mixture_weights" -> x45Sql,
+    "x46_zorder" -> x46Sql,
+    "x47_balanced_sample" -> x47Sql)
 }

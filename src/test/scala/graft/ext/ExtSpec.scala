@@ -507,6 +507,19 @@ class ExtSpec extends SparkSpec {
     assert(got(3) == "https://h.org/p")               // empty query tidied away
   }
 
+  test("morton keys are monotone per dimension, bound 2-D boxes, and biject the grid") {
+    import spark.implicits._
+    val pts = (for { x <- 0 to 15; y <- 0 to 15 } yield (x.toLong, y.toLong)).toDF("x", "y")
+    val z = pts.select(col("x"), col("y"), ZOrder.morton8(col("x"), col("y")).as("z"))
+      .collect()
+    val zm = z.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(zm((3L, 5L)) < zm((4L, 5L)) && zm((3L, 5L)) < zm((3L, 6L)))
+    val lo = zm((2L, 3L)); val hi = zm((5L, 6L))
+    for (x <- 2L to 5L; y <- 3L to 6L)
+      assert(zm((x, y)) >= lo && zm((x, y)) <= hi) // reader's superset range
+    assert(z.map(_.getLong(2)).distinct.length == 256)
+  }
+
   test("denseRankDesc refuses NULL rank values instead of silently skewing offsets") {
     import spark.implicits._
     val withNull = Seq(Some(3L), Some(1L), None, Some(2L)).toDF("v")
