@@ -1531,6 +1531,99 @@ object ExtQueries {
       |SELECT lang, CAST(rn AS INT) AS rn, did AS doc_id, h
       |FROM r WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
 
+  // --- x48: per-source token-count quantiles -----------------------------------------
+
+  /** Exact per-source document-length quantiles (the corpus health
+    * check run before mixing sources): one partial-aggregating groupBy;
+    * `percentile` ≡ DuckDB `quantile_cont` (both interpolate at
+    * (n−1)·p — parity proven by a12).
+    */
+  val x48SourceQuantiles: Q = (spark, sfDir) =>
+    Tables.documents(spark, sfDir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        percentile(col("nt"), lit(0.5)).as("p50"),
+        percentile(col("nt"), lit(0.9)).as("p90"),
+        max(col("nt")).as("max_nt"))
+      .orderBy("source")
+
+  private val x48Sql =
+    """WITH s AS (
+      |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |  FROM documents
+      |)
+      |SELECT source, count(*) AS n_docs,
+      |  quantile_cont(nt, 0.5) AS p50,
+      |  quantile_cont(nt, 0.9) AS p90,
+      |  max(nt) AS max_nt
+      |FROM s GROUP BY source ORDER BY source""".stripMargin
+
+  // --- x49: curation v2 (quality-filter composition in ONE plan) --------------------
+
+  /** End-to-end curation composing this round's operators in one
+    * Catalyst plan: cross-doc duplication profile (x40) and bigram
+    * surprisal (x41) as quality gates, then deterministic split
+    * assignment (x37) over the survivors. Thresholds sit near the
+    * corpus p90s so both filters actually fire. One plan means the
+    * optimizer shares the documents scan between the two profile
+    * subtrees and the final join set — no materialized intermediates.
+    */
+  val x49CurationV2: Q = (spark, sfDir) => {
+    val docs = Tables.documents(spark, sfDir)
+    val dup = Dedup.crossDocDup(docs, "doc_id", "text")
+      .select(col("doc_id"), col("dup_frac"))
+    val sur = TextAnalytics.bigramSurprisal(docs, "doc_id", "text")
+      .select(col("doc_id"), col("mean_surprisal"))
+    val kept = docs.select("doc_id", "lang")
+      .join(dup, "doc_id").join(sur, "doc_id")
+      .filter(col("dup_frac") <= 0.8 && col("mean_surprisal") <= 32000000.0)
+    Sampling.assignSplits(kept, col("doc_id"),
+        Seq("train" -> 8000, "valid" -> 9000, "test" -> 10000), ":sp")
+      .select(col("doc_id"), col("lang"), col("dup_frac"),
+        col("mean_surprisal"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  private val x49Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, length(tk)-1),
+      |    i -> ('0x' || substr(md5(array_to_string(list_slice(tk, i, i+2), ' ')),1,8))::BIGINT))) AS h
+      |  FROM tok WHERE length(tk) >= 3
+      |), hc AS (
+      |  SELECT h, count(*) AS nd FROM sh GROUP BY h
+      |), dup AS (
+      |  SELECT doc_id, round(
+      |    CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) / count(*), 6) AS dup_frac
+      |  FROM sh JOIN hc USING (h) GROUP BY doc_id
+      |), bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, length(tk)),
+      |    i -> array_to_string(list_slice(tk, i, i+1), ' '))) AS bigram
+      |  FROM tok WHERE length(tk) >= 2
+      |), b2 AS (
+      |  SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS w1 FROM bg
+      |), cb AS (
+      |  SELECT bigram, count(*) AS cb FROM b2 GROUP BY bigram
+      |), cu AS (
+      |  SELECT w1, count(*) AS cu FROM b2 GROUP BY w1
+      |), sur AS (
+      |  SELECT doc_id, round(CAST(sum((cu.cu * 1000000) // cb.cb) AS BIGINT) / count(*), 6)
+      |    AS mean_surprisal
+      |  FROM b2 JOIN cb USING (bigram) JOIN cu USING (w1)
+      |  GROUP BY doc_id
+      |), kept AS (
+      |  SELECT v.doc_id, v.lang, dup.dup_frac, sur.mean_surprisal,
+      |    ('0x' || substr(md5(v.doc_id || ':sp'),1,8))::BIGINT % 10000 AS bp
+      |  FROM documents v JOIN dup USING (doc_id) JOIN sur USING (doc_id)
+      |  WHERE dup.dup_frac <= 0.8 AND sur.mean_surprisal <= 32000000.0
+      |)
+      |SELECT doc_id, lang, dup_frac, mean_surprisal,
+      |  CASE WHEN bp < 8000 THEN 'train' WHEN bp < 9000 THEN 'valid'
+      |    ELSE 'test' END AS split
+      |FROM kept ORDER BY doc_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1580,7 +1673,9 @@ object ExtQueries {
     "x44_length_histogram" -> x44LengthHistogram,
     "x45_mixture_weights" -> x45MixtureWeights,
     "x46_zorder" -> x46ZOrder,
-    "x47_balanced_sample" -> x47BalancedSample)
+    "x47_balanced_sample" -> x47BalancedSample,
+    "x48_source_quantiles" -> x48SourceQuantiles,
+    "x49_curation_v2" -> x49CurationV2)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -1629,5 +1724,7 @@ object ExtQueries {
     "x44_length_histogram" -> x44Sql,
     "x45_mixture_weights" -> x45Sql,
     "x46_zorder" -> x46Sql,
-    "x47_balanced_sample" -> x47Sql)
+    "x47_balanced_sample" -> x47Sql,
+    "x48_source_quantiles" -> x48Sql,
+    "x49_curation_v2" -> x49Sql)
 }
