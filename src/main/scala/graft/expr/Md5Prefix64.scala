@@ -169,5 +169,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           direction = if (args.size == 5) args(4) else "backward")
           .queryExecution.analyzed
       }))
+
+    // same table-valued surface for the native range join (broadcast
+    // interval sweep, plans/RangeJoinNative.scala)
+    e.injectTableFunction((
+      new FunctionIdentifier("range_join"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, "range_join",
+        "range_join(points, intervals, point, lo, hi) - table function: rows of " +
+          "catalog table/view `points` joined to every `intervals` row whose " +
+          "[lo, hi] contains `point`. All arguments string literals.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 5, "range_join takes (points, intervals, point, lo, hi)")
+        val args = exprs.zipWithIndex.map {
+          case (org.apache.spark.sql.catalyst.expressions.Literal(s: UTF8String, _), _) =>
+            s.toString
+          case (other, i) => throw new IllegalArgumentException(
+            s"range_join argument ${i + 1} must be a string literal, got $other")
+        }
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.plans.RangeJoinNative.pointsInIntervals(
+          spark.table(args(0)), spark.table(args(1)), args(2), args(3), args(4))
+          .queryExecution.analyzed
+      }))
   }
 }

@@ -91,6 +91,18 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(nonLit.getMessage.contains("string literal"))
   }
 
+  test("range_join is callable as a SQL table-valued function") {
+    import spark.implicits._
+    Seq((1L, 5L), (2L, 15L)).toDF("id", "p").createOrReplaceTempView("rj_pts")
+    Seq((10L, 0L, 9L), (20L, 10L, 19L), (30L, 4L, 16L))
+      .toDF("iid", "lo", "hi").createOrReplaceTempView("rj_iv")
+    val rows = spark.sql(
+      """SELECT id, iid FROM range_join('rj_pts', 'rj_iv', 'p', 'lo', 'hi')
+        |ORDER BY id, iid""".stripMargin).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (1L, 30L), (2L, 20L), (2L, 30L)))
+  }
+
   test("extension functions enforce arity and literal parameters") {
     val wrongArity = intercept[Exception] {
       spark.sql("SELECT md5_prefix64('a')").collect()
