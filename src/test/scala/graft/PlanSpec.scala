@@ -145,6 +145,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("balanced sample plans the bounded-heap aggregate, not a window sort") {
+    // the whole point of x47 over the row_number formulation: no Window
+    // node, no per-stratum sort — partial top_k_pairs rides the exchange
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = ExtQueries.x47BalancedSample(spark, sf())
+    assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
+    assert(plan(df).contains("top_k_pairs"))
+  }
+
+  test("zorder histogram is one partial-aggregated exchange over a pruned scan") {
+    val p = plan(ExtQueries.x46ZOrder(spark, sf()))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(p).toList
+    assert(readSchemas.forall(s => s.contains("p_size") && !s.contains("p_name")),
+      readSchemas.mkString("\n"))
+  }
+
   test("flagship enrichment stays inside whole-stage codegen") {
     // AQE reveals codegen stages only in the final (executed) plan
     val df = RefQueries.flagshipStation(spark, sf())
