@@ -1564,10 +1564,14 @@ object ExtQueries {
   /** End-to-end curation composing this round's operators in one
     * Catalyst plan: cross-doc duplication profile (x40) and bigram
     * surprisal (x41) as quality gates, then deterministic split
-    * assignment (x37) over the survivors. Thresholds sit near the
-    * corpus p90s so both filters actually fire. One plan means the
-    * optimizer shares the documents scan between the two profile
-    * subtrees and the final join set — no materialized intermediates.
+    * assignment (x37) over the survivors. The gates SELF-CALIBRATE to
+    * the corpus p90 of each signal (broadcast one-row thresholds) —
+    * fixed literals go degenerate when the corpus distribution shifts
+    * (at sf0.1 the synthetic vocabulary pushes every dup_frac to ~1.0
+    * and a fixed 0.8 gate empties the corpus), and percentile gating
+    * is what real curation pipelines do. One plan means the optimizer
+    * shares the documents scan between the profile subtrees and the
+    * final join set — no materialized intermediates.
     */
   val x49CurationV2: Q = (spark, sfDir) => {
     val docs = Tables.documents(spark, sfDir)
@@ -1575,9 +1579,13 @@ object ExtQueries {
       .select(col("doc_id"), col("dup_frac"))
     val sur = TextAnalytics.bigramSurprisal(docs, "doc_id", "text")
       .select(col("doc_id"), col("mean_surprisal"))
+    val dupGate = dup.agg(percentile(col("dup_frac"), lit(0.9)).as("dup_p90"))
+    val surGate = sur.agg(percentile(col("mean_surprisal"), lit(0.9)).as("sur_p90"))
     val kept = docs.select("doc_id", "lang")
       .join(dup, "doc_id").join(sur, "doc_id")
-      .filter(col("dup_frac") <= 0.8 && col("mean_surprisal") <= 32000000.0)
+      .crossJoin(broadcast(dupGate)).crossJoin(broadcast(surGate))
+      .filter(col("dup_frac") <= col("dup_p90") &&
+        col("mean_surprisal") <= col("sur_p90"))
     Sampling.assignSplits(kept, col("doc_id"),
         Seq("train" -> 8000, "valid" -> 9000, "test" -> 10000), ":sp")
       .select(col("doc_id"), col("lang"), col("dup_frac"),
@@ -1613,11 +1621,16 @@ object ExtQueries {
       |    AS mean_surprisal
       |  FROM b2 JOIN cb USING (bigram) JOIN cu USING (w1)
       |  GROUP BY doc_id
+      |), dg AS (
+      |  SELECT quantile_cont(dup_frac, 0.9) AS dup_p90 FROM dup
+      |), sg AS (
+      |  SELECT quantile_cont(mean_surprisal, 0.9) AS sur_p90 FROM sur
       |), kept AS (
       |  SELECT v.doc_id, v.lang, dup.dup_frac, sur.mean_surprisal,
       |    ('0x' || substr(md5(v.doc_id || ':sp'),1,8))::BIGINT % 10000 AS bp
       |  FROM documents v JOIN dup USING (doc_id) JOIN sur USING (doc_id)
-      |  WHERE dup.dup_frac <= 0.8 AND sur.mean_surprisal <= 32000000.0
+      |  CROSS JOIN dg CROSS JOIN sg
+      |  WHERE dup.dup_frac <= dg.dup_p90 AND sur.mean_surprisal <= sg.sur_p90
       |)
       |SELECT doc_id, lang, dup_frac, mean_surprisal,
       |  CASE WHEN bp < 8000 THEN 'train' WHEN bp < 9000 THEN 'valid'
