@@ -573,6 +573,42 @@ object AnalyticsQueries {
       |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  // --- a27: per-user rolling 7-day time-RANGE window --------------------------------
+
+  /** Trailing-week activity per event: count and money-sum of each
+    * user's events in the 7 days up to (and including) this one —
+    * a value-based RANGE frame over epoch seconds, partitioned by user
+    * (never single-partition). Money rides as exact integer cents so
+    * in-frame summation order can't drift the hash; same-second events
+    * are frame peers in both engines.
+    */
+  val a27RollingEvents: Q = (spark, sfDir) => {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("es"),
+        round(col("value") * 100).cast("long").as("v2"))
+    val w = Window.partitionBy("user_id").orderBy("es").rangeBetween(-604800L, 0L)
+    ev.select(col("event_id"), col("user_id"), col("es"),
+        count(lit(1)).over(w).as("n_7d"),
+        sum(col("v2")).over(w).as("v2_7d"))
+      .orderBy("event_id")
+  }
+
+  private val a27Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+      |    CAST(round(value * 100) AS BIGINT) AS v2
+      |  FROM events
+      |)
+      |SELECT event_id, user_id, es,
+      |  count(*) OVER w AS n_7d,
+      |  CAST(sum(v2) OVER w AS BIGINT) AS v2_7d
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY es
+      |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   // --- a24: weekly cohort retention -----------------------------------------------
 
   /** Cohort analysis: users bucketed by first-seen week; for each
@@ -677,7 +713,8 @@ object AnalyticsQueries {
     "a23_grouping_sets" -> a23GroupingSets,
     "a24_cohort_retention" -> a24CohortRetention,
     "a25_funnel" -> a25Funnel,
-    "a26_window_dist" -> a26WindowDist)
+    "a26_window_dist" -> a26WindowDist,
+    "a27_rolling_events" -> a27RollingEvents)
 
   val oracle: Map[String, String] = Map(
     "a1_top_orders" -> a1Sql,
@@ -705,5 +742,6 @@ object AnalyticsQueries {
     "a23_grouping_sets" -> a23Sql,
     "a24_cohort_retention" -> a24Sql,
     "a25_funnel" -> a25Sql,
-    "a26_window_dist" -> a26Sql)
+    "a26_window_dist" -> a26Sql,
+    "a27_rolling_events" -> a27Sql)
 }

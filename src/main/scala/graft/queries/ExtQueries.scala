@@ -1637,6 +1637,60 @@ object ExtQueries {
       |    ELSE 'test' END AS split
       |FROM kept ORDER BY doc_id""".stripMargin
 
+  // --- x50: one BPE merge step -------------------------------------------------------
+
+  /** The inner step of byte-pair-encoding tokenizer training, distributed:
+    * count all adjacent token pairs corpus-wide, pick the globally most
+    * frequent (ties break on the pair string — both engines' default
+    * binary collation), and re-tokenize every document with that pair
+    * merged. The global argmax flows through the bounded-heap top-k
+    * aggregate (k=1) and broadcasts back — the full BPE loop is this
+    * step iterated with the usual lineage truncation.
+    *
+    * Merging is a space-padded string replace, identical left-to-right
+    * non-overlapping semantics in both engines. Word-safe by the
+    * padding; directly adjacent repeats of the pair merge on the NEXT
+    * round (as in any single-pass non-overlapping merge).
+    */
+  val x50BpeStep: Q = (spark, sfDir) => {
+    val docs = Tables.documents(spark, sfDir)
+    val bigramsCol = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expr.WordShingles(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("text")), 2))
+    val top = docs.select(explode(bigramsCol).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .agg(graft.expr.TopKPairs.topK(col("n"), col("bigram"), 1).as("top"))
+      .select(try_element_at(col("top"), lit(1)).getField("key").as("pair"))
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val search = concat(lit(" "), col("pair"), lit(" "))
+    val merged = concat(lit(" "), replace(col("pair"), lit(" "), lit("_")), lit(" "))
+    docs.crossJoin(broadcast(top))
+      .select(col("doc_id"), col("pair"),
+        size(split(col("text"), " ")).cast("long").as("n_before"),
+        size(split(trim(replace(padded, search, merged)), " ")).cast("long")
+          .as("n_after"))
+      .orderBy("doc_id")
+  }
+
+  private val x50Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+      |), bg AS (
+      |  SELECT unnest(list_transform(range(1, length(tk)),
+      |    i -> array_to_string(list_slice(tk, i, i+1), ' '))) AS bigram
+      |  FROM tok WHERE length(tk) >= 2
+      |), c AS (
+      |  SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+      |), top AS (
+      |  SELECT bigram AS pair FROM c ORDER BY n DESC, bigram LIMIT 1
+      |)
+      |SELECT doc_id, pair,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_before,
+      |  CAST(len(string_split(trim(replace(' ' || text || ' ',
+      |    ' ' || pair || ' ', ' ' || replace(pair, ' ', '_') || ' ')), ' '))
+      |    AS BIGINT) AS n_after
+      |FROM tok CROSS JOIN top ORDER BY doc_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1688,7 +1742,8 @@ object ExtQueries {
     "x46_zorder" -> x46ZOrder,
     "x47_balanced_sample" -> x47BalancedSample,
     "x48_source_quantiles" -> x48SourceQuantiles,
-    "x49_curation_v2" -> x49CurationV2)
+    "x49_curation_v2" -> x49CurationV2,
+    "x50_bpe_step" -> x50BpeStep)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -1739,5 +1794,6 @@ object ExtQueries {
     "x46_zorder" -> x46Sql,
     "x47_balanced_sample" -> x47Sql,
     "x48_source_quantiles" -> x48Sql,
-    "x49_curation_v2" -> x49Sql)
+    "x49_curation_v2" -> x49Sql,
+    "x50_bpe_step" -> x50Sql)
 }
