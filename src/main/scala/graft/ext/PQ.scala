@@ -107,6 +107,34 @@ object PQ {
       .orderBy("qid", "rank")
   }
 
+  /** Two-stage search: ADC over codes proposes `candK` candidates per
+    * query (cheap, code-only corpus side), then the EXACT quantized-L2
+    * re-ranks the shortlist down to `topK` — the standard
+    * coarse-then-refine ANN deployment. Only the shortlist (queries ×
+    * candK pairs, broadcast) ever touches raw vectors, so the refine
+    * join streams the exploded corpus against a tiny build side at any
+    * scale. All-integer arithmetic: quantized values keep every
+    * distance inside exact BIGINT range (64·(2·10^7)² ≈ 2.6e16).
+    */
+  def adcRerankTopK(emb: DataFrame, queryPred: Column, candK: Int = 20,
+                    topK: Int = 5, m: Int = 4, k: Int = 4, iters: Int = 2,
+                    subWidth: Int = 16): DataFrame = {
+    val cand = adcTopK(emb, queryPred, candK, m, k, iters, subWidth)
+      .select(col("qid"), col("cid"))
+    val qe = explodedSub(emb, subWidth)
+    val qv = qe.select(col("vec_id").as("qid"), col("i"), col("v").as("qval"))
+    val cv = qe.select(col("vec_id").as("cid"), col("i"), col("v").as("cval"))
+    val exact = broadcast(cand).join(qv, "qid").join(cv, Seq("cid", "i"))
+      .groupBy("qid", "cid")
+      .agg(sum((col("qval") - col("cval")) * (col("qval") - col("cval")))
+        .cast("long").as("l2q"))
+    val w = Window.partitionBy("qid").orderBy(col("l2q"), col("cid"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank").cast("int").as("rank"), col("cid"), col("l2q"))
+      .orderBy("qid", "rank")
+  }
+
   /** IVF-PQ: the production ANN composition — a coarse [[KMeans]] cell
     * restricts candidates (equi-join on cell, queries probe their
     * nearest cell), then ADC over PQ codes ranks WITHIN the cell. The

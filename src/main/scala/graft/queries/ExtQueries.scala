@@ -360,7 +360,12 @@ object ExtQueries {
     * `sub = (i-1)//16` off the 1-based dimension index, so the
     * assignment join on `i` is implicitly subspace-local.
     */
-  private val x27Sql =
+  /** Shared PQ training chain (2 integer-Lloyd rounds per subspace):
+    * ends at assignment `a2 (vec_id, sub, cid, dist)` under centroids
+    * `c1`; `d2` is the full vector×centroid distance table under `c1`,
+    * which ADC reuses as the per-query lookup table.
+    */
+  private val pqChainSql =
     """WITH q AS (
       |  SELECT vec_id, list_transform(embedding,
       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 10000000) AS e
@@ -392,7 +397,10 @@ object ExtQueries {
       |    SELECT vec_id, sub, cid, dist,
       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
       |    FROM d2) WHERE rn = 1
-      |)
+      |)""".stripMargin
+
+  private val x27Sql = pqChainSql +
+    """
       |SELECT vec_id, sub, cid AS cell, CAST(dist AS BIGINT) AS dist
       |FROM a2 ORDER BY vec_id, sub""".stripMargin
 
@@ -1637,6 +1645,43 @@ object ExtQueries {
       |    ELSE 'test' END AS split
       |FROM kept ORDER BY doc_id""".stripMargin
 
+  // --- x51: PQ ADC candidates + exact re-rank ----------------------------------------
+
+  /** Two-stage ANN: ADC over PQ codes shortlists 20 candidates per
+    * query, the exact quantized-L2 re-ranks to top-5 — only the
+    * broadcast shortlist ever touches raw vectors.
+    */
+  val x51SimPqRerank: Q = (spark, sfDir) =>
+    graft.ext.PQ.adcRerankTopK(Tables.embeddings(spark, sfDir),
+      col("vec_id") < 20, candK = 20, topK = 5,
+      m = 4, k = 4, iters = 2, subWidth = 16)
+
+  private val x51Sql = pqChainSql +
+    """, approx AS (
+      |  SELECT d.vec_id AS qid, a.vec_id AS cid, sum(d.dist) AS adist
+      |  FROM d2 d JOIN a2 a ON a.sub = d.sub AND a.cid = d.cid
+      |  WHERE d.vec_id < 20 AND d.vec_id != a.vec_id
+      |  GROUP BY 1, 2
+      |), shortlist AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT qid, cid,
+      |      row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS arn
+      |    FROM approx) WHERE arn <= 20
+      |), exact AS (
+      |  SELECT s.qid, s.cid,
+      |    CAST(sum((qv.v - cv.v) * (qv.v - cv.v)) AS BIGINT) AS l2q
+      |  FROM shortlist s
+      |  JOIN qs qv ON qv.vec_id = s.qid
+      |  JOIN qs cv ON cv.vec_id = s.cid AND cv.i = qv.i
+      |  GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT qid, cid, l2q,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY l2q, cid) AS INT) AS rank
+      |  FROM exact
+      |)
+      |SELECT qid, rank, cid, l2q FROM ranked
+      |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   // --- x50: one BPE merge step -------------------------------------------------------
 
   /** The inner step of byte-pair-encoding tokenizer training, distributed:
@@ -1743,7 +1788,8 @@ object ExtQueries {
     "x47_balanced_sample" -> x47BalancedSample,
     "x48_source_quantiles" -> x48SourceQuantiles,
     "x49_curation_v2" -> x49CurationV2,
-    "x50_bpe_step" -> x50BpeStep)
+    "x50_bpe_step" -> x50BpeStep,
+    "x51_sim_pq_rerank" -> x51SimPqRerank)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -1795,5 +1841,6 @@ object ExtQueries {
     "x47_balanced_sample" -> x47Sql,
     "x48_source_quantiles" -> x48Sql,
     "x49_curation_v2" -> x49Sql,
-    "x50_bpe_step" -> x50Sql)
+    "x50_bpe_step" -> x50Sql,
+    "x51_sim_pq_rerank" -> x51Sql)
 }
