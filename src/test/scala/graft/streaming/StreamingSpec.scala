@@ -317,6 +317,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("h").distinct().count() == 2)
   }
 
+  test("streaming curation profile equals the batch profile (foreachBatch)") {
+    // cross-doc dup + surprisal are corpus-global multi-aggregation
+    // pipelines — like repetitionStats, the supported streaming
+    // deployment is foreachBatch recompute over the accumulated corpus.
+    import graft.ext.{Dedup, TextAnalytics}
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val dir = Files.createTempDirectory("curdocs").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val got = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        got ++= Dedup.crossDocDup(batch.toDF(), "doc_id", "text")
+          .join(TextAnalytics.bigramSurprisal(batch.toDF(), "doc_id", "text"),
+            "doc_id")
+          .select("doc_id", "dup_frac", "mean_surprisal").collect()
+        ()
+    }.start()
+    q.processAllAvailable()
+    q.stop()
+    val expected = Dedup.crossDocDup(docs, "doc_id", "text")
+      .join(TextAnalytics.bigramSurprisal(docs, "doc_id", "text"), "doc_id")
+      .select("doc_id", "dup_frac", "mean_surprisal").collect()
+    assert(got.sortBy(_.getLong(0)) == expected.sortBy(_.getLong(0)).toSeq)
+  }
+
   test("streaming canonical-URL dedup collapses tracking variants incrementally") {
     import spark.implicits._
     val urls = Seq(
