@@ -492,6 +492,33 @@ class ExtSpec extends SparkSpec {
     assert(r(1L).getDouble(3) > r(0L).getDouble(3))
   }
 
+  test("dedupClusters fails loudly instead of mislabeling when rounds run out") {
+    import spark.implicits._
+    // a 64-node chain needs ~log2(64)=6 pointer-jumping rounds; 1 round
+    // cannot converge — silent acceptance would split the component
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val e = intercept[IllegalStateException] {
+      Dedup.dedupClusters(chain, maxIters = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // with enough rounds the same chain is ONE component labeled 0
+    val ok = Dedup.dedupClusters(chain).select("cluster_id").distinct().collect()
+    assert(ok.map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
+  test("cross-doc dup and surprisal are layout-independent") {
+    val base = docs
+    val a = Dedup.crossDocDup(base, "doc_id", "text").orderBy("doc_id").collect().toSeq
+    val b = Dedup.crossDocDup(base.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    val s1 = TextAnalytics.bigramSurprisal(base, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val s2 = TextAnalytics.bigramSurprisal(base.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(s1 == s2)
+  }
+
   test("URL canonicalization collapses tracking noise but preserves real params") {
     import spark.implicits._
     val urls = Seq(
