@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Minimal reader for a prior round's bench line: extracts the
+    * per-query seconds from `"queries":{...}` (flat object, numeric
+    * values — the format this object itself prints).
+    */
+  private[graft] def prevQueryTimes(path: String): Map[String, Double] = {
+    val f = new java.io.File(path)
+    if (!f.isFile) return Map.empty
+    try {
+      val txt = scala.io.Source.fromFile(f).mkString
+      val start = txt.indexOf("\"queries\":{")
+      if (start < 0) return Map.empty
+      val body = txt.substring(start + "\"queries\":{".length,
+        txt.indexOf('}', start))
+      "\"([A-Za-z0-9_]+)\":([-0-9.eE+]+)".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -34,6 +53,10 @@ object Bench {
     // recorded 16.3 s for a query that takes ~3 s locally); min-of-two
     // measures the query, not the co-tenant. synthlinks_build stays a
     // one-shot line item — its second build would hit the persist cache.
+    // The PQ codebook memo is cleared between passes so pass 2 pays for
+    // training like pass 1 did (ADVICE r4: otherwise the min silently
+    // reports warm-cache times for x27/x51/x52); both raw passes ride
+    // the output line so warm/cold is visible, not inferred.
     val failed = scala.collection.mutable.ListBuffer[String]()
     def onePass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -45,14 +68,34 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val p1 = onePass()
+    graft.ext.PQ.clearCache()
     val p2 = onePass()
     val results0 = p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
     val results = results0 + ("synthlinks_build" -> linksSec)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Regression gate vs the previous round's line (VERDICT r4 #9): any
+    // query >2x its prior min is flagged loudly NOW, in-round, instead
+    // of surfacing at judgment. Informational (co-tenant noise can trip
+    // it), but impossible to miss in the bench output.
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_PREV_BENCH", "BENCH_r04.json")
+    val prev = prevQueryTimes(prevPath)
+    val regressions = results0.toSeq
+      .flatMap { case (k, v) =>
+        prev.get(k).collect {
+          case p if p > 0.05 && v > 2 * p => (k, p, v)
+        }
+      }.sortBy(-_._3)
+    regressions.foreach { case (k, p, v) =>
+      System.err.println(
+        f"[bench] REGRESSION $k: $v%.2fs vs $p%.2fs prev (${v / p}%.1fx)")
+    }
+    def jmap(m: Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val regs = regressions.map { case (k, p, v) =>
+      f"""{"query":"$k","prev":$p,"now":$v}"""
+    }.mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"pass1":${jmap(p1)},"pass2":${jmap(p2)},"regressions":$regs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -138,6 +138,75 @@ object ScaleSmoke {
     println(f"bigram surprisal: $surN%d docs in $surSec%.1fs")
     require(surN == big.count(), "every doc must receive a surprisal score")
     require(surSec < 300, f"surprisal at ${factor}x blew the 300s budget: $surSec%.1fs")
+
+    // --- 100x tier: the two-phase paths on row-inflated numeric data ---------
+    // Ranking / Packing / CC are the operators whose NAIVE formulations
+    // (unpartitioned window, driver fold of rows, per-round full lineage)
+    // die quietly somewhere between 10x and 100x. Probe each at two
+    // sizes 10x apart and require (a) the runtime ratio stays far below
+    // quadratic (100x for 10x rows; we allow 30x), (b) no stage plans an
+    // "Exchange SinglePartition", (c) the exact invariants still hold.
+    val nSmall = 100000L
+    val nBig = 1000000L // 200x the sf0.1 documents row count
+
+    def noSinglePartition(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val p = df.queryExecution.executedPlan.treeString
+      require(!p.contains("Exchange SinglePartition"),
+        s"$what plans a single-partition exchange:\n${p.take(2000)}")
+      require(df.rdd.getNumPartitions > 1, s"$what output collapsed to one partition")
+    }
+
+    def timed(f: => Long): (Long, Double) = {
+      val t = System.nanoTime()
+      val n = f
+      (n, (System.nanoTime() - t) / 1e9)
+    }
+
+    // global dense rank over duplicate-heavy values (10k distinct)
+    def rankRun(n: Long): org.apache.spark.sql.DataFrame =
+      graft.ext.Ranking.denseRankDesc(
+        spark.range(n).select(col("id"), (col("id") % 10000).as("v")), "v", "rnk")
+    val (_, rs) = timed(rankRun(nSmall).count())
+    val rkBig = rankRun(nBig)
+    val (_, rb) = timed(rkBig.count())
+    noSinglePartition(rkBig, "denseRankDesc")
+    val maxRank = rkBig.agg(max("rnk")).collect()(0).getLong(0)
+    require(maxRank == 10000L, s"dense rank must cover all 10000 distinct values, got $maxRank")
+    println(f"rank 100x: $nSmall%d rows $rs%.1fs -> $nBig%d rows $rb%.1fs (${rb / rs}%.1fx)")
+    require(rb / rs < 30, f"rank scaled super-linearly: ${rb / rs}%.1fx for 10x rows")
+
+    // distributed prefix sum / packing
+    def packRun(n: Long): org.apache.spark.sql.DataFrame =
+      graft.ext.Packing.tokenOffsets(
+        spark.range(n).select(col("id"), ((col("id") % 512) + 1).as("n_tokens")),
+        "id", "n_tokens", 2048L)
+    val (_, ps) = timed(packRun(nSmall).count())
+    val pkBig = packRun(nBig)
+    val (_, pb) = timed(pkBig.count())
+    noSinglePartition(pkBig, "tokenOffsets")
+    val endSum = pkBig.orderBy(col("id").desc).limit(1)
+      .select(col("token_offset") + col("n_tokens")).collect()(0).getLong(0)
+    val totSum = nBig / 512 * (512 * 513 / 2) // sum over full cycles of (id%512)+1
+    require(endSum == totSum, s"prefix sum drifted at 100x: $endSum != $totSum")
+    println(f"packing 100x: $nSmall%d rows $ps%.1fs -> $nBig%d rows $pb%.1fs (${pb / ps}%.1fx)")
+    require(pb / ps < 30, f"packing scaled super-linearly: ${pb / ps}%.1fx for 10x rows")
+
+    // connected components over long chains — the worst case for
+    // pointer jumping (diameter 1024 forces the full O(log n) rounds)
+    def ccRun(n: Long): org.apache.spark.sql.DataFrame =
+      Dedup.dedupClusters(
+        spark.range(n).filter(col("id") % 1024 =!= 1023)
+          .select(col("id").as("a_id"), (col("id") + 1).as("b_id")))
+    val (ms, cs) = timed(ccRun(nSmall).count())
+    val ccBig = ccRun(nBig)
+    val (mb, cb) = timed(ccBig.count())
+    require(ms == nSmall && mb == nBig,
+      s"every chain member must be labeled: $ms/$nSmall, $mb/$nBig")
+    val nClusters = ccBig.select("cluster_id").distinct().count()
+    require(nClusters == nBig / 1024,
+      s"1024-chains must collapse to ${nBig / 1024} clusters, got $nClusters")
+    println(f"cc 100x: $nSmall%d edges $cs%.1fs -> $nBig%d edges $cb%.1fs (${cb / cs}%.1fx)")
+    require(cb / cs < 30, f"cc scaled super-linearly: ${cb / cs}%.1fx for 10x rows")
     spark.stop()
   }
 }

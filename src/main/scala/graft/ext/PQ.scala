@@ -43,14 +43,31 @@ object PQ {
     */
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, Int, Int, Int, Int, Int),
-    (DataFrame, DataFrame)]()
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      (DataFrame, DataFrame))]()
+
+  /** Drop all memoized codebooks (Bench calls this between timed passes
+    * so the second pass pays for PQ training like the first did).
+    */
+  def clearCache(): Unit = cache.clear()
 
   private def run(emb: DataFrame, m: Int, k: Int, iters: Int,
                   subWidth: Int): (DataFrame, DataFrame) = {
-    val key = (emb.sparkSession, emb.queryExecution.analyzed.semanticHash(),
-      m, k, iters, subWidth)
+    // keyed by the 32-bit semanticHash of the analyzed plan; a hash
+    // collision between two genuinely different inputs must NOT return
+    // the wrong codebook (ADVICE r4), so the stored plan is re-checked
+    // with sameResult on every hit — colliding-but-different inputs
+    // just retrain (correct, merely uncached).
+    val plan = emb.queryExecution.analyzed
+    val key = (emb.sparkSession, plan.semanticHash(), m, k, iters, subWidth)
     cache.keySet.removeIf(_._1.sparkContext.isStopped)
-    cache.computeIfAbsent(key, _ => runImpl(emb, m, k, iters, subWidth))
+    val hit = cache.get(key)
+    if (hit != null && hit._1.sameResult(plan)) hit._2
+    else {
+      val r = runImpl(emb, m, k, iters, subWidth)
+      cache.put(key, (plan, r))
+      r
+    }
   }
 
   private def runImpl(emb: DataFrame, m: Int, k: Int, iters: Int,

@@ -37,9 +37,13 @@ object Packing {
     val ranged = df.repartitionByRange(n, col(idCol).asc)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint()
-    // one row per partition — driver-sized no matter the corpus
+    // one row per partition — driver-sized no matter the corpus.
+    // sum() is NULL when a partition is all-NULL, so coalesce before
+    // getLong: the friendly NULL-input require below must be the error
+    // that fires, not a NullPointerException (ADVICE r4).
     val totals = ranged.groupBy("_pid")
-      .agg(sum(col(nCol)).as("tot"), count(when(col(nCol).isNull, 1)).as("nulls"))
+      .agg(coalesce(sum(col(nCol)), lit(0L)).as("tot"),
+        count(when(col(nCol).isNull, 1)).as("nulls"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     require(totals.map(_._3).sum == 0,

@@ -229,6 +229,68 @@ object TextAnalytics {
     * occurrences of one leading word (Long.MaxValue / 10^6) — beyond
     * even a 100 TB token stream for any non-degenerate vocabulary.
     */
+  /** Multi-round BPE tokenizer training, distributed: each round counts
+    * all adjacent token pairs corpus-wide (WordShingles, multiplicity
+    * kept), picks the globally most frequent via the bounded-heap top-k
+    * aggregate (k = 1; ties break on the pair string), merges it
+    * everywhere (space-padded replace — word-safe, left-to-right
+    * non-overlapping in every engine), and iterates on the merged
+    * corpus. Returns the learned merge table
+    * (round, pair, n_pair, corpus_tokens): the pair chosen each round,
+    * its count at selection time, and the corpus token total AFTER the
+    * merge — the compression trajectory a tokenizer build reports.
+    *
+    * Scale shape: per round, one partial-agg shuffle for the pair
+    * counts + one narrow rewrite of the corpus, with localCheckpoint
+    * truncating lineage between rounds (the KMeans/CC pattern). The
+    * per-round argmax is ONE driver-side row (k = 1 heap), never the
+    * count relation. x50 is one step of this loop; the x54 oracle
+    * replays all rounds as unrolled CTEs.
+    */
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "bpeMerges: rounds must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    var texts = docs.select(col(textCol).cast("string").as("text")).localCheckpoint()
+    val out = Seq.newBuilder[(Int, String, Long, Long)]
+    for (r <- 1 to rounds) {
+      val bigrams = bridge.column(
+        graft.expr.WordShingles(bridge.expression(col("text")), 2))
+      val top = texts.select(explode(bigrams).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .agg(graft.expr.TopKPairs.topK(col("n"), col("bigram"), 1).as("top"))
+        .select(try_element_at(col("top"), lit(1)).as("ts"))
+        .select(col("ts.key").as("pair"), col("ts.score").as("n"))
+        .collect()(0)
+      require(!top.isNullAt(0), s"bpeMerges: no bigrams left at round $r")
+      val pair = top.getString(0)
+      val nPair = top.getLong(1)
+      texts = texts.select(trim(replace(
+          concat(lit(" "), col("text"), lit(" ")),
+          lit(" " + pair + " "),
+          lit(" " + pair.replace(' ', '_') + " "))).as("text"))
+        .localCheckpoint()
+      val toks = texts
+        .agg(sum(size(split(col("text"), " ")).cast("long")))
+        .collect()(0).getLong(0)
+      out += ((r, pair, nPair, toks))
+    }
+    out.result().toDF("round", "pair", "n_pair", "corpus_tokens")
+  }
+
+  /** Tokenize with a learned merge table: apply [[bpeMerges]]' pairs in
+    * training order (each merged pair becomes one `a_b` token), giving
+    * the text whose whitespace tokens ARE the BPE tokens. A pure column
+    * expression — the chained replaces run in whole-stage codegen over
+    * any corpus, which is how the learned tokenizer deploys at scale.
+    */
+  def applyMerges(text: Column, pairs: Seq[String]): Column =
+    pairs.foldLeft(text) { (t, p) =>
+      trim(replace(concat(lit(" "), t, lit(" ")),
+        lit(" " + p + " "), lit(" " + p.replace(' ', '_') + " ")))
+    }
+
   def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bigramsCol = org.apache.spark.sql.GraftColumnBridge.column(
       graft.expr.WordShingles(

@@ -162,6 +162,25 @@ class PlanSpec extends SparkSpec {
       readSchemas.mkString("\n"))
   }
 
+  test("x52 IVF-PQ: scoring joins carry only codes, never raw vectors") {
+    // the point of IVF-PQ at 100 TB: after training, the corpus side of
+    // candidate generation + ADC scoring is (cell, sub, code) rows —
+    // no join in the plan may move an array (vector) column around
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    import org.apache.spark.sql.types.ArrayType
+    val df = ExtQueries.x52SimIvfPq(spark, sf())
+    val joins = df.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      val arrays = j.output.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(arrays.isEmpty,
+        s"join output carries array columns ${arrays.map(_.name)}:\n$j")
+    }
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
   test("flagship enrichment stays inside whole-stage codegen") {
     // AQE reveals codegen stages only in the final (executed) plan
     val df = RefQueries.flagshipStation(spark, sf())

@@ -555,4 +555,39 @@ class ExtSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("NULL"))
   }
+
+  test("bpeMerges learns the planted merge sequence, counts, and compression") {
+    import spark.implicits._
+    // round 1: "a b" x3 wins (9 tokens - 3 merges = 7 left); round 2:
+    // all pairs tie at 1, "a_b q" wins lexicographically ('_' > ' ', so
+    // "a_b q" < "x a_b" etc., and q < y < z among the a_b successors)
+    val corpus = Seq("x a b y a b z", "a b q").toDF("text")
+    val merges = TextAnalytics.bpeMerges(corpus, "text", rounds = 2)
+      .orderBy("round").collect()
+    assert(merges.map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq == Seq((1, "a b", 3L, 7L), (2, "a_b q", 1L, 6L)))
+  }
+
+  test("applyMerges tokenizes with the learned table: token totals match training") {
+    import spark.implicits._
+    val corpus = Seq(
+      "spark shuffles data between stages",
+      "spark shuffles data between executors",
+      "catalyst optimizes spark shuffles eagerly").toDF("text")
+    val learned = TextAnalytics.bpeMerges(corpus, "text", rounds = 3)
+      .orderBy("round").collect()
+    val pairs = learned.map(_.getString(1)).toSeq
+    // replaying the merge table over the original corpus must land on
+    // exactly the token total training reported after its last round
+    val replayTokens = corpus
+      .select(size(split(TextAnalytics.applyMerges(col("text"), pairs), " "))
+        .cast("long").as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(replayTokens == learned.last.getLong(3))
+    // and each merged pair is one token: round 1's winner appears fused
+    val merged = corpus
+      .select(TextAnalytics.applyMerges(col("text"), pairs).as("t"))
+      .as[String].collect()
+    assert(merged.exists(_.contains(pairs.head.replace(' ', '_'))))
+  }
 }

@@ -474,4 +474,45 @@ class StreamingSpec extends SparkSpec {
     val expected = events.groupBy(col("user_id").as("userId")).agg(count(lit(1)).as("events"))
     assert(latest.exceptAll(expected).isEmpty && expected.exceptAll(latest).isEmpty)
   }
+
+  test("streaming MinHash LSH pairs equal the batch pairs over a growing corpus") {
+    // The near-dup deployment shape at ingest time: each microbatch
+    // appends to the accumulated corpus and candidate pairs are
+    // recomputed over everything seen so far (foreachBatch — LSH pairs
+    // are corpus-global, like the curation profile). After the last
+    // microbatch the pair set must equal a one-shot batch run, i.e.
+    // growing the corpus incrementally loses/invents no candidates.
+    import graft.ext.Dedup
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val dir = Files.createTempDirectory("mhdocs").toString
+    val accDir = Files.createTempDirectory("mhacc").toString
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    var batches = 0
+    var last: Set[(Long, Long)] = Set.empty
+    var grewMonotonically = true
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.toDF().write.mode("append").parquet(accDir)
+        val pairs = Dedup.minhashLshPairs(spark.read.parquet(accDir), "doc_id", "text")
+          .select("a_id", "b_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        grewMonotonically &&= last.subsetOf(pairs)
+        last = pairs
+        batches += 1
+        ()
+    }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches >= 2, s"expected >=2 microbatches, got $batches")
+    assert(grewMonotonically, "a later corpus lost an earlier candidate pair")
+    val expected = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(last == expected)
+  }
 }
