@@ -10,17 +10,25 @@ import graft.model.Tables
   * sanity-check that candidate volume, recall, and runtime scale as
   * designed. Asserts (require) recall and runtime budgets — a silent
   * scale regression fails the probe instead of just printing slower
-  * numbers. `runMain graft.ScaleSmoke [factor]`.
+  * numbers. `runMain graft.ScaleSmoke [factor]`; pass `100x` as an
+  * extra arg to run ONLY the row-inflated 100x tier.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
-    val factor = args.headOption.map(_.toInt).getOrElse(20)
+    val factor = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(20)
+    val only100x = args.contains("100x")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (!only100x) factorTier(spark, factor)
+    tier100x(spark)
+    spark.stop()
+  }
+
+  private def factorTier(spark: SparkSession, factor: Int): Unit = {
     val d = Tables.documents(spark, "/root/testdata/sf0.1")
     val big = d.crossJoin(spark.range(factor).select(col("id").as("rep")))
       .select((col("doc_id") * factor + col("rep")).as("doc_id"),
@@ -138,7 +146,9 @@ object ScaleSmoke {
     println(f"bigram surprisal: $surN%d docs in $surSec%.1fs")
     require(surN == big.count(), "every doc must receive a surprisal score")
     require(surSec < 300, f"surprisal at ${factor}x blew the 300s budget: $surSec%.1fs")
+  }
 
+  private def tier100x(spark: SparkSession): Unit = {
     // --- 100x tier: the two-phase paths on row-inflated numeric data ---------
     // Ranking / Packing / CC are the operators whose NAIVE formulations
     // (unpartitioned window, driver fold of rows, per-round full lineage)
@@ -146,8 +156,9 @@ object ScaleSmoke {
     // sizes 10x apart and require (a) the runtime ratio stays far below
     // quadratic (100x for 10x rows; we allow 30x), (b) no stage plans an
     // "Exchange SinglePartition", (c) the exact invariants still hold.
-    val nSmall = 100000L
-    val nBig = 1000000L // 200x the sf0.1 documents row count
+    // multiples of 1024 so the packing total and chain count are exact
+    val nSmall = 131072L
+    val nBig = 1048576L // 200x the sf0.1 documents row count
 
     def noSinglePartition(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
       val p = df.queryExecution.executedPlan.treeString
@@ -163,12 +174,14 @@ object ScaleSmoke {
     }
 
     // global dense rank over duplicate-heavy values (10k distinct)
+    // note: the two-phase operators materialize eagerly at construction
+    // (localCheckpoint), so CONSTRUCTION must sit inside the timed block
     def rankRun(n: Long): org.apache.spark.sql.DataFrame =
       graft.ext.Ranking.denseRankDesc(
         spark.range(n).select(col("id"), (col("id") % 10000).as("v")), "v", "rnk")
     val (_, rs) = timed(rankRun(nSmall).count())
-    val rkBig = rankRun(nBig)
-    val (_, rb) = timed(rkBig.count())
+    var rkBig: org.apache.spark.sql.DataFrame = null
+    val (_, rb) = timed { rkBig = rankRun(nBig); rkBig.count() }
     noSinglePartition(rkBig, "denseRankDesc")
     val maxRank = rkBig.agg(max("rnk")).collect()(0).getLong(0)
     require(maxRank == 10000L, s"dense rank must cover all 10000 distinct values, got $maxRank")
@@ -181,8 +194,8 @@ object ScaleSmoke {
         spark.range(n).select(col("id"), ((col("id") % 512) + 1).as("n_tokens")),
         "id", "n_tokens", 2048L)
     val (_, ps) = timed(packRun(nSmall).count())
-    val pkBig = packRun(nBig)
-    val (_, pb) = timed(pkBig.count())
+    var pkBig: org.apache.spark.sql.DataFrame = null
+    val (_, pb) = timed { pkBig = packRun(nBig); pkBig.count() }
     noSinglePartition(pkBig, "tokenOffsets")
     val endSum = pkBig.orderBy(col("id").desc).limit(1)
       .select(col("token_offset") + col("n_tokens")).collect()(0).getLong(0)
@@ -198,8 +211,8 @@ object ScaleSmoke {
         spark.range(n).filter(col("id") % 1024 =!= 1023)
           .select(col("id").as("a_id"), (col("id") + 1).as("b_id")))
     val (ms, cs) = timed(ccRun(nSmall).count())
-    val ccBig = ccRun(nBig)
-    val (mb, cb) = timed(ccBig.count())
+    var ccBig: org.apache.spark.sql.DataFrame = null
+    val (mb, cb) = timed { ccBig = ccRun(nBig); ccBig.count() }
     require(ms == nSmall && mb == nBig,
       s"every chain member must be labeled: $ms/$nSmall, $mb/$nBig")
     val nClusters = ccBig.select("cluster_id").distinct().count()
@@ -207,6 +220,5 @@ object ScaleSmoke {
       s"1024-chains must collapse to ${nBig / 1024} clusters, got $nClusters")
     println(f"cc 100x: $nSmall%d edges $cs%.1fs -> $nBig%d edges $cb%.1fs (${cb / cs}%.1fx)")
     require(cb / cs < 30, f"cc scaled super-linearly: ${cb / cs}%.1fx for 10x rows")
-    spark.stop()
   }
 }

@@ -46,11 +46,35 @@ object KMeans {
           x.cast("string"))))
       }).as("e"))
 
-  /** Runs `iters` Lloyd rounds; returns (final assignment, final
-    * exploded centroids (cid, i, v)). The assignment is the one computed
-    * against the last recomputed centroids.
+  /** Memoized training per (session, input plan, params) — x26, x52's
+    * coarse quantizer, and x53's recall derivation all train the same
+    * codebook, so train once per session (the PQ.cache pattern). Keyed
+    * by the 32-bit semanticHash; the stored plan is re-checked with
+    * sameResult on every hit so a hash collision retrains instead of
+    * returning the wrong centroids.
     */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, Int, Int, Int),
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      (DataFrame, DataFrame))]()
+
+  /** Drop memoized centroids (Bench calls this between timed passes). */
+  def clearCache(): Unit = cache.clear()
+
   private def run(emb: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    val plan = emb.queryExecution.analyzed
+    val key = (emb.sparkSession, plan.semanticHash(), k, iters)
+    cache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val hit = cache.get(key)
+    if (hit != null && hit._1.sameResult(plan)) hit._2
+    else {
+      val r = runImpl(emb, k, iters)
+      cache.put(key, (plan, r))
+      r
+    }
+  }
+
+  private def runImpl(emb: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(k >= 1 && iters >= 1, "kmeans: k and iters must be >= 1")
     val spark = emb.sparkSession
     import spark.implicits._
