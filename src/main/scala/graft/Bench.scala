@@ -58,7 +58,13 @@ object Bench {
     // reports warm-cache times for x27/x51/x52); both raw passes ride
     // the output line so warm/cold is visible, not inferred.
     val failed = scala.collection.mutable.ListBuffer[String]()
-    def onePass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    // Optional args filter to named queries for fast local iteration —
+    // the driver invokes with no args, which benches the full surface.
+    val wanted = args.toSet
+    def selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      if (wanted.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => wanted(k) }
+    def onePass(): Map[String, Double] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>

@@ -24,7 +24,21 @@ object UrlCanon {
 
   private val trackingPattern = "([?&])(utm_[A-Za-z0-9_]*|expire|ref|fbclid)=[^&#]*"
 
-  def canonicalize(u: Column): Column = {
+  /** Canonical dedup key, computed by the single-pass codegen'd
+    * [[graft.expr.UrlCanonical]] expression — byte-identical to
+    * [[canonicalizeRegex]] (property-checked in `ExtSpec`) but without
+    * six java.util.regex passes per row on the corpus-scale hot path.
+    */
+  def canonicalize(u: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expr.UrlCanonical(
+        org.apache.spark.sql.GraftColumnBridge.expression(u)))
+
+  /** The original composed-builtin regex chain; retained as the
+    * executable specification the native expression is property-tested
+    * against (and as documentation of the exact semantics).
+    */
+  def canonicalizeRegex(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*", "")
     val lowered = concat(
       lower(regexp_extract(noFrag, schemeHostPattern, 0)),

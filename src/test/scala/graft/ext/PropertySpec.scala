@@ -164,4 +164,33 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(counts("valid") - 2000L) < 200, s"valid=${counts("valid")}")
     assert(math.abs(counts("test") - 2000L) < 200, s"test=${counts("test")}")
   }
+
+  test("property: native url_canonical is byte-identical to the regex chain") {
+    import spark.implicits._
+    val seed = org.scalacheck.rng.Seed(23L)
+    // Adversarial URL-ish strings: every token the six regexes key on,
+    // plus terminators / unicode / uppercase schemes / degenerate runs.
+    val piece = Gen.oneOf(
+      "http://", "HTTPS://", "ftp+x-1.://", "://", "example.org", "EX.org",
+      "ÜBER.example", "/path/p", "?", "&", "#", "=", "=v", "utm_", "utm_source",
+      "utm_=", "utm_x-y", "expire", "ref", "refx", "fbclid", "q", "1", "a=b",
+      "&&", "??", "?&", "#frag", "\n", "\r", "\r\n", "\u0085", "\u2028",
+      "é", ":", "+", ".", "-", "_", " ", "%20", "", "utm_a=1&utm_b=2")
+    val gen = Gen.listOfN(800,
+      Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, piece).map(_.mkString)))
+    val strs = gen.pureApply(Gen.Parameters.default, seed) ++ Seq(
+      "", "#", "?", "&", "?&", "?utm_a=1", "x?utm_a=1&utm_b=2",
+      "HTTP://H.org/P?expire=1#f", "a#b\nc?utm_x=1&q=2",
+      "https://h.org/p?q=2&\n", "?&\r\n", "s://h?ref=1&refx=2")
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "u")
+    val diff = df.select(col("id"), col("u"),
+        UrlCanon.canonicalize(col("u")).as("native"),
+        UrlCanon.canonicalizeRegex(col("u")).as("regex"))
+      .filter(col("native") =!= col("regex") ||
+        col("native").isNull =!= col("regex").isNull)
+      .collect()
+    assert(diff.isEmpty, diff.take(5).map(r =>
+      s"in=${r.getString(1)} native=${r.getString(2)} regex=${r.getString(3)}")
+      .mkString("; "))
+  }
 }
