@@ -421,4 +421,49 @@ object Dedup {
       .select(col("a_id"), col("b_id"), jaccardHashed(col("sa"), col("sb")).as("jaccard"))
       .orderBy("a_id", "b_id")
   }
+
+  /** Sub-document exact dedup at chunk granularity (the C4/FineWeb
+    * "remove repeated spans" pass, between whole-doc [[exact]] and the
+    * probabilistic [[minhashLshPairs]]): split each document into
+    * non-overlapping `window`-token chunks, keep each DISTINCT chunk
+    * text only at its lexicographically-first corpus position
+    * `(doc_id, chunk_idx)`, and reassemble every document from the
+    * chunks it keeps. Exact duplicates of a document lose all their
+    * chunks; near-duplicates lose the chunk-aligned unedited spans;
+    * boilerplate repeated across documents is kept once, at its first
+    * occurrence. Reference analog: the duplicate-URL skip before
+    * re-extraction, `video_processor.py:150-166`, lifted from whole
+    * records to spans.
+    *
+    * Shape at scale: the chunker is a narrow explode (chunk count rides
+    * each row); the winner election is ONE partial-aggregating groupBy
+    * whose shuffle key is a chunk — bounded at `window` tokens, unlike a
+    * whole-document key — and whose value is a 12-byte (doc_id, idx)
+    * struct min; reassembly is one bounded groupBy(doc_id) with an
+    * in-group sort by chunk index. No windows, no joins against the
+    * corpus, no row wider than `window` tokens on either shuffle.
+    *
+    * Returns one row per input document: `doc_id, n_chunks, n_kept,
+    * text_dedup` (empty string when every chunk of the doc first
+    * occurred elsewhere).
+    */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                 window: Int = 16): DataFrame = {
+    val chunks = TextAnalytics.chunk(docs, idCol, textCol, window, stride = window)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+    val winners = chunks.groupBy("chunk_text")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.chunk_idx").as("chunk_idx"),
+        col("chunk_text"))
+    val kept = winners.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+          s => s.getField("chunk_text")), " ").as("text_dedup"))
+    val totals = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    totals.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
 }

@@ -2022,6 +2022,53 @@ object ExtQueries {
       |WHERE NOT (status = 'ok' AND n = 0)
       |ORDER BY doc_id""".stripMargin
 
+  // --- x56: sub-document chunk-level exact dedup ---------------------------------
+
+  /** C4-style span dedup: each distinct 16-token chunk survives only at
+    * its first corpus position; documents are reassembled from the
+    * chunks they keep. Exact-dup docs collapse to empty text, near-dups
+    * lose their chunk-aligned unedited spans. One bounded-key groupBy
+    * elects winners, one groupBy(doc_id) reassembles — see
+    * [[graft.ext.Dedup.chunkDedup]] for the 100 TB shape.
+    */
+  val x56ChunkDedup: Q = (spark, sfDir) =>
+    Dedup.chunkDedup(Tables.documents(spark, sfDir), "doc_id", "text", window = 16)
+      .orderBy("doc_id")
+
+  private val x56Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, tk,
+      |    unnest(range(0, CASE WHEN n <= 16 THEN 1
+      |      ELSE CAST(ceil((n - 16) / 16.0) AS BIGINT) + 1 END)) AS chunk_idx
+      |  FROM t
+      |), ch AS (
+      |  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |    array_to_string(list_slice(tk, CAST(chunk_idx*16+1 AS INT),
+      |      CAST(chunk_idx*16+16 AS INT)), ' ') AS chunk_text
+      |  FROM c
+      |), win AS (
+      |  SELECT doc_id, chunk_idx, chunk_text,
+      |    row_number() OVER (PARTITION BY chunk_text
+      |                       ORDER BY doc_id, chunk_idx) AS rn
+      |  FROM ch
+      |), kept AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text_dedup
+      |  FROM win WHERE rn = 1 GROUP BY doc_id
+      |), tot AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+      |  FROM ch GROUP BY doc_id
+      |)
+      |SELECT tot.doc_id, n_chunks,
+      |  coalesce(n_kept, 0) AS n_kept,
+      |  coalesce(text_dedup, '') AS text_dedup
+      |FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
+      |ORDER BY tot.doc_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -2079,7 +2126,8 @@ object ExtQueries {
     "x52_sim_ivfpq" -> x52SimIvfPq,
     "x53_ann_recall" -> x53AnnRecall,
     "x54_bpe_learn" -> x54BpeLearn,
-    "x55_wav_decode" -> x55WavDecode)
+    "x55_wav_decode" -> x55WavDecode,
+    "x56_chunk_dedup" -> x56ChunkDedup)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -2136,5 +2184,6 @@ object ExtQueries {
     "x52_sim_ivfpq" -> x52Sql,
     "x53_ann_recall" -> x53Sql,
     "x54_bpe_learn" -> x54Sql,
-    "x55_wav_decode" -> x55Sql)
+    "x55_wav_decode" -> x55Sql,
+    "x56_chunk_dedup" -> x56Sql)
 }

@@ -556,6 +556,30 @@ class ExtSpec extends SparkSpec {
     assert(e.getMessage.contains("NULL"))
   }
 
+  test("chunkDedup keeps first occurrences, empties exact dups, reconstructs uniques") {
+    import spark.implicits._
+    val w16 = (1 to 16).map(i => s"w$i").mkString(" ")   // exactly one window
+    val docs = Seq(
+      (0L, s"$w16 unique tail zero"),      // chunk0 = w16, chunk1 = "unique tail zero"
+      (1L, s"$w16 other suffix here"),     // chunk0 duplicates doc0's chunk0
+      (2L, s"$w16 unique tail zero"),      // exact dup of doc0 -> loses everything
+      (3L, "totally fresh words")          // untouched singleton
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs, "doc_id", "text", window = 16)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L)) // total over input docs
+    assert(got(0).getLong(2) == 2 && got(0).getString(3) == s"$w16 unique tail zero")
+    assert(got(1).getLong(2) == 1 && got(1).getString(3) == "other suffix here")
+    assert(got(2).getLong(2) == 0 && got(2).getString(3) == "") // exact dup emptied
+    assert(got(3).getLong(2) == 1 && got(3).getString(3) == "totally fresh words")
+    // a corpus with no repeated chunks reconstructs every doc exactly
+    val uniq = (0L until 40L).map(i =>
+      (i, (0 until 37).map(j => s"t${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val mism = Dedup.chunkDedup(uniq, "doc_id", "text", window = 16)
+      .join(uniq, "doc_id").filter(col("text_dedup") =!= col("text")).count()
+    assert(mism == 0L)
+  }
+
   test("bpeMerges learns the planted merge sequence, counts, and compression") {
     import spark.implicits._
     // round 1: "a b" x3 wins (9 tokens - 3 merges = 7 left); round 2:
