@@ -85,6 +85,25 @@ object ScaleSmoke {
     require(rLsh >= 0.95, f"LSH planted recall $rLsh%.3f < 0.95")
     require(rIvf >= 0.95, f"IVF planted recall $rIvf%.3f < 0.95")
 
+    // --- chunk-level span dedup at scale -------------------------------------
+    // EXACT replicas (no perturbing suffix) so the planted truth is tight:
+    // each replica clique's chunks collapse to one copy, so kept ≤
+    // tot/factor exactly (strictly less when base docs already share
+    // chunks) — span dedup must remove the planted (factor-1)/factor of
+    // the corpus, at scale, within budget.
+    val bigExact = d.crossJoin(spark.range(factor).select(col("id").as("rep")))
+      .select((col("doc_id") * factor + col("rep")).as("doc_id"), col("text"))
+    val tcd = System.nanoTime()
+    val cd = Dedup.chunkDedup(bigExact, "doc_id", "text", window = 16)
+      .agg(sum(col("n_chunks")).as("tot"), sum(col("n_kept")).as("kept"))
+      .collect()(0)
+    val cdSec = (System.nanoTime() - tcd) / 1e9
+    val (cdTot, cdKept) = (cd.getLong(0), cd.getLong(1))
+    println(f"chunk dedup: kept $cdKept%d of $cdTot%d chunks in $cdSec%.1fs")
+    require(cdKept > 0 && cdKept <= cdTot / factor,
+      s"span dedup must collapse exact replica cliques: kept $cdKept of $cdTot at ${factor}x")
+    require(cdSec < 300, f"chunk dedup at ${factor}x blew the 300s budget: $cdSec%.1fs")
+
     // --- tf-idf top-k at scale ---------------------------------------------
     val t2 = System.nanoTime()
     val nTfidf = graft.ext.TextAnalytics.tfidfTopTerms(big, "doc_id", "text", 3).count()

@@ -83,7 +83,8 @@ case class Md5Prefix64(child: Expression, digits: Int)
   * expression library to SQL: `md5_prefix64(str, digits)`,
   * `word_shingles(str, k)`, `vec_dot(a, b)`, `vec_l2sq(a, b)`,
   * `sorted_long_intersect(a, b)`, `subword_token_count(str)`,
-  * `top_k_pairs(score, key, k)`, `cms_sketch(term, depth, width)`.
+  * `url_canonical(str)`, `top_k_pairs(score, key, k)`,
+  * `cms_sketch(term, depth, width)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -128,6 +129,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "subword_token_count", 1,
       "subword_token_count(str) - BPE-ish subword token count of a string",
       xs => SubwordTokenCount(xs.head))
+    inject(e, "url_canonical", 1,
+      "url_canonical(str) - canonical dedup key of a URL: fragment dropped, " +
+        "scheme/authority lowercased, tracking params (utm_*, expire, ref, fbclid) " +
+        "stripped, ?/& punctuation tidied; single-pass codegen",
+      xs => UrlCanonical(xs.head))
     // aggregate: the analyzer wraps a bare AggregateFunction from the
     // registry in an AggregateExpression itself
     inject(e, "top_k_pairs", 3,

@@ -447,6 +447,67 @@ object Dedup {
     * text_dedup` (empty string when every chunk of the doc first
     * occurred elsewhere).
     */
+  /** Exact-substring dedup at EVERY alignment (the suffix-array dedup of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", re-expressed relationally): a `window`-token shingle is
+    * taken at every position of every document; for each shingle text
+    * that occurs more than once corpus-wide, every occurrence except the
+    * lexicographically-first keeps nothing — the tokens it covers are
+    * removed from its document — and documents are rebuilt from their
+    * surviving tokens. Strictly stronger than [[chunkDedup]]: a repeated
+    * span is caught at ANY offset, not only when it lands on a chunk
+    * boundary; an exact-duplicate document still collapses to empty
+    * text while the first copy survives untouched.
+    *
+    * Shape at scale (all shuffle keys bounded, no windows):
+    * one groupBy over `window`-token shingle texts (count + 12-byte
+    * first-occurrence min), one hash equi-join of positions against the
+    * duplicated subset, a 16× bounded explode of removed positions into
+    * covered token indices, one left-anti join of (doc_id, idx) tokens
+    * against covered, and one per-document reassembly groupBy. The
+    * position explode is ~1 row per corpus token — the same weight as
+    * any tokenizing pass.
+    *
+    * Returns one row per input document:
+    * `doc_id, n_tokens, n_removed, text_clean` (empty when every token
+    * was covered by spans first seen elsewhere).
+    */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+                     window: Int = 16): DataFrame = {
+    require(window >= 2, s"substringDedup: window must be >= 2, got $window")
+    val tk = split(col(textCol), " ")
+    val base = docs.select(col(idCol).as("doc_id"), tk.as("tk"),
+      size(tk).cast("long").as("n"))
+    val pos = base.filter(col("n") >= window)
+      .select(col("doc_id"), col("tk"), col("n"),
+        explode(sequence(lit(0L), col("n") - window)).as("p"))
+      .select(col("doc_id"), col("p"),
+        array_join(slice(col("tk"), col("p") + 1, lit(window)), " ").as("s"))
+    val dupShingles = pos.groupBy("s")
+      .agg(count(lit(1)).as("c"), min(struct(col("doc_id"), col("p"))).as("w"))
+      .filter(col("c") >= 2)
+    val removed = pos.join(dupShingles, "s")
+      .filter(!(col("doc_id") === col("w.doc_id") && col("p") === col("w.p")))
+      .select(col("doc_id"), col("p"))
+    val covered = removed
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + window - 1)).as("idx"))
+      .distinct()
+    val toks = base
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("idx", "tok")))
+      .select(col("doc_id"), col("idx").cast("long").as("idx"), col("tok"))
+    val rebuilt = toks.join(covered, Seq("doc_id", "idx"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("tok")))),
+          s => s.getField("tok")), " ").as("text_clean"))
+    base.select("doc_id", "n").join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        (col("n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
                  window: Int = 16): DataFrame = {
     val chunks = TextAnalytics.chunk(docs, idCol, textCol, window, stride = window)

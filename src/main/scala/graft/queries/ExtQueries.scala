@@ -2069,6 +2069,60 @@ object ExtQueries {
       |FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
       |ORDER BY tot.doc_id""".stripMargin
 
+  // --- x57: exact-substring dedup at every alignment -----------------------------
+
+  /** Lee-et-al-style exact substring dedup: overlapping 16-token
+    * shingles at every position; a shingle occurring more than once
+    * corpus-wide keeps only its first occurrence — later occurrences'
+    * covered tokens are removed and documents rebuilt. Catches repeated
+    * spans at ANY offset (x56 only at chunk boundaries). See
+    * [[graft.ext.Dedup.substringDedup]] for the all-bounded-shuffle
+    * 100 TB shape.
+    */
+  val x57SubstringDedup: Q = (spark, sfDir) =>
+    Dedup.substringDedup(Tables.documents(spark, sfDir), "doc_id", "text", window = 16)
+      .orderBy("doc_id")
+
+  private val x57Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents
+      |), pos AS (
+      |  SELECT doc_id, tk,
+      |    unnest(range(0, CASE WHEN n >= 16 THEN n - 15 ELSE 0 END)) AS p
+      |  FROM t
+      |), sh AS (
+      |  SELECT doc_id, CAST(p AS BIGINT) AS p,
+      |    array_to_string(list_slice(tk, CAST(p+1 AS INT), CAST(p+16 AS INT)),
+      |      ' ') AS s
+      |  FROM pos
+      |), occ AS (
+      |  SELECT doc_id, p,
+      |    count(*) OVER (PARTITION BY s) AS c,
+      |    row_number() OVER (PARTITION BY s ORDER BY doc_id, p) AS rn
+      |  FROM sh
+      |), cov AS (
+      |  SELECT DISTINCT r.doc_id, r.p + g.range AS idx
+      |  FROM (SELECT doc_id, p FROM occ WHERE c >= 2 AND rn > 1) r,
+      |       range(0, 16) g
+      |), tox AS (
+      |  SELECT doc_id, tk, unnest(range(0, n)) AS i FROM t
+      |), kept AS (
+      |  SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    string_agg(x.tok, ' ' ORDER BY x.idx) AS text_clean
+      |  FROM (SELECT doc_id, CAST(i AS BIGINT) AS idx,
+      |          tk[CAST(i+1 AS INT)] AS tok FROM tox) x
+      |  LEFT JOIN cov ON x.doc_id = cov.doc_id AND x.idx = cov.idx
+      |  WHERE cov.idx IS NULL
+      |  GROUP BY x.doc_id
+      |)
+      |SELECT t.doc_id, CAST(n AS BIGINT) AS n_tokens,
+      |  CAST(n - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+      |  coalesce(text_clean, '') AS text_clean
+      |FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -2127,7 +2181,8 @@ object ExtQueries {
     "x53_ann_recall" -> x53AnnRecall,
     "x54_bpe_learn" -> x54BpeLearn,
     "x55_wav_decode" -> x55WavDecode,
-    "x56_chunk_dedup" -> x56ChunkDedup)
+    "x56_chunk_dedup" -> x56ChunkDedup,
+    "x57_substring_dedup" -> x57SubstringDedup)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -2185,5 +2240,6 @@ object ExtQueries {
     "x53_ann_recall" -> x53Sql,
     "x54_bpe_learn" -> x54Sql,
     "x55_wav_decode" -> x55Sql,
-    "x56_chunk_dedup" -> x56Sql)
+    "x56_chunk_dedup" -> x56Sql,
+    "x57_substring_dedup" -> x57Sql)
 }

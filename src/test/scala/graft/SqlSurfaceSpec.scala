@@ -39,13 +39,16 @@ class SqlSurfaceSpec extends SparkSpec {
         |  vec_dot(array(1d, 2d), array(3d, 4d)) AS d,
         |  vec_l2sq(array(0d, 0d), array(3d, 4d)) AS l2,
         |  sorted_long_intersect(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS n,
-        |  subword_token_count('the ration') AS t""".stripMargin).collect().head
+        |  subword_token_count('the ration') AS t,
+        |  url_canonical('HTTP://H.org/p?utm_a=1&q=2#f') AS u""".stripMargin)
+      .collect().head
     assert(r.getLong(0) == graft.expr.HashUtil.md5Prefix64("hello", 8))
     assert(r.getSeq[String](1) == Seq("a b", "b c"))
     assert(r.getDouble(2) == 11.0)
     assert(r.getDouble(3) == 25.0)
     assert(r.getLong(4) == 2L)
     assert(r.getLong(5) == 3L)
+    assert(r.getString(6) == "http://h.org/p?q=2")
   }
 
   test("top_k_pairs aggregate is SQL-callable end-to-end") {

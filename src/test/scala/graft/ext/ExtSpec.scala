@@ -580,6 +580,33 @@ class ExtSpec extends SparkSpec {
     assert(mism == 0L)
   }
 
+  test("substringDedup removes repeated spans at any offset, keeps first occurrence") {
+    import spark.implicits._
+    val span = (1 to 16).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"lead tokens here $span trail"),   // first occurrence of span (offset 3)
+      (1L, s"$span different ending words"),   // same span at offset 0 -> removed
+      (2L, s"lead tokens here $span trail"),   // exact dup of doc0 -> fully emptied
+      (3L, "short doc under window")           // < 16 tokens, untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(docs, "doc_id", "text", window = 16)
+      .orderBy("doc_id").collect()
+    assert(got(0).getLong(2) == 0 &&
+      got(0).getString(3) == s"lead tokens here $span trail") // winner untouched
+    assert(got(1).getLong(2) == 16 &&
+      got(1).getString(3) == "different ending words")        // shifted span caught
+    assert(got(2).getLong(2) == got(2).getLong(1) &&
+      got(2).getString(3) == "")                              // exact dup emptied
+    assert(got(3).getLong(2) == 0 &&
+      got(3).getString(3) == "short doc under window")
+    // a corpus with no repeated 16-gram reconstructs every doc exactly
+    val uniq = (0L until 30L).map(i =>
+      (i, (0 until 41).map(j => s"u${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val mism = Dedup.substringDedup(uniq, "doc_id", "text", window = 16)
+      .join(uniq, "doc_id").filter(col("text_clean") =!= col("text")).count()
+    assert(mism == 0L)
+  }
+
   test("bpeMerges learns the planted merge sequence, counts, and compression") {
     import spark.implicits._
     // round 1: "a b" x3 wins (9 tokens - 3 merges = 7 left); round 2:

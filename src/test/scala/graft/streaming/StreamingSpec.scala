@@ -515,4 +515,45 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(last == expected)
   }
+
+  test("streaming chunk dedup equals the batch result over a growing corpus") {
+    // Span dedup at ingest: winners are corpus-global (first occurrence
+    // wins), so each microbatch recomputes over the accumulated corpus
+    // (foreachBatch, like the MinHash/curation shapes). After the last
+    // microbatch the per-doc (n_kept, text_dedup) rows must equal a
+    // one-shot batch run — late-arriving docs with smaller ids may
+    // legitimately STEAL chunks from docs seen earlier, and the final
+    // state must reflect that, not the arrival order.
+    import graft.ext.Dedup
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val dir = Files.createTempDirectory("cddocs").toString
+    val accDir = Files.createTempDirectory("cdacc").toString
+    // odd ids land FIRST so the second file's even ids out-rank them
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    var batches = 0
+    var last: Map[Long, (Long, Long, String)] = Map.empty
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.toDF().write.mode("append").parquet(accDir)
+        last = Dedup.chunkDedup(spark.read.parquet(accDir), "doc_id", "text")
+          .collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+          .toMap
+        batches += 1
+        ()
+    }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches >= 2, s"expected >=2 microbatches, got $batches")
+    val expected = Dedup.chunkDedup(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(last == expected)
+  }
 }
