@@ -104,6 +104,27 @@ object ScaleSmoke {
       s"span dedup must collapse exact replica cliques: kept $cdKept of $cdTot at ${factor}x")
     require(cdSec < 300, f"chunk dedup at ${factor}x blew the 300s budget: $cdSec%.1fs")
 
+    // --- substring dedup (every alignment) at scale --------------------------
+    // Same exact replicas; planted truth on TOKENS: replicas of docs with
+    // >= 16 tokens keep nothing, so kept <= total/factor plus all tokens
+    // of sub-window docs (which are never shingled) across every replica.
+    val tsd = System.nanoTime()
+    val sd = Dedup.substringDedup(bigExact, "doc_id", "text", window = 16)
+      .agg(sum(col("n_tokens")).as("tot"),
+        sum(col("n_tokens") - col("n_removed")).as("kept"))
+      .collect()(0)
+    val sdSec = (System.nanoTime() - tsd) / 1e9
+    val (sdTot, sdKept) = (sd.getLong(0), sd.getLong(1))
+    val shortToks = d.select(split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) < 16)
+      .agg(coalesce(sum(size(col("tk"))), lit(0)).cast("long")).collect()(0).getLong(0)
+    val sdBound = sdTot / factor + shortToks * (factor - 1)
+    println(f"substring dedup: kept $sdKept%d of $sdTot%d tokens " +
+      f"(bound $sdBound%d) in $sdSec%.1fs")
+    require(sdKept > 0 && sdKept <= sdBound,
+      s"substring dedup must collapse replica cliques: kept $sdKept bound $sdBound at ${factor}x")
+    require(sdSec < 300, f"substring dedup at ${factor}x blew the 300s budget: $sdSec%.1fs")
+
     // --- tf-idf top-k at scale ---------------------------------------------
     val t2 = System.nanoTime()
     val nTfidf = graft.ext.TextAnalytics.tfidfTopTerms(big, "doc_id", "text", 3).count()

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalytics, Wav, WavDecoder}
+import graft.ext.{Dedup, Graph, Multimodal, Sampling, Similarity, TextAnalytics, Wav, WavDecoder}
 import graft.model.Tables
 
 /** North-star extension queries (BASELINE.json): dedup family,
@@ -2123,6 +2123,89 @@ object ExtQueries {
       |FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  // --- x58: integer-exact PageRank over the near-dup graph ------------------------
+
+  /** Duplication centrality: PageRank over the symmetrized MinHash
+    * near-dup graph (x17's edges). High-rank documents sit at the
+    * center of duplication cliques — template/boilerplate hubs, the
+    * docs a curation pass should inspect first. Integer-exact damped
+    * updates ([[graft.ext.Graph.pageRankInt]]) make 10 rounds
+    * bit-replayable in DuckDB as 10 unrolled CTE stages.
+    */
+  val x58DupPagerank: Q = (spark, sfDir) => {
+    val pr = Dedup.minhashLshPairs(Tables.documents(spark, sfDir), "doc_id", "text")
+      .filter(col("jaccard") >= 0.6)
+    val edges = pr.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionAll(pr.select(col("b_id").as("u"), col("a_id").as("v")))
+    Graph.pageRankInt(edges, "u", "v", iters = 10)
+      .select(col("node").as("doc_id"), col("rank"))
+      .orderBy("doc_id")
+  }
+
+  private val x58Sql: String = {
+    // ten unrolled damped rounds, same truncating-integer arithmetic as
+    // Graph.pageRankInt (DuckDB sum(BIGINT) widens to HUGEINT — CAST
+    // back before the damped update so types stay BIGINT throughout)
+    val rounds = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    150000000 + (85 * coalesce(s.s, 0)) // 100 AS rank
+         |  FROM n LEFT JOIN (
+         |    SELECT e.v AS node, CAST(sum(r.rank // deg.d) AS BIGINT) AS s
+         |    FROM r${i - 1} r JOIN deg ON r.node = deg.u JOIN e ON e.u = r.node
+         |    GROUP BY e.v) s ON n.node = s.node
+         |)""".stripMargin
+    }.mkString(", ", ", ", "")
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, length(tokens)),
+      |    i -> array_to_string(list_slice(tokens, i, i+1), ' '))) AS shingles
+      |  FROM tok WHERE length(tokens) >= 2
+      |), hs AS (
+      |  SELECT doc_id, shingles,
+      |    list_distinct(list_transform(shingles, s -> ('0x' || substr(md5(s),1,8))::BIGINT)) AS hs
+      |  FROM sh
+      |), sig AS (
+      |  SELECT doc_id, list_transform(range(0,16),
+      |    j -> list_min(list_transform(hs, x -> ((2*j+1)*x + 7919*j) % 4294967311))) AS sig
+      |  FROM hs
+      |), bands AS (
+      |  SELECT doc_id, unnest(list_transform(range(0,8),
+      |    b -> b || ':' || array_to_string(list_slice(sig, 2*b+1, 2*b+2), '-'))) AS bk
+      |  FROM sig
+      |), pairs AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      |), ws AS (
+      |  SELECT p.a_id, p.b_id, sa.hs AS sa, sb.hs AS sb
+      |  FROM pairs p
+      |  JOIN hs sa ON p.a_id = sa.doc_id
+      |  JOIN hs sb ON p.b_id = sb.doc_id
+      |), j AS (
+      |  SELECT a_id, b_id,
+      |    length(list_filter(sa, x -> list_contains(sb, x))) AS inter,
+      |    length(sa) AS la, length(sb) AS lb
+      |  FROM ws
+      |), pr AS (
+      |  SELECT a_id, b_id FROM j
+      |  WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) >= 0.6
+      |), e AS (
+      |  SELECT a_id AS u, b_id AS v FROM pr
+      |  UNION ALL
+      |  SELECT b_id, a_id FROM pr
+      |), deg AS (
+      |  SELECT u, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY u
+      |), n AS (
+      |  SELECT DISTINCT u AS node FROM e
+      |), r0 AS (
+      |  SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM n
+      |)""".stripMargin + rounds +
+      """
+        |SELECT node AS doc_id, CAST(rank AS BIGINT) AS rank
+        |FROM r10 ORDER BY doc_id""".stripMargin
+  }
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -2182,7 +2265,8 @@ object ExtQueries {
     "x54_bpe_learn" -> x54BpeLearn,
     "x55_wav_decode" -> x55WavDecode,
     "x56_chunk_dedup" -> x56ChunkDedup,
-    "x57_substring_dedup" -> x57SubstringDedup)
+    "x57_substring_dedup" -> x57SubstringDedup,
+    "x58_dup_pagerank" -> x58DupPagerank)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -2241,5 +2325,6 @@ object ExtQueries {
     "x54_bpe_learn" -> x54Sql,
     "x55_wav_decode" -> x55Sql,
     "x56_chunk_dedup" -> x56Sql,
-    "x57_substring_dedup" -> x57Sql)
+    "x57_substring_dedup" -> x57Sql,
+    "x58_dup_pagerank" -> x58Sql)
 }

@@ -607,6 +607,28 @@ class ExtSpec extends SparkSpec {
     assert(mism == 0L)
   }
 
+  test("pageRankInt ranks hubs above leaves, is partition-invariant, rejects dangling") {
+    import spark.implicits._
+    // undirected star a=0 with leaves 1..4, plus an isolated pair 5-6
+    val und = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (5L, 6L))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    val r = Graph.pageRankInt(edges, "u", "v", iters = 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.size == 7)
+    assert(r(0L) > r(1L), s"hub must out-rank leaves: $r")          // centrality
+    assert(Set(1L, 2L, 3L, 4L).map(r).size == 1)                    // symmetry
+    assert(r(5L) == r(6L))                                          // pair symmetry
+    // truncating divisions only ever LOSE mass: total <= nodes * scale
+    assert(r.values.sum <= 7L * 1000000000L && r.values.min > 0L)
+    val r2 = Graph.pageRankInt(edges.repartition(13), "u", "v", iters = 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == r2)                                                 // bit-identical
+    val e = intercept[IllegalArgumentException] {
+      Graph.pageRankInt(Seq((1L, 2L)).toDF("u", "v"), "u", "v")
+    }
+    assert(e.getMessage.contains("out-edges"))
+  }
+
   test("bpeMerges learns the planted merge sequence, counts, and compression") {
     import spark.implicits._
     // round 1: "a b" x3 wins (9 tokens - 3 merges = 7 left); round 2:

@@ -556,4 +556,38 @@ class StreamingSpec extends SparkSpec {
       .toMap
     assert(last == expected)
   }
+
+  test("streaming substring dedup equals the batch result over a growing corpus") {
+    // Every-alignment span dedup at ingest, same foreachBatch shape:
+    // recompute over the accumulated corpus per microbatch; the final
+    // per-doc (n_removed, text_clean) state must equal a one-shot run.
+    import graft.ext.Dedup
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val dir = Files.createTempDirectory("sddocs").toString
+    val accDir = Files.createTempDirectory("sdacc").toString
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    var batches = 0
+    var last: Map[Long, (Long, String)] = Map.empty
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.toDF().write.mode("append").parquet(accDir)
+        last = Dedup.substringDedup(spark.read.parquet(accDir), "doc_id", "text")
+          .collect()
+          .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+        batches += 1
+        ()
+    }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches >= 2, s"expected >=2 microbatches, got $batches")
+    val expected = Dedup.substringDedup(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(last == expected)
+  }
 }
