@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Graph, Multimodal, Sampling, Similarity, TextAnalytics, Wav, WavDecoder}
+import graft.ext.{Bmp, BmpDecoder, Dedup, Graph, Multimodal, Sampling, Similarity, TextAnalytics, Wav, WavDecoder}
 import graft.model.Tables
 
 /** North-star extension queries (BASELINE.json): dedup family,
@@ -2206,6 +2206,64 @@ object ExtQueries {
         |FROM r10 ORDER BY doc_id""".stripMargin
   }
 
+  // --- x59: real-BMP image decode routing -----------------------------------------
+
+  /** The image twin of x55: documents rendered as REAL 24-bpp BMP
+    * files (16-pixel-wide grayscale, `ext/Bmp.scala`), a slice
+    * corrupted per the same id-classes, decoded partition-parallel with
+    * fault isolation. Real magic/header/truncation checks over real
+    * bytes; frames are 4-row pixel bands with a mean-gray feature.
+    */
+  val x59BmpDecode: Q = (spark, sfDir) => {
+    import spark.implicits._
+    val assets = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val bmp = Bmp.write(16, t.getBytes("US-ASCII"))
+        val payload =
+          if (id % 13 == 0) bmp.take(6)
+          else if (id % 17 == 0) {
+            "JU".getBytes("US-ASCII").copyToArray(bmp); bmp
+          } else bmp
+        (id, payload)
+      }.toDF("doc_id", "payload")
+    Multimodal.sampleFramesWithErrors(spark, assets, new BmpDecoder, every = 4)
+      .toDF()
+      .groupBy(col("docId").as("doc_id"))
+      .agg(coalesce(max(col("error")), lit("ok")).as("status"),
+        count(lit(1)).as("n_rows"),
+        sum(col("nBytes")).as("n_bytes"))
+      .orderBy("doc_id")
+  }
+
+  /** A 16-wide 24-bpp row is exactly 48 stored bytes (no padding), so
+    * an ok doc of `n` text bytes has `h = ceil(n/16)` rows, `ceil(h/4)`
+    * 4-row bands, and `48·h` pixel-array bytes; `take(6)` is always
+    * `truncated` (headers need 54), junked magic on a full file is
+    * always `bad_magic` (file size 54 + 48·h). Zero-length ok text
+    * decodes to a legal zero-height image with no frames — excluded
+    * like x55's empty-ok guard.
+    */
+  private val x59Sql =
+    """WITH st AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 0 THEN 'truncated'
+      |         WHEN doc_id % 17 = 0 THEN 'bad_magic'
+      |         ELSE 'ok' END AS status,
+      |    length(text) AS n,
+      |    CAST(ceil(length(text) / 16.0) AS BIGINT) AS h
+      |  FROM documents
+      |)
+      |SELECT doc_id, status,
+      |  CASE WHEN status = 'ok' THEN CAST(ceil(h / 4.0) AS BIGINT)
+      |       ELSE 1 END AS n_rows,
+      |  CASE WHEN status = 'truncated' THEN 6
+      |       WHEN status = 'bad_magic' THEN 54 + 48 * h
+      |       ELSE 48 * h END AS n_bytes
+      |FROM st
+      |WHERE NOT (status = 'ok' AND n = 0)
+      |ORDER BY doc_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -2266,7 +2324,8 @@ object ExtQueries {
     "x55_wav_decode" -> x55WavDecode,
     "x56_chunk_dedup" -> x56ChunkDedup,
     "x57_substring_dedup" -> x57SubstringDedup,
-    "x58_dup_pagerank" -> x58DupPagerank)
+    "x58_dup_pagerank" -> x58DupPagerank,
+    "x59_bmp_decode" -> x59BmpDecode)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -2326,5 +2385,6 @@ object ExtQueries {
     "x55_wav_decode" -> x55Sql,
     "x56_chunk_dedup" -> x56Sql,
     "x57_substring_dedup" -> x57Sql,
-    "x58_dup_pagerank" -> x58Sql)
+    "x58_dup_pagerank" -> x58Sql,
+    "x59_bmp_decode" -> x59Sql)
 }

@@ -629,6 +629,28 @@ class ExtSpec extends SparkSpec {
     assert(e.getMessage.contains("out-edges"))
   }
 
+  test("Bmp codec round-trips, classifies real failures, and guards header bombs") {
+    val gray = (0 until 40).map(i => (i * 6).toByte).toArray // 16-wide -> 3 rows
+    val img = Bmp.parse(Bmp.write(16, gray))
+    assert(img.width == 16 && img.height == 3)
+    assert(img.gray.take(40).toSeq == gray.map(_ & 0xff).toSeq) // mean of 3 equal channels
+    assert(img.gray.drop(40).forall(_ == 0))                    // zero padding
+    def kind(b: Array[Byte]): String =
+      intercept[Multimodal.MediaFormatException](Bmp.parse(b)).kind
+    assert(kind(Array.empty[Byte]) == "empty")
+    assert(kind(Array[Byte]('B')) == "truncated")
+    assert(kind("XXXX".getBytes("US-ASCII")) == "bad_magic")
+    assert(kind(Bmp.write(16, gray).take(20)) == "truncated")
+    val bomb = Bmp.write(16, gray)
+    bomb(22) = 0x7f.toByte; bomb(23) = 0x7f.toByte // absurd declared height
+    assert(kind(bomb) == "truncated")              // checked before any allocation
+    val badBpp = Bmp.write(16, gray); badBpp(28) = 8
+    assert(kind(badBpp) == "unsupported")
+    // frames: 3 rows in bands of 2 -> sizes 2*48 and 1*48; black -> 0 feature
+    val fr = new BmpDecoder().frames(7L, Bmp.write(16, new Array[Byte](48)), 2).toSeq
+    assert(fr.map(_.nBytes) == Seq(96L, 48L) && fr.forall(_.feature == 0.0))
+  }
+
   test("bpeMerges learns the planted merge sequence, counts, and compression") {
     import spark.implicits._
     // round 1: "a b" x3 wins (9 tokens - 3 merges = 7 left); round 2:
