@@ -130,6 +130,35 @@ object Bmp {
   }
 }
 
+object BmpOps {
+
+  /** REAL nearest-neighbor resize kernel over a decoded [[Bmp.Img]]
+    * (the multimodal resize stage with actual pixel semantics, vs the
+    * byte-stride stand-in `Multimodal.resizePayload`): output pixel
+    * (r, c) samples input pixel (r·sy, c·sx) with integer scale
+    * factors — deterministic, allocation-bounded by the OUTPUT size,
+    * and exactly replayable from the source pixels in any engine.
+    */
+  def resizeNearest(img: Bmp.Img, outW: Int, outH: Int,
+                    sx: Int, sy: Int): Bmp.Img = {
+    require(outW >= 0 && outH >= 0 && sx >= 1 && sy >= 1,
+      s"resizeNearest: bad geometry outW=$outW outH=$outH sx=$sx sy=$sy")
+    val gray = new Array[Int](outW * outH)
+    var r = 0
+    while (r < outH) {
+      var c = 0
+      while (c < outW) {
+        val srcR = math.min(r * sy, math.max(img.height - 1, 0))
+        val srcC = math.min(c * sx, math.max(img.width - 1, 0))
+        gray(r * outW + c) = img.gray(srcR * img.width + srcC)
+        c += 1
+      }
+      r += 1
+    }
+    Bmp.Img(outW, outH, gray)
+  }
+}
+
 /** [[Multimodal.MediaDecoder]] over real BMP bytes: frames are bands of
   * `every` pixel rows (top-down); `nBytes` is the band's stored size
   * (rows × stride) and the feature its mean gray level in [0, 1] — a

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Bmp, BmpDecoder, Dedup, Graph, Multimodal, Sampling, Similarity, TextAnalytics, Wav, WavDecoder}
+import graft.ext.{Bmp, BmpDecoder, BmpOps, Dedup, Graph, Multimodal, Sampling, Similarity, TextAnalytics, Wav, WavDecoder}
 import graft.model.Tables
 
 /** North-star extension queries (BASELINE.json): dedup family,
@@ -2264,6 +2264,60 @@ object ExtQueries {
       |WHERE NOT (status = 'ok' AND n = 0)
       |ORDER BY doc_id""".stripMargin
 
+  // --- x60: real BMP resize kernel ------------------------------------------------
+
+  /** The resize stage of the multimodal pipeline with REAL pixel
+    * semantics: decode the x59 BMPs, nearest-neighbor downsample 2× in
+    * both axes ([[graft.ext.BmpOps.resizeNearest]]), re-encode the
+    * result through the codec and re-decode it — proving the resized
+    * artifact is itself a valid BMP — then report its geometry and
+    * exact gray mass. A narrow partition-parallel binary transform, no
+    * shuffle (the multimodal scale shape).
+    */
+  val x60BmpResize: Q = (spark, sfDir) => {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val img = Bmp.parse(Bmp.write(16, t.getBytes("US-ASCII")))
+        val h2 = (img.height + 1) / 2
+        val small = BmpOps.resizeNearest(img, 8, h2.toInt, 2, 2)
+        val rt = Bmp.parse(Bmp.write(8, small.gray.map(_.toByte)))
+        (id, rt.width, rt.height, rt.gray.map(_.toLong).sum)
+      }.toDF("doc_id", "new_w", "new_h", "gray_sum")
+      .orderBy("doc_id")
+  }
+
+  /** Sampled pixel (r, c) of the half image is source pixel (2r, 2c):
+    * gray index 32r + 2c into the text bytes, zero where that index
+    * falls in the final row's padding — an exact integer replay of the
+    * nearest-neighbor kernel from the source text.
+    */
+  private val x60Sql =
+    """WITH t AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    CAST(ceil(length(text) / 16.0) AS BIGINT) AS h
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, CAST(ceil(h / 2.0) AS BIGINT) AS h2 FROM t
+      |), rr AS (
+      |  SELECT doc_id, unnest(range(0, h2)) AS r FROM g
+      |), px AS (
+      |  SELECT t.doc_id,
+      |    CASE WHEN 32*rr.r + 2*c.range < t.n
+      |         THEN ascii(substr(t.text, CAST(32*rr.r + 2*c.range + 1 AS INT), 1))
+      |         ELSE 0 END AS v
+      |  FROM t JOIN rr ON t.doc_id = rr.doc_id, range(0, 8) c
+      |), s AS (
+      |  SELECT doc_id, CAST(sum(v) AS BIGINT) AS gray_sum FROM px GROUP BY doc_id
+      |)
+      |SELECT t.doc_id, CAST(8 AS INT) AS new_w, CAST(g.h2 AS INT) AS new_h,
+      |  coalesce(s.gray_sum, 0) AS gray_sum
+      |FROM t
+      |JOIN g ON t.doc_id = g.doc_id
+      |LEFT JOIN s ON t.doc_id = s.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -2325,7 +2379,8 @@ object ExtQueries {
     "x56_chunk_dedup" -> x56ChunkDedup,
     "x57_substring_dedup" -> x57SubstringDedup,
     "x58_dup_pagerank" -> x58DupPagerank,
-    "x59_bmp_decode" -> x59BmpDecode)
+    "x59_bmp_decode" -> x59BmpDecode,
+    "x60_bmp_resize" -> x60BmpResize)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -2386,5 +2441,6 @@ object ExtQueries {
     "x56_chunk_dedup" -> x56Sql,
     "x57_substring_dedup" -> x57Sql,
     "x58_dup_pagerank" -> x58Sql,
-    "x59_bmp_decode" -> x59Sql)
+    "x59_bmp_decode" -> x59Sql,
+    "x60_bmp_resize" -> x60Sql)
 }

@@ -651,6 +651,17 @@ class ExtSpec extends SparkSpec {
     assert(fr.map(_.nBytes) == Seq(96L, 48L) && fr.forall(_.feature == 0.0))
   }
 
+  test("resizeNearest halves a BMP with exact pixel sampling and re-encodes validly") {
+    val gray = (0 until 64).map(i => (i * 4).toByte).toArray // 16x4 image
+    val img = Bmp.parse(Bmp.write(16, gray))
+    val small = BmpOps.resizeNearest(img, 8, 2, 2, 2)
+    assert(small.width == 8 && small.height == 2)
+    for (r <- 0 until 2; c <- 0 until 8)
+      assert(small.gray(r * 8 + c) == (((r * 32 + c * 2) * 4) & 0xff))
+    val rt = Bmp.parse(Bmp.write(8, small.gray.map(_.toByte)))
+    assert(rt.gray.toSeq == small.gray.toSeq) // resized artifact is a valid BMP
+  }
+
   test("bpeMerges learns the planted merge sequence, counts, and compression") {
     import spark.implicits._
     // round 1: "a b" x3 wins (9 tokens - 3 merges = 7 left); round 2:
