@@ -260,5 +260,29 @@ object ScaleSmoke {
       s"1024-chains must collapse to ${nBig / 1024} clusters, got $nClusters")
     println(f"cc 100x: $nSmall%d edges $cs%.1fs -> $nBig%d edges $cb%.1fs (${cb / cs}%.1fx)")
     require(cb / cs < 30, f"cc scaled super-linearly: ${cb / cs}%.1fx for 10x rows")
+
+    // symmetric ring: every node has degree 2, so the uniform state IS the
+    // damped fixed point — after any number of integer-exact rounds every
+    // rank must equal the initial scale EXACTLY. A single drifted bit
+    // (lost mass, wrong degree, a dropped node) breaks equality at 1M
+    // nodes, making this the strongest cheap exactness assert available.
+    def ringRun(n: Long): org.apache.spark.sql.DataFrame = {
+      val fwd = spark.range(n).select(col("id").as("u"),
+        ((col("id") + 1) % n).as("v"))
+      graft.ext.Graph.pageRankInt(
+        fwd.unionAll(fwd.select(col("v").as("u"), col("u").as("v"))),
+        "u", "v", iters = 5)
+    }
+    val (_, prs) = timed(ringRun(nSmall).count())
+    var prBig: org.apache.spark.sql.DataFrame = null
+    val (prn, prb) = timed { prBig = ringRun(nBig); prBig.count() }
+    require(prn == nBig, s"pagerank must label every ring node: $prn/$nBig")
+    val offFixedPoint = prBig.filter(col("rank") =!= 1000000000L).count()
+    require(offFixedPoint == 0L,
+      s"ring pagerank drifted off the uniform fixed point on $offFixedPoint nodes")
+    noSinglePartition(prBig, "pageRankInt")
+    println(f"pagerank 100x: $nSmall%d nodes $prs%.1fs -> $nBig%d nodes $prb%.1fs " +
+      f"(${prb / prs}%.1fx), all at the exact fixed point")
+    require(prb / prs < 30, f"pagerank scaled super-linearly: ${prb / prs}%.1fx for 8x rows")
   }
 }
