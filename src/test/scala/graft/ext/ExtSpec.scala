@@ -662,6 +662,34 @@ class ExtSpec extends SparkSpec {
     assert(rt.gray.toSeq == small.gray.toSeq) // resized artifact is a valid BMP
   }
 
+  test("codec fuzz: Wav and Bmp parsers never fail outside the error taxonomy") {
+    // random payloads and bit-flipped valid files must either decode or
+    // raise the typed MediaFormatException — an IndexOutOfBounds /
+    // NegativeArraySize / infinite loop here would kill a 100 TB decode
+    // job instead of routing one asset to the error side
+    val rnd = new scala.util.Random(42)
+    val kinds = Set("empty", "truncated", "bad_magic", "unsupported")
+    def probe(parse: Array[Byte] => Any, b: Array[Byte]): Unit =
+      try { parse(b); () } catch {
+        case e: Multimodal.MediaFormatException =>
+          assert(kinds(e.kind), s"unknown error kind ${e.kind}")
+      }
+    val validWav = Wav.write((0 until 200).map(_.toByte).toArray)
+    val validBmp = Bmp.write(16, (0 until 200).map(_.toByte).toArray)
+    (0 until 200).foreach { _ =>
+      val junk = new Array[Byte](rnd.nextInt(300)); rnd.nextBytes(junk)
+      probe(Wav.parse, junk); probe(Bmp.parse, junk)
+      def mutate(v: Array[Byte]): Array[Byte] = {
+        val m = v.clone()
+        (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+          m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        }
+        m.take(if (rnd.nextBoolean()) m.length else rnd.nextInt(m.length + 1))
+      }
+      probe(Wav.parse, mutate(validWav)); probe(Bmp.parse, mutate(validBmp))
+    }
+  }
+
   test("bpeMerges learns the planted merge sequence, counts, and compression") {
     import spark.implicits._
     // round 1: "a b" x3 wins (9 tokens - 3 merges = 7 left); round 2:
