@@ -197,5 +197,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           spark.table(args(0)), spark.table(args(1)), args(2), args(3), args(4))
           .queryExecution.analyzed
       }))
+
+    // the span-dedup family as table functions: a SQL-only user gets the
+    // bounded-shuffle corpus dedup passes — chunk-aligned and
+    // every-alignment — straight from the catalog
+    def injectDocsTable(name: String, usage: String,
+                        build: (org.apache.spark.sql.DataFrame, String, String, Int) =>
+                          org.apache.spark.sql.DataFrame): Unit =
+      e.injectTableFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
+        (exprs: Seq[Expression]) => {
+          require(exprs.size == 4, s"$name takes (table, idCol, textCol, window)")
+          val strs = exprs.take(3).zipWithIndex.map {
+            case (org.apache.spark.sql.catalyst.expressions.Literal(s: UTF8String, _), _) =>
+              s.toString
+            case (other, i) => throw new IllegalArgumentException(
+              s"$name argument ${i + 1} must be a string literal, got $other")
+          }
+          val window = intLit(exprs(3), s"$name window")
+          val spark = org.apache.spark.sql.SparkSession.active
+          build(spark.table(strs(0)), strs(1), strs(2), window)
+            .queryExecution.analyzed
+        }))
+    injectDocsTable("chunk_dedup",
+      "chunk_dedup(table, idCol, textCol, window) - table function: keep each " +
+        "distinct window-token chunk only at its first corpus position and " +
+        "reassemble documents; returns (doc_id, n_chunks, n_kept, text_dedup). " +
+        "table/idCol/textCol string literals, window an integer literal.",
+      (df, id, text, w) => graft.ext.Dedup.chunkDedup(df, id, text, w))
+    injectDocsTable("substring_dedup",
+      "substring_dedup(table, idCol, textCol, window) - table function: exact-" +
+        "substring dedup at every alignment (non-first occurrences of " +
+        "corpus-duplicated window-token shingles lose their tokens); returns " +
+        "(doc_id, n_tokens, n_removed, text_clean). table/idCol/textCol string " +
+        "literals, window an integer literal.",
+      (df, id, text, w) => graft.ext.Dedup.substringDedup(df, id, text, w))
   }
 }

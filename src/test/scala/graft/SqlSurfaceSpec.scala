@@ -106,6 +106,24 @@ class SqlSurfaceSpec extends SparkSpec {
       Seq((1L, 10L), (1L, 30L), (2L, 20L), (2L, 30L)))
   }
 
+  test("chunk_dedup and substring_dedup are callable as SQL table functions") {
+    import spark.implicits._
+    val span = (1 to 16).map(i => s"s$i").mkString(" ")
+    Seq((0L, s"$span tail a"), (1L, s"$span tail a"), (2L, "fresh words here"))
+      .toDF("doc_id", "text").createOrReplaceTempView("sd_docs")
+    val cd = spark.sql(
+      """SELECT doc_id, n_kept FROM chunk_dedup('sd_docs', 'doc_id', 'text', 16)
+        |ORDER BY doc_id""".stripMargin).collect()
+    assert(cd.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 2L), (1L, 0L), (2L, 1L)))   // exact dup keeps nothing
+    val sd = spark.sql(
+      """SELECT doc_id, n_removed
+        |FROM substring_dedup('sd_docs', 'doc_id', 'text', 16)
+        |ORDER BY doc_id""".stripMargin).collect()
+    assert(sd.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 0L), (1L, 18L), (2L, 0L)))  // dup doc fully covered
+  }
+
   test("extension functions enforce arity and literal parameters") {
     val wrongArity = intercept[Exception] {
       spark.sql("SELECT md5_prefix64('a')").collect()
