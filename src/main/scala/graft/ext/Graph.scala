@@ -64,4 +64,52 @@ object Graph {
     }
     rank.select("node", "rank")
   }
+
+  /** Personalized (seeded) PageRank — the seed-expansion move of corpus
+    * curation: given a curated seed set, rank every node by graph
+    * proximity to it (label propagation with damping). Same
+    * integer-exact machinery as [[pageRankInt]], but mass enters ONLY
+    * at seeds: seeds start at `scale` and receive the teleport base
+    * each round, non-seeds start at 0 and receive none, so a node
+    * further than `iters` hops from every seed exactly holds rank 0 —
+    * the output is naturally sparse however large the graph.
+    * `seeds` must be a node-id relation (one column); same no-dangling
+    * requirement as [[pageRankInt]].
+    */
+  def personalizedPageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
+                              seeds: DataFrame, iters: Int = 10,
+                              scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1 && scale >= 100,
+      "personalizedPageRankInt: need iters >= 1, scale >= 100")
+    val e = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v")).localCheckpoint()
+    val dangling = e.select(col("v").as("node"))
+      .join(e.select(col("u").as("node")), Seq("node"), "left_anti").count()
+    require(dangling == 0L,
+      s"personalizedPageRankInt: $dangling node(s) have no out-edges — " +
+        "symmetrize the edge set")
+    val sd = seeds.select(seeds.columns.head).toDF("node")
+      .select(col("node").cast("long").as("node")).distinct()
+    val deg = e.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+      .join(sd.select(col("node"), lit(1L).as("seed")), Seq("node"), "left")
+      .select(col("node"), col("d"), coalesce(col("seed"), lit(0L)).as("seed"))
+      .localCheckpoint()
+    val base = 15L * scale / 100L
+    var rank = deg.select(col("node"), col("d"), col("seed"),
+      (col("seed") * scale).as("rank")).localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val contribs = rank.select(col("node").as("u"),
+        expr("rank div d").as("contrib"))
+      val sums = e.join(contribs, "u")
+        .groupBy(col("v").as("node")).agg(sum("contrib").as("s"))
+      rank = deg.join(sums, Seq("node"), "left")
+        .select(col("node"), col("d"), col("seed"),
+          (col("seed") * base +
+            expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+        .localCheckpoint()
+      i += 1
+    }
+    rank.select("node", "rank")
+  }
 }

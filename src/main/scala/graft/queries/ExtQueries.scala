@@ -2318,6 +2318,89 @@ object ExtQueries {
       |LEFT JOIN s ON t.doc_id = s.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  // --- x61: personalized PageRank seed expansion ----------------------------------
+
+  /** Curation seed expansion: given a curated seed set (every 50th doc),
+    * rank the near-dup graph by damped proximity to it
+    * ([[graft.ext.Graph.personalizedPageRankInt]]) — the label-
+    * propagation move for growing a quality corpus from a vetted core.
+    * Mass enters only at seeds, so nodes beyond `iters` hops hold rank
+    * exactly 0 and the result is naturally sparse at any graph size.
+    */
+  val x61SeedExpand: Q = (spark, sfDir) => {
+    val pr = Dedup.minhashLshPairs(Tables.documents(spark, sfDir), "doc_id", "text")
+      .filter(col("jaccard") >= 0.6)
+    val edges = pr.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionAll(pr.select(col("b_id").as("u"), col("a_id").as("v")))
+    val seeds = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 50 === 0).select("doc_id")
+    Graph.personalizedPageRankInt(edges, "u", "v", seeds, iters = 10)
+      .select(col("node").as("doc_id"), col("rank"))
+      .orderBy("doc_id")
+  }
+
+  private val x61Sql: String = {
+    val rounds = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    CAST(n.seed AS BIGINT) * 150000000 + (85 * coalesce(s.s, 0)) // 100 AS rank
+         |  FROM sn n LEFT JOIN (
+         |    SELECT e.v AS node, CAST(sum(r.rank // deg.d) AS BIGINT) AS s
+         |    FROM r${i - 1} r JOIN deg ON r.node = deg.u JOIN e ON e.u = r.node
+         |    GROUP BY e.v) s ON n.node = s.node
+         |)""".stripMargin
+    }.mkString(", ", ", ", "")
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, length(tokens)),
+      |    i -> array_to_string(list_slice(tokens, i, i+1), ' '))) AS shingles
+      |  FROM tok WHERE length(tokens) >= 2
+      |), hs AS (
+      |  SELECT doc_id, shingles,
+      |    list_distinct(list_transform(shingles, s -> ('0x' || substr(md5(s),1,8))::BIGINT)) AS hs
+      |  FROM sh
+      |), sig AS (
+      |  SELECT doc_id, list_transform(range(0,16),
+      |    j -> list_min(list_transform(hs, x -> ((2*j+1)*x + 7919*j) % 4294967311))) AS sig
+      |  FROM hs
+      |), bands AS (
+      |  SELECT doc_id, unnest(list_transform(range(0,8),
+      |    b -> b || ':' || array_to_string(list_slice(sig, 2*b+1, 2*b+2), '-'))) AS bk
+      |  FROM sig
+      |), pairs AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      |), ws AS (
+      |  SELECT p.a_id, p.b_id, sa.hs AS sa, sb.hs AS sb
+      |  FROM pairs p
+      |  JOIN hs sa ON p.a_id = sa.doc_id
+      |  JOIN hs sb ON p.b_id = sb.doc_id
+      |), j AS (
+      |  SELECT a_id, b_id,
+      |    length(list_filter(sa, x -> list_contains(sb, x))) AS inter,
+      |    length(sa) AS la, length(sb) AS lb
+      |  FROM ws
+      |), pr AS (
+      |  SELECT a_id, b_id FROM j
+      |  WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) >= 0.6
+      |), e AS (
+      |  SELECT a_id AS u, b_id AS v FROM pr
+      |  UNION ALL
+      |  SELECT b_id, a_id FROM pr
+      |), deg AS (
+      |  SELECT u, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY u
+      |), sn AS (
+      |  SELECT u AS node, CASE WHEN u % 50 = 0 THEN 1 ELSE 0 END AS seed
+      |  FROM (SELECT DISTINCT u FROM e)
+      |), r0 AS (
+      |  SELECT node, CAST(seed AS BIGINT) * 1000000000 AS rank FROM sn
+      |)""".stripMargin + rounds +
+      """
+        |SELECT node AS doc_id, CAST(rank AS BIGINT) AS rank
+        |FROM r10 ORDER BY doc_id""".stripMargin
+  }
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -2380,7 +2463,8 @@ object ExtQueries {
     "x57_substring_dedup" -> x57SubstringDedup,
     "x58_dup_pagerank" -> x58DupPagerank,
     "x59_bmp_decode" -> x59BmpDecode,
-    "x60_bmp_resize" -> x60BmpResize)
+    "x60_bmp_resize" -> x60BmpResize,
+    "x61_seed_expand" -> x61SeedExpand)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -2442,5 +2526,6 @@ object ExtQueries {
     "x57_substring_dedup" -> x57Sql,
     "x58_dup_pagerank" -> x58Sql,
     "x59_bmp_decode" -> x59Sql,
-    "x60_bmp_resize" -> x60Sql)
+    "x60_bmp_resize" -> x60Sql,
+    "x61_seed_expand" -> x61Sql)
 }

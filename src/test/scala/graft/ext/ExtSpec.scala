@@ -690,6 +690,30 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("personalizedPageRankInt localizes mass at seeds and stays sparse beyond hops") {
+    import spark.implicits._
+    // path 0-1-2-3-4-5-6-7 (undirected), seed at node 0
+    val und = (0L until 7L).map(i => (i, i + 1))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    val seeds = Seq(0L).toDF("doc_id")
+    val r = Graph.personalizedPageRankInt(edges, "u", "v", seeds, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.size == 8)
+    // mass sloshes on a path (the degree-1 seed exports everything each
+    // round), so no monotone-ordering claim — the exact semantics are:
+    // the seed always holds at least its teleport base, every node
+    // within `iters` hops is reached, and beyond `iters` hops the rank
+    // is EXACTLY zero (mass enters only at seeds)
+    assert(r(0L) >= 150000000L)
+    assert(r(1L) > 0L && r(2L) > 0L && r(3L) > 0L)          // <= 3 hops: reached
+    assert(r(4L) == 0L && r(7L) == 0L)                      // beyond iters: exactly 0
+    // no seeds at all -> every rank is exactly 0
+    val r0 = Graph.personalizedPageRankInt(edges, "u", "v",
+      Seq.empty[Long].toDF("doc_id"), iters = 3)
+      .agg(max(col("rank"))).collect()(0).getLong(0)
+    assert(r0 == 0L)
+  }
+
   test("bpeMerges learns the planted merge sequence, counts, and compression") {
     import spark.implicits._
     // round 1: "a b" x3 wins (9 tokens - 3 merges = 7 left); round 2:
