@@ -76,6 +76,7 @@ object Bench {
     val p1 = onePass()
     graft.ext.PQ.clearCache()
     graft.ext.KMeans.clearCache()
+    graft.queries.ExtQueries.clearPairsCache()
     val p2 = onePass()
     val results0 = p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
     val results = results0 + ("synthlinks_build" -> linksSec)

@@ -103,6 +103,12 @@ object Dedup {
     * scalable step; both sides shuffle identically, so the exchange is
     * computed once and reused) → exact Jaccard on candidates → distinct.
     */
+  // NOTE: deliberately NOT memoized here. A plan-keyed cache looks safe
+  // but is not: two reads of the same parquet ROOT canonicalize equal
+  // even after new files were appended, so a growing corpus (the
+  // streaming foreachBatch shape — caught by StreamingSpec) would get
+  // stale pairs. The declared queries memoize one level up, keyed by
+  // the immutable (session, sfDir) corpus — the SynthLinks contract.
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 2, bands: Int = 8, rows: Int = 2): DataFrame = {
     val sigs = shingleSigs(df, idCol, textCol, Nil, k, bands * rows)
