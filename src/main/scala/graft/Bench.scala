@@ -48,6 +48,17 @@ object Bench {
       System.err.println(s"[bench] synthlinks warm failed: ${e.getMessage}")
     }
     val linksSec = (System.nanoTime() - tLinks0) / 1e9
+    // Same move for the shared MinHash-LSH pair intermediate (x2/x17/
+    // x38/x58/x61): build once up front and time it as its own line
+    // item, so per-query numbers are cache-hit times for all five
+    // consumers regardless of Map iteration order, and the generation
+    // cost is attributed to exactly one visible line.
+    val tPairs0 = System.nanoTime()
+    try graft.queries.ExtQueries.warmPairs(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] pairs warm failed: ${e.getMessage}")
+    }
+    val pairsSec = (System.nanoTime() - tPairs0) / 1e9
     // Two timed passes, report the per-query MINIMUM. A single pass is
     // hostage to whatever else the container is doing (the r3 driver run
     // recorded 16.3 s for a query that takes ~3 s locally); min-of-two
@@ -61,6 +72,10 @@ object Bench {
     // Optional args filter to named queries for fast local iteration —
     // the driver invokes with no args, which benches the full surface.
     val wanted = args.toSet
+    val unknown = wanted -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — a typo here would " +
+        "silently bench nothing and exit green")
     def selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
       if (wanted.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => wanted(k) }
@@ -76,10 +91,13 @@ object Bench {
     val p1 = onePass()
     graft.ext.PQ.clearCache()
     graft.ext.KMeans.clearCache()
-    graft.queries.ExtQueries.clearPairsCache()
+    // the pairs cache is NOT cleared: like synthlinks it is a pre-built,
+    // separately-timed line item, so both passes should hit it — clearing
+    // would charge regeneration to whichever consumer runs first in p2
     val p2 = onePass()
     val results0 = p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
-    val results = results0 + ("synthlinks_build" -> linksSec)
+    val results = results0 +
+      ("synthlinks_build" -> linksSec) + ("neardup_pairs_build" -> pairsSec)
     // Regression gate vs the previous round's line (VERDICT r4 #9): any
     // query >2x its prior min is flagged loudly NOW, in-round, instead
     // of surfacing at judgment. Informational (co-tenant noise can trip

@@ -193,8 +193,8 @@ object ScaleSmoke {
     // Ranking / Packing / CC are the operators whose NAIVE formulations
     // (unpartitioned window, driver fold of rows, per-round full lineage)
     // die quietly somewhere between 10x and 100x. Probe each at two
-    // sizes 10x apart and require (a) the runtime ratio stays far below
-    // quadratic (100x for 10x rows; we allow 30x), (b) no stage plans an
+    // sizes 8x apart and require (a) the runtime ratio stays far below
+    // quadratic (64x for 8x rows; we allow 30x), (b) no stage plans an
     // "Exchange SinglePartition", (c) the exact invariants still hold.
     // multiples of 1024 so the packing total and chain count are exact
     val nSmall = 131072L
@@ -226,7 +226,7 @@ object ScaleSmoke {
     val maxRank = rkBig.agg(max("rnk")).collect()(0).getLong(0)
     require(maxRank == 10000L, s"dense rank must cover all 10000 distinct values, got $maxRank")
     println(f"rank 100x: $nSmall%d rows $rs%.1fs -> $nBig%d rows $rb%.1fs (${rb / rs}%.1fx)")
-    require(rb / rs < 30, f"rank scaled super-linearly: ${rb / rs}%.1fx for 10x rows")
+    require(rb / rs < 30, f"rank scaled super-linearly: ${rb / rs}%.1fx for 8x rows")
 
     // distributed prefix sum / packing
     def packRun(n: Long): org.apache.spark.sql.DataFrame =
@@ -242,7 +242,7 @@ object ScaleSmoke {
     val totSum = nBig / 512 * (512 * 513 / 2) // sum over full cycles of (id%512)+1
     require(endSum == totSum, s"prefix sum drifted at 100x: $endSum != $totSum")
     println(f"packing 100x: $nSmall%d rows $ps%.1fs -> $nBig%d rows $pb%.1fs (${pb / ps}%.1fx)")
-    require(pb / ps < 30, f"packing scaled super-linearly: ${pb / ps}%.1fx for 10x rows")
+    require(pb / ps < 30, f"packing scaled super-linearly: ${pb / ps}%.1fx for 8x rows")
 
     // connected components over long chains — the worst case for
     // pointer jumping (diameter 1024 forces the full O(log n) rounds)
@@ -259,7 +259,7 @@ object ScaleSmoke {
     require(nClusters == nBig / 1024,
       s"1024-chains must collapse to ${nBig / 1024} clusters, got $nClusters")
     println(f"cc 100x: $nSmall%d edges $cs%.1fs -> $nBig%d edges $cb%.1fs (${cb / cs}%.1fx)")
-    require(cb / cs < 30, f"cc scaled super-linearly: ${cb / cs}%.1fx for 10x rows")
+    require(cb / cs < 30, f"cc scaled super-linearly: ${cb / cs}%.1fx for 8x rows")
 
     // symmetric ring: every node has degree 2, so the uniform state IS the
     // damped fixed point — after any number of integer-exact rounds every

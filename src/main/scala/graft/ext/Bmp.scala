@@ -110,8 +110,12 @@ object Bmp {
       fail("unsupported",
         s"dib=$dib planes=$planes bpp=$bpp comp=$comp w=$w h=$h " +
           "(need BITMAPINFOHEADER, 1 plane, 24bpp, BI_RGB, w>=1, h>=0)")
-    val st = stride(w)
-    val need = dataOff + st.toLong * h
+    // Long arithmetic throughout: Int stride()/w*h would overflow for
+    // absurd declared widths (e.g. 0x55555556 -> stride 4) and let a
+    // header bomb slip past this check into a giant or negative-sized
+    // allocation — the guard must run on the EXACT geometry in Long.
+    val st = ((w.toLong * 3 + 3) / 4) * 4
+    val need = dataOff + st * h
     if (need > payload.length)
       fail("truncated", s"pixel array needs $need bytes, have ${payload.length}")
     val gray = new Array[Int](w * h)
@@ -119,7 +123,7 @@ object Bmp {
     while (r < h) {
       var c = 0
       while (c < w) {
-        val off = dataOff.toInt + (h - 1 - r) * st + c * 3
+        val off = (dataOff + (h - 1 - r).toLong * st + c * 3).toInt // fits: need <= length
         gray(r * w + c) = ((payload(off) & 0xff) + (payload(off + 1) & 0xff) +
           (payload(off + 2) & 0xff)) / 3
         c += 1
@@ -171,8 +175,10 @@ class BmpDecoder extends Multimodal.MediaDecoder {
     val st = Bmp.stride(img.width)
     (0 until img.height).grouped(every).zipWithIndex.map { case (rows, i) =>
       val px = rows.flatMap(r => (0 until img.width).map(c => img.gray(r * img.width + c)))
+      // sum in Long: an Int sum wraps negative past ~8.4M high-gray
+      // pixels per band, which real 100 MB-class images can reach
       Multimodal.Frame(docId, i, rows.length.toLong * st,
-        px.sum.toDouble / (255.0 * px.length))
+        px.foldLeft(0L)(_ + _).toDouble / (255.0 * px.length))
     }
   }
 }

@@ -54,7 +54,7 @@ object KMeans {
     * returning the wrong centroids.
     */
   private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, Int, Int, Int),
+    (org.apache.spark.sql.SparkSession, Int, Int, Int, Int),
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       (DataFrame, DataFrame))]()
 
@@ -63,7 +63,13 @@ object KMeans {
 
   private def run(emb: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     val plan = emb.queryExecution.analyzed
-    val key = (emb.sparkSession, plan.semanticHash(), k, iters)
+    // the file-set signature rides the key: two reads of one parquet
+    // root canonicalize equal (sameResult) even after files were
+    // appended, so a plan-only key would hand a growing corpus stale
+    // centroids — the same hazard Dedup documents for candidate pairs
+    val files = java.util.Arrays.hashCode(
+      emb.inputFiles.sorted.asInstanceOf[Array[AnyRef]])
+    val key = (emb.sparkSession, plan.semanticHash(), files, k, iters)
     cache.keySet.removeIf(_._1.sparkContext.isStopped)
     val hit = cache.get(key)
     if (hit != null && hit._1.sameResult(plan)) hit._2

@@ -42,7 +42,7 @@ object PQ {
     * identical training job.
     */
   private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, Int, Int, Int, Int, Int),
+    (org.apache.spark.sql.SparkSession, Int, Int, Int, Int, Int, Int),
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       (DataFrame, DataFrame))]()
 
@@ -59,7 +59,12 @@ object PQ {
     // with sameResult on every hit — colliding-but-different inputs
     // just retrain (correct, merely uncached).
     val plan = emb.queryExecution.analyzed
-    val key = (emb.sparkSession, plan.semanticHash(), m, k, iters, subWidth)
+    // file-set signature in the key: appended files don't change the
+    // canonicalized plan, so a plan-only key would serve a growing
+    // corpus stale codebooks (see the Dedup/KMeans notes)
+    val files = java.util.Arrays.hashCode(
+      emb.inputFiles.sorted.asInstanceOf[Array[AnyRef]])
+    val key = (emb.sparkSession, plan.semanticHash(), files, m, k, iters, subWidth)
     cache.keySet.removeIf(_._1.sparkContext.isStopped)
     val hit = cache.get(key)
     if (hit != null && hit._1.sameResult(plan)) hit._2

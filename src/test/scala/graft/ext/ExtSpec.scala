@@ -644,6 +644,12 @@ class ExtSpec extends SparkSpec {
     val bomb = Bmp.write(16, gray)
     bomb(22) = 0x7f.toByte; bomb(23) = 0x7f.toByte // absurd declared height
     assert(kind(bomb) == "truncated")              // checked before any allocation
+    // Int-overflow bomb: width 0x55555556 makes an Int stride wrap to 4,
+    // which would sneak past a 32-bit size check into a giant allocation
+    val wBomb = Bmp.write(16, gray)
+    wBomb(18) = 0x56.toByte; wBomb(19) = 0x55.toByte
+    wBomb(20) = 0x55.toByte; wBomb(21) = 0x55.toByte
+    assert(kind(wBomb) == "truncated")             // Long math keeps the guard exact
     val badBpp = Bmp.write(16, gray); badBpp(28) = 8
     assert(kind(badBpp) == "unsupported")
     // frames: 3 rows in bands of 2 -> sizes 2*48 and 1*48; black -> 0 feature
