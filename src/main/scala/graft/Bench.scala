@@ -2,21 +2,41 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
-  /** Minimal reader for a prior round's bench line: extracts the
-    * per-query seconds from `"queries":{...}` (flat object, numeric
-    * values — the format this object itself prints).
+  /** Reader for a prior round's bench output: extracts per-query seconds.
+    *
+    * Three formats must work (VERDICT r5 #1 — the original marker-only
+    * parse silently returned empty on driver artifacts, making the
+    * regression gate vacuous):
+    *  1. This object's own full line / `bench_full.json` — has a
+    *     `"queries":{...}` min map; use it.
+    *  2. A driver `BENCH_r{N}.json` wrapper — keeps only the LAST 2000
+    *     chars of stdout as an escaped `"tail"` string; since r3 the
+    *     `"queries":{` marker is cut off, so fall back to scraping every
+    *     `"name":number` pair (later occurrences win, i.e. the raw pass2
+    *     map in the r3–r5 print order). Escaped quotes are unescaped
+    *     first so wrapper tails match.
+    *  3. Missing/garbled file — empty map, gate degrades to no-op loudly
+    *     (caller prints `"compared":0`).
     */
   private[graft] def prevQueryTimes(path: String): Map[String, Double] = {
     val f = new java.io.File(path)
     if (!f.isFile) return Map.empty
     try {
-      val txt = scala.io.Source.fromFile(f).mkString
+      val txt = scala.io.Source.fromFile(f).mkString.replace("\\\"", "\"")
       val start = txt.indexOf("\"queries\":{")
-      if (start < 0) return Map.empty
-      val body = txt.substring(start + "\"queries\":{".length,
-        txt.indexOf('}', start))
-      "\"([A-Za-z0-9_]+)\":([-0-9.eE+]+)".r.findAllMatchIn(body)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val body =
+        if (start >= 0)
+          txt.substring(start + "\"queries\":{".length, txt.indexOf('}', start))
+        else txt
+      // value must start with a digit/sign so `"sf":"/root/..."` and other
+      // string-valued keys never match; known non-query numeric keys are
+      // dropped (driver wrapper + regression objects carry them).
+      val notQueries = Set("prev", "now", "value", "n", "rc", "cpus", "sf",
+        "compared", "pass1_total", "pass2_total")
+      "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filterNot { case (k, _) => notQueries(k) }
+        .toMap
     } catch { case _: Throwable => Map.empty }
   }
 
@@ -98,12 +118,15 @@ object Bench {
     val results0 = p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
     val results = results0 +
       ("synthlinks_build" -> linksSec) + ("neardup_pairs_build" -> pairsSec)
-    // Regression gate vs the previous round's line (VERDICT r4 #9): any
-    // query >2x its prior min is flagged loudly NOW, in-round, instead
-    // of surfacing at judgment. Informational (co-tenant noise can trip
-    // it), but impossible to miss in the bench output.
-    val prevPath = sys.env.getOrElse("SPARK_GRAFT_PREV_BENCH", "BENCH_r04.json")
+    // Regression gate vs the previous round's bench (VERDICT r4 #9,
+    // repaired per VERDICT r5 #1): any query >2x its prior min is flagged
+    // loudly NOW, in-round. Prev defaults to the committed bench_full.json
+    // (the complete artifact this run also rewrites — read BEFORE write);
+    // prevQueryTimes still understands truncated driver tails as fallback.
+    // `compared` rides the output so a vacuous comparison is visible.
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_PREV_BENCH", "bench_full.json")
     val prev = prevQueryTimes(prevPath)
+    val compared = results0.keysIterator.count(prev.contains)
     val regressions = results0.toSeq
       .flatMap { case (k, v) =>
         prev.get(k).collect {
@@ -121,7 +144,24 @@ object Bench {
       f"""{"query":"$k","prev":$p,"now":$v}"""
     }.mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"pass1":${jmap(p1)},"pass2":${jmap(p2)},"regressions":$regs,"failed":$fs,"sf":"$sfDir"}""")
+    // Full artifact (min map + both raw passes) goes to a committed repo
+    // file — the driver's BENCH_r{N}.json keeps only the last 2000 chars
+    // of stdout, which truncated every line since r3. Next round's gate
+    // reads this file, not a tail.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","compared":$compared,"queries":${jmap(results)},"pass1":${jmap(p1)},"pass2":${jmap(p2)},"regressions":$regs,"failed":$fs}"""
+    try {
+      val w = new java.io.PrintWriter(fullPath, "UTF-8")
+      try w.println(fullJson) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
+    }
+    // stdout line: per-query map FIRST, headline numbers LAST, raw passes
+    // omitted (they live in bench_full.json) — so the driver's 2000-char
+    // tail always ends with regressions/compared/failed/total, and what
+    // truncation eats is only the head of the min map (VERDICT r5 #2).
+    println(s"""{"sf":"$sfDir","pass_detail":"$fullPath","queries":${jmap(results)},"regressions":$regs,"compared":$compared,"failed":$fs,"metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
   }
 }
