@@ -229,61 +229,160 @@ object TextAnalytics {
     * occurrences of one leading word (Long.MaxValue / 10^6) — beyond
     * even a 100 TB token stream for any non-degenerate vocabulary.
     */
-  /** Multi-round BPE tokenizer training, distributed: each round counts
-    * all adjacent token pairs corpus-wide (WordShingles, multiplicity
-    * kept), picks the globally most frequent via the bounded-heap top-k
-    * aggregate (k = 1; ties break on the pair string), merges it
-    * everywhere (space-padded replace — word-safe, left-to-right
-    * non-overlapping in every engine), and iterates on the merged
-    * corpus. Returns the learned merge table
-    * (round, pair, n_pair, corpus_tokens): the pair chosen each round,
-    * its count at selection time, and the corpus token total AFTER the
-    * merge — the compression trajectory a tokenizer build reports.
-    *
-    * Scale shape: per round, one partial-agg shuffle for the pair
-    * counts + one narrow rewrite of the corpus, with localCheckpoint
-    * truncating lineage between rounds (the KMeans/CC pattern). The
-    * per-round argmax is ONE driver-side row (k = 1 heap), never the
-    * count relation. x50 is one step of this loop; the x54 oracle
-    * replays all rounds as unrolled CTEs.
+  /** The word-frequency table — real BPE's training relation (Sennrich
+    * et al. 2016): ONE pass over the corpus, then tokenizer training
+    * never touches the corpus again. Vocabulary-sized (distinct words),
+    * partial-agg shuffle only. The empty-word filter mirrors the oracle
+    * exactly (double spaces would otherwise split differently per
+    * engine).
     */
-  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    require(rounds >= 1, "bpeMerges: rounds must be >= 1")
-    val spark = docs.sparkSession
+  def wordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(toks(col(textCol).cast("string"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).cast("long").as("n"))
+
+  /** Character sequence of a word, space-joined ("spark" → "s p a r k"):
+    * the initial BPE symbol representation. substr-based so the oracle's
+    * code-point semantics match exactly.
+    */
+  private def spacedChars(w: Column): Column =
+    array_join(transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))), " ")
+
+  /** Multi-round BPE tokenizer training over the [[wordFreq]] relation
+    * (VERDICT r5 #2 — the previous formulation rewrote the ENTIRE corpus
+    * once per merge round, which is 32 k full-corpus rewrites at a real
+    * vocab size; it could not survive scale-up). Real BPE semantics:
+    * symbols are characters within words, merges never cross word
+    * boundaries, pair counts are weighted by word frequency. Each round
+    * counts adjacent symbol pairs over the VOCABULARY-sized (word, n,
+    * repr) relation, picks the globally most frequent via the
+    * bounded-heap top-k aggregate (k = 1; ties break on the pair
+    * string), and merges it in every word representation (space-padded
+    * replace — left-to-right non-overlapping in every engine).
+    *
+    * Note the old doc-stream semantics (merge adjacent whitespace-token
+    * pairs across a document) are NOT expressible over any bounded-unit
+    * frequency table: sequential non-overlapping replace makes pairing
+    * depend on unbounded left context ("a b a b" merges only the first
+    * "a b"), so exact replay needs the full sequences. x50 keeps one
+    * step of that variant; the trainable, scalable kernel is this one.
+    *
+    * Returns (merge table, final vocab): the merge table is
+    * (round, pair, n_pair, corpus_tokens) — the pair chosen each round,
+    * its frequency-weighted count at selection time, and the corpus
+    * token total AFTER the merge (Σ n · |repr|, the compression
+    * trajectory a tokenizer build reports); the vocab is
+    * (word, n, repr) whose `repr` tokens ARE the word's BPE segments.
+    *
+    * Scale shape: the corpus is touched once (by [[wordFreq]], upstream);
+    * per round, one partial-agg shuffle + one narrow rewrite + one
+    * 1-row argmax collect, all over the vocab relation, with
+    * localCheckpoint truncating lineage between rounds (the KMeans/CC
+    * pattern). 32 k rounds = 32 k vocabulary-sized jobs, zero corpus
+    * scans.
+    */
+  def bpeTrain(wf: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+    require(rounds >= 1, "bpeTrain: rounds must be >= 1")
+    val spark = wf.sparkSession
     import spark.implicits._
     val bridge = org.apache.spark.sql.GraftColumnBridge
-    var texts = docs.select(col(textCol).cast("string").as("text")).localCheckpoint()
+    var vocab = wf.select(col("word"), col("n").cast("long").as("n"),
+      spacedChars(col("word")).as("repr")).localCheckpoint()
     val out = Seq.newBuilder[(Int, String, Long, Long)]
     for (r <- 1 to rounds) {
       val bigrams = bridge.column(
-        graft.expr.WordShingles(bridge.expression(col("text")), 2))
-      val top = texts.select(explode(bigrams).as("bigram"))
-        .groupBy("bigram").agg(count(lit(1)).as("n"))
-        .agg(graft.expr.TopKPairs.topK(col("n"), col("bigram"), 1).as("top"))
+        graft.expr.WordShingles(bridge.expression(col("repr")), 2))
+      val top = vocab.select(col("n"), explode(bigrams).as("bigram"))
+        .groupBy("bigram").agg(sum("n").as("cnt"))
+        .agg(graft.expr.TopKPairs.topK(col("cnt"), col("bigram"), 1).as("top"))
         .select(try_element_at(col("top"), lit(1)).as("ts"))
-        .select(col("ts.key").as("pair"), col("ts.score").as("n"))
+        .select(col("ts.key").as("pair"), col("ts.score").as("cnt"))
         .collect()(0)
-      require(!top.isNullAt(0), s"bpeMerges: no bigrams left at round $r")
+      require(!top.isNullAt(0), s"bpeTrain: vocabulary exhausted at round $r")
       val pair = top.getString(0)
       val nPair = top.getLong(1)
-      texts = texts.select(trim(replace(
-          concat(lit(" "), col("text"), lit(" ")),
+      vocab = vocab.select(col("word"), col("n"),
+        trim(replace(concat(lit(" "), col("repr"), lit(" ")),
           lit(" " + pair + " "),
-          lit(" " + pair.replace(' ', '_') + " "))).as("text"))
+          lit(" " + pair.replace(' ', '_') + " "))).as("repr"))
         .localCheckpoint()
-      val toks = texts
-        .agg(sum(size(split(col("text"), " ")).cast("long")))
+      val toks = vocab
+        .agg(sum(col("n") * size(split(col("repr"), " ")).cast("long")))
         .collect()(0).getLong(0)
       out += ((r, pair, nPair, toks))
     }
-    out.result().toDF("round", "pair", "n_pair", "corpus_tokens")
+    (out.result().toDF("round", "pair", "n_pair", "corpus_tokens"), vocab)
   }
 
-  /** Tokenize with a learned merge table: apply [[bpeMerges]]' pairs in
+  /** Driver-side BPE trainer on a collected word-frequency table — the
+    * standard industrial shape (Sennrich's learn_bpe is an in-memory
+    * loop over word counts; the cluster's job is the ONE corpus pass
+    * that builds the table). Appropriate whenever the vocabulary fits
+    * the driver — `maxVocab` guards the collect loudly; beyond it, use
+    * the distributed [[bpeTrain]]. Bit-identical to [[bpeTrain]] by
+    * construction: same weighted overlap-counted pair stats, same
+    * (-count, pair) argmax tie-break (binary string order), same
+    * sequential non-overlapping space-padded merge (Java replace ==
+    * Spark replace ==  DuckDB replace) — property-tested equal in
+    * BpeSpec.
+    *
+    * Returns (merges, vocab) as in-memory rows:
+    * merges = (round, pair, n_pair, corpus_tokens),
+    * vocab = (word, n, repr).
+    */
+  def bpeTrainLocal(wf: DataFrame, rounds: Int, maxVocab: Int = 4000000)
+    : (Seq[(Int, String, Long, Long)], Seq[(String, Long, String)]) = {
+    require(rounds >= 1, "bpeTrainLocal: rounds must be >= 1")
+    val head = wf.select(col("word").cast("string"), col("n").cast("long"))
+      .limit(maxVocab + 1).collect()
+    require(head.length <= maxVocab,
+      s"bpeTrainLocal: vocabulary exceeds maxVocab=$maxVocab — use bpeTrain")
+    val words = head.map(r => (r.getString(0), r.getLong(1)))
+    // code-point split, not UTF-16 chars — matches substr semantics on
+    // the Spark/DuckDB side (a surrogate pair is ONE initial symbol)
+    val repr = scala.collection.mutable.LinkedHashMap(
+      words.map { case (w, _) =>
+        w -> w.codePoints().toArray
+          .map(cp => new String(Character.toChars(cp))).mkString(" ")
+      }: _*)
+    val freq = words.toMap
+    val merges = Seq.newBuilder[(Int, String, Long, Long)]
+    for (r <- 1 to rounds) {
+      val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((w, rep) <- repr) {
+        val tk = rep.split(" ")
+        val n = freq(w)
+        var i = 0
+        while (i < tk.length - 1) {
+          val bg = tk(i) + " " + tk(i + 1)
+          cnt.update(bg, cnt.getOrElse(bg, 0L) + n)
+          i += 1
+        }
+      }
+      require(cnt.nonEmpty, s"bpeTrainLocal: vocabulary exhausted at round $r")
+      val (pair, nPair) = cnt.minBy { case (bg, c) => (-c, bg) }
+      val search = " " + pair + " "
+      val merged = " " + pair.replace(' ', '_') + " "
+      var toks = 0L
+      for ((w, rep) <- repr) {
+        val next = (" " + rep + " ").replace(search, merged).trim
+        repr.update(w, next)
+        toks += freq(w) * (next.count(_ == ' ') + 1)
+      }
+      merges += ((r, pair, nPair, toks))
+    }
+    (merges.result(),
+      repr.toSeq.map { case (w, rep) => (w, freq(w), rep) })
+  }
+
+  /** Tokenize with a learned merge table: apply [[bpeTrain]]' pairs in
     * training order (each merged pair becomes one `a_b` token), giving
     * the text whose whitespace tokens ARE the BPE tokens. A pure column
-    * expression — the chained replaces run in whole-stage codegen over
-    * any corpus, which is how the learned tokenizer deploys at scale.
+    * expression — the chained replaces run in whole-stage codegen. Only
+    * practical for small merge tables (N merges = N nested replaces = N
+    * passes over the string); the deployable path is the vocab-join in
+    * x62 (segment the DISTINCT words once, join corpus words against
+    * the vocabulary) — this expression is its property-check oracle.
     */
   def applyMerges(text: Column, pairs: Seq[String]): Column =
     pairs.foldLeft(text) { (t, p) =>

@@ -1956,45 +1956,75 @@ object ExtQueries {
 
   // --- x54: multi-round BPE learn -------------------------------------------------------
 
-  /** Four rounds of the distributed BPE loop (x50 iterated to a merge
-    * table — VERDICT r4 "what's missing" #3): each row is one learned
-    * merge with its selection-time count and the corpus token total
-    * after applying it. The oracle replays the identical rounds as
-    * unrolled CTEs (the x26/x27 Lloyd-round pattern — exact counts, so
-    * any engine reproduces the merge sequence bit-for-bit).
+  /** Four rounds of word-frequency BPE training (VERDICT r5 #2 — the
+    * previous doc-stream formulation rewrote the whole corpus per merge
+    * round and could not survive scale-up; real BPE trains on the
+    * (word, n) table, so after ONE corpus pass every round is
+    * vocabulary-sized). Each row is one learned merge (a character-pair
+    * within words, frequency-weighted) with its selection-time count
+    * and the corpus token total after applying it. The oracle replays
+    * the identical rounds as unrolled CTEs over the same wf relation
+    * (the x26/x27 Lloyd-round pattern — exact integer counts, so any
+    * engine reproduces the merge sequence bit-for-bit).
     */
   val x54BpeLearn: Q = (spark, sfDir) =>
-    TextAnalytics.bpeMerges(Tables.documents(spark, sfDir), "text", rounds = 4)
-      .orderBy("round")
+    TextAnalytics.bpeTrain(
+      TextAnalytics.wordFreq(Tables.documents(spark, sfDir), "text"),
+      rounds = 4)._1.orderBy("round")
 
-  private def x54SqlGen(rounds: Int): String = {
-    def bg(src: String) =
-      s"""SELECT unnest(list_transform(range(1, length(tk)),
-         |      i -> array_to_string(list_slice(tk, i, i+1), ' '))) AS bigram
-         |    FROM (SELECT string_split(text, ' ') AS tk FROM $src)
-         |    WHERE length(tk) >= 2""".stripMargin
-    val cte = new StringBuilder("WITH t0 AS (SELECT text FROM documents)")
+  /** Shared CTE prefix for the BPE-family oracles: the word-frequency
+    * table, the initial char-spaced representations, and `rounds`
+    * unrolled (count → argmax → merge) rounds, optionally with the
+    * per-round corpus-token trajectory (x54 needs it, x62 does not).
+    * Exposes r$rounds (word, n, repr) and per-round top$r (pair, n)
+    * [+ k$r (corpus_tokens)].
+    */
+  private def bpeRoundsSql(rounds: Int, trajectory: Boolean): String = {
+    // every r$N is referenced twice (next round's count + rewrite):
+    // without MATERIALIZED, DuckDB's CTE inlining makes the 64-round
+    // chain exponential (observed as a "too many open files" storm of
+    // duplicate base-table scans)
+    val cte = new StringBuilder(
+      """WITH wf AS MATERIALIZED (
+        |  SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w != '' GROUP BY w
+        |), r0 AS MATERIALIZED (
+        |  SELECT word, n, array_to_string(list_transform(
+        |    range(1, length(word) + 1), i -> substr(word, i, 1)), ' ') AS repr
+        |  FROM wf
+        |)""".stripMargin)
     for (r <- 1 to rounds) {
       cte.append(s""",
         |c$r AS (
-        |  SELECT bigram, count(*) AS n FROM (
-        |    ${bg(s"t${r - 1}")}) GROUP BY bigram
-        |), top$r AS (
+        |  SELECT bigram, CAST(sum(n) AS BIGINT) AS n FROM (
+        |    SELECT n, unnest(list_transform(range(1, length(tk)),
+        |      i -> array_to_string(list_slice(tk, i, i+1), ' '))) AS bigram
+        |    FROM (SELECT n, string_split(repr, ' ') AS tk FROM r${r - 1})
+        |    WHERE length(tk) >= 2) GROUP BY bigram
+        |), top$r AS MATERIALIZED (
         |  SELECT bigram AS pair, n FROM c$r ORDER BY n DESC, bigram LIMIT 1
-        |), t$r AS (
-        |  SELECT trim(replace(' ' || text || ' ', ' ' || pair || ' ',
-        |    ' ' || replace(pair, ' ', '_') || ' ')) AS text
-        |  FROM t${r - 1} CROSS JOIN top$r
-        |), k$r AS (
-        |  SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS corpus_tokens
-        |  FROM t$r
+        |), r$r AS MATERIALIZED (
+        |  SELECT t.word, t.n, trim(replace(' ' || t.repr || ' ',
+        |    ' ' || pair || ' ', ' ' || replace(pair, ' ', '_') || ' ')) AS repr
+        |  FROM r${r - 1} t CROSS JOIN top$r
+        |)""".stripMargin)
+      if (trajectory) cte.append(s""",
+        |k$r AS (
+        |  SELECT CAST(sum(n * len(string_split(repr, ' '))) AS BIGINT)
+        |    AS corpus_tokens
+        |  FROM r$r
         |)""".stripMargin)
     }
+    cte.toString
+  }
+
+  private def x54SqlGen(rounds: Int): String = {
     val rows = (1 to rounds).map { r =>
       s"SELECT CAST($r AS INT) AS round, pair, n AS n_pair, corpus_tokens " +
         s"FROM top$r CROSS JOIN k$r"
     }.mkString("\n", "\nUNION ALL\n", "\n")
-    cte.toString + rows + "ORDER BY round"
+    bpeRoundsSql(rounds, trajectory = true) + rows + "ORDER BY round"
   }
 
   private val x54Sql = x54SqlGen(4)
@@ -2439,6 +2469,54 @@ object ExtQueries {
         |FROM r10 ORDER BY doc_id""".stripMargin
   }
 
+  // --- x62: tokenize with a learned merge table (vocab-join deployment) ----------------
+
+  /** Deployable BPE tokenization at a real merge-table size (VERDICT r5
+    * #3): learn 64 merges on the word-frequency table, segment the
+    * DISTINCT words once (vocabulary-sized work — the merge loop never
+    * touches the corpus), then tokenize the corpus with ONE pass: words
+    * join the vocabulary. The chained-replace formulation
+    * ([[TextAnalytics.applyMerges]]) would be 64 nested replaces = 64
+    * passes over every document — it survives only as the property-check
+    * oracle (BpeSpec proves per-word equality). Training runs
+    * driver-side on the collected (word, n) table — the standard
+    * tokenizer-trainer shape; vocabularies beyond the driver use the
+    * distributed [[TextAnalytics.bpeTrain]], bit-identical by
+    * construction. At 100 TB the vocab join broadcasts when the
+    * vocabulary fits and AQE falls back to a shuffled equi-join when it
+    * doesn't.
+    */
+  val x62BpeTokenize: Q = (spark, sfDir) => {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val wf = TextAnalytics.wordFreq(docs, "text")
+    val (_, vocab) = TextAnalytics.bpeTrainLocal(wf, rounds = 64)
+    val seg = vocab.map { case (w, _, rep) => (w, rep.count(_ == ' ') + 1L) }
+      .toDF("word", "n_sub")
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(seg), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** 64 unrolled training rounds (no trajectory CTEs — x62 only needs
+    * the final segmentation), then the same vocab-join tokenize.
+    */
+  private val x62Sql =
+    bpeRoundsSql(64, trajectory = false) +
+      """, seg AS (
+        |  SELECT word, CAST(len(string_split(repr, ' ')) AS BIGINT) AS n_sub
+        |  FROM r64
+        |), w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens
+        |FROM w JOIN seg USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -2502,7 +2580,8 @@ object ExtQueries {
     "x58_dup_pagerank" -> x58DupPagerank,
     "x59_bmp_decode" -> x59BmpDecode,
     "x60_bmp_resize" -> x60BmpResize,
-    "x61_seed_expand" -> x61SeedExpand)
+    "x61_seed_expand" -> x61SeedExpand,
+    "x62_bpe_tokenize" -> x62BpeTokenize)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -2565,5 +2644,6 @@ object ExtQueries {
     "x58_dup_pagerank" -> x58Sql,
     "x59_bmp_decode" -> x59Sql,
     "x60_bmp_resize" -> x60Sql,
-    "x61_seed_expand" -> x61Sql)
+    "x61_seed_expand" -> x61Sql,
+    "x62_bpe_tokenize" -> x62Sql)
 }

@@ -720,38 +720,75 @@ class ExtSpec extends SparkSpec {
     assert(r0 == 0L)
   }
 
-  test("bpeMerges learns the planted merge sequence, counts, and compression") {
+  test("bpeTrain learns the planted merge sequence: weighted, overlap-counted, sequential") {
     import spark.implicits._
-    // round 1: "a b" x3 wins (9 tokens - 3 merges = 7 left); round 2:
-    // all pairs tie at 1, "a_b q" wins lexicographically ('_' > ' ', so
-    // "a_b q" < "x a_b" etc., and q < y < z among the a_b successors)
-    val corpus = Seq("x a b y a b z", "a b q").toDF("text")
-    val merges = TextAnalytics.bpeMerges(corpus, "text", rounds = 2)
-      .orderBy("round").collect()
-    assert(merges.map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
-      .toSeq == Seq((1, "a b", 3L, 7L), (2, "a_b q", 1L, 6L)))
+    // hand-built frequency table exercising all three load-bearing
+    // details: counts weighted by n, overlapping occurrences counted
+    // ("a a a" contributes TWO "a a"), and sequential non-overlapping
+    // merge ("a a a b" -> "a_a a b", not "a_a a_b's middle").
+    // round 1: "a a" = 2x10 = 20 beats "a b" = 10+5 = 15
+    //   -> reprs "a_a a b" (3 toks) / "a b"; corpus = 10*3 + 5*2 = 40
+    // round 2: "a b" = 10+5 = 15 beats "a_a a" = 10
+    //   -> reprs "a_a a_b" / "a_b"; corpus = 10*2 + 5*1 = 25
+    val wf = Seq(("aaab", 10L), ("ab", 5L)).toDF("word", "n")
+    val (merges, vocab) = TextAnalytics.bpeTrain(wf, rounds = 2)
+    assert(merges.orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq == Seq((1, "a a", 20L, 40L), (2, "a b", 15L, 25L)))
+    assert(vocab.orderBy("word").collect()
+      .map(r => (r.getString(0), r.getString(2)))
+      .toSeq == Seq(("aaab", "a_a a_b"), ("ab", "a_b")))
   }
 
-  test("applyMerges tokenizes with the learned table: token totals match training") {
+  test("bpeTrainLocal is bit-identical to the distributed bpeTrain") {
+    val wf = TextAnalytics.wordFreq(
+      graft.model.Tables.documents(spark, sf()), "text")
+    val (dm, dv) = TextAnalytics.bpeTrain(wf, rounds = 8)
+    val distMerges = dm.orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val distVocab = dv.orderBy("word").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    val (lm, lv) = TextAnalytics.bpeTrainLocal(wf, rounds = 8)
+    assert(lm == distMerges)
+    assert(lv.sortBy(_._1) == distVocab)
+  }
+
+  test("applyMerges replays the learned table: per-word segmentation matches vocab repr") {
     import spark.implicits._
-    val corpus = Seq(
-      "spark shuffles data between stages",
-      "spark shuffles data between executors",
-      "catalyst optimizes spark shuffles eagerly").toDF("text")
-    val learned = TextAnalytics.bpeMerges(corpus, "text", rounds = 3)
-      .orderBy("round").collect()
-    val pairs = learned.map(_.getString(1)).toSeq
-    // replaying the merge table over the original corpus must land on
-    // exactly the token total training reported after its last round
-    val replayTokens = corpus
-      .select(size(split(TextAnalytics.applyMerges(col("text"), pairs), " "))
-        .cast("long").as("n"))
-      .agg(sum("n")).collect()(0).getLong(0)
-    assert(replayTokens == learned.last.getLong(3))
-    // and each merged pair is one token: round 1's winner appears fused
-    val merged = corpus
-      .select(TextAnalytics.applyMerges(col("text"), pairs).as("t"))
-      .as[String].collect()
-    assert(merged.exists(_.contains(pairs.head.replace(' ', '_'))))
+    // the chained-replace expression is the property-check oracle for
+    // the vocab-join tokenizer (x62): applying all 64 learned merges to
+    // each word's char sequence must land on exactly its trained repr
+    val wf = TextAnalytics.wordFreq(
+      graft.model.Tables.documents(spark, sf()), "text")
+    val (merges, vocab) = TextAnalytics.bpeTrainLocal(wf, rounds = 64)
+    val pairs = merges.map(_._2)
+    val spaced = vocab.map { case (w, _, _) =>
+      (w, w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+        .mkString(" "))
+    }.toDF("word", "chars")
+    val replayed = spaced
+      .select(col("word"), TextAnalytics.applyMerges(col("chars"), pairs).as("repr"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val trained = vocab.map { case (w, _, rep) => w -> rep }.toMap
+    assert(replayed == trained)
+    // and the corpus-token trajectory is monotone non-increasing
+    val traj = merges.map(_._4)
+    assert(traj.zip(traj.tail).forall { case (a, b) => b <= a })
+  }
+
+  test("bpeTrain is a pure function of the frequency table: scaling n by 7 scales counts by 7") {
+    import spark.implicits._
+    // the structural scale guarantee of the wordFreq formulation: the
+    // trainer sees ONLY (word, n) — replicating the corpus 7x (same
+    // table, n*7) yields the identical merge sequence and segmentations
+    // with every count exactly 7x. No corpus-shaped input exists to
+    // rescan.
+    val wf = TextAnalytics.wordFreq(
+      graft.model.Tables.documents(spark, sf()), "text")
+    val wf7 = wf.select(col("word"), (col("n") * 7).as("n"))
+    val (m1, v1) = TextAnalytics.bpeTrainLocal(wf, rounds = 12)
+    val (m7, v7) = TextAnalytics.bpeTrainLocal(wf7, rounds = 12)
+    assert(m7 == m1.map { case (r, p, n, t) => (r, p, n * 7, t * 7) })
+    assert(v7.map(v => (v._1, v._3)) == v1.map(v => (v._1, v._3)))
   }
 }
