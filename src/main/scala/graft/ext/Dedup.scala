@@ -65,6 +65,43 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
+  /** Incremental first-occurrence-wins dedup over a growing corpus —
+    * the batch formulation of streaming `dropDuplicatesWithinWatermark`:
+    * rows arrive in (tranche, arrival) order; the first occurrence of
+    * each content key survives, later ones are classified by WHERE
+    * their first occurrence lives ('dup_cross': an earlier tranche —
+    * the state-store hit a streaming dedup drops against carried
+    * state; 'dup_within': the same tranche — the within-batch dedup a
+    * new micro-batch performs on itself).
+    *
+    * Arrival order is encoded as ONE integer `tranche·base + arrival`
+    * so the per-key first occurrence is a plain `min` aggregate —
+    * map-side combined, one shuffle on the uniform content key, no
+    * window — and the first occurrence's tranche is recovered with an
+    * integer div. Caller contract: `0 <= arrival < base` and
+    * `tranche·base + arrival` fits a BIGINT (at base 1e8 that allows
+    * ~9.2e10 tranches — unbounded for any real ingestion cadence).
+    *
+    * Appends (status, keep_ord) to the stream's columns; `keep_ord %
+    * base` is the surviving row's arrival id.
+    */
+  def firstOccurrenceDedup(stream: DataFrame, key: Column,
+                           tranche: Column, arrival: Column,
+                           base: Long = 100000000L): DataFrame = {
+    val keyed = stream
+      .withColumn("__k", key)
+      .withColumn("__ord", tranche.cast("long") * base + arrival.cast("long"))
+    val firsts = keyed.groupBy("__k").agg(min(col("__ord")).as("__first_ord"))
+    keyed.join(firsts, "__k")
+      .withColumn("status",
+        when(col("__ord") === col("__first_ord"), lit("kept"))
+          .when(expr(s"__first_ord div ${base}L") < tranche.cast("long"),
+            lit("dup_cross"))
+          .otherwise(lit("dup_within")))
+      .withColumn("keep_ord", col("__first_ord"))
+      .drop("__k", "__ord", "__first_ord")
+  }
+
   /** Per-doc (id, extra…, shingle-set array + the signature columns),
     * computed the shuffle-friendly way: explode distinct shingles to
     * rows (so the md5 hash runs in whole-stage codegen, not inside an

@@ -2517,6 +2517,72 @@ object ExtQueries {
         |FROM w JOIN seg USING (word)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- x63: incremental first-occurrence dedup over a growing corpus -------------------
+
+  /** The growing-corpus dedup semantics as a declared oracle row
+    * (VERDICT r5 #4 — previously checked only by StreamingSpec): a
+    * deterministic two-tranche ingestion simulated from doc_id
+    * residues. Tranche 1 is the standing corpus (doc_id % 5 != 0);
+    * tranche 2 arrives later with (a) genuinely new content
+    * (doc_id % 5 == 0), (b) re-crawls of tranche-1 content (% 7 == 0
+    * among tranche 1 — the cross-batch duplicates streaming dedup drops
+    * against carried state), and (c) second copies of (a) within the
+    * batch (% 3 == 0 among them — the within-batch firsts that must
+    * SURVIVE). First occurrence in (tranche, arrival) order wins;
+    * every row is classified kept / dup_cross / dup_within — exactly
+    * `dropDuplicatesWithinWatermark` on an unbounded watermark.
+    */
+  val x63IncrementalDedup: Q = (spark, sfDir) => {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val t1 = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), lit(1).as("tranche"),
+        col("doc_id").as("arrival_id"), col("text"))
+    val t2New = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), lit(2).as("tranche"),
+        (col("doc_id") + 1000000L).as("arrival_id"), col("text"))
+    val t2Recrawl = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0)
+      .select(col("doc_id"), lit(2).as("tranche"),
+        (col("doc_id") + 2000000L).as("arrival_id"), col("text"))
+    val t2Within = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 3 === 0)
+      .select(col("doc_id"), lit(2).as("tranche"),
+        (col("doc_id") + 3000000L).as("arrival_id"), col("text"))
+    val stream = t1.unionAll(t2New).unionAll(t2Recrawl).unionAll(t2Within)
+    Dedup.firstOccurrenceDedup(stream, md5(col("text")),
+      col("tranche"), col("arrival_id"))
+      .select(col("arrival_id"), col("doc_id"), col("tranche"), col("status"),
+        (col("keep_ord") % 100000000L).as("keep_id"))
+      .orderBy("arrival_id")
+  }
+
+  private val x63Sql =
+    """WITH stream AS (
+      |  SELECT doc_id, 1 AS tranche, doc_id AS arrival_id, text
+      |  FROM documents WHERE doc_id % 5 != 0
+      |  UNION ALL
+      |  SELECT doc_id, 2, doc_id + 1000000, text
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 2, doc_id + 2000000, text
+      |  FROM documents WHERE doc_id % 5 != 0 AND doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 2, doc_id + 3000000, text
+      |  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 3 = 0
+      |), keyed AS (
+      |  SELECT doc_id, tranche, arrival_id, md5(text) AS k,
+      |    tranche * 100000000 + arrival_id AS ord
+      |  FROM stream
+      |), firsts AS (
+      |  SELECT k, min(ord) AS first_ord FROM keyed GROUP BY k
+      |)
+      |SELECT CAST(s.arrival_id AS BIGINT) AS arrival_id, s.doc_id,
+      |  CAST(s.tranche AS INT) AS tranche,
+      |  CASE WHEN s.ord = f.first_ord THEN 'kept'
+      |       WHEN f.first_ord // 100000000 < s.tranche THEN 'dup_cross'
+      |       ELSE 'dup_within' END AS status,
+      |  CAST(f.first_ord % 100000000 AS BIGINT) AS keep_id
+      |FROM keyed s JOIN firsts f USING (k)
+      |ORDER BY arrival_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -2581,7 +2647,8 @@ object ExtQueries {
     "x59_bmp_decode" -> x59BmpDecode,
     "x60_bmp_resize" -> x60BmpResize,
     "x61_seed_expand" -> x61SeedExpand,
-    "x62_bpe_tokenize" -> x62BpeTokenize)
+    "x62_bpe_tokenize" -> x62BpeTokenize,
+    "x63_incremental_dedup" -> x63IncrementalDedup)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -2645,5 +2712,6 @@ object ExtQueries {
     "x59_bmp_decode" -> x59Sql,
     "x60_bmp_resize" -> x60Sql,
     "x61_seed_expand" -> x61Sql,
-    "x62_bpe_tokenize" -> x62Sql)
+    "x62_bpe_tokenize" -> x62Sql,
+    "x63_incremental_dedup" -> x63Sql)
 }

@@ -26,6 +26,28 @@ class ExtSpec extends SparkSpec {
     assert(groups.filter(col("n") === 2).select("keep_id").collect().head.getLong(0) == 0L)
   }
 
+  test("firstOccurrenceDedup: first wins, later rows classified cross vs within tranche") {
+    import spark.implicits._
+    // arrival ids deliberately NOT globally ordered across tranches:
+    // tranche 2's arrival 5 still loses to tranche 1's arrival 10
+    val stream = Seq(
+      (1L, 1, 10L, "A"), (2L, 1, 11L, "B"),
+      (3L, 2, 5L, "A"),                       // content A seen in tranche 1 -> dup_cross
+      (4L, 2, 6L, "C"), (5L, 2, 7L, "C"),     // C first appears IN tranche 2: 4 kept, 5 dup_within
+      (6L, 2, 8L, "B")                        // dup_cross
+    ).toDF("id", "tranche", "arrival", "text")
+    val out = Dedup.firstOccurrenceDedup(stream, md5(col("text")),
+      col("tranche"), col("arrival"))
+      .select("id", "status", "keep_ord").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == ("kept", 100000010L))
+    assert(out(2L) == ("kept", 100000011L))
+    assert(out(3L) == ("dup_cross", 100000010L))
+    assert(out(4L) == ("kept", 200000006L))
+    assert(out(5L) == ("dup_within", 200000006L))
+    assert(out(6L) == ("dup_cross", 100000011L))
+  }
+
   test("minhash LSH finds the planted near-dup pair with high jaccard") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text").collect()
     val nearDup = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L)
