@@ -284,5 +284,33 @@ object ScaleSmoke {
     println(f"pagerank 100x: $nSmall%d nodes $prs%.1fs -> $nBig%d nodes $prb%.1fs " +
       f"(${prb / prs}%.1fx), all at the exact fixed point")
     require(prb / prs < 30, f"pagerank scaled super-linearly: ${prb / prs}%.1fx for 8x rows")
+
+    // weighted + convergence-stopped variant on the same ring: a
+    // uniformly-weighted symmetric ring IS the damped fixed point, so
+    // the residual gate must fire after ONE round however large the
+    // graph — without the stop, maxIters=5 would burn 4 more full-graph
+    // rounds. Same every-bit-exact fixed-point assert as above.
+    // (weightedPageRankInt materializes eagerly — construction belongs
+    // inside the timed block.)
+    var wprBig: org.apache.spark.sql.DataFrame = null
+    var wRounds = -1
+    val (wn, wpb) = timed {
+      val fwd = spark.range(nBig).select(col("id").as("u"),
+        ((col("id") + 1) % nBig).as("v"), lit(700000L).as("w"))
+      val (df, r) = graft.ext.Graph.weightedPageRankInt(
+        fwd.unionAll(fwd.select(col("v").as("u"), col("u").as("v"), col("w"))),
+        "u", "v", "w", maxIters = 5, epsScaled = 0L)
+      wprBig = df; wRounds = r
+      df.count()
+    }
+    require(wRounds == 1,
+      s"weighted ring must converge-stop after round 1, ran $wRounds of 5")
+    require(wn == nBig, s"weighted pagerank must label every node: $wn/$nBig")
+    val wOff = wprBig.filter(col("rank") =!= 1000000000L).count()
+    require(wOff == 0L,
+      s"weighted ring pagerank drifted off the uniform fixed point on $wOff nodes")
+    noSinglePartition(wprBig, "weightedPageRankInt")
+    println(f"weighted pagerank early-stop: $nBig%d nodes, stopped at round " +
+      f"$wRounds%d of 5 in $wpb%.1fs, all at the exact fixed point")
   }
 }

@@ -65,6 +65,76 @@ object Graph {
     rank.select("node", "rank")
   }
 
+  /** Weighted, convergence-stopped PageRank (VERDICT r5 #5): edges carry
+    * integer weights (e.g. a near-dup graph's Jaccard scaled to 1e6) and
+    * a node distributes rank proportionally — per-edge contribution
+    * `(rank · w) div W(u)` where `W(u) = Σ out-weights` — instead of
+    * splitting evenly. Iteration stops at the first round whose residual
+    * `Σ|Δrank|` (scale units, exact BIGINT) is ≤ `epsScaled`, or at
+    * `maxIters`. The residual is a 1-row driver collect per round (the
+    * KMeans stop-check shape); because all arithmetic is integer-exact,
+    * the stopping round is a deterministic function of the data and an
+    * oracle replays it bit-for-bit by unrolling `maxIters` rounds and
+    * selecting the first converged one.
+    *
+    * Returns (ranks (node, rank), roundsRun). Overflow contract: the
+    * per-edge product needs `max_rank · max_w < 2^63`; with rank mass
+    * bounded by nodes·scale, jaccard-scaled weights (w ≤ 1e6) and
+    * scale = 1e9 are safe to ~9e3-node fully-concentrated graphs and
+    * far beyond for any real rank distribution — drop `scale` (or the
+    * weight scale) for adversarial cases.
+    *
+    * Same no-dangling requirement as [[pageRankInt]], strengthened to
+    * strictly positive out-weight (a zero-weight node would silently
+    * hold back its mass).
+    */
+  def weightedPageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
+                          wCol: String, maxIters: Int = 10,
+                          epsScaled: Long = 0L,
+                          scale: Long = 1000000000L): (DataFrame, Int) = {
+    require(maxIters >= 1 && scale >= 100 && epsScaled >= 0,
+      "weightedPageRankInt: need maxIters >= 1, scale >= 100, epsScaled >= 0")
+    val e = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"), col(wCol).cast("long").as("w"))
+      .localCheckpoint()
+    val dangling = e.select(col("v").as("node"))
+      .join(e.select(col("u").as("node")), Seq("node"), "left_anti").count()
+    require(dangling == 0L,
+      s"weightedPageRankInt: $dangling node(s) have no out-edges — " +
+        "symmetrize the edge set")
+    val deg = e.groupBy(col("u").as("node")).agg(sum("w").as("wd"))
+      .localCheckpoint()
+    val minW = deg.agg(min("wd")).collect()(0).getLong(0)
+    require(minW > 0L,
+      s"weightedPageRankInt: non-positive total out-weight ($minW) — " +
+        "zero-weight nodes would silently hold back rank mass")
+    val base = 15L * scale / 100L
+    var rank = deg.select(col("node"), col("wd"), lit(scale).as("rank"))
+      .localCheckpoint()
+    var i = 0
+    var converged = false
+    while (i < maxIters && !converged) {
+      // weighted contribs are per-EDGE (each out-edge gets its share of
+      // the source's rank), so the div runs after the equi-join; the
+      // groupBy is still map-side combined on the destination key
+      val sums = e.join(rank.select(col("node").as("u"), col("wd"), col("rank")), "u")
+        .select(col("v"), expr("(rank * w) div wd").as("contrib"))
+        .groupBy(col("v").as("node")).agg(sum("contrib").as("s"))
+      val next = deg.join(sums, Seq("node"), "left")
+        .join(rank.select(col("node"), col("rank").as("prev")), "node")
+        .select(col("node"), col("wd"),
+          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"),
+          col("prev"))
+        .localCheckpoint()
+      val resid = next.agg(sum(abs(col("rank") - col("prev"))))
+        .collect()(0).getLong(0)
+      rank = next.drop("prev")
+      i += 1
+      converged = resid <= epsScaled
+    }
+    (rank.select("node", "rank"), i)
+  }
+
   /** Personalized (seeded) PageRank — the seed-expansion move of corpus
     * curation: given a curated seed set, rank every node by graph
     * proximity to it (label propagation with damping). Same

@@ -742,6 +742,35 @@ class ExtSpec extends SparkSpec {
     assert(r0 == 0L)
   }
 
+  test("weightedPageRankInt: weights steer rank, residual gate stops a converged graph") {
+    import spark.implicits._
+    // star A-B (w=9) / A-C (w=1), symmetrized: A's mass splits 9:1, so
+    // B must outrank C; integer arithmetic makes the gap exact
+    val star = Seq((0L, 1L, 9L), (1L, 0L, 9L), (0L, 2L, 1L), (2L, 0L, 1L))
+      .toDF("u", "v", "w")
+    val (ranks, _) = Graph.weightedPageRankInt(star, "u", "v", "w",
+      maxIters = 8, epsScaled = 0L)
+    val r = ranks.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) > r(2L), s"heavy edge must outrank light: $r")
+    // uniformly-weighted K4 IS the damped fixed point after one step:
+    // round 1 lands within integer-truncation distance (resid 4), round
+    // 2 reproduces itself exactly (resid 0) -> the gate stops at 2 of 8
+    val k4 = (for { a <- 0L to 3L; b <- 0L to 3L if a != b } yield (a, b, 5L))
+      .toDF("u", "v", "w")
+    val (kr, rounds) = Graph.weightedPageRankInt(k4, "u", "v", "w",
+      maxIters = 8, epsScaled = 0L)
+    assert(rounds == 2, s"K4 must converge-stop at round 2, ran $rounds")
+    assert(kr.collect().forall(_.getLong(1) == 999999999L))
+    // equal weights must reproduce the unweighted kernel bit-for-bit
+    val ring = (0L to 9L).flatMap(i =>
+      Seq((i, (i + 1) % 10, 7L), ((i + 1) % 10, i, 7L))).toDF("u", "v", "w")
+    val (wr, _) = Graph.weightedPageRankInt(ring, "u", "v", "w",
+      maxIters = 4, epsScaled = -0L, scale = 1000000000L)
+    val uw = Graph.pageRankInt(ring, "u", "v", iters = 4)
+    assert(wr.orderBy("node").collect().map(_.getLong(1)).toSeq ==
+      uw.orderBy("node").collect().map(_.getLong(1)).toSeq)
+  }
+
   test("bpeTrain learns the planted merge sequence: weighted, overlap-counted, sequential") {
     import spark.implicits._
     // hand-built frequency table exercising all three load-bearing
