@@ -127,6 +127,22 @@ object PQ {
   def adcTopK(emb: DataFrame, queryPred: Column, topK: Int,
               m: Int = 4, k: Int = 4, iters: Int = 2,
               subWidth: Int = 16): DataFrame = {
+    val approx = adcScoredPairs(emb, queryPred, m, k, iters, subWidth)
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("cid_vec"))
+    approx.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank"), col("cid_vec").as("cid"), col("adist"))
+      .orderBy("qid", "rank")
+  }
+
+  /** The ADC-scored (query, candidate) pair relation BEFORE top-k — the
+    * candidate-generation volume a recall-vs-cost diagnostic (x53)
+    * counts in the same plan that measures recall. One row per scored
+    * pair: (qid, cid_vec, adist).
+    */
+  def adcScoredPairs(emb: DataFrame, queryPred: Column,
+                     m: Int = 4, k: Int = 4, iters: Int = 2,
+                     subWidth: Int = 16): DataFrame = {
     val (assign, centE) = run(emb, m, k, iters, subWidth)
     val codesDf = assign.select(col("vec_id").as("cid_vec"), col("sub"),
       col("cid").as("cell"))
@@ -138,14 +154,9 @@ object PQ {
       .groupBy(col("vec_id").as("qid"), col("sub"), col("cell"))
       .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d"))
     // ADC: codes ⋈ table on (sub, cell), summed per (query, candidate)
-    val approx = codesDf.join(broadcast(qdt), Seq("sub", "cell"))
+    codesDf.join(broadcast(qdt), Seq("sub", "cell"))
       .filter(col("qid") =!= col("cid_vec"))
       .groupBy("qid", "cid_vec").agg(sum("d").as("adist"))
-    val w = Window.partitionBy("qid").orderBy(col("adist"), col("cid_vec"))
-    approx.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("qid"), col("rank"), col("cid_vec").as("cid"), col("adist"))
-      .orderBy("qid", "rank")
   }
 
   /** Two-stage search: ADC over codes proposes `candK` candidates per
@@ -186,6 +197,20 @@ object PQ {
   def ivfAdcTopK(emb: DataFrame, queryPred: Column, topK: Int,
                  coarseK: Int = 8, m: Int = 4, k: Int = 4, iters: Int = 2,
                  subWidth: Int = 16): DataFrame = {
+    val approx = ivfAdcScoredPairs(emb, queryPred, coarseK, m, k, iters, subWidth)
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("cid_vec"))
+    approx.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank"), col("cid_vec").as("cid"), col("adist"))
+      .orderBy("qid", "rank")
+  }
+
+  /** IVF-PQ's pre-top-k pair relation: same-coarse-cell candidates with
+    * their ADC distance (see [[adcScoredPairs]] for why it's public).
+    */
+  def ivfAdcScoredPairs(emb: DataFrame, queryPred: Column,
+                        coarseK: Int = 8, m: Int = 4, k: Int = 4,
+                        iters: Int = 2, subWidth: Int = 16): DataFrame = {
     val cells = KMeans.assign(emb, coarseK, iters).select("vec_id", "cell")
     val (assign, centE) = run(emb, m, k, iters, subWidth)
     val codesDf = assign.select(col("vec_id").as("cid_vec"), col("sub"),
@@ -199,13 +224,8 @@ object PQ {
       .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d"))
       .join(cells.select(col("vec_id").as("qid"), col("cell")), "qid")
     // candidates restricted to the query's coarse cell, then ADC-ranked
-    val approx = codesDf.join(broadcast(qdt), Seq("cell", "sub", "pcell"))
+    codesDf.join(broadcast(qdt), Seq("cell", "sub", "pcell"))
       .filter(col("qid") =!= col("cid_vec"))
       .groupBy("qid", "cid_vec").agg(sum("d").as("adist"))
-    val w = Window.partitionBy("qid").orderBy(col("adist"), col("cid_vec"))
-    approx.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("qid"), col("rank"), col("cid_vec").as("cid"), col("adist"))
-      .orderBy("qid", "rank")
   }
 }

@@ -56,21 +56,34 @@ object Similarity {
         transform(col("ed"), x => x / col("nrm")).as("unit")) ++ extra.map(col)): _*)
   }
 
-  /** Exact top-k neighbors for each query vector (`queryPred` selects the
-    * query rows; self-matches excluded): (qid, rank, cid, sim).
-    */
-  def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val u = unitized(emb)
-    val q = u.filter(queryPred).select(col("vec_id").as("qid"), col("unit").as("qu"))
-    val c = u.select(col("vec_id").as("cid"), col("unit").as("cu"))
-    val scored = broadcast(q).join(c, col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), round(dot(col("qu"), col("cu")), 6).as("sim"))
+  /** Rank the scored pairs and keep each query's top k. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("cid"), col("sim"))
       .orderBy("qid", "rank")
   }
+
+  /** Every (query, candidate) pair brute force scores — the pre-top-k
+    * relation, exposed so recall/cost diagnostics (x53) can count the
+    * work a method does in the SAME plan that measures its recall.
+    * Counting prunes `sim`, so the cost probe doesn't pay for the dot
+    * products.
+    */
+  def bruteForceScored(emb: DataFrame, queryPred: Column): DataFrame = {
+    val u = unitized(emb)
+    val q = u.filter(queryPred).select(col("vec_id").as("qid"), col("unit").as("qu"))
+    val c = u.select(col("vec_id").as("cid"), col("unit").as("cu"))
+    broadcast(q).join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), round(dot(col("qu"), col("cu")), 6).as("sim"))
+  }
+
+  /** Exact top-k neighbors for each query vector (`queryPred` selects the
+    * query rows; self-matches excluded): (qid, rank, cid, sim).
+    */
+  def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame =
+    rankTopK(bruteForceScored(emb, queryPred), k)
 
   /** Deterministic ±1 hyperplane components, precomputed at plan build.
     * Must stay bit-identical to the oracle's runtime derivation:
@@ -90,24 +103,25 @@ object Similarity {
       when(dot(transform(e, x => x.cast("double")), plane) > 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
-  /** Bucketed ANN: same output shape as [[bruteForceTopK]] but candidates
-    * restricted to the query's hyperplane bucket.
+  /** Same-bucket (query, candidate) pairs with their cosine — LSH's
+    * pre-top-k relation (see [[bruteForceScored]] for why it's public).
     */
-  def lshTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+  def lshScored(emb: DataFrame, queryPred: Column): DataFrame = {
     val bucketed = unitized(emb.withColumn("bucket", hyperplaneBucket(col("embedding"))),
       extra = Seq("bucket"))
     val q = bucketed.filter(queryPred)
       .select(col("vec_id").as("qid"), col("unit").as("qu"), col("bucket"))
     val c = bucketed.select(col("vec_id").as("cid"), col("unit").as("cu"), col("bucket"))
-    val scored = broadcast(q).join(c, Seq("bucket"))
+    broadcast(q).join(c, Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), round(dot(col("qu"), col("cu")), 6).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("cid"), col("sim"))
-      .orderBy("qid", "rank")
   }
+
+  /** Bucketed ANN: same output shape as [[bruteForceTopK]] but candidates
+    * restricted to the query's hyperplane bucket.
+    */
+  def lshTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame =
+    rankTopK(lshScored(emb, queryPred), k)
 
   /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector to
     * its nearest centroid cell; queries probe their `probes` nearest
@@ -121,24 +135,33 @@ object Similarity {
     * classic IVF shape: centroid table broadcast, one shuffle to
     * cell-partition the corpus, probes are equi-joins on cell id.
     */
-  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int, probes: Int = 1): DataFrame = {
-    // per-dimension centroid means, re-assembled into ordered arrays
-    val cent = emb
-      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int, probes: Int = 1): DataFrame =
+    ivfTopKWith(emb, labelMeanCentroids(emb), queryPred, k, probes)
+
+  /** Per-`label` mean centroids (deterministic, 6 dp), re-assembled into
+    * ordered arrays — the non-iterative coarse quantizer [[ivfTopK]] uses.
+    */
+  def labelMeanCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
       .groupBy("label", "i").agg(round(avg(col("v").cast("double")), 6).as("c"))
       .groupBy("label")
       .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
         s => s.getField("c")).as("ce"))
       .select(col("label").as("cent_label"), col("ce"))
-    ivfTopKWith(emb, cent, queryPred, k, probes)
-  }
 
   /** IVF search against learned centroids (e.g. [[KMeans.centroids]],
     * renamed to (cent_label, ce)) — same cell-equi-join shape, no label
     * column required on the corpus.
     */
   def ivfTopKWith(emb: DataFrame, cent: DataFrame, queryPred: Column,
-                  k: Int, probes: Int = 1): DataFrame = {
+                  k: Int, probes: Int = 1): DataFrame =
+    rankTopK(ivfScoredWith(emb, cent, queryPred, probes), k)
+
+  /** IVF's pre-top-k relation: probed-cell (query, candidate) pairs with
+    * their cosine (see [[bruteForceScored]] for why it's public).
+    */
+  def ivfScoredWith(emb: DataFrame, cent: DataFrame, queryPred: Column,
+                    probes: Int = 1): DataFrame = {
     // assign each vector to its nearest centroid (L2, label tiebreak)
     val ed = transform(col("embedding"), x => x.cast("double"))
     val dist = l2sq(col("ed"), col("ce"))
@@ -158,15 +181,14 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("unit").as("qu"), col("cell"))
     val c = ranked.filter(col("rn") === 1)
       .select(col("vec_id").as("cid"), col("unit").as("cu"), col("cell"))
-    val scored = broadcast(q).join(c, Seq("cell"))
+    broadcast(q).join(c, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), round(dot(col("qu"), col("cu")), 6).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("cid"), col("sim"))
-      .orderBy("qid", "rank")
   }
+
+  /** [[ivfTopK]]'s pre-top-k pair relation with per-label mean centroids. */
+  def ivfScored(emb: DataFrame, queryPred: Column, probes: Int = 1): DataFrame =
+    ivfScoredWith(emb, labelMeanCentroids(emb), queryPred, probes)
 
   /** Embedding-cosine near-duplicate pairs, blocked by a column (e.g.
     * `label`) to bound the pair count: (a_id, b_id, sim ≥ threshold).

@@ -273,7 +273,10 @@ object ExtQueries {
       |        THEN 1.0 ELSE -1.0 END)) > 0
       |    THEN '1' ELSE '0' END), '')""".stripMargin
 
-  private val x7Sql =
+  /** Prefix ending at the scored-pairs CTE `s` — shared by the top-k
+    * query (x7) and x53's candidate-count probe.
+    */
+  private val x7Pre =
     s"""WITH bk AS (
        |  SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings
        |), q AS (
@@ -283,12 +286,18 @@ object ExtQueries {
        |), s AS (
        |  SELECT qid, cid, ${cosSql("qe", "ce")} AS sim
        |  FROM q JOIN c USING (bucket) WHERE qid != cid
-       |), r AS (
-       |  SELECT qid, cid, sim,
-       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
-       |  FROM s
-       |)
-       |SELECT qid, rank, cid, sim FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+       |)""".stripMargin
+
+  private val x7Sql = x7Pre +
+    """, r AS (
+      |  SELECT qid, cid, sim,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+      |  FROM s
+      |)
+      |SELECT qid, rank, cid, sim FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  private val x7CandSql =
+    x7Pre + "\nSELECT CAST(count(*) AS BIGINT) AS n_candidates FROM s"
 
   // --- x15: IVF-cell ANN -----------------------------------------------------
 
@@ -304,7 +313,10 @@ object ExtQueries {
     * their home cell (rn = 1); queries fan out to their `probes` nearest
     * cells.
     */
-  private def ivfSql(probes: Int) =
+  /** Prefix ending at the scored-pairs CTE `s` — shared by the top-k
+    * query and x53's candidate-count probe.
+    */
+  private def ivfPre(probes: Int) =
     s"""WITH pe AS (
        |  SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
        |  FROM embeddings
@@ -327,12 +339,18 @@ object ExtQueries {
        |), s AS (
        |  SELECT qid, cid, ${cosSql("qe", "ce")} AS sim
        |  FROM q JOIN c USING (cell) WHERE qid != cid
-       |), r AS (
-       |  SELECT qid, cid, sim,
-       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
-       |  FROM s
-       |)
-       |SELECT qid, rank, cid, sim FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+       |)""".stripMargin
+
+  private def ivfSql(probes: Int) = ivfPre(probes) +
+    """, r AS (
+      |  SELECT qid, cid, sim,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+      |  FROM s
+      |)
+      |SELECT qid, rank, cid, sim FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  private def ivfCandSql(probes: Int) =
+    ivfPre(probes) + "\nSELECT CAST(count(*) AS BIGINT) AS n_candidates FROM s"
 
   private val x15Sql = ivfSql(1)
   private val x18Sql = ivfSql(2)
@@ -1745,13 +1763,23 @@ object ExtQueries {
       col("vec_id") < 20, candK = 20, topK = 5,
       m = 4, k = 4, iters = 2, subWidth = 16)
 
-  private val x51Sql = pqChainSql +
+  /** Prefix ending at the ADC-scored pair CTE `approx` — shared by x51
+    * and x53's candidate-count probe (the stage-1 candidate volume; the
+    * re-rank adds a fixed ≤20/query on top).
+    */
+  private val x51Pre = pqChainSql +
     """, approx AS (
       |  SELECT d.vec_id AS qid, a.vec_id AS cid, sum(d.dist) AS adist
       |  FROM d2 d JOIN a2 a ON a.sub = d.sub AND a.cid = d.cid
       |  WHERE d.vec_id < 20 AND d.vec_id != a.vec_id
       |  GROUP BY 1, 2
-      |), shortlist AS (
+      |)""".stripMargin
+
+  private val x51CandSql =
+    x51Pre + "\nSELECT CAST(count(*) AS BIGINT) AS n_candidates FROM approx"
+
+  private val x51Sql = x51Pre +
+    """, shortlist AS (
       |  SELECT qid, cid FROM (
       |    SELECT qid, cid,
       |      row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS arn
@@ -1846,7 +1874,10 @@ object ExtQueries {
     * Lloyd rounds (k-prefixed CTEs, grouped over the FULL vector — the
     * sub column just isn't in the keys).
     */
-  private val x52Sql = pqChainSql +
+  /** Prefix ending at x52's ADC-scored pair CTE `approx` — shared by x52
+    * and x53's candidate-count probe.
+    */
+  private val x52Pre = pqChainSql +
     """, kseeds AS (
       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
       |  FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT 8)
@@ -1879,7 +1910,13 @@ object ExtQueries {
       |  JOIN cells cc ON cc.vec_id = a.vec_id AND cc.cell = qc.cell
       |  WHERE d.vec_id < 20 AND a.vec_id != d.vec_id
       |  GROUP BY 1, 2
-      |), ranked AS (
+      |)""".stripMargin
+
+  private val x52CandSql =
+    x52Pre + "\nSELECT CAST(count(*) AS BIGINT) AS n_candidates FROM approx"
+
+  private val x52Sql = x52Pre +
+    """, ranked AS (
       |  SELECT qid, cid, adist,
       |    row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rank
       |  FROM approx
@@ -1897,6 +1934,8 @@ object ExtQueries {
     * row quantified it). The oracle re-derives BOTH sides from scratch.
     */
   val x53AnnRecall: Q = (spark, sfDir) => {
+    val emb = Tables.embeddings(spark, sfDir)
+    val pred = col("vec_id") < 20
     val truth = x6SimBruteForce(spark, sfDir).select(col("qid"), col("cid"))
     val methods: Seq[(String, DataFrame)] = Seq(
       "lsh" -> x7SimLsh(spark, sfDir),
@@ -1904,6 +1943,21 @@ object ExtQueries {
       "ivf_probe2" -> x18SimIvfProbe2(spark, sfDir),
       "pq_rerank" -> x51SimPqRerank(spark, sfDir),
       "ivfpq" -> x52SimIvfPq(spark, sfDir))
+    // recall-vs-cost (VERDICT r5 #6): the pairs each method SCORES before
+    // its top-k — the actual work knob the recall trades against. For the
+    // two-stage pq_rerank this is the stage-1 ADC volume (the re-rank
+    // adds a fixed ≤20 exact distances per query on top). Counting prunes
+    // the score columns, so the probe costs the joins, not the math.
+    val candidates: Seq[(String, DataFrame)] = Seq(
+      "lsh" -> Similarity.lshScored(emb, pred),
+      "ivf" -> Similarity.ivfScored(emb, pred, probes = 1),
+      "ivf_probe2" -> Similarity.ivfScored(emb, pred, probes = 2),
+      "pq_rerank" -> graft.ext.PQ.adcScoredPairs(emb, pred),
+      "ivfpq" -> graft.ext.PQ.ivfAdcScoredPairs(emb, pred))
+    val nCand = candidates.map { case (nm, df) =>
+      df.select(lit(nm).as("method"))
+        .groupBy("method").agg(count(lit(1)).as("n_candidates"))
+    }.reduce(_.unionAll(_))
     val tagged = methods.map { case (nm, df) =>
       df.select(lit(nm).as("method"), col("qid"), col("cid"))
     }.reduce(_.unionAll(_))
@@ -1912,7 +1966,8 @@ object ExtQueries {
       .groupBy("method").agg(count(lit(1)).as("n_hits"))
     val tot = truth.agg(count(lit(1)).as("n_truth"))
     counts.join(hits, Seq("method"), "left")
-      .select(col("method"), col("n_results"),
+      .join(nCand, Seq("method"))
+      .select(col("method"), col("n_candidates"), col("n_results"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .crossJoin(broadcast(tot))
       .withColumn("recall",
@@ -1943,6 +1998,12 @@ object ExtQueries {
        |  UNION ALL SELECT 'ivf_probe2', qid, cid FROM m_ivf_probe2
        |  UNION ALL SELECT 'pq_rerank', qid, cid FROM m_pq_rerank
        |  UNION ALL SELECT 'ivfpq', qid, cid FROM m_ivfpq
+       |), cand AS (
+       |  SELECT 'lsh' AS method, n_candidates FROM ($x7CandSql)
+       |  UNION ALL SELECT 'ivf', n_candidates FROM (${ivfCandSql(1)})
+       |  UNION ALL SELECT 'ivf_probe2', n_candidates FROM (${ivfCandSql(2)})
+       |  UNION ALL SELECT 'pq_rerank', n_candidates FROM ($x51CandSql)
+       |  UNION ALL SELECT 'ivfpq', n_candidates FROM ($x52CandSql)
        |), h AS (
        |  SELECT g.method, count(*) AS n_results, count(t.qid) AS n_hits
        |  FROM tagged g LEFT JOIN truth t ON t.qid = g.qid AND t.cid = g.cid
@@ -1950,9 +2011,9 @@ object ExtQueries {
        |), tot AS (
        |  SELECT count(*) AS n_truth FROM truth
        |)
-       |SELECT method, n_results, n_hits, n_truth,
+       |SELECT method, n_candidates, n_results, n_hits, n_truth,
        |  round(CAST(n_hits AS DOUBLE) / n_truth, 6) AS recall
-       |FROM h CROSS JOIN tot ORDER BY method""".stripMargin
+       |FROM h JOIN cand USING (method) CROSS JOIN tot ORDER BY method""".stripMargin
 
   // --- x54: multi-round BPE learn -------------------------------------------------------
 
