@@ -75,24 +75,26 @@ object Dedup {
     * new micro-batch performs on itself).
     *
     * Arrival order is encoded as ONE integer `tranche·base + arrival`
-    * so the per-key first occurrence is a plain `min` aggregate —
-    * map-side combined, one shuffle on the uniform content key, no
-    * window — and the first occurrence's tranche is recovered with an
-    * integer div. Caller contract: `0 <= arrival < base` and
-    * `tranche·base + arrival` fits a BIGINT (at base 1e8 that allows
-    * ~9.2e10 tranches — unbounded for any real ingestion cadence).
+    * so the per-key first occurrence is `min(ord)` windowed over the
+    * content key — ONE pass over the stream and ONE shuffle (a
+    * groupBy + join-back would scan the input twice and, once the
+    * distinct-content set outgrows a broadcast, shuffle it twice); the
+    * first occurrence's tranche is recovered with an integer div.
+    * Caller contract: `0 <= arrival < base` and `tranche·base +
+    * arrival` fits a BIGINT (at base 1e8 that allows ~9.2e10 tranches —
+    * unbounded for any real ingestion cadence).
     *
     * Appends (status, keep_ord) to the stream's columns; `keep_ord %
     * base` is the surviving row's arrival id.
     */
   def firstOccurrenceDedup(stream: DataFrame, key: Column,
                            tranche: Column, arrival: Column,
-                           base: Long = 100000000L): DataFrame = {
-    val keyed = stream
+                           base: Long = 100000000L): DataFrame =
+    stream
       .withColumn("__k", key)
       .withColumn("__ord", tranche.cast("long") * base + arrival.cast("long"))
-    val firsts = keyed.groupBy("__k").agg(min(col("__ord")).as("__first_ord"))
-    keyed.join(firsts, "__k")
+      .withColumn("__first_ord",
+        min(col("__ord")).over(Window.partitionBy("__k")))
       .withColumn("status",
         when(col("__ord") === col("__first_ord"), lit("kept"))
           .when(expr(s"__first_ord div ${base}L") < tranche.cast("long"),
@@ -100,7 +102,6 @@ object Dedup {
           .otherwise(lit("dup_within")))
       .withColumn("keep_ord", col("__first_ord"))
       .drop("__k", "__ord", "__first_ord")
-  }
 
   /** Per-doc (id, extra…, shingle-set array + the signature columns),
     * computed the shuffle-friendly way: explode distinct shingles to

