@@ -64,7 +64,11 @@ class ResolverSpec extends SparkSpec {
     val t0 = System.nanoTime()
     (1 to 4).foreach(i => limited.resolve(s"u$i"))
     val elapsedMs = (System.nanoTime() - t0) / 1000000
-    assert(elapsedMs >= 90, s"4 calls at 30ms spacing took ${elapsedMs}ms")
+    // 3 waits x 30ms = 90ms nominal, but Thread.sleep may return up to
+    // ~a ms early per wait (ms truncation + timer granularity) — assert
+    // with that slack so the bound can't flake at the exact boundary
+    // (observed once under full-suite load)
+    assert(elapsedMs >= 85, s"4 calls at 30ms spacing took ${elapsedMs}ms")
   }
 
   test("S2: missing input file fails fast") {
