@@ -65,6 +65,36 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
+  /** Canonical-member selection for near-dup clusters: production dedup
+    * keeps the BEST duplicate, not an arbitrary one — the min-id rule of
+    * [[exactDupGroups]]/[[dedupClusters]] is the tie-break of last
+    * resort, not the policy. Picks, per cluster, the member maximizing
+    * `qualityCols` lexicographically (descending, id ascending as the
+    * final tie-break) and carries the cluster size.
+    *
+    * One shuffle: the size count and the rank ride the same
+    * cluster-partitioned window. Cluster sizes are near-dup group
+    * multiplicities — bounded in practice; a pathological mega-cluster
+    * concentrates one partition, but any per-cluster argmax must
+    * co-locate the cluster somewhere.
+    *
+    * `clusters` is (doc_id, cluster_id) (as produced by
+    * [[dedupClusters]]); `quality` is (doc_id, qualityCols…).
+    */
+  def clusterCanonical(clusters: DataFrame, quality: DataFrame,
+                       qualityCols: Seq[String]): DataFrame = {
+    require(qualityCols.nonEmpty, "clusterCanonical: need at least one quality column")
+    val members = clusters.join(quality, "doc_id")
+    val order = qualityCols.map(c => col(c).desc) :+ col("doc_id").asc
+    val w = Window.partitionBy("cluster_id").orderBy(order: _*)
+    members
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumnRenamed("doc_id", "keep_id")
+  }
+
   /** Incremental first-occurrence-wins dedup over a growing corpus —
     * the batch formulation of streaming `dropDuplicatesWithinWatermark`:
     * rows arrive in (tranche, arrival) order; the first occurrence of

@@ -124,7 +124,11 @@ object ExtQueries {
       nearDupPairs(spark, sfDir)
         .filter(col("jaccard") >= 0.6))
 
-  private val x17Sql =
+  /** Shared CTE chain ending at the cluster assignment `cl` (doc_id,
+    * cluster_id) — x17's full derivation (minhash → LSH bands → verified
+    * pairs → recursive reachability), reused by x65's canonical pick.
+    */
+  private val ccClustersPre =
     """WITH RECURSIVE tok AS (
       |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
       |), sh AS (
@@ -167,9 +171,13 @@ object ExtQueries {
       |  SELECT u AS id, u AS r FROM e
       |  UNION
       |  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.id
-      |)
-      |SELECT id AS doc_id, min(r) AS cluster_id
-      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+      |), cl AS (
+      |  SELECT id AS doc_id, min(r) AS cluster_id
+      |  FROM reach GROUP BY id
+      |)""".stripMargin
+
+  private val x17Sql = ccClustersPre +
+    "\nSELECT doc_id, cluster_id FROM cl ORDER BY doc_id"
 
   // --- x3: SimHash sketches -------------------------------------------------
 
@@ -2756,6 +2764,45 @@ object ExtQueries {
          |ORDER BY doc_id""".stripMargin
   }
 
+  // --- x65: keep-best canonical member per near-dup cluster ----------------------------
+
+  /** The dedup policy a production pipeline actually wants: when a
+    * near-dup cluster collapses, keep its BEST member — here the most
+    * content (token count), then the richest vocabulary (distinct
+    * tokens), id ascending as the final tie-break — not the arbitrary
+    * min-id representative x17 reports. Integer-exact quality columns,
+    * one cluster-partitioned window (size + rank share the shuffle).
+    */
+  val x65ClusterKeepBest: Q = (spark, sfDir) => {
+    val docs = Tables.documents(spark, sfDir)
+    val clusters = Dedup.dedupClusters(
+      nearDupPairs(spark, sfDir).filter(col("jaccard") >= 0.6))
+    val tk = split(col("text"), " ")
+    val quality = docs.select(col("doc_id"),
+      size(tk).cast("long").as("n_tokens"),
+      size(array_distinct(tk)).cast("long").as("n_distinct"))
+    Dedup.clusterCanonical(clusters, quality, Seq("n_tokens", "n_distinct"))
+      .select(col("cluster_id"), col("keep_id"), col("n_members"),
+        col("n_tokens"), col("n_distinct"))
+      .orderBy("cluster_id")
+  }
+
+  private val x65Sql = ccClustersPre +
+    """, q AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+      |  FROM documents
+      |), m AS (
+      |  SELECT cl.cluster_id, cl.doc_id, q.n_tokens, q.n_distinct,
+      |    row_number() OVER (PARTITION BY cl.cluster_id
+      |      ORDER BY q.n_tokens DESC, q.n_distinct DESC, cl.doc_id) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY cl.cluster_id) AS BIGINT) AS n_members
+      |  FROM cl JOIN q USING (doc_id)
+      |)
+      |SELECT cluster_id, doc_id AS keep_id, n_members, n_tokens, n_distinct
+      |FROM m WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -2822,7 +2869,8 @@ object ExtQueries {
     "x61_seed_expand" -> x61SeedExpand,
     "x62_bpe_tokenize" -> x62BpeTokenize,
     "x63_incremental_dedup" -> x63IncrementalDedup,
-    "x64_weighted_pagerank" -> x64WeightedPagerank)
+    "x64_weighted_pagerank" -> x64WeightedPagerank,
+    "x65_cluster_keep_best" -> x65ClusterKeepBest)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -2888,5 +2936,6 @@ object ExtQueries {
     "x61_seed_expand" -> x61Sql,
     "x62_bpe_tokenize" -> x62Sql,
     "x63_incremental_dedup" -> x63Sql,
-    "x64_weighted_pagerank" -> x64Sql)
+    "x64_weighted_pagerank" -> x64Sql,
+    "x65_cluster_keep_best" -> x65Sql)
 }

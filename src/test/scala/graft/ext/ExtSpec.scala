@@ -26,6 +26,22 @@ class ExtSpec extends SparkSpec {
     assert(groups.filter(col("n") === 2).select("keep_id").collect().head.getLong(0) == 0L)
   }
 
+  test("clusterCanonical keeps the best-quality member, not the min id") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq(
+      (1L, 10L, 5L),   // min id but short
+      (2L, 30L, 8L),   // longest -> canonical for cluster 1
+      (3L, 30L, 4L),   // same n_tokens, fewer distinct -> loses tiebreak
+      (7L, 12L, 6L), (9L, 12L, 6L) // full tie -> lower id 7 wins
+    ).toDF("doc_id", "n_tokens", "n_distinct")
+    val got = Dedup.clusterCanonical(clusters, quality, Seq("n_tokens", "n_distinct"))
+      .select("cluster_id", "keep_id", "n_members").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 3L), (7L, 7L, 2L)))
+  }
+
   test("firstOccurrenceDedup: first wins, later rows classified cross vs within tranche") {
     import spark.implicits._
     // arrival ids deliberately NOT globally ordered across tranches:

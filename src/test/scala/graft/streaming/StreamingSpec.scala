@@ -475,6 +475,51 @@ class StreamingSpec extends SparkSpec {
     assert(latest.exceptAll(expected).isEmpty && expected.exceptAll(latest).isEmpty)
   }
 
+  test("streaming dropDuplicates matches x63's first-occurrence classification per tranche") {
+    // The real streaming counterpart of the declared x63 row: tranche 1
+    // arrives as microbatch 1, tranche 2 (new content + re-crawls +
+    // within-batch copies) as microbatch 2, and dropDuplicatesWithin-
+    // Watermark on the content hash must keep exactly the content x63
+    // classifies 'kept' — with each surviving key attributed to the
+    // same tranche (cross-batch duplicates die against carried state;
+    // within-batch firsts survive).
+    import graft.ext.Dedup
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val t1 = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), lit(1).as("tranche"),
+        col("doc_id").as("arrival_id"), col("text"))
+    val t2 = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), lit(2).as("tranche"),
+        (col("doc_id") + 1000000L).as("arrival_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit(2).as("tranche"),
+          (col("doc_id") + 2000000L).as("arrival_id"), col("text")))
+      .unionAll(docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 3 === 0)
+        .select(col("doc_id"), lit(2).as("tranche"),
+          (col("doc_id") + 3000000L).as("arrival_id"), col("text")))
+    val dir = Files.createTempDirectory("focdocs").toString
+    t1.coalesce(1).write.mode("overwrite").parquet(dir)
+    t2.coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(t1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val deduped = stream
+      .withColumn("h", md5(col("text")))
+      .withColumn("seen_at", current_timestamp())
+      .withWatermark("seen_at", "1 hour")
+      .dropDuplicatesWithinWatermark("h")
+    val got = EventWindows.drainToMemory(spark, deduped, "focdd", OutputMode.Append)
+      .select(col("h"), col("tranche"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val expected = Dedup.firstOccurrenceDedup(t1.unionAll(t2), md5(col("text")),
+      col("tranche"), col("arrival_id"))
+      .filter(col("status") === "kept")
+      .select(md5(col("text")).as("h"), col("tranche"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got.size == expected.size)
+    assert(got == expected,
+      "streaming survivors (key -> tranche) diverge from the batch classification")
+  }
+
   test("streaming MinHash LSH pairs equal the batch pairs over a growing corpus") {
     // The near-dup deployment shape at ingest time: each microbatch
     // appends to the accumulated corpus and candidate pairs are
