@@ -80,4 +80,56 @@ object Sampling {
     }
     df.filter(bucket(key, salt) < rate)
   }
+
+  /** Token-budget corpus selection — the data-mixing primitive: walk the
+    * corpus in quality order (descending, `idCol` ascending as the
+    * tie-break) and keep the maximal prefix whose cumulative token count
+    * stays ≤ `budget`. Once one document overflows, every later (lower-
+    * quality) document has a larger cumulative sum, so the kept set is
+    * exactly a prefix — deterministic and engine-replayable with one
+    * window cumsum.
+    *
+    * Scale shape: the cumulative sum is the two-phase distributed prefix
+    * sum (the [[Packing]] pattern) — range-partition by the selection
+    * order, per-partition PARTITIONED-window cumsum, driver-side fold of
+    * #partitions totals into start offsets — never a single-partition
+    * global window. `qualityCol` and `nCol` must be non-null; `nCol`
+    * ≥ 0.
+    *
+    * Returns the kept rows with `cum_tokens` (inclusive) appended.
+    */
+  def budgetSelect(df: DataFrame, qualityCol: String, idCol: String,
+                   nCol: String, budget: Long,
+                   numPartitions: Int = 0): DataFrame = {
+    require(budget >= 0, "budgetSelect: budget must be >= 0")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else try spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      catch { case _: NumberFormatException => math.max(df.rdd.getNumPartitions, 1) }
+    // identical ranged layout for the totals job and the final job
+    val ranged = df.repartitionByRange(n, col(qualityCol).desc, col(idCol).asc)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = ranged.groupBy("_pid")
+      .agg(coalesce(sum(col(nCol)), lit(0L)).as("tot"),
+        count(when(col(nCol).isNull || col(qualityCol).isNull, 1)).as("bad"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    require(totals.map(_._3).sum == 0,
+      s"budgetSelect: NULLs in $qualityCol/$nCol — selection order undefined")
+    var acc = 0L
+    val offsets = totals.sortBy(_._1).map { case (p, tot, _) =>
+      val o = (p, acc); acc += tot; o
+    }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("_pid", "_off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy(col(qualityCol).desc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    ranged.join(broadcast(offDf), "_pid")
+      .withColumn("cum_tokens",
+        (sum(col(nCol)).over(w) + col("_off")).cast("long"))
+      .filter(col("cum_tokens") <= budget)
+      .drop("_pid", "_off")
+  }
 }

@@ -2803,6 +2803,49 @@ object ExtQueries {
       |SELECT cluster_id, doc_id AS keep_id, n_members, n_tokens, n_distinct
       |FROM m WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
+  // --- x66: token-budget corpus selection ----------------------------------------------
+
+  /** The data-mixing primitive: fill a 15k-token training budget with
+    * the highest-quality documents (quality = integer-scaled type/token
+    * ratio, doc_id tie-break) — keep the maximal quality-ordered prefix
+    * whose cumulative token count fits. The Spark side computes the
+    * cumsum with the two-phase distributed prefix sum (never a
+    * single-partition window, PlanSpec-gated); the oracle IS the
+    * single-window formulation, which is exactly the equivalence that
+    * proves the two-phase offsets correct. Prefix semantics are strict:
+    * once a document overflows, later documents are out even if they
+    * would individually fit (deterministic, engine-replayable — no
+    * knapsack heuristics).
+    */
+  val x66BudgetSelect: Q = (spark, sfDir) => {
+    val tk = split(col("text"), " ")
+    val scored = Tables.documents(spark, sfDir).select(col("doc_id"),
+      size(tk).cast("long").as("n_tokens"),
+      size(array_distinct(tk)).cast("long").as("n_distinct"))
+      .withColumn("quality", expr("n_distinct * 1000000 div n_tokens"))
+    Sampling.budgetSelect(scored, "quality", "doc_id", "n_tokens", 15000L)
+      .select("doc_id", "quality", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
+  private val x66Sql =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, n_tokens, n_distinct * 1000000 // n_tokens AS quality FROM q
+      |), c AS (
+      |  SELECT doc_id, quality, n_tokens,
+      |    CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_tokens
+      |  FROM s
+      |)
+      |SELECT doc_id, quality, n_tokens, cum_tokens FROM c
+      |WHERE cum_tokens <= 15000 ORDER BY doc_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -2870,7 +2913,8 @@ object ExtQueries {
     "x62_bpe_tokenize" -> x62BpeTokenize,
     "x63_incremental_dedup" -> x63IncrementalDedup,
     "x64_weighted_pagerank" -> x64WeightedPagerank,
-    "x65_cluster_keep_best" -> x65ClusterKeepBest)
+    "x65_cluster_keep_best" -> x65ClusterKeepBest,
+    "x66_budget_select" -> x66BudgetSelect)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -2937,5 +2981,6 @@ object ExtQueries {
     "x62_bpe_tokenize" -> x62Sql,
     "x63_incremental_dedup" -> x63Sql,
     "x64_weighted_pagerank" -> x64Sql,
-    "x65_cluster_keep_best" -> x65Sql)
+    "x65_cluster_keep_best" -> x65Sql,
+    "x66_budget_select" -> x66Sql)
 }

@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-shard export — the output side of a curation pipeline: after
+  * dedup/filter/pack, the corpus ships as a FIXED number of
+  * deterministic, internally-sorted shards that a data loader can map
+  * to workers. Spark's default write (one file per task, arbitrary
+  * row placement) is not that: re-runs move rows across files, and a
+  * downstream epoch-ordering contract breaks silently.
+  *
+  * Determinism here is content-addressed, the same discipline as
+  * [[graft.ext.Sampling]]: a row's shard is a pure function of its id
+  * (xxhash64 mod shards), never of partition layout, task retries, or
+  * input order. Within a shard, rows are sorted by id. So the exported
+  * dataset — as a mapping shard → ordered row list — is bit-stable
+  * across re-runs, repartitions, and cluster sizes.
+  *
+  * Scale shape: ONE shuffle (repartition on the shard column), sort
+  * within partitions (no global sort), one file per shard directory via
+  * dynamic `partitionBy`. Shard sizes are balanced by hash uniformity;
+  * `shards` should be sized so a shard fits a loader worker (e.g.
+  * corpus_tokens / shards ≈ 10–100M tokens at 100 TB).
+  */
+object Shards {
+
+  /** Deterministic shard id for a key: `xxhash64(key) mod shards`,
+    * non-negative.
+    */
+  def shardOf(key: org.apache.spark.sql.Column, shards: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(key.cast("string")), lit(shards.toLong))
+
+  /** Writes `df` as `shards` parquet shard directories under `outDir`
+    * (`shard=N/…`), each internally sorted by `idCol`. Returns the
+    * row count written (one extra driver-sized action on the input's
+    * agg, not a re-read).
+    */
+  def writeTrainingShards(df: DataFrame, idCol: String, outDir: String,
+                          shards: Int): Long = {
+    require(shards >= 1, "writeTrainingShards: shards must be >= 1")
+    val sharded = df.withColumn("shard", shardOf(col(idCol), shards))
+      // repartition BY THE COLUMN VALUE so each output directory is
+      // written by as few tasks as possible; sortWithinPartitions puts
+      // rows in id order inside each file
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    df.count()
+  }
+
+  /** Reads shards back with the shard id as a column — the loader-side
+    * contract check.
+    */
+  def readShards(spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+}

@@ -26,6 +26,30 @@ class ExtSpec extends SparkSpec {
     assert(groups.filter(col("n") === 2).select("keep_id").collect().head.getLong(0) == 0L)
   }
 
+  test("budgetSelect keeps the maximal quality-prefix under the token budget") {
+    import spark.implicits._
+    // quality order: a (9), b (9, higher id), c (5), d (1)
+    // budget 25: a (cum 10), b (cum 20) kept; c overflows (cum 120);
+    // d would FIT individually (n=1) but prefix semantics exclude it
+    val rows = Seq(
+      (1L, 9L, 10L), (2L, 9L, 10L), (3L, 5L, 100L), (4L, 1L, 1L)
+    ).toDF("doc_id", "quality", "n_tokens")
+    val kept = Sampling.budgetSelect(rows, "quality", "doc_id", "n_tokens", 25L)
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept == Map(1L -> 10L, 2L -> 20L))
+    // zero budget keeps nothing; budget >= total keeps everything
+    assert(Sampling.budgetSelect(rows, "quality", "doc_id", "n_tokens", 0L).count() == 0)
+    assert(Sampling.budgetSelect(rows, "quality", "doc_id", "n_tokens", 1000L).count() == 4)
+    // two-phase offsets: forcing many range partitions must not change
+    // the result (each partition's cumsum starts from the fold offset)
+    val many = Sampling.budgetSelect(rows, "quality", "doc_id", "n_tokens", 25L,
+      numPartitions = 3)
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(many == kept)
+  }
+
   test("clusterCanonical keeps the best-quality member, not the min id") {
     import spark.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
