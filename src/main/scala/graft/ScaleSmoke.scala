@@ -285,6 +285,53 @@ object ScaleSmoke {
       f"(${prb / prs}%.1fx), all at the exact fixed point")
     require(prb / prs < 30, f"pagerank scaled super-linearly: ${prb / prs}%.1fx for 8x rows")
 
+    // token-budget selection at 1M rows: planted 1-token docs with
+    // quality = id make the kept set exactly computable — budget n/2
+    // keeps PRECISELY the top-quality half (ids n/2 .. n-1), and the
+    // largest cumulative sum is exactly the budget. One wrong offset in
+    // the two-phase prefix sum breaks one of these equalities.
+    var bsBig: org.apache.spark.sql.DataFrame = null
+    val (bsn, bst) = timed {
+      bsBig = graft.ext.Sampling.budgetSelect(
+        spark.range(nBig).select(col("id").as("doc_id"),
+          lit(1L).as("n_tokens"), col("id").as("quality")),
+        "quality", "doc_id", "n_tokens", nBig / 2)
+      bsBig.count()
+    }
+    require(bsn == nBig / 2, s"budget n/2 over 1-token docs must keep n/2 rows, got $bsn")
+    val bsEdge = bsBig.agg(min("doc_id"), max("cum_tokens")).collect()(0)
+    require(bsEdge.getLong(0) == nBig / 2,
+      s"lowest kept quality must be id ${nBig / 2}, got ${bsEdge.getLong(0)}")
+    require(bsEdge.getLong(1) == nBig / 2,
+      s"max cum_tokens must equal the budget, got ${bsEdge.getLong(1)}")
+    noSinglePartition(bsBig, "budgetSelect")
+    println(f"budget select 100x: $nBig%d rows in $bst%.1fs, kept exactly n/2 at the boundary")
+
+    // incremental first-occurrence dedup at 1M rows: every content key
+    // appears 4x (k, k+n/4, k+n/2, k+3n/4); ids < n/2 are tranche 1.
+    // First occurrence of key k is id = k (tranche 1), so EXACTLY n/4
+    // rows are kept, the other n/4 tranche-1 rows are dup_within, and
+    // all n/2 tranche-2 rows are dup_cross.
+    var foBig: org.apache.spark.sql.DataFrame = null
+    val (fon, fot) = timed {
+      foBig = graft.ext.Dedup.firstOccurrenceDedup(
+        spark.range(nBig).select(col("id"),
+          (col("id") % (nBig / 4)).as("k"),
+          when(col("id") < nBig / 2, 1).otherwise(2).as("tranche"),
+          col("id").as("arrival")),
+        col("k"), col("tranche"), col("arrival"))
+      foBig.count()
+    }
+    require(fon == nBig, s"classification must label every row: $fon/$nBig")
+    val foCounts = foBig.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(foCounts == Map("kept" -> nBig / 4, "dup_within" -> nBig / 4,
+      "dup_cross" -> nBig / 2),
+      s"planted classification counts off: $foCounts")
+    noSinglePartition(foBig, "firstOccurrenceDedup")
+    println(f"first-occurrence dedup 100x: $nBig%d rows in $fot%.1fs, " +
+      "exact planted kept/cross/within split")
+
     // weighted + convergence-stopped variant on the same ring: a
     // uniformly-weighted symmetric ring IS the damped fixed point, so
     // the residual gate must fire after ONE round however large the
