@@ -233,5 +233,65 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "(doc_id, n_tokens, n_removed, text_clean). table/idCol/textCol string " +
         "literals, window an integer literal.",
       (df, id, text, w) => graft.ext.Dedup.substringDedup(df, id, text, w))
+
+    def strLit(e: Expression, what: String): String = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(s: UTF8String, _) =>
+        s.toString
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string literal, got $other")
+    }
+    def longLit(e: Expression, what: String): Long = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+
+    // the curation-selection kernels as table functions, completing the
+    // SQL-only reach of the corpus pipeline (dedupe spans → classify
+    // arrivals → fill a budget) from the catalog
+    e.injectTableFunction((
+      new FunctionIdentifier("budget_select"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, "budget_select",
+        "budget_select(table, qualityCol, idCol, nCol, budget) - table " +
+          "function: keep the maximal quality-descending prefix of `table` " +
+          "whose cumulative `nCol` stays <= budget (two-phase distributed " +
+          "prefix sum); appends cum_tokens. Cols string literals, budget an " +
+          "integer literal.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 5,
+          "budget_select takes (table, qualityCol, idCol, nCol, budget)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ext.Sampling.budgetSelect(
+          spark.table(strLit(exprs(0), "budget_select table")),
+          strLit(exprs(1), "budget_select qualityCol"),
+          strLit(exprs(2), "budget_select idCol"),
+          strLit(exprs(3), "budget_select nCol"),
+          longLit(exprs(4), "budget_select budget"))
+          .queryExecution.analyzed
+      }))
+    e.injectTableFunction((
+      new FunctionIdentifier("first_occurrence_dedup"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null,
+        "first_occurrence_dedup",
+        "first_occurrence_dedup(table, keyCol, trancheCol, arrivalCol) - " +
+          "table function: classify every row of `table` as kept / " +
+          "dup_cross / dup_within by first occurrence of `keyCol` in " +
+          "(tranche, arrival) order; appends (status, keep_ord). All " +
+          "arguments string literals.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 4,
+          "first_occurrence_dedup takes (table, keyCol, trancheCol, arrivalCol)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val df = spark.table(strLit(exprs(0), "first_occurrence_dedup table"))
+        graft.ext.Dedup.firstOccurrenceDedup(df,
+          org.apache.spark.sql.functions.col(
+            strLit(exprs(1), "first_occurrence_dedup keyCol")),
+          org.apache.spark.sql.functions.col(
+            strLit(exprs(2), "first_occurrence_dedup trancheCol")),
+          org.apache.spark.sql.functions.col(
+            strLit(exprs(3), "first_occurrence_dedup arrivalCol")))
+          .queryExecution.analyzed
+      }))
   }
 }

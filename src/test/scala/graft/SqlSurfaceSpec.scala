@@ -124,6 +124,28 @@ class SqlSurfaceSpec extends SparkSpec {
       Seq((0L, 0L), (1L, 18L), (2L, 0L)))  // dup doc fully covered
   }
 
+  test("budget_select and first_occurrence_dedup are callable as SQL table functions") {
+    import spark.implicits._
+    Seq((1L, 9L, 10L), (2L, 9L, 10L), (3L, 5L, 100L), (4L, 1L, 1L))
+      .toDF("doc_id", "quality", "n_tokens").createOrReplaceTempView("bs_docs")
+    val bs = spark.sql(
+      """SELECT doc_id, cum_tokens
+        |FROM budget_select('bs_docs', 'quality', 'doc_id', 'n_tokens', 25)
+        |ORDER BY doc_id""".stripMargin).collect()
+    assert(bs.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 20L)))
+    Seq((1L, "A", 1, 10L), (2L, "B", 1, 11L), (3L, "A", 2, 5L), (4L, "C", 2, 6L),
+      (5L, "C", 2, 7L))
+      .toDF("id", "k", "tranche", "arrival").createOrReplaceTempView("fo_rows")
+    val fo = spark.sql(
+      """SELECT id, status
+        |FROM first_occurrence_dedup('fo_rows', 'k', 'tranche', 'arrival')
+        |ORDER BY id""".stripMargin).collect()
+    assert(fo.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "kept"), (2L, "kept"), (3L, "dup_cross"),
+        (4L, "kept"), (5L, "dup_within")))
+  }
+
   test("extension functions enforce arity and literal parameters") {
     val wrongArity = intercept[Exception] {
       spark.sql("SELECT md5_prefix64('a')").collect()
