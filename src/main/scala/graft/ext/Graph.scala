@@ -120,14 +120,18 @@ object Graph {
       val sums = e.join(rank.select(col("node").as("u"), col("wd"), col("rank")), "u")
         .select(col("v"), expr("(rank * w) div wd").as("contrib"))
         .groupBy(col("v").as("node")).agg(sum("contrib").as("s"))
+      // the residual rides the SAME job that materializes the round
+      // (observe + localCheckpoint), not a second aggregate action —
+      // the CC convergence-check pattern; halves the jobs per round
+      val obs = new org.apache.spark.sql.Observation(s"wpr_round_$i")
       val next = deg.join(sums, Seq("node"), "left")
         .join(rank.select(col("node"), col("rank").as("prev")), "node")
         .select(col("node"), col("wd"),
           (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"),
           col("prev"))
+        .observe(obs, sum(abs(col("rank") - col("prev"))).as("resid"))
         .localCheckpoint()
-      val resid = next.agg(sum(abs(col("rank") - col("prev"))))
-        .collect()(0).getLong(0)
+      val resid = obs.get("resid").asInstanceOf[Long]
       rank = next.drop("prev")
       i += 1
       converged = resid <= epsScaled

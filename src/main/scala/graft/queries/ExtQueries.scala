@@ -2846,6 +2846,82 @@ object ExtQueries {
       |SELECT doc_id, quality, n_tokens, cum_tokens FROM c
       |WHERE cum_tokens <= 15000 ORDER BY doc_id""".stripMargin
 
+  // --- x67: cross-split near-dup leakage report ----------------------------------------
+
+  /** Eval-contamination audit — the check that makes a train/eval split
+    * trustworthy: deterministic content-hash splits (x37's machinery)
+    * can still LEAK evaluation signal through near-duplicate pairs that
+    * straddle the boundary, because hash splitting is blind to content
+    * similarity. Reports every near-dup pair (x2's verified candidates,
+    * Jaccard ≥ 0.6) whose endpoints landed in different splits —
+    * ordered, with both split labels and the similarity. Downstream
+    * remediation (move/drop one side, e.g. via [[graft.ext.Dedup
+    * .dedupClusters]] + a cluster-level split) starts from exactly this
+    * relation. Candidate generation stays the bounded LSH equi-join;
+    * the split labels ride two id-equi-joins against a two-column
+    * projection.
+    */
+  val x67SplitLeakage: Q = (spark, sfDir) => {
+    val splits = Sampling.assignSplits(
+      Tables.documents(spark, sfDir).select("doc_id"),
+      col("doc_id"), Seq("train" -> 8000, "valid" -> 9000, "test" -> 10000), ":sp")
+    val pr = nearDupPairs(spark, sfDir).filter(col("jaccard") >= 0.6)
+    pr.join(splits.select(col("doc_id").as("a_id"), col("split").as("a_split")), "a_id")
+      .join(splits.select(col("doc_id").as("b_id"), col("split").as("b_split")), "b_id")
+      .filter(col("a_split") =!= col("b_split"))
+      .select(col("a_id"), col("b_id"), col("a_split"), col("b_split"), col("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private val x67Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, length(tokens)),
+      |    i -> array_to_string(list_slice(tokens, i, i+1), ' '))) AS shingles
+      |  FROM tok WHERE length(tokens) >= 2
+      |), hs AS (
+      |  SELECT doc_id, shingles,
+      |    list_distinct(list_transform(shingles, s -> ('0x' || substr(md5(s),1,8))::BIGINT)) AS hs
+      |  FROM sh
+      |), sig AS (
+      |  SELECT doc_id, list_transform(range(0,16),
+      |    j -> list_min(list_transform(hs, x -> ((2*j+1)*x + 7919*j) % 4294967311))) AS sig
+      |  FROM hs
+      |), bands AS (
+      |  SELECT doc_id, unnest(list_transform(range(0,8),
+      |    b -> b || ':' || array_to_string(list_slice(sig, 2*b+1, 2*b+2), '-'))) AS bk
+      |  FROM sig
+      |), pairs AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      |), ws AS (
+      |  SELECT p.a_id, p.b_id, sa.hs AS sa, sb.hs AS sb
+      |  FROM pairs p
+      |  JOIN hs sa ON p.a_id = sa.doc_id
+      |  JOIN hs sb ON p.b_id = sb.doc_id
+      |), j AS (
+      |  SELECT a_id, b_id,
+      |    round(CAST(length(list_filter(sa, x -> list_contains(sb, x))) AS DOUBLE)
+      |      / (length(sa) + length(sb)
+      |         - length(list_filter(sa, x -> list_contains(sb, x)))), 6) AS jaccard
+      |  FROM ws
+      |), pr AS (
+      |  SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.6
+      |), sp AS (
+      |  SELECT doc_id, CASE
+      |    WHEN ('0x' || substr(md5(doc_id || ':sp'),1,8))::BIGINT % 10000 < 8000 THEN 'train'
+      |    WHEN ('0x' || substr(md5(doc_id || ':sp'),1,8))::BIGINT % 10000 < 9000 THEN 'valid'
+      |    ELSE 'test' END AS split
+      |  FROM documents
+      |)
+      |SELECT p.a_id, p.b_id, sa.split AS a_split, sb.split AS b_split, p.jaccard
+      |FROM pr p
+      |JOIN sp sa ON p.a_id = sa.doc_id
+      |JOIN sp sb ON p.b_id = sb.doc_id
+      |WHERE sa.split != sb.split
+      |ORDER BY a_id, b_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -2914,7 +2990,8 @@ object ExtQueries {
     "x63_incremental_dedup" -> x63IncrementalDedup,
     "x64_weighted_pagerank" -> x64WeightedPagerank,
     "x65_cluster_keep_best" -> x65ClusterKeepBest,
-    "x66_budget_select" -> x66BudgetSelect)
+    "x66_budget_select" -> x66BudgetSelect,
+    "x67_split_leakage" -> x67SplitLeakage)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -2982,5 +3059,6 @@ object ExtQueries {
     "x63_incremental_dedup" -> x63Sql,
     "x64_weighted_pagerank" -> x64Sql,
     "x65_cluster_keep_best" -> x65Sql,
-    "x66_budget_select" -> x66Sql)
+    "x66_budget_select" -> x66Sql,
+    "x67_split_leakage" -> x67Sql)
 }
