@@ -2922,6 +2922,41 @@ object ExtQueries {
       |WHERE sa.split != sb.split
       |ORDER BY a_id, b_id""".stripMargin
 
+  // --- x68: cluster-level split assignment (leakage-free by construction) --------------
+
+  /** x67's remediation: assign train/valid/test by near-dup CLUSTER, not
+    * by document — every member of a cluster hashes the cluster's root
+    * id (singletons hash their own id, which IS their cluster root), so
+    * a verified near-dup pair can never straddle the split boundary.
+    * Same cut points and salt discipline as x37; the only change is the
+    * hashed key. ExtSpec re-runs x67's audit on THIS assignment and
+    * requires zero leaked pairs — the composition is leakage-free by
+    * construction, not by luck.
+    */
+  val x68ClusterSplit: Q = (spark, sfDir) => {
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+    val clusters = Dedup.dedupClusters(
+      nearDupPairs(spark, sfDir).filter(col("jaccard") >= 0.6))
+    val keyed = docs.join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("split_key"))
+    Sampling.assignSplits(keyed, col("split_key"),
+      Seq("train" -> 8000, "valid" -> 9000, "test" -> 10000), ":sp")
+      .select("doc_id", "split_key", "split")
+      .orderBy("doc_id")
+  }
+
+  private val x68Sql = ccClustersPre +
+    """, keyed AS (
+      |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS split_key
+      |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+      |)
+      |SELECT doc_id, split_key, CASE
+      |  WHEN ('0x' || substr(md5(split_key || ':sp'),1,8))::BIGINT % 10000 < 8000 THEN 'train'
+      |  WHEN ('0x' || substr(md5(split_key || ':sp'),1,8))::BIGINT % 10000 < 9000 THEN 'valid'
+      |  ELSE 'test' END AS split
+      |FROM keyed ORDER BY doc_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -2991,7 +3026,8 @@ object ExtQueries {
     "x64_weighted_pagerank" -> x64WeightedPagerank,
     "x65_cluster_keep_best" -> x65ClusterKeepBest,
     "x66_budget_select" -> x66BudgetSelect,
-    "x67_split_leakage" -> x67SplitLeakage)
+    "x67_split_leakage" -> x67SplitLeakage,
+    "x68_cluster_split" -> x68ClusterSplit)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -3060,5 +3096,6 @@ object ExtQueries {
     "x64_weighted_pagerank" -> x64Sql,
     "x65_cluster_keep_best" -> x65Sql,
     "x66_budget_select" -> x66Sql,
-    "x67_split_leakage" -> x67Sql)
+    "x67_split_leakage" -> x67Sql,
+    "x68_cluster_split" -> x68Sql)
 }

@@ -26,6 +26,28 @@ class ExtSpec extends SparkSpec {
     assert(groups.filter(col("n") === 2).select("keep_id").collect().head.getLong(0) == 0L)
   }
 
+  test("cluster-level splits eliminate the near-dup leakage doc-level splits have") {
+    // the x67 -> x68 loop on real data: the doc-level hash split leaks
+    // near-dup pairs across the boundary; re-keying the SAME split hash
+    // by cluster root must drive the audit to exactly zero
+    val docs = graft.model.Tables.documents(spark, sf()).select("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.6).localCheckpoint()
+    val clusters = Dedup.dedupClusters(pairs)
+    def leaked(splits: org.apache.spark.sql.DataFrame): Long =
+      pairs
+        .join(splits.select(col("doc_id").as("a_id"), col("split").as("a_split")), "a_id")
+        .join(splits.select(col("doc_id").as("b_id"), col("split").as("b_split")), "b_id")
+        .filter(col("a_split") =!= col("b_split")).count()
+    val cuts = Seq("train" -> 8000, "valid" -> 9000, "test" -> 10000)
+    val docSplit = Sampling.assignSplits(docs.select("doc_id"), col("doc_id"), cuts, ":sp")
+    assert(leaked(docSplit) > 0, "doc-level split should leak on this corpus (x67's point)")
+    val keyed = docs.select("doc_id").join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("split_key"))
+    val clSplit = Sampling.assignSplits(keyed, col("split_key"), cuts, ":sp")
+    assert(leaked(clSplit) == 0, "cluster-level split must be leakage-free by construction")
+  }
+
   test("budgetSelect keeps the maximal quality-prefix under the token budget") {
     import spark.implicits._
     // quality order: a (9), b (9, higher id), c (5), d (1)
