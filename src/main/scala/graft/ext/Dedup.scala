@@ -582,6 +582,81 @@ object Dedup {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** Candidate pairs from a RARE-shingle inverted index: every pair of
+    * docs sharing at least one shingle whose corpus document-frequency
+    * is ≤ `maxDf`. This is the candidate generator for ASYMMETRIC
+    * (containment) duplicates, where MinHash-LSH is structurally blind:
+    * a short doc embedded in a long one has low Jaccard, so its minhash
+    * signatures rarely collide on any band — but it shares *all* of its
+    * shingles, including its rare ones, with the container.
+    *
+    * Scale shape: the self-join key is restricted to shingles with
+    * df ≤ maxDf, so candidate volume is bounded by Σ_rare df² ≤
+    * maxDf · Σ df — linear in corpus size with a small constant, never
+    * the quadratic blowup a raw shared-shingle join would produce on
+    * common shingles (stopword bigrams). The df computation itself is
+    * one map-side-combined groupBy on a uniform hash key.
+    */
+  def rareShingleCandidates(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int = 2, maxDf: Int = 5): DataFrame = {
+    val ex = docs
+      .select(col(idCol).as("id"), explode(shinglesOf(col(textCol), k)).as("s"))
+      .select(col("id"), Hashing.h32(col("s")).as("h"))
+      .distinct()
+    val rare = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("h")
+    val indexed = ex.join(rare, "h")
+    indexed.as("a")
+      .join(indexed.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+  }
+
+  /** Containment dedup: (a_id, b_id, la, lb, inter, jaccard,
+    * containment) for candidate pairs with containment =
+    * |A∩B| / min(|A|,|B|) ≥ `minContainment` — the asymmetric-duplicate
+    * pass that catches a document quoted or embedded inside another,
+    * which whole-doc Jaccard (x2) scores low and filters out.
+    *
+    * Candidates are the union of the symmetric MinHash-LSH pairs
+    * (callers that already materialized them pass them in via
+    * `extraCandidates` so the work is shared) and the rare-shingle
+    * inverted index ([[rareShingleCandidates]]) that specifically
+    * surfaces asymmetric pairs. Verification is the same sorted-hash-set
+    * primitive merge as the Jaccard path — exact, allocation-free, and
+    * run once per distinct candidate.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 2, maxDf: Int = 5,
+                       minContainment: Double = 0.8,
+                       extraCandidates: Option[DataFrame] = None): DataFrame = {
+    val rare = rareShingleCandidates(docs, idCol, textCol, k, maxDf)
+    val cands = extraCandidates
+      .map(e => rare.unionByName(e.select(col("a_id"), col("b_id"))).distinct())
+      .getOrElse(rare)
+    val sets = shingleSigs(docs, idCol, textCol, Nil, k, nSig = 1)
+      .select(col("id"), col("sh"))
+    val inter = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expr.SortedLongIntersect(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("sa")),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("sb"))))
+    cands
+      .join(sets.select(col("id").as("a_id"), col("sh").as("sa")), "a_id")
+      .join(sets.select(col("id").as("b_id"), col("sh").as("sb")), "b_id")
+      .withColumn("inter", inter)
+      .select(col("a_id"), col("b_id"),
+        size(col("sa")).cast("long").as("la"),
+        size(col("sb")).cast("long").as("lb"),
+        col("inter").cast("long").as("inter"),
+        round(col("inter").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("inter")), 6).as("jaccard"),
+        round(col("inter").cast("double") /
+          least(size(col("sa")), size(col("sb"))), 6).as("containment"))
+      .filter(col("containment") >= minContainment)
+      .orderBy("a_id", "b_id")
+  }
+
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
                  window: Int = 16): DataFrame = {
     val chunks = TextAnalytics.chunk(docs, idCol, textCol, window, stride = window)

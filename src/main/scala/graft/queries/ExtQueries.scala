@@ -2957,6 +2957,75 @@ object ExtQueries {
       |  ELSE 'test' END AS split
       |FROM keyed ORDER BY doc_id""".stripMargin
 
+  // --- x69: containment (asymmetric) dedup ----------------------------------------------
+
+  /** Containment dedup — the asymmetric-duplicate pass: a short document
+    * quoted or embedded inside a longer one shares nearly all of ITS
+    * shingles but few of the container's, so whole-doc Jaccard (x2)
+    * scores the pair low and MinHash bands rarely collide. Candidates
+    * here are the union of the shared LSH pairs (free — the memoized x2
+    * relation) and a rare-shingle inverted index (df ≤ 5), which an
+    * embedded doc always hits if it carries even one rare shingle.
+    * Verified containment = |A∩B| / min(|A|,|B|) via the same
+    * sorted-hash-set merge as the Jaccard path. ExtSpec proves the
+    * asymmetric case on a crafted prefix-embedding corpus where the
+    * LSH-only path returns nothing.
+    */
+  val x69ContainmentDedup: Q = (spark, sfDir) =>
+    Dedup.containmentPairs(Tables.documents(spark, sfDir), "doc_id", "text",
+      k = 2, maxDf = 5, minContainment = 0.8,
+      extraCandidates = Some(nearDupPairs(spark, sfDir).select("a_id", "b_id")))
+
+  private val x69Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, length(tokens)),
+      |    i -> array_to_string(list_slice(tokens, i, i+1), ' '))) AS shingles
+      |  FROM tok WHERE length(tokens) >= 2
+      |), hs AS (
+      |  SELECT doc_id, shingles,
+      |    list_distinct(list_transform(shingles, s -> ('0x' || substr(md5(s),1,8))::BIGINT)) AS hs
+      |  FROM sh
+      |), ex AS (
+      |  SELECT doc_id, unnest(hs) AS h FROM hs
+      |), rare AS (
+      |  SELECT h FROM (SELECT h, count(*) AS df FROM ex GROUP BY h) WHERE df <= 5
+      |), rarecand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM ex a JOIN rare r ON a.h = r.h JOIN ex b ON b.h = r.h AND a.doc_id < b.doc_id
+      |), sig AS (
+      |  SELECT doc_id, list_transform(range(0,16),
+      |    j -> list_min(list_transform(hs, x -> ((2*j+1)*x + 7919*j) % 4294967311))) AS sig
+      |  FROM hs
+      |), bands AS (
+      |  SELECT doc_id, unnest(list_transform(range(0,8),
+      |    b -> b || ':' || array_to_string(list_slice(sig, 2*b+1, 2*b+2), '-'))) AS bk
+      |  FROM sig
+      |), lshcand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      |), cand AS (
+      |  SELECT a_id, b_id FROM rarecand UNION SELECT a_id, b_id FROM lshcand
+      |), ws AS (
+      |  SELECT c.a_id, c.b_id, sa.hs AS sa, sb.hs AS sb
+      |  FROM cand c
+      |  JOIN hs sa ON c.a_id = sa.doc_id
+      |  JOIN hs sb ON c.b_id = sb.doc_id
+      |), j AS (
+      |  SELECT a_id, b_id,
+      |    length(list_filter(sa, x -> list_contains(sb, x))) AS inter,
+      |    length(sa) AS la, length(sb) AS lb
+      |  FROM ws
+      |)
+      |SELECT a_id, b_id, CAST(la AS BIGINT) AS la, CAST(lb AS BIGINT) AS lb,
+      |  CAST(inter AS BIGINT) AS inter,
+      |  round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard,
+      |  round(CAST(inter AS DOUBLE) / least(la, lb), 6) AS containment
+      |FROM j
+      |WHERE round(CAST(inter AS DOUBLE) / least(la, lb), 6) >= 0.8
+      |ORDER BY a_id, b_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -3027,7 +3096,8 @@ object ExtQueries {
     "x65_cluster_keep_best" -> x65ClusterKeepBest,
     "x66_budget_select" -> x66BudgetSelect,
     "x67_split_leakage" -> x67SplitLeakage,
-    "x68_cluster_split" -> x68ClusterSplit)
+    "x68_cluster_split" -> x68ClusterSplit,
+    "x69_containment_dedup" -> x69ContainmentDedup)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -3097,5 +3167,6 @@ object ExtQueries {
     "x65_cluster_keep_best" -> x65Sql,
     "x66_budget_select" -> x66Sql,
     "x67_split_leakage" -> x67Sql,
-    "x68_cluster_split" -> x68Sql)
+    "x68_cluster_split" -> x68Sql,
+    "x69_containment_dedup" -> x69Sql)
 }

@@ -48,6 +48,33 @@ class ExtSpec extends SparkSpec {
     assert(leaked(clSplit) == 0, "cluster-level split must be leakage-free by construction")
   }
 
+  test("containmentPairs catches an embedded doc that whole-doc Jaccard scores low") {
+    import spark.implicits._
+    // B is the 10-word prefix of the 60-word A: every one of B's
+    // shingles is in A (containment 1.0) but Jaccard is only 9/59 —
+    // the x2 near-dup pass (jaccard >= 0.6) filters the pair out, and
+    // MinHash bands rarely collide at that similarity. The rare-shingle
+    // inverted index must surface it anyway.
+    val words = (0 until 60).map(i => s"w$i")
+    val corpus = Seq(
+      (0L, words.mkString(" ")),
+      (1L, words.take(10).mkString(" ")),
+      (2L, (100 until 140).map(i => s"v$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val found = Dedup.containmentPairs(corpus, "doc_id", "text",
+      k = 2, maxDf = 5, minContainment = 0.8).collect()
+    assert(found.length == 1)
+    val r = found.head
+    assert(r.getAs[Long]("a_id") == 0L && r.getAs[Long]("b_id") == 1L)
+    assert(r.getAs[Double]("containment") == 1.0)
+    assert(r.getAs[Double]("jaccard") < 0.6,
+      "the pair must be one the symmetric near-dup threshold would discard")
+    // and the symmetric pass really does discard it
+    val sym = Dedup.minhashLshPairs(corpus, "doc_id", "text")
+      .filter(col("jaccard") >= 0.6).count()
+    assert(sym == 0L)
+  }
+
   test("budgetSelect keeps the maximal quality-prefix under the token budget") {
     import spark.implicits._
     // quality order: a (9), b (9, higher id), c (5), d (1)
