@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Bmp, BmpDecoder, BmpOps, Dedup, Graph, Multimodal, Sampling, Similarity, TextAnalytics, Wav, WavDecoder}
+import graft.ext.{Bmp, BmpDecoder, BmpOps, Dedup, Graph, Multimodal, Quantize, Sampling, Similarity, TextAnalytics, Wav, WavDecoder}
 import graft.model.Tables
 
 /** North-star extension queries (BASELINE.json): dedup family,
@@ -3026,6 +3026,120 @@ object ExtQueries {
       |WHERE round(CAST(inter AS DOUBLE) / least(la, lb), 6) >= 0.8
       |ORDER BY a_id, b_id""".stripMargin
 
+  // --- x70: SQ8 scalar quantization error report ----------------------------------------
+
+  /** Int8 scalar quantization of the embedding corpus, graded per
+    * dimension: integer micro-unit ranges, codes, reconstructions, and
+    * the exact |error| stats that answer "is 8 bits enough for this
+    * column before the ANN path switches to codes" (4× less vector IO
+    * at 100 TB). See [[graft.ext.Quantize]] for the arithmetic contract.
+    */
+  val x70Sq8Quantize: Q = (spark, sfDir) =>
+    Quantize.sq8Stats(Tables.embeddings(spark, sfDir), "embedding").orderBy("dim")
+
+  private val x70Sql =
+    """WITH ex AS (
+      |  SELECT unnest(list_transform(range(1, len(embedding)+1),
+      |    i -> {'dim': i-1,
+      |          'vi': CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT)})) AS u
+      |  FROM embeddings
+      |), e2 AS (
+      |  SELECT u.dim AS dim, u.vi AS vi FROM ex
+      |), rng AS (
+      |  SELECT dim, min(vi) AS mn, max(vi) AS mx FROM e2 GROUP BY dim
+      |), q AS (
+      |  SELECT e2.dim, vi, mn, mx,
+      |    CASE WHEN mx = mn THEN 0
+      |         ELSE (((vi - mn) * 255) // (mx - mn)) END AS code
+      |  FROM e2 JOIN rng ON e2.dim = rng.dim
+      |), r AS (
+      |  SELECT dim, mn, mx,
+      |    abs(vi - (mn + CASE WHEN mx = mn THEN 0
+      |      ELSE (code * (mx - mn)) // 255 END)) AS err
+      |  FROM q
+      |)
+      |SELECT dim, mn, mx, count(*) AS n,
+      |  CAST(sum(err) AS BIGINT) AS sum_abs_err, CAST(max(err) AS BIGINT) AS max_err
+      |FROM r GROUP BY dim, mn, mx ORDER BY dim""".stripMargin
+
+  // --- x71: ANN over SQ8-reconstructed vectors, recall vs exact ---------------------------
+
+  /** The question x70's error report feeds: run the exact top-5 search
+    * over SQ8-RECONSTRUCTED vectors and measure recall against the
+    * float32 ground truth (x6). Reconstruction is a scan-speed
+    * broadcast `transform` (no shuffle of vector data); scoring and
+    * ranking are the same brute-force path as x6, so the recall number
+    * isolates exactly what quantization costs — the candidate volume
+    * column keeps it comparable with x53's recall-vs-cost table.
+    */
+  val x71Sq8Recall: Q = (spark, sfDir) => {
+    val emb = Tables.embeddings(spark, sfDir)
+    val pred = col("vec_id") < 20
+    val recon = Quantize.reconVectors(emb, "vec_id", "embedding")
+      .select(col("vec_id"), col("recon").as("embedding"))
+    val res = Similarity.bruteForceTopK(recon, pred, 5)
+      .select(lit("sq8_recon").as("method"), col("qid"), col("cid"))
+    val truth = x6SimBruteForce(spark, sfDir).select("qid", "cid")
+    val nCand = Similarity.bruteForceScored(recon, pred)
+      .select(lit("sq8_recon").as("method"))
+      .groupBy("method").agg(count(lit(1)).as("n_candidates"))
+    val counts = res.groupBy("method").agg(count(lit(1)).as("n_results"))
+    val hits = res.join(truth, Seq("qid", "cid"), "left_semi")
+      .groupBy("method").agg(count(lit(1)).as("n_hits"))
+    val tot = truth.agg(count(lit(1)).as("n_truth"))
+    counts.join(hits, Seq("method"), "left").join(nCand, Seq("method"))
+      .select(col("method"), col("n_candidates"), col("n_results"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .crossJoin(broadcast(tot))
+      .withColumn("recall", round(col("n_hits").cast("double") / col("n_truth"), 6))
+      .orderBy("method")
+  }
+
+  private val x71Sql =
+    s"""WITH ex AS (
+       |  SELECT unnest(list_transform(range(1, len(embedding)+1),
+       |    i -> {'dim': i-1,
+       |          'vi': CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT)})) AS u
+       |  FROM embeddings
+       |), e2 AS (
+       |  SELECT u.dim AS dim, u.vi AS vi FROM ex
+       |), rng AS (
+       |  SELECT dim, min(vi) AS mn, max(vi) AS mx FROM e2 GROUP BY dim
+       |), arrs AS (
+       |  SELECT list(mn ORDER BY dim) AS mnArr, list(mx ORDER BY dim) AS mxArr FROM rng
+       |), rec AS (
+       |  SELECT vec_id, list_transform(range(1, len(embedding)+1), i ->
+       |    CAST(mnArr[i] + CASE WHEN mxArr[i] = mnArr[i] THEN 0
+       |      ELSE (((((CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT) - mnArr[i]) * 255)
+       |               // (mxArr[i] - mnArr[i])) * (mxArr[i] - mnArr[i])) // 255) END
+       |      AS DOUBLE) / 1000000) AS re
+       |  FROM embeddings CROSS JOIN arrs
+       |), q AS (
+       |  SELECT vec_id AS qid, re AS qe FROM rec WHERE vec_id < 20
+       |), c AS (
+       |  SELECT vec_id AS cid, re AS ce FROM rec
+       |), s AS (
+       |  SELECT qid, cid, ${cosSql("qe", "ce")} AS sim FROM q JOIN c ON qid != cid
+       |), r AS (
+       |  SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+       |  FROM s
+       |), approx AS (
+       |  SELECT qid, cid FROM r WHERE rank <= 5
+       |), truth AS (
+       |  SELECT qid, cid FROM ($x6Sql)
+       |), h AS (
+       |  SELECT count(*) AS n_results, count(t.qid) AS n_hits
+       |  FROM approx g LEFT JOIN truth t ON t.qid = g.qid AND t.cid = g.cid
+       |), nc AS (
+       |  SELECT count(*) AS n_candidates FROM s
+       |), tot AS (
+       |  SELECT count(*) AS n_truth FROM truth
+       |)
+       |SELECT 'sq8_recon' AS method, n_candidates, n_results, n_hits, n_truth,
+       |  round(CAST(n_hits AS DOUBLE) / n_truth, 6) AS recall
+       |FROM h CROSS JOIN nc CROSS JOIN tot ORDER BY method""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -3097,7 +3211,9 @@ object ExtQueries {
     "x66_budget_select" -> x66BudgetSelect,
     "x67_split_leakage" -> x67SplitLeakage,
     "x68_cluster_split" -> x68ClusterSplit,
-    "x69_containment_dedup" -> x69ContainmentDedup)
+    "x69_containment_dedup" -> x69ContainmentDedup,
+    "x70_sq8_quantize" -> x70Sq8Quantize,
+    "x71_sq8_recall" -> x71Sq8Recall)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -3168,5 +3284,7 @@ object ExtQueries {
     "x66_budget_select" -> x66Sql,
     "x67_split_leakage" -> x67Sql,
     "x68_cluster_split" -> x68Sql,
-    "x69_containment_dedup" -> x69Sql)
+    "x69_containment_dedup" -> x69Sql,
+    "x70_sq8_quantize" -> x70Sql,
+    "x71_sq8_recall" -> x71Sql)
 }

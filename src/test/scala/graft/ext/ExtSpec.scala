@@ -75,6 +75,30 @@ class ExtSpec extends SparkSpec {
     assert(sym == 0L)
   }
 
+  test("sq8 quantization error is within the theoretical cell bound on every dimension") {
+    // recon = mn + (code·span) div 255 with code = ((vi−mn)·255) div span
+    // implies err < span/255 + 1 — if any dim breaks this, the integer
+    // quantizer is wrong (not just imprecise)
+    val emb = graft.model.Tables.embeddings(spark, sf())
+    val stats = Quantize.sq8Stats(emb, "embedding").collect()
+    assert(stats.length == 64)
+    stats.foreach { r =>
+      val span = r.getAs[Long]("mx") - r.getAs[Long]("mn")
+      assert(span >= 0)
+      assert(r.getAs[Long]("max_err") <= span / 255 + 1,
+        s"dim ${r.getAs[Long]("dim")}: max_err ${r.getAs[Long]("max_err")} exceeds bound for span $span")
+    }
+    // and reconstruction must agree with the stats pass: the max abs
+    // micro-unit error measured on reconVectors' output matches
+    val recon = Quantize.reconVectors(emb, "vec_id", "embedding")
+    val joined = emb.join(recon, "vec_id")
+      .select(explode(arrays_zip(col("embedding"), col("recon"))).as("z"))
+      .select(abs(floor(col("z.embedding").cast("double") * 1000000d).cast("long") -
+        round(col("z.recon") * 1000000d).cast("long")).as("err"))
+      .agg(max("err")).collect().head.getLong(0)
+    assert(joined == stats.map(_.getAs[Long]("max_err")).max)
+  }
+
   test("budgetSelect keeps the maximal quality-prefix under the token budget") {
     import spark.implicits._
     // quality order: a (9), b (9, higher id), c (5), d (1)
