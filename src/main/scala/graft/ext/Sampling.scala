@@ -132,4 +132,34 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
       .drop("_pid", "_off")
   }
+
+  /** Curriculum interleave: rank rows by score (desc, id tie-break),
+    * cut the ranking into `nBuckets` equal difficulty tiers, and expose
+    * each row's `(bucket, pos)` coordinate — ordering by `(pos, bucket)`
+    * yields the curriculum: one row from every tier, then the next row
+    * from every tier, so a training run sees a difficulty-balanced
+    * stream from step one instead of an easy-first (or shuffled) corpus.
+    *
+    * Scale shape: the global rank is [[Ranking.denseRankDesc]]'s
+    * two-phase form over the UNIQUE composite key (score, −id) — rank
+    * equals row_number with no single-partition window; the bucket cut
+    * is pure arithmetic on (rank, n); per-bucket start offsets are an
+    * `nBuckets`-row broadcast. Nothing here sorts globally except the
+    * caller's final presentation ORDER BY.
+    */
+  def curriculumInterleave(df: DataFrame, idCol: String, scoreCol: String,
+                           nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, "curriculumInterleave: nBuckets must be >= 1")
+    val keyed = df.withColumn("_ck",
+      struct(col(scoreCol), (-col(idCol)).as("nid")))
+    val ranked = Ranking.denseRankDesc(keyed, "_ck", "rank").drop("_ck")
+    val tot = ranked.agg(count(lit(1)).as("_n"))
+    val b = ranked.crossJoin(broadcast(tot))
+      .withColumn("bucket", expr(s"((rank - 1) * $nBuckets) div _n"))
+      .drop("_n")
+    val starts = b.groupBy("bucket").agg(min(col("rank")).as("_mr"))
+    b.join(broadcast(starts), "bucket")
+      .withColumn("pos", col("rank") - col("_mr"))
+      .drop("_mr")
+  }
 }

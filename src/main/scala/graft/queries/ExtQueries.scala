@@ -3140,6 +3140,48 @@ object ExtQueries {
        |  round(CAST(n_hits AS DOUBLE) / n_truth, 6) AS recall
        |FROM h CROSS JOIN nc CROSS JOIN tot ORDER BY method""".stripMargin
 
+  // --- x72: curriculum interleave ordering ----------------------------------------------
+
+  /** Curriculum data ordering: documents ranked by an integer quality
+    * score (type-token ratio in ppm — exact integer division, so both
+    * engines rank identically), cut into 4 equal difficulty tiers, and
+    * emitted in `(pos, bucket)` order — position p of every tier before
+    * position p+1 of any, so a training run consumes a difficulty-
+    * balanced stream from the first batch. The rank is the two-phase
+    * distributed form (no single-partition window); the oracle replays
+    * it as a plain row_number.
+    */
+  val x72Curriculum: Q = (spark, sfDir) => {
+    val s = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        expr("(cast(size(array_distinct(t)) as bigint) * 1000000) div cast(size(t) as bigint)")
+          .as("score_ppm"))
+    Sampling.curriculumInterleave(s, "doc_id", "score_ppm", 4)
+      .select(col("doc_id"), col("score_ppm"), col("bucket"), col("pos"))
+      .orderBy("pos", "bucket")
+  }
+
+  private val x72Sql =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000)
+      |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS score_ppm
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, score_ppm,
+      |    row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS rank,
+      |    count(*) OVER () AS n
+      |  FROM s
+      |), b AS (
+      |  SELECT doc_id, score_ppm, rank, ((rank - 1) * 4) // n AS bucket FROM r
+      |), m AS (
+      |  SELECT bucket, min(rank) AS mr FROM b GROUP BY bucket
+      |)
+      |SELECT b.doc_id, b.score_ppm, b.bucket, CAST(b.rank - m.mr AS BIGINT) AS pos
+      |FROM b JOIN m ON b.bucket = m.bucket
+      |ORDER BY pos, b.bucket""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -3213,7 +3255,8 @@ object ExtQueries {
     "x68_cluster_split" -> x68ClusterSplit,
     "x69_containment_dedup" -> x69ContainmentDedup,
     "x70_sq8_quantize" -> x70Sq8Quantize,
-    "x71_sq8_recall" -> x71Sq8Recall)
+    "x71_sq8_recall" -> x71Sq8Recall,
+    "x72_curriculum" -> x72Curriculum)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -3286,5 +3329,6 @@ object ExtQueries {
     "x68_cluster_split" -> x68Sql,
     "x69_containment_dedup" -> x69Sql,
     "x70_sq8_quantize" -> x70Sql,
-    "x71_sq8_recall" -> x71Sql)
+    "x71_sq8_recall" -> x71Sql,
+    "x72_curriculum" -> x72Sql)
 }

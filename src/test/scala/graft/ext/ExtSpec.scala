@@ -99,6 +99,26 @@ class ExtSpec extends SparkSpec {
     assert(joined == stats.map(_.getAs[Long]("max_err")).max)
   }
 
+  test("curriculumInterleave cuts equal tiers and interleaves them") {
+    import spark.implicits._
+    // 10 docs, scores 100..1000 — with 4 buckets the tier sizes must be
+    // (3,2,3,2)-ish (never differing by >1) and ordering by (pos,bucket)
+    // must start with one doc from every tier
+    val rows = (1L to 10L).map(i => (i, i * 100L)).toDF("doc_id", "score_ppm")
+    val out = Sampling.curriculumInterleave(rows, "doc_id", "score_ppm", 4)
+      .orderBy("pos", "bucket").collect()
+    assert(out.length == 10)
+    val sizes = out.groupBy(_.getAs[Long]("bucket")).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(0L, 1L, 2L, 3L))
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // first 4 rows in curriculum order: one per bucket
+    assert(out.take(4).map(_.getAs[Long]("bucket")).toSet == Set(0L, 1L, 2L, 3L))
+    // bucket 0 is the TOP tier: it must hold the highest scores
+    val b0 = out.filter(_.getAs[Long]("bucket") == 0L).map(_.getAs[Long]("score_ppm")).min
+    val b3 = out.filter(_.getAs[Long]("bucket") == 3L).map(_.getAs[Long]("score_ppm")).max
+    assert(b0 > b3)
+  }
+
   test("budgetSelect keeps the maximal quality-prefix under the token budget") {
     import spark.implicits._
     // quality order: a (9), b (9, higher id), c (5), d (1)
