@@ -133,6 +133,16 @@ object Sampling {
       .drop("_pid", "_off")
   }
 
+  /** Keep rows whose ppm-precision hash draw falls under `ratePpm` —
+    * the parts-per-million twin of [[hashSample]], for rates computed
+    * by integer normalization (mixture reweighting) where basis points
+    * are too coarse. Same determinism contract: the decision is a pure
+    * function of (key, salt), stable under retries and corpus growth.
+    */
+  def rateResamplePpm(df: DataFrame, key: Column, ratePpm: Column,
+                      salt: String = ""): DataFrame =
+    df.filter(Hashing.h32(concat(key.cast("string"), lit(salt))) % 1000000L < ratePpm)
+
   /** Curriculum interleave: rank rows by score (desc, id tie-break),
     * cut the ranking into `nBuckets` equal difficulty tiers, and expose
     * each row's `(bucket, pos)` coordinate — ordering by `(pos, bucket)`

@@ -3182,6 +3182,56 @@ object ExtQueries {
       |FROM b JOIN m ON b.bucket = m.bucket
       |ORDER BY pos, b.bucket""".stripMargin
 
+  // --- x73: mixture resample (materialize the x45 weights) ------------------------------
+
+  /** x45 computes the α=0.5 temperature mixture weights; this query
+    * MATERIALIZES that mixture — each source's acceptance rate is
+    * target-share·total-tokens over its own token mass (capped at 1),
+    * and a document survives iff its ppm hash draw falls under its
+    * source's rate. All integer arithmetic (the same exact-normalization
+    * discipline as x45) and a pure content-hash accept, so the selected
+    * corpus is bit-identical across engines, retries, and reruns —
+    * over-represented sources are down-sampled toward the temperature
+    * target, small sources ride through at rate 1.
+    */
+  val x73MixtureResample: Q = (spark, sfDir) => {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+    val perSource = d.groupBy("source").agg(sum("nt").as("n_tokens"))
+      .withColumn("w", floor(sqrt(col("n_tokens"))).cast("long"))
+    val tot = perSource.agg(sum(col("w")).as("tot_w"), sum(col("n_tokens")).as("tot_n"))
+    val rates = perSource.crossJoin(broadcast(tot))
+      .select(col("source"),
+        expr("least(1000000L, (((w * 1000000) div tot_w) * tot_n) div n_tokens)")
+          .as("rate_ppm"))
+    Sampling.rateResamplePpm(d.join(broadcast(rates), "source"), col("doc_id"),
+        col("rate_ppm"), ":mix")
+      .select(col("doc_id"), col("source"), col("nt"), col("rate_ppm"))
+      .orderBy("doc_id")
+  }
+
+  private val x73Sql =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |  FROM documents
+      |), s AS (
+      |  SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens FROM d GROUP BY source
+      |), w AS (
+      |  SELECT source, n_tokens, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS w FROM s
+      |), t AS (
+      |  SELECT CAST(sum(w) AS BIGINT) AS tot_w, CAST(sum(n_tokens) AS BIGINT) AS tot_n FROM w
+      |), r AS (
+      |  SELECT source,
+      |    least(1000000, (((w * 1000000) // tot_w) * tot_n) // n_tokens) AS rate_ppm
+      |  FROM w CROSS JOIN t
+      |)
+      |SELECT d.doc_id, d.source, d.nt, r.rate_ppm
+      |FROM d JOIN r ON d.source = r.source
+      |WHERE ('0x' || substr(md5(d.doc_id || ':mix'),1,8))::BIGINT % 1000000 < r.rate_ppm
+      |ORDER BY d.doc_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -3256,7 +3306,8 @@ object ExtQueries {
     "x69_containment_dedup" -> x69ContainmentDedup,
     "x70_sq8_quantize" -> x70Sq8Quantize,
     "x71_sq8_recall" -> x71Sq8Recall,
-    "x72_curriculum" -> x72Curriculum)
+    "x72_curriculum" -> x72Curriculum,
+    "x73_mixture_resample" -> x73MixtureResample)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -3330,5 +3381,6 @@ object ExtQueries {
     "x69_containment_dedup" -> x69Sql,
     "x70_sq8_quantize" -> x70Sql,
     "x71_sq8_recall" -> x71Sql,
-    "x72_curriculum" -> x72Sql)
+    "x72_curriculum" -> x72Sql,
+    "x73_mixture_resample" -> x73Sql)
 }

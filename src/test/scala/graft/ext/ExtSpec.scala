@@ -119,6 +119,33 @@ class ExtSpec extends SparkSpec {
     assert(b0 > b3)
   }
 
+  test("mixture resampling downsamples the oversized source and keeps the small one whole") {
+    import spark.implicits._
+    // source A: 10 docs x 100 tokens (overrepresented); B: 1 doc x 10
+    // tokens. alpha=0.5 weights give A a sub-1 rate and B rate 1.
+    val d = ((1L to 10L).map(i => (i, "A", 100L)) :+ (11L, "B", 10L))
+      .toDF("doc_id", "source", "nt")
+    val perSource = d.groupBy("source").agg(sum("nt").as("n_tokens"))
+      .withColumn("w", floor(sqrt(col("n_tokens"))).cast("long"))
+    val tot = perSource.agg(sum(col("w")).as("tot_w"), sum(col("n_tokens")).as("tot_n"))
+    val rates = perSource.crossJoin(broadcast(tot))
+      .select(col("source"),
+        expr("least(1000000L, (((w * 1000000) div tot_w) * tot_n) div n_tokens)")
+          .as("rate_ppm"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates("A") < 1000000L, "overrepresented source must be downsampled")
+    assert(rates("B") == 1000000L, "small source must pass at rate 1")
+    // rate boundaries: ppm 0 keeps nothing, ppm 10^6 keeps everything,
+    // and the decision is a pure function of (key, salt)
+    assert(Sampling.rateResamplePpm(d, col("doc_id"), lit(0L), ":mix").count() == 0L)
+    assert(Sampling.rateResamplePpm(d, col("doc_id"), lit(1000000L), ":mix").count() == 11L)
+    val once = Sampling.rateResamplePpm(d, col("doc_id"), lit(500000L), ":mix")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = Sampling.rateResamplePpm(d.orderBy(col("doc_id").desc), col("doc_id"),
+      lit(500000L), ":mix").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(once == again)
+  }
+
   test("budgetSelect keeps the maximal quality-prefix under the token budget") {
     import spark.implicits._
     // quality order: a (9), b (9, higher id), c (5), d (1)
