@@ -293,5 +293,73 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             strLit(exprs(3), "first_occurrence_dedup arrivalCol")))
           .queryExecution.analyzed
       }))
+
+    def dblLit(ex: Expression, what: String): Double = ex match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: java.math.BigDecimal, _) =>
+        v.doubleValue
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.sql.types.Decimal, _) =>
+        v.toDouble
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$what must be a numeric literal, got $other")
+    }
+
+    // round-6 curation kernels: asymmetric containment dedup, curriculum
+    // ordering, and SQ8 quantization grading — same catalog-only reach
+    e.injectTableFunction((
+      new FunctionIdentifier("containment_pairs"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, "containment_pairs",
+        "containment_pairs(table, idCol, textCol, maxDf, minContainment) - " +
+          "table function: asymmetric (containment) duplicate pairs via a " +
+          "rare-shingle inverted index; returns (a_id, b_id, la, lb, inter, " +
+          "jaccard, containment). Cols string literals, maxDf an integer " +
+          "literal, minContainment a numeric literal.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 5,
+          "containment_pairs takes (table, idCol, textCol, maxDf, minContainment)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ext.Dedup.containmentPairs(
+          spark.table(strLit(exprs(0), "containment_pairs table")),
+          strLit(exprs(1), "containment_pairs idCol"),
+          strLit(exprs(2), "containment_pairs textCol"),
+          maxDf = intLit(exprs(3), "containment_pairs maxDf"),
+          minContainment = dblLit(exprs(4), "containment_pairs minContainment"))
+          .queryExecution.analyzed
+      }))
+    e.injectTableFunction((
+      new FunctionIdentifier("curriculum_interleave"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, "curriculum_interleave",
+        "curriculum_interleave(table, idCol, scoreCol, nBuckets) - table " +
+          "function: rank by score desc (id tie-break), cut into nBuckets " +
+          "difficulty tiers, append (rank, bucket, pos); ordering by " +
+          "(pos, bucket) interleaves the tiers. Cols string literals, " +
+          "nBuckets an integer literal.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 4,
+          "curriculum_interleave takes (table, idCol, scoreCol, nBuckets)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ext.Sampling.curriculumInterleave(
+          spark.table(strLit(exprs(0), "curriculum_interleave table")),
+          strLit(exprs(1), "curriculum_interleave idCol"),
+          strLit(exprs(2), "curriculum_interleave scoreCol"),
+          intLit(exprs(3), "curriculum_interleave nBuckets"))
+          .queryExecution.analyzed
+      }))
+    e.injectTableFunction((
+      new FunctionIdentifier("sq8_stats"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, "sq8_stats",
+        "sq8_stats(table, vecCol) - table function: per-dimension int8 " +
+          "scalar-quantization error report over a float-array column; " +
+          "returns (dim, mn, mx, n, sum_abs_err, max_err) in micro-units. " +
+          "Both arguments string literals.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "sq8_stats takes (table, vecCol)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ext.Quantize.sq8Stats(
+          spark.table(strLit(exprs(0), "sq8_stats table")),
+          strLit(exprs(1), "sq8_stats vecCol"))
+          .queryExecution.analyzed
+      }))
   }
 }

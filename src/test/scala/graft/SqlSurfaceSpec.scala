@@ -146,6 +146,35 @@ class SqlSurfaceSpec extends SparkSpec {
         (4L, "kept"), (5L, "dup_within")))
   }
 
+  test("containment_pairs, curriculum_interleave and sq8_stats are callable as SQL table functions") {
+    import spark.implicits._
+    val words = (0 until 60).map(i => s"w$i")
+    Seq((0L, words.mkString(" ")), (1L, words.take(10).mkString(" ")),
+      (2L, (100 until 140).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text").createOrReplaceTempView("cp_docs")
+    val cp = spark.sql(
+      """SELECT a_id, b_id, containment
+        |FROM containment_pairs('cp_docs', 'doc_id', 'text', 5, 0.8)
+        |ORDER BY a_id, b_id""".stripMargin).collect()
+    assert(cp.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((0L, 1L, 1.0)))
+    (1L to 10L).map(i => (i, i * 100L)).toDF("doc_id", "score_ppm")
+      .createOrReplaceTempView("ci_docs")
+    val ci = spark.sql(
+      """SELECT doc_id, bucket, pos
+        |FROM curriculum_interleave('ci_docs', 'doc_id', 'score_ppm', 4)
+        |ORDER BY pos, bucket""".stripMargin).collect()
+    assert(ci.length == 10)
+    assert(ci.take(4).map(_.getAs[Long]("bucket")).toSet == Set(0L, 1L, 2L, 3L))
+    Seq((1L, Array(0.0f, 1.0f)), (2L, Array(1.0f, 3.0f)))
+      .toDF("vec_id", "embedding").createOrReplaceTempView("sq_vecs")
+    val sq = spark.sql(
+      "SELECT dim, mn, mx FROM sq8_stats('sq_vecs', 'embedding') ORDER BY dim")
+      .collect()
+    assert(sq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 0L, 1000000L), (1L, 1000000L, 3000000L)))
+  }
+
   test("extension functions enforce arity and literal parameters") {
     val wrongArity = intercept[Exception] {
       spark.sql("SELECT md5_prefix64('a')").collect()
