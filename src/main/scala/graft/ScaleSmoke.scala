@@ -359,5 +359,75 @@ object ScaleSmoke {
     noSinglePartition(wprBig, "weightedPageRankInt")
     println(f"weighted pagerank early-stop: $nBig%d nodes, stopped at round " +
       f"$wRounds%d of 5 in $wpb%.1fs, all at the exact fixed point")
+
+    // curriculum interleave at 1M rows: score = id makes every
+    // coordinate exactly computable — 4 buckets of n/4 each, pos spans
+    // 0..n/4-1 in every bucket, and the single highest-score row sits at
+    // (bucket 0, pos 0). A wrong rank offset or bucket cut breaks one of
+    // the equalities; the plan must never fall back to a global window.
+    var ciBig: org.apache.spark.sql.DataFrame = null
+    val (cin, cit) = timed {
+      ciBig = graft.ext.Sampling.curriculumInterleave(
+        spark.range(nBig).select(col("id").as("doc_id"), col("id").as("score")),
+        "doc_id", "score", 4)
+      ciBig.count()
+    }
+    require(cin == nBig, s"curriculum must keep every row: $cin/$nBig")
+    val ciSizes = ciBig.groupBy("bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(ciSizes == Map(0L -> nBig / 4, 1L -> nBig / 4, 2L -> nBig / 4, 3L -> nBig / 4),
+      s"1M rows must cut into four exact quartile tiers: $ciSizes")
+    val ciTop = ciBig.filter(col("doc_id") === (nBig - 1))
+      .select("bucket", "pos").collect()(0)
+    require(ciTop.getLong(0) == 0L && ciTop.getLong(1) == 0L,
+      s"highest score must sit at (bucket 0, pos 0), got $ciTop")
+    noSinglePartition(ciBig, "curriculumInterleave")
+    println(f"curriculum 100x: $nBig%d rows in $cit%.1fs, exact quartile tiers")
+
+    // containment dedup on a planted corpus: 2·50k docs where B_i is the
+    // 8-token prefix of the 24-token A_i and every token is family-
+    // unique — each pair shares only df=2 shingles, so the rare-shingle
+    // index must find EXACTLY the 50k planted pairs at containment 1.0
+    // and candidate volume stays linear in the corpus (the quadratic
+    // common-shingle blowup the df cap exists to prevent would stall
+    // this probe, not just slow it).
+    val nFam = 50000L
+    def famText(len: Int) = concat_ws(" ",
+      transform(sequence(lit(0), lit(len - 1)),
+        j => concat(lit("p"), col("id"), lit("t"), j)))
+    var cpBig: org.apache.spark.sql.DataFrame = null
+    val (cpn, cpt) = timed {
+      val as = spark.range(nFam).select(col("id").as("doc_id"), famText(24).as("text"))
+      val bs = spark.range(nFam).select((col("id") + nFam).as("doc_id"), famText(8).as("text"))
+      cpBig = Dedup.containmentPairs(as.unionAll(bs), "doc_id", "text",
+        k = 2, maxDf = 5, minContainment = 0.8)
+      cpBig.count()
+    }
+    require(cpn == nFam, s"planted containment pairs: expected $nFam, got $cpn")
+    val cpBad = cpBig.filter(col("containment") =!= 1.0 ||
+      col("b_id") =!= col("a_id") + nFam).count()
+    require(cpBad == 0L, s"$cpBad planted pairs mis-scored or mis-matched")
+    println(f"containment 100x: ${2 * nFam}%d docs -> $cpn%d planted pairs in $cpt%.1fs")
+
+    // SQ8 quantization at 1M synthetic vectors: the integer error bound
+    // err < span/255 + 1 must hold on every one of the 64 dims after a
+    // 64M-element explode — and the whole pass is two scans + one
+    // 64-row broadcast, so the runtime budget is tight.
+    val (sqDims, sqt) = timed {
+      val vecs = spark.range(nBig).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          j => (pmod(col("id") * 31 + j.cast("long") * 17, lit(1000)).cast("double") / 1000)
+            .cast("float")).as("embedding"))
+      val stats = graft.ext.Quantize.sq8Stats(vecs, "embedding").collect()
+      stats.foreach { r =>
+        val span = r.getAs[Long]("mx") - r.getAs[Long]("mn")
+        require(r.getAs[Long]("max_err") <= span / 255 + 1,
+          s"dim ${r.getAs[Long]("dim")}: sq8 error bound broken at 1M vectors")
+        require(r.getAs[Long]("n") == nBig, s"dim ${r.getAs[Long]("dim")}: lost rows")
+      }
+      stats.length.toLong
+    }
+    require(sqDims == 64L, s"expected 64 dims, got $sqDims")
+    println(f"sq8 100x: $nBig%d vectors x 64 dims in $sqt%.1fs, error bound holds")
   }
 }

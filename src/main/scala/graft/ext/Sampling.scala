@@ -163,13 +163,17 @@ object Sampling {
     val keyed = df.withColumn("_ck",
       struct(col(scoreCol), (-col(idCol)).as("nid")))
     val ranked = Ranking.denseRankDesc(keyed, "_ck", "rank").drop("_ck")
-    val tot = ranked.agg(count(lit(1)).as("_n"))
-    val b = ranked.crossJoin(broadcast(tot))
-      .withColumn("bucket", expr(s"((rank - 1) * $nBuckets) div _n"))
-      .drop("_n")
-    val starts = b.groupBy("bucket").agg(min(col("rank")).as("_mr"))
-    b.join(broadcast(starts), "bucket")
-      .withColumn("pos", col("rank") - col("_mr"))
-      .drop("_mr")
+    // row count as a driver literal (one job over the already-
+    // checkpointed ranked layout — O(partitions) like the rank offsets
+    // themselves). Both the bucket cut and each tier's start rank are
+    // then CLOSED-FORM: bucket b spans ranks ceil(b·n/B)+1 .. , so pos
+    // needs no per-bucket min — keeping the plan free of the scalar-
+    // count SinglePartition exchange and the extra join a dynamic
+    // total would drag in.
+    val n = ranked.count()
+    ranked
+      .withColumn("bucket", expr(s"((rank - 1) * $nBuckets) div ${n}L"))
+      .withColumn("pos",
+        expr(s"rank - 1 - ((bucket * ${n}L + ${nBuckets - 1}) div $nBuckets)"))
   }
 }

@@ -3174,13 +3174,11 @@ object ExtQueries {
       |    count(*) OVER () AS n
       |  FROM s
       |), b AS (
-      |  SELECT doc_id, score_ppm, rank, ((rank - 1) * 4) // n AS bucket FROM r
-      |), m AS (
-      |  SELECT bucket, min(rank) AS mr FROM b GROUP BY bucket
+      |  SELECT doc_id, score_ppm, rank, n, ((rank - 1) * 4) // n AS bucket FROM r
       |)
-      |SELECT b.doc_id, b.score_ppm, b.bucket, CAST(b.rank - m.mr AS BIGINT) AS pos
-      |FROM b JOIN m ON b.bucket = m.bucket
-      |ORDER BY pos, b.bucket""".stripMargin
+      |SELECT doc_id, score_ppm, bucket,
+      |  CAST(rank - 1 - ((bucket * n + 3) // 4) AS BIGINT) AS pos
+      |FROM b ORDER BY pos, bucket""".stripMargin
 
   // --- x73: mixture resample (materialize the x45 weights) ------------------------------
 
