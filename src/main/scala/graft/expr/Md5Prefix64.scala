@@ -145,6 +145,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "as a row-major depth*width ARRAY<BIGINT>; depth and width must be integer literals",
       xs => CmsSketchAgg(xs.head, intLit(xs(1), "cms_sketch depth"),
         intLit(xs(2), "cms_sketch width")))
+    inject(e, "hll_sketch", 1,
+      "hll_sketch(term) - aggregate: HyperLogLog register file (p=8) of STRING " +
+        "terms as ARRAY<INT>(256); estimate = 0.7213/(1+1.079/256)*65536 / " +
+        "sum(2^-Mj), mergeable by elementwise max",
+      xs => HllSketchAgg(xs.head))
 
     // table-valued surface for the native as-of join: the planner node
     // (AsOfJoinPlan + AsOfJoinExec, plans/AsOfJoinNative.scala) becomes

@@ -3230,6 +3230,63 @@ object ExtQueries {
       |WHERE ('0x' || substr(md5(d.doc_id || ':mix'),1,8))::BIGINT % 1000000 < r.rate_ppm
       |ORDER BY d.doc_id""".stripMargin
 
+  // --- x74: HLL distinct-shingle estimates vs exact ---------------------------------------
+
+  /** HyperLogLog distinct counting per source — the cardinality twin of
+    * the CMS frequency sketch (x33): distinct 3-token shingles per
+    * source, estimated from the native `hll_sketch` register file
+    * (fixed 256 ints per partition on the exchange, mergeable across
+    * shards by elementwise max — what exact distinct counts can never
+    * be) next to the exact count and the estimate/exact ratio. The
+    * estimate is bit-deterministic: register ranks are integer md5
+    * arithmetic and the indicator sum is dyadic, so the oracle rebuilds
+    * the identical register file in SQL and lands on the identical
+    * double.
+    */
+  val x74HllDistinct: Q = (spark, sfDir) => {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(Dedup.shinglesOf(col("text"), 3)).as("s"))
+    val est = graft.expr.HllSketchAgg.estimate(col("regs"))
+    sh.groupBy("source")
+      .agg(countDistinct(col("s")).as("n_exact"),
+        graft.expr.HllSketchAgg.sketch(col("s")).as("regs"))
+      .select(col("source"), col("n_exact"),
+        round(est, 6).as("hll_estimate"),
+        round(est / col("n_exact"), 6).as("ratio"))
+      .orderBy("source")
+  }
+
+  private val x74Sql =
+    """WITH tok AS (
+      |  SELECT source, string_split(text, ' ') AS tk FROM documents
+      |), sh AS (
+      |  SELECT source, unnest(list_distinct(list_transform(range(1, length(tk)-1),
+      |    i -> array_to_string(list_slice(tk, i, i+2), ' ')))) AS s
+      |  FROM tok WHERE length(tk) >= 3
+      |), h AS (
+      |  SELECT source, s, ('0x' || substr(md5(s),1,15))::BIGINT AS h FROM sh
+      |), r AS (
+      |  SELECT source, h // 4503599627370496 AS j,
+      |    CASE WHEN h % 4503599627370496 = 0 THEN 53
+      |         ELSE 52 - (length(format('{:b}', h % 4503599627370496)) - 1) END AS rho
+      |  FROM h
+      |), m AS (
+      |  SELECT source, j, max(rho) AS mj FROM r GROUP BY source, j
+      |), grid AS (
+      |  SELECT source, unnest(range(0, 256)) AS j FROM (SELECT DISTINCT source FROM sh)
+      |), regs AS (
+      |  SELECT g.source, g.j, coalesce(m.mj, 0) AS mj
+      |  FROM grid g LEFT JOIN m ON g.source = m.source AND g.j = m.j
+      |), z AS (
+      |  SELECT source, sum(power(2.0, -mj)) AS z FROM regs GROUP BY source
+      |), ex AS (
+      |  SELECT source, count(DISTINCT s) AS n_exact FROM sh GROUP BY source
+      |)
+      |SELECT e.source, e.n_exact,
+      |  round((0.7213/(1 + 1.079/256)) * 65536 / z.z, 6) AS hll_estimate,
+      |  round(((0.7213/(1 + 1.079/256)) * 65536 / z.z) / e.n_exact, 6) AS ratio
+      |FROM ex e JOIN z USING (source) ORDER BY source""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -3305,7 +3362,8 @@ object ExtQueries {
     "x70_sq8_quantize" -> x70Sq8Quantize,
     "x71_sq8_recall" -> x71Sq8Recall,
     "x72_curriculum" -> x72Curriculum,
-    "x73_mixture_resample" -> x73MixtureResample)
+    "x73_mixture_resample" -> x73MixtureResample,
+    "x74_hll_distinct" -> x74HllDistinct)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -3380,5 +3438,6 @@ object ExtQueries {
     "x70_sq8_quantize" -> x70Sql,
     "x71_sq8_recall" -> x71Sql,
     "x72_curriculum" -> x72Sql,
-    "x73_mixture_resample" -> x73Sql)
+    "x73_mixture_resample" -> x73Sql,
+    "x74_hll_distinct" -> x74Sql)
 }

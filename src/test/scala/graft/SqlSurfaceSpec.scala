@@ -175,6 +175,18 @@ class SqlSurfaceSpec extends SparkSpec {
       Seq((0L, 0L, 1000000L), (1L, 1000000L, 3000000L)))
   }
 
+  test("hll_sketch aggregate is SQL-callable end-to-end") {
+    import spark.implicits._
+    (1 to 500).map(i => s"term$i").toDF("s").createOrReplaceTempView("hll_terms")
+    val r = spark.sql(
+      """SELECT size(hll_sketch(s)) AS m,
+        |  round(0.7213/(1 + 1.079/256) * 65536 /
+        |    aggregate(hll_sketch(s), 0.0D, (acc, x) -> acc + power(2.0D, -x)), 1) AS est
+        |FROM hll_terms""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 256)
+    assert(math.abs(r.getDouble(1) - 500.0) / 500.0 < 0.5)
+  }
+
   test("extension functions enforce arity and literal parameters") {
     val wrongArity = intercept[Exception] {
       spark.sql("SELECT md5_prefix64('a')").collect()

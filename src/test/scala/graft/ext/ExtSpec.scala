@@ -146,6 +146,22 @@ class ExtSpec extends SparkSpec {
     assert(once == again)
   }
 
+  test("hll_sketch is duplicate-insensitive, layout-stable, and accurate at planted cardinality") {
+    import spark.implicits._
+    val n = 10000L
+    val terms = spark.range(n).select(concat(lit("t"), col("id")).as("s"))
+    def est(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(graft.expr.HllSketchAgg.sketch(col("s")).as("regs"))
+        .select(graft.expr.HllSketchAgg.estimate(col("regs"))).collect()(0).getDouble(0)
+    val e1 = est(terms)
+    // duplicates must not move a single register
+    assert(est(terms.unionAll(terms)) == e1)
+    // nor may the partition layout (merge is elementwise max)
+    assert(est(terms.repartition(17)) == e1)
+    // raw HLL at m=256 is ~6.5% sigma; 20% is a 3-sigma envelope
+    assert(math.abs(e1 - n) / n < 0.2, s"HLL estimate $e1 too far from planted $n")
+  }
+
   test("budgetSelect keeps the maximal quality-prefix under the token budget") {
     import spark.implicits._
     // quality order: a (9), b (9, higher id), c (5), d (1)
