@@ -382,6 +382,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming hll_sketch registers equal the batch registers (complete mode)") {
+    // the sketch's whole point is mergeability: register files built per
+    // microbatch and merged by elementwise max must land on EXACTLY the
+    // batch registers (and hence the identical estimate)
+    import graft.ext.Dedup
+    val docs = Tables.documents(spark, sf())
+    val dir = Files.createTempDirectory("hll_docs").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    def regs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("source"), explode(Dedup.shinglesOf(col("text"), 3)).as("s"))
+      .groupBy("source").agg(graft.expr.HllSketchAgg.sketch(col("s")).as("regs"))
+    val streamed = EventWindows.drainToMemory(spark, regs(stream), "hll", OutputMode.Complete)
+    val batch = regs(docs)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming as-of enrichment matches batch as-of across microbatch boundaries") {
     val events = Tables.events(spark, sf())
     val orders = Tables.orders(spark, sf())
