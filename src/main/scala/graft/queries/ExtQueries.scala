@@ -3191,6 +3191,14 @@ object ExtQueries {
     * corpus is bit-identical across engines, retries, and reruns —
     * over-represented sources are down-sampled toward the temperature
     * target, small sources ride through at rate 1.
+    *
+    * Overflow headroom: the naive `share_ppm · tot_n` product leaves
+    * BIGINT at ~9.2e12 corpus tokens (≈ 37 TB of text). The rate is
+    * therefore computed through the exact division identity
+    * `(s·T) div n = s·(T div n) + (s·(T mod n)) div n`, whose largest
+    * intermediate is `s · (n−1) < 10^6 · n` — the bound moves from the
+    * CORPUS token total to the largest single SOURCE, and the value is
+    * bit-identical (the oracle applies the same identity).
     */
   val x73MixtureResample: Q = (spark, sfDir) => {
     val d = Tables.documents(spark, sfDir)
@@ -3200,8 +3208,10 @@ object ExtQueries {
       .withColumn("w", floor(sqrt(col("n_tokens"))).cast("long"))
     val tot = perSource.agg(sum(col("w")).as("tot_w"), sum(col("n_tokens")).as("tot_n"))
     val rates = perSource.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("(w * 1000000) div tot_w"))
       .select(col("source"),
-        expr("least(1000000L, (((w * 1000000) div tot_w) * tot_n) div n_tokens)")
+        expr("least(1000000L, share_ppm * (tot_n div n_tokens) + " +
+          "(share_ppm * (tot_n % n_tokens)) div n_tokens)")
           .as("rate_ppm"))
     Sampling.rateResamplePpm(d.join(broadcast(rates), "source"), col("doc_id"),
         col("rate_ppm"), ":mix")
@@ -3222,7 +3232,9 @@ object ExtQueries {
       |  SELECT CAST(sum(w) AS BIGINT) AS tot_w, CAST(sum(n_tokens) AS BIGINT) AS tot_n FROM w
       |), r AS (
       |  SELECT source,
-      |    least(1000000, (((w * 1000000) // tot_w) * tot_n) // n_tokens) AS rate_ppm
+      |    least(1000000,
+      |      ((w * 1000000) // tot_w) * (tot_n // n_tokens)
+      |      + (((w * 1000000) // tot_w) * (tot_n % n_tokens)) // n_tokens) AS rate_ppm
       |  FROM w CROSS JOIN t
       |)
       |SELECT d.doc_id, d.source, d.nt, r.rate_ppm
