@@ -429,5 +429,41 @@ object ScaleSmoke {
     }
     require(sqDims == 64L, s"expected 64 dims, got $sqDims")
     println(f"sq8 100x: $nBig%d vectors x 64 dims in $sqt%.1fs, error bound holds")
+
+    // Bloom pre-filter at 1M standing keys, production-sized: 2^23 bits
+    // (1 MiB broadcast) / k=3 gives a ~3% closed-form FP rate at n=1M.
+    // Invariants: ZERO false negatives across all 1M inserted keys (the
+    // contract that lets the pre-filter drop probes outright), and the
+    // measured FP rate within 2x of (1-e^(-kn/m))^k. The global agg's
+    // single-partition exchange is the DESIGN here — it carries one
+    // 1 MiB word array per partition, not rows — so no noSinglePartition.
+    val bloomM = 1 << 23; val bloomK = 3
+    var fpRate = 0.0
+    val (bln, blt) = timed {
+      val standing = spark.range(nBig).select(concat(lit("key"), col("id")).as("fp"))
+      val filt = standing.agg(
+        graft.expr.BloomSketchAgg.sketch(col("fp"), bloomM, bloomK).as("words"))
+      val probes = spark.range(2 * nBig).select(
+        when(col("id") < nBig, concat(lit("key"), col("id")))
+          .otherwise(concat(lit("novel"), col("id"))).as("fp"),
+        (col("id") < nBig).as("planted"))
+      val got = probes.crossJoin(broadcast(filt))
+        .withColumn("pos", graft.expr.BloomSketchAgg.mightContain(
+          col("words"), col("fp"), bloomM, bloomK))
+        .groupBy("planted")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("pos"), 1)).as("npos"))
+        .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2))).toMap
+      require(got(true) == (nBig, nBig),
+        s"bloom false negatives at 1M keys: ${got(true)}")
+      fpRate = got(false)._2.toDouble / got(false)._1
+      got(true)._1 + got(false)._1
+    }
+    val closedForm = math.pow(1 - math.exp(-bloomK.toDouble * nBig / bloomM), bloomK)
+    require(fpRate < 2 * closedForm,
+      f"bloom FP rate $fpRate%.4f exceeds 2x closed form $closedForm%.4f")
+    require(bln == 2 * nBig, s"bloom probe coverage: $bln/${2 * nBig}")
+    println(f"bloom 100x: $nBig%d keys, ${2 * nBig}%d probes in $blt%.1fs, " +
+      f"0 false negatives, FP $fpRate%.4f (closed form $closedForm%.4f)")
   }
 }

@@ -84,7 +84,8 @@ case class Md5Prefix64(child: Expression, digits: Int)
   * `word_shingles(str, k)`, `vec_dot(a, b)`, `vec_l2sq(a, b)`,
   * `sorted_long_intersect(a, b)`, `subword_token_count(str)`,
   * `url_canonical(str)`, `top_k_pairs(score, key, k)`,
-  * `cms_sketch(term, depth, width)`.
+  * `cms_sketch(term, depth, width)`, `hll_sketch(term)`,
+  * `bloom_sketch(term, mBits, k)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -150,6 +151,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "terms as ARRAY<INT>(256); estimate = 0.7213/(1+1.079/256)*65536 / " +
         "sum(2^-Mj), mergeable by elementwise max",
       xs => HllSketchAgg(xs.head))
+    inject(e, "bloom_sketch", 3,
+      "bloom_sketch(term, mBits, k) - aggregate: Bloom filter of STRING terms " +
+        "as ARRAY<BIGINT> (mBits/64 words); zero false negatives, mergeable by " +
+        "elementwise OR; mBits and k must be integer literals",
+      xs => BloomSketchAgg(xs.head, intLit(xs(1), "bloom_sketch mBits"),
+        intLit(xs(2), "bloom_sketch k")))
 
     // table-valued surface for the native as-of join: the planner node
     // (AsOfJoinPlan + AsOfJoinExec, plans/AsOfJoinNative.scala) becomes

@@ -3299,6 +3299,184 @@ object ExtQueries {
       |  round(((0.7213/(1 + 1.079/256)) * 65536 / z.z) / e.n_exact, 6) AS ratio
       |FROM ex e JOIN z USING (source) ORDER BY source""".stripMargin
 
+  // --- x75: Bloom pre-filter for cross-tranche dedup ----------------------------------
+
+  /** The membership member of the sketch family (CMS = frequency, x33;
+    * HLL = cardinality, x74; Bloom = membership): the standing corpus
+    * (x63's tranche 1, `doc_id % 5 != 0`) folds its content
+    * fingerprints into a native `bloom_sketch` (32768 bits, k=3 — one
+    * 4 KiB array for ANY corpus size, merged across partitions by
+    * elementwise OR), and the arriving tranche probes the broadcast
+    * filter BEFORE the exact-key join. Per source: probes, Bloom
+    * positives, true cross-tranche dups, false positives — and
+    * `n_missed`, dups the filter failed to flag, which Bloom's
+    * zero-false-negative contract pins to 0 in every row (the oracle
+    * checks the claim, not the scaladoc).
+    *
+    * Scale story: at 100 TB the standing fingerprint set is billions of
+    * rows, so `probe ⋈ standing` is the expensive shuffle; the Bloom
+    * broadcast prunes the probe side to true dups + the measured FP
+    * residue first. The filter is built once per shard/day and OR-merged
+    * — an exact key set can only "merge" by re-shuffling itself.
+    * Deterministic to the bit: positions are salted md5 prefixes, so the
+    * oracle rebuilds the identical filter as a distinct-positions set
+    * and calls a probe positive iff all k positions match.
+    */
+  val x75BloomPrefilter: Q = (spark, sfDir) => {
+    val mBits = 32768; val k = 3
+    val docs = Tables.documents(spark, sfDir)
+    val standing = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(md5(col("text")).as("fp")).distinct()
+    val filterRow = standing.agg(
+      graft.expr.BloomSketchAgg.sketch(col("fp"), mBits, k).as("words"))
+    val probe = docs.filter(col("doc_id") % 5 === 0)
+      .unionAll(docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0))
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+    val marked = probe.crossJoin(broadcast(filterRow))
+      .withColumn("bloom_pos",
+        graft.expr.BloomSketchAgg.mightContain(col("words"), col("fp"), mBits, k))
+      .join(standing.withColumn("is_dup", lit(true)), Seq("fp"), "left")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+    marked.groupBy("source").agg(
+        count(lit(1)).as("n_probe"),
+        count(when(col("bloom_pos"), 1)).as("n_bloom_pos"),
+        count(when(col("is_dup"), 1)).as("n_dup"),
+        count(when(col("bloom_pos") && !col("is_dup"), 1)).as("n_false_pos"),
+        count(when(col("is_dup") && !col("bloom_pos"), 1)).as("n_missed"))
+      .orderBy("source")
+  }
+
+  private val x75Sql =
+    """WITH standing AS (
+      |  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 5 != 0
+      |), pos AS (
+      |  SELECT DISTINCT ('0x' || substr(md5(fp || ':' || i), 1, 15))::BIGINT % 32768 AS p
+      |  FROM standing CROSS JOIN (SELECT unnest(range(0, 3)) AS i)
+      |), probe AS (
+      |  SELECT doc_id, source, md5(text) AS fp FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id, source, md5(text) FROM documents
+      |  WHERE doc_id % 5 != 0 AND doc_id % 7 = 0
+      |), pp AS (
+      |  SELECT doc_id, source, fp,
+      |    ('0x' || substr(md5(fp || ':' || i), 1, 15))::BIGINT % 32768 AS p
+      |  FROM probe CROSS JOIN (SELECT unnest(range(0, 3)) AS i)
+      |), bp AS (
+      |  SELECT pp.doc_id, pp.source, pp.fp, count(po.p) = 3 AS bloom_pos
+      |  FROM pp LEFT JOIN pos po ON pp.p = po.p
+      |  GROUP BY pp.doc_id, pp.source, pp.fp
+      |), cls AS (
+      |  SELECT b.doc_id, b.source, b.bloom_pos, s.fp IS NOT NULL AS is_dup
+      |  FROM bp b LEFT JOIN standing s ON b.fp = s.fp
+      |)
+      |SELECT source, count(*) AS n_probe,
+      |  count(*) FILTER (WHERE bloom_pos) AS n_bloom_pos,
+      |  count(*) FILTER (WHERE is_dup) AS n_dup,
+      |  count(*) FILTER (WHERE bloom_pos AND NOT is_dup) AS n_false_pos,
+      |  count(*) FILTER (WHERE is_dup AND NOT bloom_pos) AS n_missed
+      |FROM cls GROUP BY source ORDER BY source""".stripMargin
+
+  // --- x76: pairwise source overlap from merged HLL sketches --------------------------
+
+  /** "Which sources duplicate each other?" answered from sketches: per
+    * source, one 256-int HLL register file over 3-token shingles (x74's
+    * aggregate); for every source pair, union = elementwise register
+    * max (`zip_with(..., greatest)`), intersection by inclusion-
+    * exclusion, and a Jaccard estimate — next to the exact intersection
+    * and Jaccard for calibration. The exact columns are the thing that
+    * CANNOT ship at 100 TB: pairwise exact intersection is S² corpus
+    * shuffles, while the sketch answer is one corpus pass (or none — a
+    * per-shard sketch table OR-merged/maxed incrementally) plus
+    * S²·256-int arithmetic on the driver-sized pair grid. All three
+    * relations derive from one `SELECT DISTINCT source, shingle`
+    * subtree; the static plan repeats it, but AQE's runtime exchange
+    * reuse collapses the duplicates (3 ReusedExchange nodes in the
+    * executed plan — verified at sf0.01).
+    *
+    * Deterministic: integer register ranks (x74), dyadic indicator sums,
+    * and IEEE division — the oracle rebuilds registers per source,
+    * max-merges per pair, and lands on identical doubles.
+    */
+  val x76SourceOverlap: Q = (spark, sfDir) => {
+    val dsh = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(Dedup.shinglesOf(col("text"), 3)).as("s"))
+      .distinct()
+    val perSrc = dsh.groupBy("source")
+      .agg(count(lit(1)).as("n_exact"),
+        graft.expr.HllSketchAgg.sketch(col("s")).as("regs"))
+    val inter = dsh.as("l")
+      .join(dsh.as("r"), col("l.s") === col("r.s") && col("l.source") < col("r.source"))
+      .groupBy(col("l.source").as("s1"), col("r.source").as("s2"))
+      .agg(count(lit(1)).as("inter_exact"))
+    val a = perSrc.select(col("source").as("s1"), col("n_exact").as("n1"),
+      col("regs").as("regs1"))
+    val b = perSrc.select(col("source").as("s2"), col("n_exact").as("n2"),
+      col("regs").as("regs2"))
+    val estU = graft.expr.HllSketchAgg.estimate(
+      zip_with(col("regs1"), col("regs2"), (x, y) => greatest(x, y)))
+    val est1 = graft.expr.HllSketchAgg.estimate(col("regs1"))
+    val est2 = graft.expr.HllSketchAgg.estimate(col("regs2"))
+    a.join(b, col("s1") < col("s2"))
+      .join(inter, Seq("s1", "s2"), "left")
+      .withColumn("inter_exact", coalesce(col("inter_exact"), lit(0L)))
+      .select(col("s1"), col("s2"), col("n1"), col("n2"), col("inter_exact"),
+        round(col("inter_exact") /
+          (col("n1") + col("n2") - col("inter_exact")), 6).as("jacc_exact"),
+        round(estU, 6).as("est_union"),
+        round(est1 + est2 - estU, 6).as("est_inter"),
+        round((est1 + est2 - estU) / estU, 6).as("jacc_est"))
+      .orderBy("s1", "s2")
+  }
+
+  private val x76Sql =
+    """WITH tok AS (
+      |  SELECT source, string_split(text, ' ') AS tk FROM documents
+      |), dsh AS (
+      |  SELECT DISTINCT source, unnest(list_distinct(list_transform(range(1, length(tk)-1),
+      |    i -> array_to_string(list_slice(tk, i, i+2), ' ')))) AS s
+      |  FROM tok WHERE length(tk) >= 3
+      |), h AS (
+      |  SELECT source, ('0x' || substr(md5(s),1,15))::BIGINT AS h FROM dsh
+      |), r AS (
+      |  SELECT source, h // 4503599627370496 AS j,
+      |    CASE WHEN h % 4503599627370496 = 0 THEN 53
+      |         ELSE 52 - (length(format('{:b}', h % 4503599627370496)) - 1) END AS rho
+      |  FROM h
+      |), m AS (
+      |  SELECT source, j, max(rho) AS mj FROM r GROUP BY source, j
+      |), grid AS (
+      |  SELECT source, unnest(range(0, 256)) AS j FROM (SELECT DISTINCT source FROM dsh)
+      |), regs AS (
+      |  SELECT g.source, g.j, coalesce(m.mj, 0) AS mj
+      |  FROM grid g LEFT JOIN m ON g.source = m.source AND g.j = m.j
+      |), zu AS (
+      |  SELECT a.source AS s1, b.source AS s2,
+      |    sum(power(2.0, -greatest(a.mj, b.mj))) AS z
+      |  FROM regs a JOIN regs b ON a.j = b.j AND a.source < b.source
+      |  GROUP BY a.source, b.source
+      |), z1 AS (
+      |  SELECT source, sum(power(2.0, -mj)) AS z FROM regs GROUP BY source
+      |), ex AS (
+      |  SELECT source, count(*) AS n_exact FROM dsh GROUP BY source
+      |), ix AS (
+      |  SELECT l.source AS s1, r.source AS s2, count(*) AS inter_exact
+      |  FROM dsh l JOIN dsh r ON l.s = r.s AND l.source < r.source
+      |  GROUP BY l.source, r.source
+      |), c AS (SELECT (0.7213/(1 + 1.079/256)) * 65536 AS am2)
+      |SELECT zu.s1, zu.s2,
+      |  e1.n_exact AS n1, e2.n_exact AS n2,
+      |  coalesce(ix.inter_exact, 0) AS inter_exact,
+      |  round(coalesce(ix.inter_exact, 0) /
+      |    (e1.n_exact + e2.n_exact - coalesce(ix.inter_exact, 0)), 6) AS jacc_exact,
+      |  round(c.am2 / zu.z, 6) AS est_union,
+      |  round(c.am2 / za.z + c.am2 / zb.z - c.am2 / zu.z, 6) AS est_inter,
+      |  round((c.am2 / za.z + c.am2 / zb.z - c.am2 / zu.z) / (c.am2 / zu.z), 6) AS jacc_est
+      |FROM zu CROSS JOIN c
+      |JOIN ex e1 ON zu.s1 = e1.source JOIN ex e2 ON zu.s2 = e2.source
+      |JOIN z1 za ON zu.s1 = za.source JOIN z1 zb ON zu.s2 = zb.source
+      |LEFT JOIN ix ON zu.s1 = ix.s1 AND zu.s2 = ix.s2
+      |ORDER BY zu.s1, zu.s2""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -3375,7 +3553,9 @@ object ExtQueries {
     "x71_sq8_recall" -> x71Sq8Recall,
     "x72_curriculum" -> x72Curriculum,
     "x73_mixture_resample" -> x73MixtureResample,
-    "x74_hll_distinct" -> x74HllDistinct)
+    "x74_hll_distinct" -> x74HllDistinct,
+    "x75_bloom_prefilter" -> x75BloomPrefilter,
+    "x76_source_overlap" -> x76SourceOverlap)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -3451,5 +3631,7 @@ object ExtQueries {
     "x71_sq8_recall" -> x71Sql,
     "x72_curriculum" -> x72Sql,
     "x73_mixture_resample" -> x73Sql,
-    "x74_hll_distinct" -> x74Sql)
+    "x74_hll_distinct" -> x74Sql,
+    "x75_bloom_prefilter" -> x75Sql,
+    "x76_source_overlap" -> x76Sql)
 }

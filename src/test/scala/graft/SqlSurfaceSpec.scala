@@ -187,6 +187,19 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 500.0) / 500.0 < 0.5)
   }
 
+  test("bloom_sketch aggregate is SQL-callable end-to-end") {
+    import spark.implicits._
+    (1 to 300).map(i => s"key$i").toDF("s").createOrReplaceTempView("bloom_keys")
+    // 1024 bits / 4 hashes -> 16 words; popcount grows with inserts but
+    // stays below saturation at n=300 (fill 1-e^(-1200/1024) ~ 69%)
+    val r = spark.sql(
+      """SELECT size(bloom_sketch(s, 1024, 4)) AS words,
+        |  aggregate(bloom_sketch(s, 1024, 4), 0, (acc, w) -> acc + bit_count(w)) AS bits
+        |FROM bloom_keys""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 16)
+    assert(r.getInt(1) > 400 && r.getInt(1) < 1024, s"bits set ${r.getInt(1)}")
+  }
+
   test("extension functions enforce arity and literal parameters") {
     val wrongArity = intercept[Exception] {
       spark.sql("SELECT md5_prefix64('a')").collect()

@@ -162,6 +162,45 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(e1 - n) / n < 0.2, s"HLL estimate $e1 too far from planted $n")
   }
 
+  test("bloom_sketch has zero false negatives, OR-merges, and a bounded FP rate") {
+    import spark.implicits._
+    val mBits = 32768; val k = 3
+    val n = 2000L
+    val inserted = spark.range(n).select(concat(lit("in"), col("id")).as("s"))
+    def words(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(graft.expr.BloomSketchAgg.sketch(col("s"), mBits, k).as("w"))
+        .collect()(0).getSeq[Long](0)
+    val w1 = words(inserted)
+    // duplicates must not flip a single bit, nor may partition layout
+    // (merge is elementwise OR)
+    assert(words(inserted.unionAll(inserted)) == w1)
+    assert(words(inserted.repartition(17)) == w1)
+    // column-side probe: every inserted key tests positive (no false
+    // negatives — including keys landing in sign-bit words), and the
+    // FP rate over disjoint keys stays near (1-e^(-kn/m))^k ~ 2.9%
+    val filt = inserted.agg(
+      graft.expr.BloomSketchAgg.sketch(col("s"), mBits, k).as("w"))
+    val probes = spark.range(3 * n).select(
+      when(col("id") < n, concat(lit("in"), col("id")))
+        .otherwise(concat(lit("out"), col("id"))).as("s"),
+      (col("id") < n).as("planted"))
+    val got = probes.crossJoin(broadcast(filt))
+      .withColumn("pos",
+        graft.expr.BloomSketchAgg.mightContain(col("w"), col("s"), mBits, k))
+      .groupBy("planted").agg(
+        count(lit(1)).as("n"), count(when(col("pos"), 1)).as("npos"))
+      .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(true) == (n, n), s"false negatives: ${got(true)}")
+    val fpRate = got(false)._2.toDouble / got(false)._1
+    assert(fpRate < 0.06, s"FP rate $fpRate out of envelope")
+    // the JVM-side probe agrees with the column-side probe bit for bit
+    val bits = new graft.expr.BloomBits(mBits, k)
+    bits.words.indices.foreach(i => bits.words(i) = w1(i))
+    assert(bits.mightContain(
+      org.apache.spark.unsafe.types.UTF8String.fromString("in7")))
+    assert(bits.bitsSet == w1.map(java.lang.Long.bitCount).sum)
+  }
+
   test("budgetSelect keeps the maximal quality-prefix under the token budget") {
     import spark.implicits._
     // quality order: a (9), b (9, higher id), c (5), d (1)

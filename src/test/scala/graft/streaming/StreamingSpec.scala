@@ -399,6 +399,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming bloom_sketch words equal the batch words (complete mode)") {
+    // merge is elementwise OR, so filters built per microbatch must land
+    // on EXACTLY the batch bit file — the incremental-standing-corpus
+    // story of x75 (yesterday's filter OR today's arrivals)
+    val docs = Tables.documents(spark, sf())
+    val dir = Files.createTempDirectory("bloom_docs").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    def words(df: org.apache.spark.sql.DataFrame) = df
+      .select(md5(col("text")).as("fp"))
+      .agg(graft.expr.BloomSketchAgg.sketch(col("fp"), 32768, 3).as("words"))
+    val streamed = EventWindows.drainToMemory(spark, words(stream), "bloom", OutputMode.Complete)
+    val batch = words(docs)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming as-of enrichment matches batch as-of across microbatch boundaries") {
     val events = Tables.events(spark, sf())
     val orders = Tables.orders(spark, sf())
