@@ -3477,6 +3477,69 @@ object ExtQueries {
       |LEFT JOIN ix ON zu.s1 = ix.s1 AND zu.s2 = ix.s2
       |ORDER BY zu.s1, zu.s2""".stripMargin
 
+  // --- x77: corpus snapshot diff ------------------------------------------------------
+
+  /** Dataset-versioning audit: what changed between two corpus
+    * snapshots? Snapshot A is `doc_id % 4 != 3`, snapshot B is
+    * `doc_id % 4 != 0` with a planted content revision on
+    * `doc_id % 10 == 1` — so every class is populated: docs only in A
+    * (removed), only in B (added), in both with equal content hash
+    * (unchanged), in both with different hashes (changed). One
+    * full-outer equi-join of the two fingerprint relations on `doc_id`,
+    * rolled up per source.
+    *
+    * Scale: each side reduces to (doc_id, source, 128-bit hash) at scan
+    * time — the join ships fingerprints, never text, and shuffles on
+    * the uniform snapshot key. This is the nightly "what did the crawl
+    * change" report: at 100 TB you run it hash-to-hash between
+    * yesterday's and today's fingerprint tables without touching
+    * either corpus body.
+    */
+  val x77SnapshotDiff: Q = (spark, sfDir) => {
+    val docs = Tables.documents(spark, sfDir)
+    val a = docs.filter(col("doc_id") % 4 =!= 3)
+      .select(col("doc_id"), col("source").as("src_a"), md5(col("text")).as("fp_a"))
+    val b = docs.filter(col("doc_id") % 4 =!= 0)
+      .select(col("doc_id"), col("source").as("src_b"),
+        when(col("doc_id") % 10 === 1, md5(concat(col("text"), lit(" v2"))))
+          .otherwise(md5(col("text"))).as("fp_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_a"), col("src_b")).as("source"),
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") === col("fp_b"), "unchanged")
+          .otherwise("changed").as("status"))
+      .groupBy("source").agg(
+        count(when(col("status") === "added", 1)).as("n_added"),
+        count(when(col("status") === "removed", 1)).as("n_removed"),
+        count(when(col("status") === "changed", 1)).as("n_changed"),
+        count(when(col("status") === "unchanged", 1)).as("n_unchanged"))
+      .orderBy("source")
+  }
+
+  private val x77Sql =
+    """WITH a AS (
+      |  SELECT doc_id, source AS src_a, md5(text) AS fp_a
+      |  FROM documents WHERE doc_id % 4 != 3
+      |), b AS (
+      |  SELECT doc_id, source AS src_b,
+      |    CASE WHEN doc_id % 10 = 1 THEN md5(text || ' v2') ELSE md5(text) END AS fp_b
+      |  FROM documents WHERE doc_id % 4 != 0
+      |), cls AS (
+      |  SELECT coalesce(a.src_a, b.src_b) AS source,
+      |    CASE WHEN a.fp_a IS NULL THEN 'added'
+      |         WHEN b.fp_b IS NULL THEN 'removed'
+      |         WHEN a.fp_a = b.fp_b THEN 'unchanged'
+      |         ELSE 'changed' END AS status
+      |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+      |)
+      |SELECT source,
+      |  count(*) FILTER (WHERE status = 'added') AS n_added,
+      |  count(*) FILTER (WHERE status = 'removed') AS n_removed,
+      |  count(*) FILTER (WHERE status = 'changed') AS n_changed,
+      |  count(*) FILTER (WHERE status = 'unchanged') AS n_unchanged
+      |FROM cls GROUP BY source ORDER BY source""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -3555,7 +3618,8 @@ object ExtQueries {
     "x73_mixture_resample" -> x73MixtureResample,
     "x74_hll_distinct" -> x74HllDistinct,
     "x75_bloom_prefilter" -> x75BloomPrefilter,
-    "x76_source_overlap" -> x76SourceOverlap)
+    "x76_source_overlap" -> x76SourceOverlap,
+    "x77_snapshot_diff" -> x77SnapshotDiff)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -3633,5 +3697,6 @@ object ExtQueries {
     "x73_mixture_resample" -> x73Sql,
     "x74_hll_distinct" -> x74Sql,
     "x75_bloom_prefilter" -> x75Sql,
-    "x76_source_overlap" -> x76Sql)
+    "x76_source_overlap" -> x76Sql,
+    "x77_snapshot_diff" -> x77Sql)
 }
