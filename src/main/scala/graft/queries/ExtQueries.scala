@@ -3540,6 +3540,94 @@ object ExtQueries {
       |  count(*) FILTER (WHERE status = 'unchanged') AS n_unchanged
       |FROM cls GROUP BY source ORDER BY source""".stripMargin
 
+  // --- x78: one-pass table profile ----------------------------------------------------
+
+  /** The ANALYZE/data-quality operator: per-column profile of a table in
+    * ONE scan — non-null count, null count, exact distinct count, the
+    * HLL estimate of the same, and min/max (native-type ordering,
+    * rendered as strings) — unpivoted to a row per column. The exact
+    * and sketched distinct columns sit side by side on purpose: at
+    * 100 TB the exact one is the expand-and-reshuffle you delete, the
+    * register file is what ships (fixed 256 ints per column per
+    * partition), and the profile shows per column how much the swap
+    * costs in accuracy — including the raw-HLL low-cardinality bias on
+    * tiny columns (`lang`: 5 exact vs ~186 estimated; the deliberate
+    * no-linear-counting portability tradeoff documented on
+    * [[graft.expr.HllSketchAgg]], negligible once n ≳ 2.5·m).
+    * Everything else (counts, min/max) is map-side partial aggregation
+    * on the scan.
+    */
+  val x78TableProfile: Q = (spark, sfDir) => {
+    val docs = Tables.documents(spark, sfDir)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val est = (c: String) => graft.expr.HllSketchAgg.estimate(
+      graft.expr.HllSketchAgg.sketch(col(c).cast("string")))
+    val aggs = count(lit(1)).as("n_total") +: cols.flatMap { c => Seq(
+      count(col(c)).as(s"n_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      round(est(c), 6).as(s"est_$c"),
+      min(col(c)).cast("string").as(s"min_$c"),
+      max(col(c)).cast("string").as(s"max_$c"))
+    }
+    docs.agg(aggs.head, aggs.tail: _*)
+      .select(expr("stack(5, " + cols.map(c =>
+          s"'$c', n_total, n_$c, nd_$c, est_$c, min_$c, max_$c").mkString(", ") +
+        ") AS (col_name, n_total, n_nonnull, n_distinct, hll_est, min_s, max_s)"))
+      .select(col("col_name"), col("n_nonnull"),
+        (col("n_total") - col("n_nonnull")).as("n_null"),
+        col("n_distinct"), col("hll_est"), col("min_s"), col("max_s"))
+      .orderBy("col_name")
+  }
+
+  private val x78Sql =
+    """WITH ex AS (
+      |  SELECT count(*) AS n_total,
+      |    count(doc_id) AS n_doc_id, count(DISTINCT doc_id) AS nd_doc_id,
+      |    CAST(min(doc_id) AS VARCHAR) AS min_doc_id, CAST(max(doc_id) AS VARCHAR) AS max_doc_id,
+      |    count(text) AS n_text, count(DISTINCT text) AS nd_text,
+      |    CAST(min(text) AS VARCHAR) AS min_text, CAST(max(text) AS VARCHAR) AS max_text,
+      |    count(lang) AS n_lang, count(DISTINCT lang) AS nd_lang,
+      |    CAST(min(lang) AS VARCHAR) AS min_lang, CAST(max(lang) AS VARCHAR) AS max_lang,
+      |    count(source) AS n_source, count(DISTINCT source) AS nd_source,
+      |    CAST(min(source) AS VARCHAR) AS min_source, CAST(max(source) AS VARCHAR) AS max_source,
+      |    count(n_chars) AS n_n_chars, count(DISTINCT n_chars) AS nd_n_chars,
+      |    CAST(min(n_chars) AS VARCHAR) AS min_n_chars, CAST(max(n_chars) AS VARCHAR) AS max_n_chars
+      |  FROM documents
+      |), vals AS (
+      |  SELECT 'doc_id' AS c, CAST(doc_id AS VARCHAR) AS v FROM documents WHERE doc_id IS NOT NULL
+      |  UNION ALL SELECT 'text', text FROM documents WHERE text IS NOT NULL
+      |  UNION ALL SELECT 'lang', lang FROM documents WHERE lang IS NOT NULL
+      |  UNION ALL SELECT 'source', source FROM documents WHERE source IS NOT NULL
+      |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents WHERE n_chars IS NOT NULL
+      |), h AS (
+      |  SELECT c, ('0x' || substr(md5(v),1,15))::BIGINT AS h FROM vals
+      |), r AS (
+      |  SELECT c, h // 4503599627370496 AS j,
+      |    CASE WHEN h % 4503599627370496 = 0 THEN 53
+      |         ELSE 52 - (length(format('{:b}', h % 4503599627370496)) - 1) END AS rho
+      |  FROM h
+      |), m AS (
+      |  SELECT c, j, max(rho) AS mj FROM r GROUP BY c, j
+      |), grid AS (
+      |  SELECT c, unnest(range(0, 256)) AS j FROM (SELECT DISTINCT c FROM vals)
+      |), regs AS (
+      |  SELECT g.c, g.j, coalesce(m.mj, 0) AS mj
+      |  FROM grid g LEFT JOIN m ON g.c = m.c AND g.j = m.j
+      |), z AS (
+      |  SELECT c, round((0.7213/(1 + 1.079/256)) * 65536 / sum(power(2.0, -mj)), 6) AS hll_est
+      |  FROM regs GROUP BY c
+      |), u AS (
+      |  SELECT 'doc_id' AS col_name, n_doc_id AS n_nonnull, n_total - n_doc_id AS n_null,
+      |    nd_doc_id AS n_distinct, min_doc_id AS min_s, max_doc_id AS max_s FROM ex
+      |  UNION ALL SELECT 'text', n_text, n_total - n_text, nd_text, min_text, max_text FROM ex
+      |  UNION ALL SELECT 'lang', n_lang, n_total - n_lang, nd_lang, min_lang, max_lang FROM ex
+      |  UNION ALL SELECT 'source', n_source, n_total - n_source, nd_source, min_source, max_source FROM ex
+      |  UNION ALL SELECT 'n_chars', n_n_chars, n_total - n_n_chars, nd_n_chars, min_n_chars, max_n_chars FROM ex
+      |)
+      |SELECT u.col_name, u.n_nonnull, u.n_null, u.n_distinct, z.hll_est, u.min_s, u.max_s
+      |FROM u JOIN z ON u.col_name = z.c
+      |ORDER BY col_name""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -3619,7 +3707,8 @@ object ExtQueries {
     "x74_hll_distinct" -> x74HllDistinct,
     "x75_bloom_prefilter" -> x75BloomPrefilter,
     "x76_source_overlap" -> x76SourceOverlap,
-    "x77_snapshot_diff" -> x77SnapshotDiff)
+    "x77_snapshot_diff" -> x77SnapshotDiff,
+    "x78_table_profile" -> x78TableProfile)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -3698,5 +3787,6 @@ object ExtQueries {
     "x74_hll_distinct" -> x74Sql,
     "x75_bloom_prefilter" -> x75Sql,
     "x76_source_overlap" -> x76Sql,
-    "x77_snapshot_diff" -> x77Sql)
+    "x77_snapshot_diff" -> x77Sql,
+    "x78_table_profile" -> x78Sql)
 }
