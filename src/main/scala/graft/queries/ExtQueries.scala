@@ -3628,6 +3628,73 @@ object ExtQueries {
       |FROM u JOIN z ON u.col_name = z.c
       |ORDER BY col_name""".stripMargin
 
+  // --- x79: embedding outlier scoring (far-from-centroid curation) --------------------
+
+  /** The inverse of near-dup removal: embedding-space NOISE removal.
+    * Per label, the exact integer centroid of the micro-unit vectors
+    * (`floor(x·10⁶)` per dim, summed exactly in BIGINT, truncating-div
+    * mean — Spark `div` and DuckDB `//` both truncate toward zero, so
+    * the centroid is bit-identical even on negative sums); per vector,
+    * the exact squared integer distance to its label centroid; per
+    * label, the 3 farthest vectors (rank with vec_id tie-break) with
+    * the label's mean distance for context. These are the mislabeled /
+    * corrupted / off-distribution candidates a curation pass reviews
+    * first.
+    *
+    * Scale: posexplode → (label, dim) partial sums — a 640-row centroid
+    * relation broadcast back onto the exploded scan; per-vector
+    * distances reduce on the uniform vec_id key; the final top-3 window
+    * is partitioned by label and rank-limited (WindowGroupLimit). No
+    * all-pairs anything: one corpus pass, two bounded shuffles.
+    */
+  val x79EmbeddingOutliers: Q = (spark, sfDir) => {
+    val emb = Tables.embeddings(spark, sfDir)
+    val ex = emb.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        floor(col("x").cast("double") * 1000000d).cast("long").as("vi"))
+    val cent = ex.groupBy("label", "dim")
+      .agg(expr("sum(vi) div count(1)").as("c"))
+    val dist = ex.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum((col("vi") - col("c")) * (col("vi") - col("c"))).as("dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(col("dist").desc, col("vec_id"))
+    val lbl = dist.groupBy("label").agg(
+      count(lit(1)).as("n_label"), expr("sum(dist) div count(1)").as("mean_dist"))
+    dist.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .join(broadcast(lbl), "label")
+      .select(col("label"), col("rk"), col("vec_id"), col("dist"),
+        col("n_label"), col("mean_dist"))
+      .orderBy("label", "rk")
+  }
+
+  private val x79Sql =
+    """WITH ex AS (
+      |  SELECT vec_id, label, i - 1 AS dim,
+      |    CAST(floor(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS vi
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+      |), cent AS (
+      |  SELECT label, dim, CAST(sum(vi) AS BIGINT) // count(*) AS c
+      |  FROM ex GROUP BY label, dim
+      |), dist AS (
+      |  SELECT e.vec_id, e.label,
+      |    CAST(sum((e.vi - c.c) * (e.vi - c.c)) AS BIGINT) AS dist
+      |  FROM ex e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+      |  GROUP BY e.vec_id, e.label
+      |), lbl AS (
+      |  SELECT label, count(*) AS n_label,
+      |    CAST(sum(dist) AS BIGINT) // count(*) AS mean_dist
+      |  FROM dist GROUP BY label
+      |), rk AS (
+      |  SELECT vec_id, label, dist,
+      |    row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rk
+      |  FROM dist
+      |)
+      |SELECT r.label, r.rk, r.vec_id, r.dist, l.n_label, l.mean_dist
+      |FROM rk r JOIN lbl l ON r.label = l.label
+      |WHERE r.rk <= 3 ORDER BY r.label, r.rk""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -3708,7 +3775,8 @@ object ExtQueries {
     "x75_bloom_prefilter" -> x75BloomPrefilter,
     "x76_source_overlap" -> x76SourceOverlap,
     "x77_snapshot_diff" -> x77SnapshotDiff,
-    "x78_table_profile" -> x78TableProfile)
+    "x78_table_profile" -> x78TableProfile,
+    "x79_embedding_outliers" -> x79EmbeddingOutliers)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -3788,5 +3856,6 @@ object ExtQueries {
     "x75_bloom_prefilter" -> x75Sql,
     "x76_source_overlap" -> x76Sql,
     "x77_snapshot_diff" -> x77Sql,
-    "x78_table_profile" -> x78Sql)
+    "x78_table_profile" -> x78Sql,
+    "x79_embedding_outliers" -> x79Sql)
 }
