@@ -3695,6 +3695,80 @@ object ExtQueries {
       |FROM rk r JOIN lbl l ON r.label = l.label
       |WHERE r.rk <= 3 ORDER BY r.label, r.rk""".stripMargin
 
+  // --- x80: embedding-space decontamination vs a held-out eval set --------------------
+
+  /** x25's decontamination in EMBEDDING space: n-gram overlap misses
+    * paraphrases, so the second pass every eval-integrity audit runs is
+    * nearest-eval-distance. The held-out set (`vec_id % 20 == 0`) is
+    * broadcast — eval benchmarks are O(10⁴) rows by construction, the
+    * one side of this join that never grows with the corpus (if it
+    * did, the LSH-bucketed join of x7 is the fallback shape) — and
+    * every training vector reports its nearest eval neighbor by exact
+    * integer squared L2 on micro-units (`floor(x·10⁶)`, BIGINT sums —
+    * bit-identical across engines), plus a `contaminated` flag at the
+    * 10¹⁰ micro-unit² threshold (≈ 0.01 L2² in float space, far below
+    * the ~1.5·10¹² background of unrelated pairs). The synthetic corpus
+    * contains no natural cross-split dups (measured max cosine ~0.5),
+    * so the leak is PLANTED the way x63 plants re-crawls: every third
+    * eval vector re-enters the training side as a 0.1%-scaled copy
+    * (`vec_id + 10⁷`) — the flag must catch exactly that set, keeping
+    * the tripwire non-vacuous at every SF (the x5-r4 lesson).
+    *
+    * Scale: one broadcast-nested-loop pass over the corpus, no shuffle
+    * of the big side at all; the per-row work is 64 multiply-adds per
+    * eval vector inside a single projection.
+    */
+  val x80EvalDecontam: Q = (spark, sfDir) => {
+    val mU = (c: org.apache.spark.sql.Column) => transform(c, x =>
+      floor(x.cast("double") * 1000000d).cast("long"))
+    val emb = Tables.embeddings(spark, sfDir)
+    val ev = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("eval_id"), mU(col("embedding")).as("evec"))
+    val leaked = emb.filter(col("vec_id") % 60 === 0)
+      .select((col("vec_id") + 10000000L).as("vec_id"),
+        transform(col("embedding"), x =>
+          floor(x.cast("double") * 1.001d * 1000000d).cast("long")).as("tvec"))
+    val tr = emb.filter(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id"), mU(col("embedding")).as("tvec"))
+      .unionAll(leaked)
+    tr.crossJoin(broadcast(ev))
+      .select(col("vec_id"), col("eval_id"),
+        aggregate(zip_with(col("tvec"), col("evec"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, d) => acc + d).as("dist"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("eval_id"))).as("b"))
+      .select(col("vec_id"), col("b.eval_id").as("nearest_eval"),
+        col("b.dist").as("min_dist"),
+        (col("b.dist") < 10000000000L).as("contaminated"))
+      .orderBy("vec_id")
+  }
+
+  private val x80Sql =
+    """WITH ev AS (
+      |  SELECT vec_id AS eval_id, embedding AS evec FROM embeddings WHERE vec_id % 20 = 0
+      |), tr AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS tvec
+      |  FROM embeddings WHERE vec_id % 20 != 0
+      |  UNION ALL
+      |  SELECT vec_id + 10000000,
+      |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1.001 * 1000000) AS BIGINT))
+      |  FROM embeddings WHERE vec_id % 60 = 0
+      |), pairs AS (
+      |  SELECT t.vec_id, e.eval_id,
+      |    CAST(list_sum(list_transform(range(1, 1 + length(t.tvec)), i ->
+      |      (t.tvec[i] - CAST(floor(e.evec[i]::DOUBLE * 1000000) AS BIGINT))
+      |      * (t.tvec[i] - CAST(floor(e.evec[i]::DOUBLE * 1000000) AS BIGINT)))) AS BIGINT) AS dist
+      |  FROM tr t CROSS JOIN ev e
+      |), best AS (
+      |  SELECT vec_id, eval_id, dist,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, eval_id) AS rk
+      |  FROM pairs
+      |)
+      |SELECT vec_id, eval_id AS nearest_eval, dist AS min_dist,
+      |  dist < 10000000000 AS contaminated
+      |FROM best WHERE rk = 1 ORDER BY vec_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -3776,7 +3850,8 @@ object ExtQueries {
     "x76_source_overlap" -> x76SourceOverlap,
     "x77_snapshot_diff" -> x77SnapshotDiff,
     "x78_table_profile" -> x78TableProfile,
-    "x79_embedding_outliers" -> x79EmbeddingOutliers)
+    "x79_embedding_outliers" -> x79EmbeddingOutliers,
+    "x80_eval_decontam" -> x80EvalDecontam)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -3857,5 +3932,6 @@ object ExtQueries {
     "x76_source_overlap" -> x76Sql,
     "x77_snapshot_diff" -> x77Sql,
     "x78_table_profile" -> x78Sql,
-    "x79_embedding_outliers" -> x79Sql)
+    "x79_embedding_outliers" -> x79Sql,
+    "x80_eval_decontam" -> x80Sql)
 }
