@@ -3769,6 +3769,50 @@ object ExtQueries {
       |  dist < 10000000000 AS contaminated
       |FROM best WHERE rk = 1 ORDER BY vec_id""".stripMargin
 
+  // --- x81: dedup report (cluster-size histogram) -------------------------------------
+
+  /** The summary every dedup pass prints before anyone trusts it: the
+    * near-dup cluster-size histogram. Per cluster size: how many
+    * clusters, how many documents they cover, and how many documents a
+    * keep-one policy drops — plus the size-1 row for the untouched
+    * remainder of the corpus. One glance answers "is dedup removing 3%
+    * or 30%, and is the mass in pairs or in one giant mega-cluster?"
+    * (a mega-cluster row at the bottom of this table is how boilerplate
+    * contamination is usually discovered).
+    *
+    * Scale: rides the shared near-dup pair intermediate and the CC
+    * clusters; the histogram itself is two bounded-key groupBys on
+    * top, and the two singleton-count scalars join by broadcast.
+    */
+  val x81DedupReport: Q = (spark, sfDir) => {
+    val clusters = Dedup.dedupClusters(
+      nearDupPairs(spark, sfDir).filter(col("jaccard") >= 0.6))
+    val hist = clusters.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+      .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+    val totals = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_total"))
+      .crossJoin(broadcast(clusters.agg(count(lit(1)).as("n_clustered"))))
+    val singles = totals.select(lit(1L).as("csize"),
+      (col("n_total") - col("n_clustered")).as("n_clusters"))
+    hist.unionAll(singles)
+      .select(col("csize"), col("n_clusters"),
+        (col("csize") * col("n_clusters")).as("n_docs"),
+        ((col("csize") - 1) * col("n_clusters")).as("n_dropped"))
+      .orderBy("csize")
+  }
+
+  private val x81Sql = ccClustersPre +
+    """
+      |, sizes AS (
+      |  SELECT cluster_id, count(*) AS csize FROM cl GROUP BY cluster_id
+      |), hist AS (
+      |  SELECT csize, count(*) AS n_clusters FROM sizes GROUP BY csize
+      |  UNION ALL
+      |  SELECT 1, (SELECT count(*) FROM documents) - (SELECT count(*) FROM cl)
+      |)
+      |SELECT csize, n_clusters, csize * n_clusters AS n_docs,
+      |  (csize - 1) * n_clusters AS n_dropped
+      |FROM hist ORDER BY csize""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -3851,7 +3895,8 @@ object ExtQueries {
     "x77_snapshot_diff" -> x77SnapshotDiff,
     "x78_table_profile" -> x78TableProfile,
     "x79_embedding_outliers" -> x79EmbeddingOutliers,
-    "x80_eval_decontam" -> x80EvalDecontam)
+    "x80_eval_decontam" -> x80EvalDecontam,
+    "x81_dedup_report" -> x81DedupReport)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -3933,5 +3978,6 @@ object ExtQueries {
     "x77_snapshot_diff" -> x77Sql,
     "x78_table_profile" -> x78Sql,
     "x79_embedding_outliers" -> x79Sql,
-    "x80_eval_decontam" -> x80Sql)
+    "x80_eval_decontam" -> x80Sql,
+    "x81_dedup_report" -> x81Sql)
 }
