@@ -358,6 +358,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(exprs(3), "curriculum_interleave nBuckets"))
           .queryExecution.analyzed
       }))
+    // profiling + snapshot audit as table functions: the one-scan
+    // ANALYZE and the crawl-delta classifier from pure SQL
+    e.injectTableFunction((
+      new FunctionIdentifier("table_profile"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, "table_profile",
+        "table_profile(table) - table function: one-scan per-column profile of a " +
+          "catalog table/view; returns (col_name, n_nonnull, n_null, n_distinct, " +
+          "hll_est, min_s, max_s). Argument a string literal.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 1, "table_profile takes (table)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ext.Profile.tableProfile(
+          spark.table(strLit(exprs(0), "table_profile table")))
+          .queryExecution.analyzed
+      }))
+    e.injectTableFunction((
+      new FunctionIdentifier("snapshot_diff"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, "snapshot_diff",
+        "snapshot_diff(a, b, idCol) - table function: classify every id across " +
+          "two same-schema catalog tables/views as added / removed / changed / " +
+          "unchanged by row-fingerprint comparison. All arguments string literals.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 3, "snapshot_diff takes (a, b, idCol)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ext.Profile.snapshotDiff(
+          spark.table(strLit(exprs(0), "snapshot_diff a")),
+          spark.table(strLit(exprs(1), "snapshot_diff b")),
+          strLit(exprs(2), "snapshot_diff idCol"))
+          .queryExecution.analyzed
+      }))
     e.injectTableFunction((
       new FunctionIdentifier("sq8_stats"),
       new ExpressionInfo(classOf[GraftExtensions].getName, null, "sq8_stats",

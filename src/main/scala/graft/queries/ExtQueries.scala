@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Bmp, BmpDecoder, BmpOps, Dedup, Graph, Multimodal, Quantize, Sampling, Similarity, TextAnalytics, Wav, WavDecoder}
+import graft.ext.{Bmp, BmpDecoder, BmpOps, Dedup, Graph, Multimodal, Profile, Quantize, Sampling, Similarity, TextAnalytics, Wav, WavDecoder}
 import graft.model.Tables
 
 /** North-star extension queries (BASELINE.json): dedup family,
@@ -3557,27 +3557,8 @@ object ExtQueries {
     * Everything else (counts, min/max) is map-side partial aggregation
     * on the scan.
     */
-  val x78TableProfile: Q = (spark, sfDir) => {
-    val docs = Tables.documents(spark, sfDir)
-    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
-    val est = (c: String) => graft.expr.HllSketchAgg.estimate(
-      graft.expr.HllSketchAgg.sketch(col(c).cast("string")))
-    val aggs = count(lit(1)).as("n_total") +: cols.flatMap { c => Seq(
-      count(col(c)).as(s"n_$c"),
-      countDistinct(col(c)).as(s"nd_$c"),
-      round(est(c), 6).as(s"est_$c"),
-      min(col(c)).cast("string").as(s"min_$c"),
-      max(col(c)).cast("string").as(s"max_$c"))
-    }
-    docs.agg(aggs.head, aggs.tail: _*)
-      .select(expr("stack(5, " + cols.map(c =>
-          s"'$c', n_total, n_$c, nd_$c, est_$c, min_$c, max_$c").mkString(", ") +
-        ") AS (col_name, n_total, n_nonnull, n_distinct, hll_est, min_s, max_s)"))
-      .select(col("col_name"), col("n_nonnull"),
-        (col("n_total") - col("n_nonnull")).as("n_null"),
-        col("n_distinct"), col("hll_est"), col("min_s"), col("max_s"))
-      .orderBy("col_name")
-  }
+  val x78TableProfile: Q = (spark, sfDir) =>
+    Profile.tableProfile(Tables.documents(spark, sfDir))
 
   private val x78Sql =
     """WITH ex AS (

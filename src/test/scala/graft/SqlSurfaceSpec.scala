@@ -187,6 +187,36 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 500.0) / 500.0 < 0.5)
   }
 
+  test("table_profile and snapshot_diff table functions work from pure SQL") {
+    import spark.implicits._
+    Seq((1L, Some("a"), 10L), (2L, Some("a"), 20L), (3L, None, 20L))
+      .toDF("id", "s", "v").createOrReplaceTempView("tp_t")
+    val prof = spark.sql(
+      """SELECT col_name, n_nonnull, n_null, n_distinct, min_s, max_s
+        |FROM table_profile('tp_t') ORDER BY col_name""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    assert(prof.toSeq == Seq(
+      ("id", 3L, 0L, 3L, "1", "3"),
+      ("s", 2L, 1L, 1L, "a", "a"),
+      ("v", 3L, 0L, 2L, "10", "20")))
+    Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "body")
+      .createOrReplaceTempView("snap_a")
+    Seq((2L, "y"), (3L, "Z"), (4L, "w")).toDF("id", "body")
+      .createOrReplaceTempView("snap_b")
+    val diff = spark.sql(
+      "SELECT id, status FROM snapshot_diff('snap_a', 'snap_b', 'id') ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(diff.toSeq == Seq(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    // schema mismatch is an analysis-time error, not silent garbage
+    Seq((1L, 2L)).toDF("id", "other").createOrReplaceTempView("snap_c")
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM snapshot_diff('snap_a', 'snap_c', 'id')").collect()
+    }
+    assert(err.getMessage.contains("schemas differ"))
+  }
+
   test("bloom_sketch aggregate is SQL-callable end-to-end") {
     import spark.implicits._
     (1 to 300).map(i => s"key$i").toDF("s").createOrReplaceTempView("bloom_keys")
