@@ -3794,6 +3794,63 @@ object ExtQueries {
       |  (csize - 1) * n_clusters AS n_dropped
       |FROM hist ORDER BY csize""".stripMargin
 
+  // --- x82: pre-delete curation audit (quality tier x dup status) ---------------------
+
+  /** The table a pipeline owner reads BEFORE approving a corpus delete:
+    * the contingency of quality tier (integer type-token ratio in ppm,
+    * fixed cuts at 600k/400k) against near-dup status (member of an
+    * x17 cluster vs unique), with document count and token mass per
+    * cell. It answers the question that decides dedup policy: is the
+    * duplicated mass concentrated in low-quality tiers (delete with
+    * confidence) or is it eating high-quality content (tighten the
+    * threshold first)?
+    *
+    * Scale: tiering is scan-side arithmetic; the dup marker is one
+    * equi-join against the CC cluster relation; the rollup is a
+    * 6-cell groupBy. Rides the shared near-dup intermediate.
+    */
+  val x82CurationAudit: Q = (spark, sfDir) => {
+    val clustered = Dedup.dedupClusters(
+      nearDupPairs(spark, sfDir).filter(col("jaccard") >= 0.6))
+      .select(col("doc_id"), lit(true).as("in_cluster"))
+    val t = Dedup.tokens(col("text"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(t).as("n_tokens"),
+        size(array_distinct(t)).as("n_distinct"))
+      .withColumn("ttr_ppm", expr("(n_distinct * 1000000) div n_tokens"))
+      .withColumn("tier",
+        when(col("ttr_ppm") >= 600000, "high")
+          .when(col("ttr_ppm") >= 400000, "mid").otherwise("low"))
+      .join(clustered, Seq("doc_id"), "left")
+      .withColumn("dup_status",
+        when(col("in_cluster"), "clustered").otherwise("unique"))
+      .groupBy("tier", "dup_status")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_mass"))
+      .orderBy("tier", "dup_status")
+  }
+
+  private val x82Sql = ccClustersPre +
+    """
+      |, q AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), tq AS (
+      |  SELECT doc_id, length(tk) AS n_tokens,
+      |    (length(list_distinct(tk)) * 1000000) // length(tk) AS ttr_ppm
+      |  FROM q
+      |), tier AS (
+      |  SELECT doc_id, n_tokens,
+      |    CASE WHEN ttr_ppm >= 600000 THEN 'high'
+      |         WHEN ttr_ppm >= 400000 THEN 'mid' ELSE 'low' END AS tier
+      |  FROM tq
+      |), st AS (
+      |  SELECT t.tier, t.n_tokens,
+      |    CASE WHEN c.doc_id IS NULL THEN 'unique' ELSE 'clustered' END AS dup_status
+      |  FROM tier t LEFT JOIN cl c ON t.doc_id = c.doc_id
+      |)
+      |SELECT tier, dup_status, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS tok_mass
+      |FROM st GROUP BY tier, dup_status ORDER BY tier, dup_status""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -3877,7 +3934,8 @@ object ExtQueries {
     "x78_table_profile" -> x78TableProfile,
     "x79_embedding_outliers" -> x79EmbeddingOutliers,
     "x80_eval_decontam" -> x80EvalDecontam,
-    "x81_dedup_report" -> x81DedupReport)
+    "x81_dedup_report" -> x81DedupReport,
+    "x82_curation_audit" -> x82CurationAudit)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -3960,5 +4018,6 @@ object ExtQueries {
     "x78_table_profile" -> x78Sql,
     "x79_embedding_outliers" -> x79Sql,
     "x80_eval_decontam" -> x80Sql,
-    "x81_dedup_report" -> x81Sql)
+    "x81_dedup_report" -> x81Sql,
+    "x82_curation_audit" -> x82Sql)
 }
