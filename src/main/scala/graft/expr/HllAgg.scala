@@ -116,6 +116,79 @@ case class HllSketchAgg(
   override def prettyName: String = "hll_sketch"
 }
 
+/** `hll_count_distinct(term)`: the register file of [[HllSketchAgg]]
+  * evaluated straight to a LONG estimate (`round(alpha·m²/Σ2^−Mj)`).
+  * Exists for [[ApproxDistinctRule]]: swapping `count(DISTINCT c)` for
+  * this aggregate is type-preserving, so the optimizer rule is a pure
+  * AggregateFunction substitution — no expression-tree surgery above
+  * the aggregate. Same determinism as the register file itself.
+  */
+case class HllCountDistinctAgg(
+    term: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HllRegisters] {
+
+  override def children: Seq[Expression] = Seq(term)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    term.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"hll_count_distinct requires a STRING term, got ${t.sql}")
+    }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): HllRegisters = new HllRegisters
+
+  override def update(buf: HllRegisters, input: InternalRow): HllRegisters = {
+    val t = term.eval(input)
+    if (t != null) buf.add(t.asInstanceOf[UTF8String])
+    buf
+  }
+
+  override def merge(buf: HllRegisters, other: HllRegisters): HllRegisters = {
+    buf.mergeFrom(other)
+    buf
+  }
+
+  override def eval(buf: HllRegisters): Any = {
+    var z = 0.0d
+    var i = 0
+    while (i < buf.regs.length) {
+      z += java.lang.Math.pow(2.0d, -buf.regs(i))
+      i += 1
+    }
+    java.lang.Math.round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0d / z)
+  }
+
+  override def serialize(buf: HllRegisters): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(4 * buf.regs.length)
+    out.asIntBuffer().put(buf.regs)
+    out.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): HllRegisters = {
+    val r = new HllRegisters
+    java.nio.ByteBuffer.wrap(bytes).asIntBuffer().get(r.regs)
+    r
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllCountDistinctAgg =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): HllCountDistinctAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllCountDistinctAgg =
+    copy(term = newChildren(0))
+
+  override def prettyName: String = "hll_count_distinct"
+}
+
 object HllSketchAgg {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}

@@ -107,6 +107,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // tier-(c) optimizer rule: opt-in approx-distinct mode
+    // (spark.graft.approxCountDistinct=true) — see plans/ApproxDistinctRule
+    e.injectOptimizerRule(spark => graft.plans.ApproxDistinctRule(spark))
     inject(e, "md5_prefix64", 2,
       "md5_prefix64(str, digits) - value of the first `digits` hex chars of md5(str); " +
         "digits must be an integer literal in [1, 15]",
