@@ -3851,6 +3851,54 @@ object ExtQueries {
       |  CAST(sum(n_tokens) AS BIGINT) AS tok_mass
       |FROM st GROUP BY tier, dup_status ORDER BY tier, dup_status""".stripMargin
 
+  // --- x83: audio featurization through the real codec --------------------------------
+
+  /** x55 proved the WAV decode/error routing; this row extracts actual
+    * AUDIO FEATURES through it — the featurize step of a multimodal
+    * pipeline. Every document's bytes become an 8-bit PCM WAV (one
+    * sample per character), [[WavDecoder]] windows the samples into
+    * 64-sample frames with a mean-abs-amplitude feature, and each doc
+    * reports frame count, total integer amplitude (the per-frame
+    * feature un-normalized back to its exact integer sum — BIGINT
+    * arithmetic, no float drift), and peak frame amplitude. The oracle
+    * recomputes all three from the characters' ASCII codes: the
+    * decode → window → feature path must agree with pure arithmetic on
+    * the original text, byte for byte.
+    *
+    * Scale: decode is partition-parallel `mapPartitions` (the x39/x55
+    * fault-isolation boundary), featurization is per-frame arithmetic,
+    * and the rollup is one groupBy on the uniform doc key.
+    */
+  val x83AudioFeatures: Q = (spark, sfDir) => {
+    import spark.implicits._
+    val assets = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, Wav.write(t.getBytes("US-ASCII"))) }
+      .toDF("doc_id", "payload")
+    Multimodal.sampleFramesWithErrors(spark, assets, new WavDecoder, every = 64)
+      .toDF()
+      .filter(col("error").isNull)
+      .groupBy(col("docId").as("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(round(col("feature") * 128 * col("nBytes"))).cast("long").as("total_abs"),
+        round(max(col("feature")), 6).as("peak_amp"))
+      .orderBy("doc_id")
+  }
+
+  private val x83Sql =
+    """WITH t AS (
+      |  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0
+      |)
+      |SELECT doc_id,
+      |  CAST(ceil(n / 64.0) AS BIGINT) AS n_frames,
+      |  CAST(list_sum(list_transform(range(1, n + 1),
+      |    i -> abs(ascii(substr(text, CAST(i AS INT), 1)) - 128))) AS BIGINT) AS total_abs,
+      |  list_max(list_transform(range(0, CAST(ceil(n / 64.0) AS BIGINT)), f ->
+      |    round(CAST(list_sum(list_transform(range(64*f + 1, least(64*f + 64, n) + 1),
+      |      i -> abs(ascii(substr(text, CAST(i AS INT), 1)) - 128))) AS DOUBLE)
+      |      / (128.0 * least(64, n - 64*f)), 6))) AS peak_amp
+      |FROM t ORDER BY doc_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -3935,7 +3983,8 @@ object ExtQueries {
     "x79_embedding_outliers" -> x79EmbeddingOutliers,
     "x80_eval_decontam" -> x80EvalDecontam,
     "x81_dedup_report" -> x81DedupReport,
-    "x82_curation_audit" -> x82CurationAudit)
+    "x82_curation_audit" -> x82CurationAudit,
+    "x83_audio_features" -> x83AudioFeatures)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -4019,5 +4068,6 @@ object ExtQueries {
     "x79_embedding_outliers" -> x79Sql,
     "x80_eval_decontam" -> x80Sql,
     "x81_dedup_report" -> x81Sql,
-    "x82_curation_audit" -> x82Sql)
+    "x82_curation_audit" -> x82Sql,
+    "x83_audio_features" -> x83Sql)
 }
