@@ -138,27 +138,41 @@ case class BloomSketchAgg(
 
 object BloomSketchAgg {
   import org.apache.spark.sql.Column
-  import org.apache.spark.sql.functions._
   import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+  import org.apache.spark.sql.catalyst.expressions.{Add, And, BitwiseAnd, Cast,
+    Concat, ElementAt, EqualTo, IntegralDivide, Literal, Remainder, ShiftRight}
+  import org.apache.spark.sql.types.IntegerType
 
   /** Column-level entry: `sketch(col("key"), mBits, k)`. */
   def sketch(term: Column, mBits: Int, k: Int): Column =
     toCol(BloomSketchAgg(toExpr(term), mBits, k).toAggregateExpression())
 
-  private def hashPos(term: Column, i: Int, mBits: Int): Column =
-    toCol(Md5Prefix64(toExpr(concat(term, lit(":" + i))), 15)) % mBits
-
-  /** Membership test against a `words` ARRAY<BIGINT> column (the
-    * aggregate's output, typically broadcast as a 1-row dimension):
-    * true iff all k bit positions of `term` are set. All built-in
-    * expressions — stays inside whole-stage codegen on the probe scan.
+  /** Membership test as a resolved Catalyst expression tree — true iff
+    * all k bit positions of `term` are set in the `words` ARRAY<BIGINT>
+    * (the aggregate's output, typically broadcast as a 1-row
+    * dimension). All built-in expressions — stays inside whole-stage
+    * codegen on the probe scan. Also the body of the SQL function
+    * `bloom_might_contain` (a plain Column composition would reach the
+    * injected-function path unresolved).
     */
-  def mightContain(words: Column, term: Column, mBits: Int, k: Int): Column =
+  def mightContainExpr(words: Expression, term: Expression,
+                       mBits: Int, k: Int): Expression =
     (0 until k).map { i =>
-      val p = hashPos(term, i, mBits)
-      val w = element_at(words, (call_function("div", p, lit(64L))).cast("int") + 1)
+      val p = Remainder(
+        Md5Prefix64(Concat(Seq(term, Literal(":" + i))), 15),
+        Literal(mBits.toLong))
+      val word = ElementAt(words,
+        Add(Cast(IntegralDivide(p, Literal(64L)), IntegerType), Literal(1)))
       // & 1, not % 2: arithmetic >> keeps the sign, so a word with bit 63
       // set shifts to a NEGATIVE odd value and % 2 would yield -1
-      call_function("shiftright", w, (p % 64).cast("int")).bitwiseAND(lit(1L)) === 1
-    }.reduce(_ && _)
+      EqualTo(
+        BitwiseAnd(
+          ShiftRight(word, Cast(Remainder(p, Literal(64L)), IntegerType)),
+          Literal(1L)),
+        Literal(1L))
+    }.reduceLeft[Expression]((a, b) => And(a, b))
+
+  /** Column-level probe: `mightContain(col("words"), col("key"), m, k)`. */
+  def mightContain(words: Column, term: Column, mBits: Int, k: Int): Column =
+    toCol(mightContainExpr(toExpr(words), toExpr(term), mBits, k))
 }

@@ -160,6 +160,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "elementwise OR; mBits and k must be integer literals",
       xs => BloomSketchAgg(xs.head, intLit(xs(1), "bloom_sketch mBits"),
         intLit(xs(2), "bloom_sketch k")))
+    inject(e, "bloom_might_contain", 4,
+      "bloom_might_contain(words, term, mBits, k) - membership probe against a " +
+        "bloom_sketch word array built with the same (mBits, k); true iff all k " +
+        "bit positions of term are set. mBits and k must be integer literals",
+      xs => BloomSketchAgg.mightContainExpr(xs.head, xs(1),
+        intLit(xs(2), "bloom_might_contain mBits"),
+        intLit(xs(3), "bloom_might_contain k")))
 
     // table-valued surface for the native as-of join: the planner node
     // (AsOfJoinPlan + AsOfJoinExec, plans/AsOfJoinNative.scala) becomes

@@ -228,6 +228,19 @@ class SqlSurfaceSpec extends SparkSpec {
         |FROM bloom_keys""".stripMargin).collect()(0)
     assert(r.getInt(0) == 16)
     assert(r.getInt(1) > 400 && r.getInt(1) < 1024, s"bits set ${r.getInt(1)}")
+    // build + probe entirely from SQL: inserted keys all positive, a
+    // disjoint key set mostly negative (FP-rate bounded)
+    val probed = spark.sql(
+      """WITH f AS (SELECT bloom_sketch(s, 1024, 4) AS w FROM bloom_keys)
+        |SELECT count(*) FILTER (WHERE bloom_might_contain(w, s, 1024, 4)
+        |                        AND s LIKE 'key%') AS pos_in,
+        |  count(*) FILTER (WHERE bloom_might_contain(w, s, 1024, 4)
+        |                   AND s LIKE 'other%') AS pos_out
+        |FROM (SELECT s FROM bloom_keys
+        |      UNION ALL SELECT concat('other', s) FROM bloom_keys) CROSS JOIN f
+        |""".stripMargin).collect()(0)
+    assert(probed.getLong(0) == 300L, s"false negatives via SQL probe: $probed")
+    assert(probed.getLong(1) < 200L, s"SQL probe FP count out of envelope: $probed")
   }
 
   test("extension functions enforce arity and literal parameters") {
