@@ -465,5 +465,35 @@ object ScaleSmoke {
     require(bln == 2 * nBig, s"bloom probe coverage: $bln/${2 * nBig}")
     println(f"bloom 100x: $nBig%d keys, ${2 * nBig}%d probes in $blt%.1fs, " +
       f"0 false negatives, FP $fpRate%.4f (closed form $closedForm%.4f)")
+
+    // one-scan table profile at 1M rows x 4 columns with planted
+    // cardinalities and nulls: every exact column is checkable, and the
+    // HLL estimates must sit inside the m=256 envelope where the raw
+    // estimator is valid (n >= ~640)
+    val (profRows, prt) = timed {
+      val t = spark.range(nBig).select(
+        concat(lit("u"), col("id")).as("uid"),
+        (col("id") % 1000).cast("string").as("k1000"),
+        when(col("id") % 100 === 0, null)
+          .otherwise((col("id") % 50).cast("string")).as("sparse"),
+        (col("id") % 10).as("d10"))
+      val rows = graft.ext.Profile.tableProfile(t).collect()
+      val m = rows.map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+      require(m("uid") == ((nBig, 0L, nBig, m("uid")._4)) &&
+        math.abs(m("uid")._4 - nBig) / nBig < 0.2,
+        s"uid profile off: ${m("uid")}")
+      require(m("k1000")._3 == 1000L &&
+        math.abs(m("k1000")._4 - 1000) / 1000.0 < 0.2,
+        s"k1000 profile off: ${m("k1000")}")
+      val nNull = (nBig + 99) / 100 // ids 0, 100, ... — id 0 counts too
+      require(m("sparse") == ((nBig - nNull, nNull, 50L, m("sparse")._4)),
+        s"sparse null accounting off: ${m("sparse")}")
+      require(m("d10")._3 == 10L, s"d10 distinct off: ${m("d10")}")
+      rows.length.toLong
+    }
+    require(profRows == 4L, s"expected 4 profile rows, got $profRows")
+    println(f"profile 100x: $nBig%d rows x 4 cols in $prt%.1fs, " +
+      "exact nulls/distincts planted, HLL inside envelope")
   }
 }
