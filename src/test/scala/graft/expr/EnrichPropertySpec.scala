@@ -21,6 +21,32 @@ class EnrichPropertySpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
   }
 
+  test("bloom JVM-side and column-side probes agree on arbitrary unicode terms") {
+    import spark.implicits._
+    val mBits = 2048; val k = 3
+    // unicode-heavy terms: the add() path hashes term.toString UTF-8
+    // bytes, the column probe hashes UTF8String concat bytes — they
+    // must be the same bytes for every codepoint mix
+    val strs: Gen[String] = Gen.listOfN(12,
+      Gen.oneOf(Gen.alphaNumChar.map(_.toString),
+        Gen.oneOf("√", "é", "中", "🙂", "ß", "؀", " ")))
+      .map(_.mkString)
+    val inserted = Gen.listOfN(200, strs).sample.get.distinct
+    val outside = inserted.map(_ + "∉")
+    val filt = inserted.toDF("s")
+      .agg(BloomSketchAgg.sketch(col("s"), mBits, k).as("w"))
+    val got = (inserted ++ outside).toDF("s").crossJoin(broadcast(filt))
+      .select(col("s"), BloomSketchAgg.mightContain(col("w"), col("s"), mBits, k))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val bits = new BloomBits(mBits, k)
+    inserted.foreach(s => bits.add(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+    (inserted ++ outside).foreach { s =>
+      val jvm = bits.mightContain(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      assert(got(s) == jvm, s"probe disagreement on '$s': column=${got(s)} jvm=$jvm")
+    }
+    inserted.foreach(s => assert(got(s), s"false negative on '$s'"))
+  }
+
   test("sanitized titles contain only word chars and underscores") {
     val inputs = Gen.listOfN(60, titles).sample.get
     val re = "^[A-Za-z0-9_]*$".r
