@@ -3641,10 +3641,15 @@ object ExtQueries {
       .agg(sum((col("vi") - col("c")) * (col("vi") - col("c"))).as("dist"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("label").orderBy(col("dist").desc, col("vec_id"))
-    val lbl = dist.groupBy("label").agg(
-      count(lit(1)).as("n_label"), expr("sum(dist) div count(1)").as("mean_dist"))
-    dist.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
-      .join(broadcast(lbl), "label")
+    val wl = org.apache.spark.sql.expressions.Window.partitionBy("label")
+    // label stats as window aggs over the SAME label partition: reusing
+    // dist through a second groupBy+join would duplicate the whole
+    // centroid-join subtree in the static plan
+    dist.withColumn("rk", row_number().over(w))
+      .withColumn("n_label", count(lit(1)).over(wl))
+      .withColumn("mean_dist", expr(
+        "sum(dist) OVER (PARTITION BY label) div count(1) OVER (PARTITION BY label)"))
+      .filter(col("rk") <= 3)
       .select(col("label"), col("rk"), col("vec_id"), col("dist"),
         col("n_label"), col("mean_dist"))
       .orderBy("label", "rk")
