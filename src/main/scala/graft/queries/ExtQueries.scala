@@ -3904,6 +3904,76 @@ object ExtQueries {
       |      / (128.0 * least(64, n - 64*f)), 6))) AS peak_amp
       |FROM t ORDER BY doc_id""".stripMargin
 
+  // --- x84: incremental sketch rollup (mergeability as a declared contract) -----------
+
+  /** The maintenance mode every sketch table runs in production:
+    * yesterday's registers max-merged with today's delta must equal the
+    * registers of a full recompute — otherwise the incremental sketch
+    * table silently drifts. Until now that contract lived only in
+    * ScalaTest (streaming microbatch equivalences); this row declares
+    * it: per source, HLL registers built over the x63 tranche split are
+    * folded back together with an elementwise-max array reduce
+    * (collect_list order cancels — max is commutative) and the row
+    * reports both estimates plus a `registers_equal` flag the oracle
+    * requires TRUE. Exercises the aggregate's update/merge/serialize
+    * path against its own recomputation, hash-checked at every SF.
+    */
+  val x84SketchRollup: Q = (spark, sfDir) => {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        when(col("doc_id") % 5 === 0, 2).otherwise(1).as("tranche"),
+        explode(Dedup.shinglesOf(col("text"), 3)).as("s"))
+    val full = sh.groupBy("source")
+      .agg(graft.expr.HllSketchAgg.sketch(col("s")).as("regs_full"))
+    val merged = sh.groupBy("source", "tranche")
+      .agg(graft.expr.HllSketchAgg.sketch(col("s")).as("regs"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tranches"), collect_list(col("regs")).as("parts"))
+      .select(col("source"), col("n_tranches"),
+        aggregate(col("parts"),
+          array_repeat(lit(0), 256),
+          (acc, x) => zip_with(acc, x, (a, b) => greatest(a, b))).as("regs_merged"))
+    full.join(merged, "source")
+      .select(col("source"), col("n_tranches"),
+        round(graft.expr.HllSketchAgg.estimate(col("regs_full")), 6).as("est_full"),
+        round(graft.expr.HllSketchAgg.estimate(col("regs_merged")), 6).as("est_merged"),
+        (col("regs_full") === col("regs_merged")).as("registers_equal"))
+      .orderBy("source")
+  }
+
+  private val x84Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+      |), sh AS (
+      |  SELECT source, unnest(list_distinct(list_transform(range(1, length(tk)-1),
+      |    i -> array_to_string(list_slice(tk, i, i+2), ' ')))) AS s
+      |  FROM tok WHERE length(tk) >= 3
+      |), h AS (
+      |  SELECT source, ('0x' || substr(md5(s),1,15))::BIGINT AS h FROM sh
+      |), r AS (
+      |  SELECT source, h // 4503599627370496 AS j,
+      |    CASE WHEN h % 4503599627370496 = 0 THEN 53
+      |         ELSE 52 - (length(format('{:b}', h % 4503599627370496)) - 1) END AS rho
+      |  FROM h
+      |), m AS (
+      |  SELECT source, j, max(rho) AS mj FROM r GROUP BY source, j
+      |), grid AS (
+      |  SELECT source, unnest(range(0, 256)) AS j FROM (SELECT DISTINCT source FROM sh)
+      |), regs AS (
+      |  SELECT g.source, g.j, coalesce(m.mj, 0) AS mj
+      |  FROM grid g LEFT JOIN m ON g.source = m.source AND g.j = m.j
+      |), z AS (
+      |  SELECT source, sum(power(2.0, -mj)) AS z FROM regs GROUP BY source
+      |), nt AS (
+      |  SELECT source, count(DISTINCT CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END) AS n_tranches
+      |  FROM tok WHERE length(tk) >= 3 GROUP BY source
+      |)
+      |SELECT n.source, n.n_tranches,
+      |  round((0.7213/(1 + 1.079/256)) * 65536 / z.z, 6) AS est_full,
+      |  round((0.7213/(1 + 1.079/256)) * 65536 / z.z, 6) AS est_merged,
+      |  TRUE AS registers_equal
+      |FROM nt n JOIN z ON n.source = z.source ORDER BY n.source""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -3989,7 +4059,8 @@ object ExtQueries {
     "x80_eval_decontam" -> x80EvalDecontam,
     "x81_dedup_report" -> x81DedupReport,
     "x82_curation_audit" -> x82CurationAudit,
-    "x83_audio_features" -> x83AudioFeatures)
+    "x83_audio_features" -> x83AudioFeatures,
+    "x84_sketch_rollup" -> x84SketchRollup)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -4074,5 +4145,6 @@ object ExtQueries {
     "x80_eval_decontam" -> x80Sql,
     "x81_dedup_report" -> x81Sql,
     "x82_curation_audit" -> x82Sql,
-    "x83_audio_features" -> x83Sql)
+    "x83_audio_features" -> x83Sql,
+    "x84_sketch_rollup" -> x84Sql)
 }
