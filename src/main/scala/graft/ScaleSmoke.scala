@@ -15,7 +15,12 @@ import graft.model.Tables
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
-    val factor = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(20)
+    // default 12 (was 20): candidate pairs grow ~quadratically in the
+    // replica factor (every base near-dup pair fans out factor² replica
+    // pairs), and factor 20's ~52M verified pairs left no headroom in a
+    // single 8g JVM — 12 keeps ~19M pairs, the same scaling evidence,
+    // and a margin that survives co-tenant memory pressure
+    val factor = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(12)
     val only100x = args.contains("100x")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -36,7 +41,11 @@ object ScaleSmoke {
         concat(col("text"), lit(" rep"), col("rep")).as("text"))
     println(s"docs: ${big.count()}")
     val t0 = System.nanoTime()
+    // persist: every downstream count (high-jaccard filter, CC) would
+    // otherwise RE-RUN the 10M+-pair verify join — the recompute, not
+    // the first pass, is what blew the single-JVM heap at factor 20
     val pairs = Dedup.minhashLshPairs(big, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = pairs.count()
     println(f"minhash pairs: $n%d in ${(System.nanoTime()-t0)/1e9}%.1fs")
     val high = pairs.filter(col("jaccard") >= 0.8)
@@ -51,6 +60,7 @@ object ScaleSmoke {
       f"in ${(System.nanoTime() - t1) / 1e9}%.1fs")
     require(distinctClusters > 0 && members > distinctClusters,
       "CC at scale produced no multi-member clusters")
+    pairs.unpersist()
 
     // --- ANN at scale with PLANTED neighbors -------------------------------
     // Each replica scales its source vector by a positive factor: cosine
