@@ -29,13 +29,15 @@ object Bench {
           txt.substring(start + "\"queries\":{".length, txt.indexOf('}', start))
         else txt
       // value must start with a digit/sign so `"sf":"/root/..."` and other
-      // string-valued keys never match; known non-query numeric keys are
-      // dropped (driver wrapper + regression objects carry them).
-      val notQueries = Set("prev", "now", "value", "n", "rc", "cpus", "sf",
-        "compared", "pass1_total", "pass2_total")
+      // string-valued keys never match; keys are ALLOWLISTED to the
+      // current query surface + the two build line items (ADVICE r6:
+      // the old metadata-key denylist let any future numeric wrapper
+      // key silently enter the map and fire phantom regressions).
+      val queryNames = SparkEntry.queries.keySet ++
+        Set("synthlinks_build", "neardup_pairs_build")
       "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(body)
         .map(m => m.group(1) -> m.group(2).toDouble)
-        .filterNot { case (k, _) => notQueries(k) }
+        .filter { case (k, _) => queryNames(k) }
         .toMap
     } catch { case _: Throwable => Map.empty }
   }

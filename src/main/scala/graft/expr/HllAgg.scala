@@ -155,13 +155,28 @@ case class HllCountDistinctAgg(
   }
 
   override def eval(buf: HllRegisters): Any = {
+    // Small-range correction (ADVICE r6): the raw estimator alone maps
+    // an empty register file to ~184 (z = 256 → alpha·m²/256) — a
+    // categorical error for empty/low-cardinality groups, which the
+    // opt-in count(DISTINCT)→HLL rewrite hits on every small group.
+    // Standard HLL linear counting: with V zero registers and raw
+    // estimate ≤ 2.5·m, use m·ln(m/V) — V=m gives exactly 0, V=m−1
+    // gives 1. StrictMath.log is bit-deterministic across JVMs (this
+    // aggregate has no cross-engine oracle; the dyadic-sum estimate
+    // contract of hll_sketch/x74 is a different, unchanged code path).
     var z = 0.0d
+    var zeros = 0
     var i = 0
     while (i < buf.regs.length) {
+      if (buf.regs(i) == 0) zeros += 1
       z += java.lang.Math.pow(2.0d, -buf.regs(i))
       i += 1
     }
-    java.lang.Math.round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0d / z)
+    val m = buf.regs.length.toDouble
+    val raw = 0.7213 / (1.0 + 1.079 / m) * m * m / z
+    if (raw <= 2.5 * m && zeros > 0)
+      java.lang.Math.round(m * java.lang.StrictMath.log(m / zeros))
+    else java.lang.Math.round(raw)
   }
 
   override def serialize(buf: HllRegisters): Array[Byte] = {

@@ -37,16 +37,24 @@ object Graph {
     require(iters >= 1 && scale >= 100, "pageRankInt: need iters >= 1, scale >= 100")
     val e = edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v")).localCheckpoint()
-    val dangling = e.select(col("v").as("node"))
-      .join(e.select(col("u").as("node")), Seq("node"), "left_anti").count()
+    // the static out-degree rides inside the rank relation, so a round
+    // is ONE edges⋈contribs equi-join plus one partial-aggregating sum —
+    // no separate rank⋈degree join per round. The dangling check is
+    // folded INTO the degree aggregation (VERDICT r6 #8: the previous
+    // left_anti + count pre-pass was a full extra shuffle + action):
+    // destinations enter the same groupBy contributing 0, so a node
+    // with no out-edge surfaces as a d = 0 row, counted by `observe`
+    // on the job that materializes deg anyway.
+    val obs = new org.apache.spark.sql.Observation()
+    val deg = e.select(col("u").as("node"), lit(1L).as("dd"))
+      .unionAll(e.select(col("v").as("node"), lit(0L).as("dd")))
+      .groupBy("node").agg(sum("dd").as("d"))
+      .observe(obs, count(when(col("d") === 0L, 1)).as("dangling"))
+      .localCheckpoint()
+    val dangling = obs.get("dangling").asInstanceOf[Long]
     require(dangling == 0L,
       s"pageRankInt: $dangling node(s) have no out-edges — symmetrize the " +
         "edge set (dangling nodes would silently leak rank mass)")
-    // the static out-degree rides inside the rank relation, so a round
-    // is ONE edges⋈contribs equi-join plus one partial-aggregating sum —
-    // no separate rank⋈degree join per round
-    val deg = e.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
-      .localCheckpoint()
     val base = 15L * scale / 100L
     var rank = deg.select(col("node"), col("d"), lit(scale).as("rank"))
       .localCheckpoint()
@@ -97,17 +105,20 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"), col(wCol).cast("long").as("w"))
       .localCheckpoint()
-    val dangling = e.select(col("v").as("node"))
-      .join(e.select(col("u").as("node")), Seq("node"), "left_anti").count()
-    require(dangling == 0L,
-      s"weightedPageRankInt: $dangling node(s) have no out-edges — " +
-        "symmetrize the edge set")
-    val deg = e.groupBy(col("u").as("node")).agg(sum("w").as("wd"))
+    // dangling + zero-weight checks folded into the degree aggregation
+    // (VERDICT r6 #8): destinations contribute weight 0, so a dangling
+    // node is exactly a wd = 0 row and the single observed min covers
+    // both failure modes in the job that materializes deg anyway.
+    val obs = new org.apache.spark.sql.Observation()
+    val deg = e.select(col("u").as("node"), col("w").as("dd"))
+      .unionAll(e.select(col("v").as("node"), lit(0L).as("dd")))
+      .groupBy("node").agg(sum("dd").as("wd"))
+      .observe(obs, min("wd").as("min_wd"))
       .localCheckpoint()
-    val minW = deg.agg(min("wd")).collect()(0).getLong(0)
+    val minW = Option(obs.get("min_wd")).map(_.asInstanceOf[Long]).getOrElse(0L)
     require(minW > 0L,
-      s"weightedPageRankInt: non-positive total out-weight ($minW) — " +
-        "zero-weight nodes would silently hold back rank mass")
+      s"weightedPageRankInt: non-positive total out-weight ($minW) — a " +
+        "dangling or zero-weight node would silently hold back rank mass")
     val base = 15L * scale / 100L
     var rank = deg.select(col("node"), col("wd"), lit(scale).as("rank"))
       .localCheckpoint()
@@ -157,17 +168,23 @@ object Graph {
       "personalizedPageRankInt: need iters >= 1, scale >= 100")
     val e = edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v")).localCheckpoint()
-    val dangling = e.select(col("v").as("node"))
-      .join(e.select(col("u").as("node")), Seq("node"), "left_anti").count()
+    val sd = seeds.select(seeds.columns.head).toDF("node")
+      .select(col("node").cast("long").as("node")).distinct()
+    // dangling check folded into the degree aggregation (VERDICT r6 #8;
+    // see pageRankInt): a node with no out-edge is a d = 0 row of the
+    // same groupBy, observed on the job that materializes deg.
+    val obs = new org.apache.spark.sql.Observation()
+    val deg = e.select(col("u").as("node"), lit(1L).as("dd"))
+      .unionAll(e.select(col("v").as("node"), lit(0L).as("dd")))
+      .groupBy("node").agg(sum("dd").as("d"))
+      .join(sd.select(col("node"), lit(1L).as("seed")), Seq("node"), "left")
+      .select(col("node"), col("d"), coalesce(col("seed"), lit(0L)).as("seed"))
+      .observe(obs, count(when(col("d") === 0L, 1)).as("dangling"))
+      .localCheckpoint()
+    val dangling = obs.get("dangling").asInstanceOf[Long]
     require(dangling == 0L,
       s"personalizedPageRankInt: $dangling node(s) have no out-edges — " +
         "symmetrize the edge set")
-    val sd = seeds.select(seeds.columns.head).toDF("node")
-      .select(col("node").cast("long").as("node")).distinct()
-    val deg = e.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
-      .join(sd.select(col("node"), lit(1L).as("seed")), Seq("node"), "left")
-      .select(col("node"), col("d"), coalesce(col("seed"), lit(0L)).as("seed"))
-      .localCheckpoint()
     val base = 15L * scale / 100L
     var rank = deg.select(col("node"), col("d"), col("seed"),
       (col("seed") * scale).as("rank")).localCheckpoint()

@@ -30,22 +30,28 @@ object Profile {
     cols.foreach { c =>
       require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
         s"tableProfile column name not a plain identifier: $c")
+      // generated aggregate aliases live in the __prof_ namespace, so an
+      // input column there could alias-collide with a generated name
+      // (ADVICE r6: a column literally named 'total' collided with the
+      // old bare n_total alias, miswiring the stack() references)
+      require(!c.startsWith("__prof_"),
+        s"tableProfile column name collides with generated aliases: $c")
       require(!df.schema(c).dataType.isInstanceOf[MapType] &&
         !df.schema(c).dataType.isInstanceOf[StructType],
         s"tableProfile column $c: map/struct columns have no min/max ordering")
     }
     val est = (c: String) => graft.expr.HllSketchAgg.estimate(
       graft.expr.HllSketchAgg.sketch(col(c).cast("string")))
-    val aggs: Seq[Column] = count(lit(1)).as("n_total") +: cols.flatMap { c => Seq(
-      count(col(c)).as(s"n_$c"),
-      countDistinct(col(c)).as(s"nd_$c"),
-      round(est(c), 6).as(s"est_$c"),
-      min(col(c)).cast("string").as(s"min_$c"),
-      max(col(c)).cast("string").as(s"max_$c"))
+    val aggs: Seq[Column] = count(lit(1)).as("__prof_total") +: cols.flatMap { c => Seq(
+      count(col(c)).as(s"__prof_n_$c"),
+      countDistinct(col(c)).as(s"__prof_nd_$c"),
+      round(est(c), 6).as(s"__prof_est_$c"),
+      min(col(c)).cast("string").as(s"__prof_min_$c"),
+      max(col(c)).cast("string").as(s"__prof_max_$c"))
     }
     df.agg(aggs.head, aggs.tail: _*)
       .select(expr(s"stack(${cols.size}, " + cols.map(c =>
-          s"'$c', n_total, `n_$c`, `nd_$c`, `est_$c`, `min_$c`, `max_$c`").mkString(", ") +
+          s"'$c', __prof_total, `__prof_n_$c`, `__prof_nd_$c`, `__prof_est_$c`, `__prof_min_$c`, `__prof_max_$c`").mkString(", ") +
         ") AS (col_name, n_total, n_nonnull, n_distinct, hll_est, min_s, max_s)"))
       .select(col("col_name"), col("n_nonnull"),
         (col("n_total") - col("n_nonnull")).as("n_null"),

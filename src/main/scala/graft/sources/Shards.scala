@@ -33,20 +33,25 @@ object Shards {
 
   /** Writes `df` as `shards` parquet shard directories under `outDir`
     * (`shard=N/…`), each internally sorted by `idCol`. Returns the
-    * row count written (one extra driver-sized action on the input's
-    * agg, not a re-read).
+    * row count actually written, observed on the write job itself — no
+    * second action, so a non-deterministic input (sample, unstable
+    * limit) can never make the returned count disagree with the files
+    * (VERDICT r6 #7: the previous `df.count()` re-ran the full
+    * upstream lineage after the write).
     */
   def writeTrainingShards(df: DataFrame, idCol: String, outDir: String,
                           shards: Int): Long = {
     require(shards >= 1, "writeTrainingShards: shards must be >= 1")
+    val obs = new org.apache.spark.sql.Observation()
     val sharded = df.withColumn("shard", shardOf(col(idCol), shards))
       // repartition BY THE COLUMN VALUE so each output directory is
       // written by as few tasks as possible; sortWithinPartitions puts
       // rows in id order inside each file
       .repartition(shards, col("shard"))
       .sortWithinPartitions(col("shard"), col(idCol))
+      .observe(obs, count(lit(1)).as("n_written"))
     sharded.write.mode("overwrite").partitionBy("shard").parquet(outDir)
-    df.count()
+    obs.get("n_written").asInstanceOf[Long]
   }
 
   /** Reads shards back with the shard id as a column — the loader-side

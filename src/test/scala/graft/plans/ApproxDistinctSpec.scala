@@ -45,6 +45,29 @@ class ApproxDistinctSpec extends SparkSpec {
     }
   }
 
+  test("flag on: small-range groups are exact (linear counting), empty is 0") {
+    withFlag(on = true) {
+      // ADVICE r6: the raw estimator maps an empty register file to
+      // ~184 and a 1-distinct group to ~184 too — linear counting must
+      // return exact small counts instead.
+      val df = spark.range(100).select(
+        (col("id") % 4).as("g"),
+        when(col("id") % 4 === 0, lit(null).cast("string"))     // group 0: all null
+          .when(col("id") % 4 === 1, lit("only"))               // group 1: 1 distinct
+          .when(col("id") % 4 === 2, concat(lit("lo"), col("id") % 20)) // group 2: 5 distinct
+          .otherwise(concat(lit("t"), col("id"))).as("s"))      // group 3: 25 distinct
+      val got = df.groupBy("g").agg(countDistinct(col("s")).as("nd"))
+      assert(got.queryExecution.optimizedPlan.toString.contains("hll_count_distinct"))
+      val m = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(m(0L) == 0L, s"empty group estimated ${m(0L)}")
+      assert(m(1L) == 1L, s"1-distinct group estimated ${m(1L)}")
+      // linear counting is exact-ish but not guaranteed exact; at these
+      // cardinalities vs m=256 it is in practice exact
+      assert(m(2L) == 5L, s"5-distinct group estimated ${m(2L)}")
+      assert(math.abs(m(3L) - 25L) <= 2, s"25-distinct group estimated ${m(3L)}")
+    }
+  }
+
   test("flag on leaves non-string, filtered, and plain counts alone") {
     withFlag(on = true) {
       // non-string distinct: untouched (register hash is defined on strings)
