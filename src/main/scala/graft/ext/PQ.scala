@@ -126,8 +126,14 @@ object PQ {
     */
   def adcTopK(emb: DataFrame, queryPred: Column, topK: Int,
               m: Int = 4, k: Int = 4, iters: Int = 2,
-              subWidth: Int = 16): DataFrame = {
-    val approx = adcScoredPairs(emb, queryPred, m, k, iters, subWidth)
+              subWidth: Int = 16): DataFrame =
+    adcTopKFrom(adcScoredPairs(emb, queryPred, m, k, iters, subWidth), topK)
+
+  /** Top-k from an already-built ADC pair relation (qid, cid_vec,
+    * adist) — public so one persisted scored frame can feed both the
+    * top-k and a candidate count (VERDICT r6 #2).
+    */
+  def adcTopKFrom(approx: DataFrame, topK: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("adist"), col("cid_vec"))
     approx.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
@@ -170,8 +176,18 @@ object PQ {
     */
   def adcRerankTopK(emb: DataFrame, queryPred: Column, candK: Int = 20,
                     topK: Int = 5, m: Int = 4, k: Int = 4, iters: Int = 2,
-                    subWidth: Int = 16): DataFrame = {
-    val cand = adcTopK(emb, queryPred, candK, m, k, iters, subWidth)
+                    subWidth: Int = 16): DataFrame =
+    adcRerankTopKFrom(emb,
+      adcScoredPairs(emb, queryPred, m, k, iters, subWidth),
+      candK, topK, subWidth)
+
+  /** The two-stage search from an already-built stage-1 ADC pair
+    * relation (see [[adcTopKFrom]] for why it's public). The exact
+    * re-rank still reads `emb` — only the shortlist rides it.
+    */
+  def adcRerankTopKFrom(emb: DataFrame, approx: DataFrame, candK: Int = 20,
+                        topK: Int = 5, subWidth: Int = 16): DataFrame = {
+    val cand = adcTopKFrom(approx, candK)
       .select(col("qid"), col("cid"))
     val qe = explodedSub(emb, subWidth)
     val qv = qe.select(col("vec_id").as("qid"), col("i"), col("v").as("qval"))
@@ -196,14 +212,9 @@ object PQ {
     */
   def ivfAdcTopK(emb: DataFrame, queryPred: Column, topK: Int,
                  coarseK: Int = 8, m: Int = 4, k: Int = 4, iters: Int = 2,
-                 subWidth: Int = 16): DataFrame = {
-    val approx = ivfAdcScoredPairs(emb, queryPred, coarseK, m, k, iters, subWidth)
-    val w = Window.partitionBy("qid").orderBy(col("adist"), col("cid_vec"))
-    approx.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("qid"), col("rank"), col("cid_vec").as("cid"), col("adist"))
-      .orderBy("qid", "rank")
-  }
+                 subWidth: Int = 16): DataFrame =
+    adcTopKFrom(
+      ivfAdcScoredPairs(emb, queryPred, coarseK, m, k, iters, subWidth), topK)
 
   /** IVF-PQ's pre-top-k pair relation: same-coarse-cell candidates with
     * their ADC distance (see [[adcScoredPairs]] for why it's public).

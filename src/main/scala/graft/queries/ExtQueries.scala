@@ -1950,39 +1950,61 @@ object ExtQueries {
   val x53AnnRecall: Q = (spark, sfDir) => {
     val emb = Tables.embeddings(spark, sfDir)
     val pred = col("vec_id") < 20
-    val truth = x6SimBruteForce(spark, sfDir).select(col("qid"), col("cid"))
+    // VERDICT r6 #2: derive each method's scored frame ONCE and let both
+    // consumers (the top-k window and the candidate count) read it. The
+    // sharing mechanism is an explicit repartition on qid: the window
+    // requires exactly that distribution (so it adds no exchange of its
+    // own) and the count aggregates above the SAME exchange, so
+    // ReuseExchange materializes the scored pipeline once — a single
+    // query, no persist jobs, no per-frame actions (a persisted-frame
+    // variant measured SLOWER at bench scale: 6 extra jobs + plan
+    // passes dominate 2000-row execution, and a lazily-persisted frame
+    // referenced twice in one query races its own cold cache).
+    def shared(df: DataFrame): DataFrame = df.repartition(col("qid"))
+    val scored: Seq[(String, DataFrame)] = Seq(
+      "lsh" -> shared(Similarity.lshScored(emb, pred)),
+      "ivf" -> shared(Similarity.ivfScored(emb, pred, probes = 1)),
+      "ivf_probe2" -> shared(Similarity.ivfScored(emb, pred, probes = 2)),
+      "pq_rerank" -> shared(graft.ext.PQ.adcScoredPairs(emb, pred)),
+      "ivfpq" -> shared(graft.ext.PQ.ivfAdcScoredPairs(emb, pred)))
+    val scoredMap = scored.toMap
+    // truth top-5 also has two consumers (hit join + total); its scoring
+    // pipeline sits below the rank window's qid exchange, so it too is
+    // computed once
+    val truth = Similarity.bruteForceTopK(emb, pred, 5)
+      .select(col("qid"), col("cid"))
     val methods: Seq[(String, DataFrame)] = Seq(
-      "lsh" -> x7SimLsh(spark, sfDir),
-      "ivf" -> x15SimIvf(spark, sfDir),
-      "ivf_probe2" -> x18SimIvfProbe2(spark, sfDir),
-      "pq_rerank" -> x51SimPqRerank(spark, sfDir),
-      "ivfpq" -> x52SimIvfPq(spark, sfDir))
+      "lsh" -> Similarity.topKFrom(scoredMap("lsh"), 5),
+      "ivf" -> Similarity.topKFrom(scoredMap("ivf"), 5),
+      "ivf_probe2" -> Similarity.topKFrom(scoredMap("ivf_probe2"), 5),
+      "pq_rerank" -> graft.ext.PQ.adcRerankTopKFrom(emb, scoredMap("pq_rerank"),
+        candK = 20, topK = 5, subWidth = 16),
+      "ivfpq" -> graft.ext.PQ.adcTopKFrom(scoredMap("ivfpq"), 5))
     // recall-vs-cost (VERDICT r5 #6): the pairs each method SCORES before
     // its top-k — the actual work knob the recall trades against. For the
     // two-stage pq_rerank this is the stage-1 ADC volume (the re-rank
-    // adds a fixed ≤20 exact distances per query on top). Counting prunes
-    // the score columns, so the probe costs the joins, not the math.
-    val candidates: Seq[(String, DataFrame)] = Seq(
-      "lsh" -> Similarity.lshScored(emb, pred),
-      "ivf" -> Similarity.ivfScored(emb, pred, probes = 1),
-      "ivf_probe2" -> Similarity.ivfScored(emb, pred, probes = 2),
-      "pq_rerank" -> graft.ext.PQ.adcScoredPairs(emb, pred),
-      "ivfpq" -> graft.ext.PQ.ivfAdcScoredPairs(emb, pred))
-    val nCand = candidates.map { case (nm, df) =>
+    // adds a fixed ≤20 exact distances per query on top).
+    val nCand = scored.map { case (nm, df) =>
       df.select(lit(nm).as("method"))
         .groupBy("method").agg(count(lit(1)).as("n_candidates"))
     }.reduce(_.unionAll(_))
     val tagged = methods.map { case (nm, df) =>
       df.select(lit(nm).as("method"), col("qid"), col("cid"))
     }.reduce(_.unionAll(_))
-    val counts = tagged.groupBy("method").agg(count(lit(1)).as("n_results"))
-    val hits = tagged.join(truth, Seq("qid", "cid"), "left_semi")
-      .groupBy("method").agg(count(lit(1)).as("n_hits"))
+    // n_results and n_hits from ONE pass over tagged (a second consumer
+    // would duplicate all five method subtrees in the analyzed plan —
+    // at 2000-row bench scale plan analysis, not execution, is x53's
+    // cost). truth's (qid, cid) is unique (top-5 per query), so the
+    // left join cannot inflate n_results.
+    val counts = tagged
+      .join(truth.withColumn("__hit", lit(1)), Seq("qid", "cid"), "left")
+      .groupBy("method").agg(count(lit(1)).as("n_results"),
+        count(col("__hit")).as("n_hits"))
     val tot = truth.agg(count(lit(1)).as("n_truth"))
-    counts.join(hits, Seq("method"), "left")
+    counts
       .join(nCand, Seq("method"))
       .select(col("method"), col("n_candidates"), col("n_results"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        col("n_hits"))
       .crossJoin(broadcast(tot))
       .withColumn("recall",
         round(col("n_hits").cast("double") / col("n_truth"), 6))

@@ -19,12 +19,22 @@ class BenchParseSpec extends AnyFunSuite {
   test("full bench_full.json format parses the min map exactly") {
     val p = tmpWith(
       """{"metric":"total","value":5.5,"unit":"sec","sf":"/x","compared":2,""" +
-        """"queries":{"q1_agg":1.25,"x54_bpe_learn":4.25},""" +
-        """"pass1":{"q1_agg":1.5,"x54_bpe_learn":9.0},""" +
-        """"pass2":{"q1_agg":1.25,"x54_bpe_learn":4.25},""" +
+        """"queries":{"q1_pricing":1.25,"x54_bpe_learn":4.25},""" +
+        """"pass1":{"q1_pricing":1.5,"x54_bpe_learn":9.0},""" +
+        """"pass2":{"q1_pricing":1.25,"x54_bpe_learn":4.25},""" +
         """"regressions":[],"failed":[]}""")
     val m = Bench.prevQueryTimes(p)
-    assert(m === Map("q1_agg" -> 1.25, "x54_bpe_learn" -> 4.25))
+    assert(m === Map("q1_pricing" -> 1.25, "x54_bpe_learn" -> 4.25))
+  }
+
+  test("keys outside the current query surface are dropped (ADVICE r6)") {
+    // a future numeric wrapper/metadata key must never enter the
+    // prev-times map and fire phantom regressions
+    val p = tmpWith(
+      """{"queries":{"q1_pricing":1.25,"total_wall_ms":123.4,""" +
+        """"retired_query":9.9,"neardup_pairs_build":5.8}}""")
+    val m = Bench.prevQueryTimes(p)
+    assert(m === Map("q1_pricing" -> 1.25, "neardup_pairs_build" -> 5.8))
   }
 
   test("real driver BENCH_r05.json artifact (2000-char escaped tail, marker cut off) yields non-empty pass2 times") {
@@ -49,13 +59,16 @@ class BenchParseSpec extends AnyFunSuite {
     // Simulate the driver's truncation on the NEW output order: build a
     // long line, keep only the last 2000 chars (head of the min map gone),
     // and require the scrape fallback to recover the surviving entries.
-    val entries = (1 to 120).map(i => s""""q${i}_some_longish_query_name":$i.25""")
+    // real query names: the scrape fallback allowlists to the current
+    // surface, so fictional names would (correctly) be dropped
+    val names = SparkEntry.queries.keySet.toSeq.sorted
+    val entries = names.zipWithIndex.map { case (n, i) => s""""$n":$i.25""" }
     val line = s"""{"sf":"/x","pass_detail":"bench_full.json","queries":{${entries.mkString(",")}},"regressions":[],"compared":113,"failed":[],"metric":"total","value":52.4,"unit":"sec"}"""
     assert(line.length > 2000)
     val tail = line.substring(line.length - 2000)
     val m = Bench.prevQueryTimes(tmpWith(tail))
     assert(m.nonEmpty)
-    assert(m.get("q120_some_longish_query_name").contains(120.25))
+    assert(m.get(names.last).contains((names.size - 1) + 0.25))
     assert(!m.contains("compared") && !m.contains("value"))
   }
 

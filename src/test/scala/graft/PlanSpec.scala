@@ -55,6 +55,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x53: each method's scored frame is derived once (exchanges reused)") {
+    // VERDICT r6 #2: the top-k window and the candidate count of every
+    // ANN method must read ONE scored pipeline. The sharing mechanism is
+    // an explicit qid repartition both consumers sit on; after execution
+    // the adaptive plan must show reused exchanges/stages, not five
+    // duplicated scoring pipelines.
+    val df = ExtQueries.x53AnnRecall(spark, sf())
+    // collect() runs THIS frame's query execution (count() would spawn a
+    // separate one, leaving df's adaptive plan unexecuted)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val reused = "ReusedExchange|ReusedQueryStage|Reused".r.findAllIn(p).length
+    assert(reused >= 5, s"expected >=5 reused exchange/stage nodes, got $reused\n${p.take(3000)}")
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("part").toString
     graft.model.Tables.events(spark, sf())
