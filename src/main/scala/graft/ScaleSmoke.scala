@@ -62,6 +62,50 @@ object ScaleSmoke {
       "CC at scale produced no multi-member clusters")
     pairs.unpersist()
 
+    // --- boilerplate cluster: candidate volume stays linear (VERDICT r6 #1) --
+    // 10k EXACT copies of one template page on top of the base corpus:
+    // identical text means identical signature means co-residency in
+    // every band, so the raw band join would add ~10k²/2 joined rows per
+    // band. The exact-dup pre-collapse reduces the clique to ONE
+    // representative before signatures — the rep-level candidate frame
+    // must not grow measurably.
+    val tb = System.nanoTime()
+    val boiler = spark.range(10000).select(
+      (lit(100000000L) + col("id")).as("doc_id"),
+      lit("breaking news subscribe to our newsletter for daily updates " +
+        "and exclusive offers from our partners").as("text"))
+    val baseDocs = d.select(col("doc_id"), col("text"))
+    val baseRep = Dedup.minhashLshRepPairs(baseDocs, "doc_id", "text").count()
+    val boilRep = Dedup.minhashLshRepPairs(
+      baseDocs.unionByName(boiler), "doc_id", "text").count()
+    val boilSec = (System.nanoTime() - tb) / 1e9
+    println(f"boilerplate probe: $baseRep%d rep pairs base, $boilRep%d with " +
+      f"10k-copy cluster in $boilSec%.1fs")
+    require(boilRep <= baseRep + 50,
+      s"10k exact copies inflated rep-level candidates: $baseRep -> $boilRep")
+    require(boilSec < 120, f"boilerplate probe blew the 120s budget: $boilSec%.1fs")
+
+    // --- band-bucket cap: a DISTINCT-content hot bucket is dropped, not
+    // joined (the remaining quadratic after exact collapse: thousands of
+    // near-identical template variants whose signatures still collide)
+    val clique = spark.range(2000).select(col("id").as("doc_id"),
+      concat(lit("the quick brown fox jumps over the lazy dog again and " +
+        "again and again variant "), col("id")).as("text"))
+    val tc = System.nanoTime()
+    val droppedBuckets =
+      Dedup.lshDroppedBandBuckets(clique, "doc_id", "text", maxBucket = 64).count()
+    val cappedPairs =
+      Dedup.minhashLshRepPairs(clique, "doc_id", "text", maxBucket = 64).count()
+    val capSec = (System.nanoTime() - tc) / 1e9
+    val quad = 2000L * 1999 / 2
+    println(f"bucket cap: $droppedBuckets%d hot buckets dropped, " +
+      f"$cappedPairs%d pairs survive (uncapped bound $quad%d) in $capSec%.1fs")
+    require(droppedBuckets >= 1,
+      "expected at least one band bucket above the cap in the variant clique")
+    require(cappedPairs < quad / 10,
+      s"cap failed to bound the variant-clique candidates: $cappedPairs of $quad")
+    require(capSec < 120, f"bucket-cap probe blew the 120s budget: $capSec%.1fs")
+
     // --- ANN at scale with PLANTED neighbors -------------------------------
     // Each replica scales its source vector by a positive factor: cosine
     // is scale-invariant, so a query's replicas are exact sim-1.0

@@ -177,32 +177,158 @@ object Dedup {
   // streaming foreachBatch shape — caught by StreamingSpec) would get
   // stale pairs. The declared queries memoize one level up, keyed by
   // the immutable (session, sfDir) corpus — the SynthLinks contract.
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      k: Int = 2, bands: Int = 8, rows: Int = 2): DataFrame = {
-    val sigs = shingleSigs(df, idCol, textCol, Nil, k, bands * rows)
+  //
+  // Scale hardening (VERDICT r6 #1): the band self-join is O(|bucket|²)
+  // per band bucket, and on a boilerplate-heavy corpus (millions of
+  // near-identical template pages — the 100 TB case) one hot band key
+  // explodes quadratically. Two guards:
+  //  1. EXACT duplicates — the main bucket inflators, since identical
+  //     text means identical signature means co-residency in EVERY
+  //     band — are collapsed to one representative per distinct content
+  //     BEFORE signatures; their pairs are reconstructed afterwards by
+  //     content-group expansion (output-proportional work, never wasted
+  //     join work). Output is IDENTICAL to the uncollapsed join: exact
+  //     dups always collide (jaccard 1.0), and a member pair is a
+  //     candidate iff its representatives' signatures collide.
+  //  2. Remaining band buckets LARGER than `maxBucket` distinct
+  //     contents are dropped from candidate generation (the df ≤ maxDf
+  //     cap of [[rareShingleCandidates]], applied at the band layer);
+  //     [[lshDroppedBandBuckets]] reports what a cap drops. The default
+  //     cap never triggers at the tested SFs (bucket sizes are orders
+  //     of magnitude below it), so declared results stay oracle-exact.
+
+  /** (id, ch) for every doc with at least one k-shingle (shorter docs
+    * never enter the minhash pipeline — same contract as the original
+    * uncollapsed join); ch = md5(text), the content-group key.
+    */
+  private def chMembers(df: DataFrame, idCol: String, textCol: String,
+                        k: Int): DataFrame = {
+    val sh = shinglesOf(col(textCol), k)
+    df.filter(size(sh) >= 1)
+      .select(col(idCol).as("id"), md5(col(textCol)).as("ch"))
+  }
+
+  /** Signature pipeline keyed by CONTENT HASH instead of doc id: every
+    * copy of a text explodes its shingles into the same ch group, and
+    * both aggregates are duplicate-idempotent (`min` for the signature
+    * slots, `collect_set` for the verification set), so the output is
+    * one row per DISTINCT content with NO separate representative
+    * selection and no full-text shuffle anywhere — only (ch, h32) rows
+    * ride the exchange, partially collapsed map-side.
+    */
+  private def chSigs(df: DataFrame, idCol: String, textCol: String,
+                     k: Int, nSig: Int): DataFrame =
+    shingleSigs(
+      df.select(md5(col(textCol)).as("__ch"), col(textCol).as("__text")),
+      "__ch", "__text", Nil, k, nSig)
+      .withColumnRenamed("id", "ch")
+
+  /** Capped band join + exact verification at the distinct-content
+    * level: (a_ch, b_ch, jaccard), a_ch < b_ch.
+    */
+  private def chRepPairs(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, bands: Int, rows: Int,
+                         maxBucket: Int): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val sigs = chSigs(df, idCol, textCol, k, bands * rows)
     val bandKeys = (0 until bands).map { b =>
       concat(lit(s"$b:"), concat_ws("-",
         (0 until rows).map(r => col(s"sig_${b * rows + r}").cast("string")): _*))
     }
-    // Candidate generation joins (id, band-key) ONLY — the shingle sets
+    // Candidate generation joins (ch, band-key) ONLY — the shingle sets
     // never ride the band shuffle (they dominate the row width; at corpus
     // scale that shuffle is the whole job). Pairs found in several bands
     // are deduped BEFORE verification, so exact Jaccard runs once per
     // candidate, not once per colliding band. The shingle sets are then
-    // fetched by two id-equi-joins; the explode→exchange(id) feeding the
+    // fetched by two ch-equi-joins; the explode→exchange(ch) feeding the
     // signature aggregation is an identical subtree in all three uses, so
     // Spark's ReuseExchange materializes it once.
-    val bandedIds = sigs.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
-    val pairs = bandedIds.as("a")
-      .join(bandedIds.as("b"), col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+    val banded = sigs.select(col("ch"), explode(array(bandKeys: _*)).as("bk"))
+    // bucket cap (VERDICT r6 #1): the oversized-key set is tiny by
+    // construction (only keys above the cap), so the exclusion is a
+    // broadcast anti-join; the bucket census shuffles only partial
+    // (bk, count) rows. [[lshDroppedBandBuckets]] reports what a cap
+    // drops — callers surface it instead of silently losing coverage.
+    val oversized = banded.groupBy("bk").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select("bk")
+    val capped = banded.join(broadcast(oversized), Seq("bk"), "left_anti")
+    val pairs = capped.as("a")
+      .join(capped.as("b"), col("a.bk") === col("b.bk") && col("a.ch") < col("b.ch"))
+      .select(col("a.ch").as("a_ch"), col("b.ch").as("b_ch"))
       .distinct()
-    val sets = sigs.select(col("id"), col("sh"))
+    val sets = sigs.select(col("ch"), col("sh"))
     pairs
-      .join(sets.select(col("id").as("a_id"), col("sh").as("sa")), "a_id")
-      .join(sets.select(col("id").as("b_id"), col("sh").as("sb")), "b_id")
-      .select(col("a_id"), col("b_id"), jaccardHashed(col("sa"), col("sb")).as("jaccard"))
-      .orderBy("a_id", "b_id")
+      .join(sets.select(col("ch").as("a_ch"), col("sh").as("sa")), "a_ch")
+      .join(sets.select(col("ch").as("b_ch"), col("sh").as("sb")), "b_ch")
+      .select(col("a_ch"), col("b_ch"),
+        jaccardHashed(col("sa"), col("sb")).as("jaccard"))
+  }
+
+  /** Near-dup candidate pairs at the DISTINCT-CONTENT level, labeled by
+    * each content group's minimum doc id: (a_id, b_id, jaccard). This is
+    * the frame whose volume stays linear on a boilerplate-heavy corpus
+    * (a 10k-copy template page is ONE row here); [[minhashLshPairs]]
+    * expands it back to member-level pairs for the declared
+    * whole-corpus contract.
+    */
+  def minhashLshRepPairs(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 2, bands: Int = 8, rows: Int = 2,
+                         maxBucket: Int = 4096): DataFrame = {
+    val repId = chMembers(df, idCol, textCol, k)
+      .groupBy("ch").agg(min("id").as("rid"))
+    chRepPairs(df, idCol, textCol, k, bands, rows, maxBucket)
+      .join(repId.select(col("ch").as("a_ch"), col("rid").as("ra")), "a_ch")
+      .join(repId.select(col("ch").as("b_ch"), col("rid").as("rb")), "b_ch")
+      .select(least(col("ra"), col("rb")).as("a_id"),
+        greatest(col("ra"), col("rb")).as("b_id"), col("jaccard"))
+  }
+
+  /** The band buckets a given cap would drop — (bk, n_contents) over
+    * DISTINCT contents — so a pipeline can report dropped candidate
+    * volume instead of silently truncating coverage.
+    */
+  def lshDroppedBandBuckets(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 2, bands: Int = 8, rows: Int = 2,
+                            maxBucket: Int = 4096): DataFrame = {
+    val sigs = chSigs(df, idCol, textCol, k, bands * rows)
+    val bandKeys = (0 until bands).map { b =>
+      concat(lit(s"$b:"), concat_ws("-",
+        (0 until rows).map(r => col(s"sig_${b * rows + r}").cast("string")): _*))
+    }
+    sigs.select(col("ch"), explode(array(bandKeys: _*)).as("bk"))
+      .groupBy("bk").agg(count(lit(1)).as("n_contents"))
+      .filter(col("n_contents") > maxBucket)
+  }
+
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 2, bands: Int = 8, rows: Int = 2,
+                      maxBucket: Int = 4096): DataFrame = {
+    val members = chMembers(df, idCol, textCol, k)
+    val repPairs = chRepPairs(df, idCol, textCol, k, bands, rows, maxBucket)
+    // Expansion back to the whole-corpus pair contract. Work here is
+    // proportional to the OUTPUT pair count (each joined row is an
+    // emitted pair), never to bucket sizes:
+    //  - cross pairs: every (member of A) × (member of B) inherits the
+    //    content pair's exact jaccard (identical text ⇒ identical
+    //    shingle set);
+    //  - within pairs: all member pairs of one content group, jaccard
+    //    exactly 1.0 — emitted regardless of the bucket cap, so exact
+    //    duplicates can never be lost to it.
+    // Output is IDENTICAL to the uncollapsed self-join when no bucket
+    // exceeds the cap: exact dups always collide in every band
+    // (identical signatures), and a member pair is a candidate iff its
+    // content pair's signatures collide on some band.
+    val cross = repPairs
+      .join(members.select(col("ch").as("a_ch"), col("id").as("ia")), "a_ch")
+      .join(members.select(col("ch").as("b_ch"), col("id").as("ib")), "b_ch")
+      .select(least(col("ia"), col("ib")).as("a_id"),
+        greatest(col("ia"), col("ib")).as("b_id"), col("jaccard"))
+    val within = members.as("a")
+      .join(members.as("b"),
+        col("a.ch") === col("b.ch") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within).orderBy("a_id", "b_id")
   }
 
   /** Exact Jaccard over two SORTED hash arrays (as built by the minhash
