@@ -139,6 +139,31 @@ object ScaleSmoke {
     require(rLsh >= 0.95, f"LSH planted recall $rLsh%.3f < 0.95")
     require(rIvf >= 0.95, f"IVF planted recall $rIvf%.3f < 0.95")
 
+    // --- embedding near-dup skew probe (VERDICT r6 #3) -----------------------
+    // Every vector in ONE block: 2000 base directions × 20 colinear
+    // replicas, all label 0 — the skewed-block shape where the raw
+    // within-block join would be 40k²/2 = 800M pairs. The maxBlock
+    // widening subdivides by hyperplane sign bucket; colinear replicas
+    // share every sign bit (cosine scale-invariance), so ALL planted
+    // sim-1.0 pairs must survive the subdivision.
+    val tSkew = System.nanoTime()
+    val hot = emb.crossJoin(spark.range(20).select(col("id").as("rep")))
+      .select((col("vec_id") * 20 + col("rep")).as("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") * (lit(1.0) + col("rep").cast("double") / 100))
+          .as("embedding"),
+        lit(0L).as("label"))
+    val ndPairs = Similarity.embeddingNearDups(hot, "label", 0.9999, maxBlock = 4096)
+    val ndN = ndPairs.count()
+    val ndPlanted = ndPairs.filter(expr("a_id div 20 = b_id div 20")).count()
+    val skewSec = (System.nanoTime() - tSkew) / 1e9
+    val expectPlanted = 2000L * (20L * 19 / 2)
+    println(f"embedding skew probe: $ndN%d pairs ($ndPlanted%d planted of " +
+      f"$expectPlanted%d) from one 40k-row block in $skewSec%.1fs")
+    require(ndPlanted == expectPlanted,
+      s"sign-bucket widening lost planted colinear pairs: $ndPlanted of $expectPlanted")
+    require(skewSec < 120, f"embedding skew probe blew the 120s budget: $skewSec%.1fs")
+
     // --- chunk-level span dedup at scale -------------------------------------
     // EXACT replicas (no perturbing suffix) so the planted truth is tight:
     // each replica clique's chunks collapse to one copy, so kept ≤
