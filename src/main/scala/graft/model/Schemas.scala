@@ -107,18 +107,25 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame      = table(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet; Spark only reads it under
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (as a ns-since-epoch
-    * long), so normalize back to a µs TimestampType here. Sessions
-    * without the flag (and future Spark versions reading nanos natively)
-    * hit the TimestampType branch.
+  /** `events.ts` arrives in whatever physical form the test-data
+    * generator chose that round; normalize every variant to a µs
+    * TimestampType (LTZ) so downstream code sees ONE type:
+    *  - TIMESTAMP(NANOS) parquet under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` reads as a
+    *    ns-since-epoch long → rebuild via timestamp_micros;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as
+    *    TIMESTAMP_NTZ → cast to timestamp (all sessions here pin the
+    *    UTC session timezone, so the instant is unchanged). Left as
+    *    NTZ it would poison every `withWatermark("ts", …)` downstream
+    *    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE — watermarks require LTZ).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _        => raw
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
     }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
