@@ -265,6 +265,65 @@ object ScaleSmoke {
     println(f"bigram surprisal: $surN%d docs in $surSec%.1fs")
     require(surN == big.count(), "every doc must receive a surprisal score")
     require(surSec < 300, f"surprisal at ${factor}x blew the 300s budget: $surSec%.1fs")
+
+    // --- vocab-join segmenter at production vocab scale ---------------------
+    // x86 trains 512 merges because the synthetic corpus exhausts there;
+    // the SEGMENTER itself (explode units → broadcast vocab-join → sum)
+    // must carry a 32k-entry merge-table vocabulary — the fasttext/
+    // sentencepiece deployment size. Synthetic seg table with planted
+    // per-entry token counts: 1M docs × 8 units, n_sub(i) = 1 + (i mod
+    // 7), so the exact total is a closed-form driver-side sum — any
+    // dropped/duplicated join row breaks the equality.
+    val tSeg = System.nanoTime()
+    val vocabN = 32768
+    val segTable = spark.range(vocabN).select(
+      concat(lit("u"), col("id")).as("word"),
+      (lit(1) + col("id") % 7).cast("long").as("n_sub"))
+    val corpus = spark.range(1000000L).select(col("id"),
+      explode(sequence(lit(0), lit(7))).as("j"))
+      .select(col("id"), concat(lit("u"), (col("id") + col("j")) % vocabN).as("word"))
+    val segTotals = corpus.join(broadcast(segTable), Seq("word"))
+      .agg(count(lit(1)).as("units"), sum("n_sub").as("toks")).collect()(0)
+    var expectToks = 0L
+    var id = 0L
+    while (id < 1000000L) {
+      var j = 0
+      while (j < 8) { expectToks += 1 + ((id + j) % vocabN) % 7; j += 1 }
+      id += 1
+    }
+    val segSec = (System.nanoTime() - tSeg) / 1e9
+    println(f"32k-vocab segmenter: ${segTotals.getLong(0)}%d units, " +
+      f"${segTotals.getLong(1)}%d tokens (expect $expectToks%d) in $segSec%.1fs")
+    require(segTotals.getLong(0) == 8000000L,
+      s"unit join lost/duplicated rows: ${segTotals.getLong(0)} of 8000000")
+    require(segTotals.getLong(1) == expectToks,
+      s"token accounting off: ${segTotals.getLong(1)} != $expectToks")
+    require(segSec < 120, f"32k-vocab segmenter blew the 120s budget: $segSec%.1fs")
+
+    // --- incremental LSH: probe cost scales with the tranche, not the corpus -
+    // Standing corpus = the factor× near-dup corpus above; the new
+    // tranche is 1/50 of it (fresh ids, same perturbed-replica shape, so
+    // every new doc has standing near-dups). The probe must (a) find a
+    // cross pair for essentially every new doc and (b) run in a small
+    // fraction of the monolithic rebuild budget — the whole point of
+    // maintaining the index.
+    val tInc = System.nanoTime()
+    val newTranche = d.limit(100).crossJoin(
+        spark.range(factor).select(col("id").as("rep")))
+      .select((lit(100000000L) + col("doc_id") * factor + col("rep")).as("doc_id"),
+        concat(col("text"), lit(" new"), col("rep")).as("text"))
+    val incPairs = Dedup.incrementalNearDupPairs(big, newTranche, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val crossDocs = incPairs.filter(col("src") === "cross")
+      .select(greatest(col("a_id"), col("b_id"))).distinct().count()
+    val nNew = newTranche.count()
+    val incSec = (System.nanoTime() - tInc) / 1e9
+    println(f"incremental LSH: $nNew%d new docs, $crossDocs%d matched to the " +
+      f"standing corpus in $incSec%.1fs")
+    require(crossDocs >= nNew * 9 / 10,
+      s"cross-tranche recall collapsed: $crossDocs of $nNew new docs matched")
+    require(incSec < 120, f"incremental probe blew the 120s budget: $incSec%.1fs")
+    incPairs.unpersist()
   }
 
   private def tier100x(spark: SparkSession): Unit = {

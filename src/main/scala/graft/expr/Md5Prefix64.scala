@@ -413,5 +413,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           strLit(exprs(1), "sq8_stats vecCol"))
           .queryExecution.analyzed
       }))
+    // round-7 kernels: the learned quality filter and incremental
+    // near-dup maintenance, reachable from pure SQL like the rest of
+    // the curation pipeline
+    e.injectTableFunction((
+      new FunctionIdentifier("model_quality_score"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, "model_quality_score",
+        "model_quality_score(table, weights, idCol, textCol, buckets) - table " +
+          "function: score every document of `table` against the (bucket, wt) " +
+          "linear model in `weights` over hashed unigram+bigram features; " +
+          "returns (doc_id, n_features, score, keep). Table/col arguments " +
+          "string literals, buckets an integer literal.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 5,
+          "model_quality_score takes (table, weights, idCol, textCol, buckets)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ext.QualityModel.scoreDocuments(
+          spark.table(strLit(exprs(0), "model_quality_score table")),
+          strLit(exprs(2), "model_quality_score idCol"),
+          strLit(exprs(3), "model_quality_score textCol"),
+          spark.table(strLit(exprs(1), "model_quality_score weights")),
+          intLit(exprs(4), "model_quality_score buckets"))
+          .queryExecution.analyzed
+      }))
+    e.injectTableFunction((
+      new FunctionIdentifier("incremental_neardup_pairs"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null,
+        "incremental_neardup_pairs",
+        "incremental_neardup_pairs(standing, incoming, idCol, textCol) - table " +
+          "function: MinHash-LSH near-dup pairs a new tranche adds to a " +
+          "standing corpus (new x standing via the band index, new x new " +
+          "within the tranche); returns (a_id, b_id, jaccard, src). All " +
+          "arguments string literals.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 4,
+          "incremental_neardup_pairs takes (standing, incoming, idCol, textCol)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ext.Dedup.incrementalNearDupPairs(
+          spark.table(strLit(exprs(0), "incremental_neardup_pairs standing")),
+          spark.table(strLit(exprs(1), "incremental_neardup_pairs incoming")),
+          strLit(exprs(2), "incremental_neardup_pairs idCol"),
+          strLit(exprs(3), "incremental_neardup_pairs textCol"))
+          .queryExecution.analyzed
+      }))
   }
 }

@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-based document quality scoring — the learned complement to the
+  * heuristic filters (x9 rule score, x29 Gopher repetition): a
+  * fasttext-style linear classifier over hashed token features, the
+  * standard "quality model" of public LLM-curation pipelines (CCNet /
+  * fasttext classifiers in the C4/Gopher/LLaMA data recipes; see
+  * Joulin et al., "Bag of Tricks for Efficient Text Classification").
+  *
+  * Deployment shape, Spark-first:
+  *  - features = unigrams ++ word-bigrams of the document, exactly
+  *    fasttext's word-n-gram bag ([[graft.expr.WordShingles]] builds
+  *    the bigrams codegen'd, one pass per row);
+  *  - each feature hashes into a fixed bucket space (the hashing
+  *    trick — vocabulary-free, so the model is ONE dense vector);
+  *  - the weight vector is a tiny (bucket, wt) table broadcast to the
+  *    executors; scoring is explode → broadcast-hash-join → per-doc
+  *    sum. No shuffle touches anything wider than (doc_id, bucket):
+  *    at 100 TB the corpus-sized explode stays map-side fused between
+  *    the scan and the partial aggregation — the only exchange is the
+  *    final doc_id groupBy, and map-side partial sums collapse it to
+  *    ~one row per doc before it rides the wire.
+  *
+  * Weights here are deterministic pseudo-random (Knuth multiplicative
+  * hash of the bucket id, centered on zero) so both engines reproduce
+  * them without a model artifact; a real deployment loads the same
+  * (bucket, wt) table from training instead — the query shape does not
+  * change. Arithmetic is integer-exact end to end.
+  */
+object QualityModel {
+
+  /** Deterministic stand-in for a trained weight vector: bucket b gets
+    * weight (b·2654435761) mod 2001 − 1000 ∈ [−1000, 1000]. Zero-mean
+    * enough that document scores land on both sides of the keep
+    * threshold.
+    */
+  def hashedWeights(spark: SparkSession, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    spark.range(buckets).select(col("id").as("bucket"),
+      ((col("id") * lit(2654435761L)) % 2001 - 1000).as("wt"))
+  }
+
+  /** Per-document exploded (doc_id, bucket) feature stream: unigrams ++
+    * word-bigrams, hashed into `buckets` via the engine-portable
+    * [[Hashing.h32]] (md5-prefix — DuckDB replays it byte-identically).
+    */
+  def featureBuckets(docs: DataFrame, idCol: String, textCol: String,
+                     buckets: Int): DataFrame = {
+    val bigrams = GraftColumnBridge.column(graft.expr.WordShingles(
+      GraftColumnBridge.expression(col(textCol).cast("string")), 2))
+    docs.select(col(idCol).as("doc_id"),
+        explode(concat(split(col(textCol), " "), bigrams)).as("f"))
+      .select(col("doc_id"), (Hashing.h32(col("f")) % buckets).as("bucket"))
+  }
+
+  /** Score every document against a (bucket, wt) linear model:
+    * (doc_id, n_features, score, keep) with keep = 1 iff score > 0.
+    * `weights` must be vocabulary-sized — it is broadcast.
+    */
+  def scoreDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     weights: DataFrame, buckets: Int = 4096): DataFrame =
+    featureBuckets(docs, idCol, textCol, buckets)
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_features"), sum("wt").as("score"))
+      .select(col("doc_id"), col("n_features"), col("score"),
+        when(col("score") > 0, lit(1)).otherwise(lit(0)).as("keep"))
+}

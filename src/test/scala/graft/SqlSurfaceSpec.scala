@@ -243,6 +243,45 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(probed.getLong(1) < 200L, s"SQL probe FP count out of envelope: $probed")
   }
 
+  test("model_quality_score and incremental_neardup_pairs are callable as SQL table functions") {
+    import spark.implicits._
+    // hand-built 2-bucket model: any feature hashing to bucket 0 scores
+    // +5, bucket 1 scores -3 — the per-doc sums are checkable by eye
+    Seq((0L, 5L), (1L, -3L)).toDF("bucket", "wt")
+      .createOrReplaceTempView("mq_weights")
+    Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text")
+      .createOrReplaceTempView("mq_docs")
+    val mq = spark.sql(
+      """SELECT doc_id, n_features, score, keep
+        |FROM model_quality_score('mq_docs', 'mq_weights', 'doc_id', 'text', 2)
+        |ORDER BY doc_id""".stripMargin).collect()
+    def b(f: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(x => f"$x%02x").mkString, 16) % 2
+    }
+    def wt(x: Long): Long = if (x == 0) 5 else -3
+    val s1 = Seq("a", "b", "a b").map(f => wt(b(f))).sum
+    val s2 = wt(b("c"))
+    assert(mq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq ==
+      Seq((1L, 3L, s1, if (s1 > 0) 1 else 0), (2L, 1L, s2, if (s2 > 0) 1 else 0)))
+    // incremental pairs: the standing pair (10,11) must NOT be emitted;
+    // the new doc matches both standing docs (cross) and its in-batch
+    // twin (within)
+    val base = (0 until 30).map(i => s"t$i").mkString(" ")
+    Seq((10L, base), (11L, base + " x")).toDF("doc_id", "text")
+      .createOrReplaceTempView("inc_standing")
+    Seq((20L, base + " y"), (21L, base + " y")).toDF("doc_id", "text")
+      .createOrReplaceTempView("inc_new")
+    val inc = spark.sql(
+      """SELECT a_id, b_id, src
+        |FROM incremental_neardup_pairs('inc_standing', 'inc_new', 'doc_id', 'text')
+        |ORDER BY a_id, b_id""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(inc.toSeq == Seq((10L, 20L, "cross"), (10L, 21L, "cross"),
+      (11L, 20L, "cross"), (11L, 21L, "cross"), (20L, 21L, "within")))
+  }
+
   test("extension functions enforce arity and literal parameters") {
     val wrongArity = intercept[Exception] {
       spark.sql("SELECT md5_prefix64('a')").collect()

@@ -1057,4 +1057,128 @@ class ExtSpec extends SparkSpec {
     assert(m7 == m1.map { case (r, p, n, t) => (r, p, n * 7, t * 7) })
     assert(v7.map(v => (v._1, v._3)) == v1.map(v => (v._1, v._3)))
   }
+
+  test("quality model score equals a naive JVM re-computation of hashed features") {
+    import spark.implicits._
+    val docs = graft.model.Tables.documents(spark, sf()).limit(50)
+    val got = graft.ext.QualityModel.scoreDocuments(
+        docs, "doc_id", "text", graft.ext.QualityModel.hashedWeights(spark, 4096), 4096)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    def bucket(f: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8"))
+      val hex = d.take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 4096
+    }
+    def wt(b: Long): Long = (b * 2654435761L) % 2001 - 1000
+    val expected = docs.select("doc_id", "text").collect().map { r =>
+      val words = r.getString(1).split(" ", -1).toSeq
+      val feats = words ++ words.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      val score = feats.map(f => wt(bucket(f))).sum
+      r.getLong(0) -> ((feats.size.toLong, score, if (score > 0) 1 else 0))
+    }.toMap
+    assert(got == expected)
+    // the deterministic weights must actually discriminate: both classes
+    // occur, so the keep flag is a decision, not a constant
+    assert(got.values.exists(_._3 == 1) && got.values.exists(_._3 == 0))
+  }
+
+  test("incremental LSH pairs are exactly the missing slice of the monolithic run") {
+    val docs = graft.model.Tables.documents(spark, sf())
+    val standing = docs.filter(col("doc_id") % 4 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 4 === 0)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select("a_id", "b_id", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val incr = Dedup.incrementalNearDupPairs(standing, incoming, "doc_id", "text")
+    val incrPairs = pairSet(incr)
+    val standingOnly = pairSet(Dedup.minhashLshPairs(standing, "doc_id", "text"))
+    val monolithic = pairSet(Dedup.minhashLshPairs(docs, "doc_id", "text"))
+    // band keys are per-document, so partitioning the corpus partitions
+    // the pair set: standing-only ∪ incremental == full rebuild, and the
+    // two slices are disjoint
+    assert((standingOnly ++ incrPairs) == monolithic)
+    assert(standingOnly.intersect(incrPairs).isEmpty)
+    // provenance labels match the tranche split
+    val bySrc = incr.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    assert(bySrc.forall { case (a, b, src) =>
+      if (src == "within") a % 4 == 0 && b % 4 == 0
+      else (a % 4 == 0) != (b % 4 == 0)
+    })
+  }
+
+  test("model quality scorer composes into budget selection (score-ordered token budget)") {
+    // VERDICT r6 next-round #4: the learned filter's output IS a
+    // quality column — feed the kept documents straight into the
+    // token-budget prefix selection and check the greedy invariants
+    // against a driver-side replay.
+    val docs = graft.model.Tables.documents(spark, sf()).limit(120)
+    val scored = graft.ext.QualityModel.scoreDocuments(
+      docs, "doc_id", "text", graft.ext.QualityModel.hashedWeights(spark, 4096), 4096)
+      .filter(col("keep") === 1)
+    val budget = 2000L
+    val sel = graft.ext.Sampling.budgetSelect(
+      scored, "score", "doc_id", "n_features", budget).collect()
+    val all = scored.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy { case (id, _, s) => (-s, id) }
+    var cum = 0L
+    val expected = all.takeWhile { case (_, nf, _) =>
+      cum += nf; cum <= budget }.map(_._1).toSet
+    assert(sel.map(_.getAs[Long]("doc_id")).toSet == expected)
+    assert(sel.map(_.getAs[Long]("n_features")).sum <= budget)
+  }
+
+  test("bpeTrainLocalFast is bit-identical to the rescanning bpeTrainLocal") {
+    import spark.implicits._
+    // bigram units exercise the overlap/re-pick paths harder than plain
+    // words (repeated unit texts share long runs); 96 rounds crosses
+    // many index-staleness events
+    val docs = graft.model.Tables.documents(spark, sf())
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    val bigrams = bridge.column(graft.expr.WordShingles(
+      bridge.expression(col("text").cast("string")), 2))
+    val wf = docs.select(explode(bigrams).as("bg"))
+      .select(regexp_replace(col("bg"), " ", "+").as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val (ms, vs) = TextAnalytics.bpeTrainLocal(wf, rounds = 96)
+    val (mf, vf) = TextAnalytics.bpeTrainLocalFast(wf, rounds = 96)
+    assert(mf == ms)
+    assert(vf.sortBy(_._1) == vs.sortBy(_._1))
+    // and the overlap semantics specifically: "a a a a" merges
+    // alternately, the residual pair is re-picked next round
+    val tiny = Seq(("aaaa", 1L)).toDF("word", "n")
+    val (m2, v2) = TextAnalytics.bpeTrainLocalFast(tiny, rounds = 2)
+    val (m2s, v2s) = TextAnalytics.bpeTrainLocal(tiny, rounds = 2)
+    assert(m2 == m2s && v2.sortBy(_._1) == v2s.sortBy(_._1))
+  }
+
+  test("1024-merge BPE on trigram units: reconstruction, token accounting, real compression") {
+    import spark.implicits._
+    val docs = graft.model.Tables.documents(spark, sf())
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    val trigrams = bridge.column(graft.expr.WordShingles(
+      bridge.expression(col("text").cast("string")), 3))
+    val wf = docs.select(explode(trigrams).as("tg"))
+      .select(regexp_replace(col("tg"), " ", "+").as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val (merges, vocab) = TextAnalytics.bpeTrainLocalFast(wf, rounds = 1024)
+    assert(merges.size == 1024)
+    // every final repr reconstructs its unit exactly (merges only ever
+    // fuse adjacent symbols — nothing is lost or invented)
+    assert(vocab.forall { case (w, _, rep) =>
+      rep.replace(" ", "").replace("_", "") == w })
+    // the trajectory's final corpus token count equals the vocab-join
+    // accounting the declared query uses (Σ n · n_sub)
+    val viaVocab = vocab.map { case (_, n, rep) =>
+      n * (rep.count(_ == ' ') + 1L) }.sum
+    assert(merges.last._4 == viaVocab)
+    // 1024 merges must actually compress: well below one token per
+    // char, but not yet fully collapsed (exhaustion headroom is real)
+    val chars = vocab.map { case (w, n, _) => n * w.length }.sum
+    assert(viaVocab * 2 < chars, s"no real compression: $viaVocab vs $chars chars")
+    val collapsed = vocab.count { case (_, _, rep) => !rep.contains(" ") }
+    assert(collapsed * 10 < vocab.size,
+      s"$collapsed of ${vocab.size} units fully collapsed — too close to exhaustion")
+  }
 }

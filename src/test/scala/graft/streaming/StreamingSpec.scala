@@ -594,6 +594,50 @@ class StreamingSpec extends SparkSpec {
     assert(last == expected)
   }
 
+  test("streaming incremental LSH maintenance equals the monolithic pair set") {
+    // The x87 shape under a real stream: each microbatch probes the
+    // STANDING corpus' band index (incrementalNearDupPairs — work
+    // proportional to the batch), appends its pairs to the maintained
+    // relation, then joins the standing corpus. Unlike the
+    // minhashLshPairs foreachBatch test above (which recomputes the
+    // full pair set every batch), nothing here ever re-derives a
+    // standing×standing pair — and the final accumulated relation must
+    // STILL equal the one-shot monolithic run exactly.
+    import graft.ext.Dedup
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val dir = Files.createTempDirectory("ilshdocs").toString
+    val accDir = Files.createTempDirectory("ilshacc").toString
+    docs.filter(col("doc_id") % 3 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    docs.filter(col("doc_id") % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(dir)
+    docs.filter(col("doc_id") % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val acc = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    var batches = 0
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val standing =
+          if (batches == 0) docs.filter(lit(false))
+          else spark.read.parquet(accDir)
+        acc ++= Dedup.incrementalNearDupPairs(standing, batch.toDF(), "doc_id", "text")
+          .select("a_id", "b_id", "jaccard").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        batch.toDF().write.mode("append").parquet(accDir)
+        batches += 1
+        ()
+    }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches >= 3, s"expected >=3 microbatches, got $batches")
+    val expected = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .select("a_id", "b_id", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(acc.toSet == expected)
+  }
+
   test("streaming chunk dedup equals the batch result over a growing corpus") {
     // Span dedup at ingest: winners are corpus-global (first occurrence
     // wins), so each microbatch recomputes over the accumulated corpus
