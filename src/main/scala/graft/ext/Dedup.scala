@@ -380,18 +380,43 @@ object Dedup {
                               idCol: String, textCol: String,
                               k: Int = 2, bands: Int = 8, rows: Int = 2,
                               maxBucket: Int = 4096): DataFrame = {
-    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
-    val nSig = bands * rows
+    val (bandS, setsS) = nearDupIndex(standing, idCol, textCol, k, bands, rows)
+    probeNearDupIndex(bandS, setsS, incoming, idCol, textCol,
+      k, bands, rows, maxBucket)
+  }
+
+  /** The persistable half of [[incrementalNearDupPairs]]: a corpus'
+    * near-dup index as two frames — `(bk, id)` band rows (the probe
+    * key) and `(id, sh)` sorted shingle-hash sets (exact
+    * verification). In production both are written once per tranche
+    * and APPENDED as tranches commit ([[writeNearDupIndex]] /
+    * [[readNearDupIndex]]; bucket the band frame by `bk` on a real
+    * cluster so probes co-locate without a shuffle).
+    */
+  def nearDupIndex(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 2, bands: Int = 8, rows: Int = 2)
+    : (DataFrame, DataFrame) = {
+    val sigs = shingleSigs(df, idCol, textCol, Nil, k, bands * rows)
     val bandKeys = (0 until bands).map { b =>
       concat(lit(s"$b:"), concat_ws("-",
         (0 until rows).map(r => col(s"sig_${b * rows + r}").cast("string")): _*))
     }
-    def banded(sigs: DataFrame) =
-      sigs.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
-    val sigS = shingleSigs(standing, idCol, textCol, Nil, k, nSig)
-    val sigN = shingleSigs(incoming, idCol, textCol, Nil, k, nSig)
-    val bandS = banded(sigS)
-    val bandN = banded(sigN)
+    (sigs.select(col("id"), explode(array(bandKeys: _*)).as("bk")),
+      sigs.select(col("id"), col("sh")))
+  }
+
+  /** Probe a standing corpus' index with a new tranche: the only pairs
+    * a growing corpus can add — new×standing (index equi-join) and
+    * new×new (tranche self-join) — exact-Jaccard verified,
+    * provenance-labeled. Work is ∝ |tranche| + matched candidates; the
+    * standing corpus is touched only at colliding band keys.
+    */
+  def probeNearDupIndex(bandS: DataFrame, setsS: DataFrame,
+                        incoming: DataFrame, idCol: String, textCol: String,
+                        k: Int = 2, bands: Int = 8, rows: Int = 2,
+                        maxBucket: Int = 4096): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val (bandN, setsN) = nearDupIndex(incoming, idCol, textCol, k, bands, rows)
     val oversized = bandS.groupBy("bk").agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket).select("bk")
     val bandScap = bandS.join(broadcast(oversized), Seq("bk"), "left_anti")
@@ -403,14 +428,30 @@ object Dedup {
       .join(bandN.as("b"), col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct().withColumn("src", lit("within"))
-    val sets = sigS.select(col("id"), col("sh"))
-      .unionByName(sigN.select(col("id"), col("sh")))
+    val sets = setsS.unionByName(setsN)
     cross.unionByName(within)
       .join(sets.select(col("id").as("a_id"), col("sh").as("sa")), "a_id")
       .join(sets.select(col("id").as("b_id"), col("sh").as("sb")), "b_id")
       .select(col("a_id"), col("b_id"),
         jaccardHashed(col("sa"), col("sb")).as("jaccard"), col("src"))
   }
+
+  /** Materialize a corpus' near-dup index under `dir` (`dir/bands`,
+    * `dir/sets`) — append-mode so each committed tranche extends the
+    * standing index instead of rebuilding it.
+    */
+  def writeNearDupIndex(df: DataFrame, idCol: String, textCol: String,
+                        dir: String, k: Int = 2, bands: Int = 8,
+                        rows: Int = 2): Unit = {
+    val (bandF, setsF) = nearDupIndex(df, idCol, textCol, k, bands, rows)
+    bandF.write.mode("append").parquet(s"$dir/bands")
+    setsF.write.mode("append").parquet(s"$dir/sets")
+  }
+
+  /** Load a persisted near-dup index: (band frame, sets frame). */
+  def readNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/sets"))
 
   /** Duplicate-cluster resolution: connected components of the near-dup
     * pair graph, labeling every member with the minimum doc id of its

@@ -128,4 +128,26 @@ object KMeans {
       .agg(transform(array_sort(collect_list(struct(col("i"), col("v")))),
         s => (s.getField("v") - Offset).cast("double") / Scale).as("ce"))
       .select(col("cid").as("cell"), col("ce"))
+
+  /** Assignment of arbitrary vectors under the centroids LEARNED ON
+    * `train` — the IVF index-append path: a new tranche is routed into
+    * the standing codebook without retraining (the codebook is the
+    * persisted artifact; retraining per batch would both cost a full
+    * corpus pass and silently re-shuffle every existing cell
+    * assignment). Same integer distance and (dist, cid) tie-break as
+    * training-time assignment; `train`'s memoized centroids are reused
+    * across calls in a session. Returns (vec_id, cell, dist).
+    */
+  def assignWith(emb: DataFrame, train: DataFrame,
+                 k: Int = 8, iters: Int = 2): DataFrame = {
+    val centE = run(train, k, iters)._2
+    val qe = quantized(emb)
+      .select(col("vec_id"), posexplode(col("e")).as(Seq("i", "v")))
+    qe.join(broadcast(centE.select(col("cid"), col("i"), col("v").as("cv"))), "i")
+      .groupBy("vec_id", "cid")
+      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"), col("m.dist").as("dist"))
+  }
 }

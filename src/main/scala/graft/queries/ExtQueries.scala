@@ -4166,6 +4166,69 @@ object ExtQueries {
       |  round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard, src
       |FROM j ORDER BY a_id, b_id""".stripMargin
 
+  // --- x88: IVF index append (new tranche routed into the standing codebook) ----------
+
+  /** x87's incremental-maintenance story at the VECTOR layer: the
+    * standing corpus (vec_id % 4 != 0) owns the IVF codebook (k=8,
+    * 2 integer-Lloyd rounds, [[graft.ext.KMeans]]); the arriving
+    * tranche is ASSIGNED into it — one broadcast-centroid join, no
+    * retrain, no touch of standing vectors — exactly how a production
+    * IVF index absorbs a new embedding batch (retraining per batch
+    * would re-shuffle every standing cell assignment and cost a full
+    * corpus pass). Integer-exact end to end, so the oracle replays
+    * training on the standing slice and the append assignment
+    * bit-for-bit.
+    */
+  val x88IvfAppend: Q = (spark, sfDir) => {
+    val emb = Tables.embeddings(spark, sfDir)
+    graft.ext.KMeans.assignWith(
+      emb.filter(col("vec_id") % 4 === 0),
+      emb.filter(col("vec_id") % 4 =!= 0), k = 8, iters = 2)
+      .orderBy("vec_id")
+  }
+
+  /** x26's CTE chain with training restricted to the standing slice,
+    * plus one final assignment of the incoming slice under the
+    * round-2 centroids.
+    */
+  private val x88Sql =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 10000000) AS e
+      |  FROM embeddings WHERE vec_id % 4 != 0
+      |), qe AS (
+      |  SELECT vec_id, generate_subscripts(e, 1) AS i, unnest(e) AS v FROM q
+      |), seeds AS (
+      |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      |  FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT 8)
+      |), c0 AS (
+      |  SELECT s.cid, qe.i, qe.v FROM qe JOIN seeds s USING (vec_id)
+      |), d1 AS (
+      |  SELECT qe.vec_id, c.cid, sum((qe.v - c.v) * (qe.v - c.v)) AS dist
+      |  FROM qe JOIN c0 c USING (i) GROUP BY qe.vec_id, c.cid
+      |), a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM d1) WHERE rn = 1
+      |), c1 AS (
+      |  SELECT a1.cid, qe.i, CAST(sum(qe.v) // count(*) AS BIGINT) AS v
+      |  FROM qe JOIN a1 USING (vec_id) GROUP BY a1.cid, qe.i
+      |), qn AS (
+      |  SELECT vec_id, generate_subscripts(e, 1) AS i, unnest(e) AS v FROM (
+      |    SELECT vec_id, list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 10000000) AS e
+      |    FROM embeddings WHERE vec_id % 4 = 0)
+      |), dn AS (
+      |  SELECT qn.vec_id, c.cid, sum((qn.v - c.v) * (qn.v - c.v)) AS dist
+      |  FROM qn JOIN c1 c USING (i) GROUP BY qn.vec_id, c.cid
+      |)
+      |SELECT vec_id, cid AS cell, CAST(dist AS BIGINT) AS dist FROM (
+      |  SELECT vec_id, cid, dist,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |  FROM dn) WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -4255,7 +4318,8 @@ object ExtQueries {
     "x84_sketch_rollup" -> x84SketchRollup,
     "x85_model_quality" -> x85ModelQuality,
     "x86_bpe_scale" -> x86BpeScale,
-    "x87_incremental_lsh" -> x87IncrementalLsh)
+    "x87_incremental_lsh" -> x87IncrementalLsh,
+    "x88_ivf_append" -> x88IvfAppend)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -4344,5 +4408,6 @@ object ExtQueries {
     "x84_sketch_rollup" -> x84Sql,
     "x85_model_quality" -> x85Sql,
     "x86_bpe_scale" -> x86Sql,
-    "x87_incremental_lsh" -> x87Sql)
+    "x87_incremental_lsh" -> x87Sql,
+    "x88_ivf_append" -> x88Sql)
 }

@@ -1129,6 +1129,56 @@ class ExtSpec extends SparkSpec {
     assert(sel.map(_.getAs[Long]("n_features")).sum <= budget)
   }
 
+  test("persisted near-dup index round-trips and probes identically to the direct path") {
+    val docs = graft.model.Tables.documents(spark, sf())
+    val standing = docs.filter(col("doc_id") % 4 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 4 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ndidx").toString
+    Dedup.writeNearDupIndex(standing, "doc_id", "text", dir)
+    val (bandS, setsS) = Dedup.readNearDupIndex(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "jaccard", "src").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+    val viaIndex = rows(
+      Dedup.probeNearDupIndex(bandS, setsS, incoming, "doc_id", "text"))
+    val direct = rows(
+      Dedup.incrementalNearDupPairs(standing, incoming, "doc_id", "text"))
+    assert(viaIndex == direct)
+    // the production cycle: after probing, the tranche is APPENDED to
+    // the same index files; the next (disjoint) tranche's probe must
+    // see standing ∪ appended
+    Dedup.writeNearDupIndex(incoming, "doc_id", "text", dir)
+    val next = spark.range(5000, 5040).select(col("id").as("doc_id"),
+      concat(lit("key agg row scan slow fast table value part hash tail"),
+        (col("id") % 7).cast("string")).as("text"))
+    val (b2, s2) = Dedup.readNearDupIndex(spark, dir)
+    val grown = rows(Dedup.probeNearDupIndex(b2, s2, next, "doc_id", "text"))
+    val expected = rows(Dedup.incrementalNearDupPairs(
+      standing.unionByName(incoming), next, "doc_id", "text"))
+    assert(grown == expected)
+    assert(grown.exists(_._4 == "within"),
+      "the synthetic tranche should produce within-batch near-dups")
+  }
+
+  test("assignWith routes the training set exactly as training-time assignment") {
+    val emb = graft.model.Tables.embeddings(spark, sf())
+    val standing = emb.filter(col("vec_id") % 4 =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // assigning the training vectors under the trained codebook must
+    // reproduce KMeans.assign bit-for-bit (same centroids, same
+    // distance, same tie-break)
+    assert(rows(graft.ext.KMeans.assignWith(standing, standing)) ==
+      rows(graft.ext.KMeans.assign(standing)))
+    // appended vectors: every one gets a cell from the standing
+    // codebook, distances are non-negative
+    val app = graft.ext.KMeans.assignWith(
+      emb.filter(col("vec_id") % 4 === 0), standing).collect()
+    assert(app.nonEmpty)
+    assert(app.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 8 && r.getLong(2) >= 0))
+  }
+
   test("bpeTrainLocalFast is bit-identical to the rescanning bpeTrainLocal") {
     import spark.implicits._
     // bigram units exercise the overlap/re-pick paths harder than plain

@@ -100,6 +100,38 @@ class PropertySpec extends SparkSpec {
     assert(agree(0L, 3L) < 0.15)                    // disjoint -> near zero
   }
 
+  test("property: incremental LSH == monolithic slice on random tranche splits") {
+    import spark.implicits._
+    // random corpus with planted structure: words drawn from a tiny
+    // alphabet so near-dups arise by chance, plus exact-dup injections;
+    // three different tranche splits of the SAME corpus must each
+    // satisfy standing ∪ incremental == monolithic
+    val seed = org.scalacheck.rng.Seed(23L)
+    val docGen = Gen.listOfN(120, Gen.listOfN(12, Gen.choose(0, 7).map(i => s"w$i"))
+      .map(_.mkString(" ")))
+    val texts0 = docGen.pureApply(Gen.Parameters.default, seed)
+    // inject exact duplicates (every 10th doc repeats the previous text)
+    val texts = texts0.zipWithIndex.map { case (t, i) =>
+      if (i % 10 == 9) texts0(i - 1) else t }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").localCheckpoint()
+    val monolithic = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .select("a_id", "b_id", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (m <- Seq(2L, 3L, 5L)) {
+      val standing = docs.filter(col("doc_id") % m =!= 0)
+      val incoming = docs.filter(col("doc_id") % m === 0)
+      val incr = Dedup.incrementalNearDupPairs(standing, incoming, "doc_id", "text")
+        .select("a_id", "b_id", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val standingOnly = Dedup.minhashLshPairs(standing, "doc_id", "text")
+        .select("a_id", "b_id", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert((standingOnly ++ incr) == monolithic, s"split % $m diverged")
+      assert(standingOnly.intersect(incr).isEmpty, s"split % $m overlapped")
+    }
+  }
+
   test("property: token offsets telescope over random lengths and partition counts") {
     import spark.implicits._
     val seed = org.scalacheck.rng.Seed(11L)
