@@ -150,4 +150,29 @@ object KMeans {
       .agg(min(struct(col("dist"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cell"), col("m.dist").as("dist"))
   }
+
+  /** Per-cell drift report after [[assignWith]]-style appends: standing
+    * vs appended population and mean assignment distance, with a
+    * retrain flag where the appended mean exceeds `ratio`× the standing
+    * mean — the monitor that tells an IVF deployment its fixed codebook
+    * no longer fits the arriving data. Distance sums ride
+    * DECIMAL(38,0) (a 64-bit sum overflows around 10^4 vectors/cell at
+    * the quantized magnitude bound); the means floor back to BIGINT,
+    * exact in any engine since every distance is non-negative.
+    */
+  def codebookDrift(standing: DataFrame, incoming: DataFrame,
+                    k: Int = 8, iters: Int = 2, ratio: Int = 2): DataFrame = {
+    require(ratio >= 1, s"ratio must be >= 1, got $ratio")
+    def cellStats(a: DataFrame, nCol: String, mCol: String) =
+      a.groupBy("cell").agg(count(lit(1)).as(nCol),
+        expr("CAST(sum(CAST(dist AS DECIMAL(38,0))) div count(1) AS BIGINT)").as(mCol))
+    cellStats(assign(standing, k, iters), "n_standing", "mean_std")
+      .join(cellStats(assignWith(incoming, standing, k, iters), "n_new", "mean_new"),
+        Seq("cell"), "left")
+      .select(col("cell"), col("n_standing"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"), col("mean_std"),
+        coalesce(col("mean_new"), lit(0L)).as("mean_new"),
+        when(coalesce(col("mean_new"), lit(0L)) > col("mean_std") * ratio,
+          lit(1)).otherwise(lit(0)).as("retrain"))
+  }
 }

@@ -4229,6 +4229,89 @@ object ExtQueries {
       |  FROM dn) WHERE rn = 1
       |ORDER BY vec_id""".stripMargin
 
+  // --- x89: codebook drift report (when does the appended index need retraining?) ------
+
+  /** The operational complement of x88: appending batches into a fixed
+    * codebook silently degrades the index when the data distribution
+    * moves — the monitor every production IVF deployment runs. Per
+    * cell: standing vs appended population and mean assignment
+    * distance (integer, `div`-floored — all distances positive), and a
+    * retrain flag when the appended mean exceeds 2× the standing mean.
+    * Distance sums ride DECIMAL(38,0) so the aggregate can never
+    * overflow signed-64 at scale; the means come back to BIGINT
+    * exactly (both engines floor positive division).
+    */
+  val x89CodebookDrift: Q = (spark, sfDir) => {
+    val emb = Tables.embeddings(spark, sfDir)
+    graft.ext.KMeans.codebookDrift(
+      emb.filter(col("vec_id") % 4 =!= 0),
+      emb.filter(col("vec_id") % 4 === 0), k = 8, iters = 2)
+      .orderBy("cell")
+  }
+
+  /** x88's chain extended with the standing slice's own round-2
+    * assignment (x26's final step restricted to the training slice),
+    * then per-cell stats on both sides.
+    */
+  private val x89Sql =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 10000000) AS e
+      |  FROM embeddings WHERE vec_id % 4 != 0
+      |), qe AS (
+      |  SELECT vec_id, generate_subscripts(e, 1) AS i, unnest(e) AS v FROM q
+      |), seeds AS (
+      |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      |  FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT 8)
+      |), c0 AS (
+      |  SELECT s.cid, qe.i, qe.v FROM qe JOIN seeds s USING (vec_id)
+      |), d1 AS (
+      |  SELECT qe.vec_id, c.cid, sum((qe.v - c.v) * (qe.v - c.v)) AS dist
+      |  FROM qe JOIN c0 c USING (i) GROUP BY qe.vec_id, c.cid
+      |), a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM d1) WHERE rn = 1
+      |), c1 AS (
+      |  SELECT a1.cid, qe.i, CAST(sum(qe.v) // count(*) AS BIGINT) AS v
+      |  FROM qe JOIN a1 USING (vec_id) GROUP BY a1.cid, qe.i
+      |), d2 AS (
+      |  SELECT qe.vec_id, c.cid, sum((qe.v - c.v) * (qe.v - c.v)) AS dist
+      |  FROM qe JOIN c1 c USING (i) GROUP BY qe.vec_id, c.cid
+      |), a2 AS (
+      |  SELECT vec_id, cid, dist FROM (
+      |    SELECT vec_id, cid, dist,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM d2) WHERE rn = 1
+      |), qn AS (
+      |  SELECT vec_id, generate_subscripts(e, 1) AS i, unnest(e) AS v FROM (
+      |    SELECT vec_id, list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 10000000) AS e
+      |    FROM embeddings WHERE vec_id % 4 = 0)
+      |), dn AS (
+      |  SELECT qn.vec_id, c.cid, sum((qn.v - c.v) * (qn.v - c.v)) AS dist
+      |  FROM qn JOIN c1 c USING (i) GROUP BY qn.vec_id, c.cid
+      |), an AS (
+      |  SELECT vec_id, cid, dist FROM (
+      |    SELECT vec_id, cid, dist,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM dn) WHERE rn = 1
+      |), st AS (
+      |  SELECT cid AS cell, CAST(count(*) AS BIGINT) AS n_standing,
+      |    CAST(sum(dist) // count(*) AS BIGINT) AS mean_std
+      |  FROM a2 GROUP BY cid
+      |), nw AS (
+      |  SELECT cid AS cell, CAST(count(*) AS BIGINT) AS n_new,
+      |    CAST(sum(dist) // count(*) AS BIGINT) AS mean_new
+      |  FROM an GROUP BY cid
+      |)
+      |SELECT st.cell, st.n_standing, coalesce(nw.n_new, 0) AS n_new,
+      |  st.mean_std, coalesce(nw.mean_new, 0) AS mean_new,
+      |  CAST(CASE WHEN coalesce(nw.mean_new, 0) > 2 * st.mean_std
+      |       THEN 1 ELSE 0 END AS INT) AS retrain
+      |FROM st LEFT JOIN nw USING (cell) ORDER BY cell""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -4319,7 +4402,8 @@ object ExtQueries {
     "x85_model_quality" -> x85ModelQuality,
     "x86_bpe_scale" -> x86BpeScale,
     "x87_incremental_lsh" -> x87IncrementalLsh,
-    "x88_ivf_append" -> x88IvfAppend)
+    "x88_ivf_append" -> x88IvfAppend,
+    "x89_codebook_drift" -> x89CodebookDrift)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -4409,5 +4493,6 @@ object ExtQueries {
     "x85_model_quality" -> x85Sql,
     "x86_bpe_scale" -> x86Sql,
     "x87_incremental_lsh" -> x87Sql,
-    "x88_ivf_append" -> x88Sql)
+    "x88_ivf_append" -> x88Sql,
+    "x89_codebook_drift" -> x89Sql)
 }

@@ -1179,6 +1179,36 @@ class ExtSpec extends SparkSpec {
     assert(app.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 8 && r.getLong(2) >= 0))
   }
 
+  test("codebook drift flags a shifted tranche and stays quiet on in-distribution appends") {
+    import spark.implicits._
+    // standing: two tight clusters around +1 and -1 (first dim carries
+    // the signal, slight per-vector jitter in dim 2 so means are
+    // non-degenerate); k=2 learns one centroid per cluster
+    def vec(base: Double, jitter: Double): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(0) = base.toFloat; a(1) = jitter.toFloat; a
+    }
+    val standing = (0 until 40).map { i =>
+      (i.toLong, vec(if (i % 2 == 0) 1.0 else -1.0, (i % 5) / 100.0))
+    }.toDF("vec_id", "embedding")
+    // in-distribution append: same clusters, same jitter envelope
+    val calm = (100 until 120).map { i =>
+      (i.toLong, vec(if (i % 2 == 0) 1.0 else -1.0, (i % 5) / 100.0))
+    }.toDF("vec_id", "embedding")
+    val calmDrift = graft.ext.KMeans.codebookDrift(standing, calm, k = 2, iters = 2)
+      .collect().map(r => r.getInt(5)).toSeq
+    assert(calmDrift.forall(_ == 0), s"in-distribution append flagged: $calmDrift")
+    // shifted append: a third cluster far from both centroids — every
+    // cell that receives it must flag for retraining
+    val shifted = (200 until 220).map { i => (i.toLong, vec(8.0, 0.0)) }
+      .toDF("vec_id", "embedding")
+    val drift = graft.ext.KMeans.codebookDrift(standing, shifted, k = 2, iters = 2)
+      .collect().map(r => (r.getLong(2), r.getInt(5)))
+    assert(drift.exists { case (nNew, flag) => nNew > 0 && flag == 1 },
+      s"shifted tranche not flagged: ${drift.mkString(",")}")
+    assert(drift.forall { case (nNew, flag) => nNew > 0 || flag == 0 },
+      "a cell with no appended vectors cannot demand retraining")
+  }
+
   test("bpeTrainLocalFast is bit-identical to the rescanning bpeTrainLocal") {
     import spark.implicits._
     // bigram units exercise the overlap/re-pick paths harder than plain
