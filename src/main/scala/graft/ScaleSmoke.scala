@@ -633,5 +633,39 @@ object ScaleSmoke {
     require(profRows == 4L, s"expected 4 profile rows, got $profRows")
     println(f"profile 100x: $nBig%d rows x 4 cols in $prt%.1fs, " +
       "exact nulls/distincts planted, HLL inside envelope")
+
+    // IVF index append at 1M standing vectors: train the codebook once
+    // on 8 well-separated planted clusters (seeds = the 8 lowest ids,
+    // one per cluster by construction), then route a 100k tranche into
+    // it with assignWith. Every appended vector must land in its
+    // planted cluster's cell (separation >> jitter), and the calm
+    // tranche must not raise a single retrain flag — the append path's
+    // correctness AND the monitor's false-positive behavior at scale.
+    val (appBad, appt) = timed {
+      def clustered(ids: org.apache.spark.sql.Dataset[java.lang.Long]) = ids.select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(7)), j =>
+          when(j === 0, (col("id") % 8).cast("double"))
+            .when(j === 1, (col("id") % 97).cast("double") / 1000)
+            .otherwise(lit(0.0)).cast("float")).as("embedding"))
+      val standing = clustered(spark.range(nBig))
+      val incoming = clustered(spark.range(10000000L, 10100000L))
+      val asg = graft.ext.KMeans.assignWith(incoming, standing, k = 8, iters = 2)
+      // cells are arbitrary labels; recover the cell→cluster map from
+      // the 8 seed vectors (ids 0..7 are one per cluster)
+      val seedCells = graft.ext.KMeans.assignWith(
+          clustered(spark.range(8)), standing, k = 8, iters = 2)
+        .collect().map(r => r.getLong(1) -> r.getLong(0) % 8).toMap
+      require(seedCells.size == 8, s"seed cells collapsed: $seedCells")
+      val bad = asg.collect().count(r => seedCells(r.getLong(1)) != r.getLong(0) % 8)
+      val flags = graft.ext.KMeans.codebookDrift(standing, incoming, k = 8, iters = 2)
+        .collect().count(_.getInt(5) == 1)
+      require(flags == 0, s"calm 100k tranche raised $flags retrain flags")
+      bad.toLong
+    }
+    require(appBad == 0L, s"$appBad of 100000 appended vectors routed to the wrong cell")
+    require(appt < 300, f"ivf append probe blew the 300s budget: $appt%.1fs")
+    println(f"ivf append 100x: 1M standing, 100k appended, 0 mis-routed, " +
+      f"0 retrain flags in $appt%.1fs")
   }
 }

@@ -456,5 +456,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           strLit(exprs(3), "incremental_neardup_pairs textCol"))
           .queryExecution.analyzed
       }))
+    e.injectTableFunction((
+      new FunctionIdentifier("ivf_assign_with"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, "ivf_assign_with",
+        "ivf_assign_with(incoming, train, k, iters) - table function: assign " +
+          "`incoming`'s (vec_id, embedding) rows into the IVF codebook learned " +
+          "on `train` (no retrain — the index-append path); returns (vec_id, " +
+          "cell, dist). Tables string literals, k/iters integer literals.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 4, "ivf_assign_with takes (incoming, train, k, iters)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ext.KMeans.assignWith(
+          spark.table(strLit(exprs(0), "ivf_assign_with incoming")),
+          spark.table(strLit(exprs(1), "ivf_assign_with train")),
+          intLit(exprs(2), "ivf_assign_with k"),
+          intLit(exprs(3), "ivf_assign_with iters"))
+          .queryExecution.analyzed
+      }))
+    e.injectTableFunction((
+      new FunctionIdentifier("codebook_drift"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, "codebook_drift",
+        "codebook_drift(standing, incoming, k, iters, ratio) - table function: " +
+          "per-cell drift report after IVF appends (n_standing, n_new, " +
+          "mean_std, mean_new, retrain flag at ratio x drift). Tables string " +
+          "literals, k/iters/ratio integer literals.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 5,
+          "codebook_drift takes (standing, incoming, k, iters, ratio)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ext.KMeans.codebookDrift(
+          spark.table(strLit(exprs(0), "codebook_drift standing")),
+          spark.table(strLit(exprs(1), "codebook_drift incoming")),
+          intLit(exprs(2), "codebook_drift k"),
+          intLit(exprs(3), "codebook_drift iters"),
+          intLit(exprs(4), "codebook_drift ratio"))
+          .queryExecution.analyzed
+      }))
   }
 }

@@ -282,6 +282,34 @@ class SqlSurfaceSpec extends SparkSpec {
       (11L, 20L, "cross"), (11L, 21L, "cross"), (20L, 21L, "within")))
   }
 
+  test("ivf_assign_with and codebook_drift are callable as SQL table functions") {
+    import spark.implicits._
+    def vec(base: Double): Array[Float] = {
+      val a = Array.fill(8)(0.0f); a(0) = base.toFloat; a
+    }
+    (0 until 20).map(i => (i.toLong, vec(if (i % 2 == 0) 1.0 else -1.0)))
+      .toDF("vec_id", "embedding").createOrReplaceTempView("cb_standing")
+    Seq((100L, vec(1.0)), (101L, vec(-1.0)), (102L, vec(8.0)))
+      .toDF("vec_id", "embedding").createOrReplaceTempView("cb_new")
+    val asg = spark.sql(
+      """SELECT vec_id, cell, dist
+        |FROM ivf_assign_with('cb_new', 'cb_standing', 2, 2)
+        |ORDER BY vec_id""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the two in-distribution vectors sit exactly on their centroids
+    assert(asg.length == 3)
+    assert(asg(0)._3 == 0L && asg(1)._3 == 0L)
+    assert(asg(0)._2 != asg(1)._2)
+    assert(asg(2)._3 > 0L)
+    val drift = spark.sql(
+      """SELECT cell, n_new, retrain
+        |FROM codebook_drift('cb_standing', 'cb_new', 2, 2, 2)
+        |ORDER BY cell""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // the far vector drags exactly one cell's appended mean over 2x
+    assert(drift.count(_._3 == 1) == 1, drift.mkString(","))
+  }
+
   test("extension functions enforce arity and literal parameters") {
     val wrongArity = intercept[Exception] {
       spark.sql("SELECT md5_prefix64('a')").collect()
