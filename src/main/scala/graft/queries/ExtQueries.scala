@@ -4312,6 +4312,64 @@ object ExtQueries {
       |       THEN 1 ELSE 0 END AS INT) AS retrain
       |FROM st LEFT JOIN nw USING (cell) ORDER BY cell""".stripMargin
 
+  // --- x90: BM25 lexical retrieval (top-k docs per query) -----------------------------
+
+  /** Ranked keyword retrieval over the corpus — the lexical complement
+    * to the ANN family ([[graft.ext.Retrieval]]): five fixed queries
+    * from the corpus vocabulary, Lucene-style BM25 (k1=1.2, b=0.75),
+    * top-5 docs per query. Ranks are taken on the 6-dp-rounded score
+    * (doc_id tie-break) so float summation order cannot flip them
+    * between engines.
+    */
+  val x90Bm25: Q = (spark, sfDir) => {
+    import spark.implicits._
+    val queries = Seq(
+      (1L, "table scan fast"), (2L, "hash join merge"),
+      (3L, "window agg sort"), (4L, "stream batch data"),
+      (5L, "vector group row customer"))
+      .toDF("qid", "qtext")
+    graft.ext.Retrieval.bm25TopK(
+      Tables.documents(spark, sfDir), "doc_id", "text", queries)
+      .orderBy("qid", "rank")
+  }
+
+  private val x90Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+      |), dl AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tok GROUP BY doc_id
+      |), nst AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len) AS avgdl FROM dl
+      |), tf AS (
+      |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, t
+      |), q AS (
+      |  SELECT * FROM (VALUES (1, 'table scan fast'), (2, 'hash join merge'),
+      |    (3, 'window agg sort'), (4, 'stream batch data'),
+      |    (5, 'vector group row customer')) v(qid, qtext)
+      |), qt AS (
+      |  SELECT qid, unnest(list_distinct(string_split(qtext, ' '))) AS t FROM q
+      |), qdf AS (
+      |  SELECT t, CAST(count(*) AS BIGINT) AS df
+      |  FROM (SELECT DISTINCT doc_id, t FROM tok)
+      |  WHERE t IN (SELECT DISTINCT t FROM qt) GROUP BY t
+      |), sc AS (
+      |  SELECT qt.qid, tf.doc_id,
+      |    round(sum(ln(1 + (n.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+      |      (tf.tf * (1.2 + 1)) /
+      |      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.len / n.avgdl))), 6) AS score,
+      |    CAST(count(*) AS BIGINT) AS n_hits
+      |  FROM tf JOIN qt USING (t) JOIN qdf d USING (t) JOIN dl USING (doc_id)
+      |  CROSS JOIN nst n
+      |  GROUP BY qt.qid, tf.doc_id
+      |)
+      |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS INT) AS rank, doc_id,
+      |  score, n_hits
+      |FROM (
+      |  SELECT qid, doc_id, score, n_hits,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+      |  FROM sc) WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -4403,7 +4461,8 @@ object ExtQueries {
     "x86_bpe_scale" -> x86BpeScale,
     "x87_incremental_lsh" -> x87IncrementalLsh,
     "x88_ivf_append" -> x88IvfAppend,
-    "x89_codebook_drift" -> x89CodebookDrift)
+    "x89_codebook_drift" -> x89CodebookDrift,
+    "x90_bm25" -> x90Bm25)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -4494,5 +4553,6 @@ object ExtQueries {
     "x86_bpe_scale" -> x86Sql,
     "x87_incremental_lsh" -> x87Sql,
     "x88_ivf_append" -> x88Sql,
-    "x89_codebook_drift" -> x89Sql)
+    "x89_codebook_drift" -> x89Sql,
+    "x90_bm25" -> x90Sql)
 }

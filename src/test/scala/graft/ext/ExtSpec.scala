@@ -1179,6 +1179,40 @@ class ExtSpec extends SparkSpec {
     assert(app.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 8 && r.getLong(2) >= 0))
   }
 
+  test("bm25 matches a hand-computed reference and ranks full matches above partial ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark query engine"),
+      (2L, "spark spark spark runtime"),
+      (3L, "query planner"),
+      (4L, "unrelated words entirely here")).toDF("doc_id", "text")
+    val queries = Seq((1L, "spark query")).toDF("qid", "qtext")
+    val got = graft.ext.Retrieval.bm25TopK(docs, "doc_id", "text", queries, topK = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    // independent JVM replay of the formula
+    val lens = Map(1L -> 3.0, 2L -> 4.0, 3L -> 2.0, 4L -> 4.0)
+    val avgdl = lens.values.sum / 4
+    def idf(df: Int): Double = math.log(1 + (4.0 - df + 0.5) / (df + 0.5))
+    def w(tf: Long, df: Int, len: Double): Double =
+      idf(df) * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * len / avgdl))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s1 = r6(w(1, 2, lens(1L)) + w(1, 2, lens(1L) /* query */))
+    // doc 1: spark tf=1 df=2; query tf=1 df=2 — recompute properly:
+    val exp = Map(
+      1L -> (r6(w(1, 2, 3.0) + w(1, 2, 3.0)), 2L),
+      2L -> (r6(w(3, 2, 4.0)), 1L),
+      3L -> (r6(w(1, 2, 2.0)), 1L))
+    assert(got.length == 3, got.mkString(","))
+    assert(got.head._2 == 1L, s"full match must rank first: ${got.mkString(",")}")
+    got.foreach { case (_, id, score, hits) =>
+      assert((score, hits) == ((exp(id)._1, exp(id)._2)),
+        s"doc $id: got ($score,$hits) expected ${exp(id)}")
+    }
+    assert(s1 == exp(1L)._1)
+  }
+
   test("codebook drift flags a shifted tranche and stays quiet on in-distribution appends") {
     import spark.implicits._
     // standing: two tight clusters around +1 and -1 (first dim carries
