@@ -492,5 +492,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(exprs(4), "codebook_drift ratio"))
           .queryExecution.analyzed
       }))
+    e.injectTableFunction((
+      new FunctionIdentifier("bm25_topk"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, "bm25_topk",
+        "bm25_topk(docs, queries, idCol, textCol, topK) - table function: " +
+          "top-K documents per query by BM25 (k1=1.2, b=0.75) over a (qid, " +
+          "qtext) query table; returns (qid, rank, doc_id, score, n_hits). " +
+          "Tables/cols string literals, topK an integer literal.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 5,
+          "bm25_topk takes (docs, queries, idCol, textCol, topK)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ext.Retrieval.bm25TopK(
+          spark.table(strLit(exprs(0), "bm25_topk docs")),
+          strLit(exprs(2), "bm25_topk idCol"),
+          strLit(exprs(3), "bm25_topk textCol"),
+          spark.table(strLit(exprs(1), "bm25_topk queries")),
+          topK = intLit(exprs(4), "bm25_topk topK"))
+          .queryExecution.analyzed
+      }))
   }
 }

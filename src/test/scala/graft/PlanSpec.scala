@@ -71,6 +71,33 @@ class PlanSpec extends SparkSpec {
     assert(aggIdx >= 0)
   }
 
+  test("x87: sets exchanges reuse; band exchanges stay narrow (no collect_set on the wire)") {
+    // Two deliberate plan properties of the incremental probe:
+    //  1. the VERIFICATION-set frames (collect_set buffers — the wide
+    //     rows) materialize once per side and are reused by both join
+    //     consumers (executed plan shows ReusedExchange);
+    //  2. the BAND-side exchanges are a SEPARATE, column-pruned
+    //     pipeline: candidate generation shuffles only (id, sig slots)
+    //     — if a collect_set buffer ever rides a band exchange, the
+    //     whole corpus' shingle sets ride the candidate shuffle, which
+    //     is the scale bug the split exists to prevent. Full subtree
+    //     reuse is therefore NOT the goal; narrowness is.
+    val docs = graft.model.Tables.documents(spark, sf())
+    val df = graft.ext.Dedup.incrementalNearDupPairs(
+      docs.filter(col("doc_id") % 4 =!= 0),
+      docs.filter(col("doc_id") % 4 === 0), "doc_id", "text")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val reused = "ReusedExchange|ReusedQueryStage|Reused".r.findAllIn(p).length
+    assert(reused >= 2, s"expected >=2 reused set-frame exchanges, got $reused\n${p.take(3000)}")
+    // every exchange that carries a collect_set buffer must partition by
+    // id (the sets pipeline); band-key exchanges carry none of them
+    val bandExchanges = p.split("\n").filter(l =>
+      l.contains("Exchange hashpartitioning(bk"))
+    assert(bandExchanges.forall(!_.contains("collect_set")),
+      s"a band exchange carries shingle sets:\n${bandExchanges.mkString("\n")}")
+  }
+
   test("x53: each method's scored frame is derived once (exchanges reused)") {
     // VERDICT r6 #2: the top-k window and the candidate count of every
     // ANN method must read ONE scored pipeline. The sharing mechanism is

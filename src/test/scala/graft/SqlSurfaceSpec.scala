@@ -310,6 +310,22 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(drift.count(_._3 == 1) == 1, drift.mkString(","))
   }
 
+  test("bm25_topk is callable as a SQL table function") {
+    import spark.implicits._
+    Seq((1L, "spark query engine"), (2L, "spark spark spark runtime"),
+      (3L, "query planner"), (4L, "none of these words"))
+      .toDF("doc_id", "text").createOrReplaceTempView("bm_docs")
+    Seq((1L, "spark query")).toDF("qid", "qtext")
+      .createOrReplaceTempView("bm_queries")
+    val r = spark.sql(
+      """SELECT rank, doc_id, n_hits
+        |FROM bm25_topk('bm_docs', 'bm_queries', 'doc_id', 'text', 2)
+        |ORDER BY rank""".stripMargin).collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2)))
+    assert(r.length == 2)
+    assert(r(0) == ((1, 1L, 2L)), r.mkString(","))
+  }
+
   test("extension functions enforce arity and literal parameters") {
     val wrongArity = intercept[Exception] {
       spark.sql("SELECT md5_prefix64('a')").collect()
