@@ -58,14 +58,20 @@ object QualityModel {
 
   /** Score every document against a (bucket, wt) linear model:
     * (doc_id, n_features, score, keep) with keep = 1 iff score > 0.
-    * `weights` must be vocabulary-sized — it is broadcast.
+    * `weights` must be vocabulary-sized — it is broadcast. The join is
+    * LEFT outer with a zero fill: a SPARSE model (real trained weight
+    * tables prune near-zero buckets) contributes 0 for absent buckets
+    * while `n_features` still counts every feature — an inner join
+    * would silently shrink the feature count wherever the model is
+    * sparse.
     */
   def scoreDocuments(docs: DataFrame, idCol: String, textCol: String,
                      weights: DataFrame, buckets: Int = 4096): DataFrame =
     featureBuckets(docs, idCol, textCol, buckets)
-      .join(broadcast(weights), Seq("bucket"))
+      .join(broadcast(weights), Seq("bucket"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_features"), sum("wt").as("score"))
+      .agg(count(lit(1)).as("n_features"),
+        sum(coalesce(col("wt"), lit(0L))).as("score"))
       .select(col("doc_id"), col("n_features"), col("score"),
         when(col("score") > 0, lit(1)).otherwise(lit(0)).as("keep"))
 }

@@ -1081,6 +1081,20 @@ class ExtSpec extends SparkSpec {
     // the deterministic weights must actually discriminate: both classes
     // occur, so the keep flag is a decision, not a constant
     assert(got.values.exists(_._3 == 1) && got.values.exists(_._3 == 0))
+    // sparse-model semantics: pruning a bucket from the weight table
+    // zeroes its contribution but never shrinks the feature count
+    import spark.implicits._
+    val usedBuckets = graft.ext.QualityModel
+      .featureBuckets(docs, "doc_id", "text", 4096)
+      .select("bucket").distinct().collect().map(_.getLong(0)).toSet
+    val pruned = graft.ext.QualityModel.hashedWeights(spark, 4096)
+      .filter(!col("bucket").isin(usedBuckets.take(3).toSeq: _*))
+    val sparse = graft.ext.QualityModel.scoreDocuments(
+        docs, "doc_id", "text", pruned, 4096)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sparse.keySet == got.keySet)
+    assert(sparse.forall { case (id, nf) => nf == got(id)._1 },
+      "pruning weight rows must not change n_features")
   }
 
   test("incremental LSH pairs are exactly the missing slice of the monolithic run") {
