@@ -638,6 +638,50 @@ class StreamingSpec extends SparkSpec {
     assert(acc.toSet == expected)
   }
 
+  test("streaming codebook drift monitor: calm tranches stay quiet, a shifted one flags") {
+    // The x89 monitor in its deployment shape: embedding tranches
+    // arrive as a stream; each microbatch is routed into the STANDING
+    // codebook (no retrain) and its per-cell drift is checked via
+    // foreachBatch. Two calm tranches must raise nothing; the
+    // distribution-shifted third must flag.
+    import spark.implicits._
+    def vec(base: Double, jitter: Double): Array[Float] = {
+      val a = Array.fill(8)(0.0f); a(0) = base.toFloat; a(1) = jitter.toFloat; a
+    }
+    val standing = (0 until 40).map { i =>
+      (i.toLong, vec(if (i % 2 == 0) 1.0 else -1.0, (i % 5) / 100.0))
+    }.toDF("vec_id", "embedding")
+    def tranche(ids: Range, base: Long => Double) =
+      ids.map(i => (i.toLong, vec(base(i.toLong), (i % 5) / 100.0)))
+        .toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("drift").toString
+    tranche(100 until 120, i => if (i % 2 == 0) 1.0 else -1.0)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    tranche(200 until 220, i => if (i % 2 == 0) 1.0 else -1.0)
+      .coalesce(1).write.mode("append").parquet(dir)
+    tranche(300 until 320, _ => 8.0)
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(standing.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var batches = 0
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val flags = graft.ext.KMeans
+          .codebookDrift(standing, batch.toDF(), k = 2, iters = 2)
+          .filter(col("retrain") === 1).count()
+        if (flags > 0)
+          flagged += batch.toDF().agg(min("vec_id")).collect()(0).getLong(0)
+        batches += 1
+        ()
+    }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches == 3, s"expected 3 microbatches, got $batches")
+    assert(flagged.toSeq == Seq(300L),
+      s"only the shifted tranche may flag, got first-ids $flagged")
+  }
+
   test("streaming chunk dedup equals the batch result over a growing corpus") {
     // Span dedup at ingest: winners are corpus-global (first occurrence
     // wins), so each microbatch recomputes over the accumulated corpus
