@@ -4370,6 +4370,51 @@ object ExtQueries {
       |  FROM sc) WHERE rank <= 5
       |ORDER BY qid, rank""".stripMargin
 
+  // --- x91: model-gated token-budget selection (x85 composed into x66) -----------------
+
+  /** The learned filter driving corpus selection end to end (VERDICT r6
+    * next-round #4's composition): score every document against the
+    * hashed linear model, keep the positive class, then fill a token
+    * budget in score order — [[graft.ext.Sampling.budgetSelect]]'s
+    * two-phase distributed prefix sum over [[graft.ext.QualityModel]]'s
+    * output, with the model's feature counts standing in for token
+    * counts. The oracle replays the same pipeline with a single
+    * cumulative window.
+    */
+  val x91ModelBudget: Q = (spark, sfDir) => {
+    val scored = graft.ext.QualityModel.scoreDocuments(
+        Tables.documents(spark, sfDir), "doc_id", "text",
+        graft.ext.QualityModel.hashedWeights(spark, 4096), 4096)
+      .filter(col("keep") === 1)
+    graft.ext.Sampling.budgetSelect(scored, "score", "doc_id", "n_features", 10000L)
+      .select(col("doc_id"), col("n_features"), col("score"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val x91Sql =
+    """WITH w AS (
+      |  SELECT b AS bucket, (b * 2654435761) % 2001 - 1000 AS wt
+      |  FROM (SELECT unnest(range(4096)) AS b)
+      |), feats AS (
+      |  SELECT doc_id, unnest(list_concat(tk, list_transform(range(1, length(tk)),
+      |    i -> array_to_string(list_slice(tk, i, i+1), ' ')))) AS f
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+      |), fb AS (
+      |  SELECT doc_id, ('0x' || substr(md5(f),1,8))::BIGINT % 4096 AS bucket FROM feats
+      |), kept AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+      |    CAST(sum(wt) AS BIGINT) AS score
+      |  FROM fb JOIN w USING (bucket)
+      |  GROUP BY doc_id HAVING sum(wt) > 0
+      |), c AS (
+      |  SELECT doc_id, n_features, score,
+      |    CAST(sum(n_features) OVER (ORDER BY score DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |  FROM kept
+      |)
+      |SELECT doc_id, n_features, score, cum_tokens
+      |FROM c WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -4462,7 +4507,8 @@ object ExtQueries {
     "x87_incremental_lsh" -> x87IncrementalLsh,
     "x88_ivf_append" -> x88IvfAppend,
     "x89_codebook_drift" -> x89CodebookDrift,
-    "x90_bm25" -> x90Bm25)
+    "x90_bm25" -> x90Bm25,
+    "x91_model_budget" -> x91ModelBudget)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -4554,5 +4600,6 @@ object ExtQueries {
     "x87_incremental_lsh" -> x87Sql,
     "x88_ivf_append" -> x88Sql,
     "x89_codebook_drift" -> x89Sql,
-    "x90_bm25" -> x90Sql)
+    "x90_bm25" -> x90Sql,
+    "x91_model_budget" -> x91Sql)
 }
