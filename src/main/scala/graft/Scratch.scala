@@ -17,6 +17,37 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (names.contains("__pairs")) {
+      import org.apache.spark.sql.functions._
+      val docs = graft.model.Tables.documents(spark, sfDir)
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"SCRATCH __pairs $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+      (1 to 3).foreach { i =>
+        // two-scan variant (no base sharing)
+        t(s"two_scan_$i") {
+          val m = graft.ext.Dedup.contentMembers(docs, "doc_id", "text").persist()
+          val s = graft.ext.Dedup.contentSignatures(docs, "doc_id", "text").persist()
+          graft.ext.Dedup.minhashLshPairsFrom(m, s).count()
+          m.unpersist(true); s.unpersist(true)
+        }
+        // fused one-scan variant
+        t(s"one_scan_$i") {
+          val b = graft.ext.Dedup.contentBase(docs, "doc_id", "text").persist()
+          val m = graft.ext.Dedup.contentMembersFrom(b)
+          val s = graft.ext.Dedup.contentSignaturesFrom(b).persist()
+          graft.ext.Dedup.minhashLshPairsFrom(m, s).count()
+          b.unpersist(true); s.unpersist(true)
+        }
+        // fully lazy variant (round-7 shape)
+        t(s"lazy_$i") {
+          graft.ext.Dedup.minhashLshPairs(docs, "doc_id", "text").count()
+        }
+      }
+      spark.stop(); return
+    }
     val qs =
       if (names.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => names.contains(n) }

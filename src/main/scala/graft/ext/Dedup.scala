@@ -223,14 +223,75 @@ object Dedup {
       "__ch", "__text", Nil, k, nSig)
       .withColumnRenamed("id", "ch")
 
+  /** The (id, ch) doc→content-hash membership frame — public so a
+    * caller that owns an immutable corpus (the queries layer, Bench)
+    * can persist it once and feed [[minhashLshPairsFrom]]; the pure
+    * entry point [[minhashLshPairs]] derives it per call.
+    */
+  def contentMembers(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 2): DataFrame =
+    chMembers(df, idCol, textCol, k)
+
+  /** One row per DISTINCT content: (ch, sh, sig_0..sig_{nSig-1}) — the
+    * sorted shingle-hash set plus the MinHash signature. Public for the
+    * same persist-once reason as [[contentMembers]]: inside one
+    * evaluation of [[minhashLshPairs]] this subtree is consumed five
+    * times (band explode, bucket census, both verification joins) and
+    * only the exchange is reused — the final aggregation re-runs per
+    * consumer unless the caller materializes the frame.
+    */
+  def contentSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 2, nSig: Int = 16): DataFrame =
+    chSigs(df, idCol, textCol, k, nSig)
+
+  /** ONE corpus scan shared by [[contentMembersFrom]] and
+    * [[contentSignaturesFrom]]: (id, ch, sh_str) — doc id, content
+    * hash, distinct k-shingle strings. The shingling (WordShingles +
+    * array_distinct) is the expensive half of both the membership scan
+    * and the signature scan; a caller that persists this frame pays it
+    * once instead of once per derived frame (VERDICT r7 #1 — the
+    * "census passes rescan the corpus" fusion).
+    */
+  def contentBase(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 2): DataFrame = {
+    val sh = shinglesOf(col(textCol), k)
+    df.select(col(idCol).as("id"), md5(col(textCol)).as("ch"), sh.as("sh_str"))
+      .filter(size(col("sh_str")) >= 1)
+  }
+
+  /** [[contentMembers]] as a projection of a (persisted) [[contentBase]]
+    * frame — row-identical to the direct derivation.
+    */
+  def contentMembersFrom(base: DataFrame): DataFrame = base.select("id", "ch")
+
+  /** [[contentSignatures]] from a (persisted) [[contentBase]] frame:
+    * explode the pre-computed shingles, hash each once in the codegen'd
+    * projection, one partial-aggregating groupBy per distinct content —
+    * the same shape (and bit-identical output) as the direct derivation,
+    * minus the corpus re-scan and re-shingling.
+    */
+  def contentSignaturesFrom(base: DataFrame, nSig: Int = 16): DataFrame = {
+    val hashed = base.select(col("ch"), explode(col("sh_str")).as("s"))
+      .select(col("ch"), Hashing.h32(col("s")).as("h"))
+    val sigAggs = (0 until nSig).map { j =>
+      min((lit(2L * j + 1) * col("h") + lit(7919L * j)) % lit(4294967311L)).as(s"sig_$j")
+    }
+    val aggs = sort_array(collect_set(col("h"))).as("sh") +: sigAggs
+    hashed.groupBy(col("ch")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Capped band join + exact verification at the distinct-content
     * level: (a_ch, b_ch, jaccard), a_ch < b_ch.
     */
   private def chRepPairs(df: DataFrame, idCol: String, textCol: String,
                          k: Int, bands: Int, rows: Int,
-                         maxBucket: Int): DataFrame = {
+                         maxBucket: Int): DataFrame =
+    chRepPairsFrom(chSigs(df, idCol, textCol, k, bands * rows),
+      bands, rows, maxBucket)
+
+  private def chRepPairsFrom(sigs: DataFrame, bands: Int, rows: Int,
+                             maxBucket: Int): DataFrame = {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
-    val sigs = chSigs(df, idCol, textCol, k, bands * rows)
     val bandKeys = (0 until bands).map { b =>
       concat(lit(s"$b:"), concat_ws("-",
         (0 until rows).map(r => col(s"sig_${b * rows + r}").cast("string")): _*))
@@ -302,9 +363,20 @@ object Dedup {
 
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 2, bands: Int = 8, rows: Int = 2,
-                      maxBucket: Int = 4096): DataFrame = {
-    val members = chMembers(df, idCol, textCol, k)
-    val repPairs = chRepPairs(df, idCol, textCol, k, bands, rows, maxBucket)
+                      maxBucket: Int = 4096): DataFrame =
+    minhashLshPairsFrom(chMembers(df, idCol, textCol, k),
+      chSigs(df, idCol, textCol, k, bands * rows), bands, rows, maxBucket)
+
+  /** [[minhashLshPairs]] from pre-built [[contentMembers]] /
+    * [[contentSignatures]] frames. The caller may persist both (valid
+    * only for an immutable corpus — a persisted frame would serve stale
+    * rows after an append); with unpersisted inputs the plan is
+    * IDENTICAL to [[minhashLshPairs]].
+    */
+  def minhashLshPairsFrom(members: DataFrame, sigs: DataFrame,
+                          bands: Int = 8, rows: Int = 2,
+                          maxBucket: Int = 4096): DataFrame = {
+    val repPairs = chRepPairsFrom(sigs, bands, rows, maxBucket)
     // Expansion back to the whole-corpus pair contract. Work here is
     // proportional to the OUTPUT pair count (each joined row is an
     // emitted pair), never to bucket sizes:
