@@ -451,79 +451,171 @@ object Dedup {
   def incrementalNearDupPairs(standing: DataFrame, incoming: DataFrame,
                               idCol: String, textCol: String,
                               k: Int = 2, bands: Int = 8, rows: Int = 2,
-                              maxBucket: Int = 4096): DataFrame = {
-    val (bandS, setsS) = nearDupIndex(standing, idCol, textCol, k, bands, rows)
-    probeNearDupIndex(bandS, setsS, incoming, idCol, textCol,
-      k, bands, rows, maxBucket)
-  }
+                              maxBucket: Int = 4096): DataFrame =
+    probeNearDupIndex(nearDupIndex(standing, idCol, textCol, k, bands, rows),
+      incoming, idCol, textCol, k, bands, rows, maxBucket)
 
-  /** The persistable half of [[incrementalNearDupPairs]]: a corpus'
-    * near-dup index as two frames — `(bk, id)` band rows (the probe
-    * key) and `(id, sh)` sorted shingle-hash sets (exact
-    * verification). In production both are written once per tranche
-    * and APPENDED as tranches commit ([[writeNearDupIndex]] /
-    * [[readNearDupIndex]]; bucket the band frame by `bk` on a real
-    * cluster so probes co-locate without a shuffle).
+  /** A corpus' near-dup index at the DISTINCT-CONTENT level (ADVICE r7:
+    * the former doc-level index re-introduced the quadratic boilerplate
+    * blowup the content-hash collapse exists to prevent, and its
+    * bucket cap could silently drop exact-duplicate pairs). Three
+    * frames:
+    *  - `bands`  (bk, ch): one row per band key per distinct content —
+    *    the probe key;
+    *  - `sets`   (ch, sh): sorted shingle-hash set per distinct
+    *    content — exact verification;
+    *  - `members` (ch, id): doc→content membership — pair expansion.
+    * In production all three are written once per tranche and APPENDED
+    * as tranches commit ([[writeNearDupIndex]] / [[readNearDupIndex]];
+    * bucket the band frame by `bk` on a real cluster so probes
+    * co-locate without a shuffle). A 10k-copy template page is ONE row
+    * in `bands`/`sets` and 10k rows only in the (narrow) `members`
+    * frame.
     */
+  final case class NearDupIndexFrames(bands: DataFrame, sets: DataFrame,
+                                      members: DataFrame)
+
   def nearDupIndex(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 2, bands: Int = 8, rows: Int = 2)
-    : (DataFrame, DataFrame) = {
-    val sigs = shingleSigs(df, idCol, textCol, Nil, k, bands * rows)
+    : NearDupIndexFrames = {
+    val sigs = chSigs(df, idCol, textCol, k, bands * rows)
     val bandKeys = (0 until bands).map { b =>
       concat(lit(s"$b:"), concat_ws("-",
         (0 until rows).map(r => col(s"sig_${b * rows + r}").cast("string")): _*))
     }
-    (sigs.select(col("id"), explode(array(bandKeys: _*)).as("bk")),
-      sigs.select(col("id"), col("sh")))
+    NearDupIndexFrames(
+      sigs.select(col("ch"), explode(array(bandKeys: _*)).as("bk")),
+      sigs.select(col("ch"), col("sh")),
+      chMembers(df, idCol, textCol, k))
   }
 
   /** Probe a standing corpus' index with a new tranche: the only pairs
-    * a growing corpus can add — new×standing (index equi-join) and
-    * new×new (tranche self-join) — exact-Jaccard verified,
-    * provenance-labeled. Work is ∝ |tranche| + matched candidates; the
-    * standing corpus is touched only at colliding band keys.
+    * a growing corpus can add — those touching at least one new doc —
+    * exact-Jaccard verified and provenance-labeled (src = 'within'
+    * when both docs are new, 'cross' otherwise). Returns (a_id, b_id,
+    * jaccard, src), a_id < b_id.
+    *
+    * Candidate generation runs entirely at the distinct-content level
+    * (same machinery as [[minhashLshPairs]]): the tranche's content
+    * band keys join the standing index (cross-content) and themselves
+    * (within-tranche — |distinct new contents|-bounded, so a
+    * boilerplate-heavy tranche collapses instead of exploding
+    * quadratically). Verified content pairs then expand to member
+    * pairs through the membership frames, generating ONLY pairs with a
+    * new member on at least one side — output-proportional work.
+    * Same-content pairs (exact duplicates, jaccard 1.0) are expanded
+    * directly from the membership frames WITHOUT touching the band
+    * index, so the bucket cap can never lose an exact duplicate.
+    *
+    * `maxBucket` caps oversized standing band buckets, censused over
+    * DISTINCT CONTENTS (the same guard as [[minhashLshPairs]]'s);
+    * [[nearDupIndexDroppedBuckets]] reports what a cap drops. Below
+    * the cap the output is exactly the missing slice of a monolithic
+    * [[minhashLshPairs]] over standing ∪ new (IncrementalLsh tests
+    * assert the three-way union row-for-row).
     */
-  def probeNearDupIndex(bandS: DataFrame, setsS: DataFrame,
+  def probeNearDupIndex(index: NearDupIndexFrames,
                         incoming: DataFrame, idCol: String, textCol: String,
                         k: Int = 2, bands: Int = 8, rows: Int = 2,
                         maxBucket: Int = 4096): DataFrame = {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
-    val (bandN, setsN) = nearDupIndex(incoming, idCol, textCol, k, bands, rows)
-    val oversized = bandS.groupBy("bk").agg(count(lit(1)).as("n"))
+    val idxN = nearDupIndex(incoming, idCol, textCol, k, bands, rows)
+    val oversized = index.bands.groupBy("bk").agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket).select("bk")
-    val bandScap = bandS.join(broadcast(oversized), Seq("bk"), "left_anti")
-    val cross = bandN.as("n").join(bandScap.as("s"), col("n.bk") === col("s.bk"))
-      .select(least(col("n.id"), col("s.id")).as("a_id"),
-        greatest(col("n.id"), col("s.id")).as("b_id"))
-      .distinct().withColumn("src", lit("cross"))
-    val within = bandN.as("a")
-      .join(bandN.as("b"), col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .distinct().withColumn("src", lit("within"))
-    val sets = setsS.unionByName(setsN)
-    cross.unionByName(within)
-      .join(sets.select(col("id").as("a_id"), col("sh").as("sa")), "a_id")
-      .join(sets.select(col("id").as("b_id"), col("sh").as("sb")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        jaccardHashed(col("sa"), col("sb")).as("jaccard"), col("src"))
+    val bandScap = index.bands.join(broadcast(oversized), Seq("bk"), "left_anti")
+    // content-level candidates: new contents × standing contents at
+    // colliding band keys, plus new×new within the tranche; a content
+    // present in both tranches meets itself in the cross join — that is
+    // the same-content case, handled below without bands, so ch-equal
+    // rows are excluded here
+    val crossC = idxN.bands.as("n")
+      .join(bandScap.as("s"),
+        col("n.bk") === col("s.bk") && col("n.ch") =!= col("s.ch"))
+      .select(least(col("n.ch"), col("s.ch")).as("a_ch"),
+        greatest(col("n.ch"), col("s.ch")).as("b_ch"))
+    val withinC = idxN.bands.as("a")
+      .join(idxN.bands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.ch") < col("b.ch"))
+      .select(col("a.ch").as("a_ch"), col("b.ch").as("b_ch"))
+    val candC = crossC.unionByName(withinC).distinct()
+    // exact verification once per distinct content pair; a content in
+    // both tranches has identical set rows on both sides — keep one
+    val sets = index.sets.unionByName(idxN.sets).dropDuplicates("ch")
+    val verified = candC
+      .join(sets.select(col("ch").as("a_ch"), col("sh").as("sa")), "a_ch")
+      .join(sets.select(col("ch").as("b_ch"), col("sh").as("sb")), "b_ch")
+      .select(col("a_ch"), col("b_ch"),
+        jaccardHashed(col("sa"), col("sb")).as("jaccard"))
+    // member expansion, new-side-anchored so work ∝ emitted pairs: each
+    // verified content pair expands through (all members) × (new
+    // members) in both orientations; both-new pairs appear in both and
+    // collapse in the final distinct
+    val memS = index.members.withColumn("nw", lit(false))
+    val memN = idxN.members.withColumn("nw", lit(true))
+    val memAll = memS.unionByName(memN)
+    def expand(left: DataFrame, right: DataFrame): DataFrame =
+      verified
+        .join(left.select(col("ch").as("a_ch"), col("id").as("ia"),
+          col("nw").as("na")), "a_ch")
+        .join(right.select(col("ch").as("b_ch"), col("id").as("ib"),
+          col("nw").as("nb")), "b_ch")
+        .select(least(col("ia"), col("ib")).as("a_id"),
+          greatest(col("ia"), col("ib")).as("b_id"), col("jaccard"),
+          when(col("na") && col("nb"), lit("within"))
+            .otherwise(lit("cross")).as("src"))
+    val crossPairs = expand(memAll, memN).unionByName(expand(memN, memAll))
+    // same-content pairs: every new copy pairs with all standing copies
+    // (cross) and all other new copies (within) at jaccard exactly 1.0 —
+    // derived from membership alone, immune to the bucket cap
+    val sameCross = memN.select(col("ch"), col("id").as("ia"))
+      .join(memS.select(col("ch"), col("id").as("ib")), "ch")
+      .select(least(col("ia"), col("ib")).as("a_id"),
+        greatest(col("ia"), col("ib")).as("b_id"),
+        lit(1.0).as("jaccard"), lit("cross").as("src"))
+    val sameWithin = memN.as("a")
+      .join(memN.as("b"),
+        col("a.ch") === col("b.ch") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        lit(1.0).as("jaccard"), lit("within").as("src"))
+    crossPairs.unionByName(sameCross).unionByName(sameWithin).distinct()
   }
 
+  /** The standing band buckets a given cap would drop in
+    * [[probeNearDupIndex]] — (bk, n_contents) over distinct contents —
+    * so an ingestion pipeline can report dropped candidate volume
+    * instead of silently truncating coverage.
+    */
+  def nearDupIndexDroppedBuckets(index: NearDupIndexFrames,
+                                 maxBucket: Int = 4096): DataFrame =
+    index.bands.groupBy("bk").agg(count(lit(1)).as("n_contents"))
+      .filter(col("n_contents") > maxBucket)
+
   /** Materialize a corpus' near-dup index under `dir` (`dir/bands`,
-    * `dir/sets`) — append-mode so each committed tranche extends the
-    * standing index instead of rebuilding it.
+    * `dir/sets`, `dir/members`) — append-mode so each committed tranche
+    * extends the standing index instead of rebuilding it. NOTE: a
+    * content appearing in several tranches contributes one `bands`/
+    * `sets` row PER TRANCHE; [[readNearDupIndex]] re-collapses with
+    * dropDuplicates (idempotent rows — same content, same signature),
+    * so probes stay distinct-content-exact.
     */
   def writeNearDupIndex(df: DataFrame, idCol: String, textCol: String,
                         dir: String, k: Int = 2, bands: Int = 8,
                         rows: Int = 2): Unit = {
-    val (bandF, setsF) = nearDupIndex(df, idCol, textCol, k, bands, rows)
-    bandF.write.mode("append").parquet(s"$dir/bands")
-    setsF.write.mode("append").parquet(s"$dir/sets")
+    val idx = nearDupIndex(df, idCol, textCol, k, bands, rows)
+    idx.bands.write.mode("append").parquet(s"$dir/bands")
+    idx.sets.write.mode("append").parquet(s"$dir/sets")
+    idx.members.write.mode("append").parquet(s"$dir/members")
   }
 
-  /** Load a persisted near-dup index: (band frame, sets frame). */
+  /** Load a persisted near-dup index, re-collapsing contents duplicated
+    * across tranche appends.
+    */
   def readNearDupIndex(spark: org.apache.spark.sql.SparkSession,
-                       dir: String): (DataFrame, DataFrame) =
-    (spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/sets"))
+                       dir: String): NearDupIndexFrames =
+    NearDupIndexFrames(
+      spark.read.parquet(s"$dir/bands").dropDuplicates("ch", "bk"),
+      spark.read.parquet(s"$dir/sets").dropDuplicates("ch"),
+      spark.read.parquet(s"$dir/members"))
 
   /** Duplicate-cluster resolution: connected components of the near-dup
     * pair graph, labeling every member with the minimum doc id of its

@@ -166,13 +166,23 @@ object KMeans {
     def cellStats(a: DataFrame, nCol: String, mCol: String) =
       a.groupBy("cell").agg(count(lit(1)).as(nCol),
         expr("CAST(sum(CAST(dist AS DECIMAL(38,0))) div count(1) AS BIGINT)").as(mCol))
+    // FULL outer join (ADVICE r7): k-means can leave a centroid with no
+    // standing members, and a shifted tranche routed into that empty
+    // cell is exactly the drift event the monitor exists to catch — a
+    // standing-keyed left join made such cells vanish from the report.
     cellStats(assign(standing, k, iters), "n_standing", "mean_std")
       .join(cellStats(assignWith(incoming, standing, k, iters), "n_new", "mean_new"),
-        Seq("cell"), "left")
-      .select(col("cell"), col("n_standing"),
-        coalesce(col("n_new"), lit(0L)).as("n_new"), col("mean_std"),
+        Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_standing"), lit(0L)).as("n_standing"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("mean_std"), lit(0L)).as("mean_std"),
         coalesce(col("mean_new"), lit(0L)).as("mean_new"),
-        when(coalesce(col("mean_new"), lit(0L)) > col("mean_std") * ratio,
+        when(
+          (coalesce(col("n_new"), lit(0L)) > 0 &&
+            coalesce(col("n_standing"), lit(0L)) === 0) ||
+            coalesce(col("mean_new"), lit(0L)) >
+              coalesce(col("mean_std"), lit(0L)) * ratio,
           lit(1)).otherwise(lit(0)).as("retrain"))
   }
 }

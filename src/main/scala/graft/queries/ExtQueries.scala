@@ -4334,11 +4334,15 @@ object ExtQueries {
       |    CAST(sum(dist) // count(*) AS BIGINT) AS mean_new
       |  FROM an GROUP BY cid
       |)
-      |SELECT st.cell, st.n_standing, coalesce(nw.n_new, 0) AS n_new,
-      |  st.mean_std, coalesce(nw.mean_new, 0) AS mean_new,
-      |  CAST(CASE WHEN coalesce(nw.mean_new, 0) > 2 * st.mean_std
+      |SELECT cell, coalesce(st.n_standing, 0) AS n_standing,
+      |  coalesce(nw.n_new, 0) AS n_new,
+      |  coalesce(st.mean_std, 0) AS mean_std,
+      |  coalesce(nw.mean_new, 0) AS mean_new,
+      |  CAST(CASE WHEN (coalesce(nw.n_new, 0) > 0
+      |                  AND coalesce(st.n_standing, 0) = 0)
+      |       OR coalesce(nw.mean_new, 0) > 2 * coalesce(st.mean_std, 0)
       |       THEN 1 ELSE 0 END AS INT) AS retrain
-      |FROM st LEFT JOIN nw USING (cell) ORDER BY cell""".stripMargin
+      |FROM st FULL OUTER JOIN nw USING (cell) ORDER BY cell""".stripMargin
 
   // --- x90: BM25 lexical retrieval (top-k docs per query) -----------------------------
 

@@ -66,9 +66,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p.take(2000))
     // partial aggregation runs before the doc_id exchange: the explode
-    // never rides a shuffle unreduced
-    val aggIdx = p.indexOf("HashAggregate")
-    assert(aggIdx >= 0)
+    // never rides a shuffle unreduced. The tree prints top-down
+    // (execution is bottom-up), so the partial HashAggregate must
+    // appear BELOW the doc_id exchange and ABOVE the Generate that
+    // explodes the features (ADVICE r7: a bare contains("HashAggregate")
+    // is satisfied by any aggregate anywhere and guards nothing).
+    val exIdx = p.indexOf("Exchange hashpartitioning(doc_id")
+    assert(exIdx >= 0, p.take(3000))
+    val genIdx = p.indexOf("Generate", exIdx)
+    assert(genIdx >= 0, p.take(3000))
+    val partialIdx = p.indexOf("HashAggregate", exIdx)
+    assert(partialIdx >= 0 && partialIdx < genIdx,
+      s"no HashAggregate between the doc_id exchange and the feature " +
+        s"explode — the unreduced feature stream rides the shuffle:\n${p.take(3000)}")
   }
 
   test("x87: sets exchanges reuse; band exchanges stay narrow (no collect_set on the wire)") {

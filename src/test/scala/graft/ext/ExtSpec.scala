@@ -1149,12 +1149,12 @@ class ExtSpec extends SparkSpec {
     val incoming = docs.filter(col("doc_id") % 4 === 0)
     val dir = java.nio.file.Files.createTempDirectory("ndidx").toString
     Dedup.writeNearDupIndex(standing, "doc_id", "text", dir)
-    val (bandS, setsS) = Dedup.readNearDupIndex(spark, dir)
+    val idx = Dedup.readNearDupIndex(spark, dir)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("a_id", "b_id", "jaccard", "src").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
     val viaIndex = rows(
-      Dedup.probeNearDupIndex(bandS, setsS, incoming, "doc_id", "text"))
+      Dedup.probeNearDupIndex(idx, incoming, "doc_id", "text"))
     val direct = rows(
       Dedup.incrementalNearDupPairs(standing, incoming, "doc_id", "text"))
     assert(viaIndex == direct)
@@ -1165,13 +1165,47 @@ class ExtSpec extends SparkSpec {
     val next = spark.range(5000, 5040).select(col("id").as("doc_id"),
       concat(lit("key agg row scan slow fast table value part hash tail"),
         (col("id") % 7).cast("string")).as("text"))
-    val (b2, s2) = Dedup.readNearDupIndex(spark, dir)
-    val grown = rows(Dedup.probeNearDupIndex(b2, s2, next, "doc_id", "text"))
+    val idx2 = Dedup.readNearDupIndex(spark, dir)
+    val grown = rows(Dedup.probeNearDupIndex(idx2, next, "doc_id", "text"))
     val expected = rows(Dedup.incrementalNearDupPairs(
       standing.unionByName(incoming), next, "doc_id", "text"))
     assert(grown == expected)
     assert(grown.exists(_._4 == "within"),
       "the synthetic tranche should produce within-batch near-dups")
+  }
+
+  test("probe bucket cap drops cross-content candidates but never exact duplicates") {
+    // ADVICE r7: the doc-level index's cap could silently lose
+    // exact-duplicate pairs and blow up quadratically on boilerplate.
+    // The content-level probe must (a) keep every exact-dup pair under
+    // ANY cap, (b) report what the cap dropped, (c) only ever drop —
+    // never invent — pairs.
+    import spark.implicits._
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val standing = Seq(
+      (1L, boiler), (2L, boiler), (3L, boiler + " tail one")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, boiler), (11L, boiler + " tail two")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.nearDupIndex(standing, "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "jaccard", "src").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+    val uncapped = rows(Dedup.probeNearDupIndex(idx, incoming, "doc_id", "text"))
+    val capped = rows(Dedup.probeNearDupIndex(idx, incoming, "doc_id", "text",
+      maxBucket = 1))
+    // exact-dup pairs of the new copy against BOTH standing copies, and
+    // against its fellow... (10 vs 1, 2 cross; none within — 11 differs)
+    Seq((1L, 10L), (2L, 10L)).foreach { case (a, b) =>
+      assert(capped.contains((a, b, 1.0, "cross")), s"capped lost exact dup ($a,$b)")
+    }
+    assert(capped.subsetOf(uncapped))
+    // boiler and its near-variants share band buckets, so a cap of 1
+    // must both drop something and report it
+    assert(uncapped.exists { case (_, _, j, _) => j < 1.0 },
+      "test needs near (non-exact) candidates to be meaningful")
+    assert(Dedup.nearDupIndexDroppedBuckets(idx, 1).count() > 0)
   }
 
   test("assignWith routes the training set exactly as training-time assignment") {
