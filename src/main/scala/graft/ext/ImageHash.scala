@@ -1,0 +1,125 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Perceptual image near-duplicate detection — the image member of the
+  * dedup family (VERDICT r7 "what's missing" #1): production multimodal
+  * curation dedups images not by byte equality but by a perceptual hash
+  * over downscaled grayscale pixels, so re-encodes, minor crops and
+  * pixel noise still collide.
+  *
+  * The hash is dHash ("difference hash", the public gradient-based
+  * perceptual hash): downscale to (w+1)×h grayscale, emit bit (r,c) = 1
+  * iff pixel (r,c) is darker than its right neighbor — 64 bits at the
+  * standard w=h=8. Near-duplicate images differ in a few bits; the
+  * distance is the Hamming distance between hashes.
+  *
+  * Scale shape: candidate generation NEVER compares all pairs. The
+  * 64-bit hash splits into `bands` fixed bit-slices; by pigeonhole, two
+  * hashes within Hamming distance `maxDist < bands` agree exactly on at
+  * least one slice, so a band-key equi-join (the same LSH machinery as
+  * [[Dedup.minhashLshPairs]]) finds EVERY qualifying pair — the banded
+  * join here is exact, not approximate. Identical hashes (exact or
+  * near-exact duplicate images — the bucket inflators) are collapsed to
+  * one representative before the join and expanded back afterwards,
+  * and band buckets beyond `maxBucket` distinct hashes are dropped with
+  * a report ([[hammingDroppedBandBuckets]]), mirroring the text
+  * pipeline's boilerplate guards.
+  */
+object ImageHash {
+
+  /** 64-bit dHash of a decoded image: nearest-neighbor downscale to
+    * (w+1)×h with integer scale factors (deterministic and exactly
+    * replayable from the source pixels — [[BmpOps.resizeNearest]]),
+    * then bit r·w+c = 1 iff px(r,c) < px(r,c+1). Requires a non-empty
+    * image (a zero-height BMP has no pixels to compare).
+    */
+  def dHash(img: Bmp.Img, w: Int = 8, h: Int = 8): Long = {
+    require(w >= 1 && h >= 1 && w * h <= 64, s"dHash: bad geometry w=$w h=$h")
+    require(img.width >= 1 && img.height >= 1,
+      s"dHash: empty image ${img.width}x${img.height}")
+    val sx = math.max(1, img.width / (w + 1))
+    val sy = math.max(1, img.height / h)
+    val small = BmpOps.resizeNearest(img, w + 1, h, sx, sy)
+    var hash = 0L
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        if (small.gray(r * (w + 1) + c) < small.gray(r * (w + 1) + c + 1))
+          hash |= 1L << (r * w + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  private def bandKeyCols(hashCol: Column, bands: Int): Seq[Column] = {
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    (0 until bands).map { i =>
+      concat(lit(s"$i:"),
+        (shiftright(hashCol, i * bits).bitwiseAND(lit(mask))).cast("string"))
+    }
+  }
+
+  /** All image pairs within Hamming distance `maxDist` of each other,
+    * from an (id, hash) relation: (a_id, b_id, hamming), a_id < b_id.
+    * Exact — `maxDist < bands` is enforced, so the band join cannot
+    * miss a qualifying pair (pairs lost to `maxBucket` excepted, and
+    * identical-hash pairs are immune to the cap by construction:
+    * they expand from the hash-group membership without touching the
+    * band join).
+    */
+  def hammingNearDups(hashes: DataFrame, idCol: String, hashCol: String,
+                      bands: Int = 8, maxDist: Int = 6,
+                      maxBucket: Int = 4096): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxDist >= 0 && maxDist < bands,
+      s"exactness needs maxDist < bands, got maxDist=$maxDist bands=$bands")
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val members = hashes.select(col(idCol).as("id"), col(hashCol).as("hsh"))
+    // collapse identical hashes: one representative per distinct hash
+    // rides the band join; a 10k-copy identical image is ONE row there
+    val reps = members.select("hsh").distinct()
+    val banded = reps.select(col("hsh"),
+      explode(array(bandKeyCols(col("hsh"), bands): _*)).as("bk"))
+    val oversized = banded.groupBy("bk").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select("bk")
+    val capped = banded.join(broadcast(oversized), Seq("bk"), "left_anti")
+    val cand = capped.as("a")
+      .join(capped.as("b"),
+        col("a.bk") === col("b.bk") && col("a.hsh") < col("b.hsh"))
+      .select(col("a.hsh").as("ha"), col("b.hsh").as("hb"))
+      .distinct()
+    val verified = cand
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxDist)
+    // expansion: every member pair across a verified hash pair, plus
+    // all member pairs within one hash group (hamming exactly 0)
+    val cross = verified
+      .join(members.select(col("hsh").as("ha"), col("id").as("ia")), "ha")
+      .join(members.select(col("hsh").as("hb"), col("id").as("ib")), "hb")
+      .select(least(col("ia"), col("ib")).as("a_id"),
+        greatest(col("ia"), col("ib")).as("b_id"), col("hamming"))
+    val within = members.as("a")
+      .join(members.as("b"),
+        col("a.hsh") === col("b.hsh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        lit(0).cast("int").as("hamming"))
+    cross.unionByName(within)
+  }
+
+  /** The band buckets a given cap would drop in [[hammingNearDups]] —
+    * (bk, n_hashes) over distinct hashes.
+    */
+  def hammingDroppedBandBuckets(hashes: DataFrame, hashCol: String,
+                                bands: Int = 8,
+                                maxBucket: Int = 4096): DataFrame =
+    hashes.select(col(hashCol).as("hsh")).distinct()
+      .select(col("hsh"), explode(array(bandKeyCols(col("hsh"), bands): _*)).as("bk"))
+      .groupBy("bk").agg(count(lit(1)).as("n_hashes"))
+      .filter(col("n_hashes") > maxBucket)
+}

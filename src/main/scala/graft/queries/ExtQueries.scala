@@ -4447,6 +4447,85 @@ object ExtQueries {
       |SELECT doc_id, n_features, score, cum_tokens
       |FROM c WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin
 
+  // --- x92: image perceptual near-dup (dHash + banded Hamming join) --------------------
+
+  /** The image member of the dedup family (VERDICT r7 #2): every
+    * document rendered as a REAL 24-bpp BMP (the x59/x60 pixel
+    * pipeline), dHash'd through the codec ([[graft.ext.ImageHash]]),
+    * and near-duplicate images found by the banded Hamming equi-join —
+    * identical hashes collapsed before the join, pairs within Hamming
+    * distance 6 of each other expanded back to doc level. Near-dup
+    * TEXTS render to near-identical pixel rows, so the corpus' planted
+    * text near-dups surface here as image near-dups. The oracle
+    * replays the hash bit-for-bit from the text bytes (the x60
+    * sampling replay extended with the dHash bit matrix) and verifies
+    * pairs by brute force over distinct hashes.
+    */
+  val x92ImagePhash: Q = (spark, sfDir) => {
+    import spark.implicits._
+    val hashes = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        (id, graft.ext.ImageHash.dHash(
+          Bmp.parse(Bmp.write(16, t.getBytes("US-ASCII")))))
+      }.toDF("doc_id", "hash")
+    graft.ext.ImageHash.hammingNearDups(hashes, "doc_id", "hash")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Hash replay: the 16-wide image's pixel (r, c) after the integer
+    * nearest-neighbor downscale to 9×8 is text byte 16·min(r·sy, h−1)+c
+    * (sy = max(1, h div 8); zero where the index falls past the text —
+    * the written BMP's row padding); bit r·8+c compares horizontal
+    * neighbors. bit_or assembles the 64-bit hash without the HUGEINT
+    * widening a sum would take (bit 63 wraps negative identically in
+    * both engines).
+    */
+  private val x92Sql =
+    """WITH t AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    CAST(ceil(length(text) / 16.0) AS BIGINT) AS h
+      |  FROM documents WHERE length(text) >= 1
+      |), g AS (
+      |  SELECT doc_id, n, h, greatest(1, h // 8) AS sy FROM t
+      |), px AS (
+      |  SELECT g.doc_id, r.range AS r, c.range AS c,
+      |    CASE WHEN 16 * least(r.range * g.sy, g.h - 1) + c.range < g.n
+      |         THEN ascii(substr(t.text,
+      |           CAST(16 * least(r.range * g.sy, g.h - 1) + c.range + 1 AS INT), 1))
+      |         ELSE 0 END AS v
+      |  FROM g JOIN t ON g.doc_id = t.doc_id, range(0, 8) r, range(0, 9) c
+      |), hs AS (
+      |  SELECT a.doc_id,
+      |    bit_or(CASE WHEN a.v < b.v
+      |           THEN (CASE WHEN a.r * 8 + a.c = 63
+      |                 THEN (-9223372036854775807 - 1)::BIGINT
+      |                 ELSE (1::BIGINT << CAST(a.r * 8 + a.c AS INT)) END)
+      |           ELSE 0::BIGINT END) AS hash
+      |  FROM px a JOIN px b
+      |    ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+      |  WHERE a.c < 8
+      |  GROUP BY a.doc_id
+      |), dh AS (
+      |  SELECT DISTINCT hash FROM hs
+      |), cand AS (
+      |  SELECT a.hash AS ha, b.hash AS hb,
+      |    bit_count(xor(a.hash, b.hash)) AS hamming
+      |  FROM dh a JOIN dh b ON a.hash < b.hash
+      |  WHERE bit_count(xor(a.hash, b.hash)) <= 6
+      |), cross_p AS (
+      |  SELECT least(x.doc_id, y.doc_id) AS a_id,
+      |    greatest(x.doc_id, y.doc_id) AS b_id, c.hamming
+      |  FROM cand c JOIN hs x ON x.hash = c.ha JOIN hs y ON y.hash = c.hb
+      |), within_p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, 0 AS hamming
+      |  FROM hs a JOIN hs b ON a.hash = b.hash AND a.doc_id < b.doc_id
+      |)
+      |SELECT a_id, b_id, CAST(hamming AS INT) AS hamming
+      |FROM (SELECT * FROM cross_p UNION ALL SELECT * FROM within_p)
+      |ORDER BY a_id, b_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -4540,7 +4619,8 @@ object ExtQueries {
     "x88_ivf_append" -> x88IvfAppend,
     "x89_codebook_drift" -> x89CodebookDrift,
     "x90_bm25" -> x90Bm25,
-    "x91_model_budget" -> x91ModelBudget)
+    "x91_model_budget" -> x91ModelBudget,
+    "x92_image_phash" -> x92ImagePhash)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -4633,5 +4713,6 @@ object ExtQueries {
     "x88_ivf_append" -> x88Sql,
     "x89_codebook_drift" -> x89Sql,
     "x90_bm25" -> x90Sql,
-    "x91_model_budget" -> x91Sql)
+    "x91_model_budget" -> x91Sql,
+    "x92_image_phash" -> x92Sql)
 }

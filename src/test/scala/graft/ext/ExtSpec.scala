@@ -1208,6 +1208,33 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.nearDupIndexDroppedBuckets(idx, 1).count() > 0)
   }
 
+  test("image dHash near-dup: planted near-identical images caught, unrelated ones not") {
+    import spark.implicits._
+    // base: a 16x32 gradient image with real structure; nearDup: the
+    // same pixels with a handful flipped (a re-encode/noise stand-in);
+    // exact: byte-identical; far: unrelated texture
+    val basePx = Array.tabulate(16 * 32)(i => ((i * 7) % 251).toByte)
+    val nearPx = basePx.clone(); (0 until 5).foreach(i => nearPx(i * 97) = 0)
+    val farPx = Array.tabulate(16 * 32)(i => (255 - (i * 13) % 241).toByte)
+    def hash(px: Array[Byte]) = ImageHash.dHash(Bmp.parse(Bmp.write(16, px)))
+    val hashes = Seq(
+      (1L, hash(basePx)), (2L, hash(nearPx)), (3L, hash(basePx)),
+      (4L, hash(farPx))).toDF("doc_id", "hash")
+    val pairs = ImageHash.hammingNearDups(hashes, "doc_id", "hash")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) == 0,
+      s"exact image dup missed: $pairs")
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) > 0,
+      s"planted near-identical image missed: $pairs")
+    assert(pairs.contains((2L, 3L)), s"near pair vs the dup copy missed: $pairs")
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      s"unrelated image paired: $pairs")
+    // maxDist >= bands would break the pigeonhole exactness guarantee
+    intercept[IllegalArgumentException] {
+      ImageHash.hammingNearDups(hashes, "doc_id", "hash", bands = 4, maxDist = 4)
+    }
+  }
+
   test("assignWith routes the training set exactly as training-time assignment") {
     val emb = graft.model.Tables.embeddings(spark, sf())
     val standing = emb.filter(col("vec_id") % 4 =!= 0)
