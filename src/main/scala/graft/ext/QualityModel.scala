@@ -56,6 +56,52 @@ object QualityModel {
       .select(col("doc_id"), (Hashing.h32(col("f")) % buckets).as("bucket"))
   }
 
+  /** Distributed batch-perceptron training of the (bucket, wt) linear
+    * model (VERDICT r7 #3 — replaces the stand-in weights with weights
+    * actually LEARNED from labels): per round, score every labeled doc
+    * under the current weights (explode → broadcast-join → per-doc
+    * sum, the same shape as [[scoreDocuments]]), find the misclassified
+    * set (y·score ≤ 0, so round 1 under the empty model updates on
+    * every doc — the classic batch perceptron), and add Σ y·count to
+    * each feature bucket touched by a misclassified doc. Learning rate
+    * 1 and BIGINT counts keep every weight integer-exact, so any
+    * engine replays the rounds bit-for-bit (the k-means x26
+    * discipline); each round is two joins + two aggregations, and the
+    * weight table never exceeds `buckets` rows — broadcast-sized at
+    * any corpus scale.
+    *
+    * `labels` is (doc_id, y) with y ∈ {−1, +1}. Returns (bucket, wt)
+    * with only touched buckets present — [[scoreDocuments]]'s sparse
+    * LEFT join semantics make that a complete model.
+    */
+  def trainPerceptron(docs: DataFrame, idCol: String, textCol: String,
+                      labels: DataFrame, buckets: Int = 4096,
+                      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val feats = featureBuckets(docs, idCol, textCol, buckets)
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+      .join(labels.select(col("doc_id"), col("y").cast("long").as("y")), "doc_id")
+      .localCheckpoint()
+    var w: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val mis =
+        if (w == null) feats.select("doc_id", "y").distinct() // y·0 ≤ 0: everyone
+        else feats.join(broadcast(w), Seq("bucket"), "left")
+          .groupBy("doc_id", "y")
+          .agg(sum(col("cnt") * coalesce(col("wt"), lit(0L))).as("score"))
+          .filter(col("y") * col("score") <= 0)
+          .select("doc_id", "y")
+      val delta = feats.join(mis.select("doc_id"), "doc_id")
+        .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("d"))
+      w = (if (w == null) delta.select(col("bucket"), col("d").as("wt"))
+           else w.join(delta, Seq("bucket"), "full_outer")
+             .select(col("bucket"),
+               (coalesce(col("wt"), lit(0L)) + coalesce(col("d"), lit(0L))).as("wt")))
+        .localCheckpoint()
+    }
+    w
+  }
+
   /** Score every document against a (bucket, wt) linear model:
     * (doc_id, n_features, score, keep) with keep = 1 iff score > 0.
     * `weights` must be vocabulary-sized — it is broadcast. The join is

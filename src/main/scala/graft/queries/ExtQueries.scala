@@ -4526,6 +4526,102 @@ object ExtQueries {
       |FROM (SELECT * FROM cross_p UNION ALL SELECT * FROM within_p)
       |ORDER BY a_id, b_id""".stripMargin
 
+  // --- x93: trained quality model (distributed perceptron closes learn→score→select) ---
+
+  /** The learned half of the quality pipeline actually LEARNED (VERDICT
+    * r7 #3 — x85 scored with stand-in weights): labels derive from the
+    * x9-family stopword-ratio rule (y = +1 iff stopword mass exceeds
+    * 1/16 of the tokens — the C4-style heuristic, integer comparison),
+    * a target that is EXACTLY linear in the model's own unigram count
+    * features (w = 15 on stopword buckets, −1 elsewhere, no bias), so
+    * the trainer has something real to recover. Three batch-perceptron
+    * rounds train the 4096-bucket hashed linear model
+    * ([[graft.ext.QualityModel.trainPerceptron]], integer-exact,
+    * join+agg per round), and the TRAINED weights feed
+    * [[graft.ext.QualityModel.scoreDocuments]] — the same composition
+    * x91 runs with stand-in weights. Output adds the label and whether
+    * the trained model agrees with it (ExtSpec asserts the trained
+    * accuracy clears the majority-class baseline). The oracle unrolls
+    * the three rounds as CTEs and replays every weight bit-for-bit.
+    */
+  val x93TrainedQuality: Q = (spark, sfDir) => {
+    val docs = Tables.documents(spark, sfDir)
+    val tk = split(col("text"), " ")
+    val labels = docs.select(col("doc_id"),
+      when(size(filter(tk, x => x === "the" || x === "a")) * 16 > size(tk),
+        lit(1L)).otherwise(lit(-1L)).as("y"))
+    // train on the 10% labeled split, score the WHOLE corpus — the
+    // production shape (labels are the expensive artifact); 24 rounds
+    // reach an exact fit of the training split at sf0.001/sf0.01
+    // (convergence at rounds 19/10 — later rounds are no-ops) and 66%
+    // vs a 51% majority baseline at sf0.1; per-round cost stays
+    // ∝ |labeled split|
+    val trainDocs = docs.filter(col("doc_id") % 10 === 0)
+    val w = graft.ext.QualityModel.trainPerceptron(
+      trainDocs, "doc_id", "text", labels, 4096, rounds = 24)
+    graft.ext.QualityModel.scoreDocuments(docs, "doc_id", "text", w, 4096)
+      .join(labels, "doc_id")
+      .select(col("doc_id"), col("n_features"), col("score"), col("keep"),
+        col("y"),
+        when((col("keep") === 1) === (col("y") === 1L), lit(1))
+          .otherwise(lit(0)).as("correct"))
+      .orderBy("doc_id")
+  }
+
+  /** The oracle unrolls the 24 training rounds programmatically (the
+    * x61 generated-CTE move): round 1 is the closed-form "everyone
+    * misclassified under the zero model" update; each later round is
+    * score → misclassified-set → summed update → full-outer weight
+    * merge, all BIGINT-exact.
+    */
+  private val x93Sql: String = {
+    val rounds = (2 to 24).map { i =>
+      s"""s$i AS (
+         |  SELECT doc_id, y, CAST(sum(cnt * coalesce(wt, 0)) AS BIGINT) AS score
+         |  FROM fl LEFT JOIN w${i - 1} USING (bucket) GROUP BY doc_id, y
+         |), m$i AS (
+         |  SELECT doc_id FROM s$i WHERE y * score <= 0
+         |), d$i AS (
+         |  SELECT bucket, CAST(sum(y * cnt) AS BIGINT) AS d
+         |  FROM fl JOIN m$i USING (doc_id) GROUP BY bucket
+         |), w$i AS MATERIALIZED (
+         |  SELECT bucket, coalesce(wt, 0) + coalesce(d, 0) AS wt
+         |  FROM w${i - 1} FULL OUTER JOIN d$i USING (bucket)
+         |)""".stripMargin
+    }.mkString(", ", ", ", "")
+    """WITH fb AS MATERIALIZED (
+      |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT doc_id, ('0x' || substr(md5(f),1,8))::BIGINT % 4096 AS bucket
+      |    FROM (
+      |      SELECT doc_id, unnest(list_concat(tk, list_transform(range(1, length(tk)),
+      |        i -> array_to_string(list_slice(tk, i, i+1), ' ')))) AS f
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)))
+      |  GROUP BY doc_id, bucket
+      |), lab AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CASE WHEN 16 * length(list_filter(string_split(text, ' '),
+      |                x -> x IN ('the', 'a'))) >
+      |              length(string_split(text, ' '))
+      |         THEN 1::BIGINT ELSE (-1)::BIGINT END AS y
+      |  FROM documents
+      |), fl AS MATERIALIZED (
+      |  SELECT fb.doc_id, bucket, cnt, y FROM fb JOIN lab USING (doc_id)
+      |  WHERE fb.doc_id % 10 = 0
+      |), w1 AS MATERIALIZED (
+      |  SELECT bucket, CAST(sum(y * cnt) AS BIGINT) AS wt FROM fl GROUP BY bucket
+      |)""".stripMargin + rounds +
+    """, sc AS (
+      |  SELECT fb.doc_id, CAST(sum(cnt) AS BIGINT) AS n_features,
+      |    CAST(sum(cnt * coalesce(wt, 0)) AS BIGINT) AS score
+      |  FROM fb LEFT JOIN w24 USING (bucket) GROUP BY fb.doc_id
+      |)
+      |SELECT sc.doc_id, n_features, score,
+      |  CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INT) AS keep,
+      |  y, CAST(CASE WHEN (score > 0) = (y = 1) THEN 1 ELSE 0 END AS INT) AS correct
+      |FROM sc JOIN lab ON sc.doc_id = lab.doc_id
+      |ORDER BY sc.doc_id""".stripMargin
+  }
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -4620,7 +4716,8 @@ object ExtQueries {
     "x89_codebook_drift" -> x89CodebookDrift,
     "x90_bm25" -> x90Bm25,
     "x91_model_budget" -> x91ModelBudget,
-    "x92_image_phash" -> x92ImagePhash)
+    "x92_image_phash" -> x92ImagePhash,
+    "x93_trained_quality" -> x93TrainedQuality)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -4714,5 +4811,6 @@ object ExtQueries {
     "x89_codebook_drift" -> x89Sql,
     "x90_bm25" -> x90Sql,
     "x91_model_budget" -> x91Sql,
-    "x92_image_phash" -> x92Sql)
+    "x92_image_phash" -> x92Sql,
+    "x93_trained_quality" -> x93Sql)
 }
