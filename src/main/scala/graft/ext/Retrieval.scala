@@ -65,4 +65,36 @@ object Retrieval {
       .filter(col("rank") <= topK)
       .select(col("qid"), col("rank"), col("doc_id"), col("score"), col("n_hits"))
   }
+
+  /** Reciprocal-rank fusion (Cormack & Clarke's RRF) of several ranked
+    * retrieval lists — the standard hybrid-retrieval combiner: each
+    * list contributes 1/(kRrf + rank) for every (query, doc) it ranks,
+    * the fused score is the sum, and a doc ranked moderately by SEVERAL
+    * systems beats a doc ranked top by one — exactly the property that
+    * makes BM25 + ANN fusion robust to either system's blind spots.
+    *
+    * `rankTables` are (qid, doc_id, rank) frames (any extra columns
+    * ignored). Scale shape: each input is already a per-query top-k
+    * (tiny relative to the corpus); fusion is one union + one
+    * partial-aggregating groupBy + a per-query window — nothing
+    * corpus-sized. Fused scores are rounded to 6 dp before ranking so
+    * float noise cannot flip ranks between engines; `n_lists` reports
+    * how many systems surfaced the doc.
+    */
+  def reciprocalRankFusion(rankTables: Seq[DataFrame], kRrf: Int = 60,
+                           topK: Int = 10): DataFrame = {
+    require(rankTables.nonEmpty, "rrf: need at least one rank table")
+    require(kRrf >= 1 && topK >= 1, s"rrf: bad kRrf=$kRrf topK=$topK")
+    val tagged = rankTables
+      .map(_.select(col("qid"), col("doc_id"), col("rank")))
+      .reduce(_ unionByName _)
+    val fused = tagged.groupBy("qid", "doc_id")
+      .agg(round(sum(lit(1.0) / (lit(kRrf) + col("rank"))), 6).as("rrf"),
+        count(lit(1)).as("n_lists"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank"), col("doc_id"), col("rrf"), col("n_lists"))
+  }
 }

@@ -4622,6 +4622,89 @@ object ExtQueries {
       |ORDER BY sc.doc_id""".stripMargin
   }
 
+  // --- x94: hybrid retrieval — RRF fusion of BM25 and ANN rankings ---------------------
+
+  /** BM25 (x90's lexical ranker) and exact-cosine ANN (x6's semantic
+    * ranker) fused by reciprocal-rank fusion
+    * ([[graft.ext.Retrieval.reciprocalRankFusion]]) — the production
+    * hybrid-retrieval composition (VERDICT r7 #4). The first five
+    * documents act as queries on BOTH sides: their full text queries
+    * BM25 over the corpus, their embedding queries the vector index
+    * (doc and vector ids align in the corpus). BM25 naturally ranks
+    * the query doc itself first (exact lexical self-match — kept, as a
+    * decontamination sweep would); the ANN side excludes self-matches,
+    * so the fused self hit carries one list's vote only. ExtSpec
+    * plants the case where neither system alone ranks the true hit
+    * first but the fusion does.
+    */
+  val x94HybridRrf: Q = (spark, sfDir) => {
+    val docs = Tables.documents(spark, sfDir)
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    val bm = graft.ext.Retrieval.bm25TopK(docs, "doc_id", "text", queries,
+        topK = 10)
+      .select("qid", "doc_id", "rank")
+    val ann = Similarity.bruteForceTopK(
+        Tables.embeddings(spark, sfDir), col("vec_id") < 5, 10)
+      .select(col("qid"), col("cid").as("doc_id"), col("rank"))
+    graft.ext.Retrieval.reciprocalRankFusion(Seq(bm, ann), 60, 10)
+      .orderBy("qid", "rank")
+  }
+
+  private val x94Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+       |), dl AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tok GROUP BY doc_id
+       |), nst AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len) AS avgdl FROM dl
+       |), tf AS (
+       |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, t
+       |), q AS (
+       |  SELECT doc_id AS qid, text AS qtext FROM documents WHERE doc_id < 5
+       |), qt AS (
+       |  SELECT qid, unnest(list_distinct(string_split(qtext, ' '))) AS t FROM q
+       |), qdf AS (
+       |  SELECT t, CAST(count(*) AS BIGINT) AS df
+       |  FROM (SELECT DISTINCT doc_id, t FROM tok)
+       |  WHERE t IN (SELECT DISTINCT t FROM qt) GROUP BY t
+       |), sc AS (
+       |  SELECT qt.qid, tf.doc_id,
+       |    round(sum(ln(1 + (n.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+       |      (tf.tf * (1.2 + 1)) /
+       |      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.len / n.avgdl))), 6) AS score
+       |  FROM tf JOIN qt USING (t) JOIN qdf d USING (t) JOIN dl USING (doc_id)
+       |  CROSS JOIN nst n
+       |  GROUP BY qt.qid, tf.doc_id
+       |), bm AS (
+       |  SELECT qid, doc_id, rank FROM (
+       |    SELECT qid, doc_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+       |    FROM sc) WHERE rank <= 10
+       |), qe AS (
+       |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5
+       |), ce AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |), sim AS (
+       |  SELECT qid, cid, ${cosSql("qe", "ce")} AS sim FROM qe JOIN ce ON qid != cid
+       |), ann AS (
+       |  SELECT qid, cid AS doc_id, rank FROM (
+       |    SELECT qid, cid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+       |    FROM sim) WHERE rank <= 10
+       |), fused AS (
+       |  SELECT qid, doc_id,
+       |    round(sum(1.0::DOUBLE / (60 + rank)), 6) AS rrf,
+       |    CAST(count(*) AS BIGINT) AS n_lists
+       |  FROM (SELECT * FROM bm UNION ALL SELECT * FROM ann)
+       |  GROUP BY qid, doc_id
+       |)
+       |SELECT qid, CAST(rank AS INT) AS rank, doc_id, rrf, n_lists FROM (
+       |  SELECT qid, doc_id, rrf, n_lists,
+       |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rank
+       |  FROM fused) WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -4717,7 +4800,8 @@ object ExtQueries {
     "x90_bm25" -> x90Bm25,
     "x91_model_budget" -> x91ModelBudget,
     "x92_image_phash" -> x92ImagePhash,
-    "x93_trained_quality" -> x93TrainedQuality)
+    "x93_trained_quality" -> x93TrainedQuality,
+    "x94_hybrid_rrf" -> x94HybridRrf)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -4812,5 +4896,6 @@ object ExtQueries {
     "x90_bm25" -> x90Sql,
     "x91_model_budget" -> x91Sql,
     "x92_image_phash" -> x92Sql,
-    "x93_trained_quality" -> x93Sql)
+    "x93_trained_quality" -> x93Sql,
+    "x94_hybrid_rrf" -> x94Sql)
 }

@@ -1253,6 +1253,27 @@ class ExtSpec extends SparkSpec {
       "perceptron failed to fit its own (separable) training split")
   }
 
+  test("RRF fusion ranks first a hit neither system alone ranks first") {
+    // the planted hybrid case (VERDICT r7 #4): lexical ranks a keyword
+    // decoy first, semantic ranks an embedding decoy first, but only
+    // the TRUE hit appears near the top of BOTH lists — RRF must fuse
+    // it to rank 1 while each decoy collects one list's vote
+    import spark.implicits._
+    val bm25 = Seq((1L, 100L, 1), (1L, 7L, 2), (1L, 101L, 3))
+      .toDF("qid", "doc_id", "rank")
+    val ann = Seq((1L, 200L, 1), (1L, 7L, 2), (1L, 201L, 3))
+      .toDF("qid", "doc_id", "rank")
+    val fused = Retrieval.reciprocalRankFusion(Seq(bm25, ann), 60, 10)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(fused.head == ((1, 7L, math.rint(2.0 / 62 * 1e6) / 1e6, 2L)),
+      s"true hit must fuse to rank 1: ${fused.mkString(",")}")
+    val byDoc = fused.map(f => f._2 -> f).toMap
+    assert(byDoc(100L)._4 == 1L && byDoc(200L)._4 == 1L,
+      "decoys carry a single list's vote")
+    assert(byDoc(100L)._1 > 1 && byDoc(200L)._1 > 1,
+      s"no single-list decoy may outrank the fused hit: ${fused.mkString(",")}")
+  }
+
   test("assignWith routes the training set exactly as training-time assignment") {
     val emb = graft.model.Tables.embeddings(spark, sf())
     val standing = emb.filter(col("vec_id") % 4 =!= 0)
