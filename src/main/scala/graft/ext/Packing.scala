@@ -22,6 +22,68 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** First-fit-decreasing bin packing within length buckets (VERDICT
+    * r7 #6) — the padding-conscious upgrade over [[tokenOffsets]]'s
+    * concat-and-chunk: chunking wastes zero tokens but SPLITS documents
+    * across context windows; production packers keep each document
+    * whole and accept padding, and FFD is the standard way to keep
+    * that padding small.
+    *
+    * Global FFD is inherently sequential, so the distributed shape
+    * buckets documents by length band (`bucket = len div bucketWidth`)
+    * and runs EXACT FFD independently inside each bucket: hash
+    * repartition on the bucket key co-locates each bucket, rows sort
+    * (len desc, id) within it, and one linear pass per bucket assigns
+    * bins ([[org.apache.spark.sql.Dataset.mapPartitions]] — genuine
+    * per-partition imperative state, the sanctioned last resort).
+    * Buckets pack in parallel; within a band lengths are similar, so
+    * per-bucket FFD loses little to the global variant while removing
+    * the sequential bottleneck. Deterministic: bin ids depend only on
+    * the (len desc, id) order within each bucket, so any engine
+    * replays the exact assignment (the x95 oracle steps the same FFD
+    * with a recursive CTE).
+    *
+    * Caveat at extreme scale: the per-bucket bin list lives in one
+    * task's memory and first-fit scans it linearly; beyond ~10^6 bins
+    * per bucket a segment-tree packer (or narrower buckets) is the
+    * move. Returns (doc_id, len, bucket, bin) — `bin` is the 0-based
+    * bin index WITHIN the bucket.
+    */
+  def ffdPackBuckets(df: DataFrame, idCol: String, lenCol: String,
+                     binSize: Long, bucketWidth: Long): DataFrame = {
+    require(binSize >= 1, s"ffdPackBuckets: binSize must be >= 1, got $binSize")
+    require(bucketWidth >= 1,
+      s"ffdPackBuckets: bucketWidth must be >= 1, got $bucketWidth")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col(lenCol).cast("long").as("len"))
+      .withColumn("bucket", expr(s"len div ${bucketWidth}L"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("len").desc, col("id"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        // hash partitioning puts every row of a bucket in one partition;
+        // rows arrive bucket-grouped, so per-bucket state resets on the
+        // bucket boundary
+        var curBucket = Long.MinValue
+        var bins: scala.collection.mutable.ArrayBuffer[Long] = null
+        it.map { case (id, len, bucket) =>
+          require(len >= 0 && len <= binSize,
+            s"ffdPackBuckets: doc $id has len $len outside [0, $binSize]")
+          if (bucket != curBucket) {
+            curBucket = bucket
+            bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+          }
+          var i = 0
+          while (i < bins.length && bins(i) < len) i += 1
+          if (i == bins.length) bins += binSize
+          bins(i) -= len
+          (id, len, bucket, i.toLong)
+        }
+      }.toDF("doc_id", "len", "bucket", "bin")
+  }
+
   /** For (idCol, nCol) rows: global token offset in id order, plus
     * `bin_id` = offset div binSize and `bin_pos` = offset mod binSize.
     * `nCol` must be non-null and >= 0.

@@ -4705,6 +4705,65 @@ object ExtQueries {
        |  FROM fused) WHERE rank <= 10
        |ORDER BY qid, rank""".stripMargin
 
+  // --- x95: first-fit-decreasing sequence packing (per-bin summary) --------------------
+
+  /** Whole-document context-window packing by bucketed FFD
+    * ([[graft.ext.Packing.ffdPackBuckets]], VERDICT r7 #6): documents
+    * bucket by length band (div 32), each bucket packs its docs into
+    * 256-token bins by exact first-fit-decreasing, and the declared
+    * row is the per-bin occupancy summary — (bucket, bin, n_docs,
+    * used, waste). The waste column is the padding price of keeping
+    * documents whole; x31's concat-and-chunk pays zero padding but
+    * splits documents (ExtSpec compares both against the naive
+    * id-order next-fit packer). The oracle steps the SAME FFD with a
+    * recursive CTE advancing every bucket one document per round,
+    * carrying each bucket's bin-remaining list as state.
+    */
+  val x95FfdPack: Q = (spark, sfDir) => {
+    val lens = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
+    graft.ext.Packing.ffdPackBuckets(lens, "doc_id", "len", 256L, 32L)
+      .groupBy("bucket", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("len").as("used"),
+        (lit(256L) - sum("len")).as("waste"))
+      .orderBy("bucket", "bin")
+  }
+
+  private val x95Sql: String = {
+    // first bin (1-based) whose remaining capacity fits the incoming
+    // doc — inlined at each use site (recursive CTEs take no laterals)
+    val fit = """list_min(list_filter(list_transform(
+      |      range(1, length(p.state) + 1),
+      |      j -> CASE WHEN p.state[j] >= i.len THEN j ELSE NULL END),
+      |      x -> x IS NOT NULL))""".stripMargin
+    s"""WITH RECURSIVE lens AS MATERIALIZED (
+       |  SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS len
+       |  FROM documents
+       |), items AS MATERIALIZED (
+       |  SELECT doc_id, len, len // 32 AS bucket,
+       |    CAST(row_number() OVER (PARTITION BY len // 32
+       |      ORDER BY len DESC, doc_id) AS BIGINT) AS idx
+       |  FROM lens
+       |), pack AS (
+       |  SELECT bucket, idx, doc_id, len, 0::BIGINT AS bin,
+       |    [256 - len] AS state
+       |  FROM items WHERE idx = 1
+       |  UNION ALL
+       |  SELECT i.bucket, i.idx, i.doc_id, i.len,
+       |    CASE WHEN $fit IS NULL THEN CAST(length(p.state) AS BIGINT)
+       |         ELSE CAST($fit - 1 AS BIGINT) END,
+       |    CASE WHEN $fit IS NULL THEN list_append(p.state, 256 - i.len)
+       |         ELSE list_transform(range(1, length(p.state) + 1),
+       |           j -> CASE WHEN j = $fit THEN p.state[j] - i.len
+       |                ELSE p.state[j] END) END
+       |  FROM pack p JOIN items i ON i.bucket = p.bucket AND i.idx = p.idx + 1
+       |)
+       |SELECT bucket, bin, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len) AS BIGINT) AS used,
+       |  CAST(256 - sum(len) AS BIGINT) AS waste
+       |FROM pack GROUP BY bucket, bin ORDER BY bucket, bin""".stripMargin
+  }
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -4801,7 +4860,8 @@ object ExtQueries {
     "x91_model_budget" -> x91ModelBudget,
     "x92_image_phash" -> x92ImagePhash,
     "x93_trained_quality" -> x93TrainedQuality,
-    "x94_hybrid_rrf" -> x94HybridRrf)
+    "x94_hybrid_rrf" -> x94HybridRrf,
+    "x95_ffd_pack" -> x95FfdPack)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -4897,5 +4957,6 @@ object ExtQueries {
     "x91_model_budget" -> x91Sql,
     "x92_image_phash" -> x92Sql,
     "x93_trained_quality" -> x93Sql,
-    "x94_hybrid_rrf" -> x94Sql)
+    "x94_hybrid_rrf" -> x94Sql,
+    "x95_ffd_pack" -> x95Sql)
 }

@@ -1274,6 +1274,33 @@ class ExtSpec extends SparkSpec {
       s"no single-list decoy may outrank the fused hit: ${fused.mkString(",")}")
   }
 
+  test("FFD packing: whole docs, no overfull bin, less waste than id-order next-fit") {
+    val lens = graft.model.Tables.documents(spark, sf())
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
+    val packed = Packing.ffdPackBuckets(lens, "doc_id", "len", 256L, 32L)
+      .localCheckpoint()
+    // every doc lands in exactly one bin, and no bin is overfull
+    assert(packed.count() == lens.count())
+    assert(packed.groupBy("bucket", "bin").agg(sum("len").as("u"))
+      .filter(col("u") > 256).count() == 0)
+    // padding waste (bins*256 - tokens) beats the naive packer that
+    // keeps id order and opens a new bin whenever the next doc misses
+    val nBinsFfd = packed.select("bucket", "bin").distinct().count()
+    val naive = {
+      val ls = lens.orderBy("doc_id").collect().map(_.getLong(1))
+      var bins = 1L; var rem = 256L
+      ls.foreach { l => if (l > rem) { bins += 1; rem = 256L }; rem -= l }
+      bins
+    }
+    assert(nBinsFfd < naive,
+      s"FFD used $nBinsFfd bins, naive next-fit $naive — no waste won back")
+    // x31's concat-and-chunk is the zero-padding benchmark, but it
+    // SPLITS documents across windows — FFD's waste buys whole docs
+    val chunked = Packing.tokenOffsets(lens, "doc_id", "len", 256L)
+    assert(chunked.filter(col("bin_pos") + col("len") > 256).count() > 0,
+      "chunking should split at least one doc at this SF")
+  }
+
   test("assignWith routes the training set exactly as training-time assignment") {
     val emb = graft.model.Tables.embeddings(spark, sf())
     val standing = emb.filter(col("vec_id") % 4 =!= 0)
