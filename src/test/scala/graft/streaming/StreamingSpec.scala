@@ -638,6 +638,48 @@ class StreamingSpec extends SparkSpec {
     assert(acc.toSet == expected)
   }
 
+  test("streaming persisted near-dup index: probe + append per microbatch equals monolithic") {
+    // VERDICT r7 #7 — the x87 API as the production streaming path: the
+    // standing corpus' RAW TEXT is never rescanned; each microbatch (a)
+    // probes the persisted band/sets/members index files for the pairs
+    // it adds, then (b) APPENDS itself to the same index. After the
+    // stream drains, the accumulated pair relation must equal the
+    // one-shot monolithic run exactly.
+    import graft.ext.Dedup
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val dir = Files.createTempDirectory("ndixdocs").toString
+    val idxDir = Files.createTempDirectory("ndix").toString
+    docs.filter(col("doc_id") % 3 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    docs.filter(col("doc_id") % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(dir)
+    docs.filter(col("doc_id") % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val acc = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    var batches = 0
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val idx =
+          if (batches == 0) Dedup.nearDupIndex(docs.filter(lit(false)), "doc_id", "text")
+          else Dedup.readNearDupIndex(spark, idxDir)
+        acc ++= Dedup.probeNearDupIndex(idx, batch.toDF(), "doc_id", "text")
+          .select("a_id", "b_id", "jaccard").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        Dedup.writeNearDupIndex(batch.toDF(), "doc_id", "text", idxDir)
+        batches += 1
+        ()
+    }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches >= 3, s"expected >=3 microbatches, got $batches")
+    val expected = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .select("a_id", "b_id", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(acc.toSet == expected)
+  }
+
   test("streaming codebook drift monitor: calm tranches stay quiet, a shifted one flags") {
     // The x89 monitor in its deployment shape: embedding tranches
     // arrive as a stream; each microbatch is routed into the STANDING
