@@ -324,6 +324,47 @@ object ScaleSmoke {
       s"cross-tranche recall collapsed: $crossDocs of $nNew new docs matched")
     require(incSec < 120, f"incremental probe blew the 120s budget: $incSec%.1fs")
     incPairs.unpersist()
+
+    // --- image perceptual dedup: exact-dup flood stays collapsed -------------
+    // 15k images but only 50 distinct pixel contents (the boilerplate
+    // shape): the banded Hamming join must see 50 representatives, and
+    // the member expansion must emit EXACTLY the pair count a driver
+    // replay over the 50 distinct hashes predicts — work and output
+    // both collapse-proportional, never doc².
+    import spark.implicits._
+    val tImg = System.nanoTime()
+    val nGroups = 50
+    val copies = 300
+    def gradient(g: Long): Array[Byte] =
+      Array.tabulate(16 * 32)(i => ((i * (7 + g)) % 251).toByte)
+    val hashed = spark.range(nGroups.toLong * copies)
+      .select(col("id"), (col("id") % nGroups).as("grp"))
+      .as[(Long, Long)]
+      .map { case (id, g) =>
+        (id, graft.ext.ImageHash.dHash(
+          graft.ext.Bmp.parse(graft.ext.Bmp.write(16, gradient(g)))))
+      }.toDF("doc_id", "hash")
+    val imgPairs = graft.ext.ImageHash.hammingNearDups(hashed, "doc_id", "hash")
+    val nImgPairs = imgPairs.count()
+    // driver replay over the 50 DISTINCT contents (hash collisions
+    // between gradients, if any, merge groups — the replay follows)
+    val groupHash = (0 until nGroups).map(g => graft.ext.ImageHash.dHash(
+      graft.ext.Bmp.parse(graft.ext.Bmp.write(16, gradient(g.toLong)))))
+    val hashMembers = groupHash.groupBy(identity).view
+      .mapValues(_.size.toLong * copies).toMap
+    val distinctH = hashMembers.keys.toSeq.sorted
+    val withinExp = hashMembers.values.map(m => m * (m - 1) / 2).sum
+    val crossExp = (for {
+      i <- distinctH.indices; j <- (i + 1) until distinctH.length
+      if java.lang.Long.bitCount(distinctH(i) ^ distinctH(j)) <= 6
+    } yield hashMembers(distinctH(i)) * hashMembers(distinctH(j))).sum
+    val imgSec = (System.nanoTime() - tImg) / 1e9
+    println(f"image phash flood: ${nGroups * copies}%d images, " +
+      f"${distinctH.length}%d distinct hashes, $nImgPairs%d pairs " +
+      f"(expect ${withinExp + crossExp}%d) in $imgSec%.1fs")
+    require(nImgPairs == withinExp + crossExp,
+      s"image pair expansion drifted: $nImgPairs != ${withinExp + crossExp}")
+    require(imgSec < 60, f"image flood blew the 60s budget: $imgSec%.1fs")
   }
 
   private def tier100x(spark: SparkSession): Unit = {
@@ -667,5 +708,32 @@ object ScaleSmoke {
     require(appt < 300, f"ivf append probe blew the 300s budget: $appt%.1fs")
     println(f"ivf append 100x: 1M standing, 100k appended, 0 mis-routed, " +
       f"0 retrain flags in $appt%.1fs")
+
+    // FFD packing at 1M docs: the segment-tree first-fit must stay
+    // ~linear (the naive scan is quadratic per bucket and dies here),
+    // keep every doc, overfill no bin, and beat 75% fill — lengths
+    // 10..100 against 256-token bins in 32-wide bands pack well above
+    // that line.
+    def ffdRun(n: Long): org.apache.spark.sql.DataFrame =
+      graft.ext.Packing.ffdPackBuckets(
+        spark.range(n).select(col("id").as("doc_id"),
+          (lit(10L) + col("id") % 91).as("len")),
+        "doc_id", "len", 256L, 32L)
+    val (ffs0, ffts) = timed(ffdRun(nSmall).count())
+    var ffBig: org.apache.spark.sql.DataFrame = null
+    val (ffn, fftb) = timed { ffBig = ffdRun(nBig); ffBig.count() }
+    require(ffs0 == nSmall && ffn == nBig,
+      s"ffd must keep every doc: $ffs0/$nSmall, $ffn/$nBig")
+    val ffBins = ffBig.groupBy("bucket", "bin").agg(sum("len").as("used"))
+      .agg(count(lit(1)).as("bins"), max("used").as("mx"), sum("used").as("tot"))
+      .collect()(0)
+    require(ffBins.getLong(1) <= 256L,
+      s"an FFD bin is overfull: ${ffBins.getLong(1)} > 256")
+    val fill = ffBins.getLong(2).toDouble / (ffBins.getLong(0) * 256.0)
+    require(fill > 0.75, f"FFD fill factor $fill%.3f below the 75%% line")
+    require(fftb / ffts < 30,
+      f"ffd scaled super-linearly: ${fftb / ffts}%.1fx for 8x rows")
+    println(f"ffd 100x: $nSmall%d docs $ffts%.1fs -> $nBig%d docs $fftb%.1fs " +
+      f"(${fftb / ffts}%.1fx), ${ffBins.getLong(0)}%d bins, fill $fill%.3f")
   }
 }

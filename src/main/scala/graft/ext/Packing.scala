@@ -43,11 +43,13 @@ object Packing {
     * replays the exact assignment (the x95 oracle steps the same FFD
     * with a recursive CTE).
     *
-    * Caveat at extreme scale: the per-bucket bin list lives in one
-    * task's memory and first-fit scans it linearly; beyond ~10^6 bins
-    * per bucket a segment-tree packer (or narrower buckets) is the
-    * move. Returns (doc_id, len, bucket, bin) — `bin` is the 0-based
-    * bin index WITHIN the bucket.
+    * The first-fit search runs on a growable max-segment-tree over bin
+    * remainders (leftmost leaf with rem ≥ len, O(log bins) per doc —
+    * the linear scan is quadratic per bucket and dies around 10^5
+    * bins), so a bucket packs n docs in O(n log n); the per-bucket
+    * tree is the only task-local state (8 bytes/bin). Returns
+    * (doc_id, len, bucket, bin) — `bin` is the 0-based bin index
+    * WITHIN the bucket.
     */
   def ffdPackBuckets(df: DataFrame, idCol: String, lenCol: String,
                      binSize: Long, bucketWidth: Long): DataFrame = {
@@ -67,21 +69,66 @@ object Packing {
         // rows arrive bucket-grouped, so per-bucket state resets on the
         // bucket boundary
         var curBucket = Long.MinValue
-        var bins: scala.collection.mutable.ArrayBuffer[Long] = null
+        var tree: FirstFitTree = null
         it.map { case (id, len, bucket) =>
           require(len >= 0 && len <= binSize,
             s"ffdPackBuckets: doc $id has len $len outside [0, $binSize]")
           if (bucket != curBucket) {
             curBucket = bucket
-            bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+            tree = new FirstFitTree(binSize)
           }
-          var i = 0
-          while (i < bins.length && bins(i) < len) i += 1
-          if (i == bins.length) bins += binSize
-          bins(i) -= len
-          (id, len, bucket, i.toLong)
+          (id, len, bucket, tree.place(len).toLong)
         }
       }.toDF("doc_id", "len", "bucket", "bin")
+  }
+
+  /** Growable max-segment-tree over bin remainders: `place` returns the
+    * LOWEST-index bin with remaining ≥ len (first fit), opening a new
+    * bin when none fits — O(log bins) per call, bit-identical to the
+    * linear first-fit scan.
+    */
+  private final class FirstFitTree(binSize: Long) {
+    private var cap = 1                    // leaf capacity (power of two)
+    private var rem = new Array[Long](1)   // remaining per open bin
+    private var n = 0                      // open bins
+    private var tree = Array.fill(2)(Long.MinValue) // 1-based max tree
+
+    private def update(i: Int, v: Long): Unit = {
+      var node = cap + i
+      tree(node) = v
+      node >>= 1
+      while (node >= 1) {
+        tree(node) = math.max(tree(2 * node), tree(2 * node + 1))
+        node >>= 1
+      }
+    }
+
+    def place(len: Long): Int = {
+      if (n == 0 || tree(1) < len) {
+        // no open bin fits — first fit IS a fresh bin at index n
+        if (n == cap) {
+          cap *= 2
+          val r2 = new Array[Long](cap)
+          System.arraycopy(rem, 0, r2, 0, n)
+          rem = r2
+          tree = Array.fill(2 * cap)(Long.MinValue)
+          var i = 0
+          while (i < n) { tree(cap + i) = rem(i); i += 1 }
+          var j = cap - 1
+          while (j >= 1) { tree(j) = math.max(tree(2 * j), tree(2 * j + 1)); j -= 1 }
+        }
+        rem(n) = binSize
+        n += 1
+        update(n - 1, binSize)
+      }
+      var node = 1
+      while (node < cap)
+        node = if (tree(2 * node) >= len) 2 * node else 2 * node + 1
+      val idx = node - cap
+      rem(idx) -= len
+      update(idx, rem(idx))
+      idx
+    }
   }
 
   /** For (idCol, nCol) rows: global token offset in id order, plus

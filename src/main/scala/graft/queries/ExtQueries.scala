@@ -4482,8 +4482,12 @@ object ExtQueries {
     * widening a sum would take (bit 63 wraps negative identically in
     * both engines).
     */
-  private val x92Sql =
-    """WITH t AS (
+  /** Shared hash-replay + pair CTE chain for x92/x96: ends at cross_p ∪
+    * within_p (the doc-level image near-dup pairs). WITH RECURSIVE so
+    * x96 can append the reachability fixpoint.
+    */
+  private val imagePhashPre =
+    """WITH RECURSIVE t AS (
       |  SELECT doc_id, text, length(text) AS n,
       |    CAST(ceil(length(text) / 16.0) AS BIGINT) AS h
       |  FROM documents WHERE length(text) >= 1
@@ -4521,10 +4525,14 @@ object ExtQueries {
       |), within_p AS (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, 0 AS hamming
       |  FROM hs a JOIN hs b ON a.hash = b.hash AND a.doc_id < b.doc_id
-      |)
+      |), ip AS (
+      |  SELECT * FROM cross_p UNION ALL SELECT * FROM within_p
+      |)""".stripMargin
+
+  private val x92Sql = imagePhashPre +
+    """
       |SELECT a_id, b_id, CAST(hamming AS INT) AS hamming
-      |FROM (SELECT * FROM cross_p UNION ALL SELECT * FROM within_p)
-      |ORDER BY a_id, b_id""".stripMargin
+      |FROM ip ORDER BY a_id, b_id""".stripMargin
 
   // --- x93: trained quality model (distributed perceptron closes learn→score→select) ---
 
@@ -4764,6 +4772,57 @@ object ExtQueries {
        |FROM pack GROUP BY bucket, bin ORDER BY bucket, bin""".stripMargin
   }
 
+  // --- x96: image dedup clusters → keep-best canonical ---------------------------------
+
+  /** x92's image near-dup pairs composed into the full dedup policy
+    * (the x17→x65 move at the image layer): perceptual-hash pairs →
+    * connected components → per-cluster canonical keeper, where "best"
+    * is the LARGEST source image (byte length, doc id as tie-break) —
+    * the resolution-preferring rule a multimodal curation pipeline
+    * uses. One row per image cluster: (cluster_id, keep_id, n_members,
+    * n_bytes). The oracle replays the hash, the pair join, the
+    * reachability fixpoint, and the canonical pick.
+    */
+  val x96ImageDedupClusters: Q = (spark, sfDir) => {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val hashes = docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        (id, graft.ext.ImageHash.dHash(
+          Bmp.parse(Bmp.write(16, t.getBytes("US-ASCII")))))
+      }.toDF("doc_id", "hash")
+    val clusters = Dedup.dedupClusters(
+      graft.ext.ImageHash.hammingNearDups(hashes, "doc_id", "hash"))
+    val quality = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_bytes"))
+    Dedup.clusterCanonical(clusters, quality, Seq("n_bytes"))
+      .select(col("cluster_id"), col("keep_id"), col("n_members"), col("n_bytes"))
+      .orderBy("cluster_id")
+  }
+
+  private val x96Sql = imagePhashPre +
+    """, e AS (
+      |  SELECT a_id AS u, b_id AS v FROM ip
+      |  UNION ALL
+      |  SELECT b_id, a_id FROM ip
+      |), reach AS (
+      |  SELECT u AS id, u AS r FROM e
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.id
+      |), cl AS (
+      |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+      |), m AS (
+      |  SELECT cl.cluster_id, cl.doc_id,
+      |    CAST(length(d.text) AS BIGINT) AS n_bytes,
+      |    row_number() OVER (PARTITION BY cl.cluster_id
+      |      ORDER BY length(d.text) DESC, cl.doc_id) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY cl.cluster_id) AS BIGINT) AS n_members
+      |  FROM cl JOIN documents d USING (doc_id)
+      |)
+      |SELECT cluster_id, doc_id AS keep_id, n_members, n_bytes
+      |FROM m WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -4861,7 +4920,8 @@ object ExtQueries {
     "x92_image_phash" -> x92ImagePhash,
     "x93_trained_quality" -> x93TrainedQuality,
     "x94_hybrid_rrf" -> x94HybridRrf,
-    "x95_ffd_pack" -> x95FfdPack)
+    "x95_ffd_pack" -> x95FfdPack,
+    "x96_image_dedup_clusters" -> x96ImageDedupClusters)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -4958,5 +5018,6 @@ object ExtQueries {
     "x92_image_phash" -> x92Sql,
     "x93_trained_quality" -> x93Sql,
     "x94_hybrid_rrf" -> x94Sql,
-    "x95_ffd_pack" -> x95Sql)
+    "x95_ffd_pack" -> x95Sql,
+    "x96_image_dedup_clusters" -> x96Sql)
 }
