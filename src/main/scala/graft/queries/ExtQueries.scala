@@ -4737,7 +4737,11 @@ object ExtQueries {
       .orderBy("bucket", "bin")
   }
 
-  private val x95Sql: String = {
+  /** Shared recursive-FFD replay for x95/x97: ends at `pack`
+    * (bucket, idx, doc_id, len, bin) — one row per doc in processing
+    * (= placement) order.
+    */
+  private val ffdPackPre: String = {
     // first bin (1-based) whose remaining capacity fits the incoming
     // doc — inlined at each use site (recursive CTEs take no laterals)
     val fit = """list_min(list_filter(list_transform(
@@ -4765,12 +4769,15 @@ object ExtQueries {
        |           j -> CASE WHEN j = $fit THEN p.state[j] - i.len
        |                ELSE p.state[j] END) END
        |  FROM pack p JOIN items i ON i.bucket = p.bucket AND i.idx = p.idx + 1
-       |)
-       |SELECT bucket, bin, CAST(count(*) AS BIGINT) AS n_docs,
-       |  CAST(sum(len) AS BIGINT) AS used,
-       |  CAST(256 - sum(len) AS BIGINT) AS waste
-       |FROM pack GROUP BY bucket, bin ORDER BY bucket, bin""".stripMargin
+       |)""".stripMargin
   }
+
+  private val x95Sql: String = ffdPackPre +
+    """
+      |SELECT bucket, bin, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len) AS BIGINT) AS used,
+      |  CAST(256 - sum(len) AS BIGINT) AS waste
+      |FROM pack GROUP BY bucket, bin ORDER BY bucket, bin""".stripMargin
 
   // --- x96: image dedup clusters → keep-best canonical ---------------------------------
 
@@ -4822,6 +4829,47 @@ object ExtQueries {
       |)
       |SELECT cluster_id, doc_id AS keep_id, n_members, n_bytes
       |FROM m WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
+  // --- x97: pack manifest — where each doc sits inside its context window --------------
+
+  /** The trainer-facing artifact of x95's FFD packing: one row per
+    * document with its bin coordinates — (doc_id, bucket, bin, seq,
+    * start_offset, len), where `seq` is the doc's placement position
+    * inside the bin and `start_offset` the token offset its text
+    * starts at. FFD places docs in (len desc, id) order, so within-bin
+    * placement order IS that order restricted to the bin, and the
+    * offsets are its running length sum — one bin-partitioned window
+    * on top of the packing, never a global sort. The oracle extends
+    * the x95 recursive replay (which carries the processing index)
+    * with the same window.
+    */
+  val x97PackManifest: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val lens = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
+    val packed = graft.ext.Packing.ffdPackBuckets(lens, "doc_id", "len", 256L, 32L)
+    val order = Window.partitionBy("bucket", "bin")
+      .orderBy(col("len").desc, col("doc_id"))
+    packed
+      .withColumn("seq", row_number().over(order).cast("long"))
+      .withColumn("start_offset", coalesce(
+        sum("len").over(order.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("doc_id"), col("bucket"), col("bin"), col("seq"),
+        col("start_offset"), col("len"))
+      .orderBy("doc_id")
+  }
+
+  private val x97Sql: String = ffdPackPre +
+    """
+      |SELECT doc_id, bucket, bin,
+      |  CAST(row_number() OVER (PARTITION BY bucket, bin ORDER BY idx)
+      |    AS BIGINT) AS seq,
+      |  CAST(coalesce(sum(len) OVER (PARTITION BY bucket, bin ORDER BY idx
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    AS start_offset,
+      |  len
+      |FROM pack ORDER BY doc_id""".stripMargin
 
   // --- assembled maps -----------------------------------------------------------------
 
@@ -4921,7 +4969,8 @@ object ExtQueries {
     "x93_trained_quality" -> x93TrainedQuality,
     "x94_hybrid_rrf" -> x94HybridRrf,
     "x95_ffd_pack" -> x95FfdPack,
-    "x96_image_dedup_clusters" -> x96ImageDedupClusters)
+    "x96_image_dedup_clusters" -> x96ImageDedupClusters,
+    "x97_pack_manifest" -> x97PackManifest)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -5019,5 +5068,6 @@ object ExtQueries {
     "x93_trained_quality" -> x93Sql,
     "x94_hybrid_rrf" -> x94Sql,
     "x95_ffd_pack" -> x95Sql,
-    "x96_image_dedup_clusters" -> x96Sql)
+    "x96_image_dedup_clusters" -> x96Sql,
+    "x97_pack_manifest" -> x97Sql)
 }
