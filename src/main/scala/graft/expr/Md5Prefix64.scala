@@ -511,5 +511,86 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           topK = intLit(exprs(4), "bm25_topk topK"))
           .queryExecution.analyzed
       }))
+    // round-8 kernels: image perceptual dedup, hybrid-retrieval fusion,
+    // perceptron training, and FFD packing from pure SQL
+    e.injectTableFunction((
+      new FunctionIdentifier("hamming_neardup_pairs"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null,
+        "hamming_neardup_pairs",
+        "hamming_neardup_pairs(hashes, idCol, hashCol, maxDist) - table " +
+          "function: all id pairs whose 64-bit perceptual hashes are within " +
+          "Hamming distance maxDist (banded equi-join, exact by pigeonhole); " +
+          "returns (a_id, b_id, hamming). Table/cols string literals, maxDist " +
+          "an integer literal < 8.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 4,
+          "hamming_neardup_pairs takes (hashes, idCol, hashCol, maxDist)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ext.ImageHash.hammingNearDups(
+          spark.table(strLit(exprs(0), "hamming_neardup_pairs hashes")),
+          strLit(exprs(1), "hamming_neardup_pairs idCol"),
+          strLit(exprs(2), "hamming_neardup_pairs hashCol"),
+          maxDist = intLit(exprs(3), "hamming_neardup_pairs maxDist"))
+          .queryExecution.analyzed
+      }))
+    e.injectTableFunction((
+      new FunctionIdentifier("rrf_fuse"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, "rrf_fuse",
+        "rrf_fuse(rankA, rankB, kRrf, topK) - table function: reciprocal-" +
+          "rank fusion of two (qid, doc_id, rank) retrieval lists; returns " +
+          "(qid, rank, doc_id, rrf, n_lists). Tables string literals, " +
+          "kRrf/topK integer literals.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 4, "rrf_fuse takes (rankA, rankB, kRrf, topK)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ext.Retrieval.reciprocalRankFusion(
+          Seq(spark.table(strLit(exprs(0), "rrf_fuse rankA")),
+            spark.table(strLit(exprs(1), "rrf_fuse rankB"))),
+          intLit(exprs(2), "rrf_fuse kRrf"),
+          intLit(exprs(3), "rrf_fuse topK"))
+          .queryExecution.analyzed
+      }))
+    e.injectTableFunction((
+      new FunctionIdentifier("train_quality_model"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null,
+        "train_quality_model",
+        "train_quality_model(docs, labels, idCol, textCol, buckets, rounds) - " +
+          "table function: batch-perceptron training of the hashed linear " +
+          "quality model against a (doc_id, y) label table (y in {-1, 1}); " +
+          "returns the (bucket, wt) weight table model_quality_score " +
+          "consumes. Tables/cols string literals, buckets/rounds integer " +
+          "literals.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 6,
+          "train_quality_model takes (docs, labels, idCol, textCol, buckets, rounds)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ext.QualityModel.trainPerceptron(
+          spark.table(strLit(exprs(0), "train_quality_model docs")),
+          strLit(exprs(2), "train_quality_model idCol"),
+          strLit(exprs(3), "train_quality_model textCol"),
+          spark.table(strLit(exprs(1), "train_quality_model labels")),
+          intLit(exprs(4), "train_quality_model buckets"),
+          intLit(exprs(5), "train_quality_model rounds"))
+          .queryExecution.analyzed
+      }))
+    e.injectTableFunction((
+      new FunctionIdentifier("ffd_pack"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, "ffd_pack",
+        "ffd_pack(table, idCol, lenCol, binSize, bucketWidth) - table " +
+          "function: first-fit-decreasing whole-document packing within " +
+          "length buckets; returns (doc_id, len, bucket, bin). Table/cols " +
+          "string literals, binSize/bucketWidth integer literals.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 5,
+          "ffd_pack takes (table, idCol, lenCol, binSize, bucketWidth)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ext.Packing.ffdPackBuckets(
+          spark.table(strLit(exprs(0), "ffd_pack table")),
+          strLit(exprs(1), "ffd_pack idCol"),
+          strLit(exprs(2), "ffd_pack lenCol"),
+          intLit(exprs(3), "ffd_pack binSize").toLong,
+          intLit(exprs(4), "ffd_pack bucketWidth").toLong)
+          .queryExecution.analyzed
+      }))
   }
 }

@@ -326,6 +326,56 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r(0) == ((1, 1L, 2L)), r.mkString(","))
   }
 
+  test("round-8 kernels are callable as SQL table functions") {
+    import spark.implicits._
+    // hamming_neardup_pairs: ids 1/2 share a hash, 3 is one bit away,
+    // 4 is far
+    Seq((1L, 0x0f0fL), (2L, 0x0f0fL), (3L, 0x0f0eL), (4L, -1L))
+      .toDF("id", "h").createOrReplaceTempView("ph_hashes")
+    val ph = spark.sql(
+      """SELECT a_id, b_id, hamming
+        |FROM hamming_neardup_pairs('ph_hashes', 'id', 'h', 6)
+        |ORDER BY a_id, b_id""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(ph.toSeq == Seq((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)), ph.mkString(","))
+    // rrf_fuse: the shared second-ranked doc must fuse to rank 1
+    Seq((1L, 100L, 1), (1L, 7L, 2)).toDF("qid", "doc_id", "rank")
+      .createOrReplaceTempView("rrf_a")
+    Seq((1L, 200L, 1), (1L, 7L, 2)).toDF("qid", "doc_id", "rank")
+      .createOrReplaceTempView("rrf_b")
+    val fused = spark.sql(
+      """SELECT rank, doc_id, n_lists FROM rrf_fuse('rrf_a', 'rrf_b', 60, 3)
+        |ORDER BY rank""".stripMargin).collect()
+    assert(fused.head.getLong(1) == 7L && fused.head.getLong(2) == 2L)
+    // train_quality_model -> model_quality_score round trip: the
+    // positive class is marked by a dedicated token, which training
+    // must weight positive
+    Seq((1L, "good alpha beta"), (2L, "good gamma delta"),
+      (3L, "junk alpha beta"), (4L, "junk gamma delta"))
+      .toDF("doc_id", "text").createOrReplaceTempView("tq_docs")
+    Seq((1L, 1L), (2L, 1L), (3L, -1L), (4L, -1L)).toDF("doc_id", "y")
+      .createOrReplaceTempView("tq_labels")
+    spark.sql(
+      """SELECT * FROM train_quality_model(
+        |  'tq_docs', 'tq_labels', 'doc_id', 'text', 4096, 8)""".stripMargin)
+      .createOrReplaceTempView("tq_weights")
+    val scored = spark.sql(
+      """SELECT doc_id, keep
+        |FROM model_quality_score('tq_docs', 'tq_weights', 'doc_id', 'text', 4096)
+        |ORDER BY doc_id""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(scored.toSeq == Seq((1L, 1), (2L, 1), (3L, 0), (4L, 0)),
+      scored.mkString(","))
+    // ffd_pack: three 100-token docs into 256-token bins, one bucket
+    Seq((1L, 100L), (2L, 100L), (3L, 100L)).toDF("doc_id", "len")
+      .createOrReplaceTempView("ffd_docs")
+    val packed = spark.sql(
+      """SELECT doc_id, bin FROM ffd_pack('ffd_docs', 'doc_id', 'len', 256, 32)
+        |ORDER BY doc_id""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(packed.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 1L)), packed.mkString(","))
+  }
+
   test("extension functions enforce arity and literal parameters") {
     val wrongArity = intercept[Exception] {
       spark.sql("SELECT md5_prefix64('a')").collect()
