@@ -4871,6 +4871,75 @@ object ExtQueries {
       |  len
       |FROM pack ORDER BY doc_id""".stripMargin
 
+  // --- x98: audio perceptual near-dup (energy hash + banded Hamming join) --------------
+
+  /** The audio member of the perceptual dedup family, closing the
+    * modality triangle (text MinHash x2, image dHash x92, audio here):
+    * every document rendered as a REAL 8-bit PCM WAV (the x55/x83
+    * pipeline), energy-difference-hashed through the codec
+    * ([[graft.ext.AudioHash]] — 65 hop-sized windows, bit j compares
+    * adjacent window amplitudes), and near-duplicate streams found by
+    * the SAME banded Hamming machinery as x92
+    * ([[graft.ext.ImageHash.hammingNearDups]] is modality-agnostic).
+    * The oracle replays hop windowing, window energies, and the bit
+    * assembly from the text bytes, then brute-force verifies distinct
+    * hashes.
+    */
+  val x98AudioPhash: Q = (spark, sfDir) => {
+    import spark.implicits._
+    val hashes = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        (id, graft.ext.AudioHash.eHash(
+          Wav.parse(Wav.write(t.getBytes("US-ASCII")))))
+      }.toDF("doc_id", "hash")
+    graft.ext.ImageHash.hammingNearDups(hashes, "doc_id", "hash")
+      .orderBy("a_id", "b_id")
+  }
+
+  private val x98Sql =
+    """WITH t AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    greatest(1, length(text) // 65) AS hop
+      |  FROM documents WHERE length(text) >= 1
+      |), en AS (
+      |  SELECT t.doc_id, j.range AS j,
+      |    coalesce(list_sum(list_transform(
+      |      range(CAST(j.range * t.hop + 1 AS BIGINT),
+      |            CAST(least((j.range + 1) * t.hop, t.n) + 1 AS BIGINT)),
+      |      i -> abs(ascii(substr(t.text, CAST(i AS INT), 1)) - 128))),
+      |      0) AS e
+      |  FROM t, range(0, 65) j
+      |), hs AS (
+      |  SELECT a.doc_id,
+      |    bit_or(CASE WHEN a.e < b.e
+      |           THEN (CASE WHEN a.j = 63
+      |                 THEN (-9223372036854775807 - 1)::BIGINT
+      |                 ELSE (1::BIGINT << CAST(a.j AS INT)) END)
+      |           ELSE 0::BIGINT END) AS hash
+      |  FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+      |  WHERE a.j < 64
+      |  GROUP BY a.doc_id
+      |), dh AS (
+      |  SELECT DISTINCT hash FROM hs
+      |), cand AS (
+      |  SELECT a.hash AS ha, b.hash AS hb,
+      |    bit_count(xor(a.hash, b.hash)) AS hamming
+      |  FROM dh a JOIN dh b ON a.hash < b.hash
+      |  WHERE bit_count(xor(a.hash, b.hash)) <= 6
+      |), cross_p AS (
+      |  SELECT least(x.doc_id, y.doc_id) AS a_id,
+      |    greatest(x.doc_id, y.doc_id) AS b_id, c.hamming
+      |  FROM cand c JOIN hs x ON x.hash = c.ha JOIN hs y ON y.hash = c.hb
+      |), within_p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, 0 AS hamming
+      |  FROM hs a JOIN hs b ON a.hash = b.hash AND a.doc_id < b.doc_id
+      |)
+      |SELECT a_id, b_id, CAST(hamming AS INT) AS hamming
+      |FROM (SELECT * FROM cross_p UNION ALL SELECT * FROM within_p)
+      |ORDER BY a_id, b_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -4970,7 +5039,8 @@ object ExtQueries {
     "x94_hybrid_rrf" -> x94HybridRrf,
     "x95_ffd_pack" -> x95FfdPack,
     "x96_image_dedup_clusters" -> x96ImageDedupClusters,
-    "x97_pack_manifest" -> x97PackManifest)
+    "x97_pack_manifest" -> x97PackManifest,
+    "x98_audio_phash" -> x98AudioPhash)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -5069,5 +5139,6 @@ object ExtQueries {
     "x94_hybrid_rrf" -> x94Sql,
     "x95_ffd_pack" -> x95Sql,
     "x96_image_dedup_clusters" -> x96Sql,
-    "x97_pack_manifest" -> x97Sql)
+    "x97_pack_manifest" -> x97Sql,
+    "x98_audio_phash" -> x98Sql)
 }

@@ -1301,6 +1301,29 @@ class ExtSpec extends SparkSpec {
       "chunking should split at least one doc at this SF")
   }
 
+  test("audio energy hash: planted near-identical streams caught, unrelated not") {
+    import spark.implicits._
+    // base: a varying-amplitude stream with real envelope structure;
+    // near: a handful of samples perturbed (noise/re-encode stand-in);
+    // far: inverted envelope
+    val basePx = Array.tabulate(1300)(i =>
+      (128 + ((i / 20) % 64) * (if ((i / 130) % 2 == 0) 1 else -1)).toByte)
+    val nearPx = basePx.clone(); (0 until 6).foreach(i => nearPx(i * 199) = 128.toByte)
+    val farPx = Array.tabulate(1300)(i => (128 + (63 - (i / 20) % 64)).toByte)
+    def hash(px: Array[Byte]) = AudioHash.eHash(Wav.parse(Wav.write(px)))
+    val hashes = Seq(
+      (1L, hash(basePx)), (2L, hash(nearPx)), (3L, hash(basePx)),
+      (4L, hash(farPx))).toDF("doc_id", "hash")
+    val pairs = ImageHash.hammingNearDups(hashes, "doc_id", "hash")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) == 0,
+      s"exact audio dup missed: $pairs")
+    assert(pairs.contains((1L, 2L)),
+      s"planted near-identical stream missed: $pairs")
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      s"unrelated stream paired: $pairs")
+  }
+
   test("assignWith routes the training set exactly as training-time assignment") {
     val emb = graft.model.Tables.embeddings(spark, sf())
     val standing = emb.filter(col("vec_id") % 4 =!= 0)
