@@ -4940,6 +4940,104 @@ object ExtQueries {
       |FROM (SELECT * FROM cross_p UNION ALL SELECT * FROM within_p)
       |ORDER BY a_id, b_id""".stripMargin
 
+  // --- x99: corpus-frequency boilerplate removal (CCNet/Dolma-style) -------------------
+
+  /** High-document-frequency aligned 8-token segments stripped from
+    * EVERY document ([[graft.ext.Boilerplate.removeBoilerplate]]) —
+    * the curation move chunk dedup (x56) does not make: x56 keeps a
+    * segment's first occurrence (dedup preserves one copy), this
+    * removes all of them (nav bars / cookie banners / license footers
+    * are noise, not content). Threshold minDocs = 3 distinct
+    * documents; segments join by their 60-bit md5 fingerprint so no
+    * shuffle carries segment text.
+    */
+  val x99Boilerplate: Q = (spark, sfDir) =>
+    graft.ext.Boilerplate.removeBoilerplate(
+      Tables.documents(spark, sfDir), "doc_id", "text", width = 8, minDocs = 3)
+      .orderBy("doc_id")
+
+  private val x99Sql =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), segs AS (
+      |  SELECT doc_id, i.range AS seg_no,
+      |    array_to_string(list_slice(t, CAST(1 + i.range * 8 AS BIGINT),
+      |      CAST((i.range + 1) * 8 AS BIGINT)), ' ') AS seg
+      |  FROM tk, range(0, 64) i
+      |  WHERE i.range * 8 < length(t)  -- fixed bound: DuckDB range() is not lateral; 64 covers 512 tokens (corpus max 100)
+      |), hs AS (
+      |  SELECT doc_id, seg_no, seg,
+      |    ('0x' || substr(md5(seg), 1, 15))::BIGINT AS h
+      |  FROM segs
+      |), boiler AS (
+      |  SELECT h FROM (
+      |    SELECT h, count(DISTINCT doc_id) AS df FROM hs GROUP BY h)
+      |  WHERE df >= 3
+      |), flag AS (
+      |  SELECT hs.doc_id, hs.seg_no, hs.seg,
+      |    (b.h IS NOT NULL) AS is_b
+      |  FROM hs LEFT JOIN boiler b USING (h)
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+      |  CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  coalesce(string_agg(CASE WHEN NOT is_b THEN seg END, ' '
+      |    ORDER BY seg_no), '') AS clean_text
+      |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --- x100: DSIR importance resampling weights ----------------------------------------
+
+  /** DSIR (Xie et al.) data selection ([[graft.ext.Dsir]]): the target
+    * exemplars are the stopword-rule positives (x93's label — the
+    * corpus' own "high quality" split, so no external artifact), the
+    * raw distribution is the whole corpus, and every document gets the
+    * smoothed hashed-unigram log importance weight plus the
+    * threshold-free selected flag. The learned complement to x73's
+    * declared-mixture resampling: there the target mix is given, here
+    * it is ESTIMATED from exemplar data.
+    */
+  val x100DsirWeights: Q = (spark, sfDir) => {
+    val tk = split(col("text"), " ")
+    graft.ext.Dsir.importanceWeights(
+      Tables.documents(spark, sfDir), "doc_id", "text",
+      size(filter(tk, x => x === "the" || x === "a")) * 16 > size(tk),
+      buckets = 1024)
+      .orderBy("doc_id")
+  }
+
+  private val x100Sql =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), lab AS (
+      |  SELECT doc_id,
+      |    16 * length(list_filter(t, x -> x IN ('the', 'a'))) > length(t) AS is_t
+      |  FROM tk
+      |), fb AS (
+      |  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT doc_id, ('0x' || substr(md5(f), 1, 8))::BIGINT % 1024 AS b
+      |    FROM (SELECT doc_id, unnest(t) AS f FROM tk))
+      |  GROUP BY doc_id, b
+      |), cr AS (
+      |  SELECT b, CAST(sum(cnt) AS BIGINT) AS cr FROM fb GROUP BY b
+      |), ct AS (
+      |  SELECT b, CAST(sum(cnt) AS BIGINT) AS ct
+      |  FROM fb JOIN lab USING (doc_id) WHERE is_t GROUP BY b
+      |), tots AS (
+      |  SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM cr) AS tr,
+      |    (SELECT coalesce(CAST(sum(ct) AS BIGINT), 0) FROM ct) AS tt
+      |), lam AS (
+      |  SELECT cr.b,
+      |    round(ln(coalesce(ct.ct, 0) + 1) - ln(tt + 1024)
+      |      - ln(cr.cr + 1) + ln(tr + 1024), 6) AS lam
+      |  FROM cr LEFT JOIN ct USING (b), tots
+      |), sc AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+      |    round(sum(cnt * lam), 6) AS logw
+      |  FROM fb JOIN lam USING (b) GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_tokens, logw,
+      |  CAST(CASE WHEN logw > 0 THEN 1 ELSE 0 END AS INT) AS selected
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -5040,7 +5138,9 @@ object ExtQueries {
     "x95_ffd_pack" -> x95FfdPack,
     "x96_image_dedup_clusters" -> x96ImageDedupClusters,
     "x97_pack_manifest" -> x97PackManifest,
-    "x98_audio_phash" -> x98AudioPhash)
+    "x98_audio_phash" -> x98AudioPhash,
+    "x99_boilerplate" -> x99Boilerplate,
+    "x100_dsir_weights" -> x100DsirWeights)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -5140,5 +5240,7 @@ object ExtQueries {
     "x95_ffd_pack" -> x95Sql,
     "x96_image_dedup_clusters" -> x96Sql,
     "x97_pack_manifest" -> x97Sql,
-    "x98_audio_phash" -> x98Sql)
+    "x98_audio_phash" -> x98Sql,
+    "x99_boilerplate" -> x99Sql,
+    "x100_dsir_weights" -> x100Sql)
 }

@@ -1459,4 +1459,67 @@ class ExtSpec extends SparkSpec {
     assert(collapsed * 10 < vocab.size,
       s"$collapsed of ${vocab.size} units fully collapsed — too close to exhaustion")
   }
+
+  test("boilerplate removal strips EVERY occurrence above the df threshold, keeps the rest") {
+    import spark.implicits._
+    // width=4 segments; "nav bar cookie banner" planted in docs 0,1,2
+    // (df=3 → boilerplate, removed everywhere incl. the first
+    // occurrence — the semantic x56 chunk-dedup does NOT have); "rare
+    // shared footer here" in docs 3,4 only (df=2 < 3 → kept); doc 5 is
+    // ALL boilerplate and must survive as an empty row, not vanish
+    val d = Seq(
+      (0L, "nav bar cookie banner unique words zero zero"),
+      (1L, "nav bar cookie banner other content one one"),
+      (2L, "nav bar cookie banner more body text two"),
+      (3L, "rare shared footer here alpha beta gamma delta"),
+      (4L, "rare shared footer here epsilon zeta eta theta"),
+      (5L, "nav bar cookie banner")
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.removeBoilerplate(d, "doc_id", "text",
+      width = 4, minDocs = 3).orderBy("doc_id").collect()
+    assert(out.length == 6)
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(byId(0L) == ((2L, 1L, "unique words zero zero")))
+    assert(byId(1L) == ((2L, 1L, "other content one one")))
+    assert(byId(2L) == ((2L, 1L, "more body text two")))
+    // df=2 segment survives intact
+    assert(byId(3L)._2 == 0L && byId(3L)._3.startsWith("rare shared footer here"))
+    assert(byId(4L)._2 == 0L)
+    // fully-boilerplate doc: present, empty
+    assert(byId(5L) == ((1L, 1L, "")))
+  }
+
+  test("DSIR importance weights separate target-like from raw-only documents") {
+    import spark.implicits._
+    // target split = docs marked is_t; their vocabulary is {aa, bb},
+    // the raw-only noise vocabulary is {zz, yy}. Target-vocab docs
+    // must score logw > 0 (selected), pure-noise docs < 0 — including
+    // an UNLABELED doc whose text is target-like (the generalization
+    // DSIR exists for: the estimate transfers off the exemplar split)
+    val d = Seq(
+      (0L, "aa bb aa bb aa", true),
+      (1L, "bb aa bb aa bb", true),
+      (2L, "zz yy zz yy zz yy", false),
+      (3L, "yy zz yy zz", false),
+      (4L, "aa aa bb bb", false), // target-like but unlabeled
+      (5L, "zz zz yy yy", false)
+    ).toDF("doc_id", "text", "is_t")
+    // buckets must be small relative to the token mass: add-one
+    // smoothing over B buckets pulls every λ toward ln((Tr+B)/(Tt+B)),
+    // which at B >> Tt is uniformly negative — the planted corpus has
+    // ~10 target tokens, so B=8 keeps the signal above the smoothing
+    val out = Dsir.importanceWeights(d, "doc_id", "text", col("is_t"),
+      buckets = 8).orderBy("doc_id").collect()
+    assert(out.length == 6)
+    val sel = out.map(r => r.getLong(0) -> r.getInt(3)).toMap
+    val logw = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(Seq(0L, 1L, 4L).forall(sel(_) == 1),
+      s"target-vocab docs must be selected: $logw")
+    assert(Seq(2L, 3L, 5L).forall(sel(_) == 0),
+      s"noise-vocab docs must not be selected: $logw")
+    // weights are per-token comparable: doc 4's positive weight comes
+    // from the same λ table the exemplars used
+    assert(logw(4L) > 0 && logw(2L) < 0)
+  }
 }
