@@ -48,7 +48,7 @@ object Bench {
     */
   private[graft] val buildItems = Set(
     "synthlinks_build", "neardup_pairs_build", "pq_train_build",
-    "kmeans_train_build")
+    "kmeans_train_build", "quality_train_build")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -119,6 +119,14 @@ object Bench {
       System.err.println(s"[bench] kmeans warm failed: ${e.getMessage}")
     }
     val kmSec = (System.nanoTime() - tKm0) / 1e9
+    // perceptron-trained quality weights (x93 + x102 share them): same
+    // pre-warm-and-time treatment as PQ/k-means training
+    val tQw0 = System.nanoTime()
+    try graft.queries.ExtQueries.warmQualityTraining(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] quality-train warm failed: ${e.getMessage}")
+    }
+    val qwSec = (System.nanoTime() - tQw0) / 1e9
     // Two timed passes, report the per-query MINIMUM. A single pass is
     // hostage to whatever else the container is doing (the r3 driver run
     // recorded 16.3 s for a query that takes ~3 s locally); min-of-two
@@ -155,7 +163,8 @@ object Bench {
     val results0 = p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
     val results = results0 +
       ("synthlinks_build" -> linksSec) + ("neardup_pairs_build" -> pairsSec) +
-      ("pq_train_build" -> pqSec) + ("kmeans_train_build" -> kmSec)
+      ("pq_train_build" -> pqSec) + ("kmeans_train_build" -> kmSec) +
+      ("quality_train_build" -> qwSec)
     // Regression gate vs the previous round's bench (VERDICT r4 #9,
     // repaired per VERDICT r5 #1): any query >2x its prior min is flagged
     // loudly NOW, in-round. Prev defaults to the committed bench_full.json

@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Perceptual VIDEO near-duplicate detection — the temporal member of
+  * the dedup family, completing the modality grid (text MinHash x2,
+  * image dHash x92, audio energy-hash x98): a video is a SEQUENCE of
+  * frames, and re-encodes/trims of the same footage keep long runs of
+  * perceptually-identical frames even when single-frame hashes alone
+  * would also match unrelated stills. The public shape (frame
+  * fingerprint + temporal shingling, cf. shot-boundary/sequence
+  * fingerprinting literature): per-frame perceptual hash
+  * ([[ImageHash.dHash]] through the real BMP codec), then order-
+  * preserving 2-frame shingles (fh_i, fh_i+1) — two videos are
+  * near-duplicates when the shared distinct shingle count covers at
+  * least half of the shorter video's shingle set (containment, so a
+  * trimmed prefix/suffix copy still matches its source).
+  *
+  * Scale shape (100 TB): frames decode once (map-side, fault-isolated
+  * like every MediaDecoder path); shingles join through an inverted
+  * index keyed by the 2-hash shingle — never an all-pairs comparison —
+  * with hot shingle buckets beyond `maxBucket` distinct videos dropped
+  * and reported ([[droppedShingleBuckets]]), the same boilerplate
+  * guard as the text LSH (a black/static frame run shared by half the
+  * corpus would otherwise quadratically explode the index).
+  */
+object VideoHash {
+
+  /** Per-frame perceptual hashes of each document's synthetic video:
+    * the text is cut into `frameChars`-byte frames, each rendered as a
+    * real `width`-wide 24-bpp BMP and dHash'd through the codec:
+    * (doc_id, frame_no, fh). Documents shorter than one byte yield no
+    * frames.
+    */
+  def frameHashes(docs: DataFrame, idCol: String, textCol: String,
+                  frameChars: Int = 64, width: Int = 16): DataFrame = {
+    require(frameChars >= 1, s"frameChars must be >= 1, got $frameChars")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(length(col(textCol)) >= 1)
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        t.getBytes("US-ASCII").grouped(frameChars).zipWithIndex.map {
+          case (chunk, i) =>
+            (id, i.toLong, ImageHash.dHash(Bmp.parse(Bmp.write(width, chunk))))
+        }
+      }.toDF("doc_id", "frame_no", "fh")
+  }
+
+  /** Order-preserving 2-frame shingles, distinct per video:
+    * (doc_id, k) with k = "fh_i:fh_i+1". Videos with a single frame
+    * have no shingles and cannot pair.
+    */
+  def shingles(frames: DataFrame): DataFrame =
+    frames.as("a").join(frames.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.frame_no") === col("a.frame_no") + 1)
+      .select(col("a.doc_id").as("doc_id"),
+        concat(col("a.fh").cast("string"), lit(":"),
+          col("b.fh").cast("string")).as("k"))
+      .distinct()
+
+  /** Near-duplicate video pairs: (a_id, b_id, shared, na, nb) with
+    * 2·shared >= min(na, nb) (≥ half the shorter video's shingles in
+    * common). Shingle buckets with more than `maxBucket` distinct
+    * videos are dropped from candidate generation (reported by
+    * [[droppedShingleBuckets]]) — pairs supported ONLY by such
+    * corpus-wide runs are noise, not footage reuse.
+    */
+  def sequenceNearDups(frames: DataFrame, maxBucket: Int = 4096): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val sh = shingles(frames)
+    val nsh = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val oversized = sh.groupBy("k").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select("k")
+    val capped = sh.join(broadcast(oversized), Seq("k"), "left_anti")
+    capped.as("a").join(capped.as("b"),
+        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(nsh.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(nsh.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .filter(col("shared") * 2 >= least(col("na"), col("nb")))
+      .select("a_id", "b_id", "shared", "na", "nb")
+  }
+
+  /** The shingle buckets `maxBucket` would drop: (k, n_videos). */
+  def droppedShingleBuckets(frames: DataFrame,
+                            maxBucket: Int = 4096): DataFrame =
+    shingles(frames).groupBy("k").agg(count(lit(1)).as("n_videos"))
+      .filter(col("n_videos") > maxBucket)
+}

@@ -74,6 +74,49 @@ object ExtQueries {
       k = 8, iters = 2).count(); ()
   }
 
+  /** Same for the perceptron-trained quality weights shared by x93 and
+    * x102: 24 integer-exact training rounds over the 10% labeled split,
+    * memoized per (session, sfDir) — one `quality_train_build` line
+    * item; both consumers then pay scoring cost only.
+    */
+  def warmQualityTraining(spark: SparkSession, sfDir: String): Unit = {
+    trainedQualityWeights(spark, sfDir).count(); ()
+  }
+
+  private val qualityWeightsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  /** Drop memoized trained quality weights (test hygiene). */
+  def clearQualityWeightsCache(): Unit = qualityWeightsCache.clear()
+
+  /** The x93 label rule: y = +1 iff stopword mass exceeds 1/16 of the
+    * tokens (the C4-style heuristic, integer comparison).
+    */
+  private def qualityLabels(docs: DataFrame): DataFrame = {
+    val tk = split(col("text"), " ")
+    docs.select(col("doc_id"),
+      when(size(filter(tk, x => x === "the" || x === "a")) * 16 > size(tk),
+        lit(1L)).otherwise(lit(-1L)).as("y"))
+  }
+
+  /** TRAINED (bucket, wt) weights for (session, sfDir), memoized: the
+    * (immutable-by-contract) corpus, label rule, split, bucket count
+    * and round count are all fixed per key, so x93 and x102 share one
+    * 24-round training instead of each paying it
+    * ([[graft.ext.QualityModel.trainPerceptron]] localCheckpoints every
+    * round, so the cached frame is already materialized).
+    */
+  private def trainedQualityWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    qualityWeightsCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    qualityWeightsCache.computeIfAbsent((spark, sfDir),
+      (k: (SparkSession, String)) => {
+        val docs = Tables.documents(k._1, k._2)
+        graft.ext.QualityModel.trainPerceptron(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          qualityLabels(docs), 4096, rounds = 24)
+      })
+  }
+
   private def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
     pairsCache.keySet.removeIf(_._1.sparkContext.isStopped)
     // persist (not localCheckpoint): keeps the full logical plan visible
@@ -4552,29 +4595,30 @@ object ExtQueries {
     * accuracy clears the majority-class baseline). The oracle unrolls
     * the three rounds as CTEs and replays every weight bit-for-bit.
     */
-  val x93TrainedQuality: Q = (spark, sfDir) => {
+  /** Shared train+score frame for x93/x102 (unordered):
+    * (doc_id, n_features, score, keep, y, correct).
+    */
+  private def x93Frame(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val tk = split(col("text"), " ")
-    val labels = docs.select(col("doc_id"),
-      when(size(filter(tk, x => x === "the" || x === "a")) * 16 > size(tk),
-        lit(1L)).otherwise(lit(-1L)).as("y"))
+    val labels = qualityLabels(docs)
     // train on the 10% labeled split, score the WHOLE corpus — the
     // production shape (labels are the expensive artifact); 24 rounds
     // reach an exact fit of the training split at sf0.001/sf0.01
     // (convergence at rounds 19/10 — later rounds are no-ops) and 66%
     // vs a 51% majority baseline at sf0.1; per-round cost stays
-    // ∝ |labeled split|
-    val trainDocs = docs.filter(col("doc_id") % 10 === 0)
-    val w = graft.ext.QualityModel.trainPerceptron(
-      trainDocs, "doc_id", "text", labels, 4096, rounds = 24)
+    // ∝ |labeled split|, and the trained weights are memoized per
+    // (session, sfDir) so x93 and x102 share one training
+    val w = trainedQualityWeights(spark, sfDir)
     graft.ext.QualityModel.scoreDocuments(docs, "doc_id", "text", w, 4096)
       .join(labels, "doc_id")
       .select(col("doc_id"), col("n_features"), col("score"), col("keep"),
         col("y"),
         when((col("keep") === 1) === (col("y") === 1L), lit(1))
           .otherwise(lit(0)).as("correct"))
-      .orderBy("doc_id")
   }
+
+  val x93TrainedQuality: Q = (spark, sfDir) =>
+    x93Frame(spark, sfDir).orderBy("doc_id")
 
   /** The oracle unrolls the 24 training rounds programmatically (the
     * x61 generated-CTE move): round 1 is the closed-form "everyone
@@ -4940,6 +4984,165 @@ object ExtQueries {
       |FROM (SELECT * FROM cross_p UNION ALL SELECT * FROM within_p)
       |ORDER BY a_id, b_id""".stripMargin
 
+  // --- x101: video frame-sequence perceptual near-dup ----------------------------------
+
+  /** The temporal member of the dedup family
+    * ([[graft.ext.VideoHash]]): every document becomes a synthetic
+    * video — its text cut into 64-byte frames, each rendered as a REAL
+    * 24-bpp BMP and dHash'd through the codec — and near-duplicate
+    * videos are pairs sharing at least half of the shorter side's
+    * 2-frame temporal shingles. Catches trimmed/partial footage reuse
+    * that whole-image hashing (x92) misses, while unrelated stills
+    * that happen to collide on ONE frame hash never pair (a shingle
+    * needs two consecutive matches). The oracle replays the per-frame
+    * dHash bit matrix from the text bytes (x92's replay with a frame
+    * dimension) and the shingle containment by brute force.
+    */
+  val x101VideoNearDup: Q = (spark, sfDir) =>
+    graft.ext.VideoHash.sequenceNearDups(
+      graft.ext.VideoHash.frameHashes(
+        Tables.documents(spark, sfDir), "doc_id", "text"))
+      .orderBy("a_id", "b_id")
+
+  private val x101Sql =
+    """WITH t AS (
+      |  SELECT doc_id, text FROM documents WHERE length(text) >= 1
+      |), fr AS (
+      |  SELECT doc_id, f.range AS f,
+      |    substr(text, CAST(f.range * 64 + 1 AS INT), 64) AS ft
+      |  FROM t, range(0, 16) f
+      |  WHERE f.range * 64 < length(text)  -- fixed bound: 16 frames cover 1024 chars (corpus max 553)
+      |), g AS (
+      |  SELECT doc_id, f, ft, length(ft) AS n,
+      |    CAST(ceil(length(ft) / 16.0) AS BIGINT) AS h,
+      |    greatest(1, CAST(ceil(length(ft) / 16.0) AS BIGINT) // 8) AS sy
+      |  FROM fr
+      |), px AS (
+      |  SELECT doc_id, f, r.range AS r, c.range AS c,
+      |    CASE WHEN 16 * least(r.range * sy, h - 1) + c.range < n
+      |         THEN ascii(substr(ft,
+      |           CAST(16 * least(r.range * sy, h - 1) + c.range + 1 AS INT), 1))
+      |         ELSE 0 END AS v
+      |  FROM g, range(0, 8) r, range(0, 9) c
+      |), hs AS (
+      |  SELECT a.doc_id, a.f,
+      |    bit_or(CASE WHEN a.v < b.v
+      |           THEN (CASE WHEN a.r * 8 + a.c = 63
+      |                 THEN (-9223372036854775807 - 1)::BIGINT
+      |                 ELSE (1::BIGINT << CAST(a.r * 8 + a.c AS INT)) END)
+      |           ELSE 0::BIGINT END) AS fh
+      |  FROM px a JOIN px b
+      |    ON a.doc_id = b.doc_id AND a.f = b.f AND a.r = b.r AND b.c = a.c + 1
+      |  WHERE a.c < 8
+      |  GROUP BY a.doc_id, a.f
+      |), sh AS (
+      |  SELECT DISTINCT a.doc_id, a.fh || ':' || b.fh AS k
+      |  FROM hs a JOIN hs b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+      |), nsh AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+      |), pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(count(*) AS BIGINT) AS shared
+      |  FROM sh a JOIN sh b ON a.k = b.k AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |)
+      |SELECT a_id, b_id, shared, na.n AS na, nb.n AS nb
+      |FROM pairs p JOIN nsh na ON na.doc_id = p.a_id
+      |  JOIN nsh nb ON nb.doc_id = p.b_id
+      |WHERE 2 * shared >= least(na.n, nb.n)
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // --- x102: trained-model score calibration report ------------------------------------
+
+  /** Reliability report over the TRAINED quality model's scores (the
+    * x93 frame): documents binned into 10 equal-width integer score
+    * bins between the corpus min and max score, each bin reporting how
+    * many docs it holds, how many the model keeps, how many it gets
+    * right, and how many are label-positive — the keep-rate/accuracy
+    * curve a curation team reads before trusting a score threshold.
+    * Bin arithmetic is BIGINT end-to-end ((score−min)·10 div
+    * (max−min+1)), so the report replays exactly; the min/max ride in
+    * as one broadcast scalar row (no global sort, no single-partition
+    * window).
+    */
+  val x102ScoreCalibration: Q = (spark, sfDir) => {
+    val f = x93Frame(spark, sfDir)
+    val ext = f.agg(min("score").as("min_s"), max("score").as("max_s"))
+    f.crossJoin(broadcast(ext))
+      .withColumn("bin",
+        ((col("score") - col("min_s")) * 10 / (col("max_s") - col("min_s") + 1))
+          .cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum("keep").as("n_keep"),
+        sum("correct").as("n_correct"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
+        min("score").as("min_score"), max("score").as("max_score"))
+      .orderBy("bin")
+  }
+
+  private lazy val x102Sql =
+    s"""WITH f AS (
+       |  SELECT * FROM ($x93Sql)
+       |), ext AS (
+       |  SELECT min(score) AS min_s, max(score) AS max_s FROM f
+       |)
+       |SELECT (score - min_s) * 10 // (max_s - min_s + 1) AS bin,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(keep) AS BIGINT) AS n_keep,
+       |  CAST(sum(correct) AS BIGINT) AS n_correct,
+       |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  min(score) AS min_score, max(score) AS max_score
+       |FROM f, ext GROUP BY bin ORDER BY bin""".stripMargin
+
+  // --- x103: contrastive hard-negative mining ------------------------------------------
+
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-5 cosine-nearest candidates whose class label
+    * DIFFERS from the query's — semantically close yet wrong-class,
+    * exactly the negatives an embedding trainer wants (the `label`
+    * column plays the class/cluster id). Same scale shape as x6: tiny
+    * query side broadcast, candidate scan embarrassingly parallel,
+    * per-query partitioned top-k window — the label inequality rides
+    * the join condition so same-class pairs never score.
+    */
+  val x103HardNegatives: Q = (spark, sfDir) => {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("ql"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("label").as("neg_label"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("cid"))
+    broadcast(q).join(c,
+        col("qid") =!= col("cid") && col("ql") =!= col("neg_label"))
+      .select(col("qid"), col("cid"), col("neg_label"),
+        round(Similarity.cosine(col("qe"), col("ce")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("cid"), col("sim"), col("neg_label"))
+      .orderBy("qid", "rank")
+  }
+
+  private val x103Sql =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS qe, label AS ql
+       |  FROM embeddings WHERE vec_id < 5
+       |), c AS (
+       |  SELECT vec_id AS cid, embedding AS ce, label AS neg_label
+       |  FROM embeddings
+       |), s AS (
+       |  SELECT qid, cid, neg_label, ${cosSql("qe", "ce")} AS sim
+       |  FROM q JOIN c ON qid != cid AND ql != neg_label
+       |), r AS (
+       |  SELECT qid, cid, neg_label, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+       |  FROM s
+       |)
+       |SELECT qid, rank, cid, sim, neg_label
+       |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   // --- x99: corpus-frequency boilerplate removal (CCNet/Dolma-style) -------------------
 
   /** High-document-frequency aligned 8-token segments stripped from
@@ -5140,7 +5343,10 @@ object ExtQueries {
     "x97_pack_manifest" -> x97PackManifest,
     "x98_audio_phash" -> x98AudioPhash,
     "x99_boilerplate" -> x99Boilerplate,
-    "x100_dsir_weights" -> x100DsirWeights)
+    "x100_dsir_weights" -> x100DsirWeights,
+    "x101_video_neardup" -> x101VideoNearDup,
+    "x102_score_calibration" -> x102ScoreCalibration,
+    "x103_hard_negatives" -> x103HardNegatives)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -5242,5 +5448,8 @@ object ExtQueries {
     "x97_pack_manifest" -> x97Sql,
     "x98_audio_phash" -> x98Sql,
     "x99_boilerplate" -> x99Sql,
-    "x100_dsir_weights" -> x100Sql)
+    "x100_dsir_weights" -> x100Sql,
+    "x101_video_neardup" -> x101Sql,
+    "x102_score_calibration" -> x102Sql,
+    "x103_hard_negatives" -> x103Sql)
 }

@@ -1460,6 +1460,85 @@ class ExtSpec extends SparkSpec {
       s"$collapsed of ${vocab.size} units fully collapsed — too close to exhaustion")
   }
 
+  test("video sequence near-dup: edits, trims, stills, and unrelated footage behave") {
+    import spark.implicits._
+    // 64-char frames built from distinct repeated words so frame
+    // hashes differ between frames; the doc text is ASCII like the
+    // corpus. A=4 frames; B=A with the LAST frame replaced (shares 2
+    // of 3 shingles -> pair); C=unrelated (no pair); D=exact copy of A
+    // (all shingles); E=single frame (no shingles, never pairs);
+    // F=A trimmed to its first 3 frames (containment: both its
+    // shingles are A's -> pair despite different lengths)
+    def frame(w: String): String =
+      (w * 32).substring(0, 63) + "." // 64 chars incl. a terminator
+    val fA = Seq("alpha ", "bravo ", "carol ", "delta ").map(frame)
+    val a = fA.mkString
+    val b = fA.take(3).mkString + frame("zulu! ")
+    val c = Seq("echo! ", "fanta ", "gamma ", "hotel ").map(frame).mkString
+    val d = a
+    val e = frame("india ")
+    val f = fA.take(3).mkString
+    val docs = Seq(0L -> a, 1L -> b, 2L -> c, 3L -> d, 4L -> e, 5L -> f)
+      .toDF("doc_id", "text")
+    val frames = VideoHash.frameHashes(docs, "doc_id", "text")
+    assert(frames.filter(col("doc_id") === 0L).count() == 4)
+    assert(frames.filter(col("doc_id") === 4L).count() == 1)
+    val pairs = VideoHash.sequenceNearDups(frames)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L))._1 == 2L,
+      s"edited copy must share 2 of 3 shingles: $pairs")
+    assert(pairs.contains((0L, 3L)) && pairs((0L, 3L)) == ((3L, 3L, 3L)))
+    assert(pairs.contains((0L, 5L)) && pairs((0L, 5L))._1 == 2L,
+      "trimmed prefix copy must pair by containment")
+    assert(!pairs.keys.exists { case (x, y) => x == 2L || y == 2L },
+      s"unrelated footage must not pair: $pairs")
+    assert(!pairs.keys.exists { case (x, y) => x == 4L || y == 4L },
+      "single-frame still has no shingles and cannot pair")
+    // the hot-shingle cap drops corpus-wide runs: with maxBucket=1
+    // every shared shingle bucket (>=2 videos) is dropped, so no pairs
+    // survive and the drop report names the buckets
+    assert(VideoHash.sequenceNearDups(frames, maxBucket = 1).count() == 0)
+    assert(VideoHash.droppedShingleBuckets(frames, maxBucket = 1).count() > 0)
+  }
+
+  test("calibration bins partition the x93 scores; keep tracks the sign boundary") {
+    val out = graft.queries.ExtQueries.queries("x102_score_calibration")(
+      spark, sf()).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    val total = out.map(_.getLong(1)).sum
+    val corpus = graft.model.Tables.documents(spark, sf()).count()
+    assert(total == corpus, s"bins must partition the corpus: $total vs $corpus")
+    out.foreach { r =>
+      val (bin, n, nKeep, minS, maxS) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5), r.getLong(6))
+      assert(bin >= 0 && bin <= 9)
+      if (minS > 0) assert(nKeep == n, s"bin $bin above 0 must keep all")
+      if (maxS <= 0) assert(nKeep == 0L, s"bin $bin at/below 0 must keep none")
+    }
+  }
+
+  test("hard negatives are near but strictly cross-class") {
+    val emb = graft.model.Tables.embeddings(spark, sf())
+    val qLabels = emb.filter(col("vec_id") < 5)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = graft.queries.ExtQueries.queries("x103_hard_negatives")(
+      spark, sf()).collect()
+    assert(out.length == qLabels.size * 5)
+    out.foreach { r =>
+      val (qid, cid, neg) = (r.getLong(0), r.getLong(2), r.getInt(4))
+      assert(neg != qLabels(qid), s"negative $cid shares class with query $qid")
+    }
+    // ranks are 1..5 per query and similarities non-increasing
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 5))
+      val sims = sorted.map(_.getDouble(3)).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+  }
+
   test("boilerplate removal strips EVERY occurrence above the df threshold, keeps the rest") {
     import spark.implicits._
     // width=4 segments; "nav bar cookie banner" planted in docs 0,1,2
