@@ -43,6 +43,37 @@ object Boilerplate {
       .withColumn("h", Hashing.h60(col("seg")))
   }
 
+  /** Within-document segment dedup — RefinedWeb-style intra-document
+    * repetition removal, the third member of the segment-granularity
+    * family: x56 keeps each segment's FIRST CORPUS occurrence, x99
+    * removes corpus-frequent segments everywhere, and this keeps each
+    * segment's first occurrence WITHIN ITS OWN DOCUMENT only — the
+    * filter that strips degenerate repetition loops (a model- or
+    * scraper-generated doc repeating its own opening paragraph) without
+    * any cross-document coordination.
+    *
+    * Output: (doc_id, n_segs, n_removed, clean_text), survivors
+    * reassembled in original order.
+    *
+    * Scale shape: unlike x56/x99 there is NO corpus-wide relation at
+    * all — both aggregations key on the document, so the operator is
+    * embarrassingly partitionable: (doc_id, h) collapse, then per-doc
+    * reassembly; a 100 TB corpus needs exactly two doc-keyed local
+    * shuffles and nothing global.
+    */
+  def dedupWithinDocuments(docs: DataFrame, idCol: String, textCol: String,
+                           width: Int = 4): DataFrame =
+    segments(docs, idCol, textCol, width)
+      .groupBy("doc_id", "h")
+      .agg(min("seg_no").as("seg_no"), min("seg").as("seg"),
+        count(lit(1)).as("occ"))
+      .groupBy("doc_id")
+      .agg(sum("occ").as("n_segs"),
+        sum(col("occ") - 1).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_no"), col("seg")))),
+          s => s.getField("seg")), " ").as("clean_text"))
+
   /** Strip every occurrence of segments whose document frequency is
     * >= `minDocs`, reassemble the survivors in order:
     * (doc_id, n_segs, n_removed, clean_text). A fully-boilerplate

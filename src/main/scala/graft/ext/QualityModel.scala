@@ -73,6 +73,20 @@ object QualityModel {
     * `labels` is (doc_id, y) with y ∈ {−1, +1}. Returns (bucket, wt)
     * with only touched buckets present — [[scoreDocuments]]'s sparse
     * LEFT join semantics make that a complete model.
+    *
+    * Convergence short-circuit: once the misclassified set is empty,
+    * every remaining round is a provable no-op (empty update ⇒ weights
+    * unchanged ⇒ the same empty set next round), so the loop exits
+    * with weights IDENTICAL to running all `rounds` rounds — an oracle
+    * may still unroll the full count. From round 2 on, the
+    * misclassified set is localCheckpointed and probed with `isEmpty`
+    * (a take(1) over the already-materialized partitions, ~free); the
+    * update join then reads the checkpoint, so the score aggregation
+    * is never computed twice in a round. The check must NOT be an
+    * `observe` on the update subtree: a CollectMetrics node in the
+    * weight lineage turns the per-round plan-statistics growth from
+    * linear to squaring (sizeInBytes doubles its BIT LENGTH every
+    * round), and planning stalls in BigInt arithmetic near round 25.
     */
   def trainPerceptron(docs: DataFrame, idCol: String, textCol: String,
                       labels: DataFrame, buckets: Int = 4096,
@@ -83,7 +97,8 @@ object QualityModel {
       .join(labels.select(col("doc_id"), col("y").cast("long").as("y")), "doc_id")
       .localCheckpoint()
     var w: DataFrame = null
-    for (_ <- 1 to rounds) {
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
       val mis =
         if (w == null) feats.select("doc_id", "y").distinct() // y·0 ≤ 0: everyone
         else feats.join(broadcast(w), Seq("bucket"), "left")
@@ -91,13 +106,20 @@ object QualityModel {
           .agg(sum(col("cnt") * coalesce(col("wt"), lit(0L))).as("score"))
           .filter(col("y") * col("score") <= 0)
           .select("doc_id", "y")
-      val delta = feats.join(mis.select("doc_id"), "doc_id")
-        .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("d"))
-      w = (if (w == null) delta.select(col("bucket"), col("d").as("wt"))
-           else w.join(delta, Seq("bucket"), "full_outer")
-             .select(col("bucket"),
-               (coalesce(col("wt"), lit(0L)) + coalesce(col("d"), lit(0L))).as("wt")))
-        .localCheckpoint()
+          .localCheckpoint()
+      // round 1 always updates (everyone is misclassified under the
+      // zero model on any doc with features), so only later rounds
+      // check; a converged round leaves w untouched and exits
+      if (w != null && mis.isEmpty) converged = true
+      else {
+        val delta = feats.join(mis.select("doc_id"), "doc_id")
+          .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("d"))
+        w = (if (w == null) delta.select(col("bucket"), col("d").as("wt"))
+             else w.join(delta, Seq("bucket"), "full_outer")
+               .select(col("bucket"),
+                 (coalesce(col("wt"), lit(0L)) + coalesce(col("d"), lit(0L))).as("wt")))
+          .localCheckpoint()
+      }
     }
     w
   }

@@ -5241,6 +5241,202 @@ object ExtQueries {
       |  CAST(CASE WHEN logw > 0 THEN 1 ELSE 0 END AS INT) AS selected
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  // --- x104: n-gram LM perplexity filter (CCNet-style) ---------------------------------
+
+  /** The language-model member of the quality family
+    * ([[graft.ext.NgramLm]]): every document scored under a hashed
+    * stupid-backoff bigram LM trained on the corpus' own rule-positive
+    * slice (the x93/x100 target — CCNet trains on Wikipedia, the
+    * target slice plays that role offline), then bucketed head/middle/
+    * tail by integer-resolved average log-score. Completes the quality
+    * triangle: x9/x29 heuristic rules, x85/x93 learned classifier,
+    * here distributional model fit. Count tables are bucket-bounded
+    * and broadcast; the corpus-sized path is explode → broadcast
+    * joins → per-doc sum (partial aggregation collapses the only
+    * corpus-keyed exchange to ~one row per doc).
+    */
+  val x104LmPerplexity: Q = (spark, sfDir) => {
+    val tk = split(col("text"), " ")
+    graft.ext.NgramLm.perplexityScores(
+      Tables.documents(spark, sfDir), "doc_id", "text",
+      size(filter(tk, x => x === "the" || x === "a")) * 16 > size(tk),
+      b1 = 4096, b2 = 65536)
+      .orderBy("doc_id")
+  }
+
+  private val x104Sql =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), lab AS (
+      |  SELECT doc_id,
+      |    16 * length(list_filter(t, x -> x IN ('the', 'a'))) > length(t) AS is_t
+      |  FROM tk
+      |), ug AS (
+      |  SELECT doc_id, ('0x' || substr(md5(u), 1, 8))::BIGINT % 4096 AS hw
+      |  FROM (SELECT doc_id, unnest(t) AS u FROM tk)
+      |), c1 AS (
+      |  SELECT hw, CAST(count(*) AS BIGINT) AS c1
+      |  FROM ug JOIN lab USING (doc_id) WHERE is_t GROUP BY hw
+      |), tots AS (
+      |  SELECT coalesce((SELECT CAST(sum(c1) AS BIGINT) FROM c1), 0) AS n
+      |), bg AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(f), 1, 8))::BIGINT % 65536 AS hb,
+      |    ('0x' || substr(md5(split_part(f, ' ', 1)), 1, 8))::BIGINT % 4096 AS hw1,
+      |    ('0x' || substr(md5(split_part(f, ' ', 2)), 1, 8))::BIGINT % 4096 AS hw2
+      |  FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, length(t)),
+      |      i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS f
+      |    FROM tk)
+      |), c2 AS (
+      |  SELECT hb, CAST(count(*) AS BIGINT) AS c2
+      |  FROM bg JOIN lab USING (doc_id) WHERE is_t GROUP BY hb
+      |), lp AS (
+      |  SELECT doc_id,
+      |    round(CASE WHEN coalesce(c2.c2, 0) > 0 AND coalesce(a1.c1, 0) > 0
+      |      THEN ln(c2.c2) - ln(a1.c1)
+      |      ELSE ln(0.4) + ln(coalesce(a2.c1, 0) + 1) - ln(n + 4096) END,
+      |      6) AS lp
+      |  FROM bg LEFT JOIN c2 USING (hb)
+      |    LEFT JOIN c1 a1 ON bg.hw1 = a1.hw
+      |    LEFT JOIN c1 a2 ON bg.hw2 = a2.hw, tots
+      |), sc AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    round(sum(lp), 6) AS logprob
+      |  FROM lp GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+      |  coalesce(logprob, 0.0) AS logprob,
+      |  CAST(CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0
+      |    ELSE floor(logprob * 10 / n_bigrams) END AS BIGINT) AS bin,
+      |  CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 'unscored'
+      |    WHEN floor(logprob * 10 / n_bigrams) >= -34 THEN 'head'
+      |    WHEN floor(logprob * 10 / n_bigrams) >= -36 THEN 'middle'
+      |    ELSE 'tail' END AS ppl_bucket
+      |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // --- x105: within-document repetition removal ----------------------------------------
+
+  /** Intra-document segment dedup
+    * ([[graft.ext.Boilerplate.dedupWithinDocuments]]): each aligned
+    * 4-token segment keeps only its first occurrence WITHIN its own
+    * document — the degenerate-repetition filter (RefinedWeb's
+    * intra-document dedup; also the standard guard against
+    * model-generated loop text entering a training corpus). The
+    * synthetic corpus has no natural aligned self-repeats at this
+    * width (measured zero at every SF), so the loop is PLANTED the way
+    * x63 plants re-crawls and x80 plants eval leaks: every doc with
+    * doc_id % 10 == 7 gets its own first 8 tokens appended twice — a
+    * doubled block always collides with itself on at least one aligned
+    * segment regardless of the document's length residue, keeping the
+    * tripwire non-vacuous at every SF.
+    */
+  val x105IntradocDedup: Q = (spark, sfDir) => {
+    val docs = Tables.documents(spark, sfDir)
+    val rep8 = array_join(slice(split(col("text"), " "), 1, 8), " ")
+    val planted = docs.select(col("doc_id"),
+      when(col("doc_id") % 10 === 7,
+        concat_ws(" ", col("text"), rep8, rep8)).otherwise(col("text")).as("text"))
+    graft.ext.Boilerplate.dedupWithinDocuments(planted, "doc_id", "text", width = 4)
+      .orderBy("doc_id")
+  }
+
+  private val x105Sql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 7 THEN
+      |      text || ' ' || array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')
+      |           || ' ' || array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')
+      |    ELSE text END AS text
+      |  FROM documents
+      |), tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM base
+      |), segs AS (
+      |  SELECT doc_id, i.range AS seg_no,
+      |    array_to_string(list_slice(t, CAST(1 + i.range * 4 AS BIGINT),
+      |      CAST((i.range + 1) * 4 AS BIGINT)), ' ') AS seg
+      |  FROM tk, range(0, 64) i
+      |  WHERE i.range * 4 < length(t)  -- fixed bound: 64 covers 256 tokens (corpus max 99 + 16 planted)
+      |), hs AS (
+      |  SELECT doc_id, seg_no, seg,
+      |    ('0x' || substr(md5(seg), 1, 15))::BIGINT AS h
+      |  FROM segs
+      |), u AS (
+      |  SELECT doc_id, h, min(seg_no) AS seg_no, min(seg) AS seg,
+      |    CAST(count(*) AS BIGINT) AS occ
+      |  FROM hs GROUP BY doc_id, h
+      |)
+      |SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_segs,
+      |  CAST(sum(occ - 1) AS BIGINT) AS n_removed,
+      |  coalesce(string_agg(seg, ' ' ORDER BY seg_no), '') AS clean_text
+      |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --- x106: tokenizer fertility by language -------------------------------------------
+
+  /** Per-language tokenizer fertility — THE standard multilingual
+    * tokenizer audit (how many subwords a word costs, and how many
+    * characters a subword carries, per language): a tokenizer whose
+    * fertility is 2× on one language effectively halves that
+    * language's context window, so this report gates vocab decisions
+    * the way x36's OOV rate gates vocab size. Composes the frozen
+    * greedy subword tokenizer (x19's codegen'd
+    * [[graft.expr.SubwordTokenCount]]) with the corpus' language
+    * column; ratios ride as ×10⁴ BIGINT (integer-exact, the x102 bin
+    * discipline). One corpus scan, then a languages-sized groupBy —
+    * nothing else touches the wire at any corpus scale.
+    */
+  val x106TokenizerFertility: Q = (spark, sfDir) =>
+    Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("ws"),
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.expr.SubwordTokenCount(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("text"))))
+          .cast("long").as("sw"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws").as("ws_tokens"),
+        sum("sw").as("subword_tokens"),
+        sum("chars").as("chars"),
+        // `div` (not `/`): Spark's Divide on longs returns DOUBLE, and
+        // floor(double) can round a near-integer quotient the wrong way
+        expr("(sum(sw) * 10000L) div sum(ws)").as("fertility_e4"),
+        expr("(sum(chars) * 10000L) div sum(sw)").as("chars_per_subword_e4"))
+      .orderBy("lang")
+
+  private val x106Sql: String = {
+    val vocabLit = graft.expr.SubwordUtil.vocab
+      .map(v => "'" + v.replace("'", "''") + "'").mkString("[", ",", "]")
+    s"""WITH RECURSIVE words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+       |), steps AS (
+       |  SELECT doc_id, w, w AS rest, 0 AS n FROM words
+       |  UNION ALL
+       |  SELECT doc_id, w,
+       |    substr(rest, 1 + coalesce(list_max(list_transform(
+       |      list_filter($vocabLit, v -> starts_with(rest, v)),
+       |      v -> length(v))), 1)),
+       |    n + 1
+       |  FROM steps WHERE rest != ''
+       |), sw AS (
+       |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS sw
+       |  FROM steps WHERE rest = '' GROUP BY doc_id
+       |), per_doc AS (
+       |  SELECT d.lang, CAST(length(string_split(d.text, ' ')) AS BIGINT) AS ws,
+       |    sw.sw, CAST(length(d.text) AS BIGINT) AS chars
+       |  FROM documents d JOIN sw USING (doc_id)
+       |)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(sw) AS BIGINT) AS subword_tokens,
+       |  CAST(sum(chars) AS BIGINT) AS chars,
+       |  CAST(sum(sw) * 10000 // sum(ws) AS BIGINT) AS fertility_e4,
+       |  CAST(sum(chars) * 10000 // sum(sw) AS BIGINT) AS chars_per_subword_e4
+       |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -5346,7 +5542,10 @@ object ExtQueries {
     "x100_dsir_weights" -> x100DsirWeights,
     "x101_video_neardup" -> x101VideoNearDup,
     "x102_score_calibration" -> x102ScoreCalibration,
-    "x103_hard_negatives" -> x103HardNegatives)
+    "x103_hard_negatives" -> x103HardNegatives,
+    "x104_lm_perplexity" -> x104LmPerplexity,
+    "x105_intradoc_dedup" -> x105IntradocDedup,
+    "x106_tokenizer_fertility" -> x106TokenizerFertility)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -5451,5 +5650,8 @@ object ExtQueries {
     "x100_dsir_weights" -> x100Sql,
     "x101_video_neardup" -> x101Sql,
     "x102_score_calibration" -> x102Sql,
-    "x103_hard_negatives" -> x103Sql)
+    "x103_hard_negatives" -> x103Sql,
+    "x104_lm_perplexity" -> x104Sql,
+    "x105_intradoc_dedup" -> x105Sql,
+    "x106_tokenizer_fertility" -> x106Sql)
 }

@@ -81,6 +81,25 @@ class PlanSpec extends SparkSpec {
         s"explode — the unreduced feature stream rides the shuffle:\n${p.take(3000)}")
   }
 
+  test("x104: LM count tables broadcast; scoring stays codegen with one doc exchange") {
+    // the x85 discipline applied to the bigram LM: all three count
+    // tables (c2, c1 twice) must reach the corpus-sized bigram stream
+    // as broadcasts — a shuffle of the exploded stream against any of
+    // them is the 100 TB scale bug — and per-doc summation must
+    // partial-aggregate below the doc_id exchange
+    val df = ExtQueries.queries("x104_lm_perplexity")(spark, sf())
+    val p = plan(df)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p.take(3000))
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p.take(2000))
+    val exIdx = p.indexOf("Exchange hashpartitioning(doc_id")
+    assert(exIdx >= 0, p.take(3000))
+    val genIdx = p.indexOf("Generate", exIdx)
+    val partialIdx = p.indexOf("HashAggregate", exIdx)
+    assert(genIdx >= 0 && partialIdx >= 0 && partialIdx < genIdx,
+      s"no partial HashAggregate between the doc_id exchange and the " +
+        s"bigram explode — the unreduced stream rides the shuffle:\n${p.take(3000)}")
+  }
+
   test("x87: sets exchanges reuse; band exchanges stay narrow (no collect_set on the wire)") {
     // Two deliberate plan properties of the incremental probe:
     //  1. the VERIFICATION-set frames (collect_set buffers — the wide

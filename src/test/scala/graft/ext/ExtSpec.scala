@@ -1253,6 +1253,87 @@ class ExtSpec extends SparkSpec {
       "perceptron failed to fit its own (separable) training split")
   }
 
+  test("perceptron convergence short-circuit returns the full-round weights") {
+    // once the misclassified set empties, every later round is a no-op,
+    // so exiting early must produce weights IDENTICAL to running the
+    // full round count — the property that lets the oracle unroll all
+    // rounds while the engine stops at convergence
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the the the a a quick fox"), (1L, "rare words only here"),
+      (2L, "the a the a the a"), (3L, "zeta omega kappa lambda"),
+      (4L, "a the a quick brown fox"), (5L, "completely novel tokens"))
+      .toDF("doc_id", "text")
+    val tk = split(col("text"), " ")
+    val labels = docs.select(col("doc_id"),
+      when(size(filter(tk, x => x === "the" || x === "a")) * 4 > size(tk),
+        lit(1L)).otherwise(lit(-1L)).as("y"))
+    def weights(rounds: Int) = graft.ext.QualityModel
+      .trainPerceptron(docs, "doc_id", "text", labels, 256, rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // 48 rounds vastly exceeds convergence on 6 separable docs; the
+    // short-circuit (or its absence) must not change a single weight
+    assert(weights(48) == weights(12))
+  }
+
+  test("x104: LM fit ranks in-domain text above novel text; trained slice fits best") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the cat sat on the mat"), (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat again"), (3L, "qq ww ee rr tt yy"),
+      (4L, "one")).toDF("doc_id", "text")
+    val out = graft.ext.NgramLm
+      .perplexityScores(docs, "doc_id", "text", col("doc_id") <= 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // per-bigram average fit: a doc the LM trained on scores strictly
+    // above an all-novel-token doc that can only back off
+    def avgLp(id: Long) =
+      out(id).getAs[Double]("logprob") / out(id).getAs[Long]("n_bigrams")
+    assert(avgLp(0L) > avgLp(3L), s"in-domain ${avgLp(0L)} !> novel ${avgLp(3L)}")
+    // a single-token doc has no bigram and must land in 'unscored'
+    assert(out(4L).getAs[Long]("n_bigrams") == 0 &&
+      out(4L).getAs[String]("ppl_bucket") == "unscored")
+    // corpus-level (the declared query): the rule-positive slice the LM
+    // trained on fits better ON AVERAGE than the rest — the CCNet
+    // property the head/middle/tail split exists to exploit
+    val tk = split(col("text"), " ")
+    val labeled = graft.queries.ExtQueries.queries("x104_lm_perplexity")(spark, sf())
+      .join(graft.model.Tables.documents(spark, sf()).select(col("doc_id"),
+        (size(filter(tk, x => x === "the" || x === "a")) * 16 > size(tk)).as("is_t")),
+        "doc_id")
+      .groupBy("is_t").agg(avg("bin").as("b"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(labeled(true) > labeled(false),
+      s"target-slice mean bin ${labeled(true)} !> rest ${labeled(false)}")
+  }
+
+  test("x105: within-document dedup keeps first occurrence, reassembles in order") {
+    import spark.implicits._
+    // 10 tokens, aligned width-4 segments: [a b c d][a b c d][e f] —
+    // the repeated opening collapses, the tail survives, order holds
+    val docs = Seq((1L, "a b c d a b c d e f"), (2L, "x y z w")).toDF("doc_id", "text")
+    val out = graft.ext.Boilerplate.dedupWithinDocuments(docs, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_segs") == 3 &&
+      out(1L).getAs[Long]("n_removed") == 1 &&
+      out(1L).getAs[String]("clean_text") == "a b c d e f", out(1L).toString)
+    assert(out(2L).getAs[Long]("n_removed") == 0 &&
+      out(2L).getAs[String]("clean_text") == "x y z w")
+    // declared query: every planted degenerate doc loses at least one
+    // segment, while natural aligned width-4 self-repeats stay rare
+    // (sf0.001 has exactly one — a tail-alignment coincidence — so the
+    // bound is a rate, not zero)
+    val full = graft.queries.ExtQueries.queries("x105_intradoc_dedup")(spark, sf())
+      .collect()
+    val (planted, clean) = full.partition(_.getAs[Long]("doc_id") % 10 == 7)
+    assert(planted.nonEmpty && planted.forall(_.getAs[Long]("n_removed") >= 1),
+      "a planted repetition loop survived intra-doc dedup")
+    val naturals = clean.count(_.getAs[Long]("n_removed") > 0)
+    assert(naturals <= clean.length / 100,
+      s"$naturals of ${clean.length} unplanted docs lost segments — the " +
+        "planted signal no longer dominates")
+  }
+
   test("RRF fusion ranks first a hit neither system alone ranks first") {
     // the planted hybrid case (VERDICT r7 #4): lexical ranks a keyword
     // decoy first, semantic ranks an embedding decoy first, but only
