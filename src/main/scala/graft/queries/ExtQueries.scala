@@ -5437,6 +5437,112 @@ object ExtQueries {
        |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // --- x107: quality-filter ensemble vote ----------------------------------------------
+
+  /** The quality family's capstone composition (x91's move applied to
+    * FILTER CHOICE instead of budget selection): three independent
+    * quality signals — the C4-style stopword rule, DSIR importance
+    * weights (x100), and LM perplexity head-bucket membership (x104) —
+    * vote per document, and the ensemble keeps majority-2 docs. This
+    * is how production curation actually gates (FineWeb-style filter
+    * ablations compare and combine signals rather than trusting one);
+    * the per-doc vote table is also the artifact an ablation reads to
+    * see WHERE the signals disagree. Each signal is one corpus scan
+    * with broadcast-bounded side tables; the vote join is doc-keyed.
+    */
+  val x107QualityEnsemble: Q = (spark, sfDir) => {
+    val docs = Tables.documents(spark, sfDir)
+    val tk = split(col("text"), " ")
+    val pred = size(filter(tk, x => x === "the" || x === "a")) * 16 > size(tk)
+    val rule = docs.select(col("doc_id"),
+      when(pred, lit(1)).otherwise(lit(0)).as("rule_keep"))
+    val dsir = graft.ext.Dsir.importanceWeights(docs, "doc_id", "text", pred, 1024)
+      .select(col("doc_id"), col("selected").as("dsir_keep"))
+    val lm = graft.ext.NgramLm.perplexityScores(docs, "doc_id", "text", pred)
+      .select(col("doc_id"),
+        when(col("ppl_bucket") === "head", lit(1)).otherwise(lit(0)).as("lm_keep"))
+    rule.join(dsir, "doc_id").join(lm, "doc_id")
+      .withColumn("votes", col("rule_keep") + col("dsir_keep") + col("lm_keep"))
+      .withColumn("ensemble_keep",
+        when(col("votes") >= 2, lit(1)).otherwise(lit(0)))
+      .orderBy("doc_id")
+  }
+
+  private val x107Sql =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), rule AS (
+      |  SELECT doc_id, CASE WHEN 16 * length(list_filter(t, x -> x IN ('the', 'a')))
+      |    > length(t) THEN 1 ELSE 0 END AS rule_keep
+      |  FROM tk
+      |), d_fb AS (
+      |  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT doc_id, ('0x' || substr(md5(f), 1, 8))::BIGINT % 1024 AS b
+      |    FROM (SELECT doc_id, unnest(t) AS f FROM tk))
+      |  GROUP BY doc_id, b
+      |), d_cr AS (
+      |  SELECT b, CAST(sum(cnt) AS BIGINT) AS cr FROM d_fb GROUP BY b
+      |), d_ct AS (
+      |  SELECT b, CAST(sum(cnt) AS BIGINT) AS ct
+      |  FROM d_fb JOIN rule USING (doc_id) WHERE rule_keep = 1 GROUP BY b
+      |), d_tots AS (
+      |  SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM d_cr) AS tr,
+      |    (SELECT coalesce(CAST(sum(ct) AS BIGINT), 0) FROM d_ct) AS tt
+      |), d_lam AS (
+      |  SELECT d_cr.b,
+      |    round(ln(coalesce(d_ct.ct, 0) + 1) - ln(tt + 1024)
+      |      - ln(d_cr.cr + 1) + ln(tr + 1024), 6) AS lam
+      |  FROM d_cr LEFT JOIN d_ct USING (b), d_tots
+      |), d_sc AS (
+      |  SELECT doc_id, round(sum(cnt * lam), 6) AS logw
+      |  FROM d_fb JOIN d_lam USING (b) GROUP BY doc_id
+      |), l_ug AS (
+      |  SELECT doc_id, ('0x' || substr(md5(u), 1, 8))::BIGINT % 4096 AS hw
+      |  FROM (SELECT doc_id, unnest(t) AS u FROM tk)
+      |), l_c1 AS (
+      |  SELECT hw, CAST(count(*) AS BIGINT) AS c1
+      |  FROM l_ug JOIN rule USING (doc_id) WHERE rule_keep = 1 GROUP BY hw
+      |), l_tots AS (
+      |  SELECT coalesce((SELECT CAST(sum(c1) AS BIGINT) FROM l_c1), 0) AS n
+      |), l_bg AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(f), 1, 8))::BIGINT % 65536 AS hb,
+      |    ('0x' || substr(md5(split_part(f, ' ', 1)), 1, 8))::BIGINT % 4096 AS hw1,
+      |    ('0x' || substr(md5(split_part(f, ' ', 2)), 1, 8))::BIGINT % 4096 AS hw2
+      |  FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, length(t)),
+      |      i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS f
+      |    FROM tk)
+      |), l_c2 AS (
+      |  SELECT hb, CAST(count(*) AS BIGINT) AS c2
+      |  FROM l_bg JOIN rule USING (doc_id) WHERE rule_keep = 1 GROUP BY hb
+      |), l_lp AS (
+      |  SELECT doc_id,
+      |    round(CASE WHEN coalesce(l_c2.c2, 0) > 0 AND coalesce(a1.c1, 0) > 0
+      |      THEN ln(l_c2.c2) - ln(a1.c1)
+      |      ELSE ln(0.4) + ln(coalesce(a2.c1, 0) + 1) - ln(n + 4096) END,
+      |      6) AS lp
+      |  FROM l_bg LEFT JOIN l_c2 USING (hb)
+      |    LEFT JOIN l_c1 a1 ON l_bg.hw1 = a1.hw
+      |    LEFT JOIN l_c1 a2 ON l_bg.hw2 = a2.hw, l_tots
+      |), l_sc AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    round(sum(lp), 6) AS logprob
+      |  FROM l_lp GROUP BY doc_id
+      |), votes AS (
+      |  SELECT r.doc_id, r.rule_keep,
+      |    CASE WHEN d.logw > 0 THEN 1 ELSE 0 END AS dsir_keep,
+      |    CASE WHEN l.n_bigrams IS NULL THEN 0
+      |      WHEN floor(l.logprob * 10 / l.n_bigrams) >= -34 THEN 1
+      |      ELSE 0 END AS lm_keep
+      |  FROM rule r JOIN d_sc d USING (doc_id) LEFT JOIN l_sc l USING (doc_id)
+      |)
+      |SELECT doc_id, rule_keep, dsir_keep, lm_keep,
+      |  rule_keep + dsir_keep + lm_keep AS votes,
+      |  CAST(CASE WHEN rule_keep + dsir_keep + lm_keep >= 2 THEN 1 ELSE 0 END AS INT)
+      |    AS ensemble_keep
+      |FROM votes ORDER BY doc_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -5545,7 +5651,8 @@ object ExtQueries {
     "x103_hard_negatives" -> x103HardNegatives,
     "x104_lm_perplexity" -> x104LmPerplexity,
     "x105_intradoc_dedup" -> x105IntradocDedup,
-    "x106_tokenizer_fertility" -> x106TokenizerFertility)
+    "x106_tokenizer_fertility" -> x106TokenizerFertility,
+    "x107_quality_ensemble" -> x107QualityEnsemble)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -5653,5 +5760,6 @@ object ExtQueries {
     "x103_hard_negatives" -> x103Sql,
     "x104_lm_perplexity" -> x104Sql,
     "x105_intradoc_dedup" -> x105Sql,
-    "x106_tokenizer_fertility" -> x106Sql)
+    "x106_tokenizer_fertility" -> x106Sql,
+    "x107_quality_ensemble" -> x107Sql)
 }

@@ -1334,6 +1334,23 @@ class ExtSpec extends SparkSpec {
         "planted signal no longer dominates")
   }
 
+  test("x107: ensemble vote is the majority of three genuinely-disagreeing signals") {
+    val out = graft.queries.ExtQueries.queries("x107_quality_ensemble")(spark, sf())
+      .collect()
+    // internal consistency: votes is the flag sum, keep is majority-2
+    assert(out.forall { r =>
+      r.getAs[Int]("votes") == r.getAs[Int]("rule_keep") +
+        r.getAs[Int]("dsir_keep") + r.getAs[Int]("lm_keep") &&
+        r.getAs[Int]("ensemble_keep") == (if (r.getAs[Int]("votes") >= 2) 1 else 0)
+    })
+    // the ensemble must be non-vacuous: the three signals disagree on
+    // some documents (otherwise any single filter would do) while
+    // agreeing on others (otherwise majority voting is a coin toss)
+    val split = out.count(r => r.getAs[Int]("votes") == 1 || r.getAs[Int]("votes") == 2)
+    assert(split > 0, "signals never disagree — the ensemble is vacuous")
+    assert(split < out.length, "signals always disagree — no consensus mass")
+  }
+
   test("RRF fusion ranks first a hit neither system alone ranks first") {
     // the planted hybrid case (VERDICT r7 #4): lexical ranks a keyword
     // decoy first, semantic ranks an embedding decoy first, but only
