@@ -592,5 +592,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(exprs(4), "ffd_pack bucketWidth").toLong)
           .queryExecution.analyzed
       }))
+    // late round-8 kernels: LM perplexity filtering and within-document
+    // repetition removal from pure SQL
+    e.injectTableFunction((
+      new FunctionIdentifier("lm_perplexity"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, "lm_perplexity",
+        "lm_perplexity(table, idCol, textCol, targetExpr) - table function: " +
+          "score every document under a stupid-backoff hashed bigram LM " +
+          "trained on the rows where the SQL boolean `targetExpr` holds; " +
+          "returns (doc_id, n_bigrams, logprob, bin, ppl_bucket). All " +
+          "arguments string literals; targetExpr is a SQL expression over " +
+          "the table's columns.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 4,
+          "lm_perplexity takes (table, idCol, textCol, targetExpr)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ext.NgramLm.perplexityScores(
+          spark.table(strLit(exprs(0), "lm_perplexity table")),
+          strLit(exprs(1), "lm_perplexity idCol"),
+          strLit(exprs(2), "lm_perplexity textCol"),
+          org.apache.spark.sql.functions.expr(
+            strLit(exprs(3), "lm_perplexity targetExpr")))
+          .queryExecution.analyzed
+      }))
+    e.injectTableFunction((
+      new FunctionIdentifier("intradoc_dedup"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, "intradoc_dedup",
+        "intradoc_dedup(table, idCol, textCol, width) - table function: keep " +
+          "only the first within-document occurrence of each aligned " +
+          "width-token segment (degenerate-repetition removal); returns " +
+          "(doc_id, n_segs, n_removed, clean_text). Table/cols string " +
+          "literals, width an integer literal.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 4,
+          "intradoc_dedup takes (table, idCol, textCol, width)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ext.Boilerplate.dedupWithinDocuments(
+          spark.table(strLit(exprs(0), "intradoc_dedup table")),
+          strLit(exprs(1), "intradoc_dedup idCol"),
+          strLit(exprs(2), "intradoc_dedup textCol"),
+          intLit(exprs(3), "intradoc_dedup width"))
+          .queryExecution.analyzed
+      }))
   }
 }

@@ -376,6 +376,28 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(packed.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 1L)), packed.mkString(","))
   }
 
+  test("lm_perplexity and intradoc_dedup are callable as SQL table functions") {
+    import spark.implicits._
+    Seq((0L, "the cat sat on the mat"), (1L, "the cat sat on the mat"),
+      (2L, "zz yy xx ww vv uu"))
+      .toDF("doc_id", "text").createOrReplaceTempView("lm_docs")
+    // LM trained on the first two rows: the in-domain doc's per-bigram
+    // average must beat the novel-token doc's pure-backoff average
+    val lm = spark.sql(
+      """SELECT doc_id, n_bigrams, logprob FROM
+        |lm_perplexity('lm_docs', 'doc_id', 'text', 'doc_id <= 1')
+        |ORDER BY doc_id""".stripMargin).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2) / r.getLong(1))).toMap
+    assert(lm(0L) > lm(2L), lm.toString)
+    Seq((1L, "a b c d a b c d e f")).toDF("doc_id", "text")
+      .createOrReplaceTempView("loop_docs")
+    val dd = spark.sql(
+      """SELECT n_segs, n_removed, clean_text FROM
+        |intradoc_dedup('loop_docs', 'doc_id', 'text', 4)""".stripMargin).collect()
+    assert(dd.head.getLong(0) == 3 && dd.head.getLong(1) == 1 &&
+      dd.head.getString(2) == "a b c d e f", dd.head.toString)
+  }
+
   test("extension functions enforce arity and literal parameters") {
     val wrongArity = intercept[Exception] {
       spark.sql("SELECT md5_prefix64('a')").collect()
