@@ -266,6 +266,44 @@ object ScaleSmoke {
     require(surN == big.count(), "every doc must receive a surprisal score")
     require(surSec < 300, f"surprisal at ${factor}x blew the 300s budget: $surSec%.1fs")
 
+    // --- LM perplexity filter at scale ---------------------------------------
+    // The x104 shape: count tables stay bucket-bounded broadcasts while
+    // the corpus-sized bigram stream never shuffles unaggregated. Every
+    // doc must score, and the replica corpus (rep markers are rare
+    // suffixes) must still land mass in more than one bucket — a
+    // single-bucket result means the LM degenerated.
+    val tLm = System.nanoTime()
+    val tkLm = split(col("text"), " ")
+    val lmOut = graft.ext.NgramLm.perplexityScores(big, "doc_id", "text",
+      size(filter(tkLm, x => x === "the" || x === "a")) * 16 > size(tkLm))
+      .groupBy("ppl_bucket").agg(count(lit(1)).as("n")).collect()
+    val lmSec = (System.nanoTime() - tLm) / 1e9
+    val lmTotal = lmOut.map(_.getLong(1)).sum
+    println(f"lm perplexity: $lmTotal%d docs in ${lmOut.length}%d buckets " +
+      f"in $lmSec%.1fs")
+    require(lmTotal == big.count(), "every doc must receive an LM score")
+    require(lmOut.length >= 2, s"LM degenerated to ${lmOut.length} bucket(s)")
+    require(lmSec < 300, f"lm probe at ${factor}x blew the 300s budget: $lmSec%.1fs")
+
+    // --- within-document dedup at scale --------------------------------------
+    // Doc-keyed only (no corpus-wide relation): plant a doubled 8-token
+    // opening on every 10th doc of the replica corpus; exactly those
+    // docs must lose segments, within budget.
+    val tIntra = System.nanoTime()
+    val rep8 = array_join(slice(split(col("text"), " "), 1, 8), " ")
+    val loops = big.select(col("doc_id"),
+      when(col("doc_id") % 10 === 7,
+        concat_ws(" ", col("text"), rep8, rep8)).otherwise(col("text")).as("text"))
+    val intra = graft.ext.Boilerplate.dedupWithinDocuments(loops, "doc_id", "text", 4)
+      .agg(sum(when(col("n_removed") >= 1, 1L).otherwise(0L)).as("hit"),
+        count(lit(1)).as("all")).collect()(0)
+    val intraSec = (System.nanoTime() - tIntra) / 1e9
+    println(f"intradoc dedup: ${intra.getLong(0)}%d of ${intra.getLong(1)}%d docs " +
+      f"trimmed in $intraSec%.1fs")
+    require(intra.getLong(0) >= intra.getLong(1) / 10 * 9 / 10,
+      s"planted repetition loops missed: ${intra.getLong(0)} of ~${intra.getLong(1) / 10}")
+    require(intraSec < 300, f"intradoc probe at ${factor}x blew the 300s budget: $intraSec%.1fs")
+
     // --- vocab-join segmenter at production vocab scale ---------------------
     // x86 trains 512 merges because the synthetic corpus exhausts there;
     // the SEGMENTER itself (explode units → broadcast vocab-join → sum)

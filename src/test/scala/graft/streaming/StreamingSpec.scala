@@ -680,6 +680,56 @@ class StreamingSpec extends SparkSpec {
     assert(acc.toSet == expected)
   }
 
+  test("streaming quality gate: microbatches scored against the persisted model equal batch") {
+    // the x93 model in its deployment shape: the perceptron trains ONCE
+    // on the standing labeled corpus and persists as a (bucket, wt)
+    // parquet artifact — the model file a curation service ships; each
+    // arriving microbatch is scored against the LOADED weights (per-doc
+    // independent, so streaming must equal batch exactly), gating docs
+    // at the keep flag with no retrain on the hot path
+    import graft.ext.QualityModel
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val tk = split(col("text"), " ")
+    val labels = docs.select(col("doc_id"),
+      when(size(filter(tk, x => x === "the" || x === "a")) * 16 > size(tk),
+        lit(1L)).otherwise(lit(-1L)).as("y"))
+    val wDir = Files.createTempDirectory("qwmodel").toString
+    QualityModel.trainPerceptron(docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", labels, 4096, rounds = 8)
+      .write.mode("overwrite").parquet(wDir)
+    val dir = Files.createTempDirectory("qgdocs").toString
+    docs.filter(col("doc_id") % 3 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    docs.filter(col("doc_id") % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(dir)
+    docs.filter(col("doc_id") % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val acc = scala.collection.mutable.Map.empty[Long, (Long, Long, Int)]
+    var batches = 0
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val w = spark.read.parquet(wDir)
+        acc ++= QualityModel.scoreDocuments(batch.toDF(), "doc_id", "text", w, 4096)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
+        batches += 1
+        ()
+    }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches >= 3, s"expected >=3 microbatches, got $batches")
+    val expected = QualityModel.scoreDocuments(
+        docs, "doc_id", "text", spark.read.parquet(wDir), 4096)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(acc.toMap == expected)
+    // the gate is non-trivial: both classes appear in the decisions
+    val keeps = acc.values.map(_._3).toSet
+    assert(keeps == Set(0, 1), s"degenerate gate: keep flags $keeps")
+  }
+
   test("streaming codebook drift monitor: calm tranches stay quiet, a shifted one flags") {
     // The x89 monitor in its deployment shape: embedding tranches
     // arrive as a stream; each microbatch is routed into the STANDING
