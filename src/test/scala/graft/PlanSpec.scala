@@ -98,6 +98,14 @@ class PlanSpec extends SparkSpec {
     assert(genIdx >= 0 && partialIdx >= 0 && partialIdx < genIdx,
       s"no partial HashAggregate between the doc_id exchange and the " +
         s"bigram explode — the unreduced stream rides the shuffle:\n${p.take(3000)}")
+    // the unigram count table c1 joins the stream TWICE (context key
+    // hw1, backoff key hw2); its training aggregation must be computed
+    // once and reused, not rebuilt per join — the initial plan prints
+    // two builds, so assert on the EXECUTED plan where AQE dedupes
+    df.collect()
+    val ep = df.queryExecution.executedPlan.toString
+    assert("ReusedExchange|ReusedQueryStage|Reused".r.findAllIn(ep).nonEmpty,
+      s"c1's broadcast build is duplicated — no exchange reuse in:\n${ep.take(3000)}")
   }
 
   test("x87: sets exchanges reuse; band exchanges stay narrow (no collect_set on the wire)") {
