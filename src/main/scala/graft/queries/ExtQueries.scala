@@ -5004,8 +5004,12 @@ object ExtQueries {
         Tables.documents(spark, sfDir), "doc_id", "text"))
       .orderBy("a_id", "b_id")
 
-  private val x101Sql =
-    """WITH t AS (
+  /** Prefix ending at the filtered video near-dup pair CTE `vp` —
+    * shared by x101 (the pair list) and x108 (the cluster policy on
+    * top). RECURSIVE is declared up front for x108's reachability CTE.
+    */
+  private val videoPairsPre =
+    """WITH RECURSIVE t AS (
       |  SELECT doc_id, text FROM documents WHERE length(text) >= 1
       |), fr AS (
       |  SELECT doc_id, f.range AS f,
@@ -5045,11 +5049,16 @@ object ExtQueries {
       |    CAST(count(*) AS BIGINT) AS shared
       |  FROM sh a JOIN sh b ON a.k = b.k AND a.doc_id < b.doc_id
       |  GROUP BY a.doc_id, b.doc_id
-      |)
-      |SELECT a_id, b_id, shared, na.n AS na, nb.n AS nb
-      |FROM pairs p JOIN nsh na ON na.doc_id = p.a_id
-      |  JOIN nsh nb ON nb.doc_id = p.b_id
-      |WHERE 2 * shared >= least(na.n, nb.n)
+      |), vp AS (
+      |  SELECT a_id, b_id, shared, na.n AS na, nb.n AS nb
+      |  FROM pairs p JOIN nsh na ON na.doc_id = p.a_id
+      |    JOIN nsh nb ON nb.doc_id = p.b_id
+      |  WHERE 2 * shared >= least(na.n, nb.n)
+      |)""".stripMargin
+
+  private val x101Sql = videoPairsPre +
+    """
+      |SELECT a_id, b_id, shared, na, nb FROM vp
       |ORDER BY a_id, b_id""".stripMargin
 
   // --- x102: trained-model score calibration report ------------------------------------
@@ -5543,6 +5552,54 @@ object ExtQueries {
       |    AS ensemble_keep
       |FROM votes ORDER BY doc_id""".stripMargin
 
+  // --- x108: video dedup clusters (keep the longest footage) ---------------------------
+
+  /** x96's cluster policy applied to the TEMPORAL modality, completing
+    * the pairs→clusters→canonical arc for every perceptual family:
+    * x101's frame-sequence near-dup pairs resolve to connected
+    * components ([[graft.ext.Dedup.dedupClusters]]) and each cluster
+    * keeps its LONGEST member by frame count
+    * ([[graft.ext.Dedup.clusterCanonical]]) — for trimmed/partial
+    * footage reuse the full-length video is the canonical and every
+    * trim is the duplicate (where x96's image policy keeps the largest
+    * SOURCE, here length is the temporal notion of "most complete").
+    * The oracle replays pairs (x101's prefix), reachability, and the
+    * keep-longest window.
+    */
+  val x108VideoDedupClusters: Q = (spark, sfDir) => {
+    val frames = graft.ext.VideoHash.frameHashes(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+    val clusters = Dedup.dedupClusters(
+      graft.ext.VideoHash.sequenceNearDups(frames))
+    val quality = frames.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+    Dedup.clusterCanonical(clusters, quality, Seq("n_frames"))
+      .select(col("cluster_id"), col("keep_id"), col("n_members"), col("n_frames"))
+      .orderBy("cluster_id")
+  }
+
+  private val x108Sql = videoPairsPre +
+    """, e AS (
+      |  SELECT a_id AS u, b_id AS v FROM vp
+      |  UNION ALL
+      |  SELECT b_id, a_id FROM vp
+      |), reach AS (
+      |  SELECT u AS id, u AS r FROM e
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.id
+      |), cl AS (
+      |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+      |), nf AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames FROM fr GROUP BY doc_id
+      |), m AS (
+      |  SELECT cl.cluster_id, cl.doc_id, nf.n_frames,
+      |    row_number() OVER (PARTITION BY cl.cluster_id
+      |      ORDER BY nf.n_frames DESC, cl.doc_id) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY cl.cluster_id) AS BIGINT) AS n_members
+      |  FROM cl JOIN nf USING (doc_id)
+      |)
+      |SELECT cluster_id, doc_id AS keep_id, n_members, n_frames
+      |FROM m WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -5652,7 +5709,8 @@ object ExtQueries {
     "x104_lm_perplexity" -> x104LmPerplexity,
     "x105_intradoc_dedup" -> x105IntradocDedup,
     "x106_tokenizer_fertility" -> x106TokenizerFertility,
-    "x107_quality_ensemble" -> x107QualityEnsemble)
+    "x107_quality_ensemble" -> x107QualityEnsemble,
+    "x108_video_dedup_clusters" -> x108VideoDedupClusters)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -5761,5 +5819,6 @@ object ExtQueries {
     "x104_lm_perplexity" -> x104Sql,
     "x105_intradoc_dedup" -> x105Sql,
     "x106_tokenizer_fertility" -> x106Sql,
-    "x107_quality_ensemble" -> x107Sql)
+    "x107_quality_ensemble" -> x107Sql,
+    "x108_video_dedup_clusters" -> x108Sql)
 }

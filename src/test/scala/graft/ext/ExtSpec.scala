@@ -1351,6 +1351,32 @@ class ExtSpec extends SparkSpec {
     assert(split < out.length, "signals always disagree — no consensus mass")
   }
 
+  test("x108: trimmed footage clusters to its source; the longest video is canonical") {
+    import spark.implicits._
+    // frames with a controlled gradient: ascending frames carry rising
+    // byte comparisons (distinct per rotation), the decoy's descending
+    // frames carry none — so full/trim share frames exactly while the
+    // decoy never pairs
+    def frame(rot: Int, asc: Boolean): String =
+      (0 until 64).map { j =>
+        val d = (j / 7 + rot) % 10
+        if (asc) ('0' + d).toChar else ('9' - d).toChar
+      }.mkString
+    val full = (0 until 4).map(frame(_, asc = true)).mkString   // 4 frames
+    val trim = full.take(192)                                   // its first 3
+    val decoy = (0 until 3).map(frame(_, asc = false)).mkString
+    val docs = Seq((10L, full), (11L, trim), (20L, decoy)).toDF("doc_id", "text")
+    val frames = graft.ext.VideoHash.frameHashes(docs, "doc_id", "text")
+    val out = Dedup.clusterCanonical(
+        Dedup.dedupClusters(graft.ext.VideoHash.sequenceNearDups(frames)),
+        frames.groupBy("doc_id").agg(count(lit(1)).as("n_frames")),
+        Seq("n_frames"))
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("n_frames")))
+    // exactly one cluster: {full, trim}, canonical = the 4-frame full
+    assert(out.toSeq == Seq((10L, 2L, 4L)), out.mkString(","))
+  }
+
   test("RRF fusion ranks first a hit neither system alone ranks first") {
     // the planted hybrid case (VERDICT r7 #4): lexical ranks a keyword
     // decoy first, semantic ranks an embedding decoy first, but only
