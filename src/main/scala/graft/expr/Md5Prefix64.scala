@@ -634,5 +634,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(exprs(3), "intradoc_dedup width"))
           .queryExecution.analyzed
       }))
+    e.injectTableFunction((
+      new FunctionIdentifier("score_psi"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, "score_psi",
+        "score_psi(standing, incoming, scoreCol, bins) - table function: " +
+          "population-stability report between two integer-score tables; " +
+          "returns (bin, n_std, n_new, psi), total PSI = sum(psi), alarm " +
+          "conventionally at 0.2. Tables/col string literals, bins an " +
+          "integer literal.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 4,
+          "score_psi takes (standing, incoming, scoreCol, bins)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ext.Drift.scorePsi(
+          spark.table(strLit(exprs(0), "score_psi standing")),
+          spark.table(strLit(exprs(1), "score_psi incoming")),
+          strLit(exprs(2), "score_psi scoreCol"),
+          intLit(exprs(3), "score_psi bins"))
+          .queryExecution.analyzed
+      }))
+    e.injectTableFunction((
+      new FunctionIdentifier("lsh_recall_audit"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, "lsh_recall_audit",
+        "lsh_recall_audit(table, idCol, textCol) - table function: exact " +
+          "all-pairs Jaccard over the (bounded!) sample table vs the " +
+          "MinHash-LSH candidate pipeline; returns per Jaccard decile " +
+          "(jband, n_truth, n_caught). All arguments string literals.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 3,
+          "lsh_recall_audit takes (table, idCol, textCol)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ext.Dedup.lshRecallAudit(
+          spark.table(strLit(exprs(0), "lsh_recall_audit table")),
+          strLit(exprs(1), "lsh_recall_audit idCol"),
+          strLit(exprs(2), "lsh_recall_audit textCol"))
+          .queryExecution.analyzed
+      }))
   }
 }

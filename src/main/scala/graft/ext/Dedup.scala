@@ -417,6 +417,43 @@ object Dedup {
     round(inter.cast("double") / (size(a) + size(b) - inter), 6)
   }
 
+  /** LSH recall audit over a bounded document sample — what x53's
+    * recall@5 report is to the ANN family, this is to the dedup
+    * family: the bands×rows split (8×2 here ⇒ P(candidate) =
+    * 1−(1−j²)^8) trades recall at low Jaccard for candidate volume,
+    * and this measures the realized curve instead of trusting the
+    * formula. Ground truth is the EXACT all-pairs Jaccard over the
+    * sample (brute force is the point — that is why the sample must be
+    * bounded; the caller passes a slice, production audits a few
+    * thousand docs out of the corpus); candidates are the production
+    * [[minhashLshPairs]] run on the same slice. Output per Jaccard
+    * decile: (jband, n_truth, n_caught) — recall = n_caught/n_truth,
+    * integer counts so the report replays exactly.
+    *
+    * The truth join broadcasts the (id, shingle-set) sample (one side
+    * is sample-sized by construction) and verifies with the
+    * allocation-free [[graft.expr.SortedLongIntersect]] merge.
+    */
+  def lshRecallAudit(docs: DataFrame, idCol: String, textCol: String,
+                     minJaccard: Double = 0.1): DataFrame = {
+    val sh = shinglesOf(col(textCol), 2)
+    val sets = docs.filter(size(sh) >= 1)
+      .select(col(idCol).as("id"), explode(sh).as("s"))
+      .select(col("id"), Hashing.h32(col("s")).as("h"))
+      .groupBy("id").agg(sort_array(collect_set(col("h"))).as("sh"))
+    val truth = sets.select(col("id").as("a_id"), col("sh").as("sa"))
+      .join(broadcast(sets.select(col("id").as("b_id"), col("sh").as("sb"))),
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), jaccardHashed(col("sa"), col("sb")).as("j"))
+      .filter(col("j") >= minJaccard)
+    val cand = minhashLshPairs(docs, idCol, textCol)
+      .select(col("a_id"), col("b_id"), lit(1).as("caught"))
+    truth.join(cand, Seq("a_id", "b_id"), "left")
+      .groupBy(least(floor(col("j") * 10), lit(9L)).as("jband"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("caught"), lit(0))).as("n_caught"))
+  }
+
   /** Incremental MinHash-LSH maintenance for a GROWING corpus (VERDICT
     * r6 "what's missing" #3): a standing corpus already carries a
     * near-dup pair set; when a new tranche arrives, the only pairs that

@@ -5600,6 +5600,123 @@ object ExtQueries {
       |SELECT cluster_id, doc_id AS keep_id, n_members, n_frames
       |FROM m WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
+  // --- x109: quality-score drift report (PSI) ------------------------------------------
+
+  /** The quality family's operational monitor, mirroring what x89's
+    * codebook-drift report does for the ANN family
+    * ([[graft.ext.Drift.scorePsi]]): before the standing keep
+    * threshold is applied to a new tranche, the tranche's score
+    * distribution is compared against the standing corpus' via PSI
+    * over the x102-style integer score bins. The declared split
+    * (every 3rd doc plays the arriving tranche) is distributionally
+    * calm, so the report reads near-zero — ExtSpec plants a genuinely
+    * shifted tranche (stopword-padded texts) and requires the total
+    * PSI to cross the conventional 0.2 alarm while the calm split
+    * stays under it. Scores come from the x85 stand-in model (integer-
+    * exact, no training dependency).
+    */
+  val x109ScoreDrift: Q = (spark, sfDir) => {
+    val docs = Tables.documents(spark, sfDir)
+    val scored = graft.ext.QualityModel.scoreDocuments(
+      docs, "doc_id", "text",
+      graft.ext.QualityModel.hashedWeights(spark, 4096), 4096)
+      .select(col("doc_id"), col("score"))
+    graft.ext.Drift.scorePsi(
+      scored.filter(col("doc_id") % 3 =!= 0),
+      scored.filter(col("doc_id") % 3 === 0), "score")
+      .orderBy("bin")
+  }
+
+  private val x109Sql =
+    """WITH w AS (
+      |  SELECT b AS bucket, (b * 2654435761) % 2001 - 1000 AS wt
+      |  FROM (SELECT unnest(range(4096)) AS b)
+      |), feats AS (
+      |  SELECT doc_id, unnest(list_concat(tk, list_transform(range(1, length(tk)),
+      |    i -> array_to_string(list_slice(tk, i, i+1), ' ')))) AS f
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+      |), fb AS (
+      |  SELECT doc_id, ('0x' || substr(md5(f),1,8))::BIGINT % 4096 AS bucket FROM feats
+      |), sc AS (
+      |  SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score
+      |  FROM fb JOIN w USING (bucket) GROUP BY doc_id
+      |), lab AS (
+      |  SELECT score, CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS src FROM sc
+      |), ext AS (
+      |  SELECT min(score) AS mn, max(score) AS mx FROM lab
+      |), c AS (
+      |  SELECT (score - mn) * 10 // (mx - mn + 1) AS bin,
+      |    CAST(sum(CASE WHEN src = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_std,
+      |    CAST(sum(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      |  FROM lab, ext GROUP BY bin
+      |), allb AS (
+      |  SELECT r.range AS bin, coalesce(n_std, 0) AS n_std, coalesce(n_new, 0) AS n_new
+      |  FROM range(0, 10) r LEFT JOIN c ON c.bin = r.range
+      |), t AS (
+      |  SELECT CAST(sum(n_std) AS BIGINT) AS ts, CAST(sum(n_new) AS BIGINT) AS tn
+      |  FROM allb
+      |)
+      |SELECT bin, n_std, n_new,
+      |  round(((n_new + 1.0) / (tn + 10) - (n_std + 1.0) / (ts + 10))
+      |    * ln(((n_new + 1.0) / (tn + 10)) / ((n_std + 1.0) / (ts + 10))), 6) AS psi
+      |FROM allb, t ORDER BY bin""".stripMargin
+
+  // --- x110: LSH recall audit vs exact ground truth ------------------------------------
+
+  /** The dedup-family recall report ([[graft.ext.Dedup.lshRecallAudit]]),
+    * mirroring x53's ANN recall@5: exact all-pairs Jaccard over a
+    * bounded 500-doc sample is the ground truth, the production
+    * MinHash-LSH pipeline on the same slice is the system under audit,
+    * and the per-decile (n_truth, n_caught) counts trace the realized
+    * 1−(1−j²)^8 recall curve — the number a curation team checks
+    * before trusting "we near-deduped the corpus". Brute force is
+    * confined to the sample BY DESIGN (that is the production shape of
+    * a recall audit: exact on a few thousand docs, never the corpus).
+    */
+  val x110LshRecall: Q = (spark, sfDir) =>
+    graft.ext.Dedup.lshRecallAudit(
+      Tables.documents(spark, sfDir).filter(col("doc_id") < 500),
+      "doc_id", "text")
+      .orderBy("jband")
+
+  private val x110Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+      |  WHERE doc_id < 500
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, length(tokens)),
+      |    i -> array_to_string(list_slice(tokens, i, i+1), ' '))) AS shingles
+      |  FROM tok WHERE length(tokens) >= 2
+      |), hs AS (
+      |  SELECT doc_id, shingles,
+      |    list_distinct(list_transform(shingles, s -> ('0x' || substr(md5(s),1,8))::BIGINT)) AS hs
+      |  FROM sh
+      |), truth AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    round(CAST(length(list_filter(a.hs, x -> list_contains(b.hs, x))) AS DOUBLE)
+      |      / (length(a.hs) + length(b.hs)
+      |         - length(list_filter(a.hs, x -> list_contains(b.hs, x)))), 6) AS j
+      |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+      |), tj AS (
+      |  SELECT a_id, b_id, j FROM truth WHERE j >= 0.1
+      |), sig AS (
+      |  SELECT doc_id, list_transform(range(0,16),
+      |    j -> list_min(list_transform(hs, x -> ((2*j+1)*x + 7919*j) % 4294967311))) AS sig
+      |  FROM hs
+      |), bands AS (
+      |  SELECT doc_id, unnest(list_transform(range(0,8),
+      |    b -> b || ':' || array_to_string(list_slice(sig, 2*b+1, 2*b+2), '-'))) AS bk
+      |  FROM sig
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      |)
+      |SELECT least(CAST(floor(j * 10) AS BIGINT), 9) AS jband,
+      |  CAST(count(*) AS BIGINT) AS n_truth,
+      |  CAST(sum(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught
+      |FROM tj LEFT JOIN cand c USING (a_id, b_id)
+      |GROUP BY jband ORDER BY jband""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -5710,7 +5827,9 @@ object ExtQueries {
     "x105_intradoc_dedup" -> x105IntradocDedup,
     "x106_tokenizer_fertility" -> x106TokenizerFertility,
     "x107_quality_ensemble" -> x107QualityEnsemble,
-    "x108_video_dedup_clusters" -> x108VideoDedupClusters)
+    "x108_video_dedup_clusters" -> x108VideoDedupClusters,
+    "x109_score_drift" -> x109ScoreDrift,
+    "x110_lsh_recall" -> x110LshRecall)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -5820,5 +5939,7 @@ object ExtQueries {
     "x105_intradoc_dedup" -> x105Sql,
     "x106_tokenizer_fertility" -> x106Sql,
     "x107_quality_ensemble" -> x107Sql,
-    "x108_video_dedup_clusters" -> x108Sql)
+    "x108_video_dedup_clusters" -> x108Sql,
+    "x109_score_drift" -> x109Sql,
+    "x110_lsh_recall" -> x110Sql)
 }

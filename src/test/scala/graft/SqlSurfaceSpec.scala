@@ -398,6 +398,31 @@ class SqlSurfaceSpec extends SparkSpec {
       dd.head.getString(2) == "a b c d e f", dd.head.toString)
   }
 
+  test("score_psi and lsh_recall_audit are callable as SQL table functions") {
+    import spark.implicits._
+    // identical distributions -> near-zero PSI; a constant shift alarms
+    (0 until 100).map(i => Tuple1((i % 10).toLong)).toDF("score")
+      .createOrReplaceTempView("psi_std")
+    (0 until 100).map(i => Tuple1((i % 10).toLong)).toDF("score")
+      .createOrReplaceTempView("psi_same")
+    (0 until 100).map(i => Tuple1((i % 10 + 9).toLong)).toDF("score")
+      .createOrReplaceTempView("psi_shift")
+    def total(t: String) = spark.sql(
+      s"SELECT sum(psi) FROM score_psi('psi_std', '$t', 'score', 10)")
+      .collect()(0).getDouble(0)
+    assert(math.abs(total("psi_same")) < 0.01)
+    assert(total("psi_shift") > 0.5)
+    // two near-identical docs and one unrelated: the identical pair is
+    // truth AND caught; the audit reports it in the top band
+    Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "z y x w v u t s"))
+      .toDF("doc_id", "text").createOrReplaceTempView("lsh_docs")
+    val bands = spark.sql(
+      """SELECT jband, n_truth, n_caught FROM
+        |lsh_recall_audit('lsh_docs', 'doc_id', 'text') ORDER BY jband""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(bands.toSeq == Seq((9L, 1L, 1L)), bands.mkString(","))
+  }
+
   test("extension functions enforce arity and literal parameters") {
     val wrongArity = intercept[Exception] {
       spark.sql("SELECT md5_prefix64('a')").collect()

@@ -1377,6 +1377,53 @@ class ExtSpec extends SparkSpec {
     assert(out.toSeq == Seq((10L, 2L, 4L)), out.mkString(","))
   }
 
+  test("x109: PSI stays calm on a random split and alarms on a shifted tranche") {
+    import graft.ext.{Drift, QualityModel}
+    val docs = graft.model.Tables.documents(spark, sf())
+    def scores(d: org.apache.spark.sql.DataFrame) =
+      QualityModel.scoreDocuments(d, "doc_id", "text",
+          QualityModel.hashedWeights(spark, 4096), 4096)
+        .select(col("doc_id"), col("score"))
+    val std = scores(docs.filter(col("doc_id") % 3 =!= 0))
+    def totalPsi(incoming: org.apache.spark.sql.DataFrame) =
+      Drift.scorePsi(std, incoming, "score")
+        .agg(sum("psi")).collect()(0).getDouble(0)
+    // calm: the declared query's split — every 3rd doc is a tranche
+    // drawn from the same distribution
+    val calm = totalPsi(scores(docs.filter(col("doc_id") % 3 === 0)))
+    assert(calm < 0.2, f"calm split alarms: PSI $calm%.4f")
+    // shifted: the same tranche padded with 32 stopword tokens — the
+    // padding moves every score by a near-constant delta, which is
+    // exactly the bin-mass migration PSI exists to catch (measured
+    // 1.46 vs calm 0.13 at sf0.001)
+    val shifted = totalPsi(scores(
+      docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          concat_ws(" ", (Seq(col("text")) ++ Seq.fill(32)(lit("the"))): _*)
+            .as("text"))))
+    assert(shifted > 0.5, f"shifted tranche stays quiet: PSI $shifted%.4f")
+    assert(shifted > 5 * calm,
+      f"alarm not separable from noise: $shifted%.4f vs $calm%.4f")
+  }
+
+  test("x110: LSH recall is total at high Jaccard and lossy at low — the banding curve") {
+    val out = graft.queries.ExtQueries.queries("x110_lsh_recall")(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.nonEmpty, "no truth pairs at all — the audit is vacuous")
+    out.foreach { case (band, t, c) =>
+      assert(c <= t, s"caught > truth in band $band") }
+    // 8 bands x 2 rows: P(candidate) = 1-(1-j^2)^8 — essentially 1 at
+    // j >= 0.9, far below 1 at j in [0.1, 0.2); the audit must show
+    // the curve, not a flat 100%
+    val top = out.filter(_._1 >= 8)
+    assert(top.nonEmpty && top.forall(b => b._2 == b._3),
+      s"high-jaccard truth pairs escaped LSH: ${out.mkString(",")}")
+    val low = out.filter(_._1 <= 2)
+    assert(low.nonEmpty && low.exists(b => b._3 < b._2),
+      s"low-jaccard recall reads total — audit not measuring: ${out.mkString(",")}")
+  }
+
   test("RRF fusion ranks first a hit neither system alone ranks first") {
     // the planted hybrid case (VERDICT r7 #4): lexical ranks a keyword
     // decoy first, semantic ranks an embedding decoy first, but only
