@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Bmp, BmpDecoder, BmpOps, Dedup, Graph, Multimodal, Profile, Quantize, Sampling, Similarity, TextAnalytics, Wav, WavDecoder}
+import graft.ext.Hashing
 import graft.model.Tables
 
 /** North-star extension queries (BASELINE.json): dedup family,
@@ -5459,18 +5460,112 @@ object ExtQueries {
     * see WHERE the signals disagree. Each signal is one corpus scan
     * with broadcast-bounded side tables; the vote join is doc-keyed.
     */
+  /** Fused implementation — composing the standalone operators
+    * (`Dsir.importanceWeights` ∘ `NgramLm.perplexityScores` ∘ rule)
+    * costs ~5 corpus scans; at 100 TB a report must not pay IO per
+    * signal (the x21 fusion precedent). This derives the identical
+    * result from TWO corpus scans:
+    *
+    *  1. TRAINING: one tagged explode (each unigram emits its DSIR
+    *     1024-bucket and LM 4096-bucket rows, each bigram its LM
+    *     65536-bucket row) into ONE (kind, bucket) aggregation
+    *     carrying raw + target counts. Every count table — DSIR cr/ct,
+    *     LM c1/c2 — and every total is a filtered view of that one
+    *     aggregate, so Spark's exchange reuse executes the scan +
+    *     partial aggregation ONCE (PlanSpec pins this on the executed
+    *     plan).
+    *  2. SCORING: one tagged explode (DSIR unigram rows + LM bigram
+    *     rows, disjoint key columns with −1 sentinels so one linear
+    *     chain of broadcast left joins serves both), conditional
+    *     per-doc sums, the rule flag riding as min(is_t).
+    *
+    * Per-occurrence λ and lp values, their 6-dp rounds, smoothing
+    * constants, and vote semantics are byte-identical to the
+    * standalone operators — the oracle is unchanged and still
+    * hash-matches at every SF.
+    */
   val x107QualityEnsemble: Q = (spark, sfDir) => {
     val docs = Tables.documents(spark, sfDir)
     val tk = split(col("text"), " ")
     val pred = size(filter(tk, x => x === "the" || x === "a")) * 16 > size(tk)
-    val rule = docs.select(col("doc_id"),
-      when(pred, lit(1)).otherwise(lit(0)).as("rule_keep"))
-    val dsir = graft.ext.Dsir.importanceWeights(docs, "doc_id", "text", pred, 1024)
-      .select(col("doc_id"), col("selected").as("dsir_keep"))
-    val lm = graft.ext.NgramLm.perplexityScores(docs, "doc_id", "text", pred)
-      .select(col("doc_id"),
-        when(col("ppl_bucket") === "head", lit(1)).otherwise(lit(0)).as("lm_keep"))
-    rule.join(dsir, "doc_id").join(lm, "doc_id")
+    val bg = org.apache.spark.sql.GraftColumnBridge.column(graft.expr.WordShingles(
+      org.apache.spark.sql.GraftColumnBridge.expression(col("text").cast("string")), 2))
+    // --- pass 1: tagged training stream -> one (kind, bucket) aggregate
+    val trainRows = docs.select(col("doc_id"), pred.as("is_t"),
+        explode(concat(
+          transform(tk, u => struct(lit("du").as("kind"), u.as("f"))),
+          transform(tk, u => struct(lit("lu").as("kind"), u.as("f"))),
+          transform(bg, b => struct(lit("lb").as("kind"), b.as("f"))))).as("e"))
+      .select(col("is_t"), col("e.kind").as("kind"),
+        when(col("e.kind") === "du", Hashing.h32(col("e.f")) % 1024)
+          .when(col("e.kind") === "lu", Hashing.h32(col("e.f")) % 4096)
+          .otherwise(Hashing.h32(col("e.f")) % 65536).as("bucket"))
+    // persist: the aggregate is bounded (≤ 1024+4096+65536 rows) and
+    // every count table/total filters it by `kind` — but kind is a
+    // GROUPING key, so the filters would push below the exchange and
+    // give each consumer its own corpus scan (measured: 13 scans
+    // without the persist). Caching pins the one training scan;
+    // Spark's CacheManager dedupes by canonical plan, so repeated
+    // builder calls share one entry.
+    val t = trainRows.groupBy("kind", "bucket")
+      .agg(count(lit(1)).as("c_all"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+      .persist()
+    val dsirTots = t.filter(col("kind") === "du")
+      .agg(sum("c_all").as("tr"), coalesce(sum("c_t"), lit(0L)).as("tt"))
+    val lamT = t.filter(col("kind") === "du").crossJoin(broadcast(dsirTots))
+      .select(col("bucket").as("hd"),
+        round(log(col("c_t") + 1) - log(col("tt") + 1024)
+          - log(col("c_all") + 1) + log(col("tr") + 1024), 6).as("lam"))
+    val c1T = t.filter(col("kind") === "lu" && col("c_t") > 0)
+      .select(col("bucket").as("hw"), col("c_t").as("c1"))
+    val lmTots = t.filter(col("kind") === "lu")
+      .agg(coalesce(sum("c_t"), lit(0L)).as("n"))
+    val c2T = t.filter(col("kind") === "lb" && col("c_t") > 0)
+      .select(col("bucket").as("hb"), col("c_t").as("c2"))
+    // --- pass 2: tagged scoring stream, one broadcast-join chain
+    val scoreRows = docs.select(col("doc_id"), pred.as("is_t"),
+        explode(concat(
+          transform(tk, u => struct(lit("du").as("kind"), u.as("f"),
+            lit("").as("w1"), lit("").as("w2"))),
+          transform(bg, b => struct(lit("lb").as("kind"), b.as("f"),
+            substring_index(b, " ", 1).as("w1"),
+            substring_index(b, " ", -1).as("w2"))))).as("e"))
+      .select(col("doc_id"), col("is_t"), col("e.kind").as("kind"),
+        when(col("e.kind") === "du", Hashing.h32(col("e.f")) % 1024)
+          .otherwise(lit(-1L)).as("hd"),
+        when(col("e.kind") === "lb", Hashing.h32(col("e.f")) % 65536)
+          .otherwise(lit(-1L)).as("hb"),
+        when(col("e.kind") === "lb", Hashing.h32(col("e.w1")) % 4096)
+          .otherwise(lit(-1L)).as("hw1"),
+        when(col("e.kind") === "lb", Hashing.h32(col("e.w2")) % 4096)
+          .otherwise(lit(-1L)).as("hw2"))
+    val scored = scoreRows
+      .join(broadcast(lamT), Seq("hd"), "left")
+      .join(broadcast(c2T), Seq("hb"), "left")
+      .join(broadcast(c1T.withColumnRenamed("hw", "hw1")
+        .withColumnRenamed("c1", "c1w1")), Seq("hw1"), "left")
+      .join(broadcast(c1T.withColumnRenamed("hw", "hw2")
+        .withColumnRenamed("c1", "c1w2")), Seq("hw2"), "left")
+      .crossJoin(broadcast(lmTots))
+      .select(col("doc_id"), col("is_t"), col("kind"), col("lam"),
+        when(col("kind") === "lb",
+          round(when(coalesce(col("c2"), lit(0L)) > 0 &&
+              coalesce(col("c1w1"), lit(0L)) > 0,
+            log(col("c2")) - log(col("c1w1")))
+            .otherwise(log(lit(0.4)) + log(coalesce(col("c1w2"), lit(0L)) + 1)
+              - log(col("n") + 4096)), 6)).as("lp"))
+      .groupBy("doc_id")
+      .agg(min(col("is_t")).as("is_t"),
+        round(sum(when(col("kind") === "du", col("lam"))), 6).as("logw"),
+        sum(when(col("kind") === "lb", 1L)).as("n_bigrams"),
+        round(sum(col("lp")), 6).as("logprob"))
+    scored.select(col("doc_id"),
+        when(col("is_t"), lit(1)).otherwise(lit(0)).as("rule_keep"),
+        when(col("logw") > 0, lit(1)).otherwise(lit(0)).as("dsir_keep"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0 &&
+            floor(col("logprob") * 10 / col("n_bigrams")) >= -34, lit(1))
+          .otherwise(lit(0)).as("lm_keep"))
       .withColumn("votes", col("rule_keep") + col("dsir_keep") + col("lm_keep"))
       .withColumn("ensemble_keep",
         when(col("votes") >= 2, lit(1)).otherwise(lit(0)))

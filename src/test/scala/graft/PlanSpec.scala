@@ -108,6 +108,36 @@ class PlanSpec extends SparkSpec {
       s"c1's broadcast build is duplicated — no exchange reuse in:\n${ep.take(3000)}")
   }
 
+  test("x107: the ensemble reads the corpus twice, not once per signal") {
+    // the fusion contract: every count table (DSIR cr/ct, LM c1/c2)
+    // and every total is a filtered view of ONE (kind, bucket)
+    // training aggregate, shared via exchange reuse, so the executed
+    // plan scans the documents parquet exactly twice — once for
+    // training, once for scoring. A third scan means a signal
+    // regressed to paying its own corpus IO.
+    val df = ExtQueries.queries("x107_quality_ensemble")(spark, sf())
+    df.collect()
+    // structural count of EXECUTED parquet-scan sites: descend through
+    // AQE wrappers and query stages, but never into an
+    // InMemoryTableScan — the cached training aggregate's interior
+    // build plan ran once at materialization, not per consumer
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def scans(p: SparkPlan): Int = p match {
+      case _: InMemoryTableScanExec => 0
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case _: FileSourceScanExec => 1
+      case o => (o.children ++ o.subqueries).map(scans).sum
+    }
+    val ep = df.queryExecution.executedPlan
+    val n = scans(ep)
+    assert(n <= 2, s"expected <=2 executed corpus-scan sites, got $n:\n${ep.toString.take(3000)}")
+    assert(ep.toString.contains("InMemoryTableScan"),
+      s"training aggregate not cached — each consumer pays its own scan:\n${ep.toString.take(3000)}")
+  }
+
   test("x87: sets exchanges reuse; band exchanges stay narrow (no collect_set on the wire)") {
     // Two deliberate plan properties of the incremental probe:
     //  1. the VERIFICATION-set frames (collect_set buffers — the wide
