@@ -5412,8 +5412,8 @@ object ExtQueries {
         sum("chars").as("chars"),
         // `div` (not `/`): Spark's Divide on longs returns DOUBLE, and
         // floor(double) can round a near-integer quotient the wrong way
-        expr("(sum(sw) * 10000L) div sum(ws)").as("fertility_e4"),
-        expr("(sum(chars) * 10000L) div sum(sw)").as("chars_per_subword_e4"))
+        expr("(sum(sw) * 10000L) div nullif(sum(ws), 0L)").as("fertility_e4"),
+        expr("(sum(chars) * 10000L) div nullif(sum(sw), 0L)").as("chars_per_subword_e4"))
       .orderBy("lang")
 
   private val x106Sql: String = {
@@ -5442,8 +5442,8 @@ object ExtQueries {
        |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
        |  CAST(sum(sw) AS BIGINT) AS subword_tokens,
        |  CAST(sum(chars) AS BIGINT) AS chars,
-       |  CAST(sum(sw) * 10000 // sum(ws) AS BIGINT) AS fertility_e4,
-       |  CAST(sum(chars) * 10000 // sum(sw) AS BIGINT) AS chars_per_subword_e4
+       |  CAST(sum(sw) * 10000 // nullif(sum(ws), 0) AS BIGINT) AS fertility_e4,
+       |  CAST(sum(chars) * 10000 // nullif(sum(sw), 0) AS BIGINT) AS chars_per_subword_e4
        |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
   }
 
