@@ -1334,6 +1334,25 @@ class ExtSpec extends SparkSpec {
         "planted signal no longer dominates")
   }
 
+  test("x105: within-document dedup is idempotent") {
+    // applying the filter to its own output must remove nothing — the
+    // invariant that makes re-running a curation pass safe (a second
+    // pass that kept trimming would mean the reassembly itself
+    // manufactures new aligned repeats)
+    val rep8 = array_join(slice(split(col("text"), " "), 1, 8), " ")
+    val planted = graft.model.Tables.documents(spark, sf())
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 7,
+          concat_ws(" ", col("text"), rep8, rep8)).otherwise(col("text")).as("text"))
+    val once = graft.ext.Boilerplate
+      .dedupWithinDocuments(planted, "doc_id", "text", 4)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val twice = graft.ext.Boilerplate
+      .dedupWithinDocuments(once, "doc_id", "text", 4)
+    assert(twice.agg(sum("n_removed")).collect()(0).getLong(0) == 0L,
+      "second dedup pass trimmed again — reassembly creates new repeats")
+  }
+
   test("x107: ensemble vote is the majority of three genuinely-disagreeing signals") {
     val out = graft.queries.ExtQueries.queries("x107_quality_ensemble")(spark, sf())
       .collect()
