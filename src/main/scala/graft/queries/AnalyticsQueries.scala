@@ -687,6 +687,100 @@ object AnalyticsQueries {
 
   // --- assembled maps -------------------------------------------------------------
 
+  // --- a28: local supplier volume (TPC-H Q5 shape) ---------------------------
+
+  /** The classic 6-table star: revenue per nation where the customer and
+    * the supplier share the nation, restricted to one region. Exercises
+    * the canonical warehouse plan — fact table joined to four broadcast
+    * dimensions plus an equi-constraint BETWEEN dimensions
+    * (c_nationkey = s_nationkey rides the customer join condition, so
+    * Catalyst keeps every join a BroadcastHashJoin and the region
+    * filter prunes before anything shuffles). Money is fixed-point
+    * BIGINT e4 units (the q3 discipline — double→decimal cast rounding
+    * varies across engines).
+    */
+  val a28LocalVolume: Q = (spark, sfDir) => {
+    val l = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    val revE4 = sum(
+      round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long")))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(revE4.as("revenue_e4"), count(lit(1)).as("n"))
+      .orderBy("n_name")
+  }
+
+  private val a28Sql =
+    """SELECT n_name,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+      |  count(*) AS n
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // --- a29: bilateral trade volume (TPC-H Q7 shape) --------------------------
+
+  /** Nation-pair shipping flows by year: the nation dimension joins the
+    * fact TWICE under different roles (supplier's nation vs customer's
+    * nation) — the self-joined-dimension pattern Q5 doesn't cover —
+    * and the pair inequality keeps only cross-border flows. Both
+    * nation joins broadcast; output is |nations|²·|years| bounded.
+    */
+  val a29TradeVolume: Q = (spark, sfDir) => {
+    val l = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val revE4 = sum(
+      round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long")))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n.select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+      .join(broadcast(n.select(col("n_nationkey").as("cnk"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("o_orderdate")).as("yr"))
+      .agg(revE4.as("revenue_e4"), count(lit(1)).as("n"))
+      .orderBy("supp_nation", "cust_nation", "yr")
+  }
+
+  private val a29Sql =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  year(o_orderdate) AS yr,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+      |  count(*) AS n
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE sn.n_name != cn.n_name
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "a1_top_orders" -> a1TopOrders,
     "a2_rollup" -> a2Rollup,
@@ -697,6 +791,8 @@ object AnalyticsQueries {
     "a7_asof_join" -> a7AsofJoin,
     "a8_salted_counts" -> a8SaltedCounts,
     "a9_range_join" -> a9RangeJoin,
+    "a28_local_volume" -> a28LocalVolume,
+    "a29_trade_volume" -> a29TradeVolume,
     "a10_asof_native" -> a10AsofNative,
     "a11_pivot" -> a11Pivot,
     "a12_quantiles" -> a12Quantiles,
@@ -726,6 +822,8 @@ object AnalyticsQueries {
     "a7_asof_join" -> a7Sql,
     "a8_salted_counts" -> a8Sql,
     "a9_range_join" -> a9Sql,
+    "a28_local_volume" -> a28Sql,
+    "a29_trade_volume" -> a29Sql,
     "a10_asof_native" -> a7Sql,
     "a11_pivot" -> a11Sql,
     "a12_quantiles" -> a12Sql,

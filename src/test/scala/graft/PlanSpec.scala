@@ -108,6 +108,19 @@ class PlanSpec extends SparkSpec {
       s"c1's broadcast build is duplicated — no exchange reuse in:\n${ep.take(3000)}")
   }
 
+  test("a28/a29: the warehouse stars join entirely by broadcast, fact never shuffles") {
+    // the canonical 100 TB warehouse plan: the lineitem fact joins four
+    // (a28) / four+twice-nation (a29) broadcast dimensions — a
+    // SortMergeJoin anywhere means a dimension rode a corpus-sized
+    // shuffle
+    Seq("a28_local_volume", "a29_trade_volume").foreach { q =>
+      val p = plan(graft.queries.AnalyticsQueries.queries(q)(spark, sf()))
+      assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, s"$q:\n${p.take(2000)}")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$q fact shuffled for a dimension join:\n${p.take(2000)}")
+    }
+  }
+
   test("x107: the ensemble reads the corpus twice, not once per signal") {
     // the fusion contract: every count table (DSIR cr/ct, LM c1/c2)
     // and every total is a filtered view of ONE (kind, bucket)
