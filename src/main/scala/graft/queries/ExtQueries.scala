@@ -5812,6 +5812,102 @@ object ExtQueries {
       |FROM tj LEFT JOIN cand c USING (a_id, b_id)
       |GROUP BY jband ORDER BY jband""".stripMargin
 
+  // --- x111: per-document curation ledger ----------------------------------------------
+
+  /** The provenance artifact a production curation run ships next to
+    * its output: one row per input document stating WHY it survived or
+    * fell — the "why was my doc removed" table that makes a multi-stage
+    * pipeline auditable. Decisions compose the standing kernels under
+    * the pipeline's precedence:
+    *
+    *   exact_dup  — a byte-identical copy with a smaller id exists
+    *                (re-crawls planted x63-style: every 97th doc
+    *                re-enters under id+10⁶, so the branch is
+    *                non-vacuous at every SF; sf0.1 also has 8 natural
+    *                exact dups);
+    *   near_dup   — lost its MinHash-LSH cluster (the shared x17
+    *                clusters at jaccard ≥ 0.6; the canonical is the
+    *                cluster's min id);
+    *   contaminated — shares ≥ 10 trigrams with a benchmark doc (x25);
+    *   low_quality — fails the stopword rule;
+    *   kept       — survived everything.
+    *
+    * Each signal is its existing operator; the ledger is four doc-keyed
+    * left joins over the union corpus — nothing new shuffles beyond
+    * what the standing pipeline already computes.
+    */
+  val x111CurationLedger: Q = (spark, sfDir) => {
+    val docs = Tables.documents(spark, sfDir)
+    val planted = docs.filter(col("doc_id") % 97 === 13)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val corpus = docs.select(col("doc_id"), col("text")).unionAll(planted)
+    val hashed = corpus.withColumn("ch", md5(col("text").cast("binary")))
+    val keep = hashed.groupBy("ch").agg(min("doc_id").as("keep_id"))
+    val clusters = Dedup.dedupClusters(
+      nearDupPairs(spark, sfDir).filter(col("jaccard") >= 0.6))
+    val contaminated = Dedup.contamination(docs,
+        docs.filter(col("doc_id") % 8 === 0), "doc_id", "text")
+      .select(col("t_id").as("doc_id")).distinct()
+      .withColumn("contam", lit(1))
+    val tk = split(col("text"), " ")
+    val rulePos = size(filter(tk, x => x === "the" || x === "a")) * 16 > size(tk)
+    hashed.join(keep, "ch")
+      .join(clusters, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .select(col("doc_id"), col("keep_id"), col("cluster_id"),
+        when(col("doc_id") =!= col("keep_id"), lit("exact_dup"))
+          .when(col("doc_id") =!= col("cluster_id"), lit("near_dup"))
+          .when(col("contam") === 1, lit("contaminated"))
+          .when(!rulePos, lit("low_quality"))
+          .otherwise(lit("kept")).as("decision"))
+      .orderBy("doc_id")
+  }
+
+  private val x111Sql = ccClustersPre +
+    """, corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 97 = 13
+      |), chs AS (
+      |  SELECT doc_id, text, md5(text) AS ch FROM corpus
+      |), keepc AS (
+      |  SELECT ch, min(doc_id) AS keep_id FROM chs GROUP BY ch
+      |), ctok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), csh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, length(tk)-1),
+      |    i -> array_to_string(list_slice(tk, i, i+2), ' '))) AS sh
+      |  FROM ctok WHERE length(tk) >= 3
+      |), ctr AS (
+      |  SELECT doc_id AS t_id,
+      |    unnest(list_distinct(list_transform(sh,
+      |      s -> ('0x' || substr(md5(s),1,8))::BIGINT))) AS h
+      |  FROM csh
+      |), cbn AS (
+      |  SELECT t_id AS b_id, h FROM ctr WHERE t_id % 8 = 0
+      |), contam AS (
+      |  SELECT DISTINCT t_id AS doc_id FROM (
+      |    SELECT t_id, b_id FROM ctr JOIN cbn USING (h)
+      |    WHERE t_id != b_id GROUP BY t_id, b_id HAVING count(*) >= 10)
+      |), rl AS (
+      |  SELECT doc_id,
+      |    16 * length(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+      |      > length(string_split(text, ' ')) AS is_t
+      |  FROM corpus
+      |)
+      |SELECT c.doc_id, k.keep_id, coalesce(cl.cluster_id, c.doc_id) AS cluster_id,
+      |  CASE WHEN c.doc_id != k.keep_id THEN 'exact_dup'
+      |       WHEN c.doc_id != coalesce(cl.cluster_id, c.doc_id) THEN 'near_dup'
+      |       WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+      |       WHEN NOT r.is_t THEN 'low_quality'
+      |       ELSE 'kept' END AS decision
+      |FROM chs c JOIN keepc k USING (ch)
+      |LEFT JOIN cl ON cl.doc_id = c.doc_id
+      |LEFT JOIN contam ct ON ct.doc_id = c.doc_id
+      |JOIN rl r ON r.doc_id = c.doc_id
+      |ORDER BY c.doc_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -5924,7 +6020,8 @@ object ExtQueries {
     "x107_quality_ensemble" -> x107QualityEnsemble,
     "x108_video_dedup_clusters" -> x108VideoDedupClusters,
     "x109_score_drift" -> x109ScoreDrift,
-    "x110_lsh_recall" -> x110LshRecall)
+    "x110_lsh_recall" -> x110LshRecall,
+    "x111_curation_ledger" -> x111CurationLedger)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -6036,5 +6133,6 @@ object ExtQueries {
     "x107_quality_ensemble" -> x107Sql,
     "x108_video_dedup_clusters" -> x108Sql,
     "x109_score_drift" -> x109Sql,
-    "x110_lsh_recall" -> x110Sql)
+    "x110_lsh_recall" -> x110Sql,
+    "x111_curation_ledger" -> x111Sql)
 }

@@ -1334,6 +1334,28 @@ class ExtSpec extends SparkSpec {
         "planted signal no longer dominates")
   }
 
+  test("x111: the curation ledger accounts for every doc under pipeline precedence") {
+    val out = graft.queries.ExtQueries.queries("x111_curation_ledger")(spark, sf())
+      .collect()
+    val valid = Set("exact_dup", "near_dup", "contaminated", "low_quality", "kept")
+    assert(out.forall(r => valid(r.getAs[String]("decision"))))
+    // every planted re-crawl copy is an exact-dup loser pointing at its source
+    val planted = out.filter(_.getAs[Long]("doc_id") >= 1000000L)
+    assert(planted.nonEmpty && planted.forall { r =>
+      r.getAs[String]("decision") == "exact_dup" &&
+        r.getAs[Long]("keep_id") == r.getAs[Long]("doc_id") - 1000000L
+    }, "a planted re-crawl escaped the exact-dup branch")
+    // survivors are their own canonical on both axes — a 'kept' doc
+    // that lost a cluster or a content group would be double-counted
+    assert(out.filter(_.getAs[String]("decision") == "kept").forall(r =>
+      r.getAs[Long]("keep_id") == r.getAs[Long]("doc_id") &&
+        r.getAs[Long]("cluster_id") == r.getAs[Long]("doc_id")))
+    // the ledger is complete: corpus + planted rows, nothing dropped
+    val base = graft.model.Tables.documents(spark, sf()).count()
+    assert(out.length == base + planted.length,
+      s"${out.length} ledger rows for $base docs + ${planted.length} planted")
+  }
+
   test("x105: within-document dedup is idempotent") {
     // applying the filter to its own output must remove nothing — the
     // invariant that makes re-running a curation pass safe (a second
