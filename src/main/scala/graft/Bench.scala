@@ -48,7 +48,7 @@ object Bench {
     */
   private[graft] val buildItems = Set(
     "synthlinks_build", "neardup_pairs_build", "pq_train_build",
-    "kmeans_train_build", "quality_train_build")
+    "kmeans_train_build", "quality_train_build", "neardup_index_build")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -127,6 +127,16 @@ object Bench {
       System.err.println(s"[bench] quality-train warm failed: ${e.getMessage}")
     }
     val qwSec = (System.nanoTime() - tQw0) / 1e9
+    // x87's STANDING near-dup index: built once per corpus commit in
+    // production (the persisted writeNearDupIndex artifact), so it is
+    // pre-warmed and timed as its own line item and the declared x87
+    // measures the recurring per-tranche probe (VERDICT r8 #1)
+    val tNi0 = System.nanoTime()
+    try graft.queries.ExtQueries.warmNearDupIndex(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] neardup-index warm failed: ${e.getMessage}")
+    }
+    val niSec = (System.nanoTime() - tNi0) / 1e9
     // Two timed passes, report the per-query MINIMUM. A single pass is
     // hostage to whatever else the container is doing (the r3 driver run
     // recorded 16.3 s for a query that takes ~3 s locally); min-of-two
@@ -164,7 +174,7 @@ object Bench {
     val results = results0 +
       ("synthlinks_build" -> linksSec) + ("neardup_pairs_build" -> pairsSec) +
       ("pq_train_build" -> pqSec) + ("kmeans_train_build" -> kmSec) +
-      ("quality_train_build" -> qwSec)
+      ("quality_train_build" -> qwSec) + ("neardup_index_build" -> niSec)
     // Regression gate vs the previous round's bench (VERDICT r4 #9,
     // repaired per VERDICT r5 #1): any query >2x its prior min is flagged
     // loudly NOW, in-round. Prev defaults to the committed bench_full.json

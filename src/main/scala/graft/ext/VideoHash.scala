@@ -52,15 +52,30 @@ object VideoHash {
   /** Order-preserving 2-frame shingles, distinct per video:
     * (doc_id, k) with k = "fh_i:fh_i+1". Videos with a single frame
     * have no shingles and cannot pair.
+    *
+    * One doc-keyed `lead()` window, not a self-join (VERDICT r8 #2):
+    * the join shape shuffled the frame table TWICE and paid a join;
+    * the window pays ONE exchange on doc_id and reads each frame row
+    * once — at 100× the frame volume that is the difference between
+    * one partition-local sort and a two-sided shuffle join. The
+    * `frame_no + 1` guard keeps the self-join semantics exactly: only
+    * CONSECUTIVE frame numbers shingle, so a frames input with gaps
+    * (e.g. after a sampling filter) pairs identically under both
+    * shapes (VideoHashSpec asserts the plan is join-free).
     */
-  def shingles(frames: DataFrame): DataFrame =
-    frames.as("a").join(frames.as("b"),
-        col("a.doc_id") === col("b.doc_id") &&
-          col("b.frame_no") === col("a.frame_no") + 1)
-      .select(col("a.doc_id").as("doc_id"),
-        concat(col("a.fh").cast("string"), lit(":"),
-          col("b.fh").cast("string")).as("k"))
+  def shingles(frames: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_no")
+    frames
+      .select(col("doc_id"), col("frame_no"), col("fh"),
+        lead(col("frame_no"), 1).over(w).as("next_no"),
+        lead(col("fh"), 1).over(w).as("next_fh"))
+      .filter(col("next_no") === col("frame_no") + 1)
+      .select(col("doc_id"),
+        concat(col("fh").cast("string"), lit(":"),
+          col("next_fh").cast("string")).as("k"))
       .distinct()
+  }
 
   /** Near-duplicate video pairs: (a_id, b_id, shared, na, nb) with
     * 2·shared >= min(na, nb) (≥ half the shorter video's shingles in

@@ -84,6 +84,45 @@ object ExtQueries {
     trainedQualityWeights(spark, sfDir).count(); ()
   }
 
+  /** The STANDING near-dup index probed by x87 (doc_id % 4 != 0 is the
+    * standing corpus), memoized per (session, sfDir) and materialized —
+    * at 100 TB this is the persisted artifact tranches probe
+    * ([[graft.ext.Dedup.writeNearDupIndex]]), built once per corpus
+    * commit, NOT rebuilt per probe. Bench pre-warms it as its own
+    * `neardup_index_build` line item (VERDICT r8 #1: the declared x87
+    * used to rebuild the standing index inside the timed query,
+    * charging one-time construction to the recurring probe).
+    */
+  private val standingIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.ext.Dedup.NearDupIndexFrames]()
+
+  /** Drop memoized standing near-dup indexes (test hygiene). */
+  def clearStandingIndexCache(): Unit = standingIndexCache.clear()
+
+  private def standingNearDupIndex(spark: SparkSession,
+                                   sfDir: String): graft.ext.Dedup.NearDupIndexFrames = {
+    standingIndexCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    standingIndexCache.computeIfAbsent((spark, sfDir),
+      (key: (SparkSession, String)) => {
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val idx = Dedup.nearDupIndex(
+          Tables.documents(key._1, key._2).filter(col("doc_id") % 4 =!= 0),
+          "doc_id", "text")
+        graft.ext.Dedup.NearDupIndexFrames(
+          idx.bands.persist(lvl), idx.sets.persist(lvl), idx.members.persist(lvl))
+      })
+  }
+
+  /** Materialize the standing index for (spark, sfDir) now — Bench
+    * calls this up front and times it as `neardup_index_build`, so
+    * x87's declared number measures the per-tranche probe (the
+    * recurring cost), not index construction.
+    */
+  def warmNearDupIndex(spark: SparkSession, sfDir: String): Unit = {
+    val idx = standingNearDupIndex(spark, sfDir)
+    idx.bands.count(); idx.sets.count(); idx.members.count(); ()
+  }
+
   private val qualityWeightsCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 
@@ -4187,8 +4226,11 @@ object ExtQueries {
     */
   val x87IncrementalLsh: Q = (spark, sfDir) => {
     val docs = Tables.documents(spark, sfDir)
-    Dedup.incrementalNearDupPairs(
-      docs.filter(col("doc_id") % 4 =!= 0),
+    // probe the MEMOIZED standing index (built once per corpus commit —
+    // Bench times it as `neardup_index_build`); the declared query is
+    // the recurring per-tranche cost, the shape that actually runs at
+    // 100 TB (VERDICT r8 #1)
+    Dedup.probeNearDupIndex(standingNearDupIndex(spark, sfDir),
       docs.filter(col("doc_id") % 4 === 0), "doc_id", "text")
       .orderBy("a_id", "b_id")
   }
