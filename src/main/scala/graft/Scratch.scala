@@ -48,6 +48,35 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (names.contains("__qconv")) {
+      // quality-perceptron convergence curve at this SF: accuracy on the
+      // labeled training split and on the full corpus per round budget
+      import org.apache.spark.sql.functions._
+      val docs = graft.model.Tables.documents(spark, sfDir)
+      val tk = split(col("text"), " ")
+      val labels = docs.select(col("doc_id"),
+        when(size(filter(tk, x => x === "the" || x === "a")) * 16 > size(tk),
+          lit(1L)).otherwise(lit(-1L)).as("y"))
+      Seq(4, 8, 12, 16, 20, 24).foreach { r =>
+        val t0 = System.nanoTime()
+        val w = graft.ext.QualityModel.trainPerceptron(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          labels, 4096, rounds = r)
+        val scored = graft.ext.QualityModel
+          .scoreDocuments(docs, "doc_id", "text", w, 4096)
+          .join(labels, "doc_id")
+          .withColumn("train", col("doc_id") % 10 === 0)
+          .withColumn("ok",
+            when((col("keep") === 1) === (col("y") === 1L), 1L).otherwise(0L))
+        val agg = scored.groupBy("train")
+          .agg(count(lit(1)).as("n"), sum("ok").as("ok")).collect()
+        val sec = (System.nanoTime() - t0) / 1e9
+        agg.foreach { row =>
+          println(f"SCRATCH __qconv rounds=$r ${if (row.getBoolean(0)) "train" else "rest "} acc=${row.getLong(2).toDouble / row.getLong(1)}%.4f (n=${row.getLong(1)}) ${sec}%.2f s")
+        }
+      }
+      spark.stop(); return
+    }
     val qs =
       if (names.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => names.contains(n) }

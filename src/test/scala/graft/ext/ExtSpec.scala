@@ -1253,6 +1253,24 @@ class ExtSpec extends SparkSpec {
       "perceptron failed to fit its own (separable) training split")
   }
 
+  test("x114: holdout accuracy beats the train-split majority baseline") {
+    // generalization measured on labels the trainer never saw: the
+    // held-out slice (doc_id % 10 == 5) must score above the
+    // majority-class predictor fit on the TRAINING split, and the
+    // confusion counts must be internally consistent
+    val out = graft.queries.ExtQueries.x114HoldoutEval(spark, sf()).collect()
+    assert(out.map(_.getAs[String]("slice")).toSeq == Seq("holdout", "train"))
+    out.foreach { r =>
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fp") + r.getAs[Long]("tn")
+        + r.getAs[Long]("fn") == r.getAs[Long]("n"), r.toString)
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("tn") == r.getAs[Long]("n_correct"),
+        r.toString)
+    }
+    val ho = out.find(_.getAs[String]("slice") == "holdout").get
+    assert(ho.getAs[Long]("n_correct") > ho.getAs[Long]("majority_correct"),
+      s"holdout does not beat the majority baseline: $ho")
+  }
+
   test("perceptron convergence short-circuit returns the full-round weights") {
     // once the misclassified set empties, every later round is a no-op,
     // so exiting early must produce weights IDENTICAL to running the
