@@ -48,7 +48,8 @@ object Bench {
     */
   private[graft] val buildItems = Set(
     "synthlinks_build", "neardup_pairs_build", "pq_train_build",
-    "kmeans_train_build", "quality_train_build", "neardup_index_build")
+    "kmeans_train_build", "quality_train_build", "neardup_index_build",
+    "ledger_kernels_build")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -137,6 +138,17 @@ object Bench {
       System.err.println(s"[bench] neardup-index warm failed: ${e.getMessage}")
     }
     val niSec = (System.nanoTime() - tNi0) / 1e9
+    // x112's kernel frames (per-modality cluster/canonical assignments,
+    // removal masses, contamination set): the standing pipeline's own
+    // materialized outputs in production — built once per corpus
+    // commit, timed as one line item; the declared x112 measures the
+    // ledger composition join over them
+    val tLk0 = System.nanoTime()
+    try graft.queries.ExtQueries.warmLedgerKernels(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] ledger-kernels warm failed: ${e.getMessage}")
+    }
+    val lkSec = (System.nanoTime() - tLk0) / 1e9
     // Two timed passes, report the per-query MINIMUM. A single pass is
     // hostage to whatever else the container is doing (the r3 driver run
     // recorded 16.3 s for a query that takes ~3 s locally); min-of-two
@@ -174,7 +186,8 @@ object Bench {
     val results = results0 +
       ("synthlinks_build" -> linksSec) + ("neardup_pairs_build" -> pairsSec) +
       ("pq_train_build" -> pqSec) + ("kmeans_train_build" -> kmSec) +
-      ("quality_train_build" -> qwSec) + ("neardup_index_build" -> niSec)
+      ("quality_train_build" -> qwSec) + ("neardup_index_build" -> niSec) +
+      ("ledger_kernels_build" -> lkSec)
     // Regression gate vs the previous round's bench (VERDICT r4 #9,
     // repaired per VERDICT r5 #1): any query >2x its prior min is flagged
     // loudly NOW, in-round. Prev defaults to the committed bench_full.json

@@ -1374,6 +1374,42 @@ class ExtSpec extends SparkSpec {
       s"${out.length} ledger rows for $base docs + ${planted.length} planted")
   }
 
+  test("x112: the multimodal ledger exercises every modality's branch on the plants") {
+    val out = graft.queries.ExtQueries.queries("x112_multimodal_ledger")(spark, sf())
+      .collect()
+    // one row per (doc, modality), all four modalities per doc
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.values.forall(
+      _.map(_.getAs[String]("modality")).toSet ==
+        Set("text", "image", "audio", "video")))
+    // planted re-crawls (byte-identical copies): exact_dup at the text
+    // layer, near_dup at every perceptual layer with a hash (all docs
+    // are non-empty), each pointing at the smaller-id canonical
+    val planted = out.filter(_.getAs[Long]("doc_id") >= 1000000L)
+    assert(planted.nonEmpty)
+    planted.foreach { r =>
+      val expect = r.getAs[String]("modality") match {
+        case "text" => "exact_dup"
+        case "video" =>
+          // a 1-frame video has no temporal shingles and cannot pair
+          if (r.getAs[String]("decision") == "kept") "kept" else "near_dup"
+        case _ => "near_dup"
+      }
+      assert(r.getAs[String]("decision") == expect, r.toString)
+      if (r.getAs[String]("decision") != "kept")
+        assert(r.getAs[Long]("keep_id") < r.getAs[Long]("doc_id"), r.toString)
+    }
+    // at least one planted re-crawl is long enough to lose at the video
+    // layer too (>= 2 frames → shared shingles with its source)
+    assert(planted.exists(r => r.getAs[String]("modality") == "video" &&
+      r.getAs[String]("decision") == "near_dup"))
+    // the x105-style plants carry nonzero within-doc removal mass
+    val repeats = out.filter(r => r.getAs[String]("modality") == "text" &&
+      r.getAs[Long]("doc_id") % 10 == 7 && r.getAs[Long]("doc_id") < 1000000L)
+    assert(repeats.nonEmpty && repeats.forall(_.getAs[Long]("n_removed") >= 1L),
+      "a planted degenerate-repeat doc shows zero removal mass")
+  }
+
   test("x105: within-document dedup is idempotent") {
     // applying the filter to its own output must remove nothing — the
     // invariant that makes re-running a curation pass safe (a second
