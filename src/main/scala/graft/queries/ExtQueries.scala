@@ -4730,6 +4730,180 @@ object ExtQueries {
       |FROM sc JOIN lab ON sc.doc_id = lab.doc_id
       |ORDER BY sc.doc_id""".stripMargin
 
+  // --- x113: unigram-LM tokenizer training (SentencePiece-style hard EM) ---------------
+
+  /** [[graft.ext.UnigramLm]] as a declared row (VERDICT r8 #3): hard-EM
+    * unigram tokenizer training over the (word, n) frequency table —
+    * substring seeding, two Viterbi-EM rounds, single-chars-never-
+    * pruned top-48 multi-piece vocabulary — emitting the final
+    * (piece, cnt, cost_fp) table. The oracle replays EVERYTHING:
+    * seeding, both Viterbi forwards (recursive CTE carrying the dp
+    * list per word) and backtraces, the prunes, and the fixed-point
+    * −log₂ costs via the same 6-step binary normalization + 16
+    * unrolled IEEE squarings the Scala trainer runs — no `ln` anywhere,
+    * so there is no last-ulp transcendental to disagree on.
+    */
+  val x113UnigramLm: Q = (spark, sfDir) =>
+    graft.ext.UnigramLm.train(
+      graft.ext.TextAnalytics.wordFreq(Tables.documents(spark, sfDir), "text"))
+      .orderBy("piece")
+
+  /** Generated CTE chain replaying [[graft.ext.UnigramLm.trainModel]]
+    * (multiK=48, rounds=2, maxPiece=4): ends at `uv2` (final vocab with
+    * usage counts), `ucost2` (final fixed-point costs) and `umap2` (the
+    * lookup map for one more segmentation pass — x106's fertility
+    * column reads it).
+    */
+  private def unigramCostChainSql(r: Int, src: String, freq: String,
+                                  totalExpr: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    out += s"""u${r}n0 AS (
+              |  SELECT piece, CAST($freq AS DOUBLE) / t.total AS x, 0 AS e
+              |  FROM $src, (SELECT CAST($totalExpr AS DOUBLE) AS total FROM $src) t
+              |)""".stripMargin
+    var prev = s"u${r}n0"
+    for ((k, p) <- Seq(32 -> "4294967296.0", 16 -> "65536.0", 8 -> "256.0",
+      4 -> "16.0", 2 -> "4.0", 1 -> "2.0")) {
+      val nm = s"u${r}n$k"
+      out += s"""$nm AS (
+                |  SELECT piece, CASE WHEN x < 1.0 / $p THEN x * $p ELSE x END AS x,
+                |    CASE WHEN x < 1.0 / $p THEN e + $k ELSE e END AS e
+                |  FROM $prev
+                |)""".stripMargin
+      prev = nm
+    }
+    // after the descending powers x is in [0.5, 2); one last conditional
+    // doubling lands it in [1, 2)
+    out += s"""u${r}nz AS (
+              |  SELECT piece, CASE WHEN x < 1.0 THEN x * 2.0 ELSE x END AS x,
+              |    CASE WHEN x < 1.0 THEN e + 1 ELSE e END AS e
+              |  FROM $prev
+              |)""".stripMargin
+    out += s"""u${r}f0 AS (
+              |  SELECT piece, e, x AS y, CAST(0 AS BIGINT) AS f FROM u${r}nz
+              |)""".stripMargin
+    prev = s"u${r}f0"
+    for (i <- 1 to 16) {
+      val nm = s"u${r}f$i"
+      out += s"""$nm AS (
+                |  SELECT piece, e,
+                |    CASE WHEN y * y >= 2 THEN y * y / 2 ELSE y * y END AS y,
+                |    CASE WHEN y * y >= 2 THEN f * 2 + 1 ELSE f * 2 END AS f
+                |  FROM $prev
+                |)""".stripMargin
+      prev = nm
+    }
+    out += s"""ucost$r AS MATERIALIZED (
+              |  SELECT piece, CAST(e AS BIGINT) * 65536 - f AS cost FROM $prev
+              |)""".stripMargin
+    out += s"""umap$r AS MATERIALIZED (
+              |  SELECT map(list(piece ORDER BY piece), list(cost ORDER BY piece)) AS m
+              |  FROM ucost$r
+              |)""".stripMargin
+    out.result()
+  }
+
+  /** Viterbi forward + backtrace + usage counts + pruned vocab for EM
+    * round `r`, reading `umap{r-1}`. The backtrace's split pick
+    * (`list_min` over equal-cost piece lengths) mirrors the trainer's
+    * smallest-q tie-break.
+    */
+  private def unigramViterbiSql(r: Int): Seq[String] = {
+    val pick = "list_min(list_filter([1, 2, 3, 4], q -> q <= i AND " +
+      "dp[CAST(i - q + 1 AS INT)] + " +
+      "(mm.m[substr(word, CAST(i - q + 1 AS INT), CAST(q AS INT))])[1]" +
+      " = dp[CAST(i + 1 AS INT)]))"
+    Seq(
+      s"""uvit$r AS (
+         |  SELECT word, n, 1 AS i, [CAST(0 AS BIGINT)] AS dp FROM uwf
+         |  UNION ALL
+         |  SELECT word, n, i + 1,
+         |    list_append(dp, list_min(list_filter(list_transform([1, 2, 3, 4],
+         |      q -> CASE WHEN q <= i THEN dp[CAST(i - q + 1 AS INT)] +
+         |        (mm.m[substr(word, CAST(i - q + 1 AS INT), CAST(q AS INT))])[1]
+         |        ELSE NULL END), v -> v IS NOT NULL)))
+         |  FROM uvit$r, umap${r - 1} mm
+         |  WHERE i <= length(word)
+         |)""".stripMargin,
+      s"""ubt$r AS (
+         |  SELECT word, n, length(word) AS i, dp, []::VARCHAR[] AS pieces
+         |  FROM uvit$r WHERE i = length(word) + 1
+         |  UNION ALL
+         |  SELECT word, n, i - $pick, dp,
+         |    list_prepend(substr(word, CAST(i - $pick + 1 AS INT),
+         |      CAST($pick AS INT)), pieces)
+         |  FROM ubt$r, umap${r - 1} mm
+         |  WHERE i > 0
+         |)""".stripMargin,
+      s"""ucnt$r AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM (
+         |    SELECT n, unnest(pieces) AS piece FROM ubt$r WHERE i = 0)
+         |  GROUP BY piece
+         |)""".stripMargin,
+      s"""uv$r AS MATERIALIZED (
+         |  SELECT s.piece, coalesce(c.cnt, 0) AS cnt
+         |  FROM usg s LEFT JOIN ucnt$r c USING (piece)
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt FROM ucnt$r
+         |    WHERE length(piece) > 1 AND cnt > 0
+         |    ORDER BY cnt DESC, piece LIMIT 48)
+         |)""".stripMargin)
+  }
+
+  /** The full training chain: `WITH RECURSIVE uwf … umap2`. Lazy so
+    * earlier-declared vals (x106Sql) can splice it regardless of
+    * declaration order.
+    */
+  private lazy val unigramChainSql: String = {
+    val seed = Seq(
+      """uwf AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word != '' GROUP BY word
+        |)""".stripMargin,
+      """ucand AS MATERIALIZED (
+        |  SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        |    SELECT w.n, substr(w.word, CAST(s.range AS INT), CAST(l.range AS INT)) AS piece
+        |    FROM uwf w, range(1, 41) s, range(1, 5) l
+        |    WHERE s.range + l.range - 1 <= length(w.word))
+        |  GROUP BY piece
+        |)""".stripMargin,
+      """usg AS MATERIALIZED (
+        |  SELECT piece, cnt FROM ucand WHERE length(piece) = 1
+        |)""".stripMargin,
+      """uv0 AS MATERIALIZED (
+        |  SELECT piece, cnt FROM usg
+        |  UNION ALL
+        |  SELECT piece, cnt FROM (
+        |    SELECT piece, cnt FROM ucand WHERE length(piece) > 1
+        |    ORDER BY cnt DESC, piece LIMIT 48)
+        |)""".stripMargin)
+    val ctes = seed ++ unigramCostChainSql(0, "uv0", "cnt", "sum(cnt)") ++
+      (1 to 2).flatMap { r =>
+        unigramViterbiSql(r) ++
+          unigramCostChainSql(r, s"uv$r", "cnt + 1", "sum(cnt + 1)")
+      }
+    "WITH RECURSIVE " + ctes.mkString(",\n")
+  }
+
+  private val x113Sql: String = unigramChainSql +
+    """
+      |SELECT piece, cnt, cost AS cost_fp
+      |FROM uv2 JOIN ucost2 USING (piece)
+      |ORDER BY piece""".stripMargin
+
+  /** Training chain + one segmentation pass under the FINAL costs:
+    * per-word unigram subword counts (`un_sub`) — x106's join side.
+    */
+  private lazy val unigramSegChainSql: String =
+    unigramChainSql + ",\n" +
+      unigramViterbiSql(3).take(2).mkString(",\n") + ",\n" +
+      """un_sub AS MATERIALIZED (
+        |  SELECT word, CAST(length(pieces) AS BIGINT) AS n_sub
+        |  FROM ubt3 WHERE i = 0
+        |)""".stripMargin
+
   // --- x114: trained-model holdout evaluation ------------------------------------------
 
   /** Generalization, measured — the evaluation row every trained-model
@@ -5511,11 +5685,29 @@ object ExtQueries {
     * greedy subword tokenizer (x19's codegen'd
     * [[graft.expr.SubwordTokenCount]]) with the corpus' language
     * column; ratios ride as ×10⁴ BIGINT (integer-exact, the x102 bin
-    * discipline). One corpus scan, then a languages-sized groupBy —
-    * nothing else touches the wire at any corpus scale.
+    * discipline). Since round 9 the report also carries the x113
+    * unigram-LM tokenizer's fertility on the same text (VERDICT r8 #3
+    * — the BPE-vs-unigram comparison a vocab decision actually reads):
+    * one more corpus scan for the word explode, joined against the
+    * distinct-words-sized segment table (the x86 shape), then the same
+    * languages-sized groupBy. Two corpus scans total, one per
+    * tokenizer family.
     */
-  val x106TokenizerFertility: Q = (spark, sfDir) =>
-    Tables.documents(spark, sfDir)
+  val x106TokenizerFertility: Q = (spark, sfDir) => {
+    val docs = Tables.documents(spark, sfDir)
+    // the unigram column (VERDICT r8 #3): train the x113 unigram LM on
+    // the same corpus' frequency table, segment the DISTINCT words once,
+    // tokenize the corpus with one word equi-join (the x86 shape) — so
+    // the report compares BPE-family greedy fertility against unigram-LM
+    // fertility on identical text
+    val wf = graft.ext.TextAnalytics.wordFreq(docs, "text")
+    val seg = graft.ext.UnigramLm.segmentLengths(
+      wf, graft.ext.UnigramLm.trainModel(wf))
+    val uni = docs.select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(seg, "word")
+      .groupBy("lang").agg(sum("n_sub").as("uni"))
+    docs
       .select(col("lang"),
         size(split(col("text"), " ")).cast("long").as("ws"),
         org.apache.spark.sql.GraftColumnBridge.column(
@@ -5532,12 +5724,23 @@ object ExtQueries {
         // floor(double) can round a near-integer quotient the wrong way
         expr("(sum(sw) * 10000L) div nullif(sum(ws), 0L)").as("fertility_e4"),
         expr("(sum(chars) * 10000L) div nullif(sum(sw), 0L)").as("chars_per_subword_e4"))
+      .join(uni, Seq("lang"), "left")
+      .withColumn("uni_tokens", coalesce(col("uni"), lit(0L)))
+      .withColumn("uni_fertility_e4",
+        expr("(uni_tokens * 10000L) div nullif(ws_tokens, 0L)"))
+      .drop("uni")
       .orderBy("lang")
+  }
 
   private val x106Sql: String = {
     val vocabLit = graft.expr.SubwordUtil.vocab
       .map(v => "'" + v.replace("'", "''") + "'").mkString("[", ",", "]")
-    s"""WITH RECURSIVE words AS (
+    // the x113 training chain + one final segmentation pass gives the
+    // per-word unigram subword counts (un_sub); the greedy-subword
+    // recursion is unchanged
+    unigramSegChainSql +
+    s""",
+       |words AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
        |), steps AS (
        |  SELECT doc_id, w, w AS rest, 0 AS n FROM words
@@ -5551,17 +5754,25 @@ object ExtQueries {
        |), sw AS (
        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS sw
        |  FROM steps WHERE rest = '' GROUP BY doc_id
+       |), udoc AS (
+       |  SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS uni
+       |  FROM words JOIN un_sub ON words.w = un_sub.word
+       |  GROUP BY doc_id
        |), per_doc AS (
        |  SELECT d.lang, CAST(length(string_split(d.text, ' ')) AS BIGINT) AS ws,
-       |    sw.sw, CAST(length(d.text) AS BIGINT) AS chars
+       |    sw.sw, CAST(length(d.text) AS BIGINT) AS chars,
+       |    coalesce(u.uni, 0) AS uni
        |  FROM documents d JOIN sw USING (doc_id)
+       |  LEFT JOIN udoc u USING (doc_id)
        |)
        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
        |  CAST(sum(sw) AS BIGINT) AS subword_tokens,
        |  CAST(sum(chars) AS BIGINT) AS chars,
        |  CAST(sum(sw) * 10000 // nullif(sum(ws), 0) AS BIGINT) AS fertility_e4,
-       |  CAST(sum(chars) * 10000 // nullif(sum(sw), 0) AS BIGINT) AS chars_per_subword_e4
+       |  CAST(sum(chars) * 10000 // nullif(sum(sw), 0) AS BIGINT) AS chars_per_subword_e4,
+       |  CAST(sum(uni) AS BIGINT) AS uni_tokens,
+       |  CAST(sum(uni) * 10000 // nullif(sum(ws), 0) AS BIGINT) AS uni_fertility_e4
        |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
   }
 
@@ -6616,6 +6827,7 @@ object ExtQueries {
     "x110_lsh_recall" -> x110LshRecall,
     "x111_curation_ledger" -> x111CurationLedger,
     "x112_multimodal_ledger" -> x112MultimodalLedger,
+    "x113_unigram_lm" -> x113UnigramLm,
     "x114_holdout_eval" -> x114HoldoutEval)
 
   val oracle: Map[String, String] = Map(
@@ -6731,5 +6943,6 @@ object ExtQueries {
     "x110_lsh_recall" -> x110Sql,
     "x111_curation_ledger" -> x111Sql,
     "x112_multimodal_ledger" -> x112Sql,
+    "x113_unigram_lm" -> x113Sql,
     "x114_holdout_eval" -> x114Sql)
 }

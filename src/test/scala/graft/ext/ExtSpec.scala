@@ -1253,6 +1253,41 @@ class ExtSpec extends SparkSpec {
       "perceptron failed to fit its own (separable) training split")
   }
 
+  test("x113: unigram-LM trainer — exact fixed-point costs, lossless segmentation, bounded vocab") {
+    import spark.implicits._
+    import graft.ext.UnigramLm
+    // fixed-point -log2: exact at powers of two, within quantization
+    // error elsewhere (2^-16 granularity)
+    assert(UnigramLm.neglog2fp(1, 1) == 0L)
+    assert(UnigramLm.neglog2fp(1, 2) == 65536L)
+    assert(UnigramLm.neglog2fp(1, 4) == 131072L)
+    for ((n, d) <- Seq((3L, 7L), (5L, 9L), (123L, 100000L))) {
+      val fp = UnigramLm.neglog2fp(n, d)
+      val exact = -math.log(n.toDouble / d) / math.log(2.0) * 65536
+      assert(math.abs(fp - exact) <= 2, s"$n/$d: $fp vs $exact")
+    }
+    // Viterbi: equal-cost tie keeps the latest split (shortest final
+    // piece); a strictly cheaper multi-char piece wins
+    assert(UnigramLm.segment("ab",
+      Map("a" -> 100L, "b" -> 100L, "ab" -> 200L), 4).toSeq == Seq("a", "b"))
+    assert(UnigramLm.segment("ab",
+      Map("a" -> 100L, "b" -> 100L, "ab" -> 150L), 4).toSeq == Seq("ab"))
+    // trained on the corpus: every character survives pruning, the
+    // multi-piece set respects the cap, and every distinct word
+    // re-segments losslessly under the final costs
+    val wf = graft.ext.TextAnalytics.wordFreq(
+      graft.model.Tables.documents(spark, sf()), "text")
+    val m = UnigramLm.trainModel(wf)
+    val singles = m.pieces.collect { case (p, _, _) if p.length == 1 => p }.toSet
+    val words = wf.select("word").as[String].collect()
+    assert(words.flatMap(_.toCharArray.map(_.toString)).toSet.subsetOf(singles),
+      "a corpus character fell out of the vocabulary")
+    assert(m.pieces.count(_._1.length > 1) <= 48)
+    words.foreach { w =>
+      assert(UnigramLm.segment(w, m.cost, 4).mkString == w, s"lossy: $w")
+    }
+  }
+
   test("x114: holdout accuracy beats the train-split majority baseline") {
     // generalization measured on labels the trainer never saw: the
     // held-out slice (doc_id % 10 == 5) must score above the
