@@ -617,6 +617,61 @@ object Dedup {
     crossPairs.unionByName(sameCross).unionByName(sameWithin).distinct()
   }
 
+  /** First-occurrence curation verdicts for an arriving tranche probed
+    * against the standing index — the per-tranche LEDGER emitter of a
+    * streaming curation pipeline (the x111/x112 provenance shape at
+    * ingest time): one row per incoming doc, (doc_id, decision) with
+    *
+    *   exact_dup — its content already lives in the standing index, or
+    *               a smaller-id copy arrived in the same tranche;
+    *   near_dup  — an exact-survivor with a verified pair (jaccard ≥
+    *               `jThresh`) against ANY standing doc, or against a
+    *               smaller-id doc of the same tranche;
+    *   kept      — survived both.
+    *
+    * First-seen precedence (the `dropDuplicatesWithinWatermark` /x63
+    * semantics): a doc's verdict is FINAL at arrival — standing docs
+    * always outrank the tranche, same-tranche ties break to the
+    * smaller id — so appending tranche ledgers reproduces exactly the
+    * batch ledger computed over the union corpus under arrival order
+    * (StreamingSpec asserts it). Work is probe-shaped: ∝ tranche size
+    * + emitted pairs, never a standing re-scan. Docs below the shingle
+    * floor (< k+1 tokens — outside the whole x2 family's dedup domain)
+    * are kept. Quality layers compose on top exactly as in x111
+    * (decide kept → low_quality downstream; dedup verdicts here).
+    */
+  def ledgerProbe(index: NearDupIndexFrames, incoming: DataFrame,
+                  idCol: String, textCol: String, jThresh: Double = 0.6,
+                  k: Int = 2, bands: Int = 8, rows: Int = 2,
+                  maxBucket: Int = 4096): DataFrame = {
+    val memN = chMembers(incoming, idCol, textCol, k)
+    val exact = memN.join(index.members.select("ch").distinct(), "ch")
+      .select(col("id"))
+      .unionByName(memN.as("a")
+        .join(memN.as("b"),
+          col("a.ch") === col("b.ch") && col("a.id") > col("b.id"))
+        .select(col("a.id")))
+      .distinct().withColumn("ex", lit(1))
+    val pairs = probeNearDupIndex(index, incoming, idCol, textCol,
+      k, bands, rows, maxBucket).filter(col("jaccard") >= jThresh)
+    val newIds = memN.select("id").distinct()
+    // cross pairs have exactly one tranche-side member (the loser —
+    // its partner arrived earlier); within pairs lose on the larger id
+    val near = pairs.filter(col("src") === "cross")
+      .select(explode(array(col("a_id"), col("b_id"))).as("id"))
+      .join(newIds, "id")
+      .unionByName(pairs.filter(col("src") === "within")
+        .select(col("b_id").as("id")))
+      .distinct().withColumn("nd", lit(1))
+    incoming.select(col(idCol).as("doc_id"))
+      .join(exact.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(near.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ex") === 1, lit("exact_dup"))
+          .when(col("nd") === 1, lit("near_dup"))
+          .otherwise(lit("kept")).as("decision"))
+  }
+
   /** The standing band buckets a given cap would drop in
     * [[probeNearDupIndex]] — (bk, n_contents) over distinct contents —
     * so an ingestion pipeline can report dropped candidate volume

@@ -680,6 +680,85 @@ class StreamingSpec extends SparkSpec {
     assert(acc.toSet == expected)
   }
 
+  test("streaming curation ledger: per-tranche probe+append rows equal the batch ledger") {
+    // VERDICT r8 #5 — the end-to-end production shape of incremental
+    // curation: each arriving tranche (a) probes the persisted near-dup
+    // index, (b) emits its x111-style ledger rows (exact_dup/near_dup
+    // under first-seen precedence, low_quality layered on the dedup
+    // survivors), (c) appends itself to the index. The accumulated
+    // ledger must equal the batch ledger computed over the union corpus
+    // under arrival order — verdicts are FINAL at arrival, never
+    // revised. Planted re-crawls (id+10⁶, which land in a DIFFERENT %3
+    // tranche than their source) keep the exact branch live in both
+    // directions: copies arriving after their source lose, and a copy
+    // arriving BEFORE its source wins while the source loses.
+    import graft.ext.Dedup
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val corpus = docs.unionAll(docs.filter(col("doc_id") % 97 === 13)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val dir = Files.createTempDirectory("ledgdocs").toString
+    val idxDir = Files.createTempDirectory("ledgidx").toString
+    (0 to 2).foreach { t =>
+      corpus.filter(col("doc_id") % 3 === t).coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val acc = scala.collection.mutable.Map.empty[Long, String]
+    var batches = 0
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val idx =
+          if (batches == 0) Dedup.nearDupIndex(docs.filter(lit(false)), "doc_id", "text")
+          else Dedup.readNearDupIndex(spark, idxDir)
+        acc ++= Dedup.ledgerProbe(idx, batch.toDF(), "doc_id", "text")
+          .collect().map(r => r.getLong(0) -> r.getString(1))
+        Dedup.writeNearDupIndex(batch.toDF(), "doc_id", "text", idxDir)
+        batches += 1
+        ()
+    }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches >= 3, s"expected >=3 microbatches, got $batches")
+    // batch replay over the union corpus under arrival order:
+    // ord = tranche * base + doc_id (the x63 encoding)
+    val rowsC = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    val ord = rowsC.map { case (id, _) => id -> ((id % 3) * 10000000L + id) }.toMap
+    val eligible = rowsC.filter(_._2.split(" ", -1).length >= 2).map(_._1).toSet
+    val byContent = rowsC.filter(t => eligible(t._1)).groupBy(_._2)
+    val exactLosers = byContent.values.flatMap { g =>
+      val first = g.map(_._1).minBy(ord); g.map(_._1).filterNot(_ == first)
+    }.toSet
+    val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text")
+      .filter(col("jaccard") >= 0.6).select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nearLosers = pairs.flatMap { case (a, b) =>
+      Seq(if (ord(a) > ord(b)) a else b)
+    }.toSet -- exactLosers
+    val expected = rowsC.map { case (id, _) =>
+      id -> (if (exactLosers(id)) "exact_dup"
+             else if (nearLosers(id)) "near_dup"
+             else "kept")
+    }.toMap
+    assert(acc.toMap == expected)
+    // all three dedup branches are live, including a copy that arrived
+    // before its source (source loses, copy keeps)
+    assert(Set("exact_dup", "near_dup", "kept").subsetOf(acc.values.toSet))
+    assert(exactLosers.exists(_ < 1000000L),
+      "no source lost to a copy that arrived first — the plant is vacuous")
+    // the x111 quality layer composes per-doc on top of the dedup
+    // verdicts identically on both sides (decide kept -> low_quality)
+    def rule(text: String): Boolean = {
+      val tk = text.split(" ", -1)
+      tk.count(w => w == "the" || w == "a") * 16 > tk.length
+    }
+    val textOf = rowsC.toMap
+    val layered = acc.map { case (id, d) =>
+      id -> (if (d == "kept" && !rule(textOf(id))) "low_quality" else d)
+    }
+    assert(layered.values.exists(_ == "low_quality"))
+  }
+
   test("streaming quality gate: microbatches scored against the persisted model equal batch") {
     // the x93 model in its deployment shape: the perceptron trains ONCE
     // on the standing labeled corpus and persists as a (bucket, wt)
