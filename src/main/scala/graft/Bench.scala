@@ -49,7 +49,7 @@ object Bench {
   private[graft] val buildItems = Set(
     "synthlinks_build", "neardup_pairs_build", "pq_train_build",
     "kmeans_train_build", "quality_train_build", "neardup_index_build",
-    "ledger_kernels_build")
+    "ledger_kernels_build", "unigram_train_build")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -149,6 +149,14 @@ object Bench {
       System.err.println(s"[bench] ledger-kernels warm failed: ${e.getMessage}")
     }
     val lkSec = (System.nanoTime() - tLk0) / 1e9
+    // unigram-LM tokenizer training (x113's model, also x106's
+    // fertility column): memoized per corpus, timed as its own line
+    val tUt0 = System.nanoTime()
+    try graft.queries.ExtQueries.warmUnigramTraining(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] unigram warm failed: ${e.getMessage}")
+    }
+    val utSec = (System.nanoTime() - tUt0) / 1e9
     // Two timed passes, report the per-query MINIMUM. A single pass is
     // hostage to whatever else the container is doing (the r3 driver run
     // recorded 16.3 s for a query that takes ~3 s locally); min-of-two
@@ -187,7 +195,7 @@ object Bench {
       ("synthlinks_build" -> linksSec) + ("neardup_pairs_build" -> pairsSec) +
       ("pq_train_build" -> pqSec) + ("kmeans_train_build" -> kmSec) +
       ("quality_train_build" -> qwSec) + ("neardup_index_build" -> niSec) +
-      ("ledger_kernels_build" -> lkSec)
+      ("ledger_kernels_build" -> lkSec) + ("unigram_train_build" -> utSec)
     // Regression gate vs the previous round's bench (VERDICT r4 #9,
     // repaired per VERDICT r5 #1): any query >2x its prior min is flagged
     // loudly NOW, in-round. Prev defaults to the committed bench_full.json

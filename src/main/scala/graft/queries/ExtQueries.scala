@@ -4743,10 +4743,39 @@ object ExtQueries {
     * unrolled IEEE squarings the Scala trainer runs — no `ln` anywhere,
     * so there is no last-ulp transcendental to disagree on.
     */
-  val x113UnigramLm: Q = (spark, sfDir) =>
-    graft.ext.UnigramLm.train(
-      graft.ext.TextAnalytics.wordFreq(Tables.documents(spark, sfDir), "text"))
+  /** The trained unigram model, memoized per (session, sfDir) — x113
+    * (the piece table) and x106 (the fertility column) share one
+    * training, and Bench pre-warms it as `unigram_train_build` (the
+    * quality_train_build pattern), so both declared rows measure their
+    * own composition, not a re-run of EM.
+    */
+  private val uniModelCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.ext.UnigramLm.Model]()
+
+  /** Drop memoized unigram models (test hygiene). */
+  def clearUnigramModelCache(): Unit = uniModelCache.clear()
+
+  /** Train the unigram model for (spark, sfDir) now — Bench times this
+    * as `unigram_train_build`.
+    */
+  def warmUnigramTraining(spark: SparkSession, sfDir: String): Unit = {
+    unigramModel(spark, sfDir); ()
+  }
+
+  private def unigramModel(spark: SparkSession,
+                           sfDir: String): graft.ext.UnigramLm.Model = {
+    uniModelCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    uniModelCache.computeIfAbsent((spark, sfDir),
+      (key: (SparkSession, String)) =>
+        graft.ext.UnigramLm.trainModel(graft.ext.TextAnalytics.wordFreq(
+          Tables.documents(key._1, key._2), "text")))
+  }
+
+  val x113UnigramLm: Q = (spark, sfDir) => {
+    import spark.implicits._
+    unigramModel(spark, sfDir).pieces.toDF("piece", "cnt", "cost_fp")
       .orderBy("piece")
+  }
 
   /** Generated CTE chain replaying [[graft.ext.UnigramLm.trainModel]]
     * (multiK=48, rounds=2, maxPiece=4): ends at `uv2` (final vocab with
@@ -5702,7 +5731,7 @@ object ExtQueries {
     // fertility on identical text
     val wf = graft.ext.TextAnalytics.wordFreq(docs, "text")
     val seg = graft.ext.UnigramLm.segmentLengths(
-      wf, graft.ext.UnigramLm.trainModel(wf))
+      wf, unigramModel(spark, sfDir))
     val uni = docs.select(col("lang"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .join(seg, "word")
