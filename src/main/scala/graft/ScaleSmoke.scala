@@ -363,6 +363,64 @@ object ScaleSmoke {
     require(incSec < 120, f"incremental probe blew the 120s budget: $incSec%.1fs")
     incPairs.unpersist()
 
+    // --- streaming ledger verdicts: per-tranche cost, every branch exercised -
+    // The ledgerProbe composition over the same standing corpus: a mixed
+    // tranche of (a) exact copies of standing docs, (b) near-dup
+    // perturbations, (c) fresh unique docs must come back with exactly
+    // the right verdict per slice — first-seen precedence at scale, in
+    // probe-shaped time.
+    val tLed = System.nanoTime()
+    val exactT = big.limit(500)
+      .select((col("doc_id") + 300000000L).as("doc_id"), col("text"))
+    val nearT = d.limit(100).crossJoin(
+        spark.range(factor).select(col("id").as("rep")))
+      .select((lit(200000000L) + col("doc_id") * factor + col("rep")).as("doc_id"),
+        concat(col("text"), lit(" led"), col("rep")).as("text"))
+    val keptT = spark.range(500).select(
+      (col("id") + 400000000L).as("doc_id"),
+      concat(lit("zqxa"), col("id"), lit(" zqxb"), col("id")).as("text"))
+    val tranche = exactT.unionByName(nearT).unionByName(keptT)
+    val verdicts = Dedup.ledgerProbe(
+        Dedup.nearDupIndex(big, "doc_id", "text"), tranche, "doc_id", "text")
+      .groupBy("decision").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nNearT = nearT.count()
+    val ledSec = (System.nanoTime() - tLed) / 1e9
+    println(f"ledger probe: ${verdicts.getOrElse("exact_dup", 0L)}%d exact / " +
+      f"${verdicts.getOrElse("near_dup", 0L)}%d near / " +
+      f"${verdicts.getOrElse("kept", 0L)}%d kept of ${500 + nNearT + 500}%d " +
+      f"tranche docs in $ledSec%.1fs")
+    require(verdicts.getOrElse("exact_dup", 0L) == 500L,
+      s"exact copies misjudged: ${verdicts.getOrElse("exact_dup", 0L)} of 500")
+    require(verdicts.getOrElse("near_dup", 0L) >= nNearT * 9 / 10,
+      s"near-dup recall collapsed: ${verdicts.getOrElse("near_dup", 0L)} of $nNearT")
+    require(verdicts.getOrElse("kept", 0L) == 500L,
+      s"fresh docs misjudged: ${verdicts.getOrElse("kept", 0L)} of 500")
+    require(ledSec < 120, f"ledger probe blew the 120s budget: $ledSec%.1fs")
+
+    // --- unigram-LM trainer at a 200k-word vocabulary ------------------------
+    // The x113 trainer's scale contract: the E-step is a distributed map
+    // over DISTINCT words and every collect is alphabet+multiK bounded —
+    // so a 200k-word frequency table (a real web-corpus vocabulary
+    // scale; 8-letter alphabet, Zipf-ish counts) must train in bounded
+    // time and yield a model that re-segments every word losslessly.
+    val tUni = System.nanoTime()
+    val uniWf = spark.range(200000L).select(
+      translate(conv((col("id") + 100000L).cast("string"), 10, 8),
+        "01234567", "abcdefgh").as("word"),
+      (col("id") % 997 + 1).cast("long").as("n"))
+    val uniModel = graft.ext.UnigramLm.trainModel(uniWf, multiK = 256)
+    require(uniModel.pieces.count(_._1.length > 1) <= 256)
+    val uniSample = uniWf.select("word").limit(1000).collect().map(_.getString(0))
+    uniSample.foreach { w =>
+      require(graft.ext.UnigramLm.segment(w, uniModel.cost, 4).mkString == w,
+        s"lossy segmentation at scale: $w")
+    }
+    val uniSec = (System.nanoTime() - tUni) / 1e9
+    println(f"unigram trainer: 200000 words -> ${uniModel.pieces.length}%d " +
+      f"pieces in $uniSec%.1fs")
+    require(uniSec < 300, f"unigram trainer blew the 300s budget: $uniSec%.1fs")
+
     // --- image perceptual dedup: exact-dup flood stays collapsed -------------
     // 15k images but only 50 distinct pixel contents (the boilerplate
     // shape): the banded Hamming join must see 50 representatives, and

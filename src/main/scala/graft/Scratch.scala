@@ -48,6 +48,61 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (names.contains("__ledger")) {
+      // per-kernel timing of the x112 ledger build at this SF
+      import org.apache.spark.sql.functions._
+      import graft.ext.{Bmp, Dedup, Wav}
+      import spark.implicits._
+      val docs = graft.model.Tables.documents(spark, sfDir)
+      val rep8 = array_join(slice(split(col("text"), " "), 1, 8), " ")
+      val base = docs.select(col("doc_id"),
+        when(col("doc_id") % 10 === 7, concat_ws(" ", col("text"), rep8, rep8))
+          .otherwise(col("text")).as("text"))
+      val corpus = base.unionAll(
+        base.filter(col("doc_id") % 97 === 13)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .persist()
+      corpus.count()
+      def t(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"SCRATCH __ledger $label ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
+      t("lsh_pairs+cc") {
+        Dedup.dedupClusters(Dedup.minhashLshPairs(corpus, "doc_id", "text")
+          .filter(col("jaccard") >= 0.6)).count()
+      }
+      t("contamination") {
+        Dedup.contamination(corpus, corpus.filter(col("doc_id") % 8 === 0),
+          "doc_id", "text").count()
+      }
+      t("boiler+intra") {
+        graft.ext.Boilerplate.removeBoilerplate(corpus, "doc_id", "text", 8, 3)
+          .join(graft.ext.Boilerplate.dedupWithinDocuments(corpus, "doc_id", "text", 4),
+            Seq("doc_id")).count()
+      }
+      t("image_hash+cc") {
+        val h = corpus.filter(length(col("text")) >= 1)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, tx) => (id, graft.ext.ImageHash.dHash(
+            Bmp.parse(Bmp.write(16, tx.getBytes("US-ASCII"))))) }
+          .toDF("doc_id", "hash")
+        Dedup.dedupClusters(graft.ext.ImageHash.hammingNearDups(h, "doc_id", "hash")).count()
+      }
+      t("audio_hash+cc") {
+        val h = corpus.filter(length(col("text")) >= 1)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, tx) => (id, graft.ext.AudioHash.eHash(
+            Wav.parse(Wav.write(tx.getBytes("US-ASCII"))))) }
+          .toDF("doc_id", "hash")
+        Dedup.dedupClusters(graft.ext.ImageHash.hammingNearDups(h, "doc_id", "hash")).count()
+      }
+      t("video_hash+cc") {
+        Dedup.dedupClusters(graft.ext.VideoHash.sequenceNearDups(
+          graft.ext.VideoHash.frameHashes(corpus, "doc_id", "text"))).count()
+      }
+      spark.stop(); return
+    }
     if (names.contains("__qconv")) {
       // quality-perceptron convergence curve at this SF: accuracy on the
       // labeled training split and on the full corpus per round budget

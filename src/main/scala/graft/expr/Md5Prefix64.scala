@@ -670,5 +670,49 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           strLit(exprs(2), "lsh_recall_audit textCol"))
           .queryExecution.analyzed
       }))
+    // round-9 kernels: unigram-LM tokenizer training and the streaming
+    // per-tranche curation ledger from pure SQL
+    e.injectTableFunction((
+      new FunctionIdentifier("unigram_train"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, "unigram_train",
+        "unigram_train(table, textCol, multiK, rounds) - table function: " +
+          "SentencePiece-style hard-EM unigram tokenizer training over the " +
+          "table's word stream; returns the final (piece, cnt, cost_fp) " +
+          "vocabulary with fixed-point -log2 likelihood costs. Table/col " +
+          "string literals, multiK/rounds integer literals.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 4,
+          "unigram_train takes (table, textCol, multiK, rounds)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ext.UnigramLm.train(
+          graft.ext.TextAnalytics.wordFreq(
+            spark.table(strLit(exprs(0), "unigram_train table")),
+            strLit(exprs(1), "unigram_train textCol")),
+          multiK = intLit(exprs(2), "unigram_train multiK"),
+          rounds = intLit(exprs(3), "unigram_train rounds"))
+          .queryExecution.analyzed
+      }))
+    e.injectTableFunction((
+      new FunctionIdentifier("ledger_probe"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, "ledger_probe",
+        "ledger_probe(standing, incoming, idCol, textCol) - table function: " +
+          "first-occurrence curation verdicts for the incoming tranche " +
+          "against the standing corpus' near-dup index; returns (doc_id, " +
+          "decision in exact_dup|near_dup|kept). All arguments string " +
+          "literals.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 4,
+          "ledger_probe takes (standing, incoming, idCol, textCol)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val idCol = strLit(exprs(2), "ledger_probe idCol")
+        val textCol = strLit(exprs(3), "ledger_probe textCol")
+        graft.ext.Dedup.ledgerProbe(
+          graft.ext.Dedup.nearDupIndex(
+            spark.table(strLit(exprs(0), "ledger_probe standing")),
+            idCol, textCol),
+          spark.table(strLit(exprs(1), "ledger_probe incoming")),
+          idCol, textCol)
+          .queryExecution.analyzed
+      }))
   }
 }

@@ -6318,7 +6318,14 @@ object ExtQueries {
   def clearLedgerKernelsCache(): Unit = ledgerKernelsCache.clear()
 
   /** Materialize the x112 kernel frames now — Bench times this as
-    * `ledger_kernels_build`.
+    * `ledger_kernels_build`. The cost is the sum of six independent
+    * kernel pipelines over the planted corpus (Scratch `__ledger`
+    * breakdown at sf0.1: MinHash-LSH pairs + CC ≈ 8 s, image dHash +
+    * CC ≈ 2.7 s, video shingles + CC ≈ 2.8 s, audio hash + CC ≈ 1.6 s,
+    * contamination ≈ 1.5 s, boiler+intra ≈ 1.0 s — each individually
+    * plan-gated via its own declared row); in production each is the
+    * standing pipeline's own materialized output, built once per
+    * corpus commit.
     */
   def warmLedgerKernels(spark: SparkSession, sfDir: String): Unit =
     ledgerKernels(spark, sfDir).frames.foreach(_.count())

@@ -423,6 +423,38 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(bands.toSeq == Seq((9L, 1L, 1L)), bands.mkString(","))
   }
 
+  test("unigram_train and ledger_probe are callable as SQL table functions") {
+    import spark.implicits._
+    // a tiny corpus where 'ab' dominates: the trained vocab must keep
+    // every single character plus the dominant multi-char piece, and
+    // every cost must be a positive fixed-point -log2
+    Seq((1L, "abab abab c"), (2L, "abab ab c")).toDF("doc_id", "text")
+      .createOrReplaceTempView("uni_docs")
+    val pieces = spark.sql(
+      """SELECT piece, cnt, cost_fp FROM
+        |unigram_train('uni_docs', 'text', 8, 2) ORDER BY piece""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ps = pieces.map(_._1).toSet
+    assert(Set("a", "b", "c").subsetOf(ps), pieces.mkString(","))
+    assert(pieces.forall(_._3 >= 0L), pieces.mkString(","))
+    assert(pieces.exists(p => p._1.length > 1 && p._2 > 0), pieces.mkString(","))
+    // ledger_probe: an exact copy, a near-dup, and a fresh doc
+    Seq((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "entirely different standing content right here"))
+      .toDF("doc_id", "text").createOrReplaceTempView("led_std")
+    Seq((10L, "the quick brown fox jumps over the lazy dog"),
+        (11L, "the quick brown fox jumps over the lazy cat"),
+        (12L, "zq wx vu ts rq po nm lk"))
+      .toDF("doc_id", "text").createOrReplaceTempView("led_new")
+    val verdicts = spark.sql(
+      """SELECT doc_id, decision FROM
+        |ledger_probe('led_std', 'led_new', 'doc_id', 'text')
+        |ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(verdicts.toSeq == Seq((10L, "exact_dup"), (11L, "near_dup"),
+      (12L, "kept")), verdicts.mkString(","))
+  }
+
   test("extension functions enforce arity and literal parameters") {
     val wrongArity = intercept[Exception] {
       spark.sql("SELECT md5_prefix64('a')").collect()
