@@ -225,4 +225,41 @@ class PropertySpec extends SparkSpec {
       s"in=${r.getString(1)} native=${r.getString(2)} regex=${r.getString(3)}")
       .mkString("; "))
   }
+
+  test("property: unigram-LM model is self-consistent on random word tables") {
+    // Three invariants recomputable from the trained model alone, on
+    // randomized inputs the DuckDB oracle's single configuration never
+    // sees: (1) every cost is exactly neglog2fp(cnt+1, Σ(cnt+1)) of the
+    // model's OWN counts — the M-step replayed from the output; (2)
+    // segmentation under the final costs is lossless for every input
+    // word; (3) Viterbi beats or ties the all-singles segmentation —
+    // optimality against the one decomposition that always exists.
+    import spark.implicits._
+    val seed = org.scalacheck.rng.Seed(31L)
+    val wordGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val gen = Gen.listOfN(40, for {
+      w <- wordGen
+      f <- Gen.choose(1L, 20L)
+    } yield (w, f))
+    for (s <- Seq(seed, seed.next, seed.next.next)) {
+      val rows = gen.pureApply(Gen.Parameters.default, s)
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      val wf = rows.toDF("word", "n")
+      val m = UnigramLm.trainModel(wf, multiK = 8, rounds = 2)
+      val total = m.pieces.map(_._2 + 1).sum
+      m.pieces.foreach { case (p, cnt, cost) =>
+        assert(cost == UnigramLm.neglog2fp(cnt + 1, total),
+          s"cost drifted from the model's own counts: $p $cnt $cost")
+      }
+      rows.map(_._1).foreach { w =>
+        val segs = UnigramLm.segment(w, m.cost, 4)
+        assert(segs.mkString == w, s"lossy: $w -> ${segs.mkString("|")}")
+        val vitCost = segs.map(m.cost).sum
+        val singleCost = w.map(c => m.cost(c.toString)).sum
+        assert(vitCost <= singleCost,
+          s"Viterbi worse than all-singles on $w: $vitCost > $singleCost")
+      }
+    }
+  }
 }
