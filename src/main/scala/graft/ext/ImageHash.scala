@@ -112,6 +112,81 @@ object ImageHash {
     cross.unionByName(within)
   }
 
+  /** Probe a standing (id, hash) corpus with an arriving tranche: the
+    * only pairs a growing perceptual index can add — those touching at
+    * least one tranche row — exactly the x87 incremental contract at
+    * the HASH layer, for any modality whose fingerprint is a 64-bit
+    * perceptual hash (image dHash, audio energy hash, per-frame video
+    * hashes). Returns (a_id, b_id, hamming, src) with a_id < b_id and
+    * src ∈ {cross, within}; union with the standing pair set
+    * ([[hammingNearDups]] over standing alone) to maintain the full
+    * relation — ExtSpec asserts the three-way union equals the
+    * monolithic run row-for-row.
+    *
+    * Same scale shape as the batch join: identical hashes collapse
+    * before the band join (a 10k-copy template image is ONE probe row),
+    * candidate volume is ∝ tranche bands × colliding standing bands
+    * (never a standing re-scan), `maxBucket` caps oversized STANDING
+    * band buckets censused over distinct hashes, and same-hash pairs
+    * expand from membership alone — immune to the cap.
+    */
+  def hammingProbe(standing: DataFrame, incoming: DataFrame,
+                   idCol: String, hashCol: String,
+                   bands: Int = 8, maxDist: Int = 6,
+                   maxBucket: Int = 4096): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxDist >= 0 && maxDist < bands,
+      s"exactness needs maxDist < bands, got maxDist=$maxDist bands=$bands")
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val memS = standing.select(col(idCol).as("id"), col(hashCol).as("hsh"))
+      .withColumn("nw", lit(false))
+    val memN = incoming.select(col(idCol).as("id"), col(hashCol).as("hsh"))
+      .withColumn("nw", lit(true))
+    def banded(m: DataFrame): DataFrame = m.select("hsh").distinct()
+      .select(col("hsh"),
+        explode(array(bandKeyCols(col("hsh"), bands): _*)).as("bk"))
+    val bS = banded(memS)
+    val oversized = bS.groupBy("bk").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select("bk")
+    val bScap = bS.join(broadcast(oversized), Seq("bk"), "left_anti")
+    val bN = banded(memN)
+    val crossC = bN.as("n")
+      .join(bScap.as("s"),
+        col("n.bk") === col("s.bk") && col("n.hsh") =!= col("s.hsh"))
+      .select(least(col("n.hsh"), col("s.hsh")).as("ha"),
+        greatest(col("n.hsh"), col("s.hsh")).as("hb"))
+    val withinC = bN.as("a")
+      .join(bN.as("b"), col("a.bk") === col("b.bk") && col("a.hsh") < col("b.hsh"))
+      .select(col("a.hsh").as("ha"), col("b.hsh").as("hb"))
+    val verified = crossC.unionByName(withinC).distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxDist)
+    val memAll = memS.unionByName(memN)
+    // new-side-anchored expansion: work ∝ emitted pairs; both-new pairs
+    // appear in both orientations and collapse in the final distinct
+    def expand(left: DataFrame, right: DataFrame): DataFrame = verified
+      .join(left.select(col("hsh").as("ha"), col("id").as("ia"),
+        col("nw").as("na")), "ha")
+      .join(right.select(col("hsh").as("hb"), col("id").as("ib"),
+        col("nw").as("nb")), "hb")
+      .select(least(col("ia"), col("ib")).as("a_id"),
+        greatest(col("ia"), col("ib")).as("b_id"), col("hamming"),
+        when(col("na") && col("nb"), lit("within"))
+          .otherwise(lit("cross")).as("src"))
+    val crossPairs = expand(memAll, memN).unionByName(expand(memN, memAll))
+    val sameCross = memN.select(col("hsh"), col("id").as("ia"))
+      .join(memS.select(col("hsh"), col("id").as("ib")), "hsh")
+      .select(least(col("ia"), col("ib")).as("a_id"),
+        greatest(col("ia"), col("ib")).as("b_id"),
+        lit(0).cast("int").as("hamming"), lit("cross").as("src"))
+    val sameWithin = memN.as("a")
+      .join(memN.as("b"),
+        col("a.hsh") === col("b.hsh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        lit(0).cast("int").as("hamming"), lit("within").as("src"))
+    crossPairs.unionByName(sameCross).unionByName(sameWithin).distinct()
+  }
+
   /** The band buckets a given cap would drop in [[hammingNearDups]] —
     * (bk, n_hashes) over distinct hashes.
     */

@@ -4933,6 +4933,45 @@ object ExtQueries {
         |  FROM ubt3 WHERE i = 0
         |)""".stripMargin
 
+  // --- x115: incremental perceptual near-dup (hash-layer probe) ------------------------
+
+  /** The x87 incremental contract at the PERCEPTUAL layer
+    * ([[graft.ext.ImageHash.hammingProbe]]): the standing corpus
+    * (doc_id % 4 != 0) owns its dHash index, the arriving tranche
+    * (doc_id % 4 == 0) probes it — tranche×standing candidates from the
+    * banded Hamming join plus tranche×tranche within pairs, each
+    * provenance-labeled — so all three perceptual modalities (the hash
+    * probe is modality-agnostic) ingest tranches without re-scanning
+    * standing fingerprints, completing the streaming multimodal story
+    * the text ledger (ledgerProbe) opened. The probe equals the
+    * monolithic x92 pair set restricted to pairs touching a new doc
+    * (pigeonhole exactness carries over; ExtSpec asserts the three-way
+    * union), which is exactly what the oracle replays.
+    */
+  val x115IncrementalPhash: Q = (spark, sfDir) => {
+    import spark.implicits._
+    val hashes = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        (id, graft.ext.ImageHash.dHash(
+          Bmp.parse(Bmp.write(16, t.getBytes("US-ASCII")))))
+      }.toDF("doc_id", "hash")
+    graft.ext.ImageHash.hammingProbe(
+      hashes.filter(col("doc_id") % 4 =!= 0),
+      hashes.filter(col("doc_id") % 4 === 0), "doc_id", "hash")
+      .orderBy("a_id", "b_id")
+  }
+
+  private val x115Sql = imagePhashPre +
+    """
+      |SELECT a_id, b_id, CAST(hamming AS INT) AS hamming,
+      |  CASE WHEN a_id % 4 = 0 AND b_id % 4 = 0 THEN 'within'
+      |       ELSE 'cross' END AS src
+      |FROM ip
+      |WHERE a_id % 4 = 0 OR b_id % 4 = 0
+      |ORDER BY a_id, b_id""".stripMargin
+
   // --- x114: trained-model holdout evaluation ------------------------------------------
 
   /** Generalization, measured — the evaluation row every trained-model
@@ -6864,7 +6903,8 @@ object ExtQueries {
     "x111_curation_ledger" -> x111CurationLedger,
     "x112_multimodal_ledger" -> x112MultimodalLedger,
     "x113_unigram_lm" -> x113UnigramLm,
-    "x114_holdout_eval" -> x114HoldoutEval)
+    "x114_holdout_eval" -> x114HoldoutEval,
+    "x115_incremental_phash" -> x115IncrementalPhash)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -6980,5 +7020,6 @@ object ExtQueries {
     "x111_curation_ledger" -> x111Sql,
     "x112_multimodal_ledger" -> x112Sql,
     "x113_unigram_lm" -> x113Sql,
-    "x114_holdout_eval" -> x114Sql)
+    "x114_holdout_eval" -> x114Sql,
+    "x115_incremental_phash" -> x115Sql)
 }

@@ -1409,6 +1409,39 @@ class ExtSpec extends SparkSpec {
       s"${out.length} ledger rows for $base docs + ${planted.length} planted")
   }
 
+  test("x115: hamming probe pairs are exactly the missing slice of the monolithic run") {
+    // the incremental-LSH partition property at the hash layer:
+    // standing-only pairs ∪ probe pairs == monolithic hammingNearDups
+    // over the union, row for row (hamming values included)
+    import spark.implicits._
+    val hashes = graft.model.Tables.documents(spark, sf())
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        (id, graft.ext.ImageHash.dHash(
+          graft.ext.Bmp.parse(graft.ext.Bmp.write(16, t.getBytes("US-ASCII")))))
+      }.toDF("doc_id", "hash")
+    val standing = hashes.filter(col("doc_id") % 4 =!= 0)
+    val incoming = hashes.filter(col("doc_id") % 4 === 0)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val probe = graft.ext.ImageHash.hammingProbe(
+      standing, incoming, "doc_id", "hash")
+    val standingOnly = pairSet(
+      graft.ext.ImageHash.hammingNearDups(standing, "doc_id", "hash"))
+    val monolithic = pairSet(
+      graft.ext.ImageHash.hammingNearDups(hashes, "doc_id", "hash"))
+    assert(standingOnly ++ pairSet(probe) == monolithic)
+    assert(standingOnly.intersect(pairSet(probe)).isEmpty,
+      "probe re-derived a standing-only pair")
+    // provenance labels: within iff both sides are tranche docs
+    probe.collect().foreach { r =>
+      val within = r.getAs[Long]("a_id") % 4 == 0 && r.getAs[Long]("b_id") % 4 == 0
+      assert(r.getAs[String]("src") == (if (within) "within" else "cross"), r.toString)
+    }
+  }
+
   test("x112: the multimodal ledger exercises every modality's branch on the plants") {
     val out = graft.queries.ExtQueries.queries("x112_multimodal_ledger")(spark, sf())
       .collect()

@@ -759,6 +759,54 @@ class StreamingSpec extends SparkSpec {
     assert(layered.values.exists(_ == "low_quality"))
   }
 
+  test("streaming perceptual dedup: hash-layer probe per microbatch equals monolithic") {
+    // the x115 contract under a real stream — the multimodal twin of
+    // the LSH maintenance test above: each microbatch of images (their
+    // dHashes) probes the accumulated hash index for the pairs it adds,
+    // then appends its own hashes; after the stream drains, the
+    // accumulated relation equals the one-shot monolithic banded
+    // Hamming join. The standing side is a tiny (id, hash) parquet —
+    // fingerprints, never pixels, are what the index carries.
+    import spark.implicits._
+    val hashes = Tables.documents(spark, sf())
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        (id, graft.ext.ImageHash.dHash(
+          graft.ext.Bmp.parse(graft.ext.Bmp.write(16, t.getBytes("US-ASCII")))))
+      }.toDF("doc_id", "hash")
+    val dir = Files.createTempDirectory("phdocs").toString
+    val idxDir = Files.createTempDirectory("phidx").toString
+    (0 to 2).foreach { t =>
+      hashes.filter(col("doc_id") % 3 === t).coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val stream = spark.readStream.schema(hashes.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val acc = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    var batches = 0
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val standing =
+          if (batches == 0) hashes.filter(lit(false))
+          else spark.read.parquet(idxDir)
+        acc ++= graft.ext.ImageHash.hammingProbe(
+            standing, batch.toDF(), "doc_id", "hash")
+          .select("a_id", "b_id", "hamming").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        batch.toDF().write.mode("append").parquet(idxDir)
+        batches += 1
+        ()
+    }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches >= 3, s"expected >=3 microbatches, got $batches")
+    val expected = graft.ext.ImageHash.hammingNearDups(hashes, "doc_id", "hash")
+      .select("a_id", "b_id", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(acc.toSet == expected)
+  }
+
   test("streaming quality gate: microbatches scored against the persisted model equal batch") {
     // the x93 model in its deployment shape: the perceptron trains ONCE
     // on the standing labeled corpus and persists as a (bucket, wt)
