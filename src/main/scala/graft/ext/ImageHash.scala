@@ -187,6 +187,47 @@ object ImageHash {
     crossPairs.unionByName(sameCross).unionByName(sameWithin).distinct()
   }
 
+  /** First-occurrence curation verdicts for an arriving tranche of
+    * perceptual hashes — [[graft.ext.Dedup.ledgerProbe]]'s exact
+    * semantics at the hash layer, so a streaming multimodal pipeline
+    * emits one x112-style verdict per (doc, modality) per tranche:
+    * exact_dup when the IDENTICAL hash is already standing (or a
+    * smaller-id copy shares the tranche), near_dup on a Hamming-
+    * ≤ `maxDist` pair against any standing doc or a smaller-id tranche
+    * doc, kept otherwise. Verdicts are final at arrival (first-seen
+    * precedence); work is probe-shaped via [[hammingProbe]].
+    */
+  def ledgerProbe(standing: DataFrame, incoming: DataFrame,
+                  idCol: String, hashCol: String,
+                  bands: Int = 8, maxDist: Int = 6,
+                  maxBucket: Int = 4096): DataFrame = {
+    val memS = standing.select(col(idCol).as("id"), col(hashCol).as("hsh"))
+    val memN = incoming.select(col(idCol).as("id"), col(hashCol).as("hsh"))
+    val exact = memN.join(memS.select("hsh").distinct(), "hsh")
+      .select(col("id"))
+      .unionByName(memN.as("a")
+        .join(memN.as("b"),
+          col("a.hsh") === col("b.hsh") && col("a.id") > col("b.id"))
+        .select(col("a.id")))
+      .distinct().withColumn("ex", lit(1))
+    val pairs = hammingProbe(standing, incoming, idCol, hashCol,
+      bands, maxDist, maxBucket)
+    val newIds = memN.select("id").distinct()
+    val near = pairs.filter(col("src") === "cross")
+      .select(explode(array(col("a_id"), col("b_id"))).as("id"))
+      .join(newIds, "id")
+      .unionByName(pairs.filter(col("src") === "within")
+        .select(col("b_id").as("id")))
+      .distinct().withColumn("nd", lit(1))
+    incoming.select(col(idCol).as("doc_id"))
+      .join(exact.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(near.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ex") === 1, lit("exact_dup"))
+          .when(col("nd") === 1, lit("near_dup"))
+          .otherwise(lit("kept")).as("decision"))
+  }
+
   /** The band buckets a given cap would drop in [[hammingNearDups]] —
     * (bk, n_hashes) over distinct hashes.
     */

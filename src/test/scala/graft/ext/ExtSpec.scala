@@ -1442,6 +1442,56 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("perceptual ledger verdicts accumulate tranche-by-tranche to the batch replay") {
+    // the x112 verdict semantics at the hash layer under incremental
+    // arrival: three tranches applied sequentially through
+    // ImageHash.ledgerProbe must reproduce the batch first-seen replay
+    // over the union (ord = tranche*base + id), with planted re-crawls
+    // keeping the exact branch live
+    import spark.implicits._
+    val base = graft.model.Tables.documents(spark, sf())
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        (id, graft.ext.ImageHash.dHash(
+          graft.ext.Bmp.parse(graft.ext.Bmp.write(16, t.getBytes("US-ASCII")))))
+      }.toDF("doc_id", "hash")
+    // plants: byte-identical re-crawls (exact branch) and one-bit-
+    // flipped copies (hamming-1 near branch — at this SF no natural
+    // distinct-hash pair sits within the Hamming radius)
+    val corpus = base
+      .unionAll(base.filter(col("doc_id") % 97 === 13)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("hash")))
+      .unionAll(base.filter(col("doc_id") % 101 === 17)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          col("hash").bitwiseXOR(lit(1L)).as("hash")))
+    val acc = scala.collection.mutable.Map.empty[Long, String]
+    (0 to 2).foreach { t =>
+      val standing = corpus.filter(col("doc_id") % 3 < t)
+      val tranche = corpus.filter(col("doc_id") % 3 === t)
+      acc ++= graft.ext.ImageHash.ledgerProbe(standing, tranche, "doc_id", "hash")
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+    }
+    // batch replay under arrival order
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ord = rows.map { case (id, _) => id -> ((id % 3) * 10000000L + id) }.toMap
+    val exactLosers = rows.groupBy(_._2).values.flatMap { g =>
+      val first = g.map(_._1).minBy(ord); g.map(_._1).filterNot(_ == first)
+    }.toSet
+    val nearLosers = graft.ext.ImageHash
+      .hammingNearDups(corpus, "doc_id", "hash")
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (a, b) => if (ord(a) > ord(b)) a else b }
+      .toSet -- exactLosers
+    val expected = rows.map { case (id, _) =>
+      id -> (if (exactLosers(id)) "exact_dup"
+             else if (nearLosers(id)) "near_dup" else "kept")
+    }.toMap
+    assert(acc.toMap == expected)
+    assert(exactLosers.nonEmpty && nearLosers.nonEmpty)
+  }
+
   test("x112: the multimodal ledger exercises every modality's branch on the plants") {
     val out = graft.queries.ExtQueries.queries("x112_multimodal_ledger")(spark, sf())
       .collect()
