@@ -4972,6 +4972,87 @@ object ExtQueries {
       |WHERE a_id % 4 = 0 OR b_id % 4 = 0
       |ORDER BY a_id, b_id""".stripMargin
 
+  // --- x116: per-tranche curation verdicts (the streaming ledger kernel, oracle-gated) --
+
+  /** [[graft.ext.Dedup.ledgerProbe]] as a declared row: the verdict
+    * emitter each arriving tranche runs in the streaming curation loop
+    * (StreamingSpec proves the accumulate-equals-batch property; this
+    * row puts the kernel itself under the DuckDB hash gate). Standing
+    * corpus doc_id % 4 != 0 (the memoized x87 index — one build, two
+    * probe consumers), tranche % 4 == 0; one row per tranche doc with
+    * its first-seen verdict: exact_dup (content already standing, or a
+    * smaller-id tranche copy), near_dup (jaccard ≥ 0.6 pair against
+    * standing or a smaller-id tranche doc), kept. The oracle replays
+    * the x87 candidate chain and takes the tranche-side loser of every
+    * qualifying pair.
+    */
+  val x116LedgerProbe: Q = (spark, sfDir) =>
+    Dedup.ledgerProbe(standingNearDupIndex(spark, sfDir),
+      Tables.documents(spark, sfDir).filter(col("doc_id") % 4 === 0),
+      "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val x116Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN 'new' ELSE 'std' END AS tr,
+      |    string_split(text, ' ') AS tokens
+      |  FROM documents
+      |), chx AS (
+      |  SELECT t.doc_id, t.tr, md5(d.text) AS ch
+      |  FROM documents d JOIN tok t USING (doc_id)
+      |  WHERE length(t.tokens) >= 2
+      |), exact AS (
+      |  SELECT DISTINCT a.doc_id FROM chx a JOIN chx b ON a.ch = b.ch
+      |  WHERE a.tr = 'new'
+      |    AND (b.tr = 'std' OR (b.tr = 'new' AND b.doc_id < a.doc_id))
+      |), sh AS (
+      |  SELECT doc_id, tr, list_distinct(list_transform(range(1, length(tokens)),
+      |    i -> array_to_string(list_slice(tokens, i, i+1), ' '))) AS shingles
+      |  FROM tok WHERE length(tokens) >= 2
+      |), hs AS (
+      |  SELECT doc_id, tr,
+      |    list_distinct(list_transform(shingles, s -> ('0x' || substr(md5(s),1,8))::BIGINT)) AS hs
+      |  FROM sh
+      |), sig AS (
+      |  SELECT doc_id, tr, list_transform(range(0,16),
+      |    j -> list_min(list_transform(hs, x -> ((2*j+1)*x + 7919*j) % 4294967311))) AS sig
+      |  FROM hs
+      |), bands AS (
+      |  SELECT doc_id, tr, unnest(list_transform(range(0,8),
+      |    b -> b || ':' || array_to_string(list_slice(sig, 2*b+1, 2*b+2), '-'))) AS bk
+      |  FROM sig
+      |), cand AS (
+      |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS a_id,
+      |    greatest(a.doc_id, b.doc_id) AS b_id
+      |  FROM bands a JOIN bands b ON a.bk = b.bk
+      |  WHERE a.tr = 'new' AND b.tr = 'std'
+      |  UNION
+      |  SELECT DISTINCT a.doc_id, b.doc_id
+      |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      |  WHERE a.tr = 'new' AND b.tr = 'new'
+      |), j AS (
+      |  SELECT c.a_id, c.b_id,
+      |    length(list_filter(sa.hs, x -> list_contains(sb.hs, x))) AS inter,
+      |    length(sa.hs) AS la, length(sb.hs) AS lb
+      |  FROM cand c
+      |  JOIN hs sa ON c.a_id = sa.doc_id
+      |  JOIN hs sb ON c.b_id = sb.doc_id
+      |), near AS (
+      |  SELECT DISTINCT CASE WHEN a_id % 4 = 0 AND b_id % 4 = 0 THEN b_id
+      |                       WHEN a_id % 4 = 0 THEN a_id ELSE b_id END AS id
+      |  FROM j
+      |  WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) >= 0.6
+      |)
+      |SELECT d.doc_id,
+      |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+      |       WHEN n.id IS NOT NULL THEN 'near_dup'
+      |       ELSE 'kept' END AS decision
+      |FROM documents d
+      |LEFT JOIN exact e ON e.doc_id = d.doc_id
+      |LEFT JOIN near n ON n.id = d.doc_id
+      |WHERE d.doc_id % 4 = 0
+      |ORDER BY d.doc_id""".stripMargin
+
   // --- x114: trained-model holdout evaluation ------------------------------------------
 
   /** Generalization, measured — the evaluation row every trained-model
@@ -6904,7 +6985,8 @@ object ExtQueries {
     "x112_multimodal_ledger" -> x112MultimodalLedger,
     "x113_unigram_lm" -> x113UnigramLm,
     "x114_holdout_eval" -> x114HoldoutEval,
-    "x115_incremental_phash" -> x115IncrementalPhash)
+    "x115_incremental_phash" -> x115IncrementalPhash,
+    "x116_ledger_probe" -> x116LedgerProbe)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -7021,5 +7103,6 @@ object ExtQueries {
     "x112_multimodal_ledger" -> x112Sql,
     "x113_unigram_lm" -> x113Sql,
     "x114_holdout_eval" -> x114Sql,
-    "x115_incremental_phash" -> x115Sql)
+    "x115_incremental_phash" -> x115Sql,
+    "x116_ledger_probe" -> x116Sql)
 }
