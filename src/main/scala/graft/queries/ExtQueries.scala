@@ -5053,6 +5053,53 @@ object ExtQueries {
       |WHERE d.doc_id % 4 = 0
       |ORDER BY d.doc_id""".stripMargin
 
+  // --- x117: per-tranche perceptual verdicts (x116 at the hash layer, oracle-gated) -----
+
+  /** [[graft.ext.ImageHash.ledgerProbe]] as a declared row — x116's
+    * verdict emitter at the perceptual layer, so the streaming
+    * multimodal ledger's kernel is hash-gated too: the %4 tranche's
+    * dHashes probe the standing hashes; exact_dup = identical hash
+    * already standing (or a smaller-id tranche copy), near_dup =
+    * Hamming ≤ 6 against standing or a smaller-id tranche doc, kept
+    * otherwise. The oracle replays the monolithic x92 pair set and
+    * takes the tranche-side loser of every pair, exact-hash matches
+    * first.
+    */
+  val x117PhashLedger: Q = (spark, sfDir) => {
+    import spark.implicits._
+    val hashes = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        (id, graft.ext.ImageHash.dHash(
+          Bmp.parse(Bmp.write(16, t.getBytes("US-ASCII")))))
+      }.toDF("doc_id", "hash")
+    graft.ext.ImageHash.ledgerProbe(
+      hashes.filter(col("doc_id") % 4 =!= 0),
+      hashes.filter(col("doc_id") % 4 === 0), "doc_id", "hash")
+      .orderBy("doc_id")
+  }
+
+  private val x117Sql = imagePhashPre +
+    """, exact AS (
+      |  SELECT DISTINCT a.doc_id FROM hs a JOIN hs b ON a.hash = b.hash
+      |  WHERE a.doc_id % 4 = 0
+      |    AND (b.doc_id % 4 != 0 OR b.doc_id < a.doc_id)
+      |), near AS (
+      |  SELECT DISTINCT CASE WHEN a_id % 4 = 0 AND b_id % 4 = 0 THEN b_id
+      |                       WHEN a_id % 4 = 0 THEN a_id ELSE b_id END AS id
+      |  FROM ip WHERE a_id % 4 = 0 OR b_id % 4 = 0
+      |)
+      |SELECT t.doc_id,
+      |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+      |       WHEN n.id IS NOT NULL THEN 'near_dup'
+      |       ELSE 'kept' END AS decision
+      |FROM t
+      |LEFT JOIN exact e ON e.doc_id = t.doc_id
+      |LEFT JOIN near n ON n.id = t.doc_id
+      |WHERE t.doc_id % 4 = 0
+      |ORDER BY t.doc_id""".stripMargin
+
   // --- x114: trained-model holdout evaluation ------------------------------------------
 
   /** Generalization, measured — the evaluation row every trained-model
@@ -6986,7 +7033,8 @@ object ExtQueries {
     "x113_unigram_lm" -> x113UnigramLm,
     "x114_holdout_eval" -> x114HoldoutEval,
     "x115_incremental_phash" -> x115IncrementalPhash,
-    "x116_ledger_probe" -> x116LedgerProbe)
+    "x116_ledger_probe" -> x116LedgerProbe,
+    "x117_phash_ledger" -> x117PhashLedger)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -7104,5 +7152,6 @@ object ExtQueries {
     "x113_unigram_lm" -> x113Sql,
     "x114_holdout_eval" -> x114Sql,
     "x115_incremental_phash" -> x115Sql,
-    "x116_ledger_probe" -> x116Sql)
+    "x116_ledger_probe" -> x116Sql,
+    "x117_phash_ledger" -> x117Sql)
 }
