@@ -101,6 +101,54 @@ object VideoHash {
       .select("a_id", "b_id", "shared", "na", "nb")
   }
 
+  /** Probe a standing frame corpus with an arriving tranche of videos:
+    * the only containment pairs a growing corpus can add — those
+    * touching at least one tranche video — the x87/x115 incremental
+    * contract at the SHINGLE layer (the one modality whose pair
+    * criterion is set containment, not hash equality). Tranche
+    * shingles join the standing shingle index (cross) and themselves
+    * (within); standing shingle buckets beyond `maxBucket` distinct
+    * videos are dropped (censused over the standing side, the same
+    * discipline as [[graft.ext.Dedup.probeNearDupIndex]]); the
+    * standing corpus is touched only at matching shingle keys — never
+    * re-paired against itself. Returns (a_id, b_id, shared, na, nb,
+    * src), a_id < b_id, src ∈ {cross, within}; union with the
+    * standing-only [[sequenceNearDups]] to maintain the full relation
+    * (ExtSpec asserts the three-way union equals the monolithic run).
+    */
+  def sequenceProbe(standingFrames: DataFrame, incomingFrames: DataFrame,
+                    maxBucket: Int = 4096): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val shS = shingles(standingFrames)
+    val shN = shingles(incomingFrames)
+    val nS = shS.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val nN = shN.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val oversized = shS.groupBy("k").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select("k")
+    val sCap = shS.join(broadcast(oversized), Seq("k"), "left_anti")
+    val cross = shN.as("a").join(sCap.as("b"), col("a.k") === col("b.k"))
+      .groupBy(col("a.doc_id").as("n_id"), col("b.doc_id").as("s_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(nN.select(col("doc_id").as("n_id"), col("n").as("nn")), "n_id")
+      .join(nS.select(col("doc_id").as("s_id"), col("n").as("ns")), "s_id")
+      .filter(col("shared") * 2 >= least(col("nn"), col("ns")))
+      .select(least(col("n_id"), col("s_id")).as("a_id"),
+        greatest(col("n_id"), col("s_id")).as("b_id"), col("shared"),
+        when(col("n_id") < col("s_id"), col("nn")).otherwise(col("ns")).as("na"),
+        when(col("n_id") < col("s_id"), col("ns")).otherwise(col("nn")).as("nb"),
+        lit("cross").as("src"))
+    val within = shN.as("a")
+      .join(shN.as("b"), col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(nN.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(nN.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .filter(col("shared") * 2 >= least(col("na"), col("nb")))
+      .select(col("a_id"), col("b_id"), col("shared"), col("na"), col("nb"),
+        lit("within").as("src"))
+    cross.unionByName(within)
+  }
+
   /** The shingle buckets `maxBucket` would drop: (k, n_videos). */
   def droppedShingleBuckets(frames: DataFrame,
                             maxBucket: Int = 4096): DataFrame =

@@ -5100,6 +5100,35 @@ object ExtQueries {
       |WHERE t.doc_id % 4 = 0
       |ORDER BY t.doc_id""".stripMargin
 
+  // --- x118: incremental video containment (shingle-layer probe) ------------------------
+
+  /** [[graft.ext.VideoHash.sequenceProbe]] as a declared row —
+    * completing the incremental modality grid (text x87/x116, hash
+    * modalities x115/x117, temporal containment here): the %4
+    * tranche's 2-frame shingles probe the standing shingle index for
+    * the containment pairs the tranche adds, provenance-labeled; the
+    * standing corpus is never re-paired against itself. The oracle
+    * replays the monolithic x101 pair set restricted to pairs touching
+    * a new video, plus the src label.
+    */
+  val x118VideoSeqProbe: Q = (spark, sfDir) => {
+    val frames = graft.ext.VideoHash.frameHashes(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+    graft.ext.VideoHash.sequenceProbe(
+      frames.filter(col("doc_id") % 4 =!= 0),
+      frames.filter(col("doc_id") % 4 === 0))
+      .orderBy("a_id", "b_id")
+  }
+
+  private val x118Sql = videoPairsPre +
+    """
+      |SELECT a_id, b_id, shared, na, nb,
+      |  CASE WHEN a_id % 4 = 0 AND b_id % 4 = 0 THEN 'within'
+      |       ELSE 'cross' END AS src
+      |FROM vp
+      |WHERE a_id % 4 = 0 OR b_id % 4 = 0
+      |ORDER BY a_id, b_id""".stripMargin
+
   // --- x114: trained-model holdout evaluation ------------------------------------------
 
   /** Generalization, measured — the evaluation row every trained-model
@@ -5494,10 +5523,12 @@ object ExtQueries {
       .orderBy("a_id", "b_id")
 
   /** Prefix ending at the filtered video near-dup pair CTE `vp` —
-    * shared by x101 (the pair list) and x108 (the cluster policy on
-    * top). RECURSIVE is declared up front for x108's reachability CTE.
+    * shared by x101 (the pair list), x108 (the cluster policy on top)
+    * and x118 (the incremental probe slice). RECURSIVE is declared up
+    * front for x108's reachability CTE. Lazy: x118Sql is declared
+    * earlier in source order.
     */
-  private val videoPairsPre =
+  private lazy val videoPairsPre =
     """WITH RECURSIVE t AS (
       |  SELECT doc_id, text FROM documents WHERE length(text) >= 1
       |), fr AS (
@@ -7034,7 +7065,8 @@ object ExtQueries {
     "x114_holdout_eval" -> x114HoldoutEval,
     "x115_incremental_phash" -> x115IncrementalPhash,
     "x116_ledger_probe" -> x116LedgerProbe,
-    "x117_phash_ledger" -> x117PhashLedger)
+    "x117_phash_ledger" -> x117PhashLedger,
+    "x118_video_seq_probe" -> x118VideoSeqProbe)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -7153,5 +7185,6 @@ object ExtQueries {
     "x114_holdout_eval" -> x114Sql,
     "x115_incremental_phash" -> x115Sql,
     "x116_ledger_probe" -> x116Sql,
-    "x117_phash_ledger" -> x117Sql)
+    "x117_phash_ledger" -> x117Sql,
+    "x118_video_seq_probe" -> x118Sql)
 }

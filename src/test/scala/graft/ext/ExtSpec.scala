@@ -1442,6 +1442,28 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x118: video sequence probe pairs are exactly the missing slice of the monolithic run") {
+    // the x115 partition property at the shingle-containment layer
+    val frames = graft.ext.VideoHash.frameHashes(
+      graft.model.Tables.documents(spark, sf()), "doc_id", "text")
+    val standing = frames.filter(col("doc_id") % 4 =!= 0)
+    val incoming = frames.filter(col("doc_id") % 4 === 0)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "shared", "na", "nb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val probe = graft.ext.VideoHash.sequenceProbe(standing, incoming)
+    val standingOnly = pairSet(graft.ext.VideoHash.sequenceNearDups(standing))
+    val monolithic = pairSet(graft.ext.VideoHash.sequenceNearDups(frames))
+    assert(standingOnly ++ pairSet(probe) == monolithic)
+    assert(standingOnly.intersect(pairSet(probe)).isEmpty,
+      "probe re-derived a standing-only pair")
+    probe.collect().foreach { r =>
+      val within = r.getAs[Long]("a_id") % 4 == 0 && r.getAs[Long]("b_id") % 4 == 0
+      assert(r.getAs[String]("src") == (if (within) "within" else "cross"), r.toString)
+    }
+  }
+
   test("perceptual ledger verdicts accumulate tranche-by-tranche to the batch replay") {
     // the x112 verdict semantics at the hash layer under incremental
     // arrival: three tranches applied sequentially through
