@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF index — the ANN family's on-disk artifact, completing
+  * the persistence story the dedup side already has
+  * ([[Dedup.writeNearDupIndex]]): a production vector index is trained
+  * once per corpus commit, WRITTEN, and then probed and appended to by
+  * later jobs without retraining (x88's append contract, now across
+  * session/job boundaries).
+  *
+  * Layout under `dir`:
+  *  - `centroids`   (cell, ce: ARRAY<DOUBLE>) — the search-time codebook
+  *    (tiny; broadcast on read);
+  *  - `centroids_q` (cid, i, v) — the INTEGER codebook, so appended
+  *    batches route with the same exact arithmetic as in-session
+  *    training ([[KMeans.assignWith]] parity — a double re-derivation
+  *    could flip near-tie cells);
+  *  - `vectors`     (vec_id, embedding, …) PARTITIONED BY cell — the
+  *    disk analogue of the cell equi-join: a probe lists its candidate
+  *    cells as literals, so the parquet scan PRUNES to the probed
+  *    partitions and the unprobed (1 − probes/k) of the corpus is never
+  *    read. At 100 TB this pruning IS the index.
+  */
+object IvfIndex {
+
+  /** Train on `emb` and persist the full index under `dir`. */
+  def write(emb: DataFrame, dir: String, k: Int = 8, iters: Int = 2): Unit = {
+    KMeans.centroids(emb, k, iters)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    KMeans.centroidsQuantized(emb, k, iters)
+      .write.mode("overwrite").parquet(s"$dir/centroids_q")
+    emb.join(KMeans.assign(emb, k, iters).select("vec_id", "cell"), "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+  }
+
+  /** Route an arriving batch into the PERSISTED codebook (no retrain, no
+    * touch of standing vectors — the x88 contract from disk) and append
+    * it to the cell-partitioned vector store. Integer-exact: the same
+    * quantized distances and (dist, cid) tie-break as training-time
+    * assignment, via the persisted integer codebook.
+    */
+  def append(emb: DataFrame, dir: String): Unit = {
+    val spark = emb.sparkSession
+    val centE = spark.read.parquet(s"$dir/centroids_q")
+    val qe = KMeans.quantized(emb)
+      .select(col("vec_id"), posexplode(col("e")).as(Seq("i", "v")))
+    val assigned = qe
+      .join(broadcast(centE.select(col("cid"), col("i"), col("v").as("cv"))), "i")
+      .groupBy("vec_id", "cid")
+      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
+    emb.join(assigned, "vec_id")
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+  }
+
+  /** Top-k cosine search against the persisted index: `queries` is
+    * (vec_id, embedding); each query ranks the loaded centroids,
+    * fans out to its `probes` nearest cells, and scores only the
+    * vectors stored in those cells. The probed cell set is collected
+    * (codebook-bounded — the require guards it) and pushed into the
+    * vector scan as LITERAL partition filters, so pruning is static
+    * and visible in the plan (`PartitionFilters: [cell IN (…)]`) —
+    * IvfIndexSpec asserts it. Self-matches are excluded. Returns
+    * (qid, rank, cid, sim), the [[Similarity.ivfTopKWith]] shape.
+    */
+  def topK(spark: SparkSession, dir: String, queries: DataFrame,
+           k: Int, probes: Int = 1, maxCells: Int = 4096): DataFrame = {
+    require(k >= 1 && probes >= 1)
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val ed = transform(col("embedding"), x => x.cast("double"))
+    val qcells = queries.select(col("vec_id").as("qid"), ed.as("ed"))
+      .crossJoin(broadcast(cent))
+      .select(col("qid"), col("ed"), col("cell"),
+        Similarity.l2sq(col("ed"), col("ce")).as("d"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d"), col("cell"))))
+      .filter(col("rn") <= probes)
+      .withColumn("nrm", sqrt(Similarity.dot(col("ed"), col("ed"))))
+      .select(col("qid"), col("cell"),
+        transform(col("ed"), x => x / col("nrm")).as("qu"))
+    // codebook-bounded driver collect → literal partition filters
+    val cells = qcells.select("cell").distinct()
+      .limit(maxCells + 1).collect().map(_.get(0))
+    require(cells.length <= maxCells,
+      s"probed cell set exceeds maxCells=$maxCells — not a codebook?")
+    val cu = spark.read.parquet(s"$dir/vectors")
+      .filter(col("cell").isin(cells: _*))
+      .select(col("vec_id").as("cid"), col("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("cd"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("cd"), col("cd"))))
+      .select(col("cid"), col("cell"),
+        transform(col("cd"), x => x / col("nrm")).as("cu"))
+    val scored = broadcast(qcells).join(cu, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(Similarity.dot(col("qu"), col("cu")), 6).as("sim"))
+    Similarity.rankTopK(scored, k)
+  }
+}

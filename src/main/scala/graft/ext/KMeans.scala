@@ -119,6 +119,15 @@ object KMeans {
     run(emb, k, iters)._1
       .select(col("vec_id"), col("cid").as("cell"), col("dist"))
 
+  /** The raw integer centroid table (cid, i, v) — the exact-arithmetic
+    * artifact [[assignWith]] routes appends through; [[graft.ext.IvfIndex]]
+    * persists it so on-disk indexes route appended batches with the
+    * SAME integer distances as in-session training.
+    */
+  private[ext] def centroidsQuantized(emb: DataFrame, k: Int = 8,
+                                      iters: Int = 2): DataFrame =
+    run(emb, k, iters)._2
+
   /** Learned centroids de-quantized for ANN search:
     * (cell, ce: ARRAY<DOUBLE>).
     */

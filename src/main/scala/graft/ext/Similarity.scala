@@ -32,10 +32,10 @@ object Similarity {
   // codegen'd tight loop (graft.expr.VecDot) — the interpreted
   // aggregate(zip_with(...)) formulation dominated every ANN/near-dup
   // query because it runs once per candidate PAIR
-  private def dot(a: Column, b: Column): Column =
+  private[ext] def dot(a: Column, b: Column): Column =
     toCol(graft.expr.VecDot(toExpr(a), toExpr(b)))
 
-  private def l2sq(a: Column, b: Column): Column =
+  private[ext] def l2sq(a: Column, b: Column): Column =
     toCol(graft.expr.VecL2Sq(toExpr(a), toExpr(b)))
 
   /** Cosine similarity of two float-array columns, in doubles. */
@@ -65,7 +65,7 @@ object Similarity {
   def topKFrom(scored: DataFrame, k: Int): DataFrame = rankTopK(scored, k)
 
   /** Rank the scored pairs and keep each query's top k. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[ext] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -1,0 +1,90 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persistent IVF index: write → probe → append → probe, with the
+  * partition-pruned scan asserted on the plan.
+  */
+class IvfIndexSpec extends SparkSpec {
+
+  // 4 well-separated clusters of 64-d vectors: cluster g points along
+  // axis g with a small per-vector jitter on a far dimension, so cosine
+  // within a cluster is ~1 and across clusters is ~0 — argmin ties are
+  // impossible and recall against brute force must be exactly 1
+  private def planted(n: Int, idBase: Long) = {
+    import spark.implicits._
+    (0 until n).map { j =>
+      val g = j % 4
+      val e = Array.fill(64)(0.001f)
+      e(g) = 1.0f
+      e(60) = 0.001f * (j % 7 + 1)
+      (idBase + j, e.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("write -> probe: disk top-k equals brute force on planted clusters; scan prunes cells") {
+    val emb = planted(120, 0L)
+    val dir = Files.createTempDirectory("ivfidx").toString
+    IvfIndex.write(emb, dir, k = 4, iters = 2)
+    // centroids + integer codebook + cell-partitioned vectors all exist
+    assert(spark.read.parquet(s"$dir/centroids").count() == 4)
+    assert(spark.read.parquet(s"$dir/vectors").count() == 120)
+    val queries = emb.filter(col("vec_id") < 4)
+    val got = IvfIndex.topK(spark, dir, queries, k = 5, probes = 1)
+    // the probed scan lists its cells as literal partition filters
+    val plan = got.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"no partition pruning on the vector scan:\n${plan.take(3000)}")
+    val rows = got.collect()
+    assert(rows.length == 4 * 5)
+    // every neighbor of query q (cluster q % 4) is from q's own cluster
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cid") % 4 == r.getAs[Long]("qid") % 4, r.toString)
+    }
+    // exact agreement with in-session brute force (well-separated data)
+    val bf = Similarity.bruteForceTopK(emb, col("vec_id") < 4, 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("cid"))).toSet
+    val disk = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+      r.getAs[Long]("cid"))).toSet
+    assert(disk == bf)
+  }
+
+  test("append routes through the persisted integer codebook and is immediately searchable") {
+    val emb = planted(120, 0L)
+    val dir = Files.createTempDirectory("ivfidx2").toString
+    IvfIndex.write(emb, dir, k = 4, iters = 2)
+    // the appended batch replays the same clusters under fresh ids
+    val batch = planted(40, 1000L)
+    IvfIndex.append(batch, dir)
+    val vecs = spark.read.parquet(s"$dir/vectors")
+    assert(vecs.count() == 160)
+    // every appended vector shares its cell with the standing members of
+    // its own cluster — the exact integer routing of KMeans.assignWith
+    val cellOf = vecs.filter(col("vec_id") < 1000L)
+      .select((col("vec_id") % 4).as("g"), col("cell")).distinct()
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(cellOf.size == 4, s"standing clusters not cell-pure: $cellOf")
+    vecs.filter(col("vec_id") >= 1000L)
+      .select(col("vec_id"), col("cell")).collect().foreach { r =>
+        assert(r.get(1) == cellOf(r.getLong(0) % 4), r.toString)
+      }
+    // in-session parity: disk routing == assignWith on the same training
+    val viaSession = KMeans.assignWith(batch, emb, k = 4, iters = 2)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    vecs.filter(col("vec_id") >= 1000L).select("vec_id", "cell").collect()
+      .foreach { r =>
+        assert(r.get(1).toString == viaSession(r.getLong(0)).toString, r.toString)
+      }
+    // the appended vectors are found by a fresh probe
+    val got = IvfIndex.topK(spark, dir,
+      planted(4, 2000L), k = 3, probes = 1).collect()
+    assert(got.nonEmpty && got.forall(r =>
+      r.getAs[Long]("cid") % 4 == r.getAs[Long]("qid") % 4))
+  }
+}
