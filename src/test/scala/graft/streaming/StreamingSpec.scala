@@ -807,6 +807,64 @@ class StreamingSpec extends SparkSpec {
     assert(acc.toSet == expected)
   }
 
+  test("streaming vector ingest: microbatches append to the persisted IVF index and stay searchable") {
+    // the IvfIndex contract under a real stream — the ANN twin of the
+    // persisted near-dup index test: the codebook trains ONCE on the
+    // standing corpus and persists; each arriving embedding microbatch
+    // routes through the PERSISTED integer codebook (no retrain) and
+    // appends to the cell-partitioned store; after the stream drains,
+    // every appended vector sits in the cell the in-session assignWith
+    // would give it, and a probe of the grown index finds the appended
+    // vectors.
+    import spark.implicits._
+    def planted(n: Int, idBase: Long) =
+      (0 until n).map { j =>
+        val e = Array.fill(64)(0.001f)
+        e(j % 4) = 1.0f
+        e(60) = 0.001f * (j % 7 + 1)
+        (idBase + j, e.toSeq)
+      }.toDF("vec_id", "embedding")
+    val standing = planted(120, 0L)
+    val dir = Files.createTempDirectory("ivfstream").toString
+    val srcDir = Files.createTempDirectory("ivfsrc").toString
+    graft.ext.IvfIndex.write(standing, dir, k = 4, iters = 2)
+    val arriving = planted(60, 1000L)
+    (0 to 2).foreach { t =>
+      arriving.filter(col("vec_id") % 3 === t).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    }
+    var batches = 0
+    val q = spark.readStream.schema(arriving.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.ext.IvfIndex.append(batch.toDF(), dir)
+          batches += 1
+          ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches >= 3, s"expected >=3 microbatches, got $batches")
+    val vecs = spark.read.parquet(s"$dir/vectors")
+    assert(vecs.count() == 180)
+    val viaSession = graft.ext.KMeans
+      .assignWith(arriving, standing, k = 4, iters = 2)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.get(1).toString).toMap
+    vecs.filter(col("vec_id") >= 1000L).select("vec_id", "cell").collect()
+      .foreach { r =>
+        assert(r.get(1).toString == viaSession(r.getLong(0)), r.toString)
+      }
+    // k = 40 reaches past the 30 standing members of the probed cell
+    // (near-1 sims tie-break on cid asc, so standing ids rank first)
+    val got = graft.ext.IvfIndex.topK(spark, dir,
+      planted(4, 2000L), k = 40, probes = 1).collect()
+    assert(got.nonEmpty && got.forall(r =>
+      r.getAs[Long]("cid") % 4 == r.getAs[Long]("qid") % 4))
+    assert(got.exists(_.getAs[Long]("cid") >= 1000L),
+      "no appended vector surfaced in the probe")
+  }
+
   test("streaming quality gate: microbatches scored against the persisted model equal batch") {
     // the x93 model in its deployment shape: the perceptron trains ONCE
     // on the standing labeled corpus and persists as a (bucket, wt)
