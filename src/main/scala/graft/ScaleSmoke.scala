@@ -421,6 +421,48 @@ object ScaleSmoke {
       f"pieces in $uniSec%.1fs")
     require(uniSec < 300, f"unigram trainer blew the 300s budget: $uniSec%.1fs")
 
+    // --- persistent IVF index at 200k vectors: pruning is structural ---------
+    // The probe must read ONLY its probed cells' partitions — asserted
+    // on the executed scan's PartitionCount, not inferred from timing —
+    // and planted-cluster neighbors must come back exact.
+    val tIvf = System.nanoTime()
+    val nIvf = 200000L
+    val vecs = spark.range(nIvf).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        when(i === (col("id") % 16).cast("int"), lit(1.0f))
+          .when(i === 60, (lit(1) + col("id") % 7).cast("float") / 10000)
+          .otherwise(lit(0.001f))).as("embedding"))
+    val ivfDir = java.nio.file.Files.createTempDirectory("ivfscale").toString
+    graft.ext.IvfIndex.write(vecs, ivfDir, k = 8, iters = 1)
+    val ivfQueries = vecs.filter(col("vec_id") < 4)
+    val ivfTop = graft.ext.IvfIndex.topK(spark, ivfDir, ivfQueries,
+      k = 5, probes = 1)
+    val ivfRows = ivfTop.collect()
+    // structural partition count of the executed vectors scan (the plan
+    // STRING truncates scan metadata, so regexing it is unreliable)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case s: QueryStageExec => fileScans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => (o.children ++ o.subqueries).flatMap(fileScans)
+    }
+    val partCount = fileScans(ivfTop.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("vectors")))
+      .map(_.selectedPartitions.partitionCount)
+    val ivfSec = (System.nanoTime() - tIvf) / 1e9
+    println(f"ivf index: $nIvf%d vectors, probe read " +
+      f"${partCount.getOrElse(-1)}%d of 8 cells, ${ivfRows.length}%d " +
+      f"results in $ivfSec%.1fs")
+    require(ivfRows.length == 4 * 5)
+    require(ivfRows.forall(r =>
+      r.getAs[Long]("cid") % 16 == r.getAs[Long]("qid") % 16),
+      "a probed neighbor crossed planted clusters")
+    require(partCount.exists(_ <= 4),
+      s"probe scan did not prune partitions: $partCount of 8")
+    require(ivfSec < 300, f"ivf probe blew the 300s budget: $ivfSec%.1fs")
+
     // --- image perceptual dedup: exact-dup flood stays collapsed -------------
     // 15k images but only 50 distinct pixel contents (the boilerplate
     // shape): the banded Hamming join must see 50 representatives, and
