@@ -5129,6 +5129,38 @@ object ExtQueries {
       |WHERE a_id % 4 = 0 OR b_id % 4 = 0
       |ORDER BY a_id, b_id""".stripMargin
 
+  // --- x119: corpus tokenization under the trained unigram vocab -----------------------
+
+  /** x62's corpus-tokenization move for the unigram family: segment the
+    * DISTINCT words once under the trained x113 model
+    * ([[graft.ext.UnigramLm.segmentLengths]]), tokenize the corpus with
+    * one word equi-join — per document (doc_id, n_words, n_subwords).
+    * Finer-grained than x106's per-language fertility (this is the
+    * hash gate on the segmenter itself, doc by doc). Words count
+    * non-empty whitespace tokens (the wordFreq domain).
+    */
+  val x119UnigramTokens: Q = (spark, sfDir) => {
+    val docs = Tables.documents(spark, sfDir)
+    val wf = graft.ext.TextAnalytics.wordFreq(docs, "text")
+    val seg = graft.ext.UnigramLm.segmentLengths(wf, unigramModel(spark, sfDir))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(seg, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
+      .orderBy("doc_id")
+  }
+
+  private val x119Sql: String = unigramSegChainSql +
+    """,
+      |dwords AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(sum(n_sub) AS BIGINT) AS n_subwords
+      |FROM dwords JOIN un_sub USING (word)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --- x114: trained-model holdout evaluation ------------------------------------------
 
   /** Generalization, measured — the evaluation row every trained-model
@@ -7066,7 +7098,8 @@ object ExtQueries {
     "x115_incremental_phash" -> x115IncrementalPhash,
     "x116_ledger_probe" -> x116LedgerProbe,
     "x117_phash_ledger" -> x117PhashLedger,
-    "x118_video_seq_probe" -> x118VideoSeqProbe)
+    "x118_video_seq_probe" -> x118VideoSeqProbe,
+    "x119_unigram_tokens" -> x119UnigramTokens)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -7186,5 +7219,6 @@ object ExtQueries {
     "x115_incremental_phash" -> x115Sql,
     "x116_ledger_probe" -> x116Sql,
     "x117_phash_ledger" -> x117Sql,
-    "x118_video_seq_probe" -> x118Sql)
+    "x118_video_seq_probe" -> x118Sql,
+    "x119_unigram_tokens" -> x119Sql)
 }
