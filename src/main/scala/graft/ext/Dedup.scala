@@ -551,20 +551,28 @@ object Dedup {
     * [[minhashLshPairs]] over standing ∪ new (IncrementalLsh tests
     * assert the three-way union row-for-row).
     */
-  def probeNearDupIndex(index: NearDupIndexFrames,
-                        incoming: DataFrame, idCol: String, textCol: String,
-                        k: Int = 2, bands: Int = 8, rows: Int = 2,
-                        maxBucket: Int = 4096): DataFrame = {
-    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
-    val idxN = nearDupIndex(incoming, idCol, textCol, k, bands, rows)
+  /** Verified near-dup candidate pairs at the DISTINCT-CONTENT level
+    * between a standing index and an incoming tranche's index:
+    * (a_ch, b_ch, jaccard) with a_ch < b_ch, over cross (tranche ×
+    * standing at colliding band keys) and within (tranche × tranche)
+    * candidates. Same-content pairs (ch = ch) are excluded — exact
+    * duplication is decidable from membership alone and must never
+    * depend on the band bucket cap. `maxBucket` caps oversized
+    * STANDING buckets censused over distinct contents. Shared by
+    * [[probeNearDupIndex]] (which expands to member pairs) and
+    * [[ledgerProbe]] (which judges contents directly — no expansion).
+    */
+  private def verifiedContentPairs(index: NearDupIndexFrames,
+                                   idxN: NearDupIndexFrames,
+                                   maxBucket: Int): DataFrame = {
     val oversized = index.bands.groupBy("bk").agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket).select("bk")
     val bandScap = index.bands.join(broadcast(oversized), Seq("bk"), "left_anti")
     // content-level candidates: new contents × standing contents at
     // colliding band keys, plus new×new within the tranche; a content
     // present in both tranches meets itself in the cross join — that is
-    // the same-content case, handled below without bands, so ch-equal
-    // rows are excluded here
+    // the same-content case, handled by callers without bands, so
+    // ch-equal rows are excluded here
     val crossC = idxN.bands.as("n")
       .join(bandScap.as("s"),
         col("n.bk") === col("s.bk") && col("n.ch") =!= col("s.ch"))
@@ -578,11 +586,20 @@ object Dedup {
     // exact verification once per distinct content pair; a content in
     // both tranches has identical set rows on both sides — keep one
     val sets = index.sets.unionByName(idxN.sets).dropDuplicates("ch")
-    val verified = candC
+    candC
       .join(sets.select(col("ch").as("a_ch"), col("sh").as("sa")), "a_ch")
       .join(sets.select(col("ch").as("b_ch"), col("sh").as("sb")), "b_ch")
       .select(col("a_ch"), col("b_ch"),
         jaccardHashed(col("sa"), col("sb")).as("jaccard"))
+  }
+
+  def probeNearDupIndex(index: NearDupIndexFrames,
+                        incoming: DataFrame, idCol: String, textCol: String,
+                        k: Int = 2, bands: Int = 8, rows: Int = 2,
+                        maxBucket: Int = 4096): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val idxN = nearDupIndex(incoming, idCol, textCol, k, bands, rows)
+    val verified = verifiedContentPairs(index, idxN, maxBucket)
     // member expansion, new-side-anchored so work ∝ emitted pairs: each
     // verified content pair expands through (all members) × (new
     // members) in both orientations; both-new pairs appear in both and
@@ -634,35 +651,52 @@ object Dedup {
     * always outrank the tranche, same-tranche ties break to the
     * smaller id — so appending tranche ledgers reproduces exactly the
     * batch ledger computed over the union corpus under arrival order
-    * (StreamingSpec asserts it). Work is probe-shaped: ∝ tranche size
-    * + emitted pairs, never a standing re-scan. Docs below the shingle
-    * floor (< k+1 tokens — outside the whole x2 family's dedup domain)
-    * are kept. Quality layers compose on top exactly as in x111
+    * (StreamingSpec asserts it). Work is probe-shaped AND
+    * content-collapsed: ∝ tranche size + verified DISTINCT-CONTENT
+    * pairs, never a standing re-scan and never m² member pairs per
+    * duplicate group (ScaleSmoke feeds a 15k-copy single-content
+    * tranche through and asserts collapse). Docs below the shingle
+    * floor (< k tokens, i.e. zero k-shingles — outside the whole x2
+    * family's dedup domain) are kept. Quality layers compose on top exactly as in x111
     * (decide kept → low_quality downstream; dedup verdicts here).
     */
   def ledgerProbe(index: NearDupIndexFrames, incoming: DataFrame,
                   idCol: String, textCol: String, jThresh: Double = 0.6,
                   k: Int = 2, bands: Int = 8, rows: Int = 2,
                   maxBucket: Int = 4096): DataFrame = {
-    val memN = chMembers(incoming, idCol, textCol, k)
-    val exact = memN.join(index.members.select("ch").distinct(), "ch")
-      .select(col("id"))
-      .unionByName(memN.as("a")
-        .join(memN.as("b"),
-          col("a.ch") === col("b.ch") && col("a.id") > col("b.id"))
-        .select(col("a.id")))
+    val idxN = nearDupIndex(incoming, idCol, textCol, k, bands, rows)
+    val memN = idxN.members
+    // verdicts are decidable at the DISTINCT-CONTENT level — a 10k-copy
+    // template page in the tranche is ONE judged content, never m²
+    // member pairs: the first occurrence (min id) per content carries
+    // the content's verdict, every other copy is exact_dup by
+    // membership alone
+    val firstOcc = memN.groupBy("ch").agg(min(col("id")).as("fid"))
+    val standingCh = index.members.select("ch").distinct()
+    val exact = memN.join(standingCh, Seq("ch"), "left_semi").select("id")
+      .unionByName(memN.join(firstOcc, "ch")
+        .filter(col("id") =!= col("fid")).select("id"))
       .distinct().withColumn("ex", lit(1))
-    val pairs = probeNearDupIndex(index, incoming, idCol, textCol,
-      k, bands, rows, maxBucket).filter(col("jaccard") >= jThresh)
-    val newIds = memN.select("id").distinct()
-    // cross pairs have exactly one tranche-side member (the loser —
-    // its partner arrived earlier); within pairs lose on the larger id
-    val near = pairs.filter(col("src") === "cross")
-      .select(explode(array(col("a_id"), col("b_id"))).as("id"))
-      .join(newIds, "id")
-      .unionByName(pairs.filter(col("src") === "within")
-        .select(col("b_id").as("id")))
-      .distinct().withColumn("nd", lit(1))
+    // near verdicts, also content-level: a tranche content is near iff
+    // a verified pair links it to a standing content (whose copies all
+    // arrived earlier) or to another tranche content whose first copy
+    // has a smaller id — the min member id decides the doc-level loser,
+    // so this reproduces the member-pair semantics exactly
+    val vp = verifiedContentPairs(index, idxN, maxBucket)
+      .filter(col("jaccard") >= jThresh)
+      .select(explode(array(
+        struct(col("a_ch").as("ch"), col("b_ch").as("p_ch")),
+        struct(col("b_ch").as("ch"), col("a_ch").as("p_ch")))).as("e"))
+      .select(col("e.ch").as("ch"), col("e.p_ch").as("p_ch"))
+    val nearC = vp.join(firstOcc, "ch")
+      .join(standingCh.select(col("ch").as("p_ch"), lit(1).as("st")),
+        Seq("p_ch"), "left")
+      .join(firstOcc.select(col("ch").as("p_ch"), col("fid").as("p_fid")),
+        Seq("p_ch"), "left")
+      .filter(col("st") === 1 || col("p_fid") < col("fid"))
+      .select("ch").distinct()
+    val near = memN.join(nearC, Seq("ch"), "left_semi")
+      .select("id").distinct().withColumn("nd", lit(1))
     incoming.select(col(idCol).as("doc_id"))
       .join(exact.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .join(near.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")

@@ -130,18 +130,20 @@ object ImageHash {
     * band buckets censused over distinct hashes, and same-hash pairs
     * expand from membership alone — immune to the cap.
     */
-  def hammingProbe(standing: DataFrame, incoming: DataFrame,
-                   idCol: String, hashCol: String,
-                   bands: Int = 8, maxDist: Int = 6,
-                   maxBucket: Int = 4096): DataFrame = {
-    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64, got $bands")
-    require(maxDist >= 0 && maxDist < bands,
-      s"exactness needs maxDist < bands, got maxDist=$maxDist bands=$bands")
-    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
-    val memS = standing.select(col(idCol).as("id"), col(hashCol).as("hsh"))
-      .withColumn("nw", lit(false))
-    val memN = incoming.select(col(idCol).as("id"), col(hashCol).as("hsh"))
-      .withColumn("nw", lit(true))
+  /** Verified near-dup candidate pairs at the DISTINCT-HASH level
+    * between a standing corpus and an incoming tranche: (ha, hb,
+    * hamming) with ha < hb, hamming in (0, `maxDist`], over cross
+    * (tranche × standing at colliding band keys) and within (tranche ×
+    * tranche) candidates. Same-hash pairs are excluded — exact
+    * duplication is decidable from membership alone and must never
+    * depend on the band bucket cap. `maxBucket` caps oversized
+    * STANDING buckets censused over distinct hashes. Shared by
+    * [[hammingProbe]] (which expands to member pairs) and
+    * [[ledgerProbe]] (which judges hashes directly — no expansion).
+    */
+  private def verifiedHashPairs(memS: DataFrame, memN: DataFrame,
+                                bands: Int, maxDist: Int,
+                                maxBucket: Int): DataFrame = {
     def banded(m: DataFrame): DataFrame = m.select("hsh").distinct()
       .select(col("hsh"),
         explode(array(bandKeyCols(col("hsh"), bands): _*)).as("bk"))
@@ -158,9 +160,24 @@ object ImageHash {
     val withinC = bN.as("a")
       .join(bN.as("b"), col("a.bk") === col("b.bk") && col("a.hsh") < col("b.hsh"))
       .select(col("a.hsh").as("ha"), col("b.hsh").as("hb"))
-    val verified = crossC.unionByName(withinC).distinct()
+    crossC.unionByName(withinC).distinct()
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxDist)
+  }
+
+  def hammingProbe(standing: DataFrame, incoming: DataFrame,
+                   idCol: String, hashCol: String,
+                   bands: Int = 8, maxDist: Int = 6,
+                   maxBucket: Int = 4096): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxDist >= 0 && maxDist < bands,
+      s"exactness needs maxDist < bands, got maxDist=$maxDist bands=$bands")
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val memS = standing.select(col(idCol).as("id"), col(hashCol).as("hsh"))
+      .withColumn("nw", lit(false))
+    val memN = incoming.select(col(idCol).as("id"), col(hashCol).as("hsh"))
+      .withColumn("nw", lit(true))
+    val verified = verifiedHashPairs(memS, memN, bands, maxDist, maxBucket)
     val memAll = memS.unionByName(memN)
     // new-side-anchored expansion: work ∝ emitted pairs; both-new pairs
     // appear in both orientations and collapse in the final distinct
@@ -195,30 +212,46 @@ object ImageHash {
     * smaller-id copy shares the tranche), near_dup on a Hamming-
     * ≤ `maxDist` pair against any standing doc or a smaller-id tranche
     * doc, kept otherwise. Verdicts are final at arrival (first-seen
-    * precedence); work is probe-shaped via [[hammingProbe]].
+    * precedence); work is probe-shaped via [[verifiedHashPairs]] and
+    * judged entirely at the distinct-hash level — never m² member
+    * pairs per duplicate group.
     */
   def ledgerProbe(standing: DataFrame, incoming: DataFrame,
                   idCol: String, hashCol: String,
                   bands: Int = 8, maxDist: Int = 6,
                   maxBucket: Int = 4096): DataFrame = {
     val memS = standing.select(col(idCol).as("id"), col(hashCol).as("hsh"))
+      .withColumn("nw", lit(false))
     val memN = incoming.select(col(idCol).as("id"), col(hashCol).as("hsh"))
-    val exact = memN.join(memS.select("hsh").distinct(), "hsh")
-      .select(col("id"))
-      .unionByName(memN.as("a")
-        .join(memN.as("b"),
-          col("a.hsh") === col("b.hsh") && col("a.id") > col("b.id"))
-        .select(col("a.id")))
+      .withColumn("nw", lit(true))
+    // verdicts are decidable at the DISTINCT-HASH level — a 10k-copy
+    // template image in the tranche is ONE judged hash, never m² member
+    // pairs: the first occurrence (min id) per hash carries the hash's
+    // verdict, every other copy is exact_dup by membership alone
+    val firstOcc = memN.groupBy("hsh").agg(min(col("id")).as("fid"))
+    val standingH = memS.select("hsh").distinct()
+    val exact = memN.join(standingH, Seq("hsh"), "left_semi").select("id")
+      .unionByName(memN.join(firstOcc, "hsh")
+        .filter(col("id") =!= col("fid")).select("id"))
       .distinct().withColumn("ex", lit(1))
-    val pairs = hammingProbe(standing, incoming, idCol, hashCol,
-      bands, maxDist, maxBucket)
-    val newIds = memN.select("id").distinct()
-    val near = pairs.filter(col("src") === "cross")
-      .select(explode(array(col("a_id"), col("b_id"))).as("id"))
-      .join(newIds, "id")
-      .unionByName(pairs.filter(col("src") === "within")
-        .select(col("b_id").as("id")))
-      .distinct().withColumn("nd", lit(1))
+    // near verdicts, also hash-level: a tranche hash is near iff a
+    // verified pair links it to a standing hash (whose copies all
+    // arrived earlier) or to another tranche hash whose first copy has
+    // a smaller id — the min member id decides the doc-level loser
+    val vp = verifiedHashPairs(memS, memN, bands, maxDist, maxBucket)
+      .select(explode(array(
+        struct(col("ha").as("hsh"), col("hb").as("p_hsh")),
+        struct(col("hb").as("hsh"), col("ha").as("p_hsh")))).as("e"))
+      .select(col("e.hsh").as("hsh"), col("e.p_hsh").as("p_hsh"))
+    val nearC = vp.join(firstOcc, "hsh")
+      .join(standingH.select(col("hsh").as("p_hsh"), lit(1).as("st")),
+        Seq("p_hsh"), "left")
+      .join(firstOcc.select(col("hsh").as("p_hsh"), col("fid").as("p_fid")),
+        Seq("p_hsh"), "left")
+      .filter(col("st") === 1 || col("p_fid") < col("fid"))
+      .select("hsh").distinct()
+    val near = memN.join(nearC, Seq("hsh"), "left_semi")
+      .select("id").distinct().withColumn("nd", lit(1))
     incoming.select(col(idCol).as("doc_id"))
       .join(exact.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .join(near.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")

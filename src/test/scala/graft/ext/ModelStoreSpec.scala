@@ -1,0 +1,90 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.Tables
+
+/** Trained-model persistence: a fresh session reading the artifact must
+  * segment/score BIT-identically to the training session — all three
+  * artifacts carry integer fixed-point parameters, so equality is
+  * exact, not approximate. The read side runs through `newSession()`
+  * (fresh session state, none of ExtQueries' memoization).
+  */
+class ModelStoreSpec extends SparkSpec {
+
+  test("BPE merge table round-trips and re-tokenizes identically from disk") {
+    val docs = Tables.documents(spark, sf())
+    val wf = TextAnalytics.wordFreq(docs, "text")
+    val (merges, _) = TextAnalytics.bpeTrain(wf, rounds = 6)
+    val dir = Files.createTempDirectory("bpestore").toString
+    ModelStore.writeBpe(merges, dir)
+    val fresh = spark.newSession()
+    // table round-trips row-for-row in training order
+    val back = ModelStore.readBpe(fresh, dir).collect()
+    val orig = merges.orderBy("round").collect()
+    assert(back.map(_.toSeq).toSeq == orig.map(_.toSeq).toSeq)
+    // the persisted merge sequence tokenizes the corpus bit-identically
+    val pairs = ModelStore.readBpeMerges(fresh, dir)
+    assert(pairs == orig.map(_.getString(1)).toSeq)
+    val inSession = docs
+      .select(col("doc_id"),
+        TextAnalytics.applyMerges(col("text"), orig.map(_.getString(1)).toSeq)
+          .as("bpe")).collect().map(r => (r.getLong(0), r.getString(1)))
+    val fromDisk = Tables.documents(fresh, sf())
+      .select(col("doc_id"),
+        TextAnalytics.applyMerges(col("text"), pairs).as("bpe"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(fromDisk.sortBy(_._1).toSeq == inSession.sortBy(_._1).toSeq)
+  }
+
+  test("unigram piece table round-trips and segments identically from disk") {
+    val docs = Tables.documents(spark, sf())
+    val wf = TextAnalytics.wordFreq(docs, "text")
+    val model = UnigramLm.trainModel(wf)
+    val dir = Files.createTempDirectory("unistore").toString
+    ModelStore.writeUnigram(model, spark, dir)
+    val fresh = spark.newSession()
+    val back = ModelStore.readUnigram(fresh, dir)
+    // the piece table IS the model: pieces and cost map both round-trip
+    assert(back.pieces == model.pieces)
+    assert(back.cost == model.cost)
+    // x119's consumption shape from the persisted artifact: segment the
+    // distinct vocabulary under the disk model — identical (word, n_sub)
+    val freshWf = TextAnalytics.wordFreq(Tables.documents(fresh, sf()), "text")
+    val fromDisk = UnigramLm.segmentLengths(freshWf, back)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val inSession = UnigramLm.segmentLengths(wf, model)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(fromDisk == inSession)
+  }
+
+  test("quality weights round-trip and score identically from disk") {
+    val docs = Tables.documents(spark, sf())
+    val tokens = split(col("text"), " ")
+    val labels = docs.select(col("doc_id"),
+      when(size(filter(tokens, t => t.isin("the", "a", "of", "and"))) * 16
+        > size(tokens), 1L).otherwise(-1L).as("y"))
+    val w = QualityModel.trainPerceptron(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", labels,
+      buckets = 512, rounds = 8)
+    val dir = Files.createTempDirectory("qwstore").toString
+    ModelStore.writeQualityWeights(w, dir)
+    val fresh = spark.newSession()
+    val back = ModelStore.readQualityWeights(fresh, dir)
+    assert(back.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      == w.select(col("bucket").cast("long"), col("wt").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    // x114's consumption shape: score a holdout-bearing slice against
+    // the persisted weights — exact integer scores, exact keep bits
+    def scored(s: org.apache.spark.sql.SparkSession,
+               wt: org.apache.spark.sql.DataFrame) =
+      QualityModel.scoreDocuments(Tables.documents(s, sf()), "doc_id",
+          "text", wt, 512)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3))).sorted.toSeq
+    assert(scored(fresh, back) == scored(spark, w))
+  }
+}
