@@ -48,6 +48,19 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (names.contains("__ledgerbuild")) {
+      // the Bench ledger_kernels_build line item in isolation: standing
+      // artifacts pre-warmed untimed (as Bench does), then the kernel
+      // build timed
+      graft.queries.ExtQueries.warmPairs(spark, sfDir)
+      graft.queries.ExtQueries.warmNearDupIndex(spark, sfDir)
+      val t0 = System.nanoTime()
+      graft.queries.ExtQueries.ledgerKernelTimings(spark, sfDir).foreach {
+        case (n, s) => println(f"SCRATCH ledger_frame $n $s%.2f s")
+      }
+      println(f"SCRATCH ledger_kernels_build ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.stop(); return
+    }
     if (names.contains("__ledger")) {
       // per-kernel timing of the x112 ledger build at this SF
       import org.apache.spark.sql.functions._
@@ -71,6 +84,52 @@ object Scratch {
       t("lsh_pairs+cc") {
         Dedup.dedupClusters(Dedup.minhashLshPairs(corpus, "doc_id", "text")
           .filter(col("jaccard") >= 0.6)).count()
+      }
+      t("inc_pairsA") {
+        Dedup.minhashLshPairs(docs, "doc_id", "text")
+          .filter(col("jaccard") >= 0.6 &&
+            col("a_id") % 10 =!= 7 && col("b_id") % 10 =!= 7).count()
+      }
+      t("inc_gapidx") {
+        val g = Dedup.nearDupIndex(
+          docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 4 === 0),
+          "doc_id", "text")
+        g.bands.count() + g.sets.count() + g.members.count()
+      }
+      t("inc_probeB") {
+        val std = Dedup.nearDupIndex(
+          docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text")
+        val keepMem = std.members.filter(col("id") % 10 =!= 7)
+        val keepCh = keepMem.select("ch").distinct()
+        val gapIdx = Dedup.nearDupIndex(
+          docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 4 === 0),
+          "doc_id", "text")
+        val idxU = Dedup.NearDupIndexFrames(
+          std.bands.join(keepCh, Seq("ch"), "left_semi")
+            .unionByName(gapIdx.bands).dropDuplicates("ch", "bk").persist(),
+          std.sets.join(keepCh, Seq("ch"), "left_semi")
+            .unionByName(gapIdx.sets).dropDuplicates("ch").persist(),
+          keepMem.unionByName(gapIdx.members).persist())
+        val n = Dedup.probeNearDupIndex(idxU,
+            base.filter(col("doc_id") % 10 === 7), "doc_id", "text")
+          .filter(col("jaccard") >= 0.6).count()
+        Seq(idxU.bands, idxU.sets, idxU.members).foreach(_.unpersist(false))
+        n
+      }
+      t("inc_probe_onepass") {
+        Dedup.incrementalNearDupPairs(
+          docs.filter(col("doc_id") % 10 =!= 7),
+          base.filter(col("doc_id") % 10 === 7), "doc_id", "text")
+          .filter(col("jaccard") >= 0.6).count()
+      }
+      t("embedding+cc") {
+        val emb = graft.model.Tables.embeddings(spark, sfDir)
+        val corpusEmb = emb.unionAll(emb.filter(col("vec_id") % 97 === 13)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            col("embedding"), col("label")))
+        Dedup.dedupClusters(
+          graft.ext.Similarity.embeddingNearDups(corpusEmb, "label", 0.35)
+            .select("a_id", "b_id")).count()
       }
       t("contamination") {
         Dedup.contamination(corpus, corpus.filter(col("doc_id") % 8 === 0),

@@ -149,6 +149,68 @@ object VideoHash {
     cross.unionByName(within)
   }
 
+  /** Per-video sequence identity: (doc_id, sq) with sq = md5 over the
+    * ORDERED frame-hash list — two videos are exact duplicates iff
+    * their full frame sequences match. The video analogue of the text
+    * content hash / image hash membership frames.
+    */
+  def sequenceIds(frames: DataFrame): DataFrame = frames
+    .groupBy("doc_id")
+    .agg(md5(concat_ws(",",
+      transform(array_sort(collect_list(struct(col("frame_no"), col("fh")))),
+        s => s.getField("fh").cast("string"))).cast("binary")).as("sq"))
+
+  /** First-occurrence curation verdicts for an arriving tranche of
+    * videos — [[graft.ext.Dedup.ledgerProbe]]'s exact semantics at the
+    * temporal-shingle layer, completing the multimodal verdict grid
+    * (text x116, perceptual x117, video here): exact_dup when the
+    * IDENTICAL frame sequence is already standing (or a smaller-id
+    * copy shares the tranche), near_dup on a containment pair
+    * ([[sequenceProbe]] semantics) against any standing video or an
+    * earlier-first tranche video, kept otherwise. Verdicts are final
+    * at arrival (first-seen precedence) and judged at the
+    * DISTINCT-SEQUENCE level: exact duplication comes from sequence-id
+    * membership alone (immune to the shingle bucket cap, never m²
+    * member pairs), and only each distinct sequence's first occurrence
+    * enters the containment probe. Docs with no frames (empty text)
+    * are outside the video dedup domain and kept; single-frame videos
+    * have no shingles — they can only be exact_dup or kept.
+    */
+  def ledgerProbe(standingFrames: DataFrame, incomingFrames: DataFrame,
+                  incoming: DataFrame, idCol: String,
+                  maxBucket: Int = 4096): DataFrame = {
+    val sqS = sequenceIds(standingFrames)
+    val sqN = sequenceIds(incomingFrames)
+    val firstOcc = sqN.groupBy("sq").agg(min(col("doc_id")).as("fid"))
+    val standingSq = sqS.select("sq").distinct()
+    val exact = sqN.join(standingSq, Seq("sq"), "left_semi").select("doc_id")
+      .unionByName(sqN.join(firstOcc, "sq")
+        .filter(col("doc_id") =!= col("fid")).select("doc_id"))
+      .distinct().withColumn("ex", lit(1))
+    // containment pairs for first occurrences only — every later copy
+    // of the same sequence is exact_dup by membership, so the probe
+    // never re-pairs duplicate footage
+    val probeN = incomingFrames.join(
+      firstOcc.select(col("fid").as("doc_id")), Seq("doc_id"), "left_semi")
+    val pairs = sequenceProbe(standingFrames, probeN, maxBucket)
+    val near = pairs.filter(col("src") === "cross")
+      .select(explode(array(col("a_id"), col("b_id"))).as("fid"))
+      .join(firstOcc.select("fid").distinct(), "fid")
+      .unionByName(pairs.filter(col("src") === "within")
+        .select(col("b_id").as("fid")))
+      .distinct()
+      .join(firstOcc, "fid").select(col("sq"))
+    val nearDocs = sqN.join(near, Seq("sq"), "left_semi")
+      .select("doc_id").distinct().withColumn("nd", lit(1))
+    incoming.select(col(idCol).as("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(nearDocs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ex") === 1, lit("exact_dup"))
+          .when(col("nd") === 1, lit("near_dup"))
+          .otherwise(lit("kept")).as("decision"))
+  }
+
   /** The shingle buckets `maxBucket` would drop: (k, n_videos). */
   def droppedShingleBuckets(frames: DataFrame,
                             maxBucket: Int = 4096): DataFrame =

@@ -6513,7 +6513,12 @@ object ExtQueries {
     *           members lose as near_dup;
     *   audio — x98's energy-hash clusters, min-id canonical;
     *   video — x108's policy: temporal-shingle clusters, longest
-    *           footage canonical.
+    *           footage canonical;
+    *   embedding — x32's semantic-dedup policy (VERDICT r9 #5):
+    *           label-blocked cosine ≥ 0.35 pairs → connected
+    *           components, min-id canonical — the layer that catches
+    *           re-encoded/paraphrased duplicates the lexical and
+    *           perceptual layers miss.
     *
     * Two plantings keep every branch non-vacuous at every SF: x111's
     * re-crawls (every 97th doc re-enters under id+10⁶ — byte-identical,
@@ -6536,9 +6541,9 @@ object ExtQueries {
     corpus: DataFrame, keep: DataFrame, tclusters: DataFrame,
     contaminated: DataFrame, removal: DataFrame,
     iclusters: DataFrame, icanon: DataFrame, aclusters: DataFrame,
-    vclusters: DataFrame, vcanon: DataFrame) {
+    vclusters: DataFrame, vcanon: DataFrame, eclusters: DataFrame) {
     def frames: Seq[DataFrame] = Seq(corpus, keep, tclusters, contaminated,
-      removal, iclusters, icanon, aclusters, vclusters, vcanon)
+      removal, iclusters, icanon, aclusters, vclusters, vcanon, eclusters)
   }
 
   private val ledgerKernelsCache = new java.util.concurrent.ConcurrentHashMap[
@@ -6548,17 +6553,32 @@ object ExtQueries {
   def clearLedgerKernelsCache(): Unit = ledgerKernelsCache.clear()
 
   /** Materialize the x112 kernel frames now — Bench times this as
-    * `ledger_kernels_build`. The cost is the sum of six independent
-    * kernel pipelines over the planted corpus (Scratch `__ledger`
-    * breakdown at sf0.1: MinHash-LSH pairs + CC ≈ 8 s, image dHash +
-    * CC ≈ 2.7 s, video shingles + CC ≈ 2.8 s, audio hash + CC ≈ 1.6 s,
-    * contamination ≈ 1.5 s, boiler+intra ≈ 1.0 s — each individually
-    * plan-gated via its own declared row); in production each is the
+    * `ledger_kernels_build`. The cost is the sum of seven independent
+    * kernel pipelines over the planted corpus, each individually
+    * plan-gated via its own declared row; in production each is the
     * standing pipeline's own materialized output, built once per
-    * corpus commit.
+    * corpus commit. The text kernel is INCREMENTAL (VERDICT r9 #2):
+    * it derives its clusters from the pre-warmed standing pair
+    * relation and standing index plus a probe of the 10% modified
+    * slice, instead of re-signing the whole planted corpus.
     */
   def warmLedgerKernels(spark: SparkSession, sfDir: String): Unit =
     ledgerKernels(spark, sfDir).frames.foreach(_.count())
+
+  /** Per-frame materialization timings of the kernel build (Scratch
+    * diagnostics — same work as [[warmLedgerKernels]], labeled).
+    */
+  def ledgerKernelTimings(spark: SparkSession,
+                          sfDir: String): Seq[(String, Double)] = {
+    val k = ledgerKernels(spark, sfDir)
+    Seq("corpus", "keep", "tclusters", "contaminated", "removal",
+      "iclusters", "icanon", "aclusters", "vclusters", "vcanon",
+      "eclusters").zip(k.frames).map { case (n, f) =>
+      val t0 = System.nanoTime()
+      f.count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+  }
 
   private def ledgerKernels(spark: SparkSession, sfDir: String): LedgerKernels = {
     ledgerKernelsCache.keySet.removeIf(_._1.sparkContext.isStopped)
@@ -6586,34 +6606,35 @@ object ExtQueries {
         //      pair relation (pre-warmed as neardup_pairs_build): band
         //      collision + verified jaccard are per-pair properties, so
         //      an unmodified pair survives planting iff it is standing;
-        //   B. pairs touching the 10% modified slice — the x87 standing
-        //      index (pre-warmed as neardup_index_build; doc_id%4≠0)
-        //      filtered to unmodified members, augmented with an index
-        //      over the unmodified %4==0 remainder, and probed with the
-        //      modified slice: signing work ∝ modified+gap slices;
+        //   B. pairs touching the 10% modified slice — an incremental
+        //      probe of the unmodified corpus' index with the modified
+        //      docs ([[graft.ext.Dedup.incrementalNearDupPairs]]). The
+        //      index is built in-place here because the harness' only
+        //      pre-warmed index artifact (x87) covers a different
+        //      corpus slice (the %4 tranche split); in production the
+        //      standing corpus index is already on disk
+        //      ([[graft.ext.Dedup.writeNearDupIndex]]) and the signing
+        //      half of this cost vanishes. (The assembled-from-x87
+        //      variant — pre-warmed bands unioned with an index over
+        //      the %4==0 remainder — was measured 2.3× SLOWER at
+        //      sf0.1: the union/census stages dominate at small SF,
+        //      though that trade inverts once signing cost scales with
+        //      corpus bytes.)
         //   C. re-crawl edges — a byte-identical copy connects to its
         //      source at jaccard 1.0 by construction, and connectivity
         //      through the source is all connected components need.
-        // Components (and min-id labels) equal the monolithic run's
-        // exactly below the band-bucket cap — far above every tested
-        // SF's bucket census.
-        val unmodGap = docs
-          .filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 4 === 0)
+        // What the decomposition buys at ANY scale: the full-corpus
+        // candidate re-join never runs — A is a filter on a standing
+        // relation, B's work is ∝ the modified slice and its colliding
+        // buckets, C is a filter. Components (and min-id labels) equal
+        // the monolithic run's exactly below the band-bucket cap — far
+        // above every tested SF's bucket census.
         val pairsA = nearDupPairs(key._1, key._2)
           .filter(col("jaccard") >= 0.6 &&
             col("a_id") % 10 =!= 7 && col("b_id") % 10 =!= 7)
           .select("a_id", "b_id")
-        val x87 = standingNearDupIndex(key._1, key._2)
-        val keepMem = x87.members.filter(col("id") % 10 =!= 7)
-        val keepCh = keepMem.select("ch").distinct()
-        val gapIdx = Dedup.nearDupIndex(unmodGap, "doc_id", "text")
-        val idxU = graft.ext.Dedup.NearDupIndexFrames(
-          x87.bands.join(keepCh, Seq("ch"), "left_semi")
-            .unionByName(gapIdx.bands).dropDuplicates("ch", "bk"),
-          x87.sets.join(keepCh, Seq("ch"), "left_semi")
-            .unionByName(gapIdx.sets).dropDuplicates("ch"),
-          keepMem.unionByName(gapIdx.members))
-        val pairsB = Dedup.probeNearDupIndex(idxU,
+        val pairsB = Dedup.incrementalNearDupPairs(
+            docs.filter(col("doc_id") % 10 =!= 7),
             base.filter(col("doc_id") % 10 === 7), "doc_id", "text")
           .filter(col("jaccard") >= 0.6).select("a_id", "b_id")
         val pairsC = base.filter(col("doc_id") % 97 === 13)
@@ -6660,10 +6681,23 @@ object ExtQueries {
             frames.groupBy("doc_id").agg(count(lit(1)).as("n_frames")),
             Seq("n_frames"))
           .select(col("cluster_id"), col("keep_id"))
+        // embedding (semantic) layer — VERDICT r9 #5: the x32 kernel
+        // over the planted corpus' embeddings. Re-crawls are
+        // byte-identical documents, so their embeddings are copies of
+        // the source's (cosine exactly 1, same label) — every re-crawl
+        // joins its source's semantic cluster, keeping the near branch
+        // non-vacuous at every SF alongside naturally colinear vectors.
+        val emb = Tables.embeddings(key._1, key._2)
+        val corpusEmb = emb.unionAll(emb.filter(col("vec_id") % 97 === 13)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            col("embedding"), col("label")))
+        val eclusters = Dedup.dedupClusters(
+          graft.ext.Similarity.embeddingNearDups(corpusEmb, "label", 0.35)
+            .select("a_id", "b_id"))
         LedgerKernels(corpus, keep.persist(lvl), tclusters.persist(lvl),
           contaminated.persist(lvl), removal.persist(lvl),
           iclusters.persist(lvl), icanon.persist(lvl), aclusters.persist(lvl),
-          vclusters.persist(lvl), vcanon.persist(lvl))
+          vclusters.persist(lvl), vcanon.persist(lvl), eclusters.persist(lvl))
       })
   }
 
@@ -6702,8 +6736,11 @@ object ExtQueries {
       k.aclusters.select(col("cluster_id"), col("cluster_id").as("keep_id"))
         .distinct())
     val videoRows = modalityRows("video", k.vclusters, k.vcanon)
+    val embRows = modalityRows("embedding", k.eclusters,
+      k.eclusters.select(col("cluster_id"), col("cluster_id").as("keep_id"))
+        .distinct())
     textRows.unionByName(imageRows).unionByName(audioRows)
-      .unionByName(videoRows)
+      .unionByName(videoRows).unionByName(embRows)
       .orderBy("doc_id", "modality")
   }
 
@@ -7011,12 +7048,44 @@ object ExtQueries {
       |  FROM corpus c
       |  LEFT JOIN vcl ON vcl.doc_id = c.doc_id
       |  LEFT JOIN vcanon vc2 ON vc2.cluster_id = vcl.cluster_id
+      |), cemb AS MATERIALIZED (
+      |  SELECT vec_id, embedding, label FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, embedding, label FROM embeddings
+      |  WHERE vec_id % 97 = 13
+      |), epr AS (
+      |  SELECT a_id, b_id FROM (
+      |    SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+      |      """.stripMargin + cosSql("x.embedding", "y.embedding") +
+    """ AS sim
+      |    FROM cemb x JOIN cemb y
+      |      ON x.label = y.label AND x.vec_id < y.vec_id)
+      |  WHERE sim >= 0.35
+      |), ee AS (
+      |  SELECT a_id AS u, b_id AS v FROM epr
+      |  UNION ALL
+      |  SELECT b_id, a_id FROM epr
+      |), ereach AS (
+      |  SELECT u AS id, u AS r FROM ee
+      |  UNION
+      |  SELECT ee.v, ereach.r FROM ereach JOIN ee ON ee.u = ereach.id
+      |), ecl AS (
+      |  SELECT id AS doc_id, min(r) AS cluster_id FROM ereach GROUP BY id
+      |), embedding_rows AS (
+      |  SELECT c.doc_id, 'embedding' AS modality,
+      |    CASE WHEN c.doc_id != coalesce(ecl.cluster_id, c.doc_id)
+      |         THEN 'near_dup' ELSE 'kept' END AS decision,
+      |    coalesce(ecl.cluster_id, c.doc_id) AS cluster_id,
+      |    coalesce(ecl.cluster_id, c.doc_id) AS keep_id,
+      |    0::BIGINT AS n_removed
+      |  FROM corpus c LEFT JOIN ecl ON ecl.doc_id = c.doc_id
       |)
       |SELECT doc_id, modality, decision, cluster_id, keep_id, n_removed FROM (
       |  SELECT * FROM text_rows
       |  UNION ALL SELECT * FROM image_rows
       |  UNION ALL SELECT * FROM audio_rows
-      |  UNION ALL SELECT * FROM video_rows)
+      |  UNION ALL SELECT * FROM video_rows
+      |  UNION ALL SELECT * FROM embedding_rows)
       |ORDER BY doc_id, modality""".stripMargin
 
   // --- assembled maps -----------------------------------------------------------------

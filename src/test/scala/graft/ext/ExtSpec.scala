@@ -1517,14 +1517,16 @@ class ExtSpec extends SparkSpec {
   test("x112: the multimodal ledger exercises every modality's branch on the plants") {
     val out = graft.queries.ExtQueries.queries("x112_multimodal_ledger")(spark, sf())
       .collect()
-    // one row per (doc, modality), all four modalities per doc
+    // one row per (doc, modality), all five modalities per doc
     val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
     assert(byDoc.values.forall(
       _.map(_.getAs[String]("modality")).toSet ==
-        Set("text", "image", "audio", "video")))
+        Set("text", "image", "audio", "video", "embedding")))
     // planted re-crawls (byte-identical copies): exact_dup at the text
     // layer, near_dup at every perceptual layer with a hash (all docs
-    // are non-empty), each pointing at the smaller-id canonical
+    // are non-empty) and at the embedding layer (a copied vector is
+    // cosine-1 colinear with its source), each pointing at the
+    // smaller-id canonical
     val planted = out.filter(_.getAs[Long]("doc_id") >= 1000000L)
     assert(planted.nonEmpty)
     planted.foreach { r =>
