@@ -69,8 +69,19 @@ object IvfIndex {
     * (qid, rank, cid, sim), the [[Similarity.ivfTopKWith]] shape.
     */
   def topK(spark: SparkSession, dir: String, queries: DataFrame,
-           k: Int, probes: Int = 1, maxCells: Int = 4096): DataFrame = {
+           k: Int, probes: Int = 1, maxCells: Int = 4096,
+           maxQueries: Int = 1 << 16): DataFrame = {
     require(k >= 1 && probes >= 1)
+    // the normalized query frame is broadcast below (each probed cell's
+    // vectors join against EVERY query routed to that cell) — guard the
+    // batch size the same way maxCells guards the probed cell set, so
+    // an oversized query frame fails actionably instead of blowing the
+    // broadcast limit mid-join. Batches beyond the cap should loop, or
+    // flip the join to shuffle by omitting this API's broadcast
+    // (rankTopK itself is size-agnostic).
+    require(queries.limit(maxQueries + 1).count() <= maxQueries,
+      s"query batch exceeds maxQueries=$maxQueries — split the batch " +
+        "or search cell-partitioned without the broadcast")
     val cent = spark.read.parquet(s"$dir/centroids")
     val ed = transform(col("embedding"), x => x.cast("double"))
     val qcells = queries.select(col("vec_id").as("qid"), ed.as("ed"))
@@ -100,5 +111,32 @@ object IvfIndex {
       .select(col("qid"), col("cid"),
         round(Similarity.dot(col("qu"), col("cu")), 6).as("sim"))
     Similarity.rankTopK(scored, k)
+  }
+
+  /** Post-append cell occupancy census (VERDICT r9 #6): (cell,
+    * n_vectors, skew) with skew = n_vectors / mean-per-cell, one row
+    * per codebook cell (cells appended into existence only — routing
+    * is codebook-bounded — and empty cells report 0). [[append]]
+    * routes into a FROZEN codebook, so hot cells grow unbounded and
+    * probe cost degrades invisibly without this report — the vector
+    * analogue of `Dedup.nearDupIndexDroppedBuckets` and
+    * `ImageHash.hammingDroppedBandBuckets`. An ingestion pipeline
+    * alerts on max(skew) (ScaleSmoke asserts a skewed append is
+    * visible) and re-trains/re-writes the index when it drifts; the
+    * census itself is one partition-pruned aggregate over the cell
+    * column — it never touches embedding payloads (the scan reads the
+    * partition key and vec_id only).
+    */
+  def cellCensus(spark: SparkSession, dir: String): DataFrame = {
+    val counts = spark.read.parquet(s"$dir/vectors")
+      .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+    val cells = spark.read.parquet(s"$dir/centroids").select("cell")
+    val full = cells.join(counts, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_vectors"), lit(0L)).as("n_vectors"))
+    full.crossJoin(broadcast(
+        full.agg(avg(col("n_vectors")).as("mean_n"))))
+      .select(col("cell"), col("n_vectors"),
+        round(col("n_vectors") / col("mean_n"), 6).as("skew"))
+      .orderBy("cell")
   }
 }

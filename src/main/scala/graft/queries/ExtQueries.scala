@@ -4893,9 +4893,12 @@ object ExtQueries {
         |)""".stripMargin,
       """ucand AS MATERIALIZED (
         |  SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM (
-        |    SELECT w.n, substr(w.word, CAST(s.range AS INT), CAST(l.range AS INT)) AS piece
-        |    FROM uwf w, range(1, 41) s, range(1, 5) l
-        |    WHERE s.range + l.range - 1 <= length(w.word))
+        |    -- start positions driven by each word's length (ADVICE r9:
+        |    -- a fixed 1..40 range silently dropped the tail pieces of
+        |    -- 41+-char words, diverging from the trainer's seeding)
+        |    SELECT w.n, substr(w.word, CAST(t.s AS INT), CAST(l.range AS INT)) AS piece
+        |    FROM uwf w, unnest(range(1, length(w.word) + 1)) AS t(s), range(1, 5) l
+        |    WHERE t.s + l.range - 1 <= length(w.word))
         |  GROUP BY piece
         |)""".stripMargin,
       """usg AS MATERIALIZED (

@@ -87,4 +87,35 @@ class IvfIndexSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(r =>
       r.getAs[Long]("cid") % 4 == r.getAs[Long]("qid") % 4))
   }
+
+  test("cell census: a skewed append is visible as occupancy skew") {
+    import spark.implicits._
+    val emb = planted(120, 0L)
+    val dir = Files.createTempDirectory("ivfcensus").toString
+    IvfIndex.write(emb, dir, k = 4, iters = 2)
+    // balanced plant: every cell within rounding of mean occupancy
+    val before = IvfIndex.cellCensus(spark, dir).collect()
+    assert(before.length == 4)
+    assert(before.map(_.getAs[Long]("n_vectors")).sum == 120)
+    assert(before.forall(r => math.abs(r.getAs[Double]("skew") - 1.0) < 0.01))
+    // a hot append: 200 vectors all from cluster 0 — the frozen
+    // codebook routes them into one cell
+    val hot = (0 until 200).map { j =>
+      val e = Array.fill(64)(0.001f)
+      e(0) = 1.0f
+      e(60) = 0.001f * (j % 7 + 1)
+      (5000L + j, e.toSeq)
+    }.toDF("vec_id", "embedding")
+    IvfIndex.append(hot, dir)
+    val after = IvfIndex.cellCensus(spark, dir).collect()
+    assert(after.length == 4)
+    assert(after.map(_.getAs[Long]("n_vectors")).sum == 320)
+    // the hot cell holds its 30 standing + 200 appended vectors and
+    // reports the skew an ingestion monitor would alert on
+    val hotRow = after.maxBy(_.getAs[Long]("n_vectors"))
+    assert(hotRow.getAs[Long]("n_vectors") == 230)
+    assert(hotRow.getAs[Double]("skew") > 2.5, hotRow.toString)
+    // cold cells dropped below mean
+    assert(after.count(_.getAs[Double]("skew") < 0.5) == 3)
+  }
 }

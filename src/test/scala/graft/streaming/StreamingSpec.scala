@@ -1018,16 +1018,16 @@ class StreamingSpec extends SparkSpec {
     // arriving microbatch is scored against the LOADED weights (per-doc
     // independent, so streaming must equal batch exactly), gating docs
     // at the keep flag with no retrain on the hot path
-    import graft.ext.QualityModel
+    import graft.ext.{ModelStore, QualityModel}
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
     val tk = split(col("text"), " ")
     val labels = docs.select(col("doc_id"),
       when(size(filter(tk, x => x === "the" || x === "a")) * 16 > size(tk),
         lit(1L)).otherwise(lit(-1L)).as("y"))
     val wDir = Files.createTempDirectory("qwmodel").toString
-    QualityModel.trainPerceptron(docs.filter(col("doc_id") % 10 === 0),
-        "doc_id", "text", labels, 4096, rounds = 8)
-      .write.mode("overwrite").parquet(wDir)
+    ModelStore.writeQualityWeights(
+      QualityModel.trainPerceptron(docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", labels, 4096, rounds = 8), wDir)
     val dir = Files.createTempDirectory("qgdocs").toString
     docs.filter(col("doc_id") % 3 === 0).coalesce(1)
       .write.mode("overwrite").parquet(dir)
@@ -1041,7 +1041,7 @@ class StreamingSpec extends SparkSpec {
     var batches = 0
     val q = stream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val w = spark.read.parquet(wDir)
+        val w = ModelStore.readQualityWeights(spark, wDir)
         acc ++= QualityModel.scoreDocuments(batch.toDF(), "doc_id", "text", w, 4096)
           .collect()
           .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
@@ -1052,7 +1052,7 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(batches >= 3, s"expected >=3 microbatches, got $batches")
     val expected = QualityModel.scoreDocuments(
-        docs, "doc_id", "text", spark.read.parquet(wDir), 4096)
+        docs, "doc_id", "text", ModelStore.readQualityWeights(spark, wDir), 4096)
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
     assert(acc.toMap == expected)
