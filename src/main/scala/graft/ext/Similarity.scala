@@ -236,4 +236,73 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .orderBy("a_id", "b_id")
   }
+
+  /** First-occurrence curation verdicts for an arriving tranche of
+    * embeddings — [[graft.ext.Dedup.ledgerProbe]]'s exact semantics at
+    * the SEMANTIC layer, completing the five-modality verdict grid the
+    * x112 batch ledger carries (text, image, audio, video, embedding):
+    * exact_dup when the IDENTICAL vector is already standing (or a
+    * smaller-id copy shares the tranche; identity is the vector alone,
+    * block-independent), near_dup on a `blockCol`-blocked cosine ≥
+    * `threshold` pair — [[embeddingNearDups]]' criterion, same 6-dp
+    * rounding — against any standing vector or an earlier-first
+    * tranche vector, kept otherwise.
+    *
+    * Verdicts are final at arrival and judged at the DISTINCT-VECTOR
+    * level: exact duplication comes from vector identity alone, and
+    * only each distinct vector's first occurrence enters the cosine
+    * probe — a re-encoded 10k-copy embedding is ONE probed row, never
+    * m² member pairs. Standing blocks beyond `maxBlock` DISTINCT
+    * vectors are dropped from near-candidate generation (the capped
+    * probe discipline of the text/image layers; below the cap the
+    * verdicts equal a first-seen replay of the batch operator —
+    * [[embeddingNearDups]] instead sub-buckets oversized blocks, so
+    * above the cap the two diverge by design).
+    */
+  def ledgerProbe(standing: DataFrame, incoming: DataFrame,
+                  idCol: String, embCol: String, blockCol: String,
+                  threshold: Double, maxBlock: Int = 4096): DataFrame = {
+    require(maxBlock >= 1, s"maxBlock must be >= 1, got $maxBlock")
+    def mem(df: DataFrame): DataFrame = df.select(col(idCol).as("id"),
+      transform(col(embCol), x => x.cast("double")).as("e"),
+      col(blockCol).as("blk"))
+    val memS = mem(standing)
+    val memN = mem(incoming)
+    val firstOcc = memN.groupBy("e")
+      .agg(min(struct(col("id"), col("blk"))).as("m"))
+      .select(col("e"), col("m.id").as("fid"), col("m.blk").as("blk"))
+    val standingV = memS.select("e").distinct()
+    val exact = memN.join(standingV, Seq("e"), "left_semi").select("id")
+      .unionByName(memN.join(firstOcc.select("e", "fid"), "e")
+        .filter(col("id") =!= col("fid")).select("id"))
+      .distinct().withColumn("ex", lit(1))
+    def unit(df: DataFrame): DataFrame = df
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      .withColumn("u", transform(col("e"), x => x / col("nrm")))
+    val sDist = memS.select("e", "blk").distinct()
+    val oversized = sDist.groupBy("blk").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBlock).select("blk")
+    val sCap = unit(sDist.join(broadcast(oversized), Seq("blk"), "left_anti"))
+      .select(col("blk"), col("u").as("su"))
+    val pN = unit(firstOcc)
+    val cross = pN.join(sCap, "blk")
+      .filter(round(dot(col("u"), col("su")), 6) >= threshold)
+      .select(col("e"))
+    val within = pN.as("a")
+      .join(pN.select(col("blk"), col("fid").as("p_fid"),
+        col("u").as("pu")), "blk")
+      .filter(col("p_fid") < col("fid") &&
+        round(dot(col("u"), col("pu")), 6) >= threshold)
+      .select(col("a.e"))
+    val nearC = cross.unionByName(within).distinct()
+    val near = memN.join(nearC, Seq("e"), "left_semi")
+      .select("id").distinct().withColumn("nd", lit(1))
+    incoming.select(col(idCol).as("doc_id"))
+      .join(exact.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(near.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ex") === 1, lit("exact_dup"))
+          .when(col("nd") === 1, lit("near_dup"))
+          .otherwise(lit("kept")).as("decision"))
+  }
 }

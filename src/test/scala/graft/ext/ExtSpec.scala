@@ -1514,6 +1514,29 @@ class ExtSpec extends SparkSpec {
     assert(exactLosers.nonEmpty && nearLosers.nonEmpty)
   }
 
+  test("embedding ledgerProbe: semantic verdicts under first-seen precedence") {
+    import spark.implicits._
+    def v(xs: Double*) = xs.map(_.toFloat)
+    val standing = Seq(
+      (1L, v(1, 0, 0, 0), 0), (2L, v(0, 1, 0, 0), 1))
+      .toDF("vec_id", "embedding", "label")
+    val tranche = Seq(
+      (10L, v(1, 0, 0, 0), 0),       // identical to standing 1 → exact
+      (11L, v(2, 0, 0.1, 0), 0),     // colinear with 1, same label → near (cross)
+      (12L, v(0, 1, 0, 0), 5),       // identical VECTOR, different label → exact
+      (13L, v(0, 0, 1, 0), 2),       // fresh, first of its pair → kept
+      (14L, v(0, 0, 1, 0.05), 2),    // near 13, arrives later → near (within)
+      (15L, v(0.99, 0.05, 0, 0), 3), // near standing 1 numerically, other label → kept
+      (16L, v(1, 0, 0, 0), 0))       // smaller-id copy (10) shares the tranche → exact
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.ledgerProbe(standing, tranche,
+        "vec_id", "embedding", "label", 0.9)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(10L -> "exact_dup", 11L -> "near_dup",
+      12L -> "exact_dup", 13L -> "kept", 14L -> "near_dup",
+      15L -> "kept", 16L -> "exact_dup"), out.toString)
+  }
+
   test("x112: the multimodal ledger exercises every modality's branch on the plants") {
     val out = graft.queries.ExtQueries.queries("x112_multimodal_ledger")(spark, sf())
       .collect()

@@ -768,20 +768,28 @@ class StreamingSpec extends SparkSpec {
     assert(layered.values.exists(_ == "low_quality"))
   }
 
-  test("streaming multimodal tranche: all four modality probes append one persisted ledger equal to batch") {
+  test("streaming multimodal tranche: all five modality probes append one persisted ledger equal to batch") {
     // VERDICT r9 #7 — the full production ingestion shape the north
     // star names: each arriving tranche runs the text (x116),
-    // perceptual image/audio (x117) and video (x118) verdict probes
-    // against the PERSISTED standing indexes, appends its verdicts to
-    // the ONE persisted multimodal ledger, and appends itself to every
-    // index. The accumulated on-disk ledger must equal the batch
-    // multimodal first-seen ledger computed over the union corpus
-    // under arrival order — per modality, per document, no revision.
-    import graft.ext.{Dedup, ImageHash, AudioHash, VideoHash, Ledger, Bmp, Wav}
+    // perceptual image/audio (x117), video (x118) and semantic
+    // (embedding) verdict probes against the PERSISTED standing
+    // indexes, appends its verdicts to the ONE persisted multimodal
+    // ledger, and appends itself to every index. The accumulated
+    // on-disk ledger must equal the batch multimodal first-seen ledger
+    // computed over the union corpus under arrival order — per
+    // modality, per document, no revision.
+    import graft.ext.{Dedup, ImageHash, AudioHash, VideoHash, Similarity, Ledger, Bmp, Wav}
     import spark.implicits._
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
     val corpus = docs.unionAll(docs.filter(col("doc_id") % 97 === 13)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .cache()
+    // semantic layer: every doc's embedding; re-crawls carry COPIES of
+    // their source's vector (byte-identical doc ⇒ identical embedding)
+    val emb = Tables.embeddings(spark, sf())
+    val corpusEmb = emb.unionAll(emb.filter(col("vec_id") % 97 === 13)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          col("embedding"), col("label")))
       .cache()
     def imgHashes(df: org.apache.spark.sql.DataFrame) =
       df.filter(length(col("text")) >= 1)
@@ -800,6 +808,7 @@ class StreamingSpec extends SparkSpec {
     val imgDir = Files.createTempDirectory("mmimg").toString
     val audDir = Files.createTempDirectory("mmaud").toString
     val vidDir = Files.createTempDirectory("mmvid").toString
+    val embDir = Files.createTempDirectory("mmemb").toString
     val ledDir = Files.createTempDirectory("mmled").toString
     (0 to 2).foreach { t =>
       corpus.filter(col("doc_id") % 3 === t).coalesce(1)
@@ -823,18 +832,25 @@ class StreamingSpec extends SparkSpec {
         val vStd = if (first)
           VideoHash.frameHashes(corpus.filter(lit(false)), "doc_id", "text")
         else spark.read.parquet(vidDir)
+        val eStd = if (first) corpusEmb.filter(lit(false))
+          else spark.read.parquet(embDir)
         val bi = imgHashes(b)
         val ba = audHashes(b)
         val bv = VideoHash.frameHashes(b, "doc_id", "text")
+        val be = corpusEmb.join(
+          b.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
         Ledger.appendTranche(Map(
           "text" -> Dedup.ledgerProbe(tIdx, b, "doc_id", "text"),
           "image" -> ImageHash.ledgerProbe(iStd, bi, "doc_id", "hash"),
           "audio" -> ImageHash.ledgerProbe(aStd, ba, "doc_id", "hash"),
-          "video" -> VideoHash.ledgerProbe(vStd, bv, b, "doc_id")), t, ledDir)
+          "video" -> VideoHash.ledgerProbe(vStd, bv, b, "doc_id"),
+          "embedding" -> Similarity.ledgerProbe(eStd, be,
+            "vec_id", "embedding", "label", 0.35)), t, ledDir)
         Dedup.writeNearDupIndex(b, "doc_id", "text", idxDir)
         bi.write.mode("append").parquet(imgDir)
         ba.write.mode("append").parquet(audDir)
         bv.write.mode("append").parquet(vidDir)
+        be.write.mode("append").parquet(embDir)
         batches += 1
         ()
     }.start()
@@ -883,6 +899,11 @@ class StreamingSpec extends SparkSpec {
     val vidPairs = VideoHash.sequenceNearDups(allFrames)
       .select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val embMembers = corpusEmb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).mkString(",")).toMap
+    val embPairs = Similarity.embeddingNearDups(corpusEmb, "label", 0.35)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
     val expected =
       firstSeen(textMembers, textPairs, allIds.toSet)
         .map { case (id, d) => (id, "text") -> d } ++
@@ -891,18 +912,20 @@ class StreamingSpec extends SparkSpec {
       firstSeen(audMembers, audPairs, audMembers.keySet)
         .map { case (id, d) => (id, "audio") -> d } ++
       firstSeen(vidMembers, vidPairs, allIds.toSet)
-        .map { case (id, d) => (id, "video") -> d }
+        .map { case (id, d) => (id, "video") -> d } ++
+      firstSeen(embMembers, embPairs, allIds.toSet)
+        .map { case (id, d) => (id, "embedding") -> d }
     val onDisk = Ledger.read(spark, ledDir).collect()
       .map(r => (r.getLong(0), r.getString(3)) -> r.getString(1)).toMap
     assert(onDisk.size ==
-      allIds.size * 2 + imgMembers.size + audMembers.size)
+      allIds.size * 3 + imgMembers.size + audMembers.size)
     assert(onDisk == expected)
     // the plants keep every modality's dup branch live on disk
-    Seq("text", "image", "audio", "video").foreach { m =>
+    Seq("text", "image", "audio", "video", "embedding").foreach { m =>
       assert(onDisk.exists(kv => kv._1._2 == m && kv._2 == "exact_dup"),
         s"no exact_dup row in the $m layer")
     }
-    corpus.unpersist(); ()
+    corpusEmb.unpersist(); corpus.unpersist(); ()
   }
 
   test("streaming perceptual dedup: hash-layer probe per microbatch equals monolithic") {
