@@ -5164,6 +5164,83 @@ object ExtQueries {
       |FROM dwords JOIN un_sub USING (word)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- x120: per-tranche semantic verdicts (the embedding ledger kernel, oracle-gated) --
+
+  /** [[graft.ext.Similarity.ledgerProbe]] as a declared row — x116's
+    * move for the SEMANTIC layer, putting the fifth modality's verdict
+    * kernel under the DuckDB hash gate (the streaming multimodal test
+    * proves its accumulate-equals-batch property; this row hash-gates
+    * the kernel itself). Standing corpus vec_id % 4 != 0, tranche
+    * % 4 == 0, with two plants keeping the exact branch live at every
+    * SF: byte-identical copies of every 16th standing vector re-enter
+    * under id+10⁶ (exact against standing), and every 16th tranche
+    * vector re-enters under id+2·10⁶ (exact against a smaller-id
+    * tranche copy). One row per tranche vector: exact_dup (identical
+    * vector standing or smaller-id tranche copy), near_dup
+    * (label-blocked cosine ≥ 0.35 — [[graft.ext.Similarity
+    * .embeddingNearDups]]' criterion — against standing or an
+    * earlier-first tranche vector), kept. The oracle replays identity
+    * grouping and the blocked cosine chain.
+    */
+  val x120EmbeddingLedger: Q = (spark, sfDir) => {
+    val emb = Tables.embeddings(spark, sfDir)
+    val standing = emb.filter(col("vec_id") % 4 =!= 0)
+    val tranche = emb.filter(col("vec_id") % 4 === 0)
+      .unionAll(standing.filter(col("vec_id") % 16 === 1)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          col("embedding"), col("label")))
+      .unionAll(emb.filter(col("vec_id") % 4 === 0 && col("vec_id") % 16 === 4)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          col("embedding"), col("label")))
+    graft.ext.Similarity.ledgerProbe(standing, tranche,
+        "vec_id", "embedding", "label", 0.35)
+      .orderBy("doc_id")
+  }
+
+  private val x120Sql =
+    s"""WITH se AS MATERIALIZED (
+       |  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 4 != 0
+       |), tr AS MATERIALIZED (
+       |  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 4 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, embedding, label FROM embeddings
+       |  WHERE vec_id % 4 != 0 AND vec_id % 16 = 1
+       |  UNION ALL
+       |  SELECT vec_id + 2000000, embedding, label FROM embeddings
+       |  WHERE vec_id % 4 = 0 AND vec_id % 16 = 4
+       |), fo AS MATERIALIZED (
+       |  SELECT embedding, min(vec_id) AS fid, arg_min(label, vec_id) AS blk
+       |  FROM tr GROUP BY embedding
+       |), sdist AS MATERIALIZED (
+       |  SELECT DISTINCT embedding, label FROM se
+       |), ex AS (
+       |  SELECT DISTINCT t.vec_id FROM tr t
+       |  JOIN (SELECT DISTINCT embedding FROM se) s ON t.embedding = s.embedding
+       |  UNION
+       |  SELECT t.vec_id FROM tr t JOIN fo f ON t.embedding = f.embedding
+       |  WHERE t.vec_id != f.fid
+       |), nearv AS (
+       |  SELECT DISTINCT embedding FROM (
+       |    SELECT f.embedding
+       |    FROM fo f JOIN sdist s ON f.blk = s.label
+       |    WHERE ${cosSql("f.embedding", "s.embedding")} >= 0.35
+       |    UNION ALL
+       |    SELECT a.embedding
+       |    FROM fo a JOIN fo b ON a.blk = b.blk AND b.fid < a.fid
+       |    WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35)
+       |), nr AS (
+       |  SELECT DISTINCT t.vec_id FROM tr t
+       |  JOIN nearv n ON t.embedding = n.embedding
+       |)
+       |SELECT t.vec_id AS doc_id,
+       |  CASE WHEN ex.vec_id IS NOT NULL THEN 'exact_dup'
+       |       WHEN nr.vec_id IS NOT NULL THEN 'near_dup'
+       |       ELSE 'kept' END AS decision
+       |FROM tr t
+       |LEFT JOIN ex ON ex.vec_id = t.vec_id
+       |LEFT JOIN nr ON nr.vec_id = t.vec_id
+       |ORDER BY doc_id""".stripMargin
+
   // --- x114: trained-model holdout evaluation ------------------------------------------
 
   /** Generalization, measured — the evaluation row every trained-model
@@ -7212,7 +7289,8 @@ object ExtQueries {
     "x116_ledger_probe" -> x116LedgerProbe,
     "x117_phash_ledger" -> x117PhashLedger,
     "x118_video_seq_probe" -> x118VideoSeqProbe,
-    "x119_unigram_tokens" -> x119UnigramTokens)
+    "x119_unigram_tokens" -> x119UnigramTokens,
+    "x120_embedding_ledger" -> x120EmbeddingLedger)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -7333,5 +7411,6 @@ object ExtQueries {
     "x116_ledger_probe" -> x116Sql,
     "x117_phash_ledger" -> x117Sql,
     "x118_video_seq_probe" -> x118Sql,
-    "x119_unigram_tokens" -> x119Sql)
+    "x119_unigram_tokens" -> x119Sql,
+    "x120_embedding_ledger" -> x120Sql)
 }
