@@ -469,6 +469,40 @@ object ScaleSmoke {
       s"probe scan did not prune partitions: $partCount of 8")
     require(ivfSec < 300, f"ivf probe blew the 300s budget: $ivfSec%.1fs")
 
+    // --- IVF cell census: a skewed append is visible, not silent -------------
+    // append routes into a FROZEN codebook (VERDICT r9 #6): a hot
+    // append degrades probe cost invisibly unless the census reports
+    // it. 40k vectors all shaped like planted cluster 0 must land in
+    // one cell and show up as occupancy skew; the census reads only the
+    // partition key column.
+    val tCen = System.nanoTime()
+    val before = graft.ext.IvfIndex.cellCensus(spark, ivfDir).collect()
+    val hotAppend = spark.range(40000L).select(
+      (col("id") + 10000000L).as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        when(i === 0, lit(1.0f))
+          .when(i === 60, (lit(1) + col("id") % 7).cast("float") / 10000)
+          .otherwise(lit(0.001f))).as("embedding"))
+    graft.ext.IvfIndex.append(hotAppend, ivfDir)
+    val after = graft.ext.IvfIndex.cellCensus(spark, ivfDir).collect()
+    val cenSec = (System.nanoTime() - tCen) / 1e9
+    val beforeMap = before.map(r =>
+      r.getAs[Any]("cell").toString -> r.getAs[Long]("n_vectors")).toMap
+    // the append is one identical direction — exactly ONE cell grows,
+    // by exactly the batch size, and its skew is what a monitor alerts on
+    val grown = after.filter(r => r.getAs[Long]("n_vectors") ==
+      beforeMap(r.getAs[Any]("cell").toString) + 40000L)
+    println(f"ivf census: ${before.length}%d cells, grown=${grown.length}%d, " +
+      f"hot skew ${grown.headOption.map(_.getAs[Double]("skew")).getOrElse(-1.0)}%.2f " +
+      f"after 40k hot append in $cenSec%.1fs")
+    require(after.map(_.getAs[Long]("n_vectors")).sum == nIvf + 40000L,
+      "census row accounting drifted")
+    require(grown.length == 1,
+      s"hot append did not land in exactly one cell: ${grown.length}")
+    require(grown.head.getAs[Double]("skew") > 1.3,
+      s"skewed append not visible in the census: ${grown.head}")
+    require(cenSec < 120, f"census blew the 120s budget: $cenSec%.1fs")
+
     // --- image perceptual dedup: exact-dup flood stays collapsed -------------
     // 15k images but only 50 distinct pixel contents (the boilerplate
     // shape): the banded Hamming join must see 50 representatives, and

@@ -39,6 +39,16 @@ object Ledger {
                     dir: String): Unit =
     byModality.foreach { case (m, v) => append(v, tranche, m, dir) }
 
+  /** Append a frame that already carries its `modality` column — the
+    * x112 composition: the batch multimodal ledger IS the artifact
+    * that lands on disk, one write, rows routed to their
+    * (tranche, modality) partitions by the writer.
+    */
+  def appendMultimodal(rows: DataFrame, tranche: Long, dir: String): Unit =
+    rows.select(col("doc_id"), col("decision"),
+        lit(tranche).as("tranche"), col("modality"))
+      .write.mode("append").partitionBy("tranche", "modality").parquet(dir)
+
   /** The accumulated ledger: (doc_id, decision, tranche, modality).
     * Partition columns come back typed by parquet discovery; cast to
     * the written shape so readers compare stably.

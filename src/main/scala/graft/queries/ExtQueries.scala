@@ -146,6 +146,14 @@ object ExtQueries {
     * ([[graft.ext.QualityModel.trainPerceptron]] localCheckpoints every
     * round, so the cached frame is already materialized).
     */
+  /** The memoized x93/x114 trained weight table, exposed so the
+    * persistence layer can ship the EXACT artifact the declared rows
+    * score with ([[graft.ext.ModelStore.writeQualityWeights]];
+    * ModelStoreSpec proves the disk round-trip is bit-identical).
+    */
+  def qualityWeights(spark: SparkSession, sfDir: String): DataFrame =
+    trainedQualityWeights(spark, sfDir)
+
   private def trainedQualityWeights(spark: SparkSession, sfDir: String): DataFrame = {
     qualityWeightsCache.keySet.removeIf(_._1.sparkContext.isStopped)
     qualityWeightsCache.computeIfAbsent((spark, sfDir),
@@ -4761,6 +4769,14 @@ object ExtQueries {
   def warmUnigramTraining(spark: SparkSession, sfDir: String): Unit = {
     unigramModel(spark, sfDir); ()
   }
+
+  /** The memoized x113 unigram model, exposed so the persistence layer
+    * can ship the EXACT artifact x119 tokenizes with
+    * ([[graft.ext.ModelStore.writeUnigram]]).
+    */
+  def unigramLmModel(spark: SparkSession,
+                     sfDir: String): graft.ext.UnigramLm.Model =
+    unigramModel(spark, sfDir)
 
   private def unigramModel(spark: SparkSession,
                            sfDir: String): graft.ext.UnigramLm.Model = {

@@ -1514,6 +1514,23 @@ class ExtSpec extends SparkSpec {
     assert(exactLosers.nonEmpty && nearLosers.nonEmpty)
   }
 
+  test("x112 composes with the persisted ledger: the multimodal frame lands on disk") {
+    import java.nio.file.Files
+    val out = graft.queries.ExtQueries.queries("x112_multimodal_ledger")(spark, sf())
+    val dir = Files.createTempDirectory("x112led").toString
+    graft.ext.Ledger.appendMultimodal(out, tranche = 7L, dir)
+    val back = graft.ext.Ledger.read(spark, dir).collect()
+    assert(back.forall(_.getLong(2) == 7L))
+    val disk = back.map(r => (r.getLong(0), r.getString(3)) -> r.getString(1)).toMap
+    val mem = out.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("modality")) ->
+        r.getAs[String]("decision")).toMap
+    assert(disk == mem)
+    // partition pruning: one (tranche, modality) slice reads one
+    // partition directory, not the table
+    assert(new java.io.File(s"$dir/tranche=7/modality=image").isDirectory)
+  }
+
   test("embedding ledgerProbe: semantic verdicts under first-seen precedence") {
     import spark.implicits._
     def v(xs: Double*) = xs.map(_.toFloat)
