@@ -42,19 +42,24 @@ object IvfIndex {
     * quantized distances and (dist, cid) tie-break as training-time
     * assignment, via the persisted integer codebook.
     */
-  def append(emb: DataFrame, dir: String): Unit = {
-    val spark = emb.sparkSession
-    val centE = spark.read.parquet(s"$dir/centroids_q")
-    val qe = KMeans.quantized(emb)
+  /** (vec_id, cell) for a batch routed through the PERSISTED integer
+    * codebook — the exact [[KMeans.assignWith]] arithmetic, so an
+    * identical vector always lands in its training-time cell.
+    */
+  private def routeCells(emb: DataFrame, dir: String): DataFrame = {
+    val centE = emb.sparkSession.read.parquet(s"$dir/centroids_q")
+    KMeans.quantized(emb)
       .select(col("vec_id"), posexplode(col("e")).as(Seq("i", "v")))
-    val assigned = qe
       .join(broadcast(centE.select(col("cid"), col("i"), col("v").as("cv"))), "i")
       .groupBy("vec_id", "cid")
       .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))
       .groupBy("vec_id")
       .agg(min(struct(col("dist"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cell"))
-    emb.join(assigned, "vec_id")
+  }
+
+  def append(emb: DataFrame, dir: String): Unit = {
+    emb.join(routeCells(emb, dir), "vec_id")
       .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
   }
 
@@ -111,6 +116,103 @@ object IvfIndex {
       .select(col("qid"), col("cid"),
         round(Similarity.dot(col("qu"), col("cu")), 6).as("sim"))
     Similarity.rankTopK(scored, k)
+  }
+
+  /** First-occurrence curation verdicts for an arriving tranche of
+    * embeddings probed against the PERSISTED index — the 100 TB scale
+    * path of [[Similarity.ledgerProbe]], with IVF cells as the blocks:
+    * exact_dup when the IDENTICAL vector is already standing (integer
+    * routing parity guarantees an identical vector lives in the cell
+    * the probe reads) or a smaller-id copy shares the tranche;
+    * near_dup on a cosine ≥ `threshold` pair against a standing vector
+    * in one of the vector's `probes` nearest cells (∪ its
+    * integer-assigned cell) or an earlier-first tranche vector sharing
+    * its assigned cell; kept otherwise. First-seen precedence, judged
+    * at the DISTINCT-VECTOR level like every other modality probe.
+    *
+    * The standing side is read through LITERAL cell partition filters
+    * — the scan prunes to the probed cells and the unprobed
+    * (1 − probes/k) of the corpus is never touched (IvfIndexSpec
+    * asserts `selectedPartitions`), which is what makes per-tranche
+    * semantic dedup affordable against a 100 TB vector store. The
+    * recall contract is the IVF bargain: a true near pair whose
+    * partner sits outside the probed cells is missed ([[Similarity
+    * .lshTopK]]'s trade, tunable via `probes`); vector IDENTITY is
+    * never missed. The incoming batch is bounded (`maxBatch`) and
+    * broadcast, mirroring [[topK]].
+    */
+  def ledgerProbe(spark: SparkSession, dir: String, incoming: DataFrame,
+                  idCol: String, embCol: String, threshold: Double,
+                  probes: Int = 1, maxCells: Int = 4096,
+                  maxBatch: Int = 1 << 16): DataFrame = {
+    require(probes >= 1 && maxCells >= 1)
+    require(incoming.limit(maxBatch + 1).count() <= maxBatch,
+      s"tranche exceeds maxBatch=$maxBatch — split the tranche")
+    val embFrame = incoming.select(col(idCol).as("vec_id"),
+      col(embCol).as("embedding"))
+    val memN = embFrame.select(col("vec_id").as("id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+    val firstOcc = memN.groupBy("e").agg(min(col("id")).as("fid"))
+    def unit(df: DataFrame): DataFrame = df
+      .withColumn("nrm", sqrt(Similarity.dot(col("e"), col("e"))))
+      .withColumn("u", transform(col("e"), x => x / col("nrm")))
+      .drop("nrm")
+    val qu = unit(firstOcc)
+    // probed cells per distinct vector: the integer-assigned cell
+    // (identity lives there — routeCells == training-time assignment)
+    // ∪ the `probes` nearest by the search-time double codebook
+    val routed = routeCells(embFrame, dir)
+      .join(memN.withColumnRenamed("id", "vec_id"), "vec_id")
+      .groupBy("e").agg(min(struct(col("vec_id"), col("cell"))).as("m"))
+      .select(col("e"), col("m.cell").as("cell"))
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val ranked = qu.crossJoin(broadcast(cent))
+      .select(col("e"), col("cell"),
+        Similarity.l2sq(col("e"), col("ce")).as("d"))
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("e").orderBy(col("d"), col("cell"))))
+      .filter(col("rn") <= probes).select("e", "cell")
+    val probeCells = routed.unionByName(ranked).distinct()
+    val cells = probeCells.select("cell").distinct()
+      .limit(maxCells + 1).collect().map(_.get(0))
+    require(cells.length <= maxCells,
+      s"probed cell set exceeds maxCells=$maxCells — not a codebook?")
+    val standing = spark.read.parquet(s"$dir/vectors")
+      .filter(col("cell").isin(cells: _*))
+      .select(col("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("se"))
+    val su = unit(standing.withColumnRenamed("se", "e"))
+      .select(col("cell"), col("e").as("se"), col("u").as("sv"))
+    // exact: identical standing vector (its cell is always probed), or
+    // a smaller-id tranche copy
+    val exact = su.select(col("se").as("e")).distinct()
+      .join(broadcast(memN), "e").select("id")
+      .unionByName(memN.join(firstOcc, "e")
+        .filter(col("id") =!= col("fid")).select("id"))
+      .distinct().withColumn("ex", lit(1))
+    // near, distinct-vector level: standing candidates from the probed
+    // cells; within-tranche candidates share the assigned cell
+    val pc = broadcast(probeCells.join(qu, "e"))
+    val crossN = pc.join(su, "cell")
+      .filter(round(Similarity.dot(col("u"), col("sv")), 6) >= threshold)
+      .select(col("e"))
+    val rq = routed.join(qu, "e")
+    val withinN = rq.as("a")
+      .join(rq.select(col("cell"), col("fid").as("p_fid"),
+        col("u").as("pu")), "cell")
+      .filter(col("p_fid") < col("fid") &&
+        round(Similarity.dot(col("u"), col("pu")), 6) >= threshold)
+      .select(col("a.e"))
+    val near = memN.join(crossN.unionByName(withinN).distinct(),
+        Seq("e"), "left_semi")
+      .select("id").distinct().withColumn("nd", lit(1))
+    incoming.select(col(idCol).as("doc_id"))
+      .join(exact.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(near.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ex") === 1, lit("exact_dup"))
+          .when(col("nd") === 1, lit("near_dup"))
+          .otherwise(lit("kept")).as("decision"))
   }
 
   /** Post-append cell occupancy census (VERDICT r9 #6): (cell,

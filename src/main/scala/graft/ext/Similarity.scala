@@ -258,6 +258,11 @@ object Similarity {
     * verdicts equal a first-seen replay of the batch operator —
     * [[embeddingNearDups]] instead sub-buckets oversized blocks, so
     * above the cap the two diverge by design).
+    *
+    * Scale path: when the standing corpus is a persisted vector store
+    * rather than a frame, use [[IvfIndex.ledgerProbe]] — same verdict
+    * contract with IVF cells as the blocks and the standing side read
+    * through partition-pruned cell filters.
     */
   def ledgerProbe(standing: DataFrame, incoming: DataFrame,
                   idCol: String, embCol: String, blockCol: String,

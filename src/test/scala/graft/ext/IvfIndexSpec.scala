@@ -88,6 +88,31 @@ class IvfIndexSpec extends SparkSpec {
       r.getAs[Long]("cid") % 4 == r.getAs[Long]("qid") % 4))
   }
 
+  test("semantic ledgerProbe from disk: identity exact, cell-pruned near, first-seen") {
+    import spark.implicits._
+    val emb = planted(120, 0L)
+    val dir = Files.createTempDirectory("ivfled").toString
+    IvfIndex.write(emb, dir, k = 4, iters = 2)
+    def custom(g: Int, j60: Float) = {
+      val e = Array.fill(64)(0.001f); e(g) = 1.0f; e(60) = j60; e.toSeq
+    }
+    val tranche = Seq(
+      (1000L, custom(0, 0.001f)),  // identical to standing vec 0 → exact
+      (1001L, custom(1, 0.0005f)), // colinear with cluster 1, new vector → near
+      (1002L, custom(1, 0.0005f)), // tranche copy of 1001 → exact (within)
+      (1003L, custom(5, 0.003f))) // unplanted direction → kept
+      .toDF("vec_id", "embedding")
+    val out = IvfIndex.ledgerProbe(spark, dir, tranche,
+      "vec_id", "embedding", threshold = 0.9)
+    val got = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the standing scan reads ONLY the probed cells' partitions
+    val plan = out.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"no partition pruning on the vector scan:\n${plan.take(3000)}")
+    assert(got == Map(1000L -> "exact_dup", 1001L -> "near_dup",
+      1002L -> "exact_dup", 1003L -> "kept"), got.toString)
+  }
+
   test("cell census: a skewed append is visible as occupancy skew") {
     import spark.implicits._
     val emb = planted(120, 0L)

@@ -1034,6 +1034,78 @@ class StreamingSpec extends SparkSpec {
       "no appended vector surfaced in the probe")
   }
 
+  test("streaming semantic dedup: disk IVF verdicts + persisted ledger + append per microbatch") {
+    // the production semantic-dedup loop end to end: the vector index
+    // trains once and persists; each arriving tranche (a) gets
+    // first-seen verdicts from IvfIndex.ledgerProbe — identity exact,
+    // cell-pruned cosine near — (b) lands them in the persisted
+    // Ledger, (c) appends itself to the index, becoming standing for
+    // the next tranche. Planted tranches make every verdict
+    // deterministic: 10 exact copies of standing vectors, 10 vectors
+    // colinear with standing clusters (near), and 10 mutually-colinear
+    // vectors in a direction fresh to THIS tranche (first-seen: the
+    // min id keeps, the other 9 are near).
+    import spark.implicits._
+    import graft.ext.{IvfIndex, Ledger}
+    def base(g: Int, j60: Float): Seq[Float] = {
+      val e = Array.fill(64)(0.001f); e(g) = 1.0f; e(60) = j60; e.toSeq
+    }
+    val standing = (0 until 120).map { j =>
+      (j.toLong, base(j % 4, 0.001f * (j % 7 + 1)))
+    }.toDF("vec_id", "embedding")
+    val idxDir = Files.createTempDirectory("ivfsemidx").toString
+    val srcDir = Files.createTempDirectory("ivfsemsrc").toString
+    val ledDir = Files.createTempDirectory("ivfsemled").toString
+    IvfIndex.write(standing, idxDir, k = 4, iters = 2)
+    def trancheDf(t: Int) = {
+      val idBase = 10000L + t * 1000L
+      val exacts = (0 until 10).map(j =>
+        (idBase + j, base(j % 4, 0.001f * (j % 7 + 1))))
+      val nears = (0 until 10).map(k =>
+        (idBase + 100 + k, base(k % 4, 0.01f * (t + 1) + 0.0001f * k)))
+      val fresh = (0 until 10).map(k =>
+        (idBase + 200 + k, base(5 + t, 0.003f + 0.0001f * k)))
+      (exacts ++ nears ++ fresh).toDF("vec_id", "embedding")
+    }
+    (0 to 2).foreach { t =>
+      trancheDf(t).coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    var batches = 0
+    val q = spark.readStream.schema(trancheDf(0).schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val b = batch.toDF()
+          Ledger.append(IvfIndex.ledgerProbe(spark, idxDir, b,
+            "vec_id", "embedding", threshold = 0.9),
+            batches.toLong, "embedding", ledDir)
+          IvfIndex.append(b, idxDir)
+          batches += 1
+          ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches >= 3, s"expected >=3 microbatches, got $batches")
+    val led = Ledger.read(spark, ledDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(led.size == 90)
+    (0 to 2).foreach { t =>
+      val idBase = 10000L + t * 1000L
+      (0 until 10).foreach { j =>
+        assert(led(idBase + j) == "exact_dup", s"t=$t exact copy $j: ${led(idBase + j)}")
+        assert(led(idBase + 100 + j) == "near_dup", s"t=$t near $j: ${led(idBase + 100 + j)}")
+      }
+      // fresh direction: the first arrival keeps, every later one is a
+      // near-dup of it — and the direction never leaks across tranches
+      assert(led(idBase + 200) == "kept", s"t=$t fresh first: ${led(idBase + 200)}")
+      (1 until 10).foreach { k =>
+        assert(led(idBase + 200 + k) == "near_dup", s"t=$t fresh $k: ${led(idBase + 200 + k)}")
+      }
+    }
+    // the index grew tranche by tranche
+    assert(spark.read.parquet(s"$idxDir/vectors").count() == 120 + 90)
+  }
+
   test("streaming quality gate: microbatches scored against the persisted model equal batch") {
     // the x93 model in its deployment shape: the perceptron trains ONCE
     // on the standing labeled corpus and persists as a (bucket, wt)
