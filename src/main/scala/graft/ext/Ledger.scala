@@ -12,14 +12,22 @@ import org.apache.spark.sql.functions._
   * table).
   *
   * Verdicts are FINAL at arrival (the ledgerProbe first-seen
-  * contract), so append-only is the correct write discipline: no row
+  * contract), so append-only growth is the correct discipline: no row
   * is ever revised, and the accumulated ledger over tranches 0..n
   * EQUALS the batch multimodal ledger computed over the union corpus
-  * under arrival order (StreamingSpec asserts it on disk). Each
-  * tranche's rows land in fresh partition directories, so a re-run of
-  * a failed tranche overwrites nothing committed.
+  * under arrival order (StreamingSpec asserts it on disk). Writes use
+  * DYNAMIC partition overwrite: only the (tranche, modality)
+  * partitions present in the written frame are replaced, so the table
+  * grows append-shaped across tranches while a RE-RUN of a failed
+  * tranche is idempotent — it replaces its own partitions and touches
+  * nothing committed by other tranches (LedgerSpec asserts both).
   */
 object Ledger {
+
+  private def write(rows: DataFrame, dir: String): Unit =
+    rows.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("tranche", "modality").parquet(dir)
 
   /** Append one tranche's verdicts for one modality. `verdicts` is the
     * ledgerProbe shape (doc_id, decision) — [[Dedup.ledgerProbe]],
@@ -28,9 +36,8 @@ object Ledger {
     */
   def append(verdicts: DataFrame, tranche: Long, modality: String,
              dir: String): Unit =
-    verdicts.select(col("doc_id"), col("decision"),
-        lit(tranche).as("tranche"), lit(modality).as("modality"))
-      .write.mode("append").partitionBy("tranche", "modality").parquet(dir)
+    write(verdicts.select(col("doc_id"), col("decision"),
+      lit(tranche).as("tranche"), lit(modality).as("modality")), dir)
 
   /** Append a full multimodal tranche in one call: `byModality` maps
     * modality name → that modality's (doc_id, decision) verdicts.
@@ -45,9 +52,8 @@ object Ledger {
     * (tranche, modality) partitions by the writer.
     */
   def appendMultimodal(rows: DataFrame, tranche: Long, dir: String): Unit =
-    rows.select(col("doc_id"), col("decision"),
-        lit(tranche).as("tranche"), col("modality"))
-      .write.mode("append").partitionBy("tranche", "modality").parquet(dir)
+    write(rows.select(col("doc_id"), col("decision"),
+      lit(tranche).as("tranche"), col("modality")), dir)
 
   /** The accumulated ledger: (doc_id, decision, tranche, modality).
     * Partition columns come back typed by parquet discovery; cast to
@@ -57,4 +63,15 @@ object Ledger {
     spark.read.parquet(dir).select(col("doc_id"), col("decision"),
       col("tranche").cast("long").as("tranche"),
       col("modality").cast("string").as("modality"))
+
+  /** The downstream monitor's view: verdict counts per (tranche,
+    * modality, decision), ordered for drift reading — rejection-rate
+    * trends over tranches are one window away. Scans only the
+    * partition keys + decision column.
+    */
+  def auditSummary(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir)
+      .groupBy("tranche", "modality", "decision")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("tranche", "modality", "decision")
 }

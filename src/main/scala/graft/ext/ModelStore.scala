@@ -57,6 +57,22 @@ object ModelStore {
     rows.sortBy(_.getInt(0)).map(_.getString(1)).toSeq
   }
 
+  /** Persist the trained BPE VOCAB table (word, n, repr) — the
+    * deployable tokenization artifact: corpus tokenization equi-joins
+    * its distinct words against this table (the x62/x86 discipline —
+    * segment the vocabulary once, join the corpus) instead of
+    * replaying the merge chain per string. Ship it next to the merge
+    * table; words outside the vocabulary fall back to
+    * [[TextAnalytics.applyMerges]] over [[readBpeMerges]].
+    */
+  def writeBpeVocab(vocab: DataFrame, dir: String): Unit =
+    vocab.select(col("word"), col("n"), col("repr"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
+
+  /** The persisted vocabulary, ready for the tokenization join. */
+  def readBpeVocab(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/vocab")
+
   // --- Unigram LM: (piece, cnt, cost_fp) piece table -----------------------
 
   /** Persist a trained unigram model. The piece table IS the model:

@@ -1,0 +1,60 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persisted curation ledger's write discipline: append-shaped
+  * growth across tranches, idempotent re-run of a single tranche
+  * (dynamic partition overwrite — a retried failed tranche replaces
+  * its own partitions and touches nothing committed), and the
+  * partition-pruned audit view.
+  */
+class LedgerSpec extends SparkSpec {
+
+  private def verdicts(ids: Seq[(Long, String)]) = {
+    import spark.implicits._
+    ids.toDF("doc_id", "decision")
+  }
+
+  test("tranche appends accumulate; re-running one tranche is idempotent") {
+    val dir = Files.createTempDirectory("ledidem").toString
+    Ledger.append(verdicts(Seq(1L -> "kept", 2L -> "exact_dup")),
+      0L, "text", dir)
+    Ledger.append(verdicts(Seq(3L -> "near_dup")), 1L, "text", dir)
+    Ledger.append(verdicts(Seq(1L -> "kept")), 0L, "image", dir)
+    val once = Ledger.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sorted.toSeq
+    assert(once.size == 4)
+    // a failed tranche re-runs: same tranche, same modality, same rows
+    // — the ledger must not double-count
+    Ledger.append(verdicts(Seq(1L -> "kept", 2L -> "exact_dup")),
+      0L, "text", dir)
+    val twice = Ledger.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sorted.toSeq
+    assert(twice == once, "tranche re-run double-counted")
+    // and a re-run only replaces ITS partitions: tranche 1 and the
+    // tranche-0 image layer survived untouched
+    assert(twice.contains((3L, "near_dup", 1L, "text")))
+    assert(twice.contains((1L, "kept", 0L, "image")))
+  }
+
+  test("auditSummary counts per (tranche, modality, decision)") {
+    val dir = Files.createTempDirectory("ledaudit").toString
+    Ledger.append(verdicts(Seq(1L -> "kept", 2L -> "kept", 3L -> "exact_dup")),
+      0L, "text", dir)
+    Ledger.append(verdicts(Seq(4L -> "near_dup", 5L -> "kept")), 1L, "text", dir)
+    val got = Ledger.auditSummary(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      (0L, "text", "exact_dup", 1L),
+      (0L, "text", "kept", 2L),
+      (1L, "text", "kept", 1L),
+      (1L, "text", "near_dup", 1L)))
+  }
+}

@@ -18,9 +18,10 @@ class ModelStoreSpec extends SparkSpec {
   test("BPE merge table round-trips and re-tokenizes identically from disk") {
     val docs = Tables.documents(spark, sf())
     val wf = TextAnalytics.wordFreq(docs, "text")
-    val (merges, _) = TextAnalytics.bpeTrain(wf, rounds = 6)
+    val (merges, vocab) = TextAnalytics.bpeTrain(wf, rounds = 6)
     val dir = Files.createTempDirectory("bpestore").toString
     ModelStore.writeBpe(merges, dir)
+    ModelStore.writeBpeVocab(vocab, dir)
     val fresh = spark.newSession()
     // table round-trips row-for-row in training order
     val back = ModelStore.readBpe(fresh, dir).collect()
@@ -38,6 +39,15 @@ class ModelStoreSpec extends SparkSpec {
         TextAnalytics.applyMerges(col("text"), pairs).as("bpe"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(fromDisk.sortBy(_._1).toSeq == inSession.sortBy(_._1).toSeq)
+    // the deployable path: the persisted VOCAB tokenizes the corpus by
+    // equi-join (x86's discipline), bit-identical from disk
+    val segMem = vocab.collect()
+      .map(r => (r.getString(0), r.getString(2).count(_ == ' ') + 1L))
+      .sorted.toSeq
+    val segDisk = ModelStore.readBpeVocab(fresh, dir)
+      .select(col("word"), size(split(col("repr"), " ")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(segDisk == segMem)
   }
 
   test("unigram piece table round-trips and segments identically from disk") {
