@@ -503,6 +503,43 @@ object ScaleSmoke {
       s"skewed append not visible in the census: ${grown.head}")
     require(cenSec < 120, f"census blew the 120s budget: $cenSec%.1fs")
 
+    // --- semantic ledger probe against the persisted store -------------------
+    // IvfIndex.ledgerProbe at the 240k-vector tier: a mixed tranche of
+    // (a) exact copies of standing vectors, (b) colinear perturbations
+    // of the planted clusters, (c) vectors in 8 directions fresh to
+    // the store (mutually colinear per direction, so first-seen keeps
+    // exactly one per direction) must classify every slice exactly,
+    // reading standing vectors through the cell partition filter.
+    val tSem = System.nanoTime()
+    val exactT2 = vecs.filter(col("vec_id") < 500)
+      .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
+    val nearT2 = spark.range(500).select((col("id") + 910000000L).as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        when(i === (col("id") % 16).cast("int"), lit(1.0f))
+          .when(i === 60, ((lit(100) + col("id")) / 100000000.0).cast("float"))
+          .otherwise(lit(0.001f))).as("embedding"))
+    val freshT2 = spark.range(500).select((col("id") + 920000000L).as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        when(i === (lit(16) + col("id") % 8).cast("int"), lit(1.0f))
+          .when(i === 60, ((lit(100) + col("id")) / 100000000.0).cast("float"))
+          .otherwise(lit(0.001f))).as("embedding"))
+    val semTranche = exactT2.unionByName(nearT2).unionByName(freshT2)
+    val semCounts = graft.ext.IvfIndex.ledgerProbe(spark, ivfDir, semTranche,
+        "vec_id", "embedding", threshold = 0.9)
+      .groupBy("decision").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val semSec = (System.nanoTime() - tSem) / 1e9
+    println(f"semantic ledger probe: ${semCounts.getOrElse("exact_dup", 0L)}%d " +
+      f"exact / ${semCounts.getOrElse("near_dup", 0L)}%d near / " +
+      f"${semCounts.getOrElse("kept", 0L)}%d kept of 1500 in $semSec%.1fs")
+    require(semCounts.getOrElse("exact_dup", 0L) == 500L,
+      s"exact copies misjudged: $semCounts")
+    require(semCounts.getOrElse("near_dup", 0L) == 992L,
+      s"near slice misjudged: $semCounts")
+    require(semCounts.getOrElse("kept", 0L) == 8L,
+      s"fresh directions misjudged: $semCounts")
+    require(semSec < 180, f"semantic probe blew the 180s budget: $semSec%.1fs")
+
     // --- image perceptual dedup: exact-dup flood stays collapsed -------------
     // 15k images but only 50 distinct pixel contents (the boilerplate
     // shape): the banded Hamming join must see 50 representatives, and
