@@ -217,7 +217,8 @@ object Similarity {
     * near-dup clique whose pair count is output, not waste.
     */
   def embeddingNearDups(emb: DataFrame, blockCol: String, threshold: Double,
-                        maxBlock: Int = 4096): DataFrame = {
+                        maxBlock: Int = 4096,
+                        sorted: Boolean = true): DataFrame = {
     require(maxBlock >= 1, s"maxBlock must be >= 1, got $maxBlock")
     val u = unitized(emb, extra = Seq(blockCol)).withColumnRenamed(blockCol, "blk0")
     // oversized-block census: tiny by construction (keys above the cap),
@@ -231,10 +232,12 @@ object Similarity {
           .otherwise(col("blk0").cast("string")))
     val a = widened.select(col("vec_id").as("a_id"), col("unit").as("au"), col("blk"))
     val b = widened.select(col("vec_id").as("b_id"), col("unit").as("bu"), col("blk"))
-    a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))
+    val pairs = a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), round(dot(col("au"), col("bu")), 6).as("sim"))
       .filter(col("sim") >= threshold)
-      .orderBy("a_id", "b_id")
+    // the declared x5 row needs the total order; set-shaped consumers
+    // (connected components, ledger kernels) skip the range exchange
+    if (sorted) pairs.orderBy("a_id", "b_id") else pairs
   }
 
   /** First-occurrence curation verdicts for an arriving tranche of

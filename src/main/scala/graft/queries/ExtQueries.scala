@@ -1437,7 +1437,8 @@ object ExtQueries {
     */
   val x32SemanticDedup: Q = (spark, sfDir) => {
     val emb = Tables.embeddings(spark, sfDir)
-    val pairs = Similarity.embeddingNearDups(emb, "label", 0.35)
+    val pairs = Similarity
+      .embeddingNearDups(emb, "label", 0.35, sorted = false)
       .select(col("a_id"), col("b_id"))
     val clusters = Dedup.dedupClusters(pairs)
       .withColumnRenamed("doc_id", "vec_id")
@@ -6749,27 +6750,33 @@ object ExtQueries {
           .join(graft.ext.Boilerplate
             .dedupWithinDocuments(corpus, "doc_id", "text", width = 4)
             .select(col("doc_id"), col("n_removed").as("ni")), Seq("doc_id"))
-        val imgHashes = corpus.filter(length(col("text")) >= 1)
+        // ONE decode pass for both byte-level perceptual kernels: the
+        // synthetic media derive from the same bytes, so encoding +
+        // codec-parsing the corpus twice (once per modality) was pure
+        // recomputation — production decodes each blob once and fans
+        // out every perceptual feature from the decoded frame
+        val perceptual = corpus.filter(length(col("text")) >= 1)
           .select(col("doc_id"), col("text")).as[(Long, String)]
           .map { case (id, t) =>
-            (id, graft.ext.ImageHash.dHash(
-              Bmp.parse(Bmp.write(16, t.getBytes("US-ASCII")))))
-          }.toDF("doc_id", "hash")
+            val bytes = t.getBytes("US-ASCII")
+            (id,
+              graft.ext.ImageHash.dHash(Bmp.parse(Bmp.write(16, bytes))),
+              graft.ext.AudioHash.eHash(Wav.parse(Wav.write(bytes))))
+          }.toDF("doc_id", "ihash", "ahash").persist(lvl)
         val iclusters = Dedup.dedupClusters(
-          graft.ext.ImageHash.hammingNearDups(imgHashes, "doc_id", "hash"))
+          graft.ext.ImageHash.hammingNearDups(
+            perceptual.select(col("doc_id"), col("ihash").as("hash")),
+            "doc_id", "hash"))
         val icanon = Dedup.clusterCanonical(iclusters,
             corpus.select(col("doc_id"),
               length(col("text")).cast("long").as("n_bytes")),
             Seq("n_bytes"))
           .select(col("cluster_id"), col("keep_id"))
-        val audHashes = corpus.filter(length(col("text")) >= 1)
-          .select(col("doc_id"), col("text")).as[(Long, String)]
-          .map { case (id, t) =>
-            (id, graft.ext.AudioHash.eHash(
-              Wav.parse(Wav.write(t.getBytes("US-ASCII")))))
-          }.toDF("doc_id", "hash")
         val aclusters = Dedup.dedupClusters(
-          graft.ext.ImageHash.hammingNearDups(audHashes, "doc_id", "hash"))
+          graft.ext.ImageHash.hammingNearDups(
+            perceptual.select(col("doc_id"), col("ahash").as("hash")),
+            "doc_id", "hash"))
+        perceptual.unpersist(false)
         val frames = graft.ext.VideoHash.frameHashes(corpus, "doc_id", "text")
         val vclusters = Dedup.dedupClusters(
           graft.ext.VideoHash.sequenceNearDups(frames))
@@ -6788,7 +6795,8 @@ object ExtQueries {
           .select((col("vec_id") + 1000000L).as("vec_id"),
             col("embedding"), col("label")))
         val eclusters = Dedup.dedupClusters(
-          graft.ext.Similarity.embeddingNearDups(corpusEmb, "label", 0.35)
+          graft.ext.Similarity
+            .embeddingNearDups(corpusEmb, "label", 0.35, sorted = false)
             .select("a_id", "b_id"))
         LedgerKernels(corpus, keep.persist(lvl), tclusters.persist(lvl),
           contaminated.persist(lvl), removal.persist(lvl),
