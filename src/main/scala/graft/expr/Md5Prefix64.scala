@@ -714,5 +714,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           idCol, textCol)
           .queryExecution.analyzed
       }))
+    e.injectTableFunction((
+      new FunctionIdentifier("embedding_ledger_probe"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null,
+        "embedding_ledger_probe",
+        "embedding_ledger_probe(standing, incoming, idCol, embCol, " +
+          "blockCol) - table function: first-occurrence semantic " +
+          "curation verdicts for the incoming embedding tranche against " +
+          "the standing corpus (identity exact, block-scoped cosine >= " +
+          "0.35 near); returns (doc_id, decision in " +
+          "exact_dup|near_dup|kept). All arguments string literals.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 5,
+          "embedding_ledger_probe takes (standing, incoming, idCol, embCol, blockCol)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ext.Similarity.ledgerProbe(
+          spark.table(strLit(exprs(0), "embedding_ledger_probe standing")),
+          spark.table(strLit(exprs(1), "embedding_ledger_probe incoming")),
+          strLit(exprs(2), "embedding_ledger_probe idCol"),
+          strLit(exprs(3), "embedding_ledger_probe embCol"),
+          strLit(exprs(4), "embedding_ledger_probe blockCol"),
+          threshold = 0.35)
+          .queryExecution.analyzed
+      }))
   }
 }

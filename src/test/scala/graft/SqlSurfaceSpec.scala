@@ -455,6 +455,26 @@ class SqlSurfaceSpec extends SparkSpec {
       (12L, "kept")), verdicts.mkString(","))
   }
 
+  test("embedding_ledger_probe is callable as a SQL table function") {
+    import spark.implicits._
+    def v(xs: Double*) = xs.map(_.toFloat)
+    Seq((1L, v(1, 0, 0, 0), 0), (2L, v(0, 1, 0, 0), 1))
+      .toDF("vec_id", "embedding", "label")
+      .createOrReplaceTempView("sem_std")
+    Seq((10L, v(1, 0, 0, 0), 0),     // identical → exact
+        (11L, v(2, 0, 0.1, 0), 0),   // colinear, same label → near
+        (12L, v(0, 0, 1, 0), 2))     // fresh direction → kept
+      .toDF("vec_id", "embedding", "label")
+      .createOrReplaceTempView("sem_new")
+    val verdicts = spark.sql(
+      """SELECT doc_id, decision FROM
+        |embedding_ledger_probe('sem_std', 'sem_new', 'vec_id', 'embedding', 'label')
+        |ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(verdicts.toSeq == Seq((10L, "exact_dup"), (11L, "near_dup"),
+      (12L, "kept")), verdicts.mkString(","))
+  }
+
   test("extension functions enforce arity and literal parameters") {
     val wrongArity = intercept[Exception] {
       spark.sql("SELECT md5_prefix64('a')").collect()
