@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // observation names must be unique per live query: concurrent
+  // dedupClusters calls (the x112 kernels build in parallel) would
+  // otherwise cross-match each other's 'changed' metrics through the
+  // shared listener bus and corrupt convergence decisions
+  private val ccSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Whitespace tokens; mirrors DuckDB `string_split(c, ' ')`. */
   def tokens(c: Column): Column = split(c, " ")
 
@@ -790,7 +796,8 @@ object Dedup {
       // pointer jumping (path halving): also adopt the label OF the
       // current label, turning O(diameter) convergence into O(log n) —
       // a chain component would otherwise need one round per hop
-      val obs = new org.apache.spark.sql.Observation(s"cc_round_$iter")
+      val obs = new org.apache.spark.sql.Observation(
+        s"cc_${ccSeq.incrementAndGet()}_round_$iter")
       val next = stepped
         .join(stepped.select(col("id").as("lbl"), col("lbl").as("ll")), Seq("lbl"), "left")
         .select(col("id"),

@@ -6659,8 +6659,17 @@ object ExtQueries {
     * relation and standing index plus a probe of the 10% modified
     * slice, instead of re-signing the whole planted corpus.
     */
-  def warmLedgerKernels(spark: SparkSession, sfDir: String): Unit =
-    ledgerKernels(spark, sfDir).frames.foreach(_.count())
+  def warmLedgerKernels(spark: SparkSession, sfDir: String): Unit = {
+    // the lazy frames (contamination, removal masses, canonicals) are
+    // independent too — materialize them concurrently, same rationale
+    // as the parallel cluster builds inside the kernel constructor
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    ledgerKernels(spark, sfDir).frames
+      .map(f => Future(f.count()))
+      .foreach(Await.result(_, Duration.Inf))
+  }
 
   /** Per-frame materialization timings of the kernel build (Scratch
     * diagnostics — same work as [[warmLedgerKernels]], labeled).
@@ -6737,8 +6746,17 @@ object ExtQueries {
         val pairsC = base.filter(col("doc_id") % 97 === 13)
           .select(col("doc_id").as("a_id"),
             (col("doc_id") + 1000000L).as("b_id"))
-        val tclusters = Dedup.dedupClusters(
-          pairsA.unionByName(pairsB).unionByName(pairsC))
+        // the five cluster kernels are INDEPENDENT pipelines whose
+        // eager CC builds each leave most of local[32] idle — build
+        // them concurrently (Spark job submission is thread-safe; CC
+        // observation names are call-unique) and await below: the
+        // build pays the critical path, not the sum of five pipelines
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        corpus.count() // materialize the shared input once, pre-fork
+        val fT = Future(Dedup.dedupClusters(
+          pairsA.unionByName(pairsB).unionByName(pairsC)))
         val contaminated = Dedup.contamination(corpus,
             corpus.filter(col("doc_id") % 8 === 0), "doc_id", "text")
           .select(col("t_id").as("doc_id")).distinct()
@@ -6763,27 +6781,18 @@ object ExtQueries {
               graft.ext.ImageHash.dHash(Bmp.parse(Bmp.write(16, bytes))),
               graft.ext.AudioHash.eHash(Wav.parse(Wav.write(bytes))))
           }.toDF("doc_id", "ihash", "ahash").persist(lvl)
-        val iclusters = Dedup.dedupClusters(
+        perceptual.count() // one decode pass, shared by both kernels
+        val fI = Future(Dedup.dedupClusters(
           graft.ext.ImageHash.hammingNearDups(
             perceptual.select(col("doc_id"), col("ihash").as("hash")),
-            "doc_id", "hash"))
-        val icanon = Dedup.clusterCanonical(iclusters,
-            corpus.select(col("doc_id"),
-              length(col("text")).cast("long").as("n_bytes")),
-            Seq("n_bytes"))
-          .select(col("cluster_id"), col("keep_id"))
-        val aclusters = Dedup.dedupClusters(
+            "doc_id", "hash")))
+        val fA = Future(Dedup.dedupClusters(
           graft.ext.ImageHash.hammingNearDups(
             perceptual.select(col("doc_id"), col("ahash").as("hash")),
-            "doc_id", "hash"))
-        perceptual.unpersist(false)
+            "doc_id", "hash")))
         val frames = graft.ext.VideoHash.frameHashes(corpus, "doc_id", "text")
-        val vclusters = Dedup.dedupClusters(
-          graft.ext.VideoHash.sequenceNearDups(frames))
-        val vcanon = Dedup.clusterCanonical(vclusters,
-            frames.groupBy("doc_id").agg(count(lit(1)).as("n_frames")),
-            Seq("n_frames"))
-          .select(col("cluster_id"), col("keep_id"))
+        val fV = Future(Dedup.dedupClusters(
+          graft.ext.VideoHash.sequenceNearDups(frames)))
         // embedding (semantic) layer — VERDICT r9 #5: the x32 kernel
         // over the planted corpus' embeddings. Re-crawls are
         // byte-identical documents, so their embeddings are copies of
@@ -6794,10 +6803,25 @@ object ExtQueries {
         val corpusEmb = emb.unionAll(emb.filter(col("vec_id") % 97 === 13)
           .select((col("vec_id") + 1000000L).as("vec_id"),
             col("embedding"), col("label")))
-        val eclusters = Dedup.dedupClusters(
+        val fE = Future(Dedup.dedupClusters(
           graft.ext.Similarity
             .embeddingNearDups(corpusEmb, "label", 0.35, sorted = false)
-            .select("a_id", "b_id"))
+            .select("a_id", "b_id")))
+        val tclusters = Await.result(fT, Duration.Inf)
+        val iclusters = Await.result(fI, Duration.Inf)
+        val aclusters = Await.result(fA, Duration.Inf)
+        perceptual.unpersist(false)
+        val vclusters = Await.result(fV, Duration.Inf)
+        val eclusters = Await.result(fE, Duration.Inf)
+        val icanon = Dedup.clusterCanonical(iclusters,
+            corpus.select(col("doc_id"),
+              length(col("text")).cast("long").as("n_bytes")),
+            Seq("n_bytes"))
+          .select(col("cluster_id"), col("keep_id"))
+        val vcanon = Dedup.clusterCanonical(vclusters,
+            frames.groupBy("doc_id").agg(count(lit(1)).as("n_frames")),
+            Seq("n_frames"))
+          .select(col("cluster_id"), col("keep_id"))
         LedgerKernels(corpus, keep.persist(lvl), tclusters.persist(lvl),
           contaminated.persist(lvl), removal.persist(lvl),
           iclusters.persist(lvl), icanon.persist(lvl), aclusters.persist(lvl),
