@@ -5258,6 +5258,137 @@ object ExtQueries {
        |LEFT JOIN nr ON nr.vec_id = t.vec_id
        |ORDER BY doc_id""".stripMargin
 
+  // --- x121: per-tranche video verdicts (the sequence ledger kernel, oracle-gated) -----
+
+  /** [[graft.ext.VideoHash.ledgerProbe]] as a declared row — the last
+    * layer of the verdict grid under the DuckDB hash gate (text x116,
+    * perceptual x117, embedding x120, video here): first-occurrence
+    * verdicts at the temporal-shingle layer, where exactness is
+    * IDENTICAL frame sequence and nearness is footage containment
+    * ([[graft.ext.VideoHash.sequenceProbe]]'s 2·shared ≥ min criterion)
+    * against any standing video or an earlier-first tranche video.
+    * Standing corpus doc_id % 4 != 0, tranche % 4 == 0, with the x120
+    * plants: byte-identical re-entries of every 16th standing doc
+    * (id+10⁶ — identical sequence standing) and every 16th tranche doc
+    * (id+2·10⁶ — a smaller-id copy shares the tranche). Docs with no
+    * frames are outside the video domain and kept; the oracle replays
+    * the frame-hash chain (the x112 video fragment), sequence-identity
+    * grouping, and the containment chain over first occurrences.
+    */
+  val x121VideoLedger: Q = (spark, sfDir) => {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val standing = docs.filter(col("doc_id") % 4 =!= 0)
+    val tranche = docs.filter(col("doc_id") % 4 === 0)
+      .unionAll(standing.filter(col("doc_id") % 16 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionAll(docs.filter(col("doc_id") % 4 === 0 && col("doc_id") % 16 === 4)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    graft.ext.VideoHash.ledgerProbe(
+        graft.ext.VideoHash.frameHashes(standing, "doc_id", "text"),
+        graft.ext.VideoHash.frameHashes(tranche, "doc_id", "text"),
+        tranche, "doc_id")
+      .orderBy("doc_id")
+  }
+
+  private val x121Sql =
+    """WITH vb AS MATERIALIZED (
+      |  SELECT doc_id, text, 0 AS tr FROM documents WHERE doc_id % 4 != 0
+      |  UNION ALL
+      |  SELECT doc_id, text, 1 FROM documents WHERE doc_id % 4 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, 1 FROM documents
+      |  WHERE doc_id % 4 != 0 AND doc_id % 16 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text, 1 FROM documents
+      |  WHERE doc_id % 4 = 0 AND doc_id % 16 = 4
+      |), vfr AS (
+      |  SELECT doc_id, f.range AS f,
+      |    substr(text, CAST(f.range * 64 + 1 AS INT), 64) AS ft
+      |  FROM vb, range(0, 16) f
+      |  WHERE length(text) >= 1 AND f.range * 64 < length(text)
+      |), vg AS (
+      |  SELECT doc_id, f, ft, length(ft) AS n,
+      |    CAST(ceil(length(ft) / 16.0) AS BIGINT) AS h,
+      |    greatest(1, CAST(ceil(length(ft) / 16.0) AS BIGINT) // 8) AS sy
+      |  FROM vfr
+      |), vpx AS (
+      |  SELECT doc_id, f, r.range AS r, c.range AS c,
+      |    CASE WHEN 16 * least(r.range * sy, h - 1) + c.range < n
+      |         THEN ascii(substr(ft,
+      |           CAST(16 * least(r.range * sy, h - 1) + c.range + 1 AS INT), 1))
+      |         ELSE 0 END AS v
+      |  FROM vg, range(0, 8) r, range(0, 9) c
+      |), vhs AS MATERIALIZED (
+      |  SELECT a.doc_id, a.f,
+      |    bit_or(CASE WHEN a.v < b.v
+      |           THEN (CASE WHEN a.r * 8 + a.c = 63
+      |                 THEN (-9223372036854775807 - 1)::BIGINT
+      |                 ELSE (1::BIGINT << CAST(a.r * 8 + a.c AS INT)) END)
+      |           ELSE 0::BIGINT END) AS fh
+      |  FROM vpx a JOIN vpx b
+      |    ON a.doc_id = b.doc_id AND a.f = b.f AND a.r = b.r AND b.c = a.c + 1
+      |  WHERE a.c < 8
+      |  GROUP BY a.doc_id, a.f
+      |), sq AS MATERIALIZED (
+      |  SELECT doc_id, array_to_string(list(fh ORDER BY f), ',') AS s
+      |  FROM vhs GROUP BY doc_id
+      |), sqt AS MATERIALIZED (
+      |  SELECT b.doc_id, b.tr, q.s FROM vb b LEFT JOIN sq q ON q.doc_id = b.doc_id
+      |), stds AS (
+      |  SELECT DISTINCT s FROM sqt WHERE tr = 0 AND s IS NOT NULL
+      |), fo AS MATERIALIZED (
+      |  SELECT s, min(doc_id) AS fid FROM sqt
+      |  WHERE tr = 1 AND s IS NOT NULL GROUP BY s
+      |), ex AS (
+      |  SELECT DISTINCT t.doc_id FROM sqt t JOIN stds st ON t.s = st.s
+      |  WHERE t.tr = 1
+      |  UNION
+      |  SELECT t.doc_id FROM sqt t JOIN fo f ON t.s = f.s
+      |  WHERE t.tr = 1 AND t.doc_id != f.fid
+      |), vsh AS MATERIALIZED (
+      |  SELECT DISTINCT a.doc_id, a.fh || ':' || b.fh AS k
+      |  FROM vhs a JOIN vhs b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+      |), nshd AS MATERIALIZED (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM vsh GROUP BY doc_id
+      |), pr AS MATERIALIZED (
+      |  SELECT f.fid AS doc_id, v.k FROM fo f JOIN vsh v ON v.doc_id = f.fid
+      |), crossp AS (
+      |  SELECT DISTINCT j.p_id AS fid FROM (
+      |    SELECT p.doc_id AS p_id, sv.doc_id AS s_id,
+      |      CAST(count(*) AS BIGINT) AS shared
+      |    FROM pr p
+      |    JOIN vsh sv ON p.k = sv.k
+      |    JOIN sqt sb ON sb.doc_id = sv.doc_id AND sb.tr = 0
+      |    GROUP BY p.doc_id, sv.doc_id) j
+      |  JOIN nshd np ON np.doc_id = j.p_id
+      |  JOIN nshd ns ON ns.doc_id = j.s_id
+      |  WHERE 2 * j.shared >= least(np.n, ns.n)
+      |), withinp AS (
+      |  SELECT DISTINCT j.b_id AS fid FROM (
+      |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |      CAST(count(*) AS BIGINT) AS shared
+      |    FROM pr a JOIN pr b ON a.k = b.k AND a.doc_id < b.doc_id
+      |    GROUP BY a.doc_id, b.doc_id) j
+      |  JOIN nshd na ON na.doc_id = j.a_id
+      |  JOIN nshd nb ON nb.doc_id = j.b_id
+      |  WHERE 2 * j.shared >= least(na.n, nb.n)
+      |), nearsq AS (
+      |  SELECT DISTINCT f.s FROM fo f
+      |  JOIN (SELECT fid FROM crossp UNION SELECT fid FROM withinp) n
+      |    ON n.fid = f.fid
+      |), nr AS (
+      |  SELECT DISTINCT t.doc_id FROM sqt t JOIN nearsq n ON t.s = n.s
+      |  WHERE t.tr = 1
+      |)
+      |SELECT t.doc_id,
+      |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+      |       WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+      |       ELSE 'kept' END AS decision
+      |FROM (SELECT doc_id FROM vb WHERE tr = 1) t
+      |LEFT JOIN ex ON ex.doc_id = t.doc_id
+      |LEFT JOIN nr ON nr.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   // --- x114: trained-model holdout evaluation ------------------------------------------
 
   /** Generalization, measured — the evaluation row every trained-model
@@ -7338,7 +7469,8 @@ object ExtQueries {
     "x117_phash_ledger" -> x117PhashLedger,
     "x118_video_seq_probe" -> x118VideoSeqProbe,
     "x119_unigram_tokens" -> x119UnigramTokens,
-    "x120_embedding_ledger" -> x120EmbeddingLedger)
+    "x120_embedding_ledger" -> x120EmbeddingLedger,
+    "x121_video_ledger" -> x121VideoLedger)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -7460,5 +7592,6 @@ object ExtQueries {
     "x117_phash_ledger" -> x117Sql,
     "x118_video_seq_probe" -> x118Sql,
     "x119_unigram_tokens" -> x119Sql,
-    "x120_embedding_ledger" -> x120Sql)
+    "x120_embedding_ledger" -> x120Sql,
+    "x121_video_ledger" -> x121Sql)
 }
