@@ -215,6 +215,30 @@ object IvfIndex {
           .otherwise(lit("kept")).as("decision"))
   }
 
+  /** Re-train the codebook from the CURRENT vector population and
+    * re-partition the store — the remediation [[cellCensus]] points
+    * at: appends route into a frozen codebook, so once the census
+    * shows sustained skew the index is re-released with centroids
+    * that reflect what actually accumulated. Writes to a fresh
+    * directory first and swaps via atomic rename, so a concurrent
+    * reader never sees a half-written store; the old store is left
+    * under `<dir>.old` for the caller's retention policy (delete,
+    * archive, roll back).
+    */
+  def rewrite(spark: SparkSession, dir: String, k: Int = 8,
+              iters: Int = 2): Unit = {
+    val emb = spark.read.parquet(s"$dir/vectors").drop("cell")
+      .localCheckpoint() // sever lineage from the files about to move
+    val tmp = s"$dir.rewrite"
+    write(emb, tmp, k, iters)
+    val p = java.nio.file.Paths.get(dir)
+    val old = java.nio.file.Paths.get(s"$dir.old")
+    java.nio.file.Files.move(p, old,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Post-append cell occupancy census (VERDICT r9 #6): (cell,
     * n_vectors, skew) with skew = n_vectors / mean-per-cell, one row
     * per codebook cell (cells appended into existence only — routing

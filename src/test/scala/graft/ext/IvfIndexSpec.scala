@@ -123,11 +123,14 @@ class IvfIndexSpec extends SparkSpec {
     assert(before.length == 4)
     assert(before.map(_.getAs[Long]("n_vectors")).sum == 120)
     assert(before.forall(r => math.abs(r.getAs[Double]("skew") - 1.0) < 0.01))
-    // a hot append: 200 vectors all from cluster 0 — the frozen
-    // codebook routes them into one cell
+    // a hot append: 200 vectors in a direction the codebook has never
+    // seen (argmax dim 7), with a slight lean toward cluster 0 so the
+    // frozen codebook routes ALL of them decisively into that one cell
+    // (a perfectly orthogonal direction would tie-break on jitter)
     val hot = (0 until 200).map { j =>
       val e = Array.fill(64)(0.001f)
-      e(0) = 1.0f
+      e(7) = 1.0f
+      e(0) = 0.05f
       e(60) = 0.001f * (j % 7 + 1)
       (5000L + j, e.toSeq)
     }.toDF("vec_id", "embedding")
@@ -142,5 +145,33 @@ class IvfIndexSpec extends SparkSpec {
     assert(hotRow.getAs[Double]("skew") > 2.5, hotRow.toString)
     // cold cells dropped below mean
     assert(after.count(_.getAs[Double]("skew") < 0.5) == 3)
+
+    // the census's consequence before remediation: the grown cell MIXES
+    // the new direction with a standing one, so probes of that standing
+    // direction scan 200 junk vectors per query
+    def cellDirections() = spark.read.parquet(s"$dir/vectors")
+      .select(col("cell"),
+        array_position(col("embedding"), array_max(col("embedding")))
+          .as("direction"))
+      .groupBy("cell")
+      .agg(countDistinct("direction").as("n_dirs"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(cellDirections().values.max == 2, "hot cell should mix directions")
+
+    // the remediation rewrite re-trains the codebook from the CURRENT
+    // population: with a centroid budget for the new direction, every
+    // cell is direction-pure again and standing probes stop paying for
+    // the appended mass; the old store is retained for rollback
+    IvfIndex.rewrite(spark, dir, k = 5, iters = 4)
+    assert(spark.read.parquet(s"$dir/vectors").count() == 320)
+    val purity = cellDirections()
+    assert(purity.values.forall(_ == 1L),
+      s"rewrite left a mixed cell: $purity")
+    val got = IvfIndex.topK(spark, dir, planted(4, 9000L), k = 3, probes = 1)
+      .collect()
+    assert(got.length == 4 * 3 && got.forall(r =>
+      r.getAs[Long]("cid") % 4 == r.getAs[Long]("qid") % 4))
+    assert(new java.io.File(s"$dir.old/vectors").isDirectory,
+      "previous store not retained for rollback")
   }
 }
