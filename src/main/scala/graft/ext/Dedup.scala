@@ -749,6 +749,35 @@ object Dedup {
       spark.read.parquet(s"$dir/sets").dropDuplicates("ch"),
       spark.read.parquet(s"$dir/members"))
 
+  /** Compact a persisted near-dup index: each tranche append leaves one
+    * `bands`/`sets` row per (content × tranche it re-entered in), and
+    * [[readNearDupIndex]] re-collapses that redundancy with
+    * dropDuplicates on EVERY read — so after heavy re-crawl traffic a
+    * content re-crawled in 1000 tranches drags 1000× its band rows
+    * through every probe's collapse shuffle, forever. Compaction pays
+    * that collapse ONCE and rewrites the three frames duplicate-free
+    * (members deduped on full (id, ch) rows, which also absorbs a
+    * re-run's double-append of the same tranche). Same swap discipline
+    * as [[IvfIndex.rewrite]]: write to a fresh directory, two atomic
+    * renames, previous store retained under `<dir>.old` for the
+    * caller's retention policy. Probe results are unchanged by
+    * construction — the compacted store round-trips through the same
+    * [[readNearDupIndex]] collapse, now a no-op.
+    */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Unit = {
+    val idx = readNearDupIndex(spark, dir)
+    val tmp = s"$dir.compact"
+    idx.bands.write.parquet(s"$tmp/bands")
+    idx.sets.write.parquet(s"$tmp/sets")
+    idx.members.dropDuplicates("id", "ch").write.parquet(s"$tmp/members")
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.move(p, java.nio.file.Paths.get(s"$dir.old"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Duplicate-cluster resolution: connected components of the near-dup
     * pair graph, labeling every member with the minimum doc id of its
     * component (the canonical "keep" document). Docs in no pair are

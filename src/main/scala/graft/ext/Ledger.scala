@@ -64,6 +64,30 @@ object Ledger {
       col("tranche").cast("long").as("tranche"),
       col("modality").cast("string").as("modality"))
 
+  /** Compact the accumulated ledger's small files. Each tranche commit
+    * writes its own file set per (tranche, modality) partition — at one
+    * modality-write per [[appendTranche]] call the table becomes
+    * file-count-bound long before it is byte-bound (a year of hourly
+    * five-modality tranches is ~44k partitions of tiny verdict rows).
+    * Compaction shuffles the rows onto their (tranche, modality) keys
+    * so the writer emits ONE file per partition, preserving rows
+    * exactly; no verdict is ever revised, so a pure rewrite is safe at
+    * any time. Same swap discipline as [[IvfIndex.rewrite]] /
+    * [[Dedup.compactNearDupIndex]]: write to a fresh directory, two
+    * atomic renames, previous store under `<dir>.old` for rollback.
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val tmp = s"$dir.compact"
+    read(spark, dir)
+      .repartition(col("tranche"), col("modality"))
+      .write.partitionBy("tranche", "modality").parquet(tmp)
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.move(p, java.nio.file.Paths.get(s"$dir.old"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** The downstream monitor's view: verdict counts per (tranche,
     * modality, decision), ordered for drift reading — rejection-rate
     * trends over tranches are one window away. Scans only the

@@ -7003,7 +7003,7 @@ object ExtQueries {
       .orderBy("doc_id", "modality")
   }
 
-  private val x112Sql =
+  private val x112Body =
     """WITH RECURSIVE pb AS MATERIALIZED (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 10 = 7 THEN
@@ -7344,8 +7344,89 @@ object ExtQueries {
       |  UNION ALL SELECT * FROM image_rows
       |  UNION ALL SELECT * FROM audio_rows
       |  UNION ALL SELECT * FROM video_rows
-      |  UNION ALL SELECT * FROM embedding_rows)
-      |ORDER BY doc_id, modality""".stripMargin
+      |  UNION ALL SELECT * FROM embedding_rows)""".stripMargin
+
+  private val x112Sql = x112Body + "\nORDER BY doc_id, modality"
+
+  // --- x122: ledger audit rollup (the monitor view, hash-gated) ------------------------
+
+  /** The batch twin of [[graft.ext.Ledger.auditSummary]] under the
+    * DuckDB hash gate: verdict counts per (modality, decision) over the
+    * x112 multimodal ledger, plus how many distinct duplicate clusters
+    * and removed-span totals each cell carries. This is the row a
+    * pipeline monitor actually watches — rejection-rate drift per
+    * modality — so it deserves the same oracle the verdicts themselves
+    * get. Costs one groupBy over the memoized x112 kernels.
+    */
+  val x122LedgerAudit: Q = (spark, sfDir) =>
+    x112MultimodalLedger(spark, sfDir)
+      .groupBy("modality", "decision")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("cluster_id").as("n_clusters"),
+        sum("n_removed").as("n_removed"))
+      .orderBy("modality", "decision")
+
+  // NOTE: x112Body is concatenated OUTSIDE the stripMargin literals —
+  // its content has lines starting with `||` which stripMargin would
+  // otherwise truncate into invalid SQL.
+  private val x122Sql =
+    """SELECT modality, decision, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+      |  CAST(sum(n_removed) AS BIGINT) AS n_removed
+      |FROM (
+      |""".stripMargin + x112Body + """
+      |)
+      |GROUP BY modality, decision
+      |ORDER BY modality, decision""".stripMargin
+
+  // --- x123: cross-modality shipping policy ---------------------------------------------
+
+  /** The decision a curation pipeline actually applies per document:
+    * fold the five modality verdicts into one shipping call. Exact
+    * duplication in ANY modality drops the doc (drop_exact); a strict
+    * majority of dup verdicts across modalities drops it
+    * (drop_majority); otherwise the text layer's contamination and
+    * quality verdicts quarantine or drop it; survivors ship. One
+    * groupBy over x112 — the point is the POLICY is itself a gated,
+    * replayable relation, not driver-side glue.
+    */
+  val x123CrossmodalPolicy: Q = (spark, sfDir) =>
+    x112MultimodalLedger(spark, sfDir)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_modalities"),
+        sum(when(col("decision").isin("exact_dup", "near_dup"), 1L)
+          .otherwise(0L)).as("n_dup"),
+        max(when(col("decision") === "exact_dup", 1L).otherwise(0L))
+          .as("any_exact"),
+        max(when(col("modality") === "text", col("decision")))
+          .as("text_decision"))
+      .select(col("doc_id"), col("n_modalities"), col("n_dup"),
+        when(col("any_exact") === 1L, lit("drop_exact"))
+          .when(col("n_dup") * 2 > col("n_modalities"), lit("drop_majority"))
+          .when(col("text_decision") === "contaminated", lit("quarantine"))
+          .when(col("text_decision") === "low_quality", lit("drop_quality"))
+          .otherwise(lit("ship")).as("final_decision"))
+      .orderBy("doc_id")
+
+  private val x123Sql =
+    """SELECT doc_id, CAST(count(*) AS BIGINT) AS n_modalities,
+      |  CAST(sum(CASE WHEN decision IN ('exact_dup', 'near_dup')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  CASE WHEN max(CASE WHEN decision = 'exact_dup' THEN 1 ELSE 0 END) = 1
+      |         THEN 'drop_exact'
+      |       WHEN 2 * sum(CASE WHEN decision IN ('exact_dup', 'near_dup')
+      |           THEN 1 ELSE 0 END) > count(*)
+      |         THEN 'drop_majority'
+      |       WHEN max(CASE WHEN modality = 'text' THEN decision END)
+      |           = 'contaminated' THEN 'quarantine'
+      |       WHEN max(CASE WHEN modality = 'text' THEN decision END)
+      |           = 'low_quality' THEN 'drop_quality'
+      |       ELSE 'ship' END AS final_decision
+      |FROM (
+      |""".stripMargin + x112Body + """
+      |)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 
   // --- assembled maps -----------------------------------------------------------------
 
@@ -7470,7 +7551,9 @@ object ExtQueries {
     "x118_video_seq_probe" -> x118VideoSeqProbe,
     "x119_unigram_tokens" -> x119UnigramTokens,
     "x120_embedding_ledger" -> x120EmbeddingLedger,
-    "x121_video_ledger" -> x121VideoLedger)
+    "x121_video_ledger" -> x121VideoLedger,
+    "x122_ledger_audit" -> x122LedgerAudit,
+    "x123_crossmodal_policy" -> x123CrossmodalPolicy)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -7593,5 +7676,7 @@ object ExtQueries {
     "x118_video_seq_probe" -> x118Sql,
     "x119_unigram_tokens" -> x119Sql,
     "x120_embedding_ledger" -> x120Sql,
-    "x121_video_ledger" -> x121Sql)
+    "x121_video_ledger" -> x121Sql,
+    "x122_ledger_audit" -> x122Sql,
+    "x123_crossmodal_policy" -> x123Sql)
 }

@@ -1174,6 +1174,58 @@ class ExtSpec extends SparkSpec {
       "the synthetic tranche should produce within-batch near-dups")
   }
 
+  test("compactNearDupIndex pays the re-crawl collapse once; probes unchanged") {
+    // append-mode tranche commits leave one bands/sets row per
+    // (content x tranche it re-entered in); readNearDupIndex collapses
+    // the redundancy on every read. Compaction rewrites the store
+    // duplicate-free so standing probes stop paying for re-crawl
+    // history, without changing any probe result.
+    val docs = graft.model.Tables.documents(spark, sf())
+    val standing = docs.filter(col("doc_id") % 4 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 4 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ndcomp").toString + "/idx"
+    Dedup.writeNearDupIndex(standing, "doc_id", "text", dir)
+    // a re-run double-appends the same tranche; a re-crawl tranche
+    // carries byte-identical texts under new ids
+    Dedup.writeNearDupIndex(standing, "doc_id", "text", dir)
+    Dedup.writeNearDupIndex(
+      standing.filter(col("doc_id") % 16 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
+      "doc_id", "text", dir)
+    def raw(frame: String) = spark.read.parquet(s"$dir/$frame").count()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "jaccard", "src").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+    val bandsBefore = raw("bands")
+    val distinctBands = spark.read.parquet(s"$dir/bands")
+      .dropDuplicates("ch", "bk").count()
+    assert(bandsBefore > 2 * distinctBands,
+      s"premise: re-appends tripled most band rows ($bandsBefore vs $distinctBands)")
+    val membersBefore = raw("members")
+    val probeBefore = rows(Dedup.probeNearDupIndex(
+      Dedup.readNearDupIndex(spark, dir), incoming, "doc_id", "text"))
+    Dedup.compactNearDupIndex(spark, dir)
+    assert(raw("bands") == distinctBands, "bands not collapsed on disk")
+    assert(raw("sets") == spark.read.parquet(s"$dir/sets")
+      .dropDuplicates("ch").count(), "sets not collapsed on disk")
+    // members: the double-appended tranche collapses; the re-crawl ids
+    // (distinct rows) survive
+    assert(raw("members") < membersBefore)
+    assert(spark.read.parquet(s"$dir/members")
+      .filter(col("id") >= 1000000L).count() > 0)
+    val probeAfter = rows(Dedup.probeNearDupIndex(
+      Dedup.readNearDupIndex(spark, dir), incoming, "doc_id", "text"))
+    assert(probeAfter == probeBefore, "compaction changed probe results")
+    assert(new java.io.File(s"$dir.old/bands").isDirectory,
+      "previous store not retained for rollback")
+    // the cycle continues: append the probed tranche to the compacted
+    // store and read it back
+    Dedup.writeNearDupIndex(incoming, "doc_id", "text", dir)
+    assert(Dedup.readNearDupIndex(spark, dir).members
+      .join(incoming.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+      .count() > 0)
+  }
+
   test("probe bucket cap drops cross-content candidates but never exact duplicates") {
     // ADVICE r7: the doc-level index's cap could silently lose
     // exact-duplicate pairs and blow up quadratically on boilerplate.

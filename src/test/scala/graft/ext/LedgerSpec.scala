@@ -43,6 +43,39 @@ class LedgerSpec extends SparkSpec {
     assert(twice.contains((1L, "kept", 0L, "image")))
   }
 
+  test("compact: one file per partition, rows exact, old store retained") {
+    val dir = Files.createTempDirectory("ledcomp").toString + "/ledger"
+    // several appends per (tranche, modality) partition — the
+    // accumulation shape that makes the table file-count-bound
+    Ledger.append(verdicts((1L to 40L).map(_ -> "kept")), 0L, "text", dir)
+    Ledger.append(verdicts(Seq(41L -> "exact_dup")), 0L, "image", dir)
+    Ledger.append(verdicts((1L to 30L).map(_ -> "near_dup")), 1L, "text", dir)
+    def files(d: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(d)).filter(_.getName.endsWith(".parquet"))
+    }
+    def rows(d: String) = Ledger.read(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sorted.toSeq
+    val before = rows(dir)
+    // the dynamic-overwrite writer shuffles nothing, so each append
+    // leaves as many files as it had write tasks; force the premise
+    // the compactor exists for
+    assert(files(dir).size > 3, s"premise: >1 file somewhere, got ${files(dir).size}")
+    Ledger.compact(spark, dir)
+    assert(rows(dir) == before, "compaction changed the ledger's rows")
+    val perPart = files(dir).groupBy(_.getParentFile.getPath)
+    assert(perPart.size == 3 && perPart.values.forall(_.size == 1),
+      s"expected one file per (tranche, modality) partition: " +
+        perPart.view.mapValues(_.size).toMap.toString)
+    assert(new java.io.File(s"$dir.old").isDirectory,
+      "previous store not retained for rollback")
+    // appends continue against the compacted store unchanged
+    Ledger.append(verdicts(Seq(50L -> "kept")), 2L, "text", dir)
+    assert(rows(dir).size == before.size + 1)
+  }
+
   test("auditSummary counts per (tranche, modality, decision)") {
     val dir = Files.createTempDirectory("ledaudit").toString
     Ledger.append(verdicts(Seq(1L -> "kept", 2L -> "kept", 3L -> "exact_dup")),
