@@ -771,11 +771,7 @@ object Dedup {
     idx.bands.write.parquet(s"$tmp/bands")
     idx.sets.write.parquet(s"$tmp/sets")
     idx.members.dropDuplicates("id", "ch").write.parquet(s"$tmp/members")
-    val p = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.move(p, java.nio.file.Paths.get(s"$dir.old"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    StoreSwap.swap(dir, tmp)
   }
 
   /** Duplicate-cluster resolution: connected components of the near-dup

@@ -231,12 +231,7 @@ object IvfIndex {
       .localCheckpoint() // sever lineage from the files about to move
     val tmp = s"$dir.rewrite"
     write(emb, tmp, k, iters)
-    val p = java.nio.file.Paths.get(dir)
-    val old = java.nio.file.Paths.get(s"$dir.old")
-    java.nio.file.Files.move(p, old,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    StoreSwap.swap(dir, tmp)
   }
 
   /** Post-append cell occupancy census (VERDICT r9 #6): (cell,

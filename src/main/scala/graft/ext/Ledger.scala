@@ -81,11 +81,7 @@ object Ledger {
     read(spark, dir)
       .repartition(col("tranche"), col("modality"))
       .write.partitionBy("tranche", "modality").parquet(tmp)
-    val p = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.move(p, java.nio.file.Paths.get(s"$dir.old"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    StoreSwap.swap(dir, tmp)
   }
 
   /** The downstream monitor's view: verdict counts per (tranche,

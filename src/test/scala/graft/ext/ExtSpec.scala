@@ -1219,8 +1219,10 @@ class ExtSpec extends SparkSpec {
     assert(new java.io.File(s"$dir.old/bands").isDirectory,
       "previous store not retained for rollback")
     // the cycle continues: append the probed tranche to the compacted
-    // store and read it back
+    // store and read it back; a SECOND compaction replaces the stale
+    // .old instead of failing on it
     Dedup.writeNearDupIndex(incoming, "doc_id", "text", dir)
+    Dedup.compactNearDupIndex(spark, dir)
     assert(Dedup.readNearDupIndex(spark, dir).members
       .join(incoming.select(col("doc_id").as("id")), Seq("id"), "left_semi")
       .count() > 0)

@@ -74,6 +74,11 @@ class LedgerSpec extends SparkSpec {
     // appends continue against the compacted store unchanged
     Ledger.append(verdicts(Seq(50L -> "kept")), 2L, "text", dir)
     assert(rows(dir).size == before.size + 1)
+    // maintenance is re-runnable: a second compaction replaces the
+    // stale .old instead of failing on it
+    val after = rows(dir)
+    Ledger.compact(spark, dir)
+    assert(rows(dir) == after)
   }
 
   test("auditSummary counts per (tranche, modality, decision)") {
