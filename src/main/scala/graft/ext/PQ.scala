@@ -75,6 +75,23 @@ object PQ {
     }
   }
 
+  /** Nearest-centroid assignment of exploded-subspace vectors against a
+    * centroid table: (vec_id, sub, cid, dist). The join is on the
+    * global dimension index `i` — each centroid only carries its own
+    * subspace's indices, so it is implicitly subspace-local. Shared by
+    * every training round and by [[appendIndex]]'s frozen-codebook
+    * routing, so disk-encoded vectors route EXACTLY like training did
+    * (all-integer arithmetic — bit-equal on replay).
+    */
+  private def assignTo(qe: DataFrame, centE: DataFrame): DataFrame =
+    qe.join(broadcast(centE.select(col("cid"), col("i"), col("v").as("cv"))), "i")
+      .groupBy("vec_id", "sub", "cid")
+      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist"), col("cid"))).as("mn"))
+      .select(col("vec_id"), col("sub"), col("mn.cid").as("cid"),
+        col("mn.dist").as("dist"))
+
   private def runImpl(emb: DataFrame, m: Int, k: Int, iters: Int,
                       subWidth: Int): (DataFrame, DataFrame) = {
     require(m >= 1 && k >= 1 && iters >= 1, "pq: m, k, iters must be >= 1")
@@ -91,17 +108,7 @@ object PQ {
       .localCheckpoint()
     var assign: DataFrame = null
     for (it <- 1 to iters) {
-      // join on the global index i: each centroid only carries its own
-      // subspace's indices, so this is implicitly subspace-local
-      val dists = qe
-        .join(broadcast(centE.select(col("cid"), col("i"), col("v").as("cv"))), "i")
-        .groupBy("vec_id", "sub", "cid")
-        .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))
-      assign = dists.groupBy("vec_id", "sub")
-        .agg(min(struct(col("dist"), col("cid"))).as("mn"))
-        .select(col("vec_id"), col("sub"), col("mn.cid").as("cid"),
-          col("mn.dist").as("dist"))
-        .localCheckpoint()
+      assign = assignTo(qe, centE).localCheckpoint()
       if (it < iters)
         centE = qe.join(assign.select("vec_id", "sub", "cid"), Seq("vec_id", "sub"))
           .groupBy("sub", "cid", "i").agg(expr("sum(v) div count(1)").as("v"))
@@ -238,5 +245,75 @@ object PQ {
     codesDf.join(broadcast(qdt), Seq("cell", "sub", "pcell"))
       .filter(col("qid") =!= col("cid_vec"))
       .groupBy("qid", "cid_vec").agg(sum("d").as("adist"))
+  }
+
+  // --- persisted PQ index -------------------------------------------------------------
+  // The deployment artifact (the [[IvfIndex]] story for codes): train
+  // once, ship `dir/centroids` (m·k integer subspace centroids — a few
+  // KB) and `dir/codes` (one narrow row per (vector, subspace) — the
+  // ONLY per-vector state a search node holds; raw floats never travel
+  // to serving). New tranches append through the FROZEN persisted
+  // codebook via the same integer assignment training used, so a fresh
+  // session encodes bit-identically to the training session.
+
+  /** Train on `emb` and materialize the PQ index under `dir`
+    * (overwrite): `dir/centroids` (sub, cid, i, v) and `dir/codes`
+    * (vec_id, sub, cell).
+    */
+  def writeIndex(emb: DataFrame, dir: String, m: Int = 4, k: Int = 4,
+                 iters: Int = 2, subWidth: Int = 16): Unit = {
+    val (assign, centE) = run(emb, m, k, iters, subWidth)
+    centE.write.mode("overwrite").parquet(s"$dir/centroids")
+    assign.select(col("vec_id"), col("sub"), col("cid").as("cell"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** The persisted integer codebook: (sub, cid, i, v). */
+  def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame =
+    spark.read.parquet(s"$dir/centroids")
+
+  /** The persisted code table: (vec_id, sub, cell). */
+  def readCodes(spark: org.apache.spark.sql.SparkSession,
+                dir: String): DataFrame =
+    spark.read.parquet(s"$dir/codes")
+
+  /** Encode a new tranche through the frozen persisted codebook and
+    * append its codes — the index grows without retraining (re-release
+    * the codebook when drift warrants, as [[IvfIndex.rewrite]] does for
+    * the coarse level). Routing reuses the exact training assignment
+    * arithmetic, so an appended copy of a trained vector gets the SAME
+    * code (identity parity — the property the round-trip spec pins).
+    */
+  def appendIndex(newEmb: DataFrame, dir: String,
+                  subWidth: Int = 16): Unit = {
+    val centE = readCentroids(newEmb.sparkSession, dir).localCheckpoint()
+    assignTo(explodedSub(newEmb, subWidth), centE)
+      .select(col("vec_id"), col("sub"), col("cid").as("cell"))
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
+  /** Disk-native ADC top-k: score the persisted code table against
+    * per-query lookup tables built from `queryEmb`'s raw vectors and
+    * the persisted centroids. The corpus side touches ONLY
+    * `dir/codes` — no raw corpus vector is read at query time, which
+    * is the whole PQ memory bargain at serving scale.
+    */
+  def adcTopKIndex(queryEmb: DataFrame, dir: String, topK: Int,
+                   subWidth: Int = 16): DataFrame = {
+    val spark = queryEmb.sparkSession
+    val centE = readCentroids(spark, dir)
+    val codesDf = readCodes(spark, dir)
+      .select(col("vec_id").as("cid_vec"), col("sub"), col("cell"))
+    val qe = explodedSub(queryEmb, subWidth)
+    val qdt = qe
+      .join(broadcast(centE.select(col("cid").as("cell"), col("i"), col("v").as("cv"))), "i")
+      .groupBy(col("vec_id").as("qid"), col("sub"), col("cell"))
+      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d"))
+    adcTopKFrom(
+      codesDf.join(broadcast(qdt), Seq("sub", "cell"))
+        .filter(col("qid") =!= col("cid_vec"))
+        .groupBy("qid", "cid_vec").agg(sum("d").as("adist")),
+      topK)
   }
 }

@@ -492,6 +492,57 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("persisted PQ index: disk ADC equals in-memory; frozen-codebook append routes identically") {
+    // the deployment artifact: centroids + codes on disk, searched and
+    // grown without raw corpus vectors or retraining
+    val base = spark.read.parquet(sf() + "/embeddings.parquet")
+    val standing = base.filter(col("vec_id") % 4 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString + "/pq"
+    PQ.writeIndex(standing, dir, m = 4, k = 4, iters = 2, subWidth = 16)
+    val cent = PQ.readCentroids(spark, dir)
+    assert(cent.count() > 0 && cent.count() <= 4 * 4 * 16,
+      "codebook is (sub, cid, i, v), at most m*k*subWidth rows")
+    // parquet round-trip: the persisted code table IS the session's
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "sub", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val memCodes = codeSet(PQ.codes(standing, 4, 4, 2, 16))
+    assert(codeSet(PQ.readCodes(spark, dir)) == memCodes)
+    // disk-native ADC search equals the in-memory path (same memoized
+    // codebook, deterministic tie-break)
+    def top(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val gotDisk = top(PQ.adcTopKIndex(
+      standing.filter(col("vec_id") < 20), dir, topK = 3))
+    val gotMem = top(PQ.adcTopK(standing, col("vec_id") < 20, topK = 3,
+      m = 4, k = 4, iters = 2, subWidth = 16))
+    assert(gotDisk == gotMem, "disk ADC diverged from the in-memory path")
+    // frozen-codebook append: byte-identical copies of trained vectors
+    // must route to the SAME code in every subspace (identity parity)
+    val copies = standing.filter(col("vec_id") % 16 === 1)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    PQ.appendIndex(copies, dir, subWidth = 16)
+    val all = PQ.readCodes(spark, dir)
+    val mismatched = all.alias("a").join(all.alias("b"),
+        col("a.vec_id") === col("b.vec_id") + 1000000L &&
+          col("a.sub") === col("b.sub"))
+      .filter(col("a.cell") =!= col("b.cell")).count()
+    assert(all.filter(col("vec_id") >= 1000000L).count() > 0)
+    assert(mismatched == 0, "appended copies routed differently from their sources")
+    // and appended codes are immediately searchable: a source query's
+    // top-1 candidate shares its code in every subspace
+    val t1 = PQ.adcTopKIndex(standing.filter(col("vec_id") % 16 === 1)
+        .limit(3), dir, topK = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    t1.foreach { case (qid, cid) =>
+      val diff = all.filter(col("vec_id").isin(qid, cid))
+        .groupBy("sub").agg(countDistinct("cell").as("nc"))
+        .filter(col("nc") > 1).count()
+      assert(diff == 0, s"top-1 of $qid is $cid with a different code")
+    }
+  }
+
   test("salted join equals the plain join on a skewed key distribution") {
     import spark.implicits._
     // 90% of the big side shares one hot key
