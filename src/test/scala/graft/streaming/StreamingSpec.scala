@@ -778,7 +778,7 @@ class StreamingSpec extends SparkSpec {
     // on-disk ledger must equal the batch multimodal first-seen ledger
     // computed over the union corpus under arrival order — per
     // modality, per document, no revision.
-    import graft.ext.{Dedup, ImageHash, AudioHash, VideoHash, Similarity, Ledger, Bmp, Wav}
+    import graft.ext.{AudioHash, Bmp, Curation, Dedup, ImageHash, Ledger, Similarity, VideoHash, Wav}
     import spark.implicits._
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
     val corpus = docs.unionAll(docs.filter(col("doc_id") % 97 === 13)
@@ -804,12 +804,12 @@ class StreamingSpec extends SparkSpec {
           Wav.parse(Wav.write(t.getBytes("US-ASCII"))))) }
         .toDF("doc_id", "hash")
     val srcDir = Files.createTempDirectory("mmdocs").toString
-    val idxDir = Files.createTempDirectory("mmidx").toString
-    val imgDir = Files.createTempDirectory("mmimg").toString
-    val audDir = Files.createTempDirectory("mmaud").toString
-    val vidDir = Files.createTempDirectory("mmvid").toString
-    val embDir = Files.createTempDirectory("mmemb").toString
-    val ledDir = Files.createTempDirectory("mmled").toString
+    // one deployment root; store paths must not pre-exist (Curation
+    // bootstraps each standing side as empty on first touch)
+    val root = Files.createTempDirectory("mmstores").toString
+    val stores = Curation.Stores(s"$root/text", s"$root/img", s"$root/aud",
+      s"$root/vid", s"$root/emb", s"$root/led")
+    val ledDir = stores.ledger
     (0 to 2).foreach { t =>
       corpus.filter(col("doc_id") % 3 === t).coalesce(1)
         .write.mode("append").parquet(srcDir)
@@ -820,37 +820,16 @@ class StreamingSpec extends SparkSpec {
     val q = stream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val b = batch.toDF()
-        val t = batches.toLong
-        val first = batches == 0
-        val tIdx = if (first)
-          Dedup.nearDupIndex(docs.filter(lit(false)), "doc_id", "text")
-        else Dedup.readNearDupIndex(spark, idxDir)
-        val iStd = if (first) imgHashes(corpus.filter(lit(false)))
-          else spark.read.parquet(imgDir)
-        val aStd = if (first) audHashes(corpus.filter(lit(false)))
-          else spark.read.parquet(audDir)
-        val vStd = if (first)
-          VideoHash.frameHashes(corpus.filter(lit(false)), "doc_id", "text")
-        else spark.read.parquet(vidDir)
-        val eStd = if (first) corpusEmb.filter(lit(false))
-          else spark.read.parquet(embDir)
-        val bi = imgHashes(b)
-        val ba = audHashes(b)
-        val bv = VideoHash.frameHashes(b, "doc_id", "text")
-        val be = corpusEmb.join(
-          b.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-        Ledger.appendTranche(Map(
-          "text" -> Dedup.ledgerProbe(tIdx, b, "doc_id", "text"),
-          "image" -> ImageHash.ledgerProbe(iStd, bi, "doc_id", "hash"),
-          "audio" -> ImageHash.ledgerProbe(aStd, ba, "doc_id", "hash"),
-          "video" -> VideoHash.ledgerProbe(vStd, bv, b, "doc_id"),
-          "embedding" -> Similarity.ledgerProbe(eStd, be,
-            "vec_id", "embedding", "label", 0.35)), t, ledDir)
-        Dedup.writeNearDupIndex(b, "doc_id", "text", idxDir)
-        bi.write.mode("append").parquet(imgDir)
-        ba.write.mode("append").parquet(audDir)
-        bv.write.mode("append").parquet(vidDir)
-        be.write.mode("append").parquet(embDir)
+        // the whole per-tranche loop is ONE library call now
+        Curation.commitTranche(b, batches.toLong, stores,
+          imgHashes = Some(imgHashes(b)),
+          audHashes = Some(audHashes(b)),
+          vidFrames = Some(VideoHash.frameHashes(b, "doc_id", "text")),
+          embeddings = Some(corpusEmb.join(
+            b.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")))
+        // mid-stream maintenance: compacting the text index and the
+        // ledger between tranches must not disturb later verdicts
+        if (batches == 1) Curation.maintain(spark, stores)
         batches += 1
         ()
     }.start()
