@@ -117,4 +117,28 @@ object ModelStore {
   def readQualityWeights(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/weights").select(
       col("bucket").cast("long").as("bucket"), col("wt").cast("long").as("wt"))
+
+  // --- N-gram LM: hashed stupid-backoff counts ------------------------------
+
+  /** Persist a trained perplexity model ([[NgramLm.trainCounts]]) — the
+    * CCNet artifact: clean-corpus counts ship once, every new shard
+    * scores against them. Callers must score with the SAME b1/b2 bucket
+    * sizes the counts were trained with (hash bucketing is part of the
+    * model).
+    */
+  def writeNgramLm(counts: NgramLm.Counts, dir: String): Unit = {
+    counts.c1.coalesce(1).write.mode("overwrite").parquet(s"$dir/c1")
+    counts.c2.coalesce(1).write.mode("overwrite").parquet(s"$dir/c2")
+  }
+
+  /** The persisted LM counts — feed straight to [[NgramLm.scoreWith]].
+    * Integer counts round-trip exactly, so a fresh session's scores are
+    * bit-identical (6-dp rounded log arithmetic on identical inputs).
+    */
+  def readNgramLm(spark: SparkSession, dir: String): NgramLm.Counts =
+    NgramLm.Counts(
+      spark.read.parquet(s"$dir/c1").select(
+        col("hw").cast("long").as("hw"), col("c1").cast("long").as("c1")),
+      spark.read.parquet(s"$dir/c2").select(
+        col("hb").cast("long").as("hb"), col("c2").cast("long").as("c2")))
 }

@@ -45,34 +45,61 @@ object NgramLm {
     */
   def perplexityScores(docs: DataFrame, idCol: String, textCol: String,
                        isTarget: Column, b1: Int = 4096, b2: Int = 65536,
-                       headBin: Int = -34, midBin: Int = -36): DataFrame = {
+                       headBin: Int = -34, midBin: Int = -36): DataFrame =
+    scoreWith(trainCounts(docs.filter(isTarget), textCol, b1, b2),
+      docs, idCol, textCol, b1, b2, headBin, midBin)
+
+  /** The trained LM artifact: hashed unigram-context counts (hw, c1)
+    * and bigram counts (hb, c2). This pair (plus the bucket sizes used
+    * to train) is everything scoring needs — the CCNet deployment
+    * shape, where the clean-corpus LM ships once and every new shard
+    * scores against it ([[ModelStore.writeNgramLm]] persists it;
+    * `n = Σc1` is derived, never stored).
+    */
+  final case class Counts(c1: DataFrame, c2: DataFrame)
+
+  /** Count the model over a clean target corpus. */
+  def trainCounts(target: DataFrame, textCol: String,
+                  b1: Int = 4096, b2: Int = 65536): Counts = {
     require(b1 >= 1 && b2 >= 1, s"bucket spaces must be >= 1, got $b1/$b2")
-    require(headBin > midBin,
-      s"headBin must sit above midBin, got $headBin <= $midBin")
-    val target = docs.filter(isTarget)
-    // unigram context counts over the target slice: c1(hw), N = Σc1
     val c1 = target
       .select(explode(split(col(textCol), " ")).as("u"))
       .select((Hashing.h32(col("u")) % b1).as("hw"))
       .groupBy("hw").agg(count(lit(1)).as("c1"))
-    val tots = c1.agg(coalesce(sum("c1"), lit(0L)).as("n"))
-    // bigram stream: hb plus both word buckets — hw1 keys the backoff
-    // decision (unseen context), hw2 keys the backoff score
-    def bigrams(src: DataFrame, cols: Column*): DataFrame = {
-      val bg = GraftColumnBridge.column(graft.expr.WordShingles(
-        GraftColumnBridge.expression(col(textCol).cast("string")), 2))
-      src.select(cols :+ explode(bg).as("f"): _*)
-        .select(cols ++ Seq(
-          (Hashing.h32(col("f")) % b2).as("hb"),
-          (Hashing.h32(substring_index(col("f"), " ", 1)) % b1).as("hw1"),
-          (Hashing.h32(substring_index(col("f"), " ", -1)) % b1).as("hw2")): _*)
-    }
-    val c2 = bigrams(target)
+    val c2 = bigrams(target, textCol, b1, b2)
       .groupBy("hb").agg(count(lit(1)).as("c2"))
+    Counts(c1, c2)
+  }
+
+  // bigram stream: hb plus both word buckets — hw1 keys the backoff
+  // decision (unseen context), hw2 keys the backoff score
+  private def bigrams(src: DataFrame, textCol: String, b1: Int, b2: Int,
+                      cols: Column*): DataFrame = {
+    val bg = GraftColumnBridge.column(graft.expr.WordShingles(
+      GraftColumnBridge.expression(col(textCol).cast("string")), 2))
+    src.select(cols :+ explode(bg).as("f"): _*)
+      .select(cols ++ Seq(
+        (Hashing.h32(col("f")) % b2).as("hb"),
+        (Hashing.h32(substring_index(col("f"), " ", 1)) % b1).as("hw1"),
+        (Hashing.h32(substring_index(col("f"), " ", -1)) % b1).as("hw2")): _*)
+  }
+
+  /** Score `docs` against an already-trained (possibly
+    * disk-round-tripped) model. `b1`/`b2` MUST be the bucket sizes the
+    * counts were trained with.
+    */
+  def scoreWith(counts: Counts, docs: DataFrame, idCol: String,
+                textCol: String, b1: Int = 4096, b2: Int = 65536,
+                headBin: Int = -34, midBin: Int = -36): DataFrame = {
+    require(headBin > midBin,
+      s"headBin must sit above midBin, got $headBin <= $midBin")
+    val c1 = counts.c1
+    val c2 = counts.c2
+    val tots = c1.agg(coalesce(sum("c1"), lit(0L)).as("n"))
     // per-occurrence log-score: in-model ratio, else stupid backoff;
     // c2's bucket may collide onto a context whose c1 bucket is empty,
     // so the in-model branch requires BOTH counts positive
-    val lp = bigrams(docs, col(idCol).as("doc_id"))
+    val lp = bigrams(docs, textCol, b1, b2, col(idCol).as("doc_id"))
       .join(broadcast(c2), Seq("hb"), "left")
       .join(broadcast(c1.withColumnRenamed("hw", "hw1")
         .withColumnRenamed("c1", "c1w1")), Seq("hw1"), "left")

@@ -134,4 +134,32 @@ class ModelStoreSpec extends SparkSpec {
           r.getInt(3))).sorted.toSeq
     assert(scored(fresh, back) == scored(spark, w))
   }
+
+  test("n-gram LM counts round-trip and perplexity-score identically from disk") {
+    val docs = Tables.documents(spark, sf())
+    val clean = col("doc_id") % 3 === 0
+    val counts = NgramLm.trainCounts(docs.filter(clean), "text")
+    val dir = Files.createTempDirectory("lmstore").toString
+    ModelStore.writeNgramLm(counts, dir)
+    val fresh = spark.newSession()
+    val back = ModelStore.readNgramLm(fresh, dir)
+    // integer counts round-trip exactly
+    assert(back.c1.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      == counts.c1.selectExpr("cast(hw as long)", "cast(c1 as long)")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    // scoring a new shard from the persisted artifact equals the
+    // train-session path (6-dp rounded log arithmetic, same inputs)
+    def sc(s: org.apache.spark.sql.SparkSession, c: NgramLm.Counts) =
+      NgramLm.scoreWith(c, Tables.documents(s, sf()), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getString(4))).sorted.toSeq
+    val fromDisk = sc(fresh, back)
+    assert(fromDisk == sc(spark, counts))
+    // and the one-call training path is literally train + score
+    val direct = NgramLm.perplexityScores(docs, "doc_id", "text", clean)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getString(4))).sorted.toSeq
+    assert(fromDisk == direct)
+    assert(direct.map(_._5).distinct.size >= 2, "buckets should vary")
+  }
 }
