@@ -733,10 +733,35 @@ object Dedup {
   def writeNearDupIndex(df: DataFrame, idCol: String, textCol: String,
                         dir: String, k: Int = 2, bands: Int = 8,
                         rows: Int = 2): Unit = {
+    val spark = df.sparkSession
+    // the store is self-describing: shingle/band geometry is part of
+    // the index, and an append under DIFFERENT geometry would corrupt
+    // it silently (band keys from mismatched signatures never collide
+    // correctly) — so the first write records the params and every
+    // later append must match them
+    if (new java.io.File(s"$dir/params").isDirectory) {
+      val p = readNearDupIndexParams(spark, dir)
+      require(p == ((k, bands, rows)),
+        s"near-dup index at $dir was built with (k, bands, rows) = $p; " +
+          s"refusing an append with (${k}, ${bands}, ${rows})")
+    } else {
+      import spark.implicits._
+      Seq((k, bands, rows)).toDF("k", "bands", "rows")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    }
     val idx = nearDupIndex(df, idCol, textCol, k, bands, rows)
     idx.bands.write.mode("append").parquet(s"$dir/bands")
     idx.sets.write.mode("append").parquet(s"$dir/sets")
     idx.members.write.mode("append").parquet(s"$dir/members")
+  }
+
+  /** The persisted shingle/band geometry: (k, bands, rows). Probes of a
+    * persisted index must run with exactly these.
+    */
+  def readNearDupIndexParams(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): (Int, Int, Int) = {
+    val p = spark.read.parquet(s"$dir/params").collect()(0)
+    (p.getInt(0), p.getInt(1), p.getInt(2))
   }
 
   /** Load a persisted near-dup index, re-collapsing contents duplicated
@@ -771,6 +796,9 @@ object Dedup {
     idx.bands.write.parquet(s"$tmp/bands")
     idx.sets.write.parquet(s"$tmp/sets")
     idx.members.dropDuplicates("id", "ch").write.parquet(s"$tmp/members")
+    if (new java.io.File(s"$dir/params").isDirectory)
+      spark.read.parquet(s"$dir/params").coalesce(1)
+        .write.parquet(s"$tmp/params")
     StoreSwap.swap(dir, tmp)
   }
 

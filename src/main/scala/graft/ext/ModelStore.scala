@@ -122,23 +122,30 @@ object ModelStore {
 
   /** Persist a trained perplexity model ([[NgramLm.trainCounts]]) — the
     * CCNet artifact: clean-corpus counts ship once, every new shard
-    * scores against them. Callers must score with the SAME b1/b2 bucket
-    * sizes the counts were trained with (hash bucketing is part of the
-    * model).
+    * scores against them. The bucket sizes ride along as a params row,
+    * so the store is self-describing: a reader can never pair the
+    * counts with the wrong hash spaces.
     */
   def writeNgramLm(counts: NgramLm.Counts, dir: String): Unit = {
+    val spark = counts.c1.sparkSession
+    import spark.implicits._
     counts.c1.coalesce(1).write.mode("overwrite").parquet(s"$dir/c1")
     counts.c2.coalesce(1).write.mode("overwrite").parquet(s"$dir/c2")
+    Seq((counts.b1, counts.b2)).toDF("b1", "b2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
   }
 
   /** The persisted LM counts — feed straight to [[NgramLm.scoreWith]].
     * Integer counts round-trip exactly, so a fresh session's scores are
     * bit-identical (6-dp rounded log arithmetic on identical inputs).
     */
-  def readNgramLm(spark: SparkSession, dir: String): NgramLm.Counts =
+  def readNgramLm(spark: SparkSession, dir: String): NgramLm.Counts = {
+    val p = spark.read.parquet(s"$dir/params").collect()(0)
     NgramLm.Counts(
       spark.read.parquet(s"$dir/c1").select(
         col("hw").cast("long").as("hw"), col("c1").cast("long").as("c1")),
       spark.read.parquet(s"$dir/c2").select(
-        col("hb").cast("long").as("hb"), col("c2").cast("long").as("c2")))
+        col("hb").cast("long").as("hb"), col("c2").cast("long").as("c2")),
+      p.getInt(0), p.getInt(1))
+  }
 }

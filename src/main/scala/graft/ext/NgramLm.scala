@@ -47,16 +47,17 @@ object NgramLm {
                        isTarget: Column, b1: Int = 4096, b2: Int = 65536,
                        headBin: Int = -34, midBin: Int = -36): DataFrame =
     scoreWith(trainCounts(docs.filter(isTarget), textCol, b1, b2),
-      docs, idCol, textCol, b1, b2, headBin, midBin)
+      docs, idCol, textCol, headBin, midBin)
 
   /** The trained LM artifact: hashed unigram-context counts (hw, c1)
-    * and bigram counts (hb, c2). This pair (plus the bucket sizes used
-    * to train) is everything scoring needs — the CCNet deployment
-    * shape, where the clean-corpus LM ships once and every new shard
-    * scores against it ([[ModelStore.writeNgramLm]] persists it;
-    * `n = Σc1` is derived, never stored).
+    * and bigram counts (hb, c2), CARRYING the bucket sizes they were
+    * trained with — hash bucketing is part of the model, so a scorer
+    * can never silently pair counts with the wrong spaces. This is the
+    * CCNet deployment shape: the clean-corpus LM ships once and every
+    * new shard scores against it ([[ModelStore.writeNgramLm]] persists
+    * all four; `n = Σc1` is derived, never stored).
     */
-  final case class Counts(c1: DataFrame, c2: DataFrame)
+  final case class Counts(c1: DataFrame, c2: DataFrame, b1: Int, b2: Int)
 
   /** Count the model over a clean target corpus. */
   def trainCounts(target: DataFrame, textCol: String,
@@ -68,7 +69,7 @@ object NgramLm {
       .groupBy("hw").agg(count(lit(1)).as("c1"))
     val c2 = bigrams(target, textCol, b1, b2)
       .groupBy("hb").agg(count(lit(1)).as("c2"))
-    Counts(c1, c2)
+    Counts(c1, c2, b1, b2)
   }
 
   // bigram stream: hb plus both word buckets — hw1 keys the backoff
@@ -85,16 +86,15 @@ object NgramLm {
   }
 
   /** Score `docs` against an already-trained (possibly
-    * disk-round-tripped) model. `b1`/`b2` MUST be the bucket sizes the
-    * counts were trained with.
+    * disk-round-tripped) model; the counts carry their own bucket
+    * sizes, so scoring cannot disagree with training.
     */
   def scoreWith(counts: Counts, docs: DataFrame, idCol: String,
-                textCol: String, b1: Int = 4096, b2: Int = 65536,
+                textCol: String,
                 headBin: Int = -34, midBin: Int = -36): DataFrame = {
     require(headBin > midBin,
       s"headBin must sit above midBin, got $headBin <= $midBin")
-    val c1 = counts.c1
-    val c2 = counts.c2
+    val Counts(c1, c2, b1, b2) = counts
     val tots = c1.agg(coalesce(sum("c1"), lit(0L)).as("n"))
     // per-occurrence log-score: in-model ratio, else stupid backoff;
     // c2's bucket may collide onto a context whose c1 bucket is empty,

@@ -266,6 +266,19 @@ object PQ {
     centE.write.mode("overwrite").parquet(s"$dir/centroids")
     assign.select(col("vec_id"), col("sub"), col("cid").as("cell"))
       .write.mode("overwrite").parquet(s"$dir/codes")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // the store is self-describing: encode/search read the training
+    // geometry from here, so they can never disagree with it
+    Seq((m, k, iters, subWidth)).toDF("m", "k", "iters", "sub_width")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  /** The persisted training geometry: (m, k, iters, sub_width). */
+  def readIndexParams(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): (Int, Int, Int, Int) = {
+    val p = spark.read.parquet(s"$dir/params").collect()(0)
+    (p.getInt(0), p.getInt(1), p.getInt(2), p.getInt(3))
   }
 
   /** The persisted integer codebook: (sub, cid, i, v). */
@@ -285,8 +298,8 @@ object PQ {
     * arithmetic, so an appended copy of a trained vector gets the SAME
     * code (identity parity — the property the round-trip spec pins).
     */
-  def appendIndex(newEmb: DataFrame, dir: String,
-                  subWidth: Int = 16): Unit = {
+  def appendIndex(newEmb: DataFrame, dir: String): Unit = {
+    val subWidth = readIndexParams(newEmb.sparkSession, dir)._4
     val centE = readCentroids(newEmb.sparkSession, dir).localCheckpoint()
     assignTo(explodedSub(newEmb, subWidth), centE)
       .select(col("vec_id"), col("sub"), col("cid").as("cell"))
@@ -299,9 +312,10 @@ object PQ {
     * `dir/codes` — no raw corpus vector is read at query time, which
     * is the whole PQ memory bargain at serving scale.
     */
-  def adcTopKIndex(queryEmb: DataFrame, dir: String, topK: Int,
-                   subWidth: Int = 16): DataFrame = {
+  def adcTopKIndex(queryEmb: DataFrame, dir: String,
+                   topK: Int): DataFrame = {
     val spark = queryEmb.sparkSession
+    val subWidth = readIndexParams(spark, dir)._4
     val centE = readCentroids(spark, dir)
     val codesDf = readCodes(spark, dir)
       .select(col("vec_id").as("cid_vec"), col("sub"), col("cell"))

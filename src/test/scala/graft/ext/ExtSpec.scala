@@ -522,7 +522,9 @@ class ExtSpec extends SparkSpec {
     // must route to the SAME code in every subspace (identity parity)
     val copies = standing.filter(col("vec_id") % 16 === 1)
       .withColumn("vec_id", col("vec_id") + 1000000L)
-    PQ.appendIndex(copies, dir, subWidth = 16)
+    assert(PQ.readIndexParams(spark, dir) == ((4, 4, 2, 16)),
+      "store must carry its training geometry")
+    PQ.appendIndex(copies, dir)
     val all = PQ.readCodes(spark, dir)
     val mismatched = all.alias("a").join(all.alias("b"),
         col("a.vec_id") === col("b.vec_id") + 1000000L &&
@@ -1223,6 +1225,12 @@ class ExtSpec extends SparkSpec {
     assert(grown == expected)
     assert(grown.exists(_._4 == "within"),
       "the synthetic tranche should produce within-batch near-dups")
+    // the store is self-describing, and an append under different
+    // shingle/band geometry is refused instead of silently corrupting
+    assert(Dedup.readNearDupIndexParams(spark, dir) == ((2, 8, 2)))
+    intercept[IllegalArgumentException] {
+      Dedup.writeNearDupIndex(next, "doc_id", "text", dir, k = 3)
+    }
   }
 
   test("compactNearDupIndex pays the re-crawl collapse once; probes unchanged") {
@@ -1267,6 +1275,8 @@ class ExtSpec extends SparkSpec {
     val probeAfter = rows(Dedup.probeNearDupIndex(
       Dedup.readNearDupIndex(spark, dir), incoming, "doc_id", "text"))
     assert(probeAfter == probeBefore, "compaction changed probe results")
+    assert(Dedup.readNearDupIndexParams(spark, dir) == ((2, 8, 2)),
+      "compaction must carry the geometry params through the swap")
     assert(new java.io.File(s"$dir.old/bands").isDirectory,
       "previous store not retained for rollback")
     // the cycle continues: append the probed tranche to the compacted
