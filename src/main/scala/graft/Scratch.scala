@@ -17,6 +17,73 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (names.contains("__curation_steps")) {
+      import org.apache.spark.sql.functions._
+      val docs0 = graft.model.Tables.documents(spark, sfDir)
+        .select("doc_id", "text")
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"SCRATCH step $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+      val root = java.nio.file.Files.createTempDirectory("scrcur").toString
+      val idxDir = s"$root/text"
+      val ledDir = s"$root/led"
+      def ckpt(i: graft.ext.Dedup.NearDupIndexFrames) =
+        graft.ext.Dedup.NearDupIndexFrames(
+          i.bands.localCheckpoint(), i.sets.localCheckpoint(),
+          i.members.localCheckpoint())
+      Seq(0L -> (col("doc_id") % 4 === 0),
+          1L -> (col("doc_id") % 20 === 1)).foreach { case (tr, pred) =>
+        val b = docs0.filter(pred)
+        val standing = t(s"t$tr standing_read_ckpt") {
+          ckpt(if (new java.io.File(s"$idxDir/bands").isDirectory)
+            graft.ext.Dedup.readNearDupIndex(spark, idxDir)
+          else graft.ext.Dedup.nearDupIndex(
+            b.filter(lit(false)), "doc_id", "text"))
+        }
+        val trIdx = t(s"t$tr tranche_idx_ckpt") {
+          ckpt(graft.ext.Dedup.nearDupIndex(b, "doc_id", "text"))
+        }
+        val v = graft.ext.Dedup.ledgerProbeFrom(standing, trIdx, b, "doc_id")
+        t(s"t$tr probe+ledger_append") {
+          graft.ext.Ledger.append(v, tr, "text", ledDir)
+        }
+        t(s"t$tr index_append") {
+          graft.ext.Dedup.writeNearDupIndexFrames(trIdx, idxDir)
+        }
+      }
+      spark.stop(); return
+    }
+    if (names.contains("__curation")) {
+      import org.apache.spark.sql.functions._
+      val docs = graft.model.Tables.documents(spark, sfDir)
+        .select("doc_id", "text")
+      val emb = graft.model.Tables.embeddings(spark, sfDir)
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"SCRATCH __curation $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+      Seq("t", "tv", "te", "tve").foreach { mods =>
+        val root = java.nio.file.Files.createTempDirectory("scrcur").toString
+        val stores = graft.ext.Curation.Stores(s"$root/text", s"$root/img",
+          s"$root/aud", s"$root/vid", s"$root/emb", s"$root/led")
+        t(mods) {
+          Seq(0L -> (col("doc_id") % 4 === 0),
+              1L -> (col("doc_id") % 20 === 1)).foreach { case (tr, pred) =>
+            val b = docs.filter(pred)
+            graft.ext.Curation.commitTranche(b, tr, stores,
+              vidFrames = if (mods.contains('v')) Some(
+                graft.ext.VideoHash.frameHashes(b, "doc_id", "text")) else None,
+              embeddings = if (mods.contains('e')) Some(emb.join(
+                b.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+                "left_semi")) else None)
+          }
+        }
+      }
+      spark.stop(); return
+    }
     if (names.contains("__pairs")) {
       import org.apache.spark.sql.functions._
       val docs = graft.model.Tables.documents(spark, sfDir)

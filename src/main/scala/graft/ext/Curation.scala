@@ -55,12 +55,23 @@ object Curation {
                     jThresh: Double = 0.6,
                     cosThresh: Double = 0.35): DataFrame = {
     val spark = docs.sparkSession
-    val textIdx =
+    // materialize the probe's inputs ONCE: the verdict plan references
+    // the tranche's MinHash pipeline and the standing frames several
+    // times, and the tranche index is ALSO what gets appended — without
+    // checkpoints each reference recomputes the signature pass / the
+    // standing dropDuplicates collapse (measured 3-4x the committed
+    // cost at sf0.1)
+    def ckpt(i: Dedup.NearDupIndexFrames) = Dedup.NearDupIndexFrames(
+      i.bands.localCheckpoint(), i.sets.localCheckpoint(),
+      i.members.localCheckpoint())
+    val textIdx = ckpt(
       if (exists(s"${stores.textIndex}/bands"))
         Dedup.readNearDupIndex(spark, stores.textIndex)
-      else Dedup.nearDupIndex(docs.filter(lit(false)), "doc_id", "text")
+      else Dedup.nearDupIndex(docs.filter(lit(false)), "doc_id", "text"))
+    val trancheIdx = ckpt(Dedup.nearDupIndex(docs, "doc_id", "text"))
     var verdicts = Map[String, DataFrame](
-      "text" -> Dedup.ledgerProbe(textIdx, docs, "doc_id", "text", jThresh))
+      "text" -> Dedup.ledgerProbeFrom(textIdx, trancheIdx, docs,
+        "doc_id", jThresh))
     imgHashes.foreach { h =>
       val std = if (exists(stores.image)) spark.read.parquet(stores.image)
         else h.filter(lit(false))
@@ -84,7 +95,9 @@ object Curation {
         "vec_id", "embedding", "label", cosThresh)
     }
     Ledger.appendTranche(verdicts, trancheId, stores.ledger)
-    Dedup.writeNearDupIndex(docs, "doc_id", "text", stores.textIndex)
+    // append the SAME checkpointed tranche index the probe used
+    Dedup.ensureNearDupIndexParams(spark, stores.textIndex, 2, 8, 2)
+    Dedup.writeNearDupIndexFrames(trancheIdx, stores.textIndex)
     imgHashes.foreach(_.write.mode("append").parquet(stores.image))
     audHashes.foreach(_.write.mode("append").parquet(stores.audio))
     vidFrames.foreach(_.write.mode("append").parquet(stores.video))

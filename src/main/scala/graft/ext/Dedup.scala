@@ -669,8 +669,22 @@ object Dedup {
   def ledgerProbe(index: NearDupIndexFrames, incoming: DataFrame,
                   idCol: String, textCol: String, jThresh: Double = 0.6,
                   k: Int = 2, bands: Int = 8, rows: Int = 2,
-                  maxBucket: Int = 4096): DataFrame = {
-    val idxN = nearDupIndex(incoming, idCol, textCol, k, bands, rows)
+                  maxBucket: Int = 4096): DataFrame =
+    ledgerProbeFrom(index,
+      nearDupIndex(incoming, idCol, textCol, k, bands, rows),
+      incoming, idCol, jThresh, maxBucket)
+
+  /** [[ledgerProbe]] from an already-built (possibly checkpointed)
+    * tranche index — the probe plan references the tranche's signature
+    * pipeline several times, so a caller that ALSO appends the tranche
+    * to the standing store ([[Curation.commitTranche]]) materializes
+    * `idxN` once and shares it between the probe and the append instead
+    * of recomputing the MinHash pass per reference.
+    */
+  def ledgerProbeFrom(index: NearDupIndexFrames, idxN: NearDupIndexFrames,
+                      incoming: DataFrame, idCol: String,
+                      jThresh: Double = 0.6,
+                      maxBucket: Int = 4096): DataFrame = {
     val memN = idxN.members
     // verdicts are decidable at the DISTINCT-CONTENT level — a 10k-copy
     // template page in the tranche is ONE judged content, never m²
@@ -733,12 +747,20 @@ object Dedup {
   def writeNearDupIndex(df: DataFrame, idCol: String, textCol: String,
                         dir: String, k: Int = 2, bands: Int = 8,
                         rows: Int = 2): Unit = {
-    val spark = df.sparkSession
-    // the store is self-describing: shingle/band geometry is part of
-    // the index, and an append under DIFFERENT geometry would corrupt
-    // it silently (band keys from mismatched signatures never collide
-    // correctly) — so the first write records the params and every
-    // later append must match them
+    ensureNearDupIndexParams(df.sparkSession, dir, k, bands, rows)
+    writeNearDupIndexFrames(
+      nearDupIndex(df, idCol, textCol, k, bands, rows), dir)
+  }
+
+  /** The store is self-describing: shingle/band geometry is part of the
+    * index, and an append under DIFFERENT geometry would corrupt it
+    * silently (band keys from mismatched signatures never collide
+    * correctly) — so the first write records the params and every later
+    * append must match them.
+    */
+  private[ext] def ensureNearDupIndexParams(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int, bands: Int, rows: Int): Unit =
     if (new java.io.File(s"$dir/params").isDirectory) {
       val p = readNearDupIndexParams(spark, dir)
       require(p == ((k, bands, rows)),
@@ -749,7 +771,13 @@ object Dedup {
       Seq((k, bands, rows)).toDF("k", "bands", "rows")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
     }
-    val idx = nearDupIndex(df, idCol, textCol, k, bands, rows)
+
+  /** Append already-built index frames (no geometry guard — callers
+    * come through [[writeNearDupIndex]] or own the frames' provenance,
+    * like [[Curation.commitTranche]] sharing one checkpointed tranche
+    * index between probe and append).
+    */
+  def writeNearDupIndexFrames(idx: NearDupIndexFrames, dir: String): Unit = {
     idx.bands.write.mode("append").parquet(s"$dir/bands")
     idx.sets.write.mode("append").parquet(s"$dir/sets")
     idx.members.write.mode("append").parquet(s"$dir/members")
