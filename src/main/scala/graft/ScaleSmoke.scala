@@ -540,6 +540,42 @@ object ScaleSmoke {
       s"fresh directions misjudged: $semCounts")
     require(semSec < 180, f"semantic probe blew the 180s budget: $semSec%.1fs")
 
+    // --- persisted PQ index at 200k vectors: codes-only serving ---------------
+    // The PQ memory bargain asserted structurally: the disk ADC search
+    // plan's file scans touch ONLY the index store (codes + centroids —
+    // narrow integer rows), never raw vectors; a 20k append of
+    // byte-identical copies routes through the FROZEN persisted
+    // codebook to exactly its sources' codes.
+    val tPq = System.nanoTime()
+    val pqDir = java.nio.file.Files.createTempDirectory("pqscale")
+      .toString + "/pq"
+    graft.ext.PQ.writeIndex(vecs, pqDir, m = 4, k = 4, iters = 1,
+      subWidth = 16)
+    val pqCopies = vecs.filter(col("vec_id") < 20000)
+      .select((col("vec_id") + 20000000L).as("vec_id"), col("embedding"))
+    graft.ext.PQ.appendIndex(pqCopies, pqDir)
+    val pqCodes = spark.read.parquet(s"$pqDir/codes")
+    require(pqCodes.count() == (nIvf + 20000L) * 4,
+      "one code row per (vector, subspace)")
+    val pqMismatch = pqCodes.as("a").join(pqCodes.as("b"),
+        col("a.vec_id") === col("b.vec_id") + 20000000L &&
+          col("a.sub") === col("b.sub"))
+      .filter(col("a.cell") =!= col("b.cell")).count()
+    require(pqMismatch == 0,
+      s"frozen-codebook append routed $pqMismatch copies off their sources")
+    val pqTop = graft.ext.PQ.adcTopKIndex(
+      vecs.filter(col("vec_id") < 4), pqDir, topK = 5)
+    val pqRows = pqTop.collect()
+    val pqScanLocs = fileScans(pqTop.queryExecution.executedPlan)
+      .flatMap(_.metadata.get("Location"))
+    val pqSec = (System.nanoTime() - tPq) / 1e9
+    println(f"pq index: ${nIvf + 20000L}%d codes, ${pqRows.length}%d results, " +
+      f"${pqScanLocs.length}%d file scans (index-only) in $pqSec%.1fs")
+    require(pqRows.length == 4 * 5)
+    require(pqScanLocs.nonEmpty && pqScanLocs.forall(_.contains(pqDir)),
+      s"serving scan escaped the index store: $pqScanLocs")
+    require(pqSec < 300, f"pq probe blew the 300s budget: $pqSec%.1fs")
+
     // --- image perceptual dedup: exact-dup flood stays collapsed -------------
     // 15k images but only 50 distinct pixel contents (the boilerplate
     // shape): the banded Hamming join must see 50 representatives, and
