@@ -181,16 +181,23 @@ object Bench {
       ()
     }
     val tCb0 = System.nanoTime()
-    try curCommit(0L, col("doc_id") % 4 === 0)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] curation bootstrap failed: ${e.getMessage}")
-    }
+    val cbOk =
+      try { curCommit(0L, col("doc_id") % 4 === 0); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] curation bootstrap failed: ${e.getMessage}")
+        false
+      }
     val cbSec = (System.nanoTime() - tCb0) / 1e9
+    // a steady-state commit against half-bootstrapped stores would
+    // record a misleadingly cheap minimum that poisons the regression
+    // baseline — skip it when the bootstrap failed
     val tCc0 = System.nanoTime()
-    try curCommit(1L, col("doc_id") % 20 === 1)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] curation commit failed: ${e.getMessage}")
-    }
+    if (cbOk)
+      try curCommit(1L, col("doc_id") % 20 === 1)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] curation commit failed: ${e.getMessage}")
+      }
+    else System.err.println("[bench] curation commit skipped: bootstrap failed")
     val ccSec = (System.nanoTime() - tCc0) / 1e9
     // Two timed passes, report the per-query MINIMUM. A single pass is
     // hostage to whatever else the container is doing (the r3 driver run

@@ -37,8 +37,10 @@ object Curation {
   final case class Stores(textIndex: String, image: String, audio: String,
                           video: String, embedding: String, ledger: String)
 
-  private def exists(dir: String): Boolean =
-    new java.io.File(dir).isDirectory
+  // store-FS existence (java.io.File would report every hdfs://-style
+  // store absent and silently bootstrap empty standing sides forever)
+  private def exists(spark: SparkSession, dir: String): Boolean =
+    Dedup.storeExists(spark, dir)
 
   /** Commit one tranche: probe → ledger append → store appends.
     * Returns the multimodal verdict frame that was appended, one row
@@ -46,6 +48,14 @@ object Curation {
     * kept. First call against empty store paths bootstraps every
     * standing side as empty (all verdicts `kept` modulo within-tranche
     * duplication).
+    *
+    * Ids must be unique across tranches (the ledgerProbe first-seen
+    * contract). That makes a FAILED commit's re-run safe: every
+    * standing side is probed with the tranche's own ids excluded, so
+    * half-appended rows from the failed attempt can never make the
+    * tranche judge itself duplicate — the re-run reproduces the first
+    * attempt's verdicts and its ledger write replaces the same
+    * partitions (CurationSpec pins re-run == first run).
     */
   def commitTranche(docs: DataFrame, trancheId: Long, stores: Stores,
                     imgHashes: Option[DataFrame] = None,
@@ -55,6 +65,11 @@ object Curation {
                     jThresh: Double = 0.6,
                     cosThresh: Double = 0.35): DataFrame = {
     val spark = docs.sparkSession
+    // geometry guard FIRST: a standing index built under different
+    // shingle/band params must refuse the commit before any verdict is
+    // derived, not after a silently-wrong ledger partition is committed
+    Dedup.ensureNearDupIndexParams(spark, stores.textIndex, 2, 8, 2)
+    val ids = docs.select(col("doc_id")).localCheckpoint()
     // materialize the probe's inputs ONCE: the verdict plan references
     // the tranche's MinHash pipeline and the standing frames several
     // times, and the tranche index is ALSO what gets appended — without
@@ -64,44 +79,51 @@ object Curation {
     def ckpt(i: Dedup.NearDupIndexFrames) = Dedup.NearDupIndexFrames(
       i.bands.localCheckpoint(), i.sets.localCheckpoint(),
       i.members.localCheckpoint())
-    val textIdx = ckpt(
-      if (exists(s"${stores.textIndex}/bands"))
+    // self-exclusion: drop the tranche's own ids from every standing
+    // side (a re-run of a failed commit probes a store that may already
+    // carry this tranche's append)
+    val textIdx0 =
+      if (exists(spark, s"${stores.textIndex}/bands"))
         Dedup.readNearDupIndex(spark, stores.textIndex)
-      else Dedup.nearDupIndex(docs.filter(lit(false)), "doc_id", "text"))
+      else Dedup.nearDupIndex(docs.filter(lit(false)), "doc_id", "text")
+    val textIdx = ckpt(textIdx0.copy(members = textIdx0.members
+      .join(ids.withColumnRenamed("doc_id", "id"), Seq("id"), "left_anti")))
     val trancheIdx = ckpt(Dedup.nearDupIndex(docs, "doc_id", "text"))
+    def standing(dir: String, fallback: DataFrame, idCol: String) =
+      (if (exists(spark, dir)) spark.read.parquet(dir)
+       else fallback.filter(lit(false)))
+        .join(ids.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
     var verdicts = Map[String, DataFrame](
       "text" -> Dedup.ledgerProbeFrom(textIdx, trancheIdx, docs,
         "doc_id", jThresh))
-    imgHashes.foreach { h =>
-      val std = if (exists(stores.image)) spark.read.parquet(stores.image)
-        else h.filter(lit(false))
-      verdicts += "image" -> ImageHash.ledgerProbe(std, h, "doc_id", "hash")
+    val img = imgHashes.map(_.localCheckpoint())
+    img.foreach { h =>
+      verdicts += "image" -> ImageHash.ledgerProbe(
+        standing(stores.image, h, "doc_id"), h, "doc_id", "hash")
     }
-    audHashes.foreach { h =>
-      val std = if (exists(stores.audio)) spark.read.parquet(stores.audio)
-        else h.filter(lit(false))
-      verdicts += "audio" -> ImageHash.ledgerProbe(std, h, "doc_id", "hash")
+    val aud = audHashes.map(_.localCheckpoint())
+    aud.foreach { h =>
+      verdicts += "audio" -> ImageHash.ledgerProbe(
+        standing(stores.audio, h, "doc_id"), h, "doc_id", "hash")
     }
-    vidFrames.foreach { f =>
-      val std = if (exists(stores.video)) spark.read.parquet(stores.video)
-        else f.filter(lit(false))
-      verdicts += "video" -> VideoHash.ledgerProbe(std, f, docs, "doc_id")
+    val vid = vidFrames.map(_.localCheckpoint())
+    vid.foreach { f =>
+      verdicts += "video" -> VideoHash.ledgerProbe(
+        standing(stores.video, f, "doc_id"), f, docs, "doc_id")
     }
-    embeddings.foreach { e =>
-      val std = if (exists(stores.embedding))
-        spark.read.parquet(stores.embedding)
-      else e.filter(lit(false))
-      verdicts += "embedding" -> Similarity.ledgerProbe(std, e,
+    val emb = embeddings.map(_.localCheckpoint())
+    emb.foreach { e =>
+      verdicts += "embedding" -> Similarity.ledgerProbe(
+        standing(stores.embedding, e, "vec_id"), e,
         "vec_id", "embedding", "label", cosThresh)
     }
     Ledger.appendTranche(verdicts, trancheId, stores.ledger)
-    // append the SAME checkpointed tranche index the probe used
-    Dedup.ensureNearDupIndexParams(spark, stores.textIndex, 2, 8, 2)
+    // append the SAME checkpointed frames the probes used
     Dedup.writeNearDupIndexFrames(trancheIdx, stores.textIndex)
-    imgHashes.foreach(_.write.mode("append").parquet(stores.image))
-    audHashes.foreach(_.write.mode("append").parquet(stores.audio))
-    vidFrames.foreach(_.write.mode("append").parquet(stores.video))
-    embeddings.foreach(_.write.mode("append").parquet(stores.embedding))
+    img.foreach(_.write.mode("append").parquet(stores.image))
+    aud.foreach(_.write.mode("append").parquet(stores.audio))
+    vid.foreach(_.write.mode("append").parquet(stores.video))
+    emb.foreach(_.write.mode("append").parquet(stores.embedding))
     verdicts.map { case (m, v) =>
       v.select(col("doc_id"), lit(m).as("modality"), col("decision"))
     }.reduce(_ unionByName _)
@@ -114,8 +136,8 @@ object Curation {
     * tranches at whatever cadence write amplification warrants.
     */
   def maintain(spark: SparkSession, stores: Stores): Unit = {
-    if (exists(s"${stores.textIndex}/bands"))
+    if (exists(spark, s"${stores.textIndex}/bands"))
       Dedup.compactNearDupIndex(spark, stores.textIndex)
-    if (exists(stores.ledger)) Ledger.compact(spark, stores.ledger)
+    if (exists(spark, stores.ledger)) Ledger.compact(spark, stores.ledger)
   }
 }

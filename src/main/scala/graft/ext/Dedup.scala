@@ -761,7 +761,7 @@ object Dedup {
   private[ext] def ensureNearDupIndexParams(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       k: Int, bands: Int, rows: Int): Unit =
-    if (new java.io.File(s"$dir/params").isDirectory) {
+    if (storeExists(spark, s"$dir/params")) {
       val p = readNearDupIndexParams(spark, dir)
       require(p == ((k, bands, rows)),
         s"near-dup index at $dir was built with (k, bands, rows) = $p; " +
@@ -820,14 +820,23 @@ object Dedup {
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
                           dir: String): Unit = {
     val idx = readNearDupIndex(spark, dir)
-    val tmp = s"$dir.compact"
+    val tmp = StoreSwap.prepareTmp(spark, s"$dir.compact")
     idx.bands.write.parquet(s"$tmp/bands")
     idx.sets.write.parquet(s"$tmp/sets")
     idx.members.dropDuplicates("id", "ch").write.parquet(s"$tmp/members")
-    if (new java.io.File(s"$dir/params").isDirectory)
+    if (storeExists(spark, s"$dir/params"))
       spark.read.parquet(s"$dir/params").coalesce(1)
         .write.parquet(s"$tmp/params")
-    StoreSwap.swap(dir, tmp)
+    StoreSwap.swap(spark, dir, tmp)
+  }
+
+  /** Store-FS existence check (local path or URI — java.io.File would
+    * silently report every hdfs://-style store absent).
+    */
+  private[ext] def storeExists(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
   /** Duplicate-cluster resolution: connected components of the near-dup

@@ -229,9 +229,9 @@ object IvfIndex {
               iters: Int = 2): Unit = {
     val emb = spark.read.parquet(s"$dir/vectors").drop("cell")
       .localCheckpoint() // sever lineage from the files about to move
-    val tmp = s"$dir.rewrite"
+    val tmp = StoreSwap.prepareTmp(spark, s"$dir.rewrite")
     write(emb, tmp, k, iters)
-    StoreSwap.swap(dir, tmp)
+    StoreSwap.swap(spark, dir, tmp)
   }
 
   /** Post-append cell occupancy census (VERDICT r9 #6): (cell,

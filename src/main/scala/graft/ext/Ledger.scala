@@ -77,11 +77,11 @@ object Ledger {
     * atomic renames, previous store under `<dir>.old` for rollback.
     */
   def compact(spark: SparkSession, dir: String): Unit = {
-    val tmp = s"$dir.compact"
+    val tmp = StoreSwap.prepareTmp(spark, s"$dir.compact")
     read(spark, dir)
       .repartition(col("tranche"), col("modality"))
       .write.partitionBy("tranche", "modality").parquet(tmp)
-    StoreSwap.swap(dir, tmp)
+    StoreSwap.swap(spark, dir, tmp)
   }
 
   /** The downstream monitor's view: verdict counts per (tranche,

@@ -1,0 +1,78 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.Tables
+
+/** The one-call-per-tranche API's failure-recovery contracts: a re-run
+  * of a failed commit must reproduce the first attempt bit-for-bit
+  * (standing stores already carry the failed attempt's appends — the
+  * tranche must never judge itself duplicate), and a geometry-
+  * mismatched standing store must refuse the commit BEFORE any verdict
+  * lands in the ledger.
+  */
+class CurationSpec extends SparkSpec {
+
+  private def freshStores(): Curation.Stores = {
+    val root = Files.createTempDirectory("curspec").toString
+    Curation.Stores(s"$root/text", s"$root/img", s"$root/aud",
+      s"$root/vid", s"$root/emb", s"$root/led")
+  }
+
+  test("a failed commit's re-run reproduces the first attempt exactly") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val emb = Tables.embeddings(spark, sf())
+    val stores = freshStores()
+    val t0 = docs.filter(col("doc_id") % 2 === 0)
+    // tranche 1 carries a byte-identical copy of a tranche-0 doc under
+    // a fresh id — its verdict must be exact_dup against STANDING in
+    // both the first run and the re-run
+    val copySrc = t0.orderBy("doc_id").limit(1)
+    val t1 = docs.filter(col("doc_id") % 2 === 1)
+      .unionAll(copySrc.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text")))
+    def embOf(b: org.apache.spark.sql.DataFrame) = emb.join(
+      b.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    Curation.commitTranche(t0, 0L, stores, embeddings = Some(embOf(t0)))
+    def run(): Seq[(Long, String, String)] =
+      Curation.commitTranche(t1, 1L, stores, embeddings = Some(embOf(t1)))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sorted.toSeq
+    def ledger(): Seq[(Long, String, Long, String)] =
+      Ledger.read(spark, stores.ledger).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3))).sorted.toSeq
+    val first = run()
+    val ledFirst = ledger()
+    val copyId = copySrc.collect()(0).getLong(0) + 1000000L
+    assert(first.contains((copyId, "text", "exact_dup")),
+      "planted cross-tranche copy not judged exact_dup on first run")
+    // the crash-recovery path the scaladoc names: the whole commit
+    // re-runs with the same trancheId, standing stores ALREADY carrying
+    // tranche 1's text index + embedding appends from the first attempt
+    val rerun = run()
+    assert(rerun == first,
+      "re-run verdicts diverged from the first attempt")
+    assert(ledger() == ledFirst,
+      "re-run changed the on-disk ledger")
+    // and tranche 0's partitions were never touched
+    assert(ledger().count(_._3 == 0L) > 0)
+  }
+
+  test("mismatched standing geometry is refused before any ledger write") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val stores = freshStores()
+    Dedup.writeNearDupIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", stores.textIndex, k = 3)
+    intercept[IllegalArgumentException] {
+      Curation.commitTranche(docs.filter(col("doc_id") % 2 === 1),
+        0L, stores)
+    }
+    assert(!new java.io.File(stores.ledger).exists(),
+      "a geometry-mismatched commit left ledger rows behind")
+  }
+}

@@ -75,7 +75,12 @@ class LedgerSpec extends SparkSpec {
     Ledger.append(verdicts(Seq(50L -> "kept")), 2L, "text", dir)
     assert(rows(dir).size == before.size + 1)
     // maintenance is re-runnable: a second compaction replaces the
-    // stale .old instead of failing on it
+    // stale .old instead of failing on it — and a stale tmp from a
+    // CRASHED earlier pass is cleared, not tripped over
+    val staleTmp = new java.io.File(s"$dir.compact/bands")
+    staleTmp.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir.compact/bands/junk"), "crashed pass")
     val after = rows(dir)
     Ledger.compact(spark, dir)
     assert(rows(dir) == after)
