@@ -64,6 +64,20 @@ object Ledger {
       col("tranche").cast("long").as("tranche"),
       col("modality").cast("string").as("modality"))
 
+  /** A tranche-range slice [from, to] of the ledger. The range filter
+    * lands on the partition KEY before the projection's cast, so the
+    * scan prunes to the named tranche directories — at production
+    * tranche counts an incident audit ("what changed between commits
+    * 4100 and 4200?") touches its slice, never the table.
+    */
+  def readRange(spark: SparkSession, dir: String, from: Long,
+                to: Long): DataFrame =
+    spark.read.parquet(dir)
+      .filter(col("tranche") >= from && col("tranche") <= to)
+      .select(col("doc_id"), col("decision"),
+        col("tranche").cast("long").as("tranche"),
+        col("modality").cast("string").as("modality"))
+
   /** Compact the accumulated ledger's small files. Each tranche commit
     * writes its own file set per (tranche, modality) partition — at one
     * modality-write per [[appendTranche]] call the table becomes

@@ -86,6 +86,35 @@ class LedgerSpec extends SparkSpec {
     assert(rows(dir) == after)
   }
 
+  test("readRange reads only its tranche partitions (structural pruning)") {
+    val dir = Files.createTempDirectory("ledrange").toString + "/ledger"
+    (0L to 4L).foreach { t =>
+      Ledger.append(verdicts(Seq(t * 10 -> "kept", t * 10 + 1 -> "near_dup")),
+        t, "text", dir)
+      Ledger.append(verdicts(Seq(t * 10 + 2 -> "kept")), t, "image", dir)
+    }
+    val sliced = Ledger.readRange(spark, dir, 1L, 2L)
+    val got = sliced.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sorted.toSeq
+    assert(got.map(_._3).distinct.sorted == Seq(1L, 2L))
+    assert(got.size == 6)
+    // the range filter must land on the partition key: the executed
+    // scan reads 2 tranches x 2 modalities = 4 of 10 directories
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case s: QueryStageExec => fileScans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => (o.children ++ o.subqueries).flatMap(fileScans)
+    }
+    sliced.collect()
+    val parts = fileScans(sliced.queryExecution.executedPlan)
+      .headOption.map(_.selectedPartitions.partitionCount)
+    assert(parts.contains(4), s"expected 4 of 10 partitions read, got $parts")
+  }
+
   test("auditSummary counts per (tranche, modality, decision)") {
     val dir = Files.createTempDirectory("ledaudit").toString
     Ledger.append(verdicts(Seq(1L -> "kept", 2L -> "kept", 3L -> "exact_dup")),
