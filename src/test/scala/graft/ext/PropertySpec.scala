@@ -368,4 +368,70 @@ class PropertySpec extends SparkSpec {
     assert(got == expected)
     assert(Set("exact_dup", "near_dup", "kept").subsetOf(got.values.toSet))
   }
+
+  test("property: the disk curation loop equals the first-seen replay under random tranching") {
+    // Curation.commitTranche end-to-end (disk standing index, ledger
+    // appends, index appends between commits) on a random corpus split
+    // into three tranches by a RANDOM assignment — the streaming test
+    // proves one fixed arrival order; this pins the invariant over an
+    // arbitrary one. Tiny vocabulary so exact duplicates, near
+    // duplicates and below-shingle-floor docs occur organically both
+    // within and across tranches.
+    import spark.implicits._
+    import java.nio.file.Files
+    val seed = org.scalacheck.rng.Seed(1234L)
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val docGen = for {
+      n <- Gen.choose(0, 8)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    val texts = Gen.listOfN(150, docGen)
+      .pureApply(Gen.Parameters.default, seed)
+    val assign = Gen.listOfN(150, Gen.choose(0, 2))
+      .pureApply(Gen.Parameters.default, seed.next)
+    val root = Files.createTempDirectory("curprop").toString
+    val stores = Curation.Stores(s"$root/text", s"$root/img", s"$root/aud",
+      s"$root/vid", s"$root/emb", s"$root/led")
+    (0 to 2).foreach { tr =>
+      val b = texts.zipWithIndex.collect {
+        case (t, i) if assign(i) == tr => (i.toLong, t)
+      }.toDF("doc_id", "text")
+      Curation.commitTranche(b, tr.toLong, stores)
+      ()
+    }
+    val got = Ledger.read(spark, stores.ledger).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    // replay: arrival order = (assigned tranche, id within)
+    def ord(id: Long): Long = assign(id.toInt).toLong * 10000000L + id
+    val union = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val members = Dedup.contentMembers(union, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exactLosers = members.toSeq.groupBy(_._2).values.flatMap { g =>
+      val first = g.map(_._1).minBy(ord); g.map(_._1).filterNot(_ == first)
+    }.toSet
+    val pairs = Dedup.minhashLshPairs(union, "doc_id", "text")
+      .filter(col("jaccard") >= 0.6).select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nearLosers = pairs.map { case (a, b) =>
+      if (ord(a) > ord(b)) a else b }.toSet -- exactLosers
+    val expected = texts.indices.map { i =>
+      val id = i.toLong
+      (id,
+        if (exactLosers(id)) "exact_dup"
+        else if (nearLosers(id)) "near_dup"
+        else "kept",
+        assign(i).toLong)
+    }.toSet
+    assert(got == expected)
+    assert(got.map(_._2).toSeq.distinct.size == 3,
+      "the random corpus should exercise all three verdicts")
+    // cross-tranche duplication must actually occur for this to prove
+    // the standing-store path, not just within-tranche collapse
+    assert(exactLosers.exists(id => {
+      val grp = members.toSeq.filter(_._2 == members(id)).map(_._1)
+      grp.map(i => assign(i.toInt)).distinct.size > 1
+    }), "no exact-dup group spans tranches — seed regression")
+  }
 }
