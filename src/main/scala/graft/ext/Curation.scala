@@ -111,11 +111,24 @@ object Curation {
       verdicts += "video" -> VideoHash.ledgerProbe(
         standing(stores.video, f, "doc_id"), f, docs, "doc_id")
     }
+    // the semantic layer has two store shapes: a flat parquet of
+    // (vec_id, embedding, label) — exhaustive label-blocked cosine,
+    // right up to ~10^6 standing vectors — or a persisted [[IvfIndex]]
+    // (pre-train it with IvfIndex.write on the initial corpus; detected
+    // by its centroids table). The IVF path is THE 100 TB shape: probes
+    // scan only the routed cells' partitions, identity stays exact, and
+    // near-dup recall is bounded by `probes` (the documented IVF
+    // bargain). Maintenance stays with [[IvfIndex.rewrite]]'s
+    // census-driven cadence.
+    val embIvf = exists(spark, s"${stores.embedding}/centroids")
     val emb = embeddings.map(_.localCheckpoint())
     emb.foreach { e =>
-      verdicts += "embedding" -> Similarity.ledgerProbe(
-        standing(stores.embedding, e, "vec_id"), e,
-        "vec_id", "embedding", "label", cosThresh)
+      verdicts += "embedding" -> (
+        if (embIvf) IvfIndex.ledgerProbe(spark, stores.embedding, e,
+          "vec_id", "embedding", cosThresh, exclude = Some(ids))
+        else Similarity.ledgerProbe(
+          standing(stores.embedding, e, "vec_id"), e,
+          "vec_id", "embedding", "label", cosThresh))
     }
     Ledger.appendTranche(verdicts, trancheId, stores.ledger)
     // append the SAME checkpointed frames the probes used
@@ -123,7 +136,10 @@ object Curation {
     img.foreach(_.write.mode("append").parquet(stores.image))
     aud.foreach(_.write.mode("append").parquet(stores.audio))
     vid.foreach(_.write.mode("append").parquet(stores.video))
-    emb.foreach(_.write.mode("append").parquet(stores.embedding))
+    emb.foreach { e =>
+      if (embIvf) IvfIndex.append(e.drop("label"), stores.embedding)
+      else e.write.mode("append").parquet(stores.embedding)
+    }
     verdicts.map { case (m, v) =>
       v.select(col("doc_id"), lit(m).as("modality"), col("decision"))
     }.reduce(_ unionByName _)

@@ -144,7 +144,8 @@ object IvfIndex {
   def ledgerProbe(spark: SparkSession, dir: String, incoming: DataFrame,
                   idCol: String, embCol: String, threshold: Double,
                   probes: Int = 1, maxCells: Int = 4096,
-                  maxBatch: Int = 1 << 16): DataFrame = {
+                  maxBatch: Int = 1 << 16,
+                  exclude: Option[DataFrame] = None): DataFrame = {
     require(probes >= 1 && maxCells >= 1)
     require(incoming.limit(maxBatch + 1).count() <= maxBatch,
       s"tranche exceeds maxBatch=$maxBatch — split the tranche")
@@ -177,8 +178,14 @@ object IvfIndex {
       .limit(maxCells + 1).collect().map(_.get(0))
     require(cells.length <= maxCells,
       s"probed cell set exceeds maxCells=$maxCells — not a codebook?")
-    val standing = spark.read.parquet(s"$dir/vectors")
+    // exclude: standing rows whose ids a re-run of a failed commit
+    // already appended — the tranche must never judge itself duplicate
+    // (same contract as Curation.commitTranche's other standing sides)
+    val standing0 = spark.read.parquet(s"$dir/vectors")
       .filter(col("cell").isin(cells: _*))
+    val standing = exclude.fold(standing0)(ids =>
+        standing0.join(broadcast(ids.select(col(ids.columns.head)
+          .as("vec_id"))), Seq("vec_id"), "left_anti"))
       .select(col("cell"),
         transform(col("embedding"), x => x.cast("double")).as("se"))
     val su = unit(standing.withColumnRenamed("se", "e"))
@@ -227,7 +234,11 @@ object IvfIndex {
     */
   def rewrite(spark: SparkSession, dir: String, k: Int = 8,
               iters: Int = 2): Unit = {
+    // dropDuplicates(vec_id): a re-run of a failed commit may have
+    // appended a tranche twice (verdicts stay correct via probe-time
+    // self-exclusion); the rewrite is where that redundancy collapses
     val emb = spark.read.parquet(s"$dir/vectors").drop("cell")
+      .dropDuplicates("vec_id")
       .localCheckpoint() // sever lineage from the files about to move
     val tmp = StoreSwap.prepareTmp(spark, s"$dir.rewrite")
     write(emb, tmp, k, iters)

@@ -63,6 +63,45 @@ class CurationSpec extends SparkSpec {
     assert(ledger().count(_._3 == 0L) > 0)
   }
 
+  test("an IVF embedding store routes the semantic layer through the index, re-run safe") {
+    // the 100 TB semantic shape: the caller pre-trains the IVF store on
+    // the initial corpus; commitTranche detects it (centroids table),
+    // probes through cell pruning and appends through the frozen
+    // integer codebook — and a failed commit's re-run still reproduces
+    // the first attempt (probe-time self-exclusion inside the index)
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val emb = Tables.embeddings(spark, sf())
+    val stores = freshStores()
+    val standingEmb = emb.filter(col("vec_id") % 2 === 0)
+      .select("vec_id", "embedding")
+    IvfIndex.write(standingEmb, stores.embedding, k = 4, iters = 2)
+    // tranche: odd ids + a byte-identical copy of a standing vector
+    val copySrc = standingEmb.orderBy("vec_id").limit(1)
+    val t1docs = docs.filter(col("doc_id") % 2 === 1)
+    val t1emb = emb.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding")
+      .unionAll(copySrc.select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding")))
+    val t1 = t1docs.unionAll(copySrc
+      .select((col("vec_id") + 1000000L).as("doc_id"), lit("copy doc text")))
+    def run(): Seq[(Long, String, String)] =
+      Curation.commitTranche(t1, 0L, stores, embeddings = Some(t1emb))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sorted.toSeq
+    val first = run()
+    val copyId = copySrc.collect()(0).getLong(0) + 1000000L
+    assert(first.contains((copyId, "embedding", "exact_dup")),
+      "identical vector not judged exact_dup through the IVF store")
+    // the store grew through the codebook: appended rows are immediately
+    // searchable and carry cells
+    assert(spark.read.parquet(s"${stores.embedding}/vectors")
+      .filter(col("vec_id") >= 1000000L).count() == 1)
+    // recovery re-run: standing already carries the tranche's append
+    assert(run() == first, "IVF-backed re-run diverged from first attempt")
+  }
+
   test("mismatched standing geometry is refused before any ledger write") {
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
     val stores = freshStores()
