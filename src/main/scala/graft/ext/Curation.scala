@@ -63,12 +63,13 @@ object Curation {
                     vidFrames: Option[DataFrame] = None,
                     embeddings: Option[DataFrame] = None,
                     jThresh: Double = 0.6,
-                    cosThresh: Double = 0.35): DataFrame = {
+                    cosThresh: Double = 0.35,
+                    k: Int = 2, bands: Int = 8, rows: Int = 2): DataFrame = {
     val spark = docs.sparkSession
     // geometry guard FIRST: a standing index built under different
     // shingle/band params must refuse the commit before any verdict is
     // derived, not after a silently-wrong ledger partition is committed
-    Dedup.ensureNearDupIndexParams(spark, stores.textIndex, 2, 8, 2)
+    Dedup.ensureNearDupIndexParams(spark, stores.textIndex, k, bands, rows)
     val ids = docs.select(col("doc_id")).localCheckpoint()
     // materialize the probe's inputs ONCE: the verdict plan references
     // the tranche's MinHash pipeline and the standing frames several
@@ -85,10 +86,12 @@ object Curation {
     val textIdx0 =
       if (exists(spark, s"${stores.textIndex}/bands"))
         Dedup.readNearDupIndex(spark, stores.textIndex)
-      else Dedup.nearDupIndex(docs.filter(lit(false)), "doc_id", "text")
+      else Dedup.nearDupIndex(docs.filter(lit(false)), "doc_id", "text",
+        k, bands, rows)
     val textIdx = ckpt(textIdx0.copy(members = textIdx0.members
       .join(ids.withColumnRenamed("doc_id", "id"), Seq("id"), "left_anti")))
-    val trancheIdx = ckpt(Dedup.nearDupIndex(docs, "doc_id", "text"))
+    val trancheIdx = ckpt(
+      Dedup.nearDupIndex(docs, "doc_id", "text", k, bands, rows))
     def standing(dir: String, fallback: DataFrame, idCol: String) =
       (if (exists(spark, dir)) spark.read.parquet(dir)
        else fallback.filter(lit(false)))
@@ -147,13 +150,32 @@ object Curation {
 
   /** Run every due maintenance pass over a deployment's stores: compact
     * the text index and the ledger (always safe — pure rewrites), and
-    * leave the embedding store to [[IvfIndex.rewrite]]'s census-driven
-    * cadence where one is deployed. Callers schedule this between
-    * tranches at whatever cadence write amplification warrants.
+    * collapse the flat fingerprint/embedding stores' duplicate rows (a
+    * failed commit's re-run appends its tranche twice; probe-time
+    * self-exclusion keeps verdicts correct, and THIS is where the
+    * redundant rows go away — the flat-store analogue of
+    * [[Dedup.compactNearDupIndex]]'s collapse and [[IvfIndex.rewrite]]'s
+    * dropDuplicates). An IVF embedding store is left to
+    * [[IvfIndex.rewrite]]'s census-driven cadence. Callers schedule
+    * this between tranches at whatever cadence write amplification
+    * warrants.
     */
   def maintain(spark: SparkSession, stores: Stores): Unit = {
     if (exists(spark, s"${stores.textIndex}/bands"))
       Dedup.compactNearDupIndex(spark, stores.textIndex)
     if (exists(spark, stores.ledger)) Ledger.compact(spark, stores.ledger)
+    val flat = Seq(stores.image, stores.audio, stores.video) ++
+      (if (exists(spark, s"${stores.embedding}/centroids")) Nil
+       else Seq(stores.embedding))
+    flat.filter(exists(spark, _)).foreach(compactFlat(spark, _))
+  }
+
+  /** Full-row duplicate collapse + small-file compaction of one flat
+    * fingerprint store, through the shared [[StoreSwap]] discipline.
+    */
+  private def compactFlat(spark: SparkSession, dir: String): Unit = {
+    val tmp = StoreSwap.prepareTmp(spark, s"$dir.compact")
+    spark.read.parquet(dir).dropDuplicates().write.parquet(tmp)
+    StoreSwap.swap(spark, dir, tmp)
   }
 }

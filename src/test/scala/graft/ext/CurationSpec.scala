@@ -36,9 +36,13 @@ class CurationSpec extends SparkSpec {
         col("text")))
     def embOf(b: org.apache.spark.sql.DataFrame) = emb.join(
       b.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-    Curation.commitTranche(t0, 0L, stores, embeddings = Some(embOf(t0)))
+    def imgOf(b: org.apache.spark.sql.DataFrame) =
+      b.select(col("doc_id"), xxhash64(col("text")).as("hash"))
+    Curation.commitTranche(t0, 0L, stores, embeddings = Some(embOf(t0)),
+      imgHashes = Some(imgOf(t0)))
     def run(): Seq[(Long, String, String)] =
-      Curation.commitTranche(t1, 1L, stores, embeddings = Some(embOf(t1)))
+      Curation.commitTranche(t1, 1L, stores, embeddings = Some(embOf(t1)),
+          imgHashes = Some(imgOf(t1)))
         .collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
         .sorted.toSeq
@@ -61,6 +65,18 @@ class CurationSpec extends SparkSpec {
       "re-run changed the on-disk ledger")
     // and tranche 0's partitions were never touched
     assert(ledger().count(_._3 == 0L) > 0)
+    // the re-run double-appended the flat stores; maintenance is where
+    // that redundancy collapses — and a post-maintenance commit still
+    // reproduces the same verdicts
+    val t1n = t1.count()
+    val imgRows = () => spark.read.parquet(stores.image).count()
+    assert(imgRows() == t0.count() + 2 * t1n,
+      "premise: the re-run should have double-appended tranche 1")
+    Curation.maintain(spark, stores)
+    assert(imgRows() == t0.count() + t1n,
+      "maintenance did not collapse the re-run's duplicate rows")
+    assert(run() == first, "post-maintenance re-run diverged")
+    assert(ledger() == ledFirst)
   }
 
   test("an IVF embedding store routes the semantic layer through the index, re-run safe") {
