@@ -50,7 +50,8 @@ object Bench {
     "synthlinks_build", "neardup_pairs_build", "pq_train_build",
     "kmeans_train_build", "quality_train_build", "neardup_index_build",
     "ledger_kernels_build", "unigram_train_build",
-    "curation_bootstrap_build", "curation_commit_build")
+    "curation_bootstrap_build", "curation_commit_build",
+    "phash_index_build", "videoseq_index_build", "commit_sequence_build")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -158,11 +159,41 @@ object Bench {
       System.err.println(s"[bench] unigram warm failed: ${e.getMessage}")
     }
     val utSec = (System.nanoTime() - tUt0) / 1e9
+    // the r11 persisted standing stores: the banded image-hash index
+    // (x117's standing side), the video sequence index (x121's), and
+    // the two-tranche commitTranche sequence whose on-disk ledger x124
+    // reads back — each a once-per-corpus-commit artifact, pre-warmed
+    // and timed as its own line item so the declared rows measure the
+    // recurring partition-pruned probes
+    val tPi0 = System.nanoTime()
+    try graft.queries.ExtQueries.warmPhashIndex(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] phash-index warm failed: ${e.getMessage}")
+    }
+    val piSec = (System.nanoTime() - tPi0) / 1e9
+    val tVi0 = System.nanoTime()
+    try graft.queries.ExtQueries.warmSeqIndex(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] videoseq-index warm failed: ${e.getMessage}")
+    }
+    val viSec = (System.nanoTime() - tVi0) / 1e9
+    val tCs0 = System.nanoTime()
+    try graft.queries.ExtQueries.warmCommitSequence(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] commit-sequence warm failed: ${e.getMessage}")
+    }
+    val csSec = (System.nanoTime() - tCs0) / 1e9
     // the production ingestion loop itself (Curation.commitTranche),
     // timed end-to-end in two line items following the x87 discipline:
-    // the one-time deployment bootstrap (25% of the corpus onto empty
-    // stores) and the RECURRING steady-state commit (a 5% tranche
-    // probing real standing stores, ledger append, index appends).
+    // the one-time deployment bootstrap (IVF codebook training on the
+    // initial corpus slice + 25% of the corpus onto empty stores) and
+    // the RECURRING steady-state commit (a 5% tranche probing real
+    // standing stores — probe-pruned text index, cell-pruned IVF
+    // embedding store — ledger append, index appends). Since r11 the
+    // benched loop is the full 100 TB shape: every standing side is
+    // read through literal partition filters, so THIS line is the one
+    // that must stay tranche-proportional as deployments grow (the
+    // doubled-standing flatness pair is asserted in ScaleSmoke).
     // Text + embedding modalities — the video/perceptual verdict
     // kernels are gated by their own declared rows (x117/x118/x121).
     import org.apache.spark.sql.functions.col
@@ -173,16 +204,30 @@ object Bench {
     val curDocs = graft.model.Tables.documents(spark, sfDir)
       .select("doc_id", "text")
     val curEmb = graft.model.Tables.embeddings(spark, sfDir)
-    def curCommit(t: Long, pred: org.apache.spark.sql.Column): Unit = {
+    def curCommit(t: Long, pred: org.apache.spark.sql.Column,
+                  withEmb: Boolean): Unit = {
       val b = curDocs.filter(pred)
       graft.ext.Curation.commitTranche(b, t, curStores,
-        embeddings = Some(curEmb.join(
+        embeddings = if (!withEmb) None
+        else Some(curEmb.join(
           b.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")))
       ()
     }
     val tCb0 = System.nanoTime()
     val cbOk =
-      try { curCommit(0L, col("doc_id") % 4 === 0); true }
+      try {
+        // codebook trained on the bootstrap slice's embeddings; the
+        // bootstrap tranche itself commits without the embedding
+        // modality (its vectors ARE the trained store — re-appending
+        // them would only duplicate rows)
+        graft.ext.IvfIndex.write(
+          curEmb.join(curDocs.filter(col("doc_id") % 4 === 0)
+            .select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+            .select("vec_id", "embedding"),
+          curStores.embedding)
+        curCommit(0L, col("doc_id") % 4 === 0, withEmb = false)
+        true
+      }
       catch { case e: Throwable =>
         System.err.println(s"[bench] curation bootstrap failed: ${e.getMessage}")
         false
@@ -193,7 +238,7 @@ object Bench {
     // baseline — skip it when the bootstrap failed
     val tCc0 = System.nanoTime()
     if (cbOk)
-      try curCommit(1L, col("doc_id") % 20 === 1)
+      try curCommit(1L, col("doc_id") % 20 === 1, withEmb = true)
       catch { case e: Throwable =>
         System.err.println(s"[bench] curation commit failed: ${e.getMessage}")
       }
@@ -238,7 +283,9 @@ object Bench {
       ("pq_train_build" -> pqSec) + ("kmeans_train_build" -> kmSec) +
       ("quality_train_build" -> qwSec) + ("neardup_index_build" -> niSec) +
       ("ledger_kernels_build" -> lkSec) + ("unigram_train_build" -> utSec) +
-      ("curation_bootstrap_build" -> cbSec) + ("curation_commit_build" -> ccSec)
+      ("curation_bootstrap_build" -> cbSec) + ("curation_commit_build" -> ccSec) +
+      ("phash_index_build" -> piSec) + ("videoseq_index_build" -> viSec) +
+      ("commit_sequence_build" -> csSec)
     // Regression gate vs the previous round's bench (VERDICT r4 #9,
     // repaired per VERDICT r5 #1): any query >2x its prior min is flagged
     // loudly NOW, in-round. Prev defaults to the committed bench_full.json

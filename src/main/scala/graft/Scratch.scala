@@ -17,6 +17,68 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (names.contains("__commit_steps")) {
+      // the NEW commit path's phases in isolation at this SF
+      import org.apache.spark.sql.functions._
+      import graft.ext.{Curation, Dedup, Ledger}
+      val docs0 = graft.model.Tables.documents(spark, sfDir)
+        .select("doc_id", "text")
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"SCRATCH step $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+      val root = java.nio.file.Files.createTempDirectory("scrcur").toString
+      val idxDir = s"$root/text"
+      val ledDir = s"$root/led"
+      def ckpt(i: Dedup.NearDupIndexFrames) = Dedup.NearDupIndexFrames(
+        i.bands.localCheckpoint(), i.sets.localCheckpoint(),
+        i.members.localCheckpoint())
+      Seq(0L -> (col("doc_id") % 4 === 0),
+          1L -> (col("doc_id") % 20 === 1)).foreach { case (tr, pred) =>
+        val b = docs0.filter(pred)
+        val ids = t(s"t$tr ids_ckpt") {
+          b.select(col("doc_id")).localCheckpoint()
+        }
+        val trIdx = t(s"t$tr tranche_idx_ckpt") {
+          ckpt(Dedup.nearDupIndex(b, "doc_id", "text"))
+        }
+        if (new java.io.File(s"$idxDir/bands").isDirectory) {
+          t(s"t$tr pv_trancheParts") {
+            trIdx.bands.select(lit(0).as("t"),
+              expr("pmod(xxhash64(bk), 64)").as("p"))
+              .unionByName(trIdx.sets.select(lit(1).as("t"),
+                expr("pmod(xxhash64(ch), 64)").as("p")))
+              .distinct().collect().length
+          }
+          t(s"t$tr pv_bands_read") {
+            spark.read.parquet(s"$idxDir/bands").drop("bkp")
+              .dropDuplicates("ch", "bk").localCheckpoint(false)
+              .select(expr("pmod(xxhash64(ch), 64)").as("p"))
+              .distinct().collect().length
+          }
+        }
+        val standing = t(s"t$tr probe_view") {
+          if (new java.io.File(s"$idxDir/bands").isDirectory)
+            Dedup.probeView(spark, idxDir, trIdx, Some(ids))
+          else Dedup.nearDupIndex(b.filter(lit(false)), "doc_id", "text")
+        }
+        val v = Dedup.ledgerProbeFrom(standing, trIdx, b, "doc_id")
+        t(s"t$tr probe+ledger_append") {
+          Ledger.append(v, tr, "text", ledDir)
+        }
+        t(s"t$tr index_append") {
+          Dedup.writeNearDupIndexFrames(trIdx, idxDir)
+        }
+        t(s"t$tr registry_append") {
+          ids.withColumn("tranche", lit(tr))
+            .withColumn("idp", expr("pmod(xxhash64(doc_id), 64)"))
+            .repartition(col("idp"))
+            .write.mode("append").partitionBy("idp").parquet(s"$ledDir.ids")
+        }
+      }
+      spark.stop(); return
+    }
     if (names.contains("__curation_steps")) {
       import org.apache.spark.sql.functions._
       val docs0 = graft.model.Tables.documents(spark, sfDir)

@@ -10,6 +10,19 @@ import org.apache.spark.sql.functions._
   * single library entry point a `foreachBatch` body (or a batch
   * backfill loop) calls directly.
   *
+  * Standing-store access is PROBE-PRUNED in every modality (VERDICT
+  * r10 #1/#2): the text index is read through [[Dedup.probeView]]
+  * (band-key/content-hash partition filters), image/audio through
+  * [[ImageHash.ledgerProbeIndexed]] (banded hash index), video through
+  * [[VideoHash.ledgerProbeIndexed]] (sequence index), and a pre-trained
+  * [[IvfIndex]] embedding store through cell-pruned
+  * [[IvfIndex.ledgerProbe]] — so per-tranche commit cost is
+  * tranche-proportional, never O(standing corpus). Only TRANCHE-side
+  * frames are ever checkpointed. (A flat embedding store — plain
+  * (vec_id, embedding, label) parquet — remains supported as the
+  * sub-million-vector option; it is the one standing side still read
+  * whole, and [[IvfIndex]] is the documented scale path.)
+  *
   * Contracts inherited from the pieces:
   *  - verdicts are FINAL at arrival (ledgerProbe first-seen): the
   *    accumulated ledger over tranches 0..n equals the batch multimodal
@@ -17,12 +30,29 @@ import org.apache.spark.sql.functions._
   *  - a re-run of a failed tranche must re-run the WHOLE commit with
   *    the same `trancheId` BEFORE any later tranche commits: the ledger
   *    write is idempotent (dynamic partition overwrite), and the store
-  *    appends are re-collapsed by the readers' dropDuplicates
-  *    ([[Dedup.readNearDupIndex]]) or are verdict-neutral re-entries
-  *    (identical hash/vector rows judge exactly as their first copy);
+  *    appends are re-collapsed by the readers' dropDuplicates or are
+  *    verdict-neutral re-entries (identical hash/vector rows judge
+  *    exactly as their first copy);
   *  - store growth is append-only between maintenance passes
-  *    ([[Dedup.compactNearDupIndex]], [[Ledger.compact]],
-  *    [[IvfIndex.rewrite]]).
+  *    ([[maintain]], [[IvfIndex.rewrite]], [[IvfIndex.splitCell]]).
+  *
+  * Guards, all BEFORE any write (a refused commit leaves no trace):
+  *  - init markers (`<store>.init`, siblings outside the swapped
+  *    directories) distinguish "never initialized" from "temporarily
+  *    missing": once a store committed, its later absence (mid-
+  *    maintenance swap, accidental loss) REFUSES the commit instead of
+  *    silently bootstrapping an empty standing side and judging every
+  *    doc kept (ADVICE r10). A partially-present uninitialized store
+  *    (crashed bootstrap commit) is refused actionably too.
+  *  - id uniqueness across tranches (the first-seen correctness
+  *    precondition): every committed doc_id is registered in
+  *    `<ledger>.ids` (partitioned by an id bucket), and a new tranche's
+  *    ids are probed against it partition-pruned — a producer re-using
+  *    an id fails the commit naming the id and the prior tranche,
+  *    instead of silently flipping verdicts (VERDICT r10 #4).
+  *  - every provided modality frame's ids must be doc_ids of THIS
+  *    tranche's `docs` (the re-run self-exclusion is keyed on them;
+  *    a foreign id space would silently lose idempotency — ADVICE r10).
   *
   * Modalities are optional: a text-only pipeline passes only `docs`.
   * Perceptual layers take PRE-COMPUTED fingerprints ((doc_id, hash) for
@@ -42,20 +72,101 @@ object Curation {
   private def exists(spark: SparkSession, dir: String): Boolean =
     Dedup.storeExists(spark, dir)
 
-  /** Commit one tranche: probe → ledger append → store appends.
-    * Returns the multimodal verdict frame that was appended, one row
-    * per (doc_id, modality) with `decision` ∈ exact_dup / near_dup /
-    * kept. First call against empty store paths bootstraps every
-    * standing side as empty (all verdicts `kept` modulo within-tranche
-    * duplication).
+  /** Marker + completeness guard for one standing store. Returns true
+    * iff the store is fully present (probe it), false iff it is fully
+    * absent AND was never initialized (bootstrap it); throws for every
+    * state between — an initialized store gone missing (mid-swap /
+    * loss) or a partial uninitialized store (crashed bootstrap).
+    * Adopting a complete store built outside commitTranche (e.g.
+    * [[Dedup.writeNearDupIndex]], [[IvfIndex.write]]) writes its
+    * marker on first sight.
+    */
+  private def guardedExists(spark: SparkSession, dir: String,
+                            parts: Seq[String], what: String): Boolean = {
+    val marker = s"$dir.init"
+    val present = parts.map(p =>
+      exists(spark, if (p.isEmpty) dir else s"$dir/$p"))
+    val missing = parts.zip(present).filter(!_._2).map(p =>
+      if (p._1.isEmpty) dir else p._1)
+    if (exists(spark, marker) && missing.nonEmpty)
+      throw new IllegalStateException(
+        s"$what store at $dir was initialized ($marker present) but is " +
+          s"missing ${missing.mkString(", ")} — a maintenance swap is in " +
+          "flight or the store was lost; refusing to bootstrap an empty " +
+          "standing side (it would silently judge every doc kept)")
+    if (missing.nonEmpty && present.exists(identity))
+      throw new IllegalStateException(
+        s"$what store at $dir is partially present (missing " +
+          s"${missing.mkString(", ")}) — a crashed bootstrap commit left " +
+          "remnants; delete the store directory and re-run the tranche")
+    if (missing.isEmpty) { markInit(spark, dir); true } else false
+  }
+
+  private def markInit(spark: SparkSession, dir: String): Unit = {
+    StoreSwap.fsOf(spark, dir)
+      .mkdirs(new org.apache.hadoop.fs.Path(s"$dir.init"))
+    ()
+  }
+
+  /** Fail the commit if any id of this tranche was committed by a
+    * DIFFERENT tranche before (partition-pruned probe of the id
+    * registry; re-runs of the same trancheId pass).
+    */
+  private def idRegistryGuard(spark: SparkSession, ids: DataFrame,
+                              trancheId: Long, ledgerDir: String): Unit = {
+    val dir = s"$ledgerDir.ids"
+    if (!exists(spark, dir)) return
+    val ps = StoreLayout.partsOf(ids, col("doc_id"))
+    val clash = spark.read.parquet(dir)
+      .filter(col("idp").isin(ps: _*))
+      .filter(col("tranche") =!= trancheId)
+      .join(ids, Seq("doc_id"), "left_semi")
+      .limit(1).collect()
+    if (clash.nonEmpty)
+      throw new IllegalArgumentException(
+        s"tranche $trancheId re-uses doc_id ${clash(0).getAs[Long]("doc_id")} " +
+          s"already committed by tranche ${clash(0).getAs[Long]("tranche")} — " +
+          "ids must be unique across tranches (the first-seen verdict " +
+          "contract); refusing before any write")
+  }
+
+  private def idRegistryAppend(spark: SparkSession, ids: DataFrame,
+                               trancheId: Long, ledgerDir: String): Unit =
+    ids.withColumn("tranche", lit(trancheId))
+      .withColumn("idp", StoreLayout.part(col("doc_id")))
+      .repartition(col("idp"))
+      .write.mode("append").partitionBy("idp").parquet(s"$ledgerDir.ids")
+
+  /** Every provided modality frame's ids must be a subset of this
+    * tranche's doc_ids — the key the re-run self-exclusion (and the id
+    * registry) is keyed on. One tranche-bounded anti-join per modality.
+    */
+  private def requireIdSubset(frame: Option[DataFrame], idCol: String,
+                              ids: DataFrame, what: String): Unit =
+    frame.foreach { f =>
+      val orphan = f.select(col(idCol).as("doc_id"))
+        .join(ids, Seq("doc_id"), "left_anti").limit(1).collect()
+      if (orphan.nonEmpty)
+        throw new IllegalArgumentException(
+          s"$what frame carries id ${orphan(0).get(0)} absent from this " +
+            "tranche's docs — every modality id must be a doc_id of the " +
+            "same tranche (the re-run self-exclusion contract)")
+    }
+
+  /** Commit one tranche: guards → probe → ledger append → store
+    * appends → id registry → init markers. Returns the multimodal
+    * verdict frame that was appended, one row per (doc_id, modality)
+    * with `decision` ∈ exact_dup / near_dup / kept. First call against
+    * empty store paths bootstraps every standing side as empty (all
+    * verdicts `kept` modulo within-tranche duplication).
     *
-    * Ids must be unique across tranches (the ledgerProbe first-seen
-    * contract). That makes a FAILED commit's re-run safe: every
-    * standing side is probed with the tranche's own ids excluded, so
-    * half-appended rows from the failed attempt can never make the
-    * tranche judge itself duplicate — the re-run reproduces the first
-    * attempt's verdicts and its ledger write replaces the same
-    * partitions (CurationSpec pins re-run == first run).
+    * Ids must be unique across tranches (enforced by the id registry).
+    * That makes a FAILED commit's re-run safe: every standing side is
+    * probed with the tranche's own ids excluded, so half-appended rows
+    * from the failed attempt can never make the tranche judge itself
+    * duplicate — the re-run reproduces the first attempt's verdicts
+    * and its ledger write replaces the same partitions (CurationSpec
+    * pins re-run == first run).
     */
   def commitTranche(docs: DataFrame, trancheId: Long, stores: Stores,
                     imgHashes: Option[DataFrame] = None,
@@ -66,112 +177,190 @@ object Curation {
                     cosThresh: Double = 0.35,
                     k: Int = 2, bands: Int = 8, rows: Int = 2): DataFrame = {
     val spark = docs.sparkSession
-    // geometry guard FIRST: a standing index built under different
-    // shingle/band params must refuse the commit before any verdict is
-    // derived, not after a silently-wrong ledger partition is committed
-    Dedup.ensureNearDupIndexParams(spark, stores.textIndex, k, bands, rows)
+    // ---- guards, strictly before any write ---------------------------
+    val textUp = guardedExists(spark, stores.textIndex,
+      Seq("params", "bands", "sets", "members"), "text near-dup index")
+    val imgUp = guardedExists(spark, stores.image,
+      Seq("params", "bands", "members"), "image hash index")
+    val audUp = guardedExists(spark, stores.audio,
+      Seq("params", "bands", "members"), "audio hash index")
+    val vidUp = guardedExists(spark, stores.video,
+      Seq("shingles", "seqs"), "video sequence index")
+    val embIvf = exists(spark, s"${stores.embedding}/centroids")
+    val embUp =
+      if (embIvf) guardedExists(spark, stores.embedding,
+        Seq("centroids", "centroids_q", "vectors"), "embedding IVF index")
+      else guardedExists(spark, stores.embedding, Seq(""), "embedding")
+    // geometry guard: a standing index built under different shingle/
+    // band params must refuse the commit before any verdict is derived
+    // (read-only here; bootstrap params are written at append time)
+    if (textUp) {
+      val p = Dedup.readNearDupIndexParams(spark, stores.textIndex)
+      require(p == ((k, bands, rows)),
+        s"near-dup index at ${stores.textIndex} was built with " +
+          s"(k, bands, rows) = $p; refusing a commit with ($k, $bands, $rows)")
+    }
     val ids = docs.select(col("doc_id")).localCheckpoint()
-    // materialize the probe's inputs ONCE: the verdict plan references
-    // the tranche's MinHash pipeline and the standing frames several
-    // times, and the tranche index is ALSO what gets appended — without
-    // checkpoints each reference recomputes the signature pass / the
-    // standing dropDuplicates collapse (measured 3-4x the committed
-    // cost at sf0.1)
-    def ckpt(i: Dedup.NearDupIndexFrames) = Dedup.NearDupIndexFrames(
-      i.bands.localCheckpoint(), i.sets.localCheckpoint(),
-      i.members.localCheckpoint())
-    // self-exclusion: drop the tranche's own ids from every standing
-    // side (a re-run of a failed commit probes a store that may already
-    // carry this tranche's append)
-    val textIdx0 =
-      if (exists(spark, s"${stores.textIndex}/bands"))
-        Dedup.readNearDupIndex(spark, stores.textIndex)
-      else Dedup.nearDupIndex(docs.filter(lit(false)), "doc_id", "text",
-        k, bands, rows)
-    val textIdx = ckpt(textIdx0.copy(members = textIdx0.members
-      .join(ids.withColumnRenamed("doc_id", "id"), Seq("id"), "left_anti")))
+    // the remaining guards are independent tranche-bounded jobs — run
+    // them concurrently (all must pass before any write; none writes)
+    StoreSwap.concurrently(
+      () => requireIdSubset(imgHashes, "doc_id", ids, "imgHashes"),
+      () => requireIdSubset(audHashes, "doc_id", ids, "audHashes"),
+      () => requireIdSubset(vidFrames, "doc_id", ids, "vidFrames"),
+      () => requireIdSubset(embeddings, "vec_id", ids, "embeddings"),
+      () => idRegistryGuard(spark, ids, trancheId, stores.ledger))
+    // ---- verdict derivation ------------------------------------------
+    // materialize TRANCHE-side inputs once: the verdict plan references
+    // the tranche's MinHash pipeline several times, and the tranche
+    // index is ALSO what gets appended. Standing sides are NOT
+    // checkpointed — they come back partition-pruned from the stores
+    // (probeView / ledgerProbeIndexed), which is the whole point.
+    def ckpt(i: Dedup.NearDupIndexFrames) = {
+      // three independent materialization jobs — pay the slowest
+      var b: DataFrame = null; var s: DataFrame = null; var m: DataFrame = null
+      StoreSwap.concurrently(
+        () => b = i.bands.localCheckpoint(),
+        () => s = i.sets.localCheckpoint(),
+        () => m = i.members.localCheckpoint())
+      Dedup.NearDupIndexFrames(b, s, m)
+    }
     val trancheIdx = ckpt(
       Dedup.nearDupIndex(docs, "doc_id", "text", k, bands, rows))
-    def standing(dir: String, fallback: DataFrame, idCol: String) =
-      (if (exists(spark, dir)) spark.read.parquet(dir)
-       else fallback.filter(lit(false)))
-        .join(ids.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+    // self-exclusion everywhere below: the tranche's own ids are
+    // dropped from every standing side (a re-run of a failed commit
+    // probes a store that may already carry this tranche's append)
+    val textIdx =
+      if (textUp) Dedup.probeView(spark, stores.textIndex, trancheIdx,
+        Some(ids))
+      else Dedup.nearDupIndex(docs.filter(lit(false)), "doc_id", "text",
+        k, bands, rows)
     var verdicts = Map[String, DataFrame](
       "text" -> Dedup.ledgerProbeFrom(textIdx, trancheIdx, docs,
         "doc_id", jThresh))
     val img = imgHashes.map(_.localCheckpoint())
     img.foreach { h =>
-      verdicts += "image" -> ImageHash.ledgerProbe(
-        standing(stores.image, h, "doc_id"), h, "doc_id", "hash")
+      verdicts += "image" -> (
+        if (imgUp) ImageHash.ledgerProbeIndexed(spark, stores.image, h,
+          "doc_id", "hash", exclude = Some(ids))
+        else ImageHash.ledgerProbe(h.filter(lit(false)), h, "doc_id", "hash"))
     }
     val aud = audHashes.map(_.localCheckpoint())
     aud.foreach { h =>
-      verdicts += "audio" -> ImageHash.ledgerProbe(
-        standing(stores.audio, h, "doc_id"), h, "doc_id", "hash")
+      verdicts += "audio" -> (
+        if (audUp) ImageHash.ledgerProbeIndexed(spark, stores.audio, h,
+          "doc_id", "hash", exclude = Some(ids))
+        else ImageHash.ledgerProbe(h.filter(lit(false)), h, "doc_id", "hash"))
     }
     val vid = vidFrames.map(_.localCheckpoint())
     vid.foreach { f =>
-      verdicts += "video" -> VideoHash.ledgerProbe(
-        standing(stores.video, f, "doc_id"), f, docs, "doc_id")
+      verdicts += "video" -> (
+        if (vidUp) VideoHash.ledgerProbeIndexed(spark, stores.video, f,
+          docs, "doc_id", exclude = Some(ids))
+        else VideoHash.ledgerProbe(f.filter(lit(false)), f, docs, "doc_id"))
     }
-    // the semantic layer has two store shapes: a flat parquet of
-    // (vec_id, embedding, label) — exhaustive label-blocked cosine,
-    // right up to ~10^6 standing vectors — or a persisted [[IvfIndex]]
-    // (pre-train it with IvfIndex.write on the initial corpus; detected
-    // by its centroids table). The IVF path is THE 100 TB shape: probes
-    // scan only the routed cells' partitions, identity stays exact, and
-    // near-dup recall is bounded by `probes` (the documented IVF
-    // bargain). Maintenance stays with [[IvfIndex.rewrite]]'s
-    // census-driven cadence.
-    val embIvf = exists(spark, s"${stores.embedding}/centroids")
+    // semantic layer: a persisted IvfIndex (detected by its centroids
+    // table) probes cell-pruned — THE 100 TB shape; a flat store is the
+    // sub-million-vector option, label-blocked and read whole
     val emb = embeddings.map(_.localCheckpoint())
+    // one routing pass per tranche, shared by the semantic probe and
+    // the store append (both need the same integer-codebook argmin)
+    val embRouting = emb.filter(_ => embIvf).map(e =>
+      IvfIndex.routing(spark, stores.embedding,
+        e.select("vec_id", "embedding")).localCheckpoint(false))
     emb.foreach { e =>
       verdicts += "embedding" -> (
         if (embIvf) IvfIndex.ledgerProbe(spark, stores.embedding, e,
-          "vec_id", "embedding", cosThresh, exclude = Some(ids))
-        else Similarity.ledgerProbe(
-          standing(stores.embedding, e, "vec_id"), e,
-          "vec_id", "embedding", "label", cosThresh))
+          "vec_id", "embedding", cosThresh, exclude = Some(ids),
+          routedIn = embRouting)
+        else {
+          val standing =
+            (if (embUp) spark.read.parquet(stores.embedding)
+             else e.filter(lit(false)))
+              .join(ids.withColumnRenamed("doc_id", "vec_id"),
+                Seq("vec_id"), "left_anti")
+          Similarity.ledgerProbe(standing, e, "vec_id", "embedding",
+            "label", cosThresh)
+        })
     }
-    Ledger.appendTranche(verdicts, trancheId, stores.ledger)
-    // append the SAME checkpointed frames the probes used
-    Dedup.writeNearDupIndexFrames(trancheIdx, stores.textIndex)
-    img.foreach(_.write.mode("append").parquet(stores.image))
-    aud.foreach(_.write.mode("append").parquet(stores.audio))
-    vid.foreach(_.write.mode("append").parquet(stores.video))
-    emb.foreach { e =>
-      if (embIvf) IvfIndex.append(e.drop("label"), stores.embedding)
-      else e.write.mode("append").parquet(stores.embedding)
+    // ---- writes: ledger, store appends, id registry, markers ---------
+    // modality verdicts materialize CONCURRENTLY (they are independent
+    // probe plans over tranche-bounded frames — wall-clock pays the
+    // slowest modality, not the sum), then the ledger writes land
+    // sequentially from the checkpointed rows (one output directory —
+    // concurrent committers must not share its staging path)
+    val verdictsC = {
+      val fs = verdicts.toSeq.map { case (m, v) =>
+        m -> scala.concurrent.Future(
+          scala.concurrent.blocking(v.localCheckpoint()))(
+          scala.concurrent.ExecutionContext.global)
+      }
+      fs.map { case (m, f) =>
+        m -> scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf)
+      }.toMap
     }
-    verdicts.map { case (m, v) =>
+    Ledger.appendTranche(verdictsC, trancheId, stores.ledger)
+    // store appends run concurrently too — each its own directory;
+    // the text append ships the SAME checkpointed tranche frames the
+    // probe used
+    Dedup.ensureNearDupIndexParams(spark, stores.textIndex, k, bands, rows)
+    StoreSwap.concurrently(Seq(
+      () => Dedup.writeNearDupIndexFrames(trancheIdx, stores.textIndex)) ++
+      img.map(h => () =>
+        ImageHash.appendHashIndex(h, "doc_id", "hash", stores.image)) ++
+      aud.map(h => () =>
+        ImageHash.appendHashIndex(h, "doc_id", "hash", stores.audio)) ++
+      vid.map(f => () => VideoHash.appendSeqIndex(f, stores.video)) ++
+      emb.map(e => () =>
+        if (embIvf) IvfIndex.append(e.drop("label"), stores.embedding,
+          routed = embRouting)
+        else e.write.mode("append").parquet(stores.embedding)) ++
+      Seq(() => idRegistryAppend(spark, ids, trancheId, stores.ledger)): _*)
+    (Seq(stores.textIndex, stores.ledger) ++
+      img.map(_ => stores.image) ++ aud.map(_ => stores.audio) ++
+      vid.map(_ => stores.video) ++ emb.map(_ => stores.embedding))
+      .foreach(markInit(spark, _))
+    verdictsC.map { case (m, v) =>
       v.select(col("doc_id"), lit(m).as("modality"), col("decision"))
     }.reduce(_ unionByName _)
   }
 
   /** Run every due maintenance pass over a deployment's stores: compact
-    * the text index and the ledger (always safe — pure rewrites), and
-    * collapse the flat fingerprint/embedding stores' duplicate rows (a
-    * failed commit's re-run appends its tranche twice; probe-time
-    * self-exclusion keeps verdicts correct, and THIS is where the
-    * redundant rows go away — the flat-store analogue of
-    * [[Dedup.compactNearDupIndex]]'s collapse and [[IvfIndex.rewrite]]'s
-    * dropDuplicates). An IVF embedding store is left to
-    * [[IvfIndex.rewrite]]'s census-driven cadence. Callers schedule
+    * the text index, the per-modality fingerprint indexes, the ledger
+    * and the id registry (always safe — pure rewrites that collapse a
+    * failed re-run's duplicate appends and each tranche's small files),
+    * and collapse a FLAT embedding store's duplicate rows. An IVF
+    * embedding store is left to [[IvfIndex.rewrite]] /
+    * [[IvfIndex.splitCell]]'s census-driven cadence. Callers schedule
     * this between tranches at whatever cadence write amplification
-    * warrants.
+    * warrants (single-writer window, like every store swap).
     */
   def maintain(spark: SparkSession, stores: Stores): Unit = {
     if (exists(spark, s"${stores.textIndex}/bands"))
       Dedup.compactNearDupIndex(spark, stores.textIndex)
     if (exists(spark, stores.ledger)) Ledger.compact(spark, stores.ledger)
-    val flat = Seq(stores.image, stores.audio, stores.video) ++
-      (if (exists(spark, s"${stores.embedding}/centroids")) Nil
-       else Seq(stores.embedding))
-    flat.filter(exists(spark, _)).foreach(compactFlat(spark, _))
+    if (exists(spark, s"${stores.ledger}.ids"))
+      compactIdRegistry(spark, s"${stores.ledger}.ids")
+    Seq(stores.image, stores.audio)
+      .filter(d => exists(spark, s"$d/bands"))
+      .foreach(ImageHash.compactHashIndex(spark, _))
+    if (exists(spark, s"${stores.video}/shingles"))
+      VideoHash.compactSeqIndex(spark, stores.video)
+    if (!exists(spark, s"${stores.embedding}/centroids") &&
+      exists(spark, stores.embedding))
+      compactFlat(spark, stores.embedding)
+  }
+
+  private def compactIdRegistry(spark: SparkSession, dir: String): Unit = {
+    val tmp = StoreSwap.prepareTmp(spark, s"$dir.compact")
+    spark.read.parquet(dir).dropDuplicates("doc_id", "tranche")
+      .repartition(col("idp"))
+      .write.partitionBy("idp").parquet(tmp)
+    StoreSwap.swap(spark, dir, tmp)
   }
 
   /** Full-row duplicate collapse + small-file compaction of one flat
-    * fingerprint store, through the shared [[StoreSwap]] discipline.
+    * store, through the shared [[StoreSwap]] discipline.
     */
   private def compactFlat(spark: SparkSession, dir: String): Unit = {
     val tmp = StoreSwap.prepareTmp(spark, s"$dir.compact")

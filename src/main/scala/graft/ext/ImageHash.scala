@@ -141,17 +141,40 @@ object ImageHash {
     * [[hammingProbe]] (which expands to member pairs) and
     * [[ledgerProbe]] (which judges hashes directly — no expansion).
     */
-  private def verifiedHashPairs(memS: DataFrame, memN: DataFrame,
-                                bands: Int, maxDist: Int,
-                                maxBucket: Int): DataFrame = {
-    def banded(m: DataFrame): DataFrame = m.select("hsh").distinct()
+  /** (hsh, bk) band rows for the distinct hashes of a member frame —
+    * the ONE banding definition shared by the in-memory joins and the
+    * persisted index ([[writeHashIndex]]), so a stored band row always
+    * equi-joins a probe-time band key.
+    */
+  private def banded(m: DataFrame, bands: Int): DataFrame =
+    m.select("hsh").distinct()
       .select(col("hsh"),
         explode(array(bandKeyCols(col("hsh"), bands): _*)).as("bk"))
-    val bS = banded(memS)
+
+  // parameter guards hoisted here (ADVICE r10) so EVERY candidate path
+  // — batch join, incremental probe, ledger probe, persisted-index
+  // probe — fails fast on a geometry that would void the banded-
+  // pigeonhole exactness guarantee instead of silently missing pairs
+  private def requireGeometry(bands: Int, maxDist: Int, maxBucket: Int): Unit = {
+    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxDist >= 0 && maxDist < bands,
+      s"exactness needs maxDist < bands, got maxDist=$maxDist bands=$bands")
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+  }
+
+  /** [[verifiedHashPairs]] from a PRE-BANDED standing side — the entry
+    * point the persisted index probe uses, where the standing (hsh, bk)
+    * rows come off disk partition-pruned instead of being re-derived
+    * from a full member scan.
+    */
+  private def verifiedHashPairsFrom(bS: DataFrame, memN: DataFrame,
+                                    bands: Int, maxDist: Int,
+                                    maxBucket: Int): DataFrame = {
+    requireGeometry(bands, maxDist, maxBucket)
     val oversized = bS.groupBy("bk").agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket).select("bk")
     val bScap = bS.join(broadcast(oversized), Seq("bk"), "left_anti")
-    val bN = banded(memN)
+    val bN = banded(memN, bands)
     val crossC = bN.as("n")
       .join(bScap.as("s"),
         col("n.bk") === col("s.bk") && col("n.hsh") =!= col("s.hsh"))
@@ -165,14 +188,16 @@ object ImageHash {
       .filter(col("hamming") <= maxDist)
   }
 
+  private def verifiedHashPairs(memS: DataFrame, memN: DataFrame,
+                                bands: Int, maxDist: Int,
+                                maxBucket: Int): DataFrame =
+    verifiedHashPairsFrom(banded(memS, bands), memN, bands, maxDist, maxBucket)
+
   def hammingProbe(standing: DataFrame, incoming: DataFrame,
                    idCol: String, hashCol: String,
                    bands: Int = 8, maxDist: Int = 6,
                    maxBucket: Int = 4096): DataFrame = {
-    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64, got $bands")
-    require(maxDist >= 0 && maxDist < bands,
-      s"exactness needs maxDist < bands, got maxDist=$maxDist bands=$bands")
-    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    requireGeometry(bands, maxDist, maxBucket)
     val memS = standing.select(col(idCol).as("id"), col(hashCol).as("hsh"))
       .withColumn("nw", lit(false))
     val memN = incoming.select(col(idCol).as("id"), col(hashCol).as("hsh"))
@@ -221,15 +246,26 @@ object ImageHash {
                   bands: Int = 8, maxDist: Int = 6,
                   maxBucket: Int = 4096): DataFrame = {
     val memS = standing.select(col(idCol).as("id"), col(hashCol).as("hsh"))
-      .withColumn("nw", lit(false))
     val memN = incoming.select(col(idCol).as("id"), col(hashCol).as("hsh"))
-      .withColumn("nw", lit(true))
+    ledgerVerdicts(memS.select("hsh").distinct(), banded(memS, bands),
+      memN, incoming, idCol, bands, maxDist, maxBucket)
+  }
+
+  /** The verdict core shared by [[ledgerProbe]] (standing side derived
+    * from a raw member frame) and [[ledgerProbeIndexed]] (standing side
+    * read partition-pruned from the persisted index): `standingH` is
+    * the distinct standing hashes reachable by this probe, `bandedS`
+    * their (hsh, bk) band rows.
+    */
+  private def ledgerVerdicts(standingH: DataFrame, bandedS: DataFrame,
+                             memN: DataFrame, incoming: DataFrame,
+                             idCol: String, bands: Int, maxDist: Int,
+                             maxBucket: Int): DataFrame = {
     // verdicts are decidable at the DISTINCT-HASH level — a 10k-copy
     // template image in the tranche is ONE judged hash, never m² member
     // pairs: the first occurrence (min id) per hash carries the hash's
     // verdict, every other copy is exact_dup by membership alone
     val firstOcc = memN.groupBy("hsh").agg(min(col("id")).as("fid"))
-    val standingH = memS.select("hsh").distinct()
     val exact = memN.join(standingH, Seq("hsh"), "left_semi").select("id")
       .unionByName(memN.join(firstOcc, "hsh")
         .filter(col("id") =!= col("fid")).select("id"))
@@ -238,7 +274,7 @@ object ImageHash {
     // verified pair links it to a standing hash (whose copies all
     // arrived earlier) or to another tranche hash whose first copy has
     // a smaller id — the min member id decides the doc-level loser
-    val vp = verifiedHashPairs(memS, memN, bands, maxDist, maxBucket)
+    val vp = verifiedHashPairsFrom(bandedS, memN, bands, maxDist, maxBucket)
       .select(explode(array(
         struct(col("ha").as("hsh"), col("hb").as("p_hsh")),
         struct(col("hb").as("hsh"), col("ha").as("p_hsh")))).as("e"))
@@ -259,6 +295,131 @@ object ImageHash {
         when(col("ex") === 1, lit("exact_dup"))
           .when(col("nd") === 1, lit("near_dup"))
           .otherwise(lit("kept")).as("decision"))
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted banded hash index (VERDICT r10 #2): the
+  // [[Dedup.writeNearDupIndex]] analogue at the 64-bit-hash layer, for
+  // any modality whose fingerprint is a perceptual hash (image dHash,
+  // audio energy hash). Layout under `dir`:
+  //  - `params`  (bands) — banding geometry; appends must match
+  //    (mismatched slices would never collide correctly);
+  //  - `bands`   (hsh, bk) PARTITIONED BY bkp = StoreLayout.part(bk) —
+  //    one row per distinct tranche hash × band slice, appended per
+  //    tranche; probes prune to the tranche's colliding buckets;
+  //  - `members` (id, hsh) PARTITIONED BY hp = StoreLayout.part(hsh) —
+  //    exact-duplicate lookups prune to the tranche's hash buckets.
+  // A hash re-entering in several tranches leaves one idempotent bands
+  // row per tranche; probes re-collapse with dropDuplicates and
+  // [[compactHashIndex]] collapses the store itself.
+  // ------------------------------------------------------------------
+
+  private def ensureHashIndexParams(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String, bands: Int): Unit =
+    if (Dedup.storeExists(spark, s"$dir/params")) {
+      val p = readHashIndexParams(spark, dir)
+      require(p == bands,
+        s"hash index at $dir was built with bands = $p; " +
+          s"refusing an append with bands = $bands")
+    } else {
+      import spark.implicits._
+      Seq(bands).toDF("bands")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    }
+
+  /** The persisted banding geometry; probes adapt to it on read. */
+  def readHashIndexParams(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Int =
+    spark.read.parquet(s"$dir/params").collect()(0).getInt(0)
+
+  /** Append one tranche's (id, hash) rows to the persisted index under
+    * `dir` (bootstraps the store, params included, on first call).
+    */
+  def appendHashIndex(hashes: DataFrame, idCol: String, hashCol: String,
+                      dir: String, bands: Int = 8): Unit = {
+    val spark = hashes.sparkSession
+    ensureHashIndexParams(spark, dir, bands)
+    val b = readHashIndexParams(spark, dir)
+    val mem = hashes.select(col(idCol).as("id"), col(hashCol).as("hsh"))
+    StoreSwap.concurrently(
+      () => banded(mem, b).withColumn("bkp", StoreLayout.part(col("bk")))
+        .repartition(col("bkp"))
+        .write.mode("append").partitionBy("bkp").parquet(s"$dir/bands"),
+      () => mem.withColumn("hp", StoreLayout.part(col("hsh")))
+        .repartition(col("hp"))
+        .write.mode("append").partitionBy("hp").parquet(s"$dir/members"))
+  }
+
+  /** [[ledgerProbe]] against the PERSISTED index — the commit-time
+    * access path of [[Curation.commitTranche]]: standing bands are read
+    * through literal partition filters on the tranche's band-key
+    * buckets (a standing hash in an untouched bucket cannot collide
+    * with any tranche band key, so the pruning is exact), members
+    * through filters on the hash buckets of (tranche hashes ∪ pruned-
+    * band hashes) — covering every exact lookup and every candidate
+    * partner. Both touched-bucket sets are ≤ [[StoreLayout.Parts]] by
+    * construction (bounded driver collects, the IvfIndex discipline).
+    *
+    * `exclude`: standing ids a re-run of a failed commit already
+    * appended; a hash standing ONLY via excluded members leaves the
+    * census and the candidate pool entirely (the re-run reproduces the
+    * first attempt bit-for-bit, cap boundary included).
+    */
+  def ledgerProbeIndexed(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, incoming: DataFrame,
+                         idCol: String, hashCol: String,
+                         maxDist: Int = 6, maxBucket: Int = 4096,
+                         exclude: Option[DataFrame] = None,
+                         materialize: Boolean = true): DataFrame = {
+    val bands = readHashIndexParams(spark, dir)
+    // the tranche side is checkpointed FIRST: its fingerprints may be
+    // expensive to derive (decode + hash per doc), and the probe's
+    // bounded collects plus the verdict plan would otherwise recompute
+    // them once per job
+    val memN =
+      (if (materialize)
+        incoming.select(col(idCol).as("id"), col(hashCol).as("hsh"))
+          .localCheckpoint(false)
+      else incoming.select(col(idCol).as("id"), col(hashCol).as("hsh")))
+    val bkps = StoreLayout.partsOf(banded(memN, bands), col("bk"))
+    // lazy checkpoints: each pruned slice is referenced several times
+    // by the verdict plan (census + capped join, exact + partner flags)
+    // — materialize the slice once, nothing beyond it; materialize =
+    // false keeps the raw plans for partition-filter assertions
+    // (Dedup.probeView has the full rationale)
+    def ckpt(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(false) else df
+    val bands0 = ckpt(spark.read.parquet(s"$dir/bands")
+      .filter(col("bkp").isin(bkps: _*)).drop("bkp")
+      .dropDuplicates("hsh", "bk"))
+    val hps = (StoreLayout.partsOf(memN, col("hsh")) ++
+      StoreLayout.partsOf(bands0, col("hsh"))).distinct
+    val members0 = spark.read.parquet(s"$dir/members")
+      .filter(col("hp").isin(hps: _*)).drop("hp")
+    val members = exclude.fold(members0)(ids =>
+      members0.join(ids.select(col(ids.columns.head).as("id")),
+        Seq("id"), "left_anti"))
+    val live = ckpt(members.select("hsh").distinct())
+    ledgerVerdicts(live,
+      ckpt(bands0.join(live, Seq("hsh"), "left_semi")),
+      memN, incoming, idCol, bands, maxDist, maxBucket)
+  }
+
+  /** Collapse re-appended duplicate rows and small files; same swap
+    * discipline as [[Dedup.compactNearDupIndex]].
+    */
+  def compactHashIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Unit = {
+    val tmp = StoreSwap.prepareTmp(spark, s"$dir.compact")
+    spark.read.parquet(s"$dir/bands").dropDuplicates("hsh", "bk")
+      .repartition(col("bkp"))
+      .write.partitionBy("bkp").parquet(s"$tmp/bands")
+    spark.read.parquet(s"$dir/members").dropDuplicates("id", "hsh")
+      .repartition(col("hp"))
+      .write.partitionBy("hp").parquet(s"$tmp/members")
+    spark.read.parquet(s"$dir/params").coalesce(1)
+      .write.parquet(s"$tmp/params")
+    StoreSwap.swap(spark, dir, tmp)
   }
 
   /** The band buckets a given cap would drop in [[hammingNearDups]] —

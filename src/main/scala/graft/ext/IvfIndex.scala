@@ -46,20 +46,31 @@ object IvfIndex {
     * codebook — the exact [[KMeans.assignWith]] arithmetic, so an
     * identical vector always lands in its training-time cell.
     */
-  private def routeCells(emb: DataFrame, dir: String): DataFrame = {
-    val centE = emb.sparkSession.read.parquet(s"$dir/centroids_q")
+  private def routeCellsWith(emb: DataFrame, centQ: DataFrame): DataFrame =
     KMeans.quantized(emb)
       .select(col("vec_id"), posexplode(col("e")).as(Seq("i", "v")))
-      .join(broadcast(centE.select(col("cid"), col("i"), col("v").as("cv"))), "i")
+      .join(broadcast(centQ.select(col("cid"), col("i"), col("v").as("cv"))), "i")
       .groupBy("vec_id", "cid")
       .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))
       .groupBy("vec_id")
       .agg(min(struct(col("dist"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cell"))
-  }
 
-  def append(emb: DataFrame, dir: String): Unit = {
-    emb.join(routeCells(emb, dir), "vec_id")
+  private def routeCells(emb: DataFrame, dir: String): DataFrame =
+    routeCellsWith(emb,
+      emb.sparkSession.read.parquet(s"$dir/centroids_q"))
+
+  /** The (vec_id, cell) routing of a batch under the persisted integer
+    * codebook — public so a caller running probe AND append on the same
+    * tranche ([[Curation.commitTranche]]) computes the routing pass
+    * once (checkpoint it) instead of once per consumer.
+    */
+  def routing(spark: SparkSession, dir: String, emb: DataFrame): DataFrame =
+    routeCells(emb, dir)
+
+  def append(emb: DataFrame, dir: String,
+             routed: Option[DataFrame] = None): Unit = {
+    emb.join(routed.getOrElse(routeCells(emb, dir)), "vec_id")
       .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
   }
 
@@ -145,7 +156,8 @@ object IvfIndex {
                   idCol: String, embCol: String, threshold: Double,
                   probes: Int = 1, maxCells: Int = 4096,
                   maxBatch: Int = 1 << 16,
-                  exclude: Option[DataFrame] = None): DataFrame = {
+                  exclude: Option[DataFrame] = None,
+                  routedIn: Option[DataFrame] = None): DataFrame = {
     require(probes >= 1 && maxCells >= 1)
     require(incoming.limit(maxBatch + 1).count() <= maxBatch,
       s"tranche exceeds maxBatch=$maxBatch — split the tranche")
@@ -161,8 +173,10 @@ object IvfIndex {
     val qu = unit(firstOcc)
     // probed cells per distinct vector: the integer-assigned cell
     // (identity lives there — routeCells == training-time assignment)
-    // ∪ the `probes` nearest by the search-time double codebook
-    val routed = routeCells(embFrame, dir)
+    // ∪ the `probes` nearest by the search-time double codebook.
+    // `routedIn` (a [[routing]] frame the caller shares with [[append]])
+    // skips re-running the routing pass.
+    val routed = routedIn.getOrElse(routeCells(embFrame, dir))
       .join(memN.withColumnRenamed("id", "vec_id"), "vec_id")
       .groupBy("e").agg(min(struct(col("vec_id"), col("cell"))).as("m"))
       .select(col("e"), col("m.cell").as("cell"))
@@ -243,6 +257,108 @@ object IvfIndex {
     val tmp = StoreSwap.prepareTmp(spark, s"$dir.rewrite")
     write(emb, tmp, k, iters)
     StoreSwap.swap(spark, dir, tmp)
+  }
+
+  /** CELL-LOCAL maintenance (VERDICT r10 #3): re-cluster ONE hot
+    * cell's partition into `kSplit` sub-cells and splice the codebook —
+    * [[rewrite]] bounds remediation by the whole store and retrains
+    * everything; this bounds the WRITE work by the skewed slice
+    * [[cellCensus]] named (plus any boundary rows whose routing
+    * flipped), and the rest of the store is touched by exactly one
+    * READ-ONLY verification pass.
+    *
+    * Why the verification pass exists: every stored row's cell is its
+    * integer-arithmetic argmin under the codebook that routed it, and
+    * [[ledgerProbe]]'s identity-exactness leans on that parity (an
+    * identical copy routes to the cell its source lives in). Splicing
+    * sub-centroids into the codebook can flip the argmin of a BOUNDARY
+    * vector in a cold cell (a sub-centroid may land closer to it than
+    * its own centroid), so the split routes the WHOLE store through the
+    * spliced codebook once — linear, broadcast-joined, no shuffle of
+    * embeddings beyond the per-vector partial aggregation — and MOVES
+    * exactly (hot rows ∪ flipped rows): appended under their new cells,
+    * flipped rows' originals surgically removed from their source
+    * partitions, hot partition retired. On a well-separated store the
+    * flipped set is empty and the write cost is the hot slice alone.
+    *
+    * Single-writer window like every maintenance pass (between the
+    * partition surgery and the codebook swap a concurrent reader could
+    * see a moved row in zero or two cells); crash mid-way leaves the
+    * old codebook live and every row present somewhere — [[rewrite]]
+    * is the recovery of last resort. IvfIndexSpec pins probe parity
+    * (all-cell scans identical before/after) and identity-exact ledger
+    * probes across a split.
+    */
+  def splitCell(spark: SparkSession, dir: String, cell: Long,
+                kSplit: Int = 2, iters: Int = 2): Unit = {
+    require(kSplit >= 2, s"splitCell needs kSplit >= 2, got $kSplit")
+    val vecDir = s"$dir/vectors"
+    val slice = spark.read.parquet(vecDir)
+      .filter(col("cell") === cell).drop("cell")
+      .dropDuplicates("vec_id")
+      .localCheckpoint() // sever lineage from the partition about to go
+    val nSlice = slice.count()
+    require(nSlice >= kSplit,
+      s"cell $cell holds $nSlice vectors — nothing to split into $kSplit")
+    val cent = spark.read.parquet(s"$dir/centroids")
+    require(cent.filter(col("cell") === cell).count() == 1,
+      s"cell $cell is not in the codebook at $dir")
+    val maxCell = cent.agg(max(col("cell"))).collect()(0).getLong(0)
+    val emb = slice.select("vec_id", "embedding")
+    // spliced codebooks: drop the hot centroid, graft the sub-centroids
+    // under fresh ids (trained by the same integer k-means as write —
+    // routing parity for everything moved below)
+    val newCentQ = spark.read.parquet(s"$dir/centroids_q")
+      .filter(col("cid") =!= cell)
+      .unionByName(KMeans.centroidsQuantized(emb, kSplit, iters)
+        .select((col("cid") + lit(maxCell + 1)).as("cid"), col("i"), col("v")))
+      .localCheckpoint()
+    val newCent = cent.filter(col("cell") =!= cell)
+      .unionByName(KMeans.centroids(emb, kSplit, iters)
+        .select((col("cell") + lit(maxCell + 1)).as("cell"), col("ce")))
+      .localCheckpoint()
+    // one routing pass over the store under the spliced codebook: hot
+    // rows MUST move (their partition retires); a cold row moves only
+    // if its argmin flipped to a sub-cell
+    val all = spark.read.parquet(vecDir)
+    val dataCols = all.columns.filter(_ != "cell").toSeq
+    val routed = routeCellsWith(all.drop("cell").dropDuplicates("vec_id"),
+        newCentQ)
+      .withColumnRenamed("cell", "new_cell")
+    val movers = all.join(routed, "vec_id")
+      .filter(col("cell") === cell || col("cell") =!= col("new_cell"))
+      .localCheckpoint() // materialize BEFORE any partition is mutated
+    movers.dropDuplicates("vec_id")
+      .select(dataCols.map(col) :+ col("new_cell").as("cell"): _*)
+      .write.mode("append").partitionBy("cell").parquet(vecDir)
+    // surgical removal of flipped originals: rewrite ONLY the affected
+    // source partitions (≤ codebook-many), via a dot-prefixed tmp the
+    // partition discovery ignores
+    val fs = StoreSwap.fsOf(spark, dir)
+    val srcCells = movers.filter(col("cell") =!= cell)
+      .select("cell").distinct().collect().map(_.get(0))
+    srcCells.foreach { c =>
+      val pdir = new org.apache.hadoop.fs.Path(s"$vecDir/cell=$c")
+      val tmp = new org.apache.hadoop.fs.Path(s"$vecDir/.split_move_$c")
+      fs.delete(tmp, true)
+      spark.read.parquet(pdir.toString)
+        .join(broadcast(movers.filter(col("cell") === c).select("vec_id")),
+          Seq("vec_id"), "left_anti")
+        .write.parquet(tmp.toString)
+      fs.delete(pdir, true)
+      if (!fs.rename(tmp, pdir))
+        throw new java.io.IOException(s"splitCell: cannot promote $tmp to $pdir")
+    }
+    // codebook swap (integer codebook first — append routing), then
+    // retire the hot partition no codebook entry routes to anymore
+    val tq = StoreSwap.prepareTmp(spark, s"$dir/centroids_q.split")
+    newCentQ.coalesce(1).write.parquet(tq)
+    StoreSwap.swap(spark, s"$dir/centroids_q", tq)
+    val tc = StoreSwap.prepareTmp(spark, s"$dir/centroids.split")
+    newCent.coalesce(1).write.parquet(tc)
+    StoreSwap.swap(spark, s"$dir/centroids", tc)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$vecDir/cell=$cell"), true)
+    ()
   }
 
   /** Post-append cell occupancy census (VERDICT r9 #6): (cell,

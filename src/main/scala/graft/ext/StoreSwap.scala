@@ -27,6 +27,28 @@ private[ext] object StoreSwap {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
+  def fsOf(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    fs(spark, new Path(path))
+
+  /** Run independent store writes concurrently and wait for all —
+    * commit wall-clock pays the slowest file commit, not the sum (the
+    * ledger-kernels concurrent-build discipline applied to the append
+    * phase; Spark job submission is thread-safe, and each thunk writes
+    * its OWN directory so the committers never share staging paths).
+    * The first failure is rethrown after all thunks settle, so a
+    * partially-applied append phase is visible to the caller's re-run
+    * contract, never half-awaited.
+    */
+  def concurrently(thunks: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future, blocking}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = thunks.map(t => Future(blocking(t())))
+    val results = fs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    results.collectFirst { case scala.util.Failure(e) => throw e }
+    ()
+  }
+
   /** Delete any stale tmp left by a crashed pass and return the path to
     * write the new store to.
     */
@@ -47,4 +69,44 @@ private[ext] object StoreSwap {
     if (!f.rename(new Path(tmp), p))
       throw new java.io.IOException(s"store swap: cannot promote $tmp to $dir")
   }
+}
+
+/** The shared probe-key partitioning discipline of every persisted
+  * standing index (text near-dup bands/sets/members, perceptual hash
+  * bands/members, video shingle/sequence stores): rows are written
+  * under a `pmod(xxhash64(key), Parts)` partition column so a tranche
+  * probe can push its (bounded, ≤ Parts) touched-partition set into
+  * the scan as LITERAL partition filters — the flat-store full scan
+  * becomes a colliding-bucket read, the same structural pruning
+  * [[IvfIndex]] gets from its cell partitions. Because the partition
+  * value is a FUNCTION of the probe key, a key's whole bucket lives in
+  * exactly one partition: per-key census counts (the oversized-bucket
+  * caps) computed on a pruned slice are exact, never clipped.
+  */
+private[ext] object StoreLayout {
+  /** Partition fan-out. Every append writes ~one file per touched
+    * partition, so Parts trades probe selectivity against per-commit
+    * file count: 64 keeps a small probe (t keys) reading ≤ min(t, 64)
+    * buckets while an hourly-tranche deployment stays comfortably
+    * below file-count pressure between compactions. At 100 TB each
+    * bucket is ~corpus/64 — the probe's literal filters, not the
+    * bucket width, are what keep commit cost tranche-proportional.
+    */
+  val Parts = 64
+
+  /** The partition value of a probe key. */
+  def part(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.xxhash64(key),
+      org.apache.spark.sql.functions.lit(Parts.toLong))
+
+  /** The distinct partition values present in `keys` — bounded by
+    * `Parts` BY CONSTRUCTION (part() is a pmod), so the driver collect
+    * is codebook-sized like [[IvfIndex.topK]]'s cell collect, never
+    * data-sized. Pushed into standing-store scans as literal filters.
+    */
+  def partsOf(df: org.apache.spark.sql.DataFrame,
+              key: org.apache.spark.sql.Column): Seq[Long] =
+    df.select(part(key).as("p")).distinct()
+      .limit(Parts + 1).collect().map(_.getLong(0)).toSeq
 }

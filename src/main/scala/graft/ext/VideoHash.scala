@@ -118,19 +118,32 @@ object VideoHash {
     */
   def sequenceProbe(standingFrames: DataFrame, incomingFrames: DataFrame,
                     maxBucket: Int = 4096): DataFrame = {
-    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     val shS = shingles(standingFrames)
     val shN = shingles(incomingFrames)
-    val nS = shS.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sequenceProbeFrom(
+      shS.join(shS.groupBy("doc_id").agg(count(lit(1)).as("n")), "doc_id"),
+      shN, maxBucket)
+  }
+
+  /** [[sequenceProbe]] from a DENORMALIZED standing shingle relation
+    * (doc_id, k, n) — `n` is the video's TOTAL shingle count carried on
+    * every row, which is what lets the persisted index serve the
+    * containment denominator from a partition-pruned slice: the probe
+    * reads only colliding shingle buckets, yet every matched row knows
+    * its video's full length. The per-key census stays exact on a
+    * pruned slice because a key's whole bucket lives in one partition.
+    */
+  private def sequenceProbeFrom(shS: DataFrame, shN: DataFrame,
+                                maxBucket: Int): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     val nN = shN.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val oversized = shS.groupBy("k").agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxBucket).select("k")
+    val oversized = shS.groupBy("k").agg(count(lit(1)).as("nb"))
+      .filter(col("nb") > maxBucket).select("k")
     val sCap = shS.join(broadcast(oversized), Seq("k"), "left_anti")
     val cross = shN.as("a").join(sCap.as("b"), col("a.k") === col("b.k"))
       .groupBy(col("a.doc_id").as("n_id"), col("b.doc_id").as("s_id"))
-      .agg(count(lit(1)).as("shared"))
+      .agg(count(lit(1)).as("shared"), max(col("b.n")).as("ns"))
       .join(nN.select(col("doc_id").as("n_id"), col("n").as("nn")), "n_id")
-      .join(nS.select(col("doc_id").as("s_id"), col("n").as("ns")), "s_id")
       .filter(col("shared") * 2 >= least(col("nn"), col("ns")))
       .select(least(col("n_id"), col("s_id")).as("a_id"),
         greatest(col("n_id"), col("s_id")).as("b_id"), col("shared"),
@@ -179,20 +192,36 @@ object VideoHash {
   def ledgerProbe(standingFrames: DataFrame, incomingFrames: DataFrame,
                   incoming: DataFrame, idCol: String,
                   maxBucket: Int = 4096): DataFrame = {
-    val sqS = sequenceIds(standingFrames)
     val sqN = sequenceIds(incomingFrames)
     val firstOcc = sqN.groupBy("sq").agg(min(col("doc_id")).as("fid"))
-    val standingSq = sqS.select("sq").distinct()
+    val probeN = incomingFrames.join(
+      firstOcc.select(col("fid").as("doc_id")), Seq("doc_id"), "left_semi")
+    val shS = shingles(standingFrames)
+    ledgerVerdicts(
+      sequenceIds(standingFrames).select("sq").distinct(),
+      sequenceProbeFrom(
+        shS.join(shS.groupBy("doc_id").agg(count(lit(1)).as("n")), "doc_id"),
+        shingles(probeN), maxBucket),
+      sqN, firstOcc, incoming, idCol)
+  }
+
+  /** The verdict core shared by [[ledgerProbe]] (standing side derived
+    * from raw frames) and [[ledgerProbeIndexed]] (standing side read
+    * partition-pruned from the persisted index): `standingSq` the
+    * distinct standing sequence ids reachable by this probe, `pairs`
+    * the [[sequenceProbeFrom]] containment pairs for the tranche's
+    * first-occurrence videos.
+    */
+  private def ledgerVerdicts(standingSq: DataFrame, pairs: DataFrame,
+                             sqN: DataFrame, firstOcc: DataFrame,
+                             incoming: DataFrame, idCol: String): DataFrame = {
     val exact = sqN.join(standingSq, Seq("sq"), "left_semi").select("doc_id")
       .unionByName(sqN.join(firstOcc, "sq")
         .filter(col("doc_id") =!= col("fid")).select("doc_id"))
       .distinct().withColumn("ex", lit(1))
-    // containment pairs for first occurrences only — every later copy
+    // containment pairs cover first occurrences only — every later copy
     // of the same sequence is exact_dup by membership, so the probe
     // never re-pairs duplicate footage
-    val probeN = incomingFrames.join(
-      firstOcc.select(col("fid").as("doc_id")), Seq("doc_id"), "left_semi")
-    val pairs = sequenceProbe(standingFrames, probeN, maxBucket)
     val near = pairs.filter(col("src") === "cross")
       .select(explode(array(col("a_id"), col("b_id"))).as("fid"))
       .join(firstOcc.select("fid").distinct(), "fid")
@@ -216,4 +245,98 @@ object VideoHash {
                             maxBucket: Int = 4096): DataFrame =
     shingles(frames).groupBy("k").agg(count(lit(1)).as("n_videos"))
       .filter(col("n_videos") > maxBucket)
+
+  // ------------------------------------------------------------------
+  // Persisted sequence index (VERDICT r10 #2): the video analogue of
+  // [[graft.ext.Dedup.writeNearDupIndex]]. Layout under `dir`:
+  //  - `shingles` (doc_id, k, n) PARTITIONED BY kp = StoreLayout
+  //    .part(k) — the video's TOTAL shingle count `n` rides every row
+  //    (denormalized) so a partition-pruned slice still serves the
+  //    containment denominator;
+  //  - `seqs` (doc_id, sq) PARTITIONED BY sqp = StoreLayout.part(sq) —
+  //    exact-duplicate lookups prune to the tranche's sequence buckets.
+  // Re-appended videos leave idempotent duplicate rows; probes
+  // re-collapse with dropDuplicates, [[compactSeqIndex]] collapses the
+  // store.
+  // ------------------------------------------------------------------
+
+  /** Append one tranche's videos (as [[frameHashes]] output) to the
+    * persisted index under `dir` (bootstraps on first call).
+    */
+  def appendSeqIndex(frames: DataFrame, dir: String): Unit = {
+    val sh = shingles(frames)
+    StoreSwap.concurrently(
+      () => sh.join(sh.groupBy("doc_id").agg(count(lit(1)).as("n")), "doc_id")
+        .withColumn("kp", StoreLayout.part(col("k")))
+        .repartition(col("kp"))
+        .write.mode("append").partitionBy("kp").parquet(s"$dir/shingles"),
+      () => sequenceIds(frames)
+        .withColumn("sqp", StoreLayout.part(col("sq")))
+        .repartition(col("sqp"))
+        .write.mode("append").partitionBy("sqp").parquet(s"$dir/seqs"))
+  }
+
+  /** [[ledgerProbe]] against the PERSISTED index — the commit-time
+    * access path of [[Curation.commitTranche]]: standing sequence ids
+    * are read through literal partition filters on the tranche's
+    * sequence buckets (exact for the equality lookup), standing
+    * shingles through filters on the tranche's shingle-key buckets
+    * (exact for the containment equi-join — an untouched bucket cannot
+    * share a shingle with the tranche). Touched-bucket sets are ≤
+    * [[StoreLayout.Parts]] by construction.
+    *
+    * `exclude`: standing doc ids a re-run of a failed commit already
+    * appended — their rows (all in tranche-touched buckets by
+    * construction) are anti-joined out, so the re-run reproduces the
+    * first attempt, census included.
+    */
+  def ledgerProbeIndexed(spark: SparkSession, dir: String,
+                         incomingFrames: DataFrame, incoming: DataFrame,
+                         idCol: String, maxBucket: Int = 4096,
+                         exclude: Option[DataFrame] = None,
+                         materialize: Boolean = true): DataFrame = {
+    def excl(df: DataFrame): DataFrame = exclude.fold(df)(ids =>
+      df.join(ids.select(col(ids.columns.head).as("doc_id")),
+        Seq("doc_id"), "left_anti"))
+    // lazy checkpoints on the multiply-referenced frames (tranche
+    // sequence ids ×3, tranche shingles ×3, pruned standing slice ×2);
+    // materialize = false keeps the raw plans for partition-filter
+    // assertions — Dedup.probeView has the full rationale
+    def ckpt(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(false) else df
+    // the tranche frames are checkpointed FIRST: frame fingerprints are
+    // expensive to derive (decode + hash per frame), and the probe's
+    // bounded collects plus the verdict plan would otherwise recompute
+    // them once per job
+    val inFrames = ckpt(incomingFrames)
+    val sqN = ckpt(sequenceIds(inFrames))
+    val firstOcc = ckpt(sqN.groupBy("sq").agg(min(col("doc_id")).as("fid")))
+    val sqps = StoreLayout.partsOf(sqN, col("sq"))
+    val standingSq = excl(spark.read.parquet(s"$dir/seqs")
+        .filter(col("sqp").isin(sqps: _*)).drop("sqp"))
+      .select("sq").distinct()
+    val probeN = inFrames.join(
+      firstOcc.select(col("fid").as("doc_id")), Seq("doc_id"), "left_semi")
+    val shN = ckpt(shingles(probeN))
+    val kps = StoreLayout.partsOf(shN, col("k"))
+    val shS = ckpt(excl(spark.read.parquet(s"$dir/shingles")
+        .filter(col("kp").isin(kps: _*)).drop("kp")
+        .dropDuplicates("doc_id", "k")))
+    ledgerVerdicts(standingSq, sequenceProbeFrom(shS, shN, maxBucket),
+      sqN, firstOcc, incoming, idCol)
+  }
+
+  /** Collapse re-appended duplicate rows and small files; same swap
+    * discipline as [[graft.ext.Dedup.compactNearDupIndex]].
+    */
+  def compactSeqIndex(spark: SparkSession, dir: String): Unit = {
+    val tmp = StoreSwap.prepareTmp(spark, s"$dir.compact")
+    spark.read.parquet(s"$dir/shingles").dropDuplicates("doc_id", "k")
+      .repartition(col("kp"))
+      .write.partitionBy("kp").parquet(s"$tmp/shingles")
+    spark.read.parquet(s"$dir/seqs").dropDuplicates("doc_id", "sq")
+      .repartition(col("sqp"))
+      .write.partitionBy("sqp").parquet(s"$tmp/seqs")
+    StoreSwap.swap(spark, dir, tmp)
+  }
 }

@@ -5075,30 +5075,60 @@ object ExtQueries {
 
   // --- x117: per-tranche perceptual verdicts (x116 at the hash layer, oracle-gated) -----
 
-  /** [[graft.ext.ImageHash.ledgerProbe]] as a declared row — x116's
-    * verdict emitter at the perceptual layer, so the streaming
-    * multimodal ledger's kernel is hash-gated too: the %4 tranche's
-    * dHashes probe the standing hashes; exact_dup = identical hash
+  /** [[graft.ext.ImageHash.ledgerProbeIndexed]] as a declared row —
+    * x116's verdict emitter at the perceptual layer, probing the
+    * PERSISTED banded hash index since r11 (VERDICT r10 #2): the %4
+    * tranche's dHashes read the standing store through literal
+    * band-bucket partition filters; exact_dup = identical hash
     * already standing (or a smaller-id tranche copy), near_dup =
     * Hamming ≤ 6 against standing or a smaller-id tranche doc, kept
-    * otherwise. The oracle replays the monolithic x92 pair set and
-    * takes the tranche-side loser of every pair, exact-hash matches
-    * first.
+    * otherwise. Results are row-identical to the in-memory probe
+    * (StoreIndexSpec pins it), so the oracle is unchanged: it replays
+    * the monolithic x92 pair set and takes the tranche-side loser of
+    * every pair, exact-hash matches first.
     */
-  val x117PhashLedger: Q = (spark, sfDir) => {
+  private def docDHashes(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val hashes = Tables.documents(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .filter(length(col("text")) >= 1)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, t) =>
         (id, graft.ext.ImageHash.dHash(
           Bmp.parse(Bmp.write(16, t.getBytes("US-ASCII")))))
       }.toDF("doc_id", "hash")
-    graft.ext.ImageHash.ledgerProbe(
-      hashes.filter(col("doc_id") % 4 =!= 0),
-      hashes.filter(col("doc_id") % 4 === 0), "doc_id", "hash")
-      .orderBy("doc_id")
   }
+
+  // the PERSISTED standing hash index (VERDICT r10 #2): in production
+  // the banded (hsh, bk) store is written once per corpus commit and
+  // appended per tranche — built once per (session, corpus) here and
+  // timed by Bench as `phash_index_build`, so the declared x117
+  // measures the recurring partition-pruned probe
+  private val phashIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def phashIndexDir(spark: SparkSession, sfDir: String): String = {
+    phashIndexCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    phashIndexCache.computeIfAbsent((spark, sfDir),
+      (key: (SparkSession, String)) => {
+        val dir = java.nio.file.Files.createTempDirectory("phashidx")
+          .toString + "/img"
+        graft.ext.ImageHash.appendHashIndex(
+          docDHashes(key._1, key._2).filter(col("doc_id") % 4 =!= 0),
+          "doc_id", "hash", dir)
+        dir
+      })
+  }
+
+  def warmPhashIndex(spark: SparkSession, sfDir: String): Unit = {
+    phashIndexDir(spark, sfDir); ()
+  }
+
+  val x117PhashLedger: Q = (spark, sfDir) =>
+    graft.ext.ImageHash.ledgerProbeIndexed(spark,
+      phashIndexDir(spark, sfDir),
+      docDHashes(spark, sfDir).filter(col("doc_id") % 4 === 0),
+      "doc_id", "hash")
+      .orderBy("doc_id")
 
   private val x117Sql = imagePhashPre +
     """, exact AS (
@@ -5275,6 +5305,31 @@ object ExtQueries {
     * the frame-hash chain (the x112 video fragment), sequence-identity
     * grouping, and the containment chain over first occurrences.
     */
+  // the PERSISTED standing sequence index (VERDICT r10 #2) — the video
+  // twin of [[phashIndexDir]], timed by Bench as `videoseq_index_build`
+  private val seqIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def seqIndexDir(spark: SparkSession, sfDir: String): String = {
+    seqIndexCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    seqIndexCache.computeIfAbsent((spark, sfDir),
+      (key: (SparkSession, String)) => {
+        val dir = java.nio.file.Files.createTempDirectory("seqidx")
+          .toString + "/vid"
+        graft.ext.VideoHash.appendSeqIndex(
+          graft.ext.VideoHash.frameHashes(
+            Tables.documents(key._1, key._2)
+              .filter(col("doc_id") % 4 =!= 0).select("doc_id", "text"),
+            "doc_id", "text"),
+          dir)
+        dir
+      })
+  }
+
+  def warmSeqIndex(spark: SparkSession, sfDir: String): Unit = {
+    seqIndexDir(spark, sfDir); ()
+  }
+
   val x121VideoLedger: Q = (spark, sfDir) => {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     val standing = docs.filter(col("doc_id") % 4 =!= 0)
@@ -5283,8 +5338,8 @@ object ExtQueries {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       .unionAll(docs.filter(col("doc_id") % 4 === 0 && col("doc_id") % 16 === 4)
         .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
-    graft.ext.VideoHash.ledgerProbe(
-        graft.ext.VideoHash.frameHashes(standing, "doc_id", "text"),
+    graft.ext.VideoHash.ledgerProbeIndexed(spark,
+        seqIndexDir(spark, sfDir),
         graft.ext.VideoHash.frameHashes(tranche, "doc_id", "text"),
         tranche, "doc_id")
       .orderBy("doc_id")
@@ -7428,6 +7483,135 @@ object ExtQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // --- x124: the two-tranche commit sequence (orchestration under the hash gate) -------
+
+  /** [[graft.ext.Curation.commitTranche]]'s ORCHESTRATION as a declared
+    * row (VERDICT r10 #5): x116/x117/x120/x121 gate the verdict
+    * kernels; this gates the composition — two sequential commits into
+    * ONE deployment's persisted stores (probe-pruned standing access,
+    * idempotent ledger append, index append, id-registry guard), with
+    * the accumulated ON-DISK ledger as the declared result. Tranche 0 =
+    * doc_id % 4 != 0; tranche 1 = % 4 == 0 plus byte-identical copies
+    * of every 25th tranche-0 doc under fresh ids (the cross-tranche
+    * exact_dup plant). The oracle replays both commits' first-seen
+    * text verdicts over the union corpus: within-tranche candidates
+    * for tranche 0, cross+within for tranche 1, exactness by content
+    * hash with tranche-0 precedence. Built once per (session, corpus)
+    * — the commits themselves are Bench's `commit_sequence_build` line
+    * item; the declared row reads the persisted ledger back.
+    */
+  private val commitSeqCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def commitSequenceLedger(spark: SparkSession,
+                                   sfDir: String): String = {
+    commitSeqCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    commitSeqCache.computeIfAbsent((spark, sfDir),
+      (key: (SparkSession, String)) => {
+        val docs = Tables.documents(key._1, key._2).select("doc_id", "text")
+        val root = java.nio.file.Files.createTempDirectory("x124cur").toString
+        val stores = graft.ext.Curation.Stores(s"$root/text", s"$root/img",
+          s"$root/aud", s"$root/vid", s"$root/emb", s"$root/led")
+        val t0 = docs.filter(col("doc_id") % 4 =!= 0)
+        val t1 = docs.filter(col("doc_id") % 4 === 0)
+          .unionAll(t0.filter(col("doc_id") % 25 === 3)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        graft.ext.Curation.commitTranche(t0, 0L, stores)
+        graft.ext.Curation.commitTranche(t1, 1L, stores)
+        stores.ledger
+      })
+  }
+
+  def warmCommitSequence(spark: SparkSession, sfDir: String): Unit = {
+    commitSequenceLedger(spark, sfDir); ()
+  }
+
+  val x124CommitSequence: Q = (spark, sfDir) =>
+    graft.ext.Ledger.read(spark, commitSequenceLedger(spark, sfDir))
+      .orderBy("doc_id")
+
+  private val x124Sql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text,
+      |    CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS tr
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, CAST(1 AS BIGINT)
+      |  FROM documents WHERE doc_id % 4 != 0 AND doc_id % 25 = 3
+      |), tok AS (
+      |  SELECT doc_id, tr, string_split(text, ' ') AS tokens FROM corpus
+      |), chx AS (
+      |  SELECT t.doc_id, t.tr, md5(d.text) AS ch
+      |  FROM corpus d JOIN tok t USING (doc_id)
+      |  WHERE length(t.tokens) >= 2
+      |), chf AS (
+      |  SELECT tr, ch, min(doc_id) AS fid FROM chx GROUP BY tr, ch
+      |), chtr AS (
+      |  SELECT DISTINCT tr, ch FROM chx
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, length(tokens)),
+      |    i -> array_to_string(list_slice(tokens, i, i+1), ' '))) AS shingles
+      |  FROM tok WHERE length(tokens) >= 2
+      |), hs AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(shingles, s -> ('0x' || substr(md5(s),1,8))::BIGINT)) AS hs
+      |  FROM sh
+      |), sig AS (
+      |  SELECT doc_id, list_transform(range(0,16),
+      |    j -> list_min(list_transform(hs, x -> ((2*j+1)*x + 7919*j) % 4294967311))) AS sig
+      |  FROM hs
+      |), bands AS (
+      |  SELECT doc_id, unnest(list_transform(range(0,8),
+      |    b -> b || ':' || array_to_string(list_slice(sig, 2*b+1, 2*b+2), '-'))) AS bk
+      |  FROM sig
+      |), chbands AS (
+      |  SELECT DISTINCT c.ch, b.bk FROM bands b JOIN chx c USING (doc_id)
+      |), cand AS (
+      |  SELECT DISTINCT a.ch AS a_ch, b.ch AS b_ch
+      |  FROM chbands a JOIN chbands b ON a.bk = b.bk AND a.ch < b.ch
+      |), chrep AS (
+      |  SELECT ch, min(doc_id) AS rid FROM chx GROUP BY ch
+      |), chhs AS (
+      |  SELECT r.ch, h.hs FROM chrep r JOIN hs h ON h.doc_id = r.rid
+      |), ver AS (
+      |  SELECT c.a_ch, c.b_ch FROM (
+      |    SELECT c.a_ch, c.b_ch,
+      |      length(list_filter(sa.hs, x -> list_contains(sb.hs, x))) AS inter,
+      |      length(sa.hs) AS la, length(sb.hs) AS lb
+      |    FROM cand c
+      |    JOIN chhs sa ON sa.ch = c.a_ch
+      |    JOIN chhs sb ON sb.ch = c.b_ch) c
+      |  WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) >= 0.6
+      |), vp AS (
+      |  SELECT a_ch AS ch, b_ch AS p_ch FROM ver
+      |  UNION ALL
+      |  SELECT b_ch, a_ch FROM ver
+      |), nearc AS (
+      |  SELECT DISTINCT f.tr, f.ch
+      |  FROM chf f
+      |  JOIN vp ON vp.ch = f.ch
+      |  LEFT JOIN chtr st ON st.ch = vp.p_ch AND st.tr < f.tr
+      |  LEFT JOIN chf pf ON pf.ch = vp.p_ch AND pf.tr = f.tr
+      |  WHERE st.ch IS NOT NULL OR pf.fid < f.fid
+      |), exactd AS (
+      |  SELECT DISTINCT c.doc_id FROM chx c
+      |  JOIN chf f ON f.tr = c.tr AND f.ch = c.ch
+      |  LEFT JOIN chtr e ON e.ch = c.ch AND e.tr < c.tr
+      |  WHERE e.ch IS NOT NULL OR c.doc_id != f.fid
+      |)
+      |SELECT d.doc_id,
+      |  CASE WHEN ed.doc_id IS NOT NULL THEN 'exact_dup'
+      |       WHEN nc.ch IS NOT NULL THEN 'near_dup'
+      |       ELSE 'kept' END AS decision,
+      |  d.tr AS tranche,
+      |  'text' AS modality
+      |FROM corpus d
+      |LEFT JOIN exactd ed USING (doc_id)
+      |LEFT JOIN chx cx ON cx.doc_id = d.doc_id
+      |LEFT JOIN (SELECT DISTINCT tr, ch FROM nearc) nc
+      |  ON nc.tr = cx.tr AND nc.ch = cx.ch
+      |ORDER BY doc_id""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -7553,7 +7737,8 @@ object ExtQueries {
     "x120_embedding_ledger" -> x120EmbeddingLedger,
     "x121_video_ledger" -> x121VideoLedger,
     "x122_ledger_audit" -> x122LedgerAudit,
-    "x123_crossmodal_policy" -> x123CrossmodalPolicy)
+    "x123_crossmodal_policy" -> x123CrossmodalPolicy,
+    "x124_commit_sequence" -> x124CommitSequence)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -7678,5 +7863,6 @@ object ExtQueries {
     "x120_embedding_ledger" -> x120Sql,
     "x121_video_ledger" -> x121Sql,
     "x122_ledger_audit" -> x122Sql,
-    "x123_crossmodal_policy" -> x123Sql)
+    "x123_crossmodal_policy" -> x123Sql,
+    "x124_commit_sequence" -> x124Sql)
 }

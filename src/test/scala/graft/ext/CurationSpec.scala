@@ -65,11 +65,12 @@ class CurationSpec extends SparkSpec {
       "re-run changed the on-disk ledger")
     // and tranche 0's partitions were never touched
     assert(ledger().count(_._3 == 0L) > 0)
-    // the re-run double-appended the flat stores; maintenance is where
+    // the re-run double-appended the hash index; maintenance is where
     // that redundancy collapses — and a post-maintenance commit still
     // reproduces the same verdicts
     val t1n = t1.count()
-    val imgRows = () => spark.read.parquet(stores.image).count()
+    val imgRows = () =>
+      spark.read.parquet(s"${stores.image}/members").count()
     assert(imgRows() == t0.count() + 2 * t1n,
       "premise: the re-run should have double-appended tranche 1")
     Curation.maintain(spark, stores)
@@ -77,6 +78,65 @@ class CurationSpec extends SparkSpec {
       "maintenance did not collapse the re-run's duplicate rows")
     assert(run() == first, "post-maintenance re-run diverged")
     assert(ledger() == ledFirst)
+  }
+
+  test("a re-used doc_id across tranches is refused before any write") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val stores = freshStores()
+    Curation.commitTranche(docs.filter(col("doc_id") % 2 === 0), 0L, stores)
+    val ledBefore = Ledger.read(spark, stores.ledger).count()
+    // tranche 1 re-uses one committed even id among fresh odd ids
+    val bad = docs.filter(col("doc_id") % 2 === 1)
+      .unionAll(docs.filter(col("doc_id") % 2 === 0).limit(1))
+    val e = intercept[IllegalArgumentException] {
+      Curation.commitTranche(bad, 1L, stores)
+    }
+    assert(e.getMessage.contains("re-uses doc_id") &&
+      e.getMessage.contains("tranche 0"),
+      s"collision error not actionable: ${e.getMessage}")
+    assert(Ledger.read(spark, stores.ledger).count() == ledBefore,
+      "a refused commit left ledger rows behind")
+    assert(Ledger.read(spark, stores.ledger)
+      .filter(col("tranche") === 1L).count() == 0)
+    // the same tranche's ids re-arriving under the SAME trancheId (the
+    // failed-commit re-run path) must still pass the guard
+    Curation.commitTranche(docs.filter(col("doc_id") % 2 === 1), 1L, stores)
+    Curation.commitTranche(docs.filter(col("doc_id") % 2 === 1), 1L, stores)
+  }
+
+  test("an initialized standing store gone missing refuses the commit") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val stores = freshStores()
+    Curation.commitTranche(docs.filter(col("doc_id") % 2 === 0), 0L, stores)
+    // simulate a mid-swap window / store loss: the index directory is
+    // gone but its init marker (a sibling, untouched by swaps) remains
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(stores.textIndex))
+    val e = intercept[IllegalStateException] {
+      Curation.commitTranche(docs.filter(col("doc_id") % 2 === 1), 1L, stores)
+    }
+    assert(e.getMessage.contains("refusing to bootstrap"),
+      s"missing-store error not actionable: ${e.getMessage}")
+    assert(Ledger.read(spark, stores.ledger)
+      .filter(col("tranche") === 1L).count() == 0,
+      "a refused commit left tranche-1 ledger rows behind")
+  }
+
+  test("a modality frame with ids outside the tranche is refused") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val stores = freshStores()
+    val t0 = docs.filter(col("doc_id") % 2 === 0)
+    val foreign = t0.select((col("doc_id") + 1L).as("doc_id"),
+      xxhash64(col("text")).as("hash"))
+    val e = intercept[IllegalArgumentException] {
+      Curation.commitTranche(t0, 0L, stores, imgHashes = Some(foreign))
+    }
+    assert(e.getMessage.contains("absent from this tranche"),
+      s"subset error not actionable: ${e.getMessage}")
+    assert(!new java.io.File(stores.ledger).exists())
   }
 
   test("an IVF embedding store routes the semantic layer through the index, re-run safe") {

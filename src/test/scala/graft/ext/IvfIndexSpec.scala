@@ -113,6 +113,95 @@ class IvfIndexSpec extends SparkSpec {
       1002L -> "exact_dup", 1003L -> "kept"), got.toString)
   }
 
+  test("splitCell: a hot cell splits in place — probe parity, identity exact, cold cells untouched") {
+    import spark.implicits._
+    val emb = planted(120, 0L)
+    val dir = Files.createTempDirectory("ivfsplit").toString
+    IvfIndex.write(emb, dir, k = 4, iters = 2)
+    // hot append: a second, well-separated direction (argmax dim 7 vs
+    // the cell's native dim) routed into one cell by a slight lean —
+    // the exact shape cellCensus flags and splitCell exists to heal
+    val hot = (0 until 200).map { j =>
+      val e = Array.fill(64)(0.001f)
+      e(7) = 1.0f
+      e(0) = 0.05f
+      e(60) = 0.001f * (j % 7 + 1)
+      (5000L + j, e.toSeq)
+    }.toDF("vec_id", "embedding")
+    IvfIndex.append(hot, dir)
+    val census = IvfIndex.cellCensus(spark, dir).collect()
+    val hotCell = census.maxBy(_.getAs[Long]("n_vectors"))
+      .getAs[Any]("cell").toString.toLong
+    // all-cell scans are brute-force-equivalent: with probes >= cell
+    // count the probe reads every partition, so its results depend only
+    // on the stored VECTORS, not the codebook — the before/after parity
+    // oracle for a pure re-partitioning
+    def allCellTopK(nCells: Int) = IvfIndex.topK(spark, dir,
+        planted(4, 9000L), k = 5, probes = nCells)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("cid"), r.getAs[Double]("sim"))).toSet
+    val before = allCellTopK(4)
+    // cold-cell fingerprint: exact row sets per untouched partition
+    def cellRows(c: Long) = spark.read.parquet(s"$dir/vectors")
+      .filter(col("cell") === c).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val coldCells = census.map(_.getAs[Any]("cell").toString.toLong)
+      .filterNot(_ == hotCell)
+    val coldBefore = coldCells.map(c => c -> cellRows(c)).toMap
+    IvfIndex.splitCell(spark, dir, hotCell, kSplit = 2, iters = 2)
+    // codebook: 4 - 1 + 2 cells; population preserved exactly
+    val after = IvfIndex.cellCensus(spark, dir).collect()
+    assert(after.length == 5, after.mkString(","))
+    assert(after.map(_.getAs[Long]("n_vectors")).sum == 320)
+    assert(after.forall(_.getAs[Any]("cell").toString.toLong != hotCell),
+      "retired cell still in the codebook")
+    // the two sub-cells separate the mixed directions (well-separated
+    // sub-clusters ⇒ 2-means splits them): no cell mixes argmax
+    // directions anymore, so standing probes stop scanning the
+    // appended mass — the census's remediation goal, reached without
+    // touching cold data. (The 200-vector sub-cell still reports high
+    // OCCUPANCY skew — that is honest population imbalance, not
+    // mixing.)
+    val dirPurity = spark.read.parquet(s"$dir/vectors")
+      .select(col("cell"),
+        array_position(col("embedding"), array_max(col("embedding")))
+          .as("direction"))
+      .groupBy("cell").agg(countDistinct("direction").as("n_dirs"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(dirPurity.values.forall(_ == 1L),
+      s"split left a direction-mixed cell: $dirPurity")
+    coldCells.foreach { c =>
+      assert(cellRows(c) == coldBefore(c), s"cold cell $c was disturbed")
+    }
+    // probe parity: the all-cell scan is row-identical across the split
+    assert(allCellTopK(5) == before, "splitCell changed stored search results")
+    // identity exactness survives the split: an identical copy of a
+    // SUB-CELL vector and of a COLD vector both judge exact_dup
+    val probe = Seq(
+      (9100L, hot.filter(col("vec_id") === 5000L)
+        .collect()(0).getSeq[Float](1)),
+      (9101L, emb.filter(col("vec_id") === 1L)
+        .collect()(0).getSeq[Float](1)))
+      .toDF("vec_id", "embedding")
+    val verdicts = IvfIndex.ledgerProbe(spark, dir, probe,
+        "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(verdicts(9100L) == "exact_dup" && verdicts(9101L) == "exact_dup",
+      verdicts.toString)
+    // append routing still agrees with storage: a vector appended
+    // AFTER the split routes through the spliced integer codebook, and
+    // an identical copy arriving later finds it — identity exactness
+    // across split + post-split append
+    IvfIndex.append(Seq((9200L, hot.filter(col("vec_id") === 5001L)
+      .collect()(0).getSeq[Float](1))).toDF("vec_id", "embedding"), dir)
+    val post = IvfIndex.ledgerProbe(spark, dir,
+        Seq((9300L, hot.filter(col("vec_id") === 5001L)
+          .collect()(0).getSeq[Float](1))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(post(9300L) == "exact_dup", post.toString)
+  }
+
   test("cell census: a skewed append is visible as occupancy skew") {
     import spark.implicits._
     val emb = planted(120, 0L)
