@@ -51,7 +51,8 @@ object Bench {
     "kmeans_train_build", "quality_train_build", "neardup_index_build",
     "ledger_kernels_build", "unigram_train_build",
     "curation_bootstrap_build", "curation_commit_build",
-    "phash_index_build", "videoseq_index_build", "commit_sequence_build")
+    "phash_index_build", "videoseq_index_build", "commit_sequence_build",
+    "retraction_build")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -183,6 +184,15 @@ object Bench {
       System.err.println(s"[bench] commit-sequence warm failed: ${e.getMessage}")
     }
     val csSec = (System.nanoTime() - tCs0) / 1e9
+    // the retraction arc (x125): commit → retract → tombstoned commit →
+    // maintain (physical GC) → post-GC commit, priced end-to-end — the
+    // takedown path a production deployment pays per erasure batch
+    val tRt0 = System.nanoTime()
+    try graft.queries.ExtQueries.warmRetraction(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] retraction warm failed: ${e.getMessage}")
+    }
+    val rtSec = (System.nanoTime() - tRt0) / 1e9
     // the production ingestion loop itself (Curation.commitTranche),
     // timed end-to-end in two line items following the x87 discipline:
     // the one-time deployment bootstrap (IVF codebook training on the
@@ -285,7 +295,7 @@ object Bench {
       ("ledger_kernels_build" -> lkSec) + ("unigram_train_build" -> utSec) +
       ("curation_bootstrap_build" -> cbSec) + ("curation_commit_build" -> ccSec) +
       ("phash_index_build" -> piSec) + ("videoseq_index_build" -> viSec) +
-      ("commit_sequence_build" -> csSec)
+      ("commit_sequence_build" -> csSec) + ("retraction_build" -> rtSec)
     // Regression gate vs the previous round's bench (VERDICT r4 #9,
     // repaired per VERDICT r5 #1): any query >2x its prior min is flagged
     // loudly NOW, in-round. Prev defaults to the committed bench_full.json

@@ -76,13 +76,18 @@ object Curation {
     * iff the store is fully present (probe it), false iff it is fully
     * absent AND was never initialized (bootstrap it); throws for every
     * state between — an initialized store gone missing (mid-swap /
-    * loss) or a partial uninitialized store (crashed bootstrap).
+    * loss), a partial uninitialized store (crashed bootstrap), or a
+    * NON-EMPTY directory carrying none of the expected layout (a
+    * pre-index FLAT store or a foreign path — bootstrapping an index
+    * next to it would silently strand its rows and judge their
+    * duplicates kept; `migrateHint` names the one-time upgrade).
     * Adopting a complete store built outside commitTranche (e.g.
     * [[Dedup.writeNearDupIndex]], [[IvfIndex.write]]) writes its
     * marker on first sight.
     */
   private def guardedExists(spark: SparkSession, dir: String,
-                            parts: Seq[String], what: String): Boolean = {
+                            parts: Seq[String], what: String,
+                            migrateHint: String = ""): Boolean = {
     val marker = s"$dir.init"
     val present = parts.map(p =>
       exists(spark, if (p.isEmpty) dir else s"$dir/$p"))
@@ -99,8 +104,21 @@ object Curation {
         s"$what store at $dir is partially present (missing " +
           s"${missing.mkString(", ")}) — a crashed bootstrap commit left " +
           "remnants; delete the store directory and re-run the tranche")
+    if (missing.nonEmpty && dirNonEmpty(spark, dir))
+      throw new IllegalStateException(
+        s"$what store at $dir holds data in an unrecognized layout " +
+          s"(none of ${parts.mkString(", ")} present) — a pre-index flat " +
+          "store or a foreign directory; refusing to bootstrap an index " +
+          "next to it (its rows would be silently stranded and their " +
+          "duplicates judged kept)" +
+          (if (migrateHint.nonEmpty) s". Upgrade once with $migrateHint"
+           else ""))
     if (missing.isEmpty) { markInit(spark, dir); true } else false
   }
+
+  private def dirNonEmpty(spark: SparkSession, dir: String): Boolean =
+    exists(spark, dir) && StoreSwap.fsOf(spark, dir)
+      .listStatus(new org.apache.hadoop.fs.Path(dir)).nonEmpty
 
   private def markInit(spark: SparkSession, dir: String): Unit = {
     StoreSwap.fsOf(spark, dir)
@@ -110,12 +128,16 @@ object Curation {
 
   /** Fail the commit if any id of this tranche was committed by a
     * DIFFERENT tranche before (partition-pruned probe of the id
-    * registry; re-runs of the same trancheId pass).
+    * registry; re-runs of the same trancheId pass). An INITIALIZED
+    * registry gone missing (mid-compaction swap, accidental loss) is
+    * refused like any other standing store — silently re-bootstrapping
+    * it would permanently disable uniqueness enforcement for every
+    * prior tranche's ids.
     */
   private def idRegistryGuard(spark: SparkSession, ids: DataFrame,
                               trancheId: Long, ledgerDir: String): Unit = {
     val dir = s"$ledgerDir.ids"
-    if (!exists(spark, dir)) return
+    if (!guardedExists(spark, dir, Seq(""), "id registry")) return
     val ps = StoreLayout.partsOf(ids, col("doc_id"))
     val clash = spark.read.parquet(dir)
       .filter(col("idp").isin(ps: _*))
@@ -153,12 +175,82 @@ object Curation {
             "same tranche (the re-run self-exclusion contract)")
     }
 
+  private def tombstonesDir(stores: Stores) = s"${stores.ledger}.tombstones"
+
+  /** RETRACT documents (takedown / right-to-erasure): the named ids'
+    * influence disappears from every FUTURE verdict immediately, and
+    * their physical rows are erased from every store at the next
+    * [[maintain]]. Implementation: the ids land in a persisted
+    * tombstone registry (`<ledger>.tombstones`, a flat id-sized table)
+    * that every commit's probes anti-join out of the standing side —
+    * the same exclusion machinery the failed-commit re-run uses — so
+    * between retraction and maintenance the content is logically gone
+    * while no store is rewritten on the takedown path. [[maintain]]
+    * then applies the tombstones physically (members scrubbed, contents
+    * with no surviving member leave the band/set tables, IVF cells
+    * surgically rewritten, scattered ledger rows scrubbed).
+    *
+    * The registry is PERMANENT: retracted ids stay in the id registry
+    * and in the tombstone table forever — an id, once retracted, is
+    * burned ([[commitTranche]] refuses to recommit it; content would
+    * otherwise resurrect under an id whose history the ledger already
+    * recorded). The table grows only with lifetime retractions, so the
+    * per-commit anti-join stays id-sized, never corpus-sized.
+    *
+    * Doc-level ledger rows are scrubbed at the next maintain (they may
+    * be scattered across tranche partitions); [[retractTranche]] drops
+    * its whole ledger partition eagerly instead.
+    */
+  def retract(spark: SparkSession, ids: DataFrame, stores: Stores): Unit = {
+    val dir = tombstonesDir(stores)
+    ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+      .dropDuplicates("doc_id")
+      .coalesce(1)
+      .write.mode("append").parquet(dir)
+    markInit(spark, dir)
+  }
+
+  /** [[retract]] a whole committed tranche: its ids come from the id
+    * registry, and its ledger partition (`tranche=<id>`, all
+    * modalities) is dropped eagerly — partition-pruned, nothing outside
+    * the tranche touched.
+    */
+  def retractTranche(spark: SparkSession, trancheId: Long,
+                     stores: Stores): Unit = {
+    val reg = s"${stores.ledger}.ids"
+    require(exists(spark, reg),
+      s"no id registry at $reg — no tranche was ever committed here")
+    val ids = spark.read.parquet(reg)
+      .filter(col("tranche") === trancheId).select("doc_id")
+    retract(spark, ids, stores)
+    Ledger.dropTranche(spark, stores.ledger, trancheId)
+  }
+
+  /** The standing tombstones (retracted doc_ids), or None if nothing
+    * was ever retracted. Marker-guarded like every standing store: an
+    * initialized tombstone registry gone missing REFUSES instead of
+    * silently resurrecting every retracted doc.
+    */
+  private def readTombstones(spark: SparkSession,
+                             stores: Stores): Option[DataFrame] = {
+    val dir = tombstonesDir(stores)
+    if (guardedExists(spark, dir, Seq(""), "tombstone registry"))
+      Some(spark.read.parquet(dir).dropDuplicates("doc_id"))
+    else None
+  }
+
   /** Commit one tranche: guards → probe → ledger append → store
     * appends → id registry → init markers. Returns the multimodal
     * verdict frame that was appended, one row per (doc_id, modality)
     * with `decision` ∈ exact_dup / near_dup / kept. First call against
     * empty store paths bootstraps every standing side as empty (all
     * verdicts `kept` modulo within-tranche duplication).
+    *
+    * Geometry travels with the stores: `(k, bands, rows)` is the text
+    * shingle/band geometry, `(hashBands, hashMaxDist)` the perceptual
+    * banding — each validated against the standing stores' persisted
+    * params in the guard phase, so a mismatched deployment refuses
+    * BEFORE the ledger write instead of wedging on the store append.
     *
     * Ids must be unique across tranches (enforced by the id registry).
     * That makes a FAILED commit's re-run safe: every standing side is
@@ -175,32 +267,56 @@ object Curation {
                     embeddings: Option[DataFrame] = None,
                     jThresh: Double = 0.6,
                     cosThresh: Double = 0.35,
-                    k: Int = 2, bands: Int = 8, rows: Int = 2): DataFrame = {
+                    k: Int = 2, bands: Int = 8, rows: Int = 2,
+                    hashBands: Int = 8, hashMaxDist: Int = 6): DataFrame = {
     val spark = docs.sparkSession
     // ---- guards, strictly before any write ---------------------------
     val textUp = guardedExists(spark, stores.textIndex,
       Seq("params", "bands", "sets", "members"), "text near-dup index")
+    // a pre-pruned FLAT text index is readable but must not be appended
+    // into (mixed layouts wedge partition discovery) — refuse HERE, not
+    // in the write phase after the ledger landed
+    if (textUp) Dedup.requirePrunedLayout(spark, stores.textIndex)
     val imgUp = guardedExists(spark, stores.image,
-      Seq("params", "bands", "members"), "image hash index")
+      Seq("params", "bands", "members"), "image hash index",
+      "ImageHash.migrateFlatHashes(spark, dir)")
     val audUp = guardedExists(spark, stores.audio,
-      Seq("params", "bands", "members"), "audio hash index")
+      Seq("params", "bands", "members"), "audio hash index",
+      "ImageHash.migrateFlatHashes(spark, dir)")
     val vidUp = guardedExists(spark, stores.video,
-      Seq("shingles", "seqs"), "video sequence index")
+      Seq("shingles", "seqs"), "video sequence index",
+      "VideoHash.migrateFlatFrames(spark, dir)")
     val embIvf = exists(spark, s"${stores.embedding}/centroids")
     val embUp =
       if (embIvf) guardedExists(spark, stores.embedding,
         Seq("centroids", "centroids_q", "vectors"), "embedding IVF index")
       else guardedExists(spark, stores.embedding, Seq(""), "embedding")
-    // geometry guard: a standing index built under different shingle/
+    if (embIvf) IvfIndex.requireNoSplitInFlight(spark, stores.embedding)
+    guardedExists(spark, stores.ledger, Seq(""), "ledger")
+    // geometry guards: a standing index built under different shingle/
     // band params must refuse the commit before any verdict is derived
-    // (read-only here; bootstrap params are written at append time)
+    // or any write lands (read-only here; bootstrap params are written
+    // at append time). The hash geometry is validated even against a
+    // fresh store so an exactness-voiding (hashBands, hashMaxDist)
+    // never reaches the probes.
     if (textUp) {
       val p = Dedup.readNearDupIndexParams(spark, stores.textIndex)
       require(p == ((k, bands, rows)),
         s"near-dup index at ${stores.textIndex} was built with " +
           s"(k, bands, rows) = $p; refusing a commit with ($k, $bands, $rows)")
     }
+    if (imgHashes.nonEmpty || audHashes.nonEmpty)
+      ImageHash.requireGeometry(hashBands, hashMaxDist, maxBucket = 4096)
+    def hashGeomGuard(dir: String, what: String): Unit = {
+      val p = ImageHash.readHashIndexParams(spark, dir)
+      require(p == hashBands,
+        s"$what hash index at $dir was built with bands = $p; " +
+          s"refusing a commit with hashBands = $hashBands")
+    }
+    if (imgUp && imgHashes.nonEmpty) hashGeomGuard(stores.image, "image")
+    if (audUp && audHashes.nonEmpty) hashGeomGuard(stores.audio, "audio")
     val ids = docs.select(col("doc_id")).localCheckpoint()
+    val tombs = readTombstones(spark, stores)
     // the remaining guards are independent tranche-bounded jobs — run
     // them concurrently (all must pass before any write; none writes)
     StoreSwap.concurrently(
@@ -208,7 +324,27 @@ object Curation {
       () => requireIdSubset(audHashes, "doc_id", ids, "audHashes"),
       () => requireIdSubset(vidFrames, "doc_id", ids, "vidFrames"),
       () => requireIdSubset(embeddings, "vec_id", ids, "embeddings"),
+      // listed BEFORE the registry guard: a retracted id also trips the
+      // registry's re-use check (it stays registered forever), but the
+      // operator must hear "retracted", not "re-used" — settled-failure
+      // rethrow surfaces the first listed failure
+      () => tombs.foreach { t =>
+        // a retracted id is burned: recommitting it would resurrect
+        // content under an id whose history the ledger already recorded
+        val hit = t.join(ids, Seq("doc_id"), "left_semi").limit(1).collect()
+        if (hit.nonEmpty)
+          throw new IllegalArgumentException(
+            s"tranche $trancheId carries retracted doc_id " +
+              s"${hit(0).getLong(0)} — a retracted id cannot be " +
+              "recommitted; refusing before any write")
+      },
       () => idRegistryGuard(spark, ids, trancheId, stores.ledger))
+    // the standing-side exclusion set: the tranche's own ids (the
+    // failed-commit re-run self-exclusion) ∪ every retracted id (their
+    // rows remain physical until the next maintain but must never
+    // influence a verdict again)
+    val excl = tombs.fold(ids)(t =>
+      ids.unionByName(t.select("doc_id")).localCheckpoint())
     // ---- verdict derivation ------------------------------------------
     // materialize TRANCHE-side inputs once: the verdict plan references
     // the tranche's MinHash pipeline several times, and the tranche
@@ -217,11 +353,10 @@ object Curation {
     // (probeView / ledgerProbeIndexed), which is the whole point.
     def ckpt(i: Dedup.NearDupIndexFrames) = {
       // three independent materialization jobs — pay the slowest
-      var b: DataFrame = null; var s: DataFrame = null; var m: DataFrame = null
-      StoreSwap.concurrently(
-        () => b = i.bands.localCheckpoint(),
-        () => s = i.sets.localCheckpoint(),
-        () => m = i.members.localCheckpoint())
+      val Seq(b, s, m) = StoreSwap.concurrentlyAll(Seq(
+        () => i.bands.localCheckpoint(),
+        () => i.sets.localCheckpoint(),
+        () => i.members.localCheckpoint()))
       Dedup.NearDupIndexFrames(b, s, m)
     }
     val trancheIdx = ckpt(
@@ -231,7 +366,7 @@ object Curation {
     // probes a store that may already carry this tranche's append)
     val textIdx =
       if (textUp) Dedup.probeView(spark, stores.textIndex, trancheIdx,
-        Some(ids))
+        Some(excl))
       else Dedup.nearDupIndex(docs.filter(lit(false)), "doc_id", "text",
         k, bands, rows)
     var verdicts = Map[String, DataFrame](
@@ -241,21 +376,23 @@ object Curation {
     img.foreach { h =>
       verdicts += "image" -> (
         if (imgUp) ImageHash.ledgerProbeIndexed(spark, stores.image, h,
-          "doc_id", "hash", exclude = Some(ids))
-        else ImageHash.ledgerProbe(h.filter(lit(false)), h, "doc_id", "hash"))
+          "doc_id", "hash", maxDist = hashMaxDist, exclude = Some(excl))
+        else ImageHash.ledgerProbe(h.filter(lit(false)), h, "doc_id", "hash",
+          bands = hashBands, maxDist = hashMaxDist))
     }
     val aud = audHashes.map(_.localCheckpoint())
     aud.foreach { h =>
       verdicts += "audio" -> (
         if (audUp) ImageHash.ledgerProbeIndexed(spark, stores.audio, h,
-          "doc_id", "hash", exclude = Some(ids))
-        else ImageHash.ledgerProbe(h.filter(lit(false)), h, "doc_id", "hash"))
+          "doc_id", "hash", maxDist = hashMaxDist, exclude = Some(excl))
+        else ImageHash.ledgerProbe(h.filter(lit(false)), h, "doc_id", "hash",
+          bands = hashBands, maxDist = hashMaxDist))
     }
     val vid = vidFrames.map(_.localCheckpoint())
     vid.foreach { f =>
       verdicts += "video" -> (
         if (vidUp) VideoHash.ledgerProbeIndexed(spark, stores.video, f,
-          docs, "doc_id", exclude = Some(ids))
+          docs, "doc_id", exclude = Some(excl))
         else VideoHash.ledgerProbe(f.filter(lit(false)), f, docs, "doc_id"))
     }
     // semantic layer: a persisted IvfIndex (detected by its centroids
@@ -270,13 +407,13 @@ object Curation {
     emb.foreach { e =>
       verdicts += "embedding" -> (
         if (embIvf) IvfIndex.ledgerProbe(spark, stores.embedding, e,
-          "vec_id", "embedding", cosThresh, exclude = Some(ids),
+          "vec_id", "embedding", cosThresh, exclude = Some(excl),
           routedIn = embRouting)
         else {
           val standing =
             (if (embUp) spark.read.parquet(stores.embedding)
              else e.filter(lit(false)))
-              .join(ids.withColumnRenamed("doc_id", "vec_id"),
+              .join(excl.withColumnRenamed("doc_id", "vec_id"),
                 Seq("vec_id"), "left_anti")
           Similarity.ledgerProbe(standing, e, "vec_id", "embedding",
             "label", cosThresh)
@@ -288,17 +425,10 @@ object Curation {
     // slowest modality, not the sum), then the ledger writes land
     // sequentially from the checkpointed rows (one output directory —
     // concurrent committers must not share its staging path)
-    val verdictsC = {
-      val fs = verdicts.toSeq.map { case (m, v) =>
-        m -> scala.concurrent.Future(
-          scala.concurrent.blocking(v.localCheckpoint()))(
-          scala.concurrent.ExecutionContext.global)
-      }
-      fs.map { case (m, f) =>
-        m -> scala.concurrent.Await.result(f,
-          scala.concurrent.duration.Duration.Inf)
-      }.toMap
-    }
+    val verdictsC = StoreSwap.concurrentlyAll(
+      verdicts.toSeq.map { case (m, v) =>
+        () => m -> v.localCheckpoint()
+      }).toMap
     Ledger.appendTranche(verdictsC, trancheId, stores.ledger)
     // store appends run concurrently too — each its own directory;
     // the text append ships the SAME checkpointed tranche frames the
@@ -307,16 +437,18 @@ object Curation {
     StoreSwap.concurrently(Seq(
       () => Dedup.writeNearDupIndexFrames(trancheIdx, stores.textIndex)) ++
       img.map(h => () =>
-        ImageHash.appendHashIndex(h, "doc_id", "hash", stores.image)) ++
+        ImageHash.appendHashIndex(h, "doc_id", "hash", stores.image,
+          hashBands)) ++
       aud.map(h => () =>
-        ImageHash.appendHashIndex(h, "doc_id", "hash", stores.audio)) ++
+        ImageHash.appendHashIndex(h, "doc_id", "hash", stores.audio,
+          hashBands)) ++
       vid.map(f => () => VideoHash.appendSeqIndex(f, stores.video)) ++
       emb.map(e => () =>
         if (embIvf) IvfIndex.append(e.drop("label"), stores.embedding,
           routed = embRouting)
         else e.write.mode("append").parquet(stores.embedding)) ++
       Seq(() => idRegistryAppend(spark, ids, trancheId, stores.ledger)): _*)
-    (Seq(stores.textIndex, stores.ledger) ++
+    (Seq(stores.textIndex, stores.ledger, s"${stores.ledger}.ids") ++
       img.map(_ => stores.image) ++ aud.map(_ => stores.audio) ++
       vid.map(_ => stores.video) ++ emb.map(_ => stores.embedding))
       .foreach(markInit(spark, _))
@@ -336,19 +468,97 @@ object Curation {
     * warrants (single-writer window, like every store swap).
     */
   def maintain(spark: SparkSession, stores: Stores): Unit = {
+    // tombstones are applied PHYSICALLY here (the erasure half of
+    // [[retract]]): members scrubbed, contents/hashes with no surviving
+    // member leave their band tables, affected IVF cells surgically
+    // rewritten, scattered doc-level ledger rows scrubbed. The
+    // tombstone table itself is permanent (recommit refusal + re-run
+    // safety); after this pass its probe-time anti-joins are no-ops.
+    val ts = readTombstones(spark, stores).map(_.localCheckpoint())
     if (exists(spark, s"${stores.textIndex}/bands"))
-      Dedup.compactNearDupIndex(spark, stores.textIndex)
-    if (exists(spark, stores.ledger)) Ledger.compact(spark, stores.ledger)
+      Dedup.compactNearDupIndex(spark, stores.textIndex, removeIds = ts)
+    if (exists(spark, stores.ledger))
+      Ledger.compact(spark, stores.ledger, scrubIds = ts)
     if (exists(spark, s"${stores.ledger}.ids"))
       compactIdRegistry(spark, s"${stores.ledger}.ids")
     Seq(stores.image, stores.audio)
       .filter(d => exists(spark, s"$d/bands"))
-      .foreach(ImageHash.compactHashIndex(spark, _))
+      .foreach(ImageHash.compactHashIndex(spark, _, removeIds = ts))
     if (exists(spark, s"${stores.video}/shingles"))
-      VideoHash.compactSeqIndex(spark, stores.video)
-    if (!exists(spark, s"${stores.embedding}/centroids") &&
-      exists(spark, stores.embedding))
-      compactFlat(spark, stores.embedding)
+      VideoHash.compactSeqIndex(spark, stores.video, removeIds = ts)
+    if (exists(spark, s"${stores.embedding}/centroids"))
+      ts.foreach(IvfIndex.removeIds(spark, stores.embedding, _))
+    else if (exists(spark, stores.embedding))
+      compactFlat(spark, stores.embedding, removeIds = ts)
+  }
+
+  /** Deployment-wide store census — the operator's single health view,
+    * (store, metric, value) over every standing store that exists:
+    * physical row counts, distinct-key counts (write amplification =
+    * physical / distinct is one division away), band-table volumes,
+    * IVF cell count + hottest-cell skew, ledger/registry/tombstone
+    * sizes. Every metric is a column-pruned aggregate over keys — no
+    * payload column (text, embedding, hash set) is ever read — so the
+    * census is safe to run at any cadence against a 100 TB deployment.
+    * The per-store deep reports stay where they are
+    * ([[Dedup.nearDupIndexDroppedBuckets]],
+    * [[ImageHash.hammingDroppedBandBuckets]], [[IvfIndex.cellCensus]],
+    * [[Ledger.auditSummary]]); this is the rollup a scheduler alerts
+    * on.
+    */
+  def storeCensus(spark: SparkSession, stores: Stores): DataFrame = {
+    import spark.implicits._
+    def cnt(df: DataFrame): Long = df.count()
+    var rows = Seq.empty[(String, String, Long)]
+    if (exists(spark, s"${stores.textIndex}/members")) {
+      val mem = spark.read.parquet(s"${stores.textIndex}/members")
+      rows ++= Seq(
+        ("text_index", "member_rows", cnt(mem)),
+        ("text_index", "contents", cnt(mem.select("ch").distinct())),
+        ("text_index", "band_rows",
+          cnt(spark.read.parquet(s"${stores.textIndex}/bands"))),
+        ("text_index", "set_rows",
+          cnt(spark.read.parquet(s"${stores.textIndex}/sets"))))
+    }
+    Seq("image" -> stores.image, "audio" -> stores.audio).foreach {
+      case (name, d) =>
+        if (exists(spark, s"$d/members")) {
+          val mem = spark.read.parquet(s"$d/members")
+          rows ++= Seq(
+            (s"${name}_index", "member_rows", cnt(mem)),
+            (s"${name}_index", "hashes", cnt(mem.select("hsh").distinct())),
+            (s"${name}_index", "band_rows",
+              cnt(spark.read.parquet(s"$d/bands"))))
+        }
+    }
+    if (exists(spark, s"${stores.video}/shingles"))
+      rows ++= Seq(
+        ("video_index", "shingle_rows",
+          cnt(spark.read.parquet(s"${stores.video}/shingles"))),
+        ("video_index", "seq_rows",
+          cnt(spark.read.parquet(s"${stores.video}/seqs"))))
+    if (exists(spark, s"${stores.embedding}/centroids")) {
+      val census = IvfIndex.cellCensus(spark, stores.embedding)
+        .agg(count(lit(1)), sum(col("n_vectors")),
+          max(col("skew"))).collect()(0)
+      rows ++= Seq(
+        ("embedding_ivf", "cells", census.getLong(0)),
+        ("embedding_ivf", "vectors", census.getLong(1)),
+        ("embedding_ivf", "max_skew_pct",
+          math.round(census.getDouble(2) * 100)))
+    } else if (exists(spark, stores.embedding))
+      rows ++= Seq(("embedding_flat", "vectors",
+        cnt(spark.read.parquet(stores.embedding).select("vec_id"))))
+    if (exists(spark, stores.ledger))
+      rows ++= Seq(("ledger", "rows",
+        cnt(Ledger.read(spark, stores.ledger))))
+    if (exists(spark, s"${stores.ledger}.ids"))
+      rows ++= Seq(("id_registry", "ids",
+        cnt(spark.read.parquet(s"${stores.ledger}.ids"))))
+    if (exists(spark, tombstonesDir(stores)))
+      rows ++= Seq(("tombstones", "ids",
+        cnt(spark.read.parquet(tombstonesDir(stores)))))
+    rows.toDF("store", "metric", "value").orderBy("store", "metric")
   }
 
   private def compactIdRegistry(spark: SparkSession, dir: String): Unit = {
@@ -360,11 +570,17 @@ object Curation {
   }
 
   /** Full-row duplicate collapse + small-file compaction of one flat
-    * store, through the shared [[StoreSwap]] discipline.
+    * embedding store, through the shared [[StoreSwap]] discipline;
+    * `removeIds` erases retracted vectors during the rewrite.
     */
-  private def compactFlat(spark: SparkSession, dir: String): Unit = {
+  private def compactFlat(spark: SparkSession, dir: String,
+                          removeIds: Option[DataFrame] = None): Unit = {
     val tmp = StoreSwap.prepareTmp(spark, s"$dir.compact")
-    spark.read.parquet(dir).dropDuplicates().write.parquet(tmp)
+    val rows0 = spark.read.parquet(dir).dropDuplicates()
+    val rows = removeIds.fold(rows0)(ids =>
+      rows0.join(ids.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_anti"))
+    rows.write.parquet(tmp)
     StoreSwap.swap(spark, dir, tmp)
   }
 }

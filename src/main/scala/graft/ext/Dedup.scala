@@ -787,7 +787,8 @@ object Dedup {
     * column keeps each append at one file per touched partition (the
     * writer would otherwise emit tasks × partitions small files).
     */
-  def writeNearDupIndexFrames(idx: NearDupIndexFrames, dir: String): Unit =
+  def writeNearDupIndexFrames(idx: NearDupIndexFrames, dir: String): Unit = {
+    requirePrunedLayout(idx.bands.sparkSession, dir)
     StoreSwap.concurrently(
       () => idx.bands.withColumn("bkp", StoreLayout.part(col("bk")))
         .repartition(col("bkp"))
@@ -798,6 +799,25 @@ object Dedup {
       () => idx.members.withColumn("chp", StoreLayout.part(col("ch")))
         .repartition(col("chp"))
         .write.mode("append").partitionBy("chp").parquet(s"$dir/members"))
+  }
+
+  /** Refuse an append into a PRE-PRUNED flat index (bands rows at the
+    * subdirectory root, no `bkp` partition column): mixing partitioned
+    * appends into a flat store wedges partition discovery for every
+    * later reader — including [[compactNearDupIndex]], the upgrade path
+    * itself — so the mix must never be written. Flat stores stay fully
+    * READABLE ([[readNearDupIndex]], [[probeView]]); one compaction
+    * upgrades them to the pruned layout, after which appends proceed.
+    */
+  private[ext] def requirePrunedLayout(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    if (storeExists(spark, s"$dir/bands") &&
+      !spark.read.parquet(s"$dir/bands").columns.contains("bkp"))
+      throw new IllegalStateException(
+        s"near-dup index at $dir has the pre-probe-pruned FLAT layout; " +
+          "appending partitioned tranches into it would corrupt partition " +
+          s"discovery — run Dedup.compactNearDupIndex(spark, \"$dir\") " +
+          "once to upgrade it, then retry")
 
   /** The persisted shingle/band geometry: (k, bands, rows). Probes of a
     * persisted index must run with exactly these.
@@ -940,8 +960,22 @@ object Dedup {
     * [[readNearDupIndex]] collapse, now a no-op.
     */
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
-                          dir: String): Unit = {
-    val idx = readNearDupIndex(spark, dir)
+                          dir: String,
+                          removeIds: Option[DataFrame] = None): Unit = {
+    val idx0 = readNearDupIndex(spark, dir)
+    // physical erasure of retracted docs ([[Curation.retract]] applies
+    // tombstones here): their member rows go, and contents with NO
+    // surviving member leave bands/sets entirely — the store ends
+    // exactly as if the docs were never committed
+    val idx = removeIds.fold(idx0) { ids =>
+      val members = idx0.members.join(
+        ids.select(col(ids.columns.head).as("id")), Seq("id"), "left_anti")
+      val live = members.select("ch").distinct()
+      NearDupIndexFrames(
+        idx0.bands.join(live, Seq("ch"), "left_semi"),
+        idx0.sets.join(live, Seq("ch"), "left_semi"),
+        members)
+    }
     val tmp = StoreSwap.prepareTmp(spark, s"$dir.compact")
     // written through the probe-key-partitioned writer, so compaction
     // also UPGRADES a pre-r11 flat store to the pruned layout

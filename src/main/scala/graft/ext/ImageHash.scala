@@ -155,7 +155,7 @@ object ImageHash {
   // — batch join, incremental probe, ledger probe, persisted-index
   // probe — fails fast on a geometry that would void the banded-
   // pigeonhole exactness guarantee instead of silently missing pairs
-  private def requireGeometry(bands: Int, maxDist: Int, maxBucket: Int): Unit = {
+  private[ext] def requireGeometry(bands: Int, maxDist: Int, maxBucket: Int): Unit = {
     require(bands >= 1 && 64 % bands == 0, s"bands must divide 64, got $bands")
     require(maxDist >= 0 && maxDist < bands,
       s"exactness needs maxDist < bands, got maxDist=$maxDist bands=$bands")
@@ -314,17 +314,22 @@ object ImageHash {
   // [[compactHashIndex]] collapses the store itself.
   // ------------------------------------------------------------------
 
+  /** Guard-or-bootstrap the persisted geometry; returns the store's
+    * bands so callers never re-read the params table they just checked.
+    */
   private def ensureHashIndexParams(spark: org.apache.spark.sql.SparkSession,
-                                    dir: String, bands: Int): Unit =
+                                    dir: String, bands: Int): Int =
     if (Dedup.storeExists(spark, s"$dir/params")) {
       val p = readHashIndexParams(spark, dir)
       require(p == bands,
         s"hash index at $dir was built with bands = $p; " +
           s"refusing an append with bands = $bands")
+      p
     } else {
       import spark.implicits._
       Seq(bands).toDF("bands")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+      bands
     }
 
   /** The persisted banding geometry; probes adapt to it on read. */
@@ -338,8 +343,7 @@ object ImageHash {
   def appendHashIndex(hashes: DataFrame, idCol: String, hashCol: String,
                       dir: String, bands: Int = 8): Unit = {
     val spark = hashes.sparkSession
-    ensureHashIndexParams(spark, dir, bands)
-    val b = readHashIndexParams(spark, dir)
+    val b = ensureHashIndexParams(spark, dir, bands)
     val mem = hashes.select(col(idCol).as("id"), col(hashCol).as("hsh"))
     StoreSwap.concurrently(
       () => banded(mem, b).withColumn("bkp", StoreLayout.part(col("bk")))
@@ -409,16 +413,49 @@ object ImageHash {
     * discipline as [[Dedup.compactNearDupIndex]].
     */
   def compactHashIndex(spark: org.apache.spark.sql.SparkSession,
-                       dir: String): Unit = {
+                       dir: String,
+                       removeIds: Option[DataFrame] = None): Unit = {
     val tmp = StoreSwap.prepareTmp(spark, s"$dir.compact")
-    spark.read.parquet(s"$dir/bands").dropDuplicates("hsh", "bk")
+    // physical erasure of retracted docs ([[Curation.retract]] applies
+    // tombstones here): their member rows go, and hashes with NO
+    // surviving member leave the bands table too
+    val members0 = spark.read.parquet(s"$dir/members")
+      .dropDuplicates("id", "hsh")
+    val members = removeIds.fold(members0)(ids =>
+      members0.join(ids.select(col(ids.columns.head).as("id")),
+        Seq("id"), "left_anti"))
+    val bands0 = spark.read.parquet(s"$dir/bands").dropDuplicates("hsh", "bk")
+    val bands = removeIds.fold(bands0)(_ =>
+      bands0.join(members.select("hsh").distinct(), Seq("hsh"), "left_semi"))
+    bands
       .repartition(col("bkp"))
       .write.partitionBy("bkp").parquet(s"$tmp/bands")
-    spark.read.parquet(s"$dir/members").dropDuplicates("id", "hsh")
+    members
       .repartition(col("hp"))
       .write.partitionBy("hp").parquet(s"$tmp/members")
     spark.read.parquet(s"$dir/params").coalesce(1)
       .write.parquet(s"$tmp/params")
+    StoreSwap.swap(spark, dir, tmp)
+  }
+
+  /** One-time upgrade of a pre-index FLAT fingerprint store — plain
+    * (id, hash) parquet rows at the directory root, the layout older
+    * deployments appended per tranche — into the persisted banded
+    * index ([[appendHashIndex]]'s layout). [[Curation.commitTranche]]
+    * REFUSES a flat store (it carries no probe-prunable structure and
+    * its rows would otherwise be silently stranded next to a bootstrap
+    * index) and names this as the upgrade path. Same swap discipline as
+    * every rewriting pass; the flat rows are retained under `<dir>.old`.
+    */
+  def migrateFlatHashes(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, idCol: String = "doc_id",
+                        hashCol: String = "hash", bands: Int = 8): Unit = {
+    require(!Dedup.storeExists(spark, s"$dir/params"),
+      s"$dir already carries an index layout (params present) — nothing to migrate")
+    // sever lineage from the files about to be renamed away
+    val flat = spark.read.parquet(dir).localCheckpoint()
+    val tmp = StoreSwap.prepareTmp(spark, s"$dir.migrate")
+    appendHashIndex(flat, idCol, hashCol, tmp, bands)
     StoreSwap.swap(spark, dir, tmp)
   }
 

@@ -70,9 +70,33 @@ object IvfIndex {
 
   def append(emb: DataFrame, dir: String,
              routed: Option[DataFrame] = None): Unit = {
+    requireNoSplitInFlight(emb.sparkSession, dir)
     emb.join(routed.getOrElse(routeCells(emb, dir)), "vec_id")
       .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
   }
+
+  // A crashed [[splitCell]] can leave the store silently wrong (a
+  // flipped boundary row removed from the only cell the live codebook
+  // routes its duplicates to; integer/double codebooks inconsistent),
+  // so the split brackets its mutation phase with this marker and every
+  // serving/append path refuses while it stands. [[rewrite]] is the
+  // recovery: it retrains from the vectors table (every row is present
+  // somewhere — the append lands before the removals) and its swap
+  // retires the marker with the old store.
+  private def splitMarkerPath(dir: String) = s"$dir/.split_inflight"
+
+  /** True while a [[splitCell]] is (or crashed) mid-mutation. */
+  def splitInFlight(spark: SparkSession, dir: String): Boolean =
+    Dedup.storeExists(spark, splitMarkerPath(dir))
+
+  private[ext] def requireNoSplitInFlight(spark: SparkSession,
+                                          dir: String): Unit =
+    if (splitInFlight(spark, dir))
+      throw new IllegalStateException(
+        s"IVF index at $dir has a splitCell in flight (or one crashed " +
+          "mid-mutation): the store may hold moved rows in zero or two " +
+          "cells — run IvfIndex.rewrite to recover before probing or " +
+          "appending")
 
   /** Top-k cosine search against the persisted index: `queries` is
     * (vec_id, embedding); each query ranks the loaded centroids,
@@ -88,6 +112,7 @@ object IvfIndex {
            k: Int, probes: Int = 1, maxCells: Int = 4096,
            maxQueries: Int = 1 << 16): DataFrame = {
     require(k >= 1 && probes >= 1)
+    requireNoSplitInFlight(spark, dir)
     // the normalized query frame is broadcast below (each probed cell's
     // vectors join against EVERY query routed to that cell) — guard the
     // batch size the same way maxCells guards the probed cell set, so
@@ -159,6 +184,7 @@ object IvfIndex {
                   exclude: Option[DataFrame] = None,
                   routedIn: Option[DataFrame] = None): DataFrame = {
     require(probes >= 1 && maxCells >= 1)
+    requireNoSplitInFlight(spark, dir)
     require(incoming.limit(maxBatch + 1).count() <= maxBatch,
       s"tranche exceeds maxBatch=$maxBatch — split the tranche")
     val embFrame = incoming.select(col(idCol).as("vec_id"),
@@ -283,15 +309,19 @@ object IvfIndex {
     *
     * Single-writer window like every maintenance pass (between the
     * partition surgery and the codebook swap a concurrent reader could
-    * see a moved row in zero or two cells); crash mid-way leaves the
-    * old codebook live and every row present somewhere — [[rewrite]]
-    * is the recovery of last resort. IvfIndexSpec pins probe parity
+    * see a moved row in zero or two cells). The mutation phase is
+    * bracketed by an in-flight marker: a crash anywhere inside it
+    * leaves every row present somewhere but possibly in the wrong cell
+    * for the live codebook, so serving and appends REFUSE until
+    * [[rewrite]] (which retrains from the rows and retires the marker
+    * with the old store) recovers. IvfIndexSpec pins probe parity
     * (all-cell scans identical before/after) and identity-exact ledger
     * probes across a split.
     */
   def splitCell(spark: SparkSession, dir: String, cell: Long,
                 kSplit: Int = 2, iters: Int = 2): Unit = {
     require(kSplit >= 2, s"splitCell needs kSplit >= 2, got $kSplit")
+    requireNoSplitInFlight(spark, dir)
     val vecDir = s"$dir/vectors"
     val slice = spark.read.parquet(vecDir)
       .filter(col("cell") === cell).drop("cell")
@@ -328,13 +358,16 @@ object IvfIndex {
     val movers = all.join(routed, "vec_id")
       .filter(col("cell") === cell || col("cell") =!= col("new_cell"))
       .localCheckpoint() // materialize BEFORE any partition is mutated
+    // mutation phase begins: mark in-flight so a crash anywhere below
+    // REFUSES serving/appends instead of running on a half-split store
+    val fs = StoreSwap.fsOf(spark, dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(splitMarkerPath(dir)))
     movers.dropDuplicates("vec_id")
       .select(dataCols.map(col) :+ col("new_cell").as("cell"): _*)
       .write.mode("append").partitionBy("cell").parquet(vecDir)
     // surgical removal of flipped originals: rewrite ONLY the affected
     // source partitions (≤ codebook-many), via a dot-prefixed tmp the
     // partition discovery ignores
-    val fs = StoreSwap.fsOf(spark, dir)
     val srcCells = movers.filter(col("cell") =!= cell)
       .select("cell").distinct().collect().map(_.get(0))
     srcCells.foreach { c =>
@@ -358,7 +391,43 @@ object IvfIndex {
     newCent.coalesce(1).write.parquet(tc)
     StoreSwap.swap(spark, s"$dir/centroids", tc)
     fs.delete(new org.apache.hadoop.fs.Path(s"$vecDir/cell=$cell"), true)
+    // mutation phase complete: store consistent under the spliced
+    // codebook, lift the in-flight refusal
+    fs.delete(new org.apache.hadoop.fs.Path(splitMarkerPath(dir)), true)
     ()
+  }
+
+  /** Physically erase retracted vectors ([[Curation.retract]] applies
+    * tombstones here): one column-pruned scan of (vec_id, cell) finds
+    * the AFFECTED cells, then each is surgically rewritten without the
+    * retracted rows — write work is bounded by the cells the ids live
+    * in (≤ codebook-many, typically ≪), never the store, and the
+    * codebook is untouched. Idempotent and crash-safe WITHOUT the
+    * splitCell marker: a partial pass leaves the remaining retracted
+    * rows physically present but still tombstone-excluded at probe
+    * time, and a re-run completes the erasure — no state in which a
+    * verdict can go wrong.
+    */
+  def removeIds(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    requireNoSplitInFlight(spark, dir)
+    val vecDir = s"$dir/vectors"
+    val idf = ids.select(col(ids.columns.head).as("vec_id"))
+      .localCheckpoint()
+    val cells = spark.read.parquet(vecDir).select("vec_id", "cell")
+      .join(idf, "vec_id").select("cell").distinct().collect().map(_.get(0))
+    val fs = StoreSwap.fsOf(spark, dir)
+    cells.foreach { c =>
+      val pdir = new org.apache.hadoop.fs.Path(s"$vecDir/cell=$c")
+      val tmp = new org.apache.hadoop.fs.Path(s"$vecDir/.retract_$c")
+      fs.delete(tmp, true)
+      spark.read.parquet(pdir.toString)
+        .join(broadcast(idf), Seq("vec_id"), "left_anti")
+        .write.parquet(tmp.toString)
+      fs.delete(pdir, true)
+      if (!fs.rename(tmp, pdir))
+        throw new java.io.IOException(
+          s"removeIds: cannot promote $tmp to $pdir")
+    }
   }
 
   /** Post-append cell occupancy census (VERDICT r9 #6): (cell,

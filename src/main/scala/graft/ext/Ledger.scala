@@ -55,14 +55,22 @@ object Ledger {
     write(rows.select(col("doc_id"), col("decision"),
       lit(tranche).as("tranche"), col("modality")), dir)
 
+  // the ledger's full shape, declared so reads never depend on schema
+  // inference — a store whose every tranche was retracted
+  // ([[dropTranche]]) has no files to infer from but must read as the
+  // empty ledger, not fail
+  private val schemaDDL =
+    "doc_id LONG, decision STRING, tranche LONG, modality STRING"
+
   /** The accumulated ledger: (doc_id, decision, tranche, modality).
-    * Partition columns come back typed by parquet discovery; cast to
+    * Partition columns come back typed by the declared schema; cast to
     * the written shape so readers compare stably.
     */
   def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir).select(col("doc_id"), col("decision"),
-      col("tranche").cast("long").as("tranche"),
-      col("modality").cast("string").as("modality"))
+    spark.read.schema(schemaDDL).parquet(dir)
+      .select(col("doc_id"), col("decision"),
+        col("tranche").cast("long").as("tranche"),
+        col("modality").cast("string").as("modality"))
 
   /** A tranche-range slice [from, to] of the ledger. The range filter
     * lands on the partition KEY before the projection's cast, so the
@@ -72,7 +80,7 @@ object Ledger {
     */
   def readRange(spark: SparkSession, dir: String, from: Long,
                 to: Long): DataFrame =
-    spark.read.parquet(dir)
+    spark.read.schema(schemaDDL).parquet(dir)
       .filter(col("tranche") >= from && col("tranche") <= to)
       .select(col("doc_id"), col("decision"),
         col("tranche").cast("long").as("tranche"),
@@ -89,13 +97,34 @@ object Ledger {
     * any time. Same swap discipline as [[IvfIndex.rewrite]] /
     * [[Dedup.compactNearDupIndex]]: write to a fresh directory, two
     * atomic renames, previous store under `<dir>.old` for rollback.
+    *
+    * `scrubIds`: doc_ids whose verdict rows must be REMOVED during the
+    * rewrite — the physical-erasure half of doc-level retraction
+    * ([[Curation.retract]]): a takedown's rows may be scattered across
+    * tranche partitions, so they are scrubbed here, at the pass that
+    * rewrites every partition anyway, instead of by per-row surgery.
     */
-  def compact(spark: SparkSession, dir: String): Unit = {
+  def compact(spark: SparkSession, dir: String,
+              scrubIds: Option[DataFrame] = None): Unit = {
     val tmp = StoreSwap.prepareTmp(spark, s"$dir.compact")
-    read(spark, dir)
+    val rows = scrubIds.fold(read(spark, dir))(ids =>
+      read(spark, dir).join(ids.select(col(ids.columns.head).as("doc_id")),
+        Seq("doc_id"), "left_anti"))
+    rows
       .repartition(col("tranche"), col("modality"))
       .write.partitionBy("tranche", "modality").parquet(tmp)
     StoreSwap.swap(spark, dir, tmp)
+  }
+
+  /** Drop ONE tranche's verdict rows — a partition-pruned delete of the
+    * `tranche=<id>` directory (all modalities), the ledger side of
+    * [[Curation.retractTranche]]. Nothing outside the named tranche is
+    * touched; dropping an absent tranche is a no-op.
+    */
+  def dropTranche(spark: SparkSession, dir: String, tranche: Long): Unit = {
+    StoreSwap.fsOf(spark, dir).delete(
+      new org.apache.hadoop.fs.Path(s"$dir/tranche=$tranche"), true)
+    ()
   }
 
   /** The downstream monitor's view: verdict counts per (tranche,

@@ -40,13 +40,25 @@ private[ext] object StoreSwap {
     * contract, never half-awaited.
     */
   def concurrently(thunks: (() => Unit)*): Unit = {
+    concurrentlyAll(thunks)
+    ()
+  }
+
+  /** Value-returning [[concurrently]]: run independent jobs (guards,
+    * checkpoint materializations, verdict plans) concurrently and
+    * return their results in input order. Same settled-failure
+    * semantics — the first failure is rethrown only after EVERY thunk
+    * settles, so a caller's re-run contract always sees a fully-applied
+    * (or fully-failed) phase, never a half-awaited one.
+    */
+  def concurrentlyAll[A](thunks: Seq[() => A]): Seq[A] = {
     import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val fs = thunks.map(t => Future(blocking(t())))
     val results = fs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
     results.collectFirst { case scala.util.Failure(e) => throw e }
-    ()
+    results.map(_.get)
   }
 
   /** Delete any stale tmp left by a crashed pass and return the path to

@@ -326,15 +326,40 @@ object VideoHash {
       sqN, firstOcc, incoming, idCol)
   }
 
+  /** One-time upgrade of a pre-index FLAT frame store — raw
+    * [[frameHashes]] rows (doc_id, frame_no, fh) at the directory root,
+    * the layout older deployments appended per tranche — into the
+    * persisted sequence index ([[appendSeqIndex]]'s layout).
+    * [[Curation.commitTranche]] REFUSES a flat store (no probe-prunable
+    * structure; its videos would otherwise be silently stranded next to
+    * a bootstrap index) and names this as the upgrade path. The flat
+    * rows are retained under `<dir>.old`.
+    */
+  def migrateFlatFrames(spark: SparkSession, dir: String): Unit = {
+    require(!graft.ext.Dedup.storeExists(spark, s"$dir/shingles"),
+      s"$dir already carries an index layout (shingles present) — nothing to migrate")
+    // sever lineage from the files about to be renamed away
+    val flat = spark.read.parquet(dir).localCheckpoint()
+    val tmp = StoreSwap.prepareTmp(spark, s"$dir.migrate")
+    appendSeqIndex(flat, tmp)
+    StoreSwap.swap(spark, dir, tmp)
+  }
+
   /** Collapse re-appended duplicate rows and small files; same swap
     * discipline as [[graft.ext.Dedup.compactNearDupIndex]].
     */
-  def compactSeqIndex(spark: SparkSession, dir: String): Unit = {
+  def compactSeqIndex(spark: SparkSession, dir: String,
+                      removeIds: Option[DataFrame] = None): Unit = {
+    // both tables are doc-keyed, so physical erasure of retracted docs
+    // ([[Curation.retract]] applies tombstones here) is one anti-join
+    def excl(df: DataFrame): DataFrame = removeIds.fold(df)(ids =>
+      df.join(ids.select(col(ids.columns.head).as("doc_id")),
+        Seq("doc_id"), "left_anti"))
     val tmp = StoreSwap.prepareTmp(spark, s"$dir.compact")
-    spark.read.parquet(s"$dir/shingles").dropDuplicates("doc_id", "k")
+    excl(spark.read.parquet(s"$dir/shingles").dropDuplicates("doc_id", "k"))
       .repartition(col("kp"))
       .write.partitionBy("kp").parquet(s"$tmp/shingles")
-    spark.read.parquet(s"$dir/seqs").dropDuplicates("doc_id", "sq")
+    excl(spark.read.parquet(s"$dir/seqs").dropDuplicates("doc_id", "sq"))
       .repartition(col("sqp"))
       .write.partitionBy("sqp").parquet(s"$tmp/seqs")
     StoreSwap.swap(spark, dir, tmp)

@@ -7530,15 +7530,26 @@ object ExtQueries {
     graft.ext.Ledger.read(spark, commitSequenceLedger(spark, sfDir))
       .orderBy("doc_id")
 
-  private val x124Sql =
-    """WITH corpus AS (
-      |  SELECT doc_id, text,
+  private val x124Sql = firstSeenLedgerSql(
+    """  SELECT doc_id, text,
       |    CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS tr
       |  FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000, text, CAST(1 AS BIGINT)
-      |  FROM documents WHERE doc_id % 4 != 0 AND doc_id % 25 = 3
-      |), tok AS (
+      |  FROM documents WHERE doc_id % 4 != 0 AND doc_id % 25 = 3""".stripMargin)
+
+  /** The DuckDB mirror of sequential [[graft.ext.Curation.commitTranche]]
+    * calls over any corpus: given a corpus CTE body (doc_id, text, tr =
+    * the tranche each doc arrived in), replays the per-tranche
+    * first-seen text verdicts — exactness by content hash with
+    * earlier-tranche precedence, nearness by the bit-exact MinHash/
+    * band/Jaccard pipeline. Shared by x124 (the two-tranche commit
+    * sequence) and x125 (the retraction arc, whose retracted tranche
+    * simply never enters the corpus).
+    */
+  private def firstSeenLedgerSql(corpus: String): String =
+    "WITH corpus AS (\n" + corpus + "\n" +
+    """), tok AS (
       |  SELECT doc_id, tr, string_split(text, ' ') AS tokens FROM corpus
       |), chx AS (
       |  SELECT t.doc_id, t.tr, md5(d.text) AS ch
@@ -7611,6 +7622,134 @@ object ExtQueries {
       |LEFT JOIN (SELECT DISTINCT tr, ch FROM nearc) nc
       |  ON nc.tr = cx.tr AND nc.ch = cx.ch
       |ORDER BY doc_id""".stripMargin
+
+  // --- x125: the retraction arc (takedown under the hash gate) -------------------------
+
+  /** [[graft.ext.Curation.retract]]'s END-TO-END arc as a declared row:
+    * commit tranche 0, RETRACT it (tombstones + eager ledger-partition
+    * drop), commit tranche 1 against the still-physical-but-tombstoned
+    * stores (the probe-exclusion path), run [[graft.ext.Curation
+    * .maintain]] (physical erasure of the retracted rows), then commit
+    * tranche 2 against the GC'd stores — the accumulated ON-DISK ledger
+    * is the declared result. Tranche 1 re-introduces copies of every
+    * 25th retracted doc (they must judge as FIRST occurrences — the
+    * retracted originals must not influence them, pre-GC), and tranche
+    * 2 copies every 25th tranche-1 doc (exact_dup against live standing
+    * — the GC must not have erased anything live). The oracle replays
+    * first-seen verdicts over a corpus in which tranche 0 NEVER
+    * EXISTED: any tombstone leak, premature erasure, or over-erasure
+    * diverges from it. Built once per (session, corpus); Bench prices
+    * the arc as `retraction_build`.
+    */
+  private val retractionCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.ext.Curation.Stores]()
+
+  private def retractionStores(spark: SparkSession,
+                               sfDir: String): graft.ext.Curation.Stores = {
+    retractionCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    retractionCache.computeIfAbsent((spark, sfDir),
+      (key: (SparkSession, String)) => {
+        val docs = Tables.documents(key._1, key._2).select("doc_id", "text")
+        val root = java.nio.file.Files.createTempDirectory("x125cur").toString
+        val stores = graft.ext.Curation.Stores(s"$root/text", s"$root/img",
+          s"$root/aud", s"$root/vid", s"$root/emb", s"$root/led")
+        val t0 = docs.filter(col("doc_id") % 4 === 1)
+        val t1 = docs.filter(col("doc_id") % 4 === 2)
+          .unionAll(t0.filter(col("doc_id") % 25 === 3)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        val t2 = docs.filter(col("doc_id") % 4 === 3)
+          .unionAll(docs.filter(col("doc_id") % 4 === 2
+              && col("doc_id") % 25 === 7)
+            .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        graft.ext.Curation.commitTranche(t0, 0L, stores)
+        graft.ext.Curation.retractTranche(key._1, 0L, stores)
+        graft.ext.Curation.commitTranche(t1, 1L, stores)
+        graft.ext.Curation.maintain(key._1, stores)
+        graft.ext.Curation.commitTranche(t2, 2L, stores)
+        stores
+      })
+  }
+
+  def warmRetraction(spark: SparkSession, sfDir: String): Unit = {
+    retractionStores(spark, sfDir); ()
+  }
+
+  val x125Retraction: Q = (spark, sfDir) =>
+    graft.ext.Ledger.read(spark, retractionStores(spark, sfDir).ledger)
+      .orderBy("doc_id")
+
+  private val x125Sql = firstSeenLedgerSql(
+    """  SELECT doc_id, text, CAST(1 AS BIGINT) AS tr
+      |  FROM documents WHERE doc_id % 4 = 2
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, CAST(1 AS BIGINT)
+      |  FROM documents WHERE doc_id % 4 = 1 AND doc_id % 25 = 3
+      |  UNION ALL
+      |  SELECT doc_id, text, CAST(2 AS BIGINT)
+      |  FROM documents WHERE doc_id % 4 = 3
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text, CAST(2 AS BIGINT)
+      |  FROM documents WHERE doc_id % 4 = 2 AND doc_id % 25 = 7""".stripMargin)
+
+  // --- x126: the deployment store census (ops rollup under the hash gate) --------------
+
+  /** [[graft.ext.Curation.storeCensus]] over the x125 retraction
+    * deployment — the operator's single health view as a declared row.
+    * Every number is independently replayable from the corpus
+    * definition: post-GC physical row counts (members/bands/sets carry
+    * per-tranche append amplification exactly where a compaction has
+    * not yet collapsed it), the distinct-content count, the ledger
+    * volume, and the registry/tombstone sizes (the registry RETAINS
+    * retracted ids — burned forever — while the store tables shed
+    * them). A tombstone leak, a miscounted GC, or an append that
+    * double-writes a table diverges from the oracle.
+    */
+  val x126StoreCensus: Q = (spark, sfDir) =>
+    graft.ext.Curation.storeCensus(spark, retractionStores(spark, sfDir))
+
+  private val x126Sql =
+    """WITH t0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1),
+      |t1 AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 2
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents
+      |  WHERE doc_id % 4 = 1 AND doc_id % 25 = 3
+      |), t2 AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text FROM documents
+      |  WHERE doc_id % 4 = 2 AND doc_id % 25 = 7
+      |), live AS (
+      |  SELECT doc_id, text, 1 AS tr FROM t1
+      |  UNION ALL
+      |  SELECT doc_id, text, 2 AS tr FROM t2
+      |), memb AS (
+      |  SELECT doc_id, tr, md5(text) AS ch FROM live
+      |  WHERE length(string_split(text, ' ')) >= 2
+      |)
+      |SELECT * FROM (
+      |  SELECT 'id_registry' AS store, 'ids' AS metric,
+      |    (SELECT count(*) FROM t0) + (SELECT count(*) FROM t1)
+      |      + (SELECT count(*) FROM t2) AS value
+      |  UNION ALL
+      |  SELECT 'ledger', 'rows', (SELECT count(*) FROM live)
+      |  UNION ALL
+      |  SELECT 'text_index', 'member_rows', (SELECT count(*) FROM memb)
+      |  UNION ALL
+      |  SELECT 'text_index', 'contents',
+      |    (SELECT count(DISTINCT ch) FROM memb)
+      |  UNION ALL
+      |  SELECT 'text_index', 'band_rows',
+      |    8 * ((SELECT count(DISTINCT ch) FROM memb WHERE tr = 1)
+      |       + (SELECT count(DISTINCT ch) FROM memb WHERE tr = 2))
+      |  UNION ALL
+      |  SELECT 'text_index', 'set_rows',
+      |    (SELECT count(DISTINCT ch) FROM memb WHERE tr = 1)
+      |      + (SELECT count(DISTINCT ch) FROM memb WHERE tr = 2)
+      |  UNION ALL
+      |  SELECT 'tombstones', 'ids', (SELECT count(*) FROM t0)
+      |)
+      |ORDER BY store, metric""".stripMargin
 
   // --- assembled maps -----------------------------------------------------------------
 
@@ -7738,7 +7877,9 @@ object ExtQueries {
     "x121_video_ledger" -> x121VideoLedger,
     "x122_ledger_audit" -> x122LedgerAudit,
     "x123_crossmodal_policy" -> x123CrossmodalPolicy,
-    "x124_commit_sequence" -> x124CommitSequence)
+    "x124_commit_sequence" -> x124CommitSequence,
+    "x125_retraction" -> x125Retraction,
+    "x126_store_census" -> x126StoreCensus)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -7864,5 +8005,7 @@ object ExtQueries {
     "x121_video_ledger" -> x121Sql,
     "x122_ledger_audit" -> x122Sql,
     "x123_crossmodal_policy" -> x123Sql,
-    "x124_commit_sequence" -> x124Sql)
+    "x124_commit_sequence" -> x124Sql,
+    "x125_retraction" -> x125Sql,
+    "x126_store_census" -> x126Sql)
 }

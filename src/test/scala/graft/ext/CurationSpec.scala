@@ -190,4 +190,266 @@ class CurationSpec extends SparkSpec {
     assert(!new java.io.File(stores.ledger).exists(),
       "a geometry-mismatched commit left ledger rows behind")
   }
+
+  test("a mismatched hash-index geometry is refused before any ledger write") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val stores = freshStores()
+    def imgOf(b: org.apache.spark.sql.DataFrame) =
+      b.select(col("doc_id"), xxhash64(col("text")).as("hash"))
+    val t0 = docs.filter(col("doc_id") % 2 === 0)
+    // adopt an externally-built image index under NON-default banding
+    ImageHash.appendHashIndex(imgOf(t0), "doc_id", "hash", stores.image,
+      bands = 16)
+    val t1 = docs.filter(col("doc_id") % 2 === 1)
+    intercept[IllegalArgumentException] {
+      Curation.commitTranche(t1, 0L, stores, imgHashes = Some(imgOf(t1)))
+    }
+    assert(!new java.io.File(stores.ledger).exists(),
+      "a hash-geometry-mismatched commit left ledger rows behind")
+    // matching geometry commits, and the adopted standing rows judge:
+    // a byte-identical copy of a t0 doc is exact_dup in the image layer
+    val copy = t0.orderBy("doc_id").limit(1)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val v = Curation.commitTranche(t1.unionAll(copy), 0L, stores,
+        imgHashes = Some(imgOf(t1.unionAll(copy))), hashBands = 16)
+      .filter(col("modality") === "image" && col("doc_id") >= 5000000L)
+      .collect().map(_.getString(2)).toSeq
+    assert(v == Seq("exact_dup"),
+      s"adopted 16-band standing rows did not judge the copy: $v")
+  }
+
+  test("a pre-index FLAT fingerprint store is refused, then migrates") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val stores = freshStores()
+    def imgOf(b: org.apache.spark.sql.DataFrame) =
+      b.select(col("doc_id"), xxhash64(col("text")).as("hash"))
+    val t0 = docs.filter(col("doc_id") % 2 === 0)
+    // the pre-index layout: plain (doc_id, hash) rows at the dir root
+    imgOf(t0).write.parquet(stores.image)
+    val t1 = docs.filter(col("doc_id") % 2 === 1)
+    val e = intercept[IllegalStateException] {
+      Curation.commitTranche(t1, 0L, stores, imgHashes = Some(imgOf(t1)))
+    }
+    assert(e.getMessage.contains("migrateFlatHashes"),
+      s"flat-store refusal does not name the upgrade path: ${e.getMessage}")
+    assert(!new java.io.File(stores.ledger).exists(),
+      "a flat-store commit left ledger rows behind")
+    // one-time upgrade, then the commit proceeds and the MIGRATED
+    // standing rows judge: a copy of a t0 doc is exact_dup
+    ImageHash.migrateFlatHashes(spark, stores.image)
+    val copy = t0.orderBy("doc_id").limit(1)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val v = Curation.commitTranche(t1.unionAll(copy), 0L, stores,
+        imgHashes = Some(imgOf(t1.unionAll(copy))))
+      .filter(col("modality") === "image" && col("doc_id") >= 5000000L)
+      .collect().map(_.getString(2)).toSeq
+    assert(v == Seq("exact_dup"),
+      s"migrated standing rows did not judge the copy: $v")
+  }
+
+  test("a pre-index FLAT video store is refused, then migrates") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 100)
+    val stores = freshStores()
+    val t0 = docs.filter(col("doc_id") % 2 === 0)
+    VideoHash.frameHashes(t0, "doc_id", "text").write.parquet(stores.video)
+    val t1 = docs.filter(col("doc_id") % 2 === 1)
+    val e = intercept[IllegalStateException] {
+      Curation.commitTranche(t1, 0L, stores,
+        vidFrames = Some(VideoHash.frameHashes(t1, "doc_id", "text")))
+    }
+    assert(e.getMessage.contains("migrateFlatFrames"),
+      s"flat-store refusal does not name the upgrade path: ${e.getMessage}")
+    VideoHash.migrateFlatFrames(spark, stores.video)
+    val copy = t0.orderBy("doc_id").limit(1)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val t1c = t1.unionAll(copy)
+    val v = Curation.commitTranche(t1c, 0L, stores,
+        vidFrames = Some(VideoHash.frameHashes(t1c, "doc_id", "text")))
+      .filter(col("modality") === "video" && col("doc_id") >= 5000000L)
+      .collect().map(_.getString(2)).toSeq
+    assert(v == Seq("exact_dup"),
+      s"migrated standing frames did not judge the copy: $v")
+  }
+
+  test("a FLAT text index is refused for append before the ledger write") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val stores = freshStores()
+    val t0 = docs.filter(col("doc_id") % 2 === 0)
+    // simulate the pre-pruned layout: index frames written WITHOUT the
+    // partition columns (what older writeNearDupIndex produced)
+    val idx = Dedup.nearDupIndex(t0, "doc_id", "text")
+    idx.bands.write.parquet(s"${stores.textIndex}/bands")
+    idx.sets.write.parquet(s"${stores.textIndex}/sets")
+    idx.members.write.parquet(s"${stores.textIndex}/members")
+    import spark.implicits._
+    Seq((2, 8, 2)).toDF("k", "bands", "rows")
+      .coalesce(1).write.parquet(s"${stores.textIndex}/params")
+    val t1 = docs.filter(col("doc_id") % 2 === 1)
+    val e = intercept[IllegalStateException] {
+      Curation.commitTranche(t1, 0L, stores)
+    }
+    assert(e.getMessage.contains("compactNearDupIndex"),
+      s"flat-layout refusal does not name the upgrade path: ${e.getMessage}")
+    assert(!new java.io.File(stores.ledger).exists(),
+      "a flat-layout commit left ledger rows behind")
+    // compaction upgrades the layout in place; the commit then proceeds
+    // and the upgraded standing rows judge a cross-tranche copy
+    Dedup.compactNearDupIndex(spark, stores.textIndex)
+    val copy = t0.orderBy("doc_id").limit(1)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val v = Curation.commitTranche(t1.unionAll(copy), 0L, stores)
+      .filter(col("doc_id") >= 5000000L)
+      .collect().map(_.getString(2)).toSeq
+    assert(v == Seq("exact_dup"),
+      s"upgraded standing index did not judge the copy: $v")
+  }
+
+  test("a lost id registry refuses the commit instead of forgetting ids") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val stores = freshStores()
+    Curation.commitTranche(docs.filter(col("doc_id") % 2 === 0), 0L, stores)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(s"${stores.ledger}.ids"))
+    val e = intercept[IllegalStateException] {
+      Curation.commitTranche(docs.filter(col("doc_id") % 2 === 1),
+        1L, stores)
+    }
+    assert(e.getMessage.contains("id registry"),
+      s"lost-registry refusal unclear: ${e.getMessage}")
+  }
+
+  test("retraction: tombstone exclusion, ledger drop, physical GC, recommit refusal") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val stores = freshStores()
+    def imgOf(b: org.apache.spark.sql.DataFrame) =
+      b.select(col("doc_id"), xxhash64(col("text")).as("hash"))
+    // two GLOBALLY-UNIQUE synthetic contents ride tranche 0, so copies
+    // of them judge deterministically (a docs-table text can recur)
+    val uniqA = "zzretract alpha beta gamma delta epsilon"
+    val uniqB = "zzretractb zeta eta theta iota kappa"
+    val t0 = docs.filter(col("doc_id") % 2 === 0).unionAll(
+      Seq((999000L, uniqA), (999002L, uniqB)).toDF("doc_id", "text"))
+    Curation.commitTranche(t0, 0L, stores, imgHashes = Some(imgOf(t0)))
+    val t0n = spark.read.parquet(s"${stores.textIndex}/members").count()
+    // take down tranche 0: ledger partition gone, ids tombstoned
+    Curation.retractTranche(spark, 0L, stores)
+    assert(Ledger.read(spark, stores.ledger)
+      .filter(col("tranche") === 0L).count() == 0,
+      "retracted tranche's ledger partition not dropped")
+    // PRE-maintain commit: tranche-0 rows are still physical in every
+    // store but tombstone-excluded — a byte-identical copy of a
+    // retracted doc must be judged KEPT in both layers, as if t0 never
+    // existed
+    val t1 = docs.filter(col("doc_id") % 2 === 1).unionAll(
+      Seq((1000000L, uniqA)).toDF("doc_id", "text"))
+    val v1 = Curation.commitTranche(t1, 1L, stores,
+        imgHashes = Some(imgOf(t1)))
+      .filter(col("doc_id") === 1000000L)
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(v1 == Map("text" -> "kept", "image" -> "kept"),
+      s"retracted standing rows still influenced verdicts: $v1")
+    // recommitting a retracted id is refused before any write
+    val led1 = Ledger.read(spark, stores.ledger).count()
+    val e = intercept[IllegalArgumentException] {
+      Curation.commitTranche(Seq((999000L, uniqA)).toDF("doc_id", "text"),
+        2L, stores)
+    }
+    assert(e.getMessage.contains("retracted"),
+      s"recommit refusal unclear: ${e.getMessage}")
+    assert(Ledger.read(spark, stores.ledger).count() == led1,
+      "a refused recommit left ledger rows behind")
+    // maintenance applies the tombstones physically: the retracted
+    // docs' member rows leave the text and image stores
+    Curation.maintain(spark, stores)
+    val t0ids = t0.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val memAfter = spark.read.parquet(s"${stores.textIndex}/members")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(memAfter.intersect(t0ids).isEmpty,
+      "maintain left retracted text members physical")
+    assert(memAfter.nonEmpty && spark.read
+      .parquet(s"${stores.textIndex}/members").count() < t0n + t1.count(),
+      "maintain erased more than the retracted rows")
+    val imgAfter = spark.read.parquet(s"${stores.image}/members")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(imgAfter.intersect(t0ids).isEmpty,
+      "maintain left retracted image members physical")
+    // POST-GC commit: a copy of the retracted-only content (uniqB was
+    // never re-introduced) is kept, a copy of the KEPT t1 re-commit
+    // (uniqA, standing via doc 1000000) is exact_dup — the GC erased
+    // exactly the retracted rows and nothing else
+    val t2 = Seq((2000000L, uniqB), (2000001L, uniqA)).toDF("doc_id", "text")
+    val v2 = Curation.commitTranche(t2, 3L, stores,
+        imgHashes = Some(imgOf(t2)))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getString(2))
+      .toMap
+    assert(v2((2000000L, "text")) == "kept" &&
+      v2((2000000L, "image")) == "kept",
+      s"post-GC copy of a retracted-only content not kept: $v2")
+    assert(v2((2000001L, "text")) == "exact_dup" &&
+      v2((2000001L, "image")) == "exact_dup",
+      s"post-GC copy of live standing content not exact_dup: $v2")
+  }
+
+  test("retraction erases IVF vectors surgically and keeps probes clean") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 200)
+    val emb = Tables.embeddings(spark, sf())
+    val stores = freshStores()
+    def embOf(b: org.apache.spark.sql.DataFrame) = emb.join(
+      b.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val t0 = docs.filter(col("doc_id") % 2 === 0)
+    IvfIndex.write(embOf(t0).drop("label"), stores.embedding, k = 4)
+    Curation.commitTranche(t0, 0L, stores, embeddings = Some(embOf(t0)))
+    Curation.retractTranche(spark, 0L, stores)
+    // pre-GC: an identical copy of a retracted vector is KEPT
+    val src = t0.orderBy("doc_id").limit(1)
+    val srcId = src.collect()(0).getLong(0)
+    val copyEmb = embOf(src)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+        col("label"))
+    val t1 = docs.filter(col("doc_id") % 2 === 1).unionAll(
+      src.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val v1 = Curation.commitTranche(t1, 1L, stores,
+        embeddings = Some(embOf(t1).unionByName(copyEmb)))
+      .filter(col("modality") === "embedding" && col("doc_id") >= 1000000L)
+      .collect().map(_.getString(2)).toSeq
+    assert(v1 == Seq("kept"),
+      s"retracted standing vector still influenced the verdict: $v1")
+    // GC: the retracted vectors leave the store, live ones survive
+    Curation.maintain(spark, stores)
+    val vecIds = spark.read.parquet(s"${stores.embedding}/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!vecIds.contains(srcId), "maintain left a retracted vector")
+    assert(vecIds.contains(srcId + 1000000L),
+      "maintain erased a live vector")
+  }
+
+  test("a splitCell in flight refuses semantic commits until rewrite recovers") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 200)
+    val emb = Tables.embeddings(spark, sf())
+    val stores = freshStores()
+    def embOf(b: org.apache.spark.sql.DataFrame) = emb.join(
+      b.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val t0 = docs.filter(col("doc_id") % 2 === 0)
+    IvfIndex.write(embOf(t0).drop("label"), stores.embedding, k = 4)
+    Curation.commitTranche(t0, 0L, stores, embeddings = Some(embOf(t0)))
+    // a crashed splitCell leaves its marker standing
+    new java.io.File(s"${stores.embedding}/.split_inflight").mkdirs()
+    val t1 = docs.filter(col("doc_id") % 2 === 1)
+    val e = intercept[IllegalStateException] {
+      Curation.commitTranche(t1, 1L, stores, embeddings = Some(embOf(t1)))
+    }
+    assert(e.getMessage.contains("splitCell"),
+      s"in-flight-split refusal unclear: ${e.getMessage}")
+    // rewrite is the recovery: retrains from the rows, retires the
+    // marker with the old store, and the commit proceeds
+    IvfIndex.rewrite(spark, stores.embedding, k = 4)
+    Curation.commitTranche(t1, 1L, stores, embeddings = Some(embOf(t1)))
+  }
 }
