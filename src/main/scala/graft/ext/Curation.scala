@@ -490,7 +490,37 @@ object Curation {
       ts.foreach(IvfIndex.removeIds(spark, stores.embedding, _))
     else if (exists(spark, stores.embedding))
       compactFlat(spark, stores.embedding, removeIds = ts)
+    // the tombstone table itself: one small file lands per retract
+    // call, so collapse it (dedup + single file) — the table stays,
+    // only its file count shrinks
+    ts.foreach { t =>
+      val dir = tombstonesDir(stores)
+      val tmp = StoreSwap.prepareTmp(spark, s"$dir.compact")
+      t.coalesce(1).write.parquet(tmp)
+      StoreSwap.swap(spark, dir, tmp)
+    }
   }
+
+  /** Drop the rollback generations every swapping maintenance pass
+    * leaves behind (`<dir>.old` — one generation per store, replaced
+    * on each pass): once an operator has validated a maintenance
+    * window, this reclaims the space. Separate from [[maintain]] on
+    * purpose — running it IMMEDIATELY after would leave no rollback
+    * window at all, so the cadence (validate, then gc) is the
+    * caller's.
+    */
+  def gc(spark: SparkSession, stores: Stores): Unit =
+    (Seq(stores.textIndex, stores.image, stores.audio, stores.video,
+      stores.embedding, stores.ledger,
+      s"${stores.ledger}.ids", tombstonesDir(stores))
+      .map(d => s"$d.old") ++
+      Seq(s"${stores.embedding}/centroids.old",
+        s"${stores.embedding}/centroids_q.old"))
+      .foreach { d =>
+        if (exists(spark, d))
+          StoreSwap.fsOf(spark, d)
+            .delete(new org.apache.hadoop.fs.Path(d), true)
+      }
 
   /** Deployment-wide store census — the operator's single health view,
     * (store, metric, value) over every standing store that exists:

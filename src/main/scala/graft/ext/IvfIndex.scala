@@ -397,6 +397,35 @@ object IvfIndex {
     ()
   }
 
+  /** Census-driven remediation in one call: [[splitCell]] every cell
+    * whose [[cellCensus]] skew exceeds `maxSkew`, hottest first — the
+    * maintenance policy a scheduler runs between tranches, bounding
+    * write work to the skewed slices while [[rewrite]] stays the
+    * whole-store re-release. Splits run sequentially (each changes the
+    * codebook the next routes against) and each split re-balances the
+    * mean, so the candidate list is re-read from the census after
+    * every pass until no cell exceeds the threshold or `maxSplits` is
+    * spent. Returns the number of splits performed.
+    */
+  def heal(spark: SparkSession, dir: String, maxSkew: Double = 4.0,
+           kSplit: Int = 2, iters: Int = 2, maxSplits: Int = 16): Int = {
+    require(maxSkew > 1.0, s"maxSkew must exceed 1.0, got $maxSkew")
+    var splits = 0
+    var done = false
+    while (!done && splits < maxSplits) {
+      val hot = cellCensus(spark, dir).collect()
+        .filter(r => r.getAs[Double]("skew") > maxSkew &&
+          r.getAs[Long]("n_vectors") >= kSplit)
+        .sortBy(-_.getAs[Long]("n_vectors"))
+        .headOption.map(_.getAs[Any]("cell").toString.toLong)
+      hot match {
+        case Some(c) => splitCell(spark, dir, c, kSplit, iters); splits += 1
+        case None => done = true
+      }
+    }
+    splits
+  }
+
   /** Physically erase retracted vectors ([[Curation.retract]] applies
     * tombstones here): one column-pruned scan of (vec_id, cell) finds
     * the AFFECTED cells, then each is surgically rewritten without the

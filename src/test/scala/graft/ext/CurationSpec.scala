@@ -429,6 +429,34 @@ class CurationSpec extends SparkSpec {
       "maintain erased a live vector")
   }
 
+  test("gc reclaims rollback generations; maintain compacts the tombstone table") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 200)
+    val stores = freshStores()
+    Curation.commitTranche(docs.filter(col("doc_id") % 2 === 0), 0L, stores)
+    // two retracts -> two tombstone files; maintain collapses to one
+    Curation.retract(spark, Seq(0L).toDF("doc_id"), stores)
+    Curation.retract(spark, Seq(2L).toDF("doc_id"), stores)
+    val tombDir = s"${stores.ledger}.tombstones"
+    def parquetFiles(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(tombDir) == 2)
+    Curation.maintain(spark, stores)
+    assert(parquetFiles(tombDir) == 1,
+      "maintain did not compact the tombstone table")
+    assert(spark.read.parquet(tombDir).collect()
+      .map(_.getLong(0)).toSet == Set(0L, 2L),
+      "tombstone compaction changed the retracted set")
+    // maintain's swaps left rollback generations; gc reclaims them and
+    // the deployment still commits
+    assert(new java.io.File(s"${stores.textIndex}.old").exists())
+    Curation.gc(spark, stores)
+    assert(!new java.io.File(s"${stores.textIndex}.old").exists())
+    assert(!new java.io.File(s"$tombDir.old").exists())
+    Curation.commitTranche(docs.filter(col("doc_id") % 2 === 1), 1L, stores)
+  }
+
   test("a splitCell in flight refuses semantic commits until rewrite recovers") {
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
       .filter(col("doc_id") < 200)

@@ -202,6 +202,75 @@ class IvfIndexSpec extends SparkSpec {
     assert(post(9300L) == "exact_dup", post.toString)
   }
 
+  test("heal: census-driven splits remediate every hot cell, nothing else") {
+    import spark.implicits._
+    val emb = planted(120, 0L)
+    val dir = Files.createTempDirectory("ivfheal").toString
+    IvfIndex.write(emb, dir, k = 4, iters = 2)
+    // the census-test hot append: 200 vectors the frozen codebook
+    // routes into one cell (~7.7x mean occupancy after)
+    val hot = (0 until 200).map { j =>
+      val e = Array.fill(64)(0.001f)
+      e(7) = 1.0f
+      e(0) = 0.05f
+      e(60) = 0.001f * (j % 7 + 1)
+      (5000L + j, e.toSeq)
+    }.toDF("vec_id", "embedding")
+    IvfIndex.append(hot, dir)
+    val skewBefore = IvfIndex.cellCensus(spark, dir).collect()
+      .map(_.getAs[Double]("skew")).max
+    assert(skewBefore > 2.5, s"setup not skewed: $skewBefore")
+    val splits = IvfIndex.heal(spark, dir, maxSkew = 2.0, iters = 2)
+    assert(splits >= 1, "heal did not split the hot cell")
+    val after = IvfIndex.cellCensus(spark, dir).collect()
+    assert(after.map(_.getAs[Long]("n_vectors")).sum == 320,
+      "heal lost or duplicated vectors")
+    assert(after.forall(_.getAs[Double]("skew") <= 2.0),
+      s"heal left a hot cell: ${after.mkString(", ")}")
+    // identity still exact through the healed codebook
+    val probe = IvfIndex.ledgerProbe(spark, dir,
+        hot.filter(col("vec_id") === 5003L)
+          .select((col("vec_id") + 90000L).as("vec_id"), col("embedding")),
+        "vec_id", "embedding", threshold = 0.9)
+      .collect().map(_.getString(1)).toSeq
+    assert(probe == Seq("exact_dup"), s"identity lost across heal: $probe")
+  }
+
+  test("removeIds: surgical erasure rewrites only the affected cells") {
+    val emb = planted(120, 0L)
+    val dir = Files.createTempDirectory("ivfrm").toString
+    IvfIndex.write(emb, dir, k = 4, iters = 2)
+    // victims: three vectors that all live in ONE cell
+    val victims = spark.read.parquet(s"$dir/vectors")
+      .orderBy("cell", "vec_id").limit(3)
+      .select("vec_id", "cell").collect()
+    val victimCell = victims(0).get(1).toString
+    assert(victims.forall(_.get(1).toString == victimCell))
+    val victimIds = victims.map(_.getLong(0)).toSet
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    def cellFiles(): Map[String, Set[String]] = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/vectors"))
+      .filter(_.getPath.getName.startsWith("cell="))
+      .map(s => s.getPath.getName -> fs.listStatus(s.getPath)
+        .map(f => f.getPath.getName + ":" + f.getModificationTime).toSet)
+      .toMap
+    val before = cellFiles()
+    import spark.implicits._
+    IvfIndex.removeIds(spark, dir, victimIds.toSeq.toDF("vec_id"))
+    val after = cellFiles()
+    assert(!spark.read.parquet(s"$dir/vectors").select("vec_id").collect()
+      .map(_.getLong(0)).toSet.exists(victimIds), "victims survived")
+    assert(spark.read.parquet(s"$dir/vectors").count() == 117)
+    // every cell except the victims' is byte-untouched (same files,
+    // same modification times) — the erasure was surgical
+    before.keys.filterNot(_ == s"cell=$victimCell").foreach { c =>
+      assert(before(c) == after(c), s"removeIds touched unaffected $c")
+    }
+    assert(before(s"cell=$victimCell") != after(s"cell=$victimCell"),
+      "victim cell not rewritten")
+  }
+
   test("cell census: a skewed append is visible as occupancy skew") {
     import spark.implicits._
     val emb = planted(120, 0L)
