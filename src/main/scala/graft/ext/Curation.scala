@@ -53,6 +53,10 @@ import org.apache.spark.sql.functions._
   *  - every provided modality frame's ids must be doc_ids of THIS
   *    tranche's `docs` (the re-run self-exclusion is keyed on them;
   *    a foreign id space would silently lose idempotency — ADVICE r10).
+  *  - ONE writer at a time: every mutating pass (commit, maintain,
+  *    retract, gc) holds the deployment's writer lock; a concurrent
+  *    writer is refused actionably instead of interleaving with a
+  *    swap in flight (see [[breakLock]] for crash recovery).
   *
   * Modalities are optional: a text-only pipeline passes only `docs`.
   * Perceptual layers take PRE-COMPUTED fingerprints ((doc_id, hash) for
@@ -177,6 +181,66 @@ object Curation {
 
   private def tombstonesDir(stores: Stores) = s"${stores.ledger}.tombstones"
 
+  private def lockPath(stores: Stores) = s"${stores.ledger}.lock"
+
+  /** ENFORCED single-writer discipline: every mutating pass
+    * ([[commitTranche]], [[maintain]], [[retract]], [[gc]]) runs under
+    * the deployment's writer lock — an atomically-created marker file
+    * (`<ledger>.lock`) naming the holder and its start time. A second
+    * writer REFUSES actionably instead of interleaving with a swap in
+    * flight (the mid-swap window is exactly where a concurrent commit
+    * would corrupt silently — the failure mode every init-marker guard
+    * exists to refuse). The lock is NEVER broken automatically: a
+    * crashed writer's stale lock blocks the deployment until an
+    * operator (who alone can know the writer is dead — a 100 TB commit
+    * can outlive any fixed lease) clears it with [[breakLock]]; the
+    * refusal message carries the holder, its age, and that exact call.
+    * Reads ([[storeCensus]], [[Ledger.read]], probes) never take the
+    * lock.
+    */
+  private def withWriterLock[A](spark: SparkSession, stores: Stores,
+                                what: String)(body: => A): A = {
+    val fs = StoreSwap.fsOf(spark, lockPath(stores))
+    val p = new org.apache.hadoop.fs.Path(lockPath(stores))
+    val holder = s"$what started ${java.time.Instant.now()}"
+    val acquired =
+      try {
+        // parent must exist for atomic create; the ledger's parent dir
+        // is the deployment root the caller owns
+        Option(p.getParent).foreach(fs.mkdirs(_))
+        val out = fs.create(p, false)
+        out.write(holder.getBytes("UTF-8")); out.close(); true
+      } catch { case _: java.io.IOException => false }
+    if (!acquired) {
+      val (who, ageSec) =
+        try {
+          val st = fs.getFileStatus(p)
+          val in = fs.open(p)
+          val buf = new Array[Byte](256)
+          val n = math.max(0, in.read(buf)); in.close()
+          (new String(buf, 0, n, "UTF-8"),
+            (System.currentTimeMillis() - st.getModificationTime) / 1000)
+        } catch { case _: java.io.IOException => ("unknown", -1L) }
+      throw new IllegalStateException(
+        s"deployment at ${stores.ledger} is held by another writer " +
+          s"($who, ${ageSec}s ago) — refusing to interleave with a " +
+          "mutating pass in flight; if that writer is dead, clear it " +
+          "with Curation.breakLock and re-run the failed pass")
+    }
+    try body
+    finally { fs.delete(p, false); () }
+  }
+
+  /** Clear a dead writer's lock (operator action after a crash — see
+    * [[withWriterLock]]). The failed pass must then be re-run per the
+    * re-run contract before any later pass.
+    */
+  def breakLock(spark: SparkSession, stores: Stores): Unit = {
+    StoreSwap.fsOf(spark, lockPath(stores))
+      .delete(new org.apache.hadoop.fs.Path(lockPath(stores)), false)
+    ()
+  }
+
   /** RETRACT documents (takedown / right-to-erasure): the named ids'
     * influence disappears from every FUTURE verdict immediately, and
     * their physical rows are erased from every store at the next
@@ -201,7 +265,11 @@ object Curation {
     * be scattered across tranche partitions); [[retractTranche]] drops
     * its whole ledger partition eagerly instead.
     */
-  def retract(spark: SparkSession, ids: DataFrame, stores: Stores): Unit = {
+  def retract(spark: SparkSession, ids: DataFrame, stores: Stores): Unit =
+    withWriterLock(spark, stores, "retract")(retract0(spark, ids, stores))
+
+  private def retract0(spark: SparkSession, ids: DataFrame,
+                       stores: Stores): Unit = {
     val dir = tombstonesDir(stores)
     ids.select(col(ids.columns.head).cast("long").as("doc_id"))
       .dropDuplicates("doc_id")
@@ -216,15 +284,16 @@ object Curation {
     * the tranche touched.
     */
   def retractTranche(spark: SparkSession, trancheId: Long,
-                     stores: Stores): Unit = {
-    val reg = s"${stores.ledger}.ids"
-    require(exists(spark, reg),
-      s"no id registry at $reg — no tranche was ever committed here")
-    val ids = spark.read.parquet(reg)
-      .filter(col("tranche") === trancheId).select("doc_id")
-    retract(spark, ids, stores)
-    Ledger.dropTranche(spark, stores.ledger, trancheId)
-  }
+                     stores: Stores): Unit =
+    withWriterLock(spark, stores, s"retractTranche($trancheId)") {
+      val reg = s"${stores.ledger}.ids"
+      require(exists(spark, reg),
+        s"no id registry at $reg — no tranche was ever committed here")
+      val ids = spark.read.parquet(reg)
+        .filter(col("tranche") === trancheId).select("doc_id")
+      retract0(spark, ids, stores)
+      Ledger.dropTranche(spark, stores.ledger, trancheId)
+    }
 
   /** The standing tombstones (retracted doc_ids), or None if nothing
     * was ever retracted. Marker-guarded like every standing store: an
@@ -270,6 +339,7 @@ object Curation {
                     k: Int = 2, bands: Int = 8, rows: Int = 2,
                     hashBands: Int = 8, hashMaxDist: Int = 6): DataFrame = {
     val spark = docs.sparkSession
+    withWriterLock(spark, stores, s"commitTranche($trancheId)") {
     // ---- guards, strictly before any write ---------------------------
     val textUp = guardedExists(spark, stores.textIndex,
       Seq("params", "bands", "sets", "members"), "text near-dup index")
@@ -455,6 +525,7 @@ object Curation {
     verdictsC.map { case (m, v) =>
       v.select(col("doc_id"), lit(m).as("modality"), col("decision"))
     }.reduce(_ unionByName _)
+    }
   }
 
   /** Run every due maintenance pass over a deployment's stores: compact
@@ -467,7 +538,8 @@ object Curation {
     * this between tranches at whatever cadence write amplification
     * warrants (single-writer window, like every store swap).
     */
-  def maintain(spark: SparkSession, stores: Stores): Unit = {
+  def maintain(spark: SparkSession, stores: Stores): Unit =
+    withWriterLock(spark, stores, "maintain") {
     // tombstones are applied PHYSICALLY here (the erasure half of
     // [[retract]]): members scrubbed, contents/hashes with no surviving
     // member leave their band tables, affected IVF cells surgically
@@ -499,7 +571,7 @@ object Curation {
       t.coalesce(1).write.parquet(tmp)
       StoreSwap.swap(spark, dir, tmp)
     }
-  }
+    }
 
   /** Drop the rollback generations every swapping maintenance pass
     * leaves behind (`<dir>.old` — one generation per store, replaced
@@ -510,17 +582,19 @@ object Curation {
     * caller's.
     */
   def gc(spark: SparkSession, stores: Stores): Unit =
-    (Seq(stores.textIndex, stores.image, stores.audio, stores.video,
-      stores.embedding, stores.ledger,
-      s"${stores.ledger}.ids", tombstonesDir(stores))
-      .map(d => s"$d.old") ++
-      Seq(s"${stores.embedding}/centroids.old",
-        s"${stores.embedding}/centroids_q.old"))
-      .foreach { d =>
-        if (exists(spark, d))
-          StoreSwap.fsOf(spark, d)
-            .delete(new org.apache.hadoop.fs.Path(d), true)
-      }
+    withWriterLock(spark, stores, "gc") {
+      (Seq(stores.textIndex, stores.image, stores.audio, stores.video,
+        stores.embedding, stores.ledger,
+        s"${stores.ledger}.ids", tombstonesDir(stores))
+        .map(d => s"$d.old") ++
+        Seq(s"${stores.embedding}/centroids.old",
+          s"${stores.embedding}/centroids_q.old"))
+        .foreach { d =>
+          if (exists(spark, d))
+            StoreSwap.fsOf(spark, d)
+              .delete(new org.apache.hadoop.fs.Path(d), true)
+        }
+    }
 
   /** Deployment-wide store census — the operator's single health view,
     * (store, metric, value) over every standing store that exists:

@@ -457,6 +457,36 @@ class CurationSpec extends SparkSpec {
     Curation.commitTranche(docs.filter(col("doc_id") % 2 === 1), 1L, stores)
   }
 
+  test("the writer lock refuses a concurrent mutating pass until broken") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 200)
+    val stores = freshStores()
+    Curation.commitTranche(docs.filter(col("doc_id") % 2 === 0), 0L, stores)
+    // a writer in flight (or crashed): its lock file stands
+    val lock = new java.io.File(s"${stores.ledger}.lock")
+    assert(!lock.exists(), "lock leaked past a completed commit")
+    java.nio.file.Files.write(lock.toPath,
+      "commitTranche(7) started 2026-08-15T00:00:00Z".getBytes)
+    def refused(body: => Unit): Unit = {
+      val e = intercept[IllegalStateException](body)
+      assert(e.getMessage.contains("another writer") &&
+        e.getMessage.contains("breakLock"), e.getMessage)
+    }
+    refused(Curation.commitTranche(
+      docs.filter(col("doc_id") % 2 === 1), 1L, stores))
+    refused(Curation.maintain(spark, stores))
+    refused(Curation.retract(spark, Seq(0L).toDF("doc_id"), stores))
+    refused(Curation.gc(spark, stores))
+    assert(Ledger.read(spark, stores.ledger)
+      .select("tranche").distinct().collect().map(_.getLong(0)).toSeq
+      == Seq(0L), "a refused pass wrote something")
+    // operator clears the dead writer's lock; the pass re-runs
+    Curation.breakLock(spark, stores)
+    Curation.commitTranche(docs.filter(col("doc_id") % 2 === 1), 1L, stores)
+    assert(!lock.exists())
+  }
+
   test("a splitCell in flight refuses semantic commits until rewrite recovers") {
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
       .filter(col("doc_id") < 200)
