@@ -741,6 +741,70 @@ object ScaleSmoke {
       s"standing bands scan not bucket-pruned: $bandScanParts of 64")
     require(curBSec < 60, f"micro-commit blew the 60s budget: $curBSec%.1fs")
 
+    // --- retraction at scale: takedown is store-rewrite-free, pruning intact -
+    // Retract micro-tranche 1 (400 docs of a ~100k standing corpus).
+    // The takedown path itself must be O(tranche): tombstones + one
+    // pruned ledger-partition drop, NO store rewritten. The next
+    // commit's standing scans stay bucket-pruned (the tombstone
+    // anti-join composes after the partition filters — it must not
+    // widen them), copies of the retracted contents judge KEPT, and
+    // maintain's physical erasure removes exactly the retracted docs.
+    val memDistinctBefore = spark.read
+      .parquet(s"${curStores.textIndex}/members")
+      .select("id").distinct().count()
+    val tRet = System.nanoTime()
+    Curation.retractTranche(spark, 1L, curStores)
+    val retSec = (System.nanoTime() - tRet) / 1e9
+    require(graft.ext.Ledger.read(spark, curStores.ledger)
+      .filter(col("tranche") === 1L).count() == 0,
+      "retracted tranche's ledger partition survived")
+    // copies of BOTH retracted contents: kept iff the tombstones hide
+    // the 400 standing rows (an exact_dup here is a tombstone leak)
+    val tCurC = System.nanoTime()
+    val vRet = Curation.commitTranche(spark.range(2).select(
+        (col("id") + 850000000L).as("doc_id"),
+        when(col("id") % 2 === 0,
+          lit("zqcuraa alpha beta gamma delta epsilon aa"))
+          .otherwise(lit("zqcuraa zeta eta theta iota kappa aa"))
+          .as("text")),
+      4L, curStores)
+      .groupBy("decision").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val curCSec = (System.nanoTime() - tCurC) / 1e9
+    require(vRet == Map("kept" -> 2L),
+      s"retracted standing rows leaked into verdicts: $vRet")
+    // the tombstone exclusion composes AFTER the partition filters:
+    // the post-retraction probe still reads only colliding buckets
+    val microIdx2 = Dedup.nearDupIndex(
+      microTranche(910000000L, "dd"), "doc_id", "text")
+    val tombIds = spark.read
+      .parquet(s"${curStores.ledger}.tombstones").select("doc_id")
+    val pruneProbe2 = Dedup.ledgerProbeFrom(
+      Dedup.probeView(spark, curStores.textIndex, microIdx2,
+        Some(tombIds), materialize = false),
+      microIdx2, microTranche(910000000L, "dd"), "doc_id")
+    val bandScanParts2 = fileScans(pruneProbe2.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("bands")))
+      .map(_.selectedPartitions.partitionCount)
+    require(bandScanParts2.nonEmpty && bandScanParts2.forall(_ <= 16),
+      s"tombstone exclusion broke bucket pruning: $bandScanParts2 of 64")
+    // maintain erases exactly the 400 retracted docs from the store
+    val tMnt = System.nanoTime()
+    Curation.maintain(spark, curStores)
+    val mntSec = (System.nanoTime() - tMnt) / 1e9
+    val memAfterRet = spark.read.parquet(s"${curStores.textIndex}/members")
+    require(memAfterRet.filter(col("id") >= 600000000L &&
+      col("id") < 700000000L).count() == 0,
+      "maintain left retracted members physical")
+    val memDistinctAfter = memAfterRet.select("id").distinct().count()
+    require(memDistinctAfter == memDistinctBefore - 400 + 2,
+      s"maintain erased the wrong row count: $memDistinctBefore -> " +
+        s"$memDistinctAfter (expected -400 +2)")
+    println(f"retraction scale: retract(400 of ~100k) $retSec%.1fs, " +
+      f"post-retract commit $curCSec%.1fs (pruned, kept=2), " +
+      f"maintain GC $mntSec%.1fs, erasure exact")
+    require(retSec < 30, f"takedown blew the 30s budget: $retSec%.1fs")
+
     // --- splitCell at scale: the hot cell heals without a full rewrite -------
     // The census block above left ivfDir with a 40k-vector hot append
     // in one cell (52.5k total there, 240k in store). splitCell must

@@ -612,56 +612,62 @@ object Curation {
     */
   def storeCensus(spark: SparkSession, stores: Stores): DataFrame = {
     import spark.implicits._
-    def cnt(df: DataFrame): Long = df.count()
-    var rows = Seq.empty[(String, String, Long)]
+    // every metric is an independent count job — run them all
+    // concurrently and pay the slowest store, not the sum (the
+    // append-phase discipline applied to the ops rollup)
+    var thunks = Seq.empty[() => (String, String, Long)]
+    def add(store: String, metric: String)(v: => Long): Unit =
+      thunks :+= (() => (store, metric, v))
     if (exists(spark, s"${stores.textIndex}/members")) {
-      val mem = spark.read.parquet(s"${stores.textIndex}/members")
-      rows ++= Seq(
-        ("text_index", "member_rows", cnt(mem)),
-        ("text_index", "contents", cnt(mem.select("ch").distinct())),
-        ("text_index", "band_rows",
-          cnt(spark.read.parquet(s"${stores.textIndex}/bands"))),
-        ("text_index", "set_rows",
-          cnt(spark.read.parquet(s"${stores.textIndex}/sets"))))
+      def mem = spark.read.parquet(s"${stores.textIndex}/members")
+      add("text_index", "member_rows")(mem.count())
+      add("text_index", "contents")(mem.select("ch").distinct().count())
+      add("text_index", "band_rows")(
+        spark.read.parquet(s"${stores.textIndex}/bands").count())
+      add("text_index", "set_rows")(
+        spark.read.parquet(s"${stores.textIndex}/sets").count())
     }
     Seq("image" -> stores.image, "audio" -> stores.audio).foreach {
       case (name, d) =>
         if (exists(spark, s"$d/members")) {
-          val mem = spark.read.parquet(s"$d/members")
-          rows ++= Seq(
-            (s"${name}_index", "member_rows", cnt(mem)),
-            (s"${name}_index", "hashes", cnt(mem.select("hsh").distinct())),
-            (s"${name}_index", "band_rows",
-              cnt(spark.read.parquet(s"$d/bands"))))
+          def mem = spark.read.parquet(s"$d/members")
+          add(s"${name}_index", "member_rows")(mem.count())
+          add(s"${name}_index", "hashes")(
+            mem.select("hsh").distinct().count())
+          add(s"${name}_index", "band_rows")(
+            spark.read.parquet(s"$d/bands").count())
         }
     }
-    if (exists(spark, s"${stores.video}/shingles"))
-      rows ++= Seq(
-        ("video_index", "shingle_rows",
-          cnt(spark.read.parquet(s"${stores.video}/shingles"))),
-        ("video_index", "seq_rows",
-          cnt(spark.read.parquet(s"${stores.video}/seqs"))))
-    if (exists(spark, s"${stores.embedding}/centroids")) {
-      val census = IvfIndex.cellCensus(spark, stores.embedding)
-        .agg(count(lit(1)), sum(col("n_vectors")),
-          max(col("skew"))).collect()(0)
-      rows ++= Seq(
-        ("embedding_ivf", "cells", census.getLong(0)),
-        ("embedding_ivf", "vectors", census.getLong(1)),
-        ("embedding_ivf", "max_skew_pct",
-          math.round(census.getDouble(2) * 100)))
-    } else if (exists(spark, stores.embedding))
-      rows ++= Seq(("embedding_flat", "vectors",
-        cnt(spark.read.parquet(stores.embedding).select("vec_id"))))
+    if (exists(spark, s"${stores.video}/shingles")) {
+      add("video_index", "shingle_rows")(
+        spark.read.parquet(s"${stores.video}/shingles").count())
+      add("video_index", "seq_rows")(
+        spark.read.parquet(s"${stores.video}/seqs").count())
+    }
+    val ivfCensus: Option[() => Seq[(String, String, Long)]] =
+      if (exists(spark, s"${stores.embedding}/centroids")) Some(() => {
+        val c = IvfIndex.cellCensus(spark, stores.embedding)
+          .agg(count(lit(1)), sum(col("n_vectors")),
+            max(col("skew"))).collect()(0)
+        Seq(("embedding_ivf", "cells", c.getLong(0)),
+          ("embedding_ivf", "vectors", c.getLong(1)),
+          ("embedding_ivf", "max_skew_pct",
+            math.round(c.getDouble(2) * 100)))
+      })
+      else if (exists(spark, stores.embedding)) Some(() =>
+        Seq(("embedding_flat", "vectors",
+          spark.read.parquet(stores.embedding).select("vec_id").count())))
+      else None
     if (exists(spark, stores.ledger))
-      rows ++= Seq(("ledger", "rows",
-        cnt(Ledger.read(spark, stores.ledger))))
+      add("ledger", "rows")(Ledger.read(spark, stores.ledger).count())
     if (exists(spark, s"${stores.ledger}.ids"))
-      rows ++= Seq(("id_registry", "ids",
-        cnt(spark.read.parquet(s"${stores.ledger}.ids"))))
+      add("id_registry", "ids")(
+        spark.read.parquet(s"${stores.ledger}.ids").count())
     if (exists(spark, tombstonesDir(stores)))
-      rows ++= Seq(("tombstones", "ids",
-        cnt(spark.read.parquet(tombstonesDir(stores)))))
+      add("tombstones", "ids")(
+        spark.read.parquet(tombstonesDir(stores)).count())
+    val all = thunks.map(t => () => Seq(t())) ++ ivfCensus
+    val rows = StoreSwap.concurrentlyAll(all).flatten
     rows.toDF("store", "metric", "value").orderBy("store", "metric")
   }
 
