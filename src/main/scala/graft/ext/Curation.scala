@@ -203,14 +203,49 @@ object Curation {
     val fs = StoreSwap.fsOf(spark, lockPath(stores))
     val p = new org.apache.hadoop.fs.Path(lockPath(stores))
     val holder = s"$what started ${java.time.Instant.now()}"
+    // ONLY "lock already exists" may read as contention; any other
+    // failure (permissions, disk full, transient FS error) must
+    // surface as itself, and a failure AFTER the lock file exists must
+    // remove it — otherwise the deployment wedges behind a lock naming
+    // a writer that never ran.
     val acquired =
-      try {
+      if (fs.getScheme == "file") {
+        // Hadoop's local create(path, overwrite=false) is an exists()
+        // probe then a plain open — not atomic. O_EXCL via nio is.
+        val local = java.nio.file.Paths.get(p.toUri.getPath)
+        Option(local.getParent)
+          .foreach(java.nio.file.Files.createDirectories(_))
+        try {
+          java.nio.file.Files.write(local, holder.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
         // parent must exist for atomic create; the ledger's parent dir
         // is the deployment root the caller owns
         Option(p.getParent).foreach(fs.mkdirs(_))
-        val out = fs.create(p, false)
-        out.write(holder.getBytes("UTF-8")); out.close(); true
-      } catch { case _: java.io.IOException => false }
+        val out =
+          try Some(fs.create(p, false))
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
+            case e: java.io.IOException
+                if e.getMessage != null &&
+                  e.getMessage.toLowerCase.contains("exist") => None
+          }
+        out match {
+          case None => false
+          case Some(o) =>
+            try { o.write(holder.getBytes("UTF-8")); o.close(); true }
+            catch {
+              case e: Throwable =>
+                try fs.delete(p, false)
+                catch { case s: Throwable => e.addSuppressed(s) }
+                throw e
+            }
+        }
+      }
     if (!acquired) {
       val (who, ageSec) =
         try {
@@ -271,6 +306,11 @@ object Curation {
   private def retract0(spark: SparkSession, ids: DataFrame,
                        stores: Stores): Unit = {
     val dir = tombstonesDir(stores)
+    // marker-guarded like every write path: an INITIALIZED registry
+    // gone missing must refuse here too — a blind append would
+    // re-bootstrap a registry holding only THESE ids, silently
+    // restoring every earlier retracted doc's verdict influence
+    guardedExists(spark, dir, Seq(""), "tombstone registry")
     ids.select(col(ids.columns.head).cast("long").as("doc_id"))
       .dropDuplicates("doc_id")
       .coalesce(1)
@@ -503,9 +543,15 @@ object Curation {
     // store appends run concurrently too — each its own directory;
     // the text append ships the SAME checkpointed tranche frames the
     // probe used
-    Dedup.ensureNearDupIndexParams(spark, stores.textIndex, k, bands, rows)
+    // bootstrap-only params write: for a standing store the guard phase
+    // already validated geometry AND layout — re-reading params/schema
+    // here would add two driver-side parquet reads to every
+    // steady-state commit
+    if (!textUp)
+      Dedup.ensureNearDupIndexParams(spark, stores.textIndex, k, bands, rows)
     StoreSwap.concurrently(Seq(
-      () => Dedup.writeNearDupIndexFrames(trancheIdx, stores.textIndex)) ++
+      () => Dedup.writeNearDupIndexFrames(trancheIdx, stores.textIndex,
+        checkLayout = false)) ++
       img.map(h => () =>
         ImageHash.appendHashIndex(h, "doc_id", "hash", stores.image,
           hashBands)) ++
@@ -553,11 +599,21 @@ object Curation {
       Ledger.compact(spark, stores.ledger, scrubIds = ts)
     if (exists(spark, s"${stores.ledger}.ids"))
       compactIdRegistry(spark, s"${stores.ledger}.ids")
-    Seq(stores.image, stores.audio)
-      .filter(d => exists(spark, s"$d/bands"))
-      .foreach(ImageHash.compactHashIndex(spark, _, removeIds = ts))
+    // pre-index FLAT fingerprint stores (a legacy deployment that has
+    // retracted but not yet migrated) get their erasure half here too:
+    // every flat fingerprint table is keyed on doc_id, so the generic
+    // flat compaction scrubs it — skipping silently would leave the
+    // takedown contract unmet with no error
+    Seq(stores.image, stores.audio).foreach { d =>
+      if (exists(spark, s"$d/bands"))
+        ImageHash.compactHashIndex(spark, d, removeIds = ts)
+      else if (exists(spark, d))
+        compactFlat(spark, d, removeIds = ts, idCol = "doc_id")
+    }
     if (exists(spark, s"${stores.video}/shingles"))
       VideoHash.compactSeqIndex(spark, stores.video, removeIds = ts)
+    else if (exists(spark, stores.video))
+      compactFlat(spark, stores.video, removeIds = ts, idCol = "doc_id")
     if (exists(spark, s"${stores.embedding}/centroids"))
       ts.foreach(IvfIndex.removeIds(spark, stores.embedding, _))
     else if (exists(spark, stores.embedding))
@@ -684,12 +740,13 @@ object Curation {
     * `removeIds` erases retracted vectors during the rewrite.
     */
   private def compactFlat(spark: SparkSession, dir: String,
-                          removeIds: Option[DataFrame] = None): Unit = {
+                          removeIds: Option[DataFrame] = None,
+                          idCol: String = "vec_id"): Unit = {
     val tmp = StoreSwap.prepareTmp(spark, s"$dir.compact")
     val rows0 = spark.read.parquet(dir).dropDuplicates()
     val rows = removeIds.fold(rows0)(ids =>
-      rows0.join(ids.select(col("doc_id").as("vec_id")),
-        Seq("vec_id"), "left_anti"))
+      rows0.join(ids.select(col("doc_id").as(idCol)),
+        Seq(idCol), "left_anti"))
     rows.write.parquet(tmp)
     StoreSwap.swap(spark, dir, tmp)
   }

@@ -787,8 +787,12 @@ object Dedup {
     * column keeps each append at one file per touched partition (the
     * writer would otherwise emit tasks × partitions small files).
     */
-  def writeNearDupIndexFrames(idx: NearDupIndexFrames, dir: String): Unit = {
-    requirePrunedLayout(idx.bands.sparkSession, dir)
+  def writeNearDupIndexFrames(idx: NearDupIndexFrames, dir: String,
+                              checkLayout: Boolean = true): Unit = {
+    // checkLayout=false lets a caller that ALREADY validated the pruned
+    // layout this commit (Curation's guard phase) skip the second
+    // bands-schema read on the hot ingest path
+    if (checkLayout) requirePrunedLayout(idx.bands.sparkSession, dir)
     StoreSwap.concurrently(
       () => idx.bands.withColumn("bkp", StoreLayout.part(col("bk")))
         .repartition(col("bkp"))

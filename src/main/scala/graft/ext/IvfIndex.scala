@@ -319,7 +319,7 @@ object IvfIndex {
     * probes across a split.
     */
   def splitCell(spark: SparkSession, dir: String, cell: Long,
-                kSplit: Int = 2, iters: Int = 2): Unit = {
+                kSplit: Int = 2, iters: Int = 2): Seq[Long] = {
     require(kSplit >= 2, s"splitCell needs kSplit >= 2, got $kSplit")
     requireNoSplitInFlight(spark, dir)
     val vecDir = s"$dir/vectors"
@@ -394,7 +394,8 @@ object IvfIndex {
     // mutation phase complete: store consistent under the spliced
     // codebook, lift the in-flight refusal
     fs.delete(new org.apache.hadoop.fs.Path(splitMarkerPath(dir)), true)
-    ()
+    // the grafted sub-cell ids — [[heal]] checks them for progress
+    (1 to kSplit).map(maxCell + _.toLong)
   }
 
   /** Census-driven remediation in one call: [[splitCell]] every cell
@@ -412,14 +413,29 @@ object IvfIndex {
     require(maxSkew > 1.0, s"maxSkew must exceed 1.0, got $maxSkew")
     var splits = 0
     var done = false
+    // a DEGENERATE hot cell (near-identical vectors) splits into one
+    // full sub-cell plus empties — selecting that sub-cell again would
+    // burn the whole maxSplits budget on no-progress full-store routing
+    // passes. A sub-cell that inherited its parent's entire mass is
+    // marked stuck and never re-selected; heal moves on or stops.
+    var stuck = Set.empty[Long]
+    var lastSplit: Option[(Seq[Long], Long)] = None // (sub-cells, pre-split n)
     while (!done && splits < maxSplits) {
-      val hot = cellCensus(spark, dir).collect()
-        .filter(r => r.getAs[Double]("skew") > maxSkew &&
-          r.getAs[Long]("n_vectors") >= kSplit)
-        .sortBy(-_.getAs[Long]("n_vectors"))
-        .headOption.map(_.getAs[Any]("cell").toString.toLong)
+      val census = cellCensus(spark, dir).collect()
+        .map(r => (r.getAs[Any]("cell").toString.toLong,
+          r.getAs[Long]("n_vectors"), r.getAs[Double]("skew")))
+      lastSplit.foreach { case (subs, n0) =>
+        val counts = census.map(c => c._1 -> c._2).toMap
+        stuck ++= subs.filter(s => counts.getOrElse(s, 0L) >= n0)
+      }
+      lastSplit = None
+      val hot = census
+        .filter(c => c._3 > maxSkew && c._2 >= kSplit && !stuck(c._1))
+        .sortBy(-_._2).headOption
       hot match {
-        case Some(c) => splitCell(spark, dir, c, kSplit, iters); splits += 1
+        case Some((c, n, _)) =>
+          lastSplit = Some((splitCell(spark, dir, c, kSplit, iters), n))
+          splits += 1
         case None => done = true
       }
     }

@@ -457,6 +457,63 @@ class CurationSpec extends SparkSpec {
     Curation.commitTranche(docs.filter(col("doc_id") % 2 === 1), 1L, stores)
   }
 
+  test("a lost tombstone registry refuses further retraction instead of resurrecting") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 400)
+    val stores = freshStores()
+    Curation.commitTranche(docs, 0L, stores)
+    Curation.retract(spark, Seq(1L).toDF("doc_id"), stores)
+    // simulate mid-compaction loss: the registry directory vanishes
+    // while its init marker stands. A blind retract would re-bootstrap
+    // a registry holding ONLY the new id — every earlier takedown's
+    // verdict influence silently restored.
+    val dir = s"${stores.ledger}.tombstones"
+    StoreSwap.fsOf(spark, dir)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    val e = intercept[IllegalStateException] {
+      Curation.retract(spark, Seq(2L).toDF("doc_id"), stores)
+    }
+    assert(e.getMessage.contains("tombstone"),
+      s"refusal unclear: ${e.getMessage}")
+    // and commits refuse too (readTombstones' standing guard)
+    intercept[IllegalStateException] {
+      Curation.commitTranche(
+        Seq((5000L, "zz lost registry probe text")).toDF("doc_id", "text"),
+        1L, stores)
+    }
+  }
+
+  test("maintain scrubs retracted rows from pre-index FLAT fingerprint stores") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 200)
+    val stores = freshStores()
+    Curation.commitTranche(docs, 0L, stores)
+    // a legacy (pre-index) deployment's flat fingerprint tables: these
+    // cannot be appended into (commitTranche refuses them until
+    // migrated) but their ERASURE half must still hold — maintain
+    // scrubs them via the generic doc_id-keyed flat compaction
+    docs.select(col("doc_id"), xxhash64(col("text")).as("hash"))
+      .write.parquet(stores.image)
+    docs.select(col("doc_id"), lit(0).as("frame_idx"),
+        xxhash64(col("text")).as("hash"))
+      .write.parquet(stores.video)
+    val gone = docs.orderBy("doc_id").limit(3).select("doc_id")
+    val goneIds = gone.collect().map(_.getLong(0)).toSet
+    Curation.retract(spark, gone, stores)
+    Curation.maintain(spark, stores)
+    val imgIds = spark.read.parquet(stores.image)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(imgIds.intersect(goneIds).isEmpty,
+      "maintain left retracted rows in the flat image store")
+    assert(imgIds.nonEmpty, "maintain over-erased the flat image store")
+    val vidIds = spark.read.parquet(stores.video)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(vidIds.intersect(goneIds).isEmpty,
+      "maintain left retracted rows in the flat video store")
+    assert(vidIds.nonEmpty, "maintain over-erased the flat video store")
+  }
+
   test("the writer lock refuses a concurrent mutating pass until broken") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")

@@ -236,6 +236,46 @@ class IvfIndexSpec extends SparkSpec {
     assert(probe == Seq("exact_dup"), s"identity lost across heal: $probe")
   }
 
+  test("heal stops on a degenerate hot cell instead of burning the split budget") {
+    import spark.implicits._
+    // three jittered clusters plus 60 BYTE-IDENTICAL vectors: k-means
+    // cannot separate the identical mass, so its split grafts one full
+    // sub-cell (plus empties) and the skew survives. heal must mark
+    // that sub-cell stuck and stop — not spend maxSplits full-store
+    // routing passes re-splitting it.
+    val base = (0 until 30).map { j =>
+      val g = j % 3
+      val e = Array.fill(64)(0.001f)
+      e(g) = 1.0f
+      e(60) = 0.001f * (j % 7 + 1)
+      (j.toLong, e.toSeq)
+    }
+    val degen = (0 until 60).map { j =>
+      val e = Array.fill(64)(0.001f)
+      e(3) = 1.0f
+      (1000L + j, e.toSeq)
+    }
+    val emb = (base ++ degen).toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("ivfdegen").toString
+    IvfIndex.write(emb, dir, k = 4, iters = 2)
+    val skewBefore = IvfIndex.cellCensus(spark, dir).collect()
+      .map(_.getAs[Double]("skew")).max
+    assert(skewBefore > 2.0, s"setup not skewed: $skewBefore")
+    val splits = IvfIndex.heal(spark, dir, maxSkew = 2.0, maxSplits = 6)
+    assert(splits <= 2,
+      s"heal burned $splits splits on an unsplittable identical mass")
+    // nothing lost, store still serves
+    assert(spark.read.parquet(s"$dir/vectors")
+      .select("vec_id").distinct().count() == 90,
+      "degenerate heal lost or duplicated vectors")
+    val probe = IvfIndex.ledgerProbe(spark, dir,
+        emb.filter(col("vec_id") === 1000L)
+          .select((col("vec_id") + 90000L).as("vec_id"), col("embedding")),
+        "vec_id", "embedding", threshold = 0.9)
+      .collect().map(_.getString(1)).toSeq
+    assert(probe == Seq("exact_dup"), s"identity lost after heal: $probe")
+  }
+
   test("removeIds: surgical erasure rewrites only the affected cells") {
     val emb = planted(120, 0L)
     val dir = Files.createTempDirectory("ivfrm").toString
