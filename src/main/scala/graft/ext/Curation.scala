@@ -574,15 +574,209 @@ object Curation {
     }
   }
 
-  /** Run every due maintenance pass over a deployment's stores: compact
-    * the text index, the per-modality fingerprint indexes, the ledger
-    * and the id registry (always safe — pure rewrites that collapse a
-    * failed re-run's duplicate appends and each tranche's small files),
-    * and collapse a FLAT embedding store's duplicate rows. An IVF
-    * embedding store is left to [[IvfIndex.rewrite]] /
-    * [[IvfIndex.splitCell]]'s census-driven cadence. Callers schedule
-    * this between tranches at whatever cadence write amplification
-    * warrants (single-writer window, like every store swap).
+  /** One compactable slice of a deployment: `tables` are the parquet
+    * table paths whose small-file pressure gates file-driven due-ness,
+    * `erasable` says tombstones physically land here (so a pending
+    * tombstone makes the unit due), and `compact` runs the rewrite.
+    */
+  private final case class MaintUnit(name: String, root: String,
+                                     tables: Seq[String],
+                                     erasable: Boolean,
+                                     compact: Option[DataFrame] => Unit)
+
+  /** The deployment's maintenance units, existence-aware — the single
+    * catalogue [[maintain]] (all of them) and [[maintainDue]] (the due
+    * subset) share, so the two passes can never disagree about what a
+    * store's compaction does.
+    */
+  private def maintenanceUnits(spark: SparkSession,
+                               stores: Stores): Seq[MaintUnit] = {
+    val units = Seq.newBuilder[MaintUnit]
+    if (exists(spark, s"${stores.textIndex}/bands"))
+      units += MaintUnit("text_index", stores.textIndex,
+        Seq("bands", "sets", "members").map(t => s"${stores.textIndex}/$t"),
+        erasable = true,
+        ts => Dedup.compactNearDupIndex(spark, stores.textIndex,
+          removeIds = ts))
+    if (exists(spark, stores.ledger))
+      units += MaintUnit("ledger", stores.ledger, Seq(stores.ledger),
+        erasable = true,
+        ts => Ledger.compact(spark, stores.ledger, scrubIds = ts))
+    val reg = s"${stores.ledger}.ids"
+    if (exists(spark, reg))
+      // the registry RETAINS retracted ids (recommit refusal) — file
+      // pressure is its only due signal
+      units += MaintUnit("id_registry", reg, Seq(reg), erasable = false,
+        _ => compactIdRegistry(spark, reg))
+    Seq("image" -> stores.image, "audio" -> stores.audio).foreach {
+      case (name, d) =>
+        if (exists(spark, s"$d/bands"))
+          units += MaintUnit(s"${name}_index", d,
+            Seq("bands", "members").map(t => s"$d/$t"), erasable = true,
+            ts => ImageHash.compactHashIndex(spark, d, removeIds = ts))
+        // pre-index FLAT fingerprint stores (a legacy deployment that
+        // has retracted but not yet migrated) keep their erasure half:
+        // every flat fingerprint table is keyed on doc_id, so the
+        // generic flat compaction scrubs it — skipping silently would
+        // leave the takedown contract unmet with no error
+        else if (exists(spark, d))
+          units += MaintUnit(s"${name}_flat", d, Seq(d), erasable = true,
+            ts => compactFlat(spark, d, removeIds = ts, idCol = "doc_id"))
+    }
+    if (exists(spark, s"${stores.video}/shingles"))
+      units += MaintUnit("video_index", stores.video,
+        Seq("shingles", "seqs").map(t => s"${stores.video}/$t"),
+        erasable = true,
+        ts => VideoHash.compactSeqIndex(spark, stores.video,
+          removeIds = ts))
+    else if (exists(spark, stores.video))
+      units += MaintUnit("video_flat", stores.video, Seq(stores.video),
+        erasable = true,
+        ts => compactFlat(spark, stores.video, removeIds = ts,
+          idCol = "doc_id"))
+    if (exists(spark, s"${stores.embedding}/centroids"))
+      // erasure is surgical (affected cells only); per-tranche append
+      // files are collapsed by [[IvfIndex.compactCells]] when the file
+      // census makes the unit due. Codebook health (skew) stays with
+      // [[IvfIndex.rewrite]] / [[IvfIndex.heal]]'s census cadence.
+      units += MaintUnit("embedding_ivf", stores.embedding,
+        Seq(s"${stores.embedding}/vectors"), erasable = true,
+        ts => {
+          ts.foreach(IvfIndex.removeIds(spark, stores.embedding, _))
+          IvfIndex.compactCells(spark, stores.embedding)
+        })
+    else if (exists(spark, stores.embedding))
+      units += MaintUnit("embedding_flat", stores.embedding,
+        Seq(stores.embedding), erasable = true,
+        ts => compactFlat(spark, stores.embedding, removeIds = ts))
+    val tomb = tombstonesDir(stores)
+    if (exists(spark, tomb))
+      // one small file lands per retract call; the compaction collapses
+      // the table (dedup + single file) — the table itself is permanent
+      units += MaintUnit("tombstones", tomb, Seq(tomb), erasable = false,
+        _ => {
+          val tmp = StoreSwap.prepareTmp(spark, s"$tomb.compact")
+          spark.read.parquet(tomb).dropDuplicates("doc_id")
+            .coalesce(1).write.parquet(tmp)
+          StoreSwap.swap(spark, tomb, tmp)
+        })
+    units.result()
+  }
+
+  /** Data files and leaf buckets of one table — a pure metadata
+    * listing, no file is opened. `(0, 0)` for an absent table.
+    */
+  private def fileStats(spark: SparkSession, dir: String): (Long, Long) = {
+    val fs = StoreSwap.fsOf(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(root)) return (0L, 0L)
+    var files = 0L
+    val buckets = scala.collection.mutable.Set[String]()
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) {
+        files += 1
+        buckets += f.getPath.getParent.toString
+      }
+    }
+    (files, math.max(1L, buckets.size.toLong))
+  }
+
+  // tombstones-applied watermark: the distinct tombstone count a
+  // store's last compaction physically applied, in a sidecar the store
+  // swaps never touch. pending = current count - watermark; tombstones
+  // are append-only (retracted ids are permanent), so the count is a
+  // monotone clock.
+  private def appliedMark(root: String) = s"$root.gcmark"
+  private def appliedCount(spark: SparkSession, root: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(appliedMark(root))
+    val fs = StoreSwap.fsOf(spark, root)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      val buf = new Array[Byte](64)
+      val n = math.max(0, in.read(buf)); in.close()
+      try new String(buf, 0, n, "UTF-8").trim.toLong
+      catch { case _: NumberFormatException => 0L }
+    }
+  }
+  private def markApplied(spark: SparkSession, root: String,
+                          n: Long): Unit = {
+    val fs = StoreSwap.fsOf(spark, root)
+    val out = fs.create(new org.apache.hadoop.fs.Path(appliedMark(root)),
+      true)
+    out.write(n.toString.getBytes("UTF-8")); out.close()
+  }
+
+  /** Per-store maintenance due-ness, decided from METADATA only — file
+    * counts per bucket (append amplification: every commit lands ~one
+    * file per touched partition) and the tombstones-applied watermark
+    * (erasure backlog) — so the report is free to run at any cadence
+    * against a 100 TB deployment; no data file is ever opened. One row
+    * per existing store: (store, files, buckets, files_per_bucket,
+    * tombstones_pending, due). The scan-based deep health view stays
+    * [[storeCensus]].
+    */
+  def maintenanceReport(spark: SparkSession, stores: Stores,
+                        maxFilesPerBucket: Int = 8): DataFrame = {
+    import spark.implicits._
+    require(maxFilesPerBucket >= 1,
+      s"maxFilesPerBucket must be >= 1, got $maxFilesPerBucket")
+    val nTombs = if (exists(spark, tombstonesDir(stores)))
+      spark.read.parquet(tombstonesDir(stores))
+        .select("doc_id").distinct().count()
+    else 0L
+    val rows = maintenanceUnits(spark, stores).map { u =>
+      val stats = u.tables.map(fileStats(spark, _))
+      val files = stats.map(_._1).sum
+      val buckets = math.max(1L, stats.map(_._2).max)
+      val perBucket = stats.map(s => s._1.toDouble / math.max(1L, s._2)).max
+      val pending =
+        if (u.erasable) math.max(0L, nTombs - appliedCount(spark, u.root))
+        else 0L
+      (u.name, files, buckets, perBucket, pending,
+        perBucket > maxFilesPerBucket || pending > 0)
+    }
+    rows.toDF("store", "files", "buckets", "files_per_bucket",
+      "tombstones_pending", "due")
+  }
+
+  /** Compact ONLY the stores the metadata says need it ([[
+    * maintenanceReport]]): a store is due when its per-bucket file
+    * count exceeds `maxFilesPerBucket` (append amplification) or it
+    * still holds physically-unapplied tombstones (erasure backlog,
+    * tracked by a per-store watermark both passes advance). The
+    * scheduled form of [[maintain]] — same per-store rewrites, same
+    * single-writer window, but per-pass work is bounded by the stores
+    * that drifted, not the deployment. Returns the compacted stores'
+    * names.
+    */
+  def maintainDue(spark: SparkSession, stores: Stores,
+                  maxFilesPerBucket: Int = 8): Seq[String] =
+    withWriterLock(spark, stores, "maintainDue") {
+      val ts = readTombstones(spark, stores).map(_.localCheckpoint())
+      val nTombs = ts.fold(0L)(_.count())
+      val due = maintenanceReport(spark, stores, maxFilesPerBucket)
+        .filter(col("due")).select("store").collect()
+        .map(_.getString(0)).toSet
+      maintenanceUnits(spark, stores).filter(u => due(u.name)).map { u =>
+        u.compact(ts)
+        if (u.erasable) markApplied(spark, u.root, nTombs)
+        u.name
+      }
+    }
+
+  /** Run EVERY maintenance pass over a deployment's stores: compact
+    * the text index, the per-modality fingerprint indexes, the IVF
+    * vector cells, the ledger, the id registry and the tombstone table
+    * (always safe — pure rewrites that collapse a failed re-run's
+    * duplicate appends and each tranche's small files), applying
+    * pending tombstones physically everywhere. Codebook retraining is
+    * left to [[IvfIndex.rewrite]] / [[IvfIndex.heal]]'s census-driven
+    * cadence. This is the unconditional full pass; [[maintainDue]] is
+    * the scheduled form that bounds work to the stores that drifted.
     */
   def maintain(spark: SparkSession, stores: Stores): Unit =
     withWriterLock(spark, stores, "maintain") {
@@ -593,39 +787,10 @@ object Curation {
     // tombstone table itself is permanent (recommit refusal + re-run
     // safety); after this pass its probe-time anti-joins are no-ops.
     val ts = readTombstones(spark, stores).map(_.localCheckpoint())
-    if (exists(spark, s"${stores.textIndex}/bands"))
-      Dedup.compactNearDupIndex(spark, stores.textIndex, removeIds = ts)
-    if (exists(spark, stores.ledger))
-      Ledger.compact(spark, stores.ledger, scrubIds = ts)
-    if (exists(spark, s"${stores.ledger}.ids"))
-      compactIdRegistry(spark, s"${stores.ledger}.ids")
-    // pre-index FLAT fingerprint stores (a legacy deployment that has
-    // retracted but not yet migrated) get their erasure half here too:
-    // every flat fingerprint table is keyed on doc_id, so the generic
-    // flat compaction scrubs it — skipping silently would leave the
-    // takedown contract unmet with no error
-    Seq(stores.image, stores.audio).foreach { d =>
-      if (exists(spark, s"$d/bands"))
-        ImageHash.compactHashIndex(spark, d, removeIds = ts)
-      else if (exists(spark, d))
-        compactFlat(spark, d, removeIds = ts, idCol = "doc_id")
-    }
-    if (exists(spark, s"${stores.video}/shingles"))
-      VideoHash.compactSeqIndex(spark, stores.video, removeIds = ts)
-    else if (exists(spark, stores.video))
-      compactFlat(spark, stores.video, removeIds = ts, idCol = "doc_id")
-    if (exists(spark, s"${stores.embedding}/centroids"))
-      ts.foreach(IvfIndex.removeIds(spark, stores.embedding, _))
-    else if (exists(spark, stores.embedding))
-      compactFlat(spark, stores.embedding, removeIds = ts)
-    // the tombstone table itself: one small file lands per retract
-    // call, so collapse it (dedup + single file) — the table stays,
-    // only its file count shrinks
-    ts.foreach { t =>
-      val dir = tombstonesDir(stores)
-      val tmp = StoreSwap.prepareTmp(spark, s"$dir.compact")
-      t.coalesce(1).write.parquet(tmp)
-      StoreSwap.swap(spark, dir, tmp)
+    val nTombs = ts.fold(0L)(_.count())
+    maintenanceUnits(spark, stores).foreach { u =>
+      u.compact(ts)
+      if (u.erasable) markApplied(spark, u.root, nTombs)
     }
     }
 
@@ -644,7 +809,8 @@ object Curation {
         s"${stores.ledger}.ids", tombstonesDir(stores))
         .map(d => s"$d.old") ++
         Seq(s"${stores.embedding}/centroids.old",
-          s"${stores.embedding}/centroids_q.old"))
+          s"${stores.embedding}/centroids_q.old",
+          s"${stores.embedding}/vectors.old"))
         .foreach { d =>
           if (exists(spark, d))
             StoreSwap.fsOf(spark, d)

@@ -442,6 +442,26 @@ object IvfIndex {
     splits
   }
 
+  /** Collapse per-append small files inside every cell partition (each
+    * [[append]] lands ~one file per touched cell, so file count grows
+    * with tranche count until this runs): one shuffle-by-cell rewrite
+    * of the vectors table behind the shared atomic swap — the codebook
+    * is untouched, so probes and appends route identically before and
+    * after. [[Curation.maintain]]/[[Curation.maintainDue]] schedule it
+    * off the file census; codebook health stays with [[rewrite]] /
+    * [[heal]].
+    */
+  def compactCells(spark: SparkSession, dir: String): Unit = {
+    requireNoSplitInFlight(spark, dir)
+    val vecDir = s"$dir/vectors"
+    val tmp = StoreSwap.prepareTmp(spark, s"$vecDir.compact")
+    spark.read.parquet(vecDir)
+      .dropDuplicates("vec_id")
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(tmp)
+    StoreSwap.swap(spark, vecDir, tmp)
+  }
+
   /** Physically erase retracted vectors ([[Curation.retract]] applies
     * tombstones here): one column-pruned scan of (vec_id, cell) finds
     * the AFFECTED cells, then each is surgically rewritten without the

@@ -24,8 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object Ledger {
 
+  // one file per touched (tranche, modality) partition (the shared
+  // StoreLayout append discipline): without the pre-write shuffle every
+  // append lands as many files per partition as it had write tasks,
+  // and the table goes file-count-bound at commit cadence
   private def write(rows: DataFrame, dir: String): Unit =
-    rows.write.mode("overwrite")
+    rows.repartition(col("tranche"), col("modality"))
+      .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("tranche", "modality").parquet(dir)
 

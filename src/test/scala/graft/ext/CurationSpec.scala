@@ -514,6 +514,52 @@ class CurationSpec extends SparkSpec {
     assert(vidIds.nonEmpty, "maintain over-erased the flat video store")
   }
 
+  test("maintainDue compacts only the stores the metadata says drifted") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 600)
+    val stores = freshStores()
+    (0L to 2L).foreach(t =>
+      Curation.commitTranche(docs.filter(col("doc_id") % 3 === t), t,
+        stores))
+    // three appends: the text index carries ~3 files per bucket, the
+    // ledger exactly one per (tranche, modality) partition
+    val rep = Curation.maintenanceReport(spark, stores,
+        maxFilesPerBucket = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(5), r.getLong(4))).toMap
+    assert(rep("text_index")._1, s"text index not due after 3 appends: $rep")
+    assert(!rep("ledger")._1, s"ledger due with 1 file/partition: $rep")
+    assert(rep.values.forall(_._2 == 0L), s"phantom tombstone backlog: $rep")
+    val due1 = Curation.maintainDue(spark, stores, maxFilesPerBucket = 2)
+    assert(due1.contains("text_index") && !due1.contains("ledger"),
+      s"wrong due set compacted: $due1")
+    // drift resolved: an immediate second pass has nothing to do
+    assert(Curation.maintainDue(spark, stores, maxFilesPerBucket = 2)
+      .isEmpty, "maintainDue re-compacted an already-clean deployment")
+    // a retraction makes every erasable store due (erasure backlog),
+    // clean file counts notwithstanding
+    val gone = docs.orderBy("doc_id").limit(2).select("doc_id")
+    val goneIds = gone.collect().map(_.getLong(0)).toSet
+    Curation.retract(spark, gone, stores)
+    val due2 = Curation.maintainDue(spark, stores, maxFilesPerBucket = 2)
+    assert(due2.contains("text_index") && due2.contains("ledger"),
+      s"erasure backlog not honored: $due2")
+    assert(!due2.contains("id_registry"),
+      s"registry compacted without drift (it retains retracted ids): $due2")
+    val mem = spark.read.parquet(s"${stores.textIndex}/members")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(mem.intersect(goneIds).isEmpty,
+      "maintainDue left retracted members physical")
+    // backlog applied: the watermark stops a third pass
+    assert(Curation.maintainDue(spark, stores, maxFilesPerBucket = 2)
+      .isEmpty, "tombstone watermark did not advance")
+    // and the deployment still commits
+    Curation.commitTranche(
+      Seq((900000L, "zz maintain due probe text")).toDF("doc_id", "text"),
+      3L, stores)
+  }
+
   test("the writer lock refuses a concurrent mutating pass until broken") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")

@@ -276,6 +276,36 @@ class IvfIndexSpec extends SparkSpec {
     assert(probe == Seq("exact_dup"), s"identity lost after heal: $probe")
   }
 
+  test("compactCells collapses per-append files without changing serving") {
+    val emb = planted(120, 0L)
+    val dir = Files.createTempDirectory("ivfcompact").toString
+    IvfIndex.write(emb, dir, k = 4, iters = 2)
+    IvfIndex.append(planted(40, 2000L), dir)
+    IvfIndex.append(planted(40, 3000L), dir)
+    def cellFiles(): Map[String, Int] = {
+      val vec = new java.io.File(s"$dir/vectors")
+      vec.listFiles().filter(_.getName.startsWith("cell=")).map(d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+      ).toMap
+    }
+    assert(cellFiles().values.max >= 3,
+      s"setup carries no append amplification: ${cellFiles()}")
+    val before = IvfIndex.topK(spark, dir,
+        emb.filter(col("vec_id") < 4), k = 5, probes = 1)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("cid"))).toSet
+    IvfIndex.compactCells(spark, dir)
+    assert(cellFiles().values.max == 1,
+      s"compactCells left small files: ${cellFiles()}")
+    val after = IvfIndex.topK(spark, dir,
+        emb.filter(col("vec_id") < 4), k = 5, probes = 1)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("cid"))).toSet
+    assert(after == before, "compactCells changed serving results")
+    assert(spark.read.parquet(s"$dir/vectors").count() == 200,
+      "compactCells lost or duplicated vectors")
+  }
+
   test("removeIds: surgical erasure rewrites only the affected cells") {
     val emb = planted(120, 0L)
     val dir = Files.createTempDirectory("ivfrm").toString

@@ -58,10 +58,14 @@ class LedgerSpec extends SparkSpec {
     def rows(d: String) = Ledger.read(spark, d).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
       .sorted.toSeq
+    // the append writer lands one file per touched partition; simulate
+    // a LEGACY fragmented store (pre-shuffle writer shape) with a raw
+    // multi-task append — the accumulation the compactor exists for
+    verdicts((60L to 70L).map(_ -> "kept"))
+      .withColumn("tranche", lit(0L)).withColumn("modality", lit("text"))
+      .repartition(4)
+      .write.mode("append").partitionBy("tranche", "modality").parquet(dir)
     val before = rows(dir)
-    // the dynamic-overwrite writer shuffles nothing, so each append
-    // leaves as many files as it had write tasks; force the premise
-    // the compactor exists for
     assert(files(dir).size > 3, s"premise: >1 file somewhere, got ${files(dir).size}")
     Ledger.compact(spark, dir)
     assert(rows(dir) == before, "compaction changed the ledger's rows")
