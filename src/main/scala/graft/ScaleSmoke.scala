@@ -805,6 +805,35 @@ object ScaleSmoke {
       f"maintain GC $mntSec%.1fs, erasure exact")
     require(retSec < 30, f"takedown blew the 30s budget: $retSec%.1fs")
 
+    // --- due-driven maintenance: the scheduled pass is metadata-bounded ------
+    // The full maintain above collapsed every store's files and
+    // advanced every tombstone watermark, so an immediate due pass must
+    // decide "nothing" from metadata alone — file listings plus
+    // watermark reads, no store scanned, no rewrite run.
+    val tDue0 = System.nanoTime()
+    val dueNone = Curation.maintainDue(spark, curStores)
+    val dueNoneSec = (System.nanoTime() - tDue0) / 1e9
+    require(dueNone.isEmpty,
+      s"clean deployment reported due stores: $dueNone")
+    require(dueNoneSec < 10,
+      f"metadata-only due decision cost $dueNoneSec%.1fs")
+    // one micro-commit adds one file per touched bucket to exactly the
+    // appended stores; at the tightest threshold the due set is those
+    // stores and nothing else (the ledger writes one file per tranche
+    // partition, so it stays at 1 file/bucket — never due)
+    Curation.commitTranche(microTranche(920000000L, "ee"), 5L, curStores)
+    val tDue1 = System.nanoTime()
+    val due = Curation.maintainDue(spark, curStores, maxFilesPerBucket = 1)
+    val dueSec = (System.nanoTime() - tDue1) / 1e9
+    require(due.toSet == Set("text_index", "id_registry"),
+      s"due set after one micro-commit: $due (expected text_index + " +
+        "id_registry only)")
+    require(Curation.maintainDue(spark, curStores, maxFilesPerBucket = 1)
+      .isEmpty, "due pass did not resolve the drift")
+    println(f"maintainDue scale: clean no-op $dueNoneSec%.1fs, " +
+      f"post-commit due=${due.mkString("+")} in $dueSec%.1fs, " +
+      "second pass empty")
+
     // --- splitCell at scale: the hot cell heals without a full rewrite -------
     // The census block above left ivfDir with a 40k-vector hot append
     // in one cell (52.5k total there, 240k in store). splitCell must

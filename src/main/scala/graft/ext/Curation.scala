@@ -893,6 +893,154 @@ object Curation {
     rows.toDF("store", "metric", "value").orderBy("store", "metric")
   }
 
+  /** The optional modality fingerprint frames of one tranche, as
+    * [[commitTranche]] takes them — one value so [[sink]]'s derivation
+    * callback can return all four at once.
+    */
+  final case class ModalityFrames(imgHashes: Option[DataFrame] = None,
+                                  audHashes: Option[DataFrame] = None,
+                                  vidFrames: Option[DataFrame] = None,
+                                  embeddings: Option[DataFrame] = None)
+
+  /** [[commitTranche]] as a Structured Streaming `foreachBatch` sink:
+    * each micro-batch commits as one tranche under the engine's OWN
+    * `batchId`. That identification is what makes the sink exactly-once
+    * at the ledger: a restarted query replays its failed batch under
+    * the SAME batchId, which is precisely [[commitTranche]]'s
+    * idempotent re-run contract (probe-time self-exclusion + dynamic
+    * partition overwrite), so the replay reproduces the first
+    * attempt's verdicts and replaces its own ledger partitions.
+    * `modalities` derives the optional fingerprint frames from the
+    * arriving batch (decode stays with the caller, as everywhere).
+    * Cross-tranche id uniqueness remains the producer's contract,
+    * enforced by the id registry per batch.
+    *
+    * {{{
+    * stream.writeStream
+    *   .option("checkpointLocation", ckpt)
+    *   .foreachBatch(Curation.sink(stores))
+    *   .start()
+    * }}}
+    */
+  def sink(stores: Stores,
+           modalities: DataFrame => ModalityFrames = _ => ModalityFrames(),
+           jThresh: Double = 0.6, cosThresh: Double = 0.35,
+           k: Int = 2, bands: Int = 8, rows: Int = 2,
+           hashBands: Int = 8, hashMaxDist: Int = 6)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => {
+      val b = batch.toDF()
+      val m = modalities(b)
+      commitTranche(b, batchId, stores, m.imgHashes, m.audHashes,
+        m.vidFrames, m.embeddings, jThresh, cosThresh, k, bands, rows,
+        hashBands, hashMaxDist)
+      ()
+    }
+
+  /** Cross-store invariant audit — read-only, lock-free: one row per
+    * applicable check, (check, status, n, detail), status ∈ ok /
+    * pending / violation. "pending" marks states the next maintenance
+    * pass resolves BY DESIGN (unapplied tombstones, a crashed splitCell
+    * awaiting [[IvfIndex.rewrite]], a held writer lock); "violation"
+    * marks states no pass repairs silently — unregistered ids, member
+    * contents missing from their sets table, vector cells absent from
+    * the codebook, tombstoned rows surviving a watermark that claims
+    * they were erased. Those are the silent-corruption shapes the init
+    * markers and geometry guards exist to REFUSE going forward; fsck
+    * makes them visible in a deployment that predates the guards or
+    * was mutated outside the API. Every scan is key-only (ids, content
+    * hashes, cell ids — no payload column is read), and independent
+    * checks run concurrently, so the audit is schedulable at any
+    * cadence like [[storeCensus]].
+    */
+  def fsck(spark: SparkSession, stores: Stores): DataFrame = {
+    import spark.implicits._
+    val reg = s"${stores.ledger}.ids"
+    val regIds =
+      if (exists(spark, reg))
+        Some(spark.read.parquet(reg).select("doc_id"))
+      else None
+    val tomb =
+      if (exists(spark, tombstonesDir(stores)))
+        Some(spark.read.parquet(tombstonesDir(stores))
+          .select("doc_id").dropDuplicates())
+      else None
+    val nTombs = tomb.fold(0L)(_.count())
+    // tombstoned rows found physical: scheduled work if the store's
+    // watermark says erasure is still owed, corruption if it claims
+    // the erasure already ran
+    def tombStatus(n: Long, root: String): String =
+      if (n == 0) "ok"
+      else if (appliedCount(spark, root) >= nTombs) "violation"
+      else "pending"
+    var checks = Seq.empty[() => Option[(String, String, Long, String)]]
+    def add(t: => Option[(String, String, Long, String)]): Unit =
+      checks :+= (() => t)
+    if (exists(spark, stores.ledger)) {
+      def led = Ledger.read(spark, stores.ledger).select("doc_id")
+      add(regIds.map { r =>
+        val n = led.join(r, Seq("doc_id"), "left_anti").count()
+        ("ledger_ids_registered", if (n == 0) "ok" else "violation", n,
+          "ledger doc_ids missing from the id registry")
+      })
+      add(tomb.map { t =>
+        val n = led.join(t, Seq("doc_id"), "left_semi").count()
+        ("ledger_tombstoned_rows", tombStatus(n, stores.ledger), n,
+          "ledger rows carrying retracted ids")
+      })
+    }
+    if (exists(spark, s"${stores.textIndex}/members")) {
+      def mem = spark.read.parquet(s"${stores.textIndex}/members")
+        .select(col("id").as("doc_id"), col("ch"))
+      add(regIds.map { r =>
+        val n = mem.select("doc_id")
+          .join(r, Seq("doc_id"), "left_anti").count()
+        ("text_members_registered", if (n == 0) "ok" else "violation", n,
+          "text member ids missing from the id registry")
+      })
+      add(tomb.map { t =>
+        val n = mem.select("doc_id")
+          .join(t, Seq("doc_id"), "left_semi").count()
+        ("text_tombstoned_members", tombStatus(n, stores.textIndex), n,
+          "text member rows carrying retracted ids")
+      })
+      add(Some {
+        val n = mem.select("ch").dropDuplicates()
+          .join(spark.read.parquet(s"${stores.textIndex}/sets")
+            .select("ch"), Seq("ch"), "left_anti").count()
+        ("text_contents_in_sets", if (n == 0) "ok" else "violation", n,
+          "member contents absent from the sets table")
+      })
+    }
+    if (exists(spark, s"${stores.embedding}/centroids")) {
+      if (IvfIndex.splitInFlight(spark, stores.embedding))
+        add(Some(("ivf_split_inflight", "pending", 1L,
+          "splitCell mid-mutation; run IvfIndex.rewrite to recover")))
+      else add(Some {
+        val n = spark.read.parquet(s"${stores.embedding}/vectors")
+          .select("cell").dropDuplicates()
+          .join(spark.read.parquet(s"${stores.embedding}/centroids")
+            .select("cell"), Seq("cell"), "left_anti").count()
+        ("ivf_cells_in_codebook", if (n == 0) "ok" else "violation", n,
+          "vector cells absent from the codebook")
+      })
+    }
+    maintenanceUnits(spark, stores).filter(_.erasable).foreach { u =>
+      add(Some {
+        val a = appliedCount(spark, u.root)
+        (s"${u.name}_watermark",
+          if (a <= nTombs) "ok" else "violation",
+          math.max(0L, a - nTombs),
+          "tombstones-applied watermark vs the tombstone count")
+      })
+    }
+    if (exists(spark, lockPath(stores)))
+      add(Some(("writer_lock", "pending", 1L,
+        "a mutating pass holds (or crashed holding) the writer lock")))
+    StoreSwap.concurrentlyAll(checks).flatten
+      .toDF("check", "status", "n", "detail").orderBy("check")
+  }
+
   private def compactIdRegistry(spark: SparkSession, dir: String): Unit = {
     val tmp = StoreSwap.prepareTmp(spark, s"$dir.compact")
     spark.read.parquet(dir).dropDuplicates("doc_id", "tranche")

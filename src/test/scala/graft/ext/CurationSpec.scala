@@ -560,6 +560,46 @@ class CurationSpec extends SparkSpec {
       3L, stores)
   }
 
+  test("fsck: healthy ok, erasure backlog pending, corruption violation") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 300)
+    val stores = freshStores()
+    Curation.commitTranche(docs, 0L, stores)
+    def fsckMap() = Curation.fsck(spark, stores).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val healthy = fsckMap()
+    assert(healthy.nonEmpty && healthy.values.forall(_._1 == "ok"),
+      s"healthy deployment flagged: $healthy")
+    assert(healthy.contains("ledger_ids_registered") &&
+      healthy.contains("text_members_registered") &&
+      healthy.contains("text_contents_in_sets"), s"checks missing: $healthy")
+    // a retraction before its maintain is SCHEDULED work, not damage
+    val gone = docs.orderBy("doc_id").limit(2).select("doc_id")
+    Curation.retract(spark, gone, stores)
+    val backlog = fsckMap()
+    assert(backlog("text_tombstoned_members")._1 == "pending" &&
+      backlog("ledger_tombstoned_rows")._1 == "pending",
+      s"erasure backlog not pending: $backlog")
+    Curation.maintain(spark, stores)
+    assert(fsckMap().values.forall(_._1 == "ok"),
+      s"post-maintain deployment flagged: ${fsckMap()}")
+    // rows mutated in OUTSIDE the API: a ledger row for a retracted id
+    // after its erasure ran (the watermark says applied — violation,
+    // not backlog) and one for an id no tranche ever registered
+    val goneId = gone.collect().map(_.getLong(0)).min
+    Ledger.append(
+      Seq(goneId -> "kept", 999999999L -> "kept").toDF("doc_id", "decision"),
+      99L, "text", stores.ledger)
+    val corrupt = fsckMap()
+    assert(corrupt("ledger_tombstoned_rows") == (("violation", 1L)),
+      s"post-watermark tombstoned row not a violation: $corrupt")
+    assert(corrupt("ledger_ids_registered") == (("violation", 1L)),
+      s"unregistered ledger id not a violation: $corrupt")
+    assert(corrupt("text_members_registered")._1 == "ok",
+      s"text checks disturbed: $corrupt")
+  }
+
   test("the writer lock refuses a concurrent mutating pass until broken") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")

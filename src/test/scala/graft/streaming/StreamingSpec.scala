@@ -907,6 +907,48 @@ class StreamingSpec extends SparkSpec {
     corpusEmb.unpersist(); corpus.unpersist(); ()
   }
 
+  test("Curation.sink: foreachBatch commits each micro-batch as the tranche batchId") {
+    import graft.ext.{Curation, Ledger}
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 90)
+    val srcDir = Files.createTempDirectory("sinkdocs").toString
+    val root = Files.createTempDirectory("sinkstores").toString
+    val stores = Curation.Stores(s"$root/text", s"$root/img", s"$root/aud",
+      s"$root/vid", s"$root/emb", s"$root/led")
+    // file 1: the even docs; file 2: the odd docs plus a byte-identical
+    // copy of one even doc under a fresh id — whichever batch arrives
+    // second must judge its copy exact_dup against the other's standing
+    val copySrc = docs.filter(col("doc_id") % 2 === 0)
+      .orderBy("doc_id").limit(1)
+    val origId = copySrc.collect()(0).getLong(0)
+    val copyId = origId + 1000000L
+    docs.filter(col("doc_id") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    docs.filter(col("doc_id") % 2 === 1)
+      .unionAll(copySrc.select(lit(copyId).as("doc_id"), col("text")))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("sinkckpt").toString)
+      .foreachBatch(Curation.sink(stores))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val led = Ledger.read(spark, stores.ledger)
+    assert(led.select("tranche").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(0L, 1L),
+      "batchIds did not become trancheIds")
+    assert(led.count() == docs.count() + 1)
+    val pair = led.filter(col("doc_id").isin(origId, copyId)).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(pair.keySet == Set("kept", "exact_dup"),
+      s"cross-batch copy pair verdicts: $pair")
+    assert(pair("kept") < pair("exact_dup"),
+      s"first-seen inverted across batches: $pair")
+  }
+
   test("streaming perceptual dedup: hash-layer probe per microbatch equals monolithic") {
     // the x115 contract under a real stream — the multimodal twin of
     // the LSH maintenance test above: each microbatch of images (their
