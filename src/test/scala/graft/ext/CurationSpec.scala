@@ -600,6 +600,67 @@ class CurationSpec extends SparkSpec {
       s"text checks disturbed: $corrupt")
   }
 
+  test("model check: a random commit/retract/maintain sequence matches first-seen-over-live") {
+    import spark.implicits._
+    // seeded, so the sequence is deterministic run to run. Contents use
+    // DISJOINT vocabularies (Jaccard 0 across contents), so the only
+    // decisions in play are kept / exact_dup and the model is exact:
+    // a doc is exact_dup iff its content is held by a LIVE standing doc
+    // at commit time, or an earlier (min doc_id) copy rides the same
+    // tranche. Maintenance passes anywhere in the sequence must change
+    // nothing, and fsck must never see a violation.
+    val rnd = new scala.util.Random(42)
+    val stores = freshStores()
+    val contents = (0 until 12).map(i => s"w${i}a w${i}b w${i}c w${i}d w${i}e")
+    var nextId = 0L
+    val committed = scala.collection.mutable.Map[Long, Seq[(Long, String)]]()
+    val retracted = scala.collection.mutable.Set[Long]()
+    val expected = scala.collection.mutable.Map[Long, (String, Long)]()
+    for (t <- 0L until 8L) {
+      val docs = (0 until 25).map { _ =>
+        nextId += 1
+        (nextId, contents(rnd.nextInt(contents.size)))
+      }
+      val live = committed.filterNot(kv => retracted(kv._1))
+        .values.flatten.map(_._2).toSet
+      val minOf = docs.groupBy(_._2).map { case (c, g) =>
+        c -> g.map(_._1).min }
+      docs.foreach { case (id, c) =>
+        expected(id) =
+          (if (live(c) || id != minOf(c)) "exact_dup" else "kept", t)
+      }
+      committed(t) = docs
+      Curation.commitTranche(docs.toDF("doc_id", "text"), t, stores)
+      if (rnd.nextDouble() < 0.4) {
+        val victims = committed.keys.filterNot(retracted).filter(_ < t)
+          .toSeq.sorted
+        if (victims.nonEmpty) {
+          val v = victims(rnd.nextInt(victims.size))
+          Curation.retractTranche(spark, v, stores)
+          retracted += v
+          committed(v).foreach(d => expected.remove(d._1))
+        }
+      }
+      rnd.nextInt(3) match {
+        case 0 => Curation.maintain(spark, stores)
+        case 1 => Curation.maintainDue(spark, stores,
+          maxFilesPerBucket = 2); ()
+        case _ =>
+      }
+      val viol = Curation.fsck(spark, stores)
+        .filter(col("status") === "violation").collect()
+      assert(viol.isEmpty,
+        s"fsck violation after step $t: ${viol.mkString(", ")}")
+    }
+    val led = Ledger.read(spark, stores.ledger).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val diff = (led.keySet ++ expected.keySet)
+      .filter(k => led.get(k) != expected.get(k))
+    assert(diff.isEmpty,
+      s"ledger diverged from the model at ids ${diff.take(5)}: " +
+        s"${diff.take(5).map(k => k -> ((led.get(k), expected.get(k))))}")
+  }
+
   test("the writer lock refuses a concurrent mutating pass until broken") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
