@@ -52,7 +52,7 @@ object Bench {
     "ledger_kernels_build", "unigram_train_build",
     "curation_bootstrap_build", "curation_commit_build",
     "phash_index_build", "videoseq_index_build", "commit_sequence_build",
-    "retraction_build")
+    "retraction_build", "fsck_audit_build")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -193,6 +193,15 @@ object Bench {
       System.err.println(s"[bench] retraction warm failed: ${e.getMessage}")
     }
     val rtSec = (System.nanoTime() - tRt0) / 1e9
+    // the fsck deployment (x127): two commits + a retraction frozen
+    // BEFORE maintenance, so the declared audit row reads a mixed
+    // ok/pending report
+    val tFa0 = System.nanoTime()
+    try graft.queries.ExtQueries.warmFsck(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] fsck-audit warm failed: ${e.getMessage}")
+    }
+    val faSec = (System.nanoTime() - tFa0) / 1e9
     // the production ingestion loop itself (Curation.commitTranche),
     // timed end-to-end in two line items following the x87 discipline:
     // the one-time deployment bootstrap (IVF codebook training on the
@@ -295,7 +304,8 @@ object Bench {
       ("ledger_kernels_build" -> lkSec) + ("unigram_train_build" -> utSec) +
       ("curation_bootstrap_build" -> cbSec) + ("curation_commit_build" -> ccSec) +
       ("phash_index_build" -> piSec) + ("videoseq_index_build" -> viSec) +
-      ("commit_sequence_build" -> csSec) + ("retraction_build" -> rtSec)
+      ("commit_sequence_build" -> csSec) + ("retraction_build" -> rtSec) +
+      ("fsck_audit_build" -> faSec)
     // Regression gate vs the previous round's bench (VERDICT r4 #9,
     // repaired per VERDICT r5 #1): any query >2x its prior min is flagged
     // loudly NOW, in-round. Prev defaults to the committed bench_full.json

@@ -915,10 +915,23 @@ object Curation {
     * Cross-tranche id uniqueness remains the producer's contract,
     * enforced by the id registry per batch.
     *
+    * `maintainEvery = n` (> 0) runs [[maintainDue]] after every n-th
+    * batch commits, so a long-running stream schedules its own
+    * compaction instead of drifting until an operator notices:
+    * due-ness stays METADATA-only (file counts + tombstone
+    * watermarks), so the steady-state check costs file listings, and
+    * a pass compacts only the stores that actually drifted. The
+    * maintenance window shares the batch's single-writer slot — the
+    * engine serializes foreachBatch invocations, so the lock can
+    * never contend with the stream's own next commit. On a restart
+    * replay the batch re-commits first (the idempotent contract
+    * above); re-running a due check after it is harmless — a pass
+    * that already ran leaves nothing due.
+    *
     * {{{
     * stream.writeStream
     *   .option("checkpointLocation", ckpt)
-    *   .foreachBatch(Curation.sink(stores))
+    *   .foreachBatch(Curation.sink(stores, maintainEvery = 96))
     *   .start()
     * }}}
     */
@@ -926,7 +939,8 @@ object Curation {
            modalities: DataFrame => ModalityFrames = _ => ModalityFrames(),
            jThresh: Double = 0.6, cosThresh: Double = 0.35,
            k: Int = 2, bands: Int = 8, rows: Int = 2,
-           hashBands: Int = 8, hashMaxDist: Int = 6)
+           hashBands: Int = 8, hashMaxDist: Int = 6,
+           maintainEvery: Int = 0, maxFilesPerBucket: Int = 8)
       : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
     (batch, batchId) => {
       val b = batch.toDF()
@@ -934,6 +948,8 @@ object Curation {
       commitTranche(b, batchId, stores, m.imgHashes, m.audHashes,
         m.vidFrames, m.embeddings, jThresh, cosThresh, k, bands, rows,
         hashBands, hashMaxDist)
+      if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
+        maintainDue(b.sparkSession, stores, maxFilesPerBucket)
       ()
     }
 

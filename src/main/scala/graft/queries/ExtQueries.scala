@@ -7751,6 +7751,83 @@ object ExtQueries {
       |)
       |ORDER BY store, metric""".stripMargin
 
+  // --- x127: fsck (the cross-store invariant audit under the hash gate) ----------------
+
+  /** [[graft.ext.Curation.fsck]] itself as a declared row: the audit
+    * runs over a deployment frozen MID-LIFECYCLE — tranche 0 committed,
+    * tranche 1 committed, tranche 0 retracted, NO maintenance yet — so
+    * its output is the exact mixed report an operator sees between a
+    * takedown and the next scheduled [[graft.ext.Curation.maintainDue]]
+    * pass: every referential check ok (ids registered, contents in
+    * their sets table), the ledger already clean (retraction drops the
+    * tranche's partitions eagerly), and exactly ONE pending row —
+    * `text_tombstoned_members`, counting tranche 0's member rows still
+    * physical because their erasure is owed to maintenance. The oracle
+    * replays that count from the corpus (tranche-0 docs with >= 2
+    * tokens, the minhashable set) and pins the rest of the report
+    * literally, so a tombstone that leaks into the ledger, a watermark
+    * that over-advances, or a check that silently disappears all
+    * diverge. Built once per (session, corpus); Bench prices the build
+    * as `fsck_audit_build`.
+    */
+  private val fsckCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.ext.Curation.Stores]()
+
+  private def fsckStores(spark: SparkSession,
+                         sfDir: String): graft.ext.Curation.Stores = {
+    fsckCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    fsckCache.computeIfAbsent((spark, sfDir),
+      (key: (SparkSession, String)) => {
+        val docs = Tables.documents(key._1, key._2).select("doc_id", "text")
+        val root = java.nio.file.Files.createTempDirectory("x127fsck").toString
+        val stores = graft.ext.Curation.Stores(s"$root/text", s"$root/img",
+          s"$root/aud", s"$root/vid", s"$root/emb", s"$root/led")
+        graft.ext.Curation.commitTranche(
+          docs.filter(col("doc_id") % 5 === 1), 0L, stores)
+        graft.ext.Curation.commitTranche(
+          docs.filter(col("doc_id") % 5 === 2), 1L, stores)
+        graft.ext.Curation.retractTranche(key._1, 0L, stores)
+        stores
+      })
+  }
+
+  def warmFsck(spark: SparkSession, sfDir: String): Unit = {
+    fsckStores(spark, sfDir); ()
+  }
+
+  val x127Fsck: Q = (spark, sfDir) =>
+    graft.ext.Curation.fsck(spark, fsckStores(spark, sfDir))
+
+  private val x127Sql =
+    """WITH pend AS (
+      |  SELECT count(*) AS n FROM documents
+      |  WHERE doc_id % 5 = 1 AND length(string_split(text, ' ')) >= 2
+      |)
+      |SELECT * FROM (
+      |  SELECT 'ledger_ids_registered' AS "check", 'ok' AS status,
+      |    CAST(0 AS BIGINT) AS n,
+      |    'ledger doc_ids missing from the id registry' AS detail
+      |  UNION ALL
+      |  SELECT 'ledger_tombstoned_rows', 'ok', 0,
+      |    'ledger rows carrying retracted ids'
+      |  UNION ALL
+      |  SELECT 'ledger_watermark', 'ok', 0,
+      |    'tombstones-applied watermark vs the tombstone count'
+      |  UNION ALL
+      |  SELECT 'text_contents_in_sets', 'ok', 0,
+      |    'member contents absent from the sets table'
+      |  UNION ALL
+      |  SELECT 'text_index_watermark', 'ok', 0,
+      |    'tombstones-applied watermark vs the tombstone count'
+      |  UNION ALL
+      |  SELECT 'text_members_registered', 'ok', 0,
+      |    'text member ids missing from the id registry'
+      |  UNION ALL
+      |  SELECT 'text_tombstoned_members', 'pending', (SELECT n FROM pend),
+      |    'text member rows carrying retracted ids'
+      |)
+      |ORDER BY "check"""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -7879,7 +7956,8 @@ object ExtQueries {
     "x123_crossmodal_policy" -> x123CrossmodalPolicy,
     "x124_commit_sequence" -> x124CommitSequence,
     "x125_retraction" -> x125Retraction,
-    "x126_store_census" -> x126StoreCensus)
+    "x126_store_census" -> x126StoreCensus,
+    "x127_fsck" -> x127Fsck)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -8007,5 +8085,6 @@ object ExtQueries {
     "x123_crossmodal_policy" -> x123Sql,
     "x124_commit_sequence" -> x124Sql,
     "x125_retraction" -> x125Sql,
-    "x126_store_census" -> x126Sql)
+    "x126_store_census" -> x126Sql,
+    "x127_fsck" -> x127Sql)
 }

@@ -949,6 +949,54 @@ class StreamingSpec extends SparkSpec {
       s"first-seen inverted across batches: $pair")
   }
 
+  test("Curation.sink maintainEvery: the stream schedules its own compaction without changing verdicts") {
+    import graft.ext.{Curation, Ledger}
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 120)
+    val srcDir = Files.createTempDirectory("msinkdocs").toString
+    (0 until 4).foreach { i =>
+      docs.filter(col("doc_id") % 4 === i)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    def run(maintainEvery: Int): Curation.Stores = {
+      val root = Files.createTempDirectory("msinkstores").toString
+      val stores = Curation.Stores(s"$root/text", s"$root/img",
+        s"$root/aud", s"$root/vid", s"$root/emb", s"$root/led")
+      val q = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("msinkckpt").toString)
+        .foreachBatch(Curation.sink(stores, maintainEvery = maintainEvery,
+          maxFilesPerBucket = 1))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      stores
+    }
+    val maintained = run(maintainEvery = 2)
+    val plain = run(maintainEvery = 0)
+    // the scheduled passes changed NOTHING observable in the verdicts
+    val a = Ledger.read(spark, maintained.ledger)
+      .orderBy("doc_id").collect().toSeq
+    val b = Ledger.read(spark, plain.ledger)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b, "maintainEvery changed the committed ledger")
+    // ...but the maintained deployment ended compacted: the last batch
+    // (batchId 3, (3+1) % 2 == 0) ran maintainDue at the same
+    // aggressive threshold, so nothing can still be due, while the
+    // unmaintained one carries per-batch append amplification
+    val dueAfter = Curation.maintenanceReport(spark, maintained,
+        maxFilesPerBucket = 1)
+      .filter(col("due")).count()
+    assert(dueAfter == 0, "scheduled maintenance left drifted stores")
+    val duePlain = Curation.maintenanceReport(spark, plain,
+        maxFilesPerBucket = 1)
+      .filter(col("due")).count()
+    assert(duePlain > 0,
+      "4-batch append amplification should trip the aggressive threshold")
+  }
+
   test("streaming perceptual dedup: hash-layer probe per microbatch equals monolithic") {
     // the x115 contract under a real stream — the multimodal twin of
     // the LSH maintenance test above: each microbatch of images (their
