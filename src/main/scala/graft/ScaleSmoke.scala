@@ -834,6 +834,43 @@ object ScaleSmoke {
       f"post-commit due=${due.mkString("+")} in $dueSec%.1fs, " +
       "second pass empty")
 
+    // --- epoch-sliced takedown exclusion: commits never re-pay lifetime ------
+    // The maintain above physically applied tombstone epoch 1
+    // everywhere and advanced every watermark. A new micro-retraction
+    // lands as epoch 2; the structures a commit reads must both be
+    // slice-shaped: (a) the exclusion read (`epoch > applied`) pushes
+    // to the parquet scan and returns ONLY the new batch — applied
+    // retraction files never decode (each batch lands as fresh
+    // constant-epoch files, so the footer max kills them) — and
+    // (b) the recommit guard's read prunes to the tranche's touched id
+    // buckets as literal partition filters, like every other standing
+    // store. Together: per-commit takedown cost tracks traffic since
+    // the last maintenance, not lifetime takedowns.
+    Curation.retract(spark,
+      spark.range(2).select((col("id") + 920000000L).as("doc_id")),
+      curStores)
+    val tombV2 = spark.read.parquet(s"${curStores.ledger}.tombstones")
+    val tombSlice = tombV2.filter(col("epoch") > 1L).select("doc_id")
+    require(tombSlice.count() == 2,
+      "unapplied tombstone slice is not the new batch alone")
+    val slicePushed = fileScans(tombSlice.queryExecution.executedPlan)
+      .flatMap(_.metadata.get("PushedFilters"))
+    require(slicePushed.exists(_.contains("GreaterThan(epoch,1)")),
+      s"epoch slice filter not pushed to the scan: $slicePushed")
+    val guardIds = spark.range(2)
+      .select((col("id") + 920000000L).as("doc_id"))
+    val touched = guardIds
+      .select(pmod(xxhash64(col("doc_id")), lit(64L)).as("p"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val guardRead = tombV2.filter(col("idp").isin(touched: _*))
+    guardRead.count()
+    val gParts = fileScans(guardRead.queryExecution.executedPlan)
+      .map(_.selectedPartitions.partitionCount)
+    require(gParts.nonEmpty && gParts.forall(_ <= touched.length),
+      s"recommit-guard read not bucket-pruned: $gParts of 64")
+    println(s"takedown slice: epoch filter pushed, guard pruned to " +
+      s"${gParts.mkString("+")} of 64 buckets")
+
     // --- splitCell at scale: the hot cell heals without a full rewrite -------
     // The census block above left ivfDir with a 40k-vector hot append
     // in one cell (52.5k total there, 240k in store). splitCell must

@@ -293,8 +293,20 @@ object Curation {
     * and in the tombstone table forever — an id, once retracted, is
     * burned ([[commitTranche]] refuses to recommit it; content would
     * otherwise resurrect under an id whose history the ledger already
-    * recorded). The table grows only with lifetime retractions, so the
-    * per-commit anti-join stays id-sized, never corpus-sized.
+    * recorded). The table grows only with lifetime retractions — and a
+    * commit never pays for that lifetime: every retraction batch is
+    * stamped with a monotone `epoch` (allocated from a sidecar counter
+    * BEFORE the rows land, so a crashed retraction can only waste an
+    * epoch, never share one with rows a maintenance pass already
+    * applied), each store's maintenance records the max epoch it
+    * physically applied, and a commit's exclusion set is the UNAPPLIED
+    * slice (`epoch > min(applied)`) — bounded by takedown traffic
+    * since the last maintenance, not by lifetime takedowns. Because a
+    * retraction writes its batch as fresh files with one constant
+    * epoch, the slice read prunes applied files at the parquet-footer
+    * level; the recommit guard (which must see every retracted id
+    * forever) reads the table through its id-bucket partitions with
+    * the tranche's touched buckets pushed as literal filters.
     *
     * Doc-level ledger rows are scrubbed at the next maintain (they may
     * be scattered across tranche partitions); [[retractTranche]] drops
@@ -311,11 +323,70 @@ object Curation {
     // re-bootstrap a registry holding only THESE ids, silently
     // restoring every earlier retracted doc's verdict influence
     guardedExists(spark, dir, Seq(""), "tombstone registry")
+    migrateTombstonesIfV1(spark, stores)
+    // claim the epoch BEFORE any row lands: a crash between the two
+    // leaves an unused epoch (harmless), while the reverse order could
+    // let a re-run share an epoch with rows an interleaved maintenance
+    // pass already applied — those rows would be sliced OUT of future
+    // exclusion sets while still physical. The table's own max is the
+    // floor too: a lost sidecar counter must never re-issue an epoch a
+    // maintenance pass may already have recorded as applied.
+    val epoch = math.max(readEpochMark(spark, dir),
+      maxEpochOf(readTombstoneRows(spark, stores))) + 1L
+    writeEpochMark(spark, dir, epoch)
     ids.select(col(ids.columns.head).cast("long").as("doc_id"))
       .dropDuplicates("doc_id")
+      .withColumn("epoch", lit(epoch))
+      .withColumn("idp", StoreLayout.part(col("doc_id")))
       .coalesce(1)
-      .write.mode("append").parquet(dir)
+      .write.mode("append").partitionBy("idp").parquet(dir)
     markInit(spark, dir)
+  }
+
+  /** One-time upgrade of a pre-epoch tombstone table (flat doc_id
+    * rows): rewrite as (doc_id, epoch = 1) under id-bucket partitions
+    * through the shared [[StoreSwap]] discipline and set the epoch
+    * counter to 1. Stores' legacy count-format applied watermarks are
+    * NOT translated — [[appliedEpoch]] reads them as 0 (nothing
+    * provably applied in epoch terms), which is conservative: the next
+    * maintenance re-applies and writes the epoch-format watermark.
+    */
+  private def migrateTombstonesIfV1(spark: SparkSession,
+                                    stores: Stores): Unit = {
+    val dir = tombstonesDir(stores)
+    if (!exists(spark, dir)) return
+    if (spark.read.parquet(dir).schema.fieldNames.contains("epoch")) return
+    val tmp = StoreSwap.prepareTmp(spark, s"$dir.migrate")
+    spark.read.parquet(dir).select(col("doc_id"))
+      .dropDuplicates("doc_id")
+      .withColumn("epoch", lit(1L))
+      .withColumn("idp", StoreLayout.part(col("doc_id")))
+      .coalesce(1)
+      .write.partitionBy("idp").parquet(tmp)
+    StoreSwap.swap(spark, dir, tmp)
+    writeEpochMark(spark, dir, 1L)
+  }
+
+  // the epoch allocation counter, in a sidecar the table swaps never
+  // touch; monotone non-decreasing is the only contract
+  private def epochMark(dir: String) = s"$dir.epoch"
+  private def readEpochMark(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(epochMark(dir))
+    val fs = StoreSwap.fsOf(spark, dir)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      val buf = new Array[Byte](64)
+      val n = math.max(0, in.read(buf)); in.close()
+      try new String(buf, 0, n, "UTF-8").trim.toLong
+      catch { case _: NumberFormatException => 0L }
+    }
+  }
+  private def writeEpochMark(spark: SparkSession, dir: String,
+                             e: Long): Unit = {
+    val out = StoreSwap.fsOf(spark, dir)
+      .create(new org.apache.hadoop.fs.Path(epochMark(dir)), true)
+    out.write(e.toString.getBytes("UTF-8")); out.close()
   }
 
   /** [[retract]] a whole committed tranche: its ids come from the id
@@ -335,18 +406,34 @@ object Curation {
       Ledger.dropTranche(spark, stores.ledger, trancheId)
     }
 
-  /** The standing tombstones (retracted doc_ids), or None if nothing
-    * was ever retracted. Marker-guarded like every standing store: an
-    * initialized tombstone registry gone missing REFUSES instead of
-    * silently resurrecting every retracted doc.
+  /** The raw tombstone rows (doc_id, epoch) — duplicates across epochs
+    * possible (a re-run retraction re-appends under a fresh epoch), a
+    * pre-epoch table normalized to epoch 1. Marker-guarded like every
+    * standing store: an initialized tombstone registry gone missing
+    * REFUSES instead of silently resurrecting every retracted doc.
+    */
+  private def readTombstoneRows(spark: SparkSession,
+                                stores: Stores): Option[DataFrame] = {
+    val dir = tombstonesDir(stores)
+    if (guardedExists(spark, dir, Seq(""), "tombstone registry")) {
+      val raw = spark.read.parquet(dir)
+      Some(
+        if (raw.schema.fieldNames.contains("epoch"))
+          // keep the id-bucket partition column when present so a
+          // caller's bucket filter prunes at the partition level
+          raw.select(raw.columns.filter(
+            Set("doc_id", "epoch", "idp")).map(col).toIndexedSeq: _*)
+        else raw.select(col("doc_id"), lit(1L).as("epoch")))
+    } else None
+  }
+
+  /** The standing tombstones as distinct retracted doc_ids, or None if
+    * nothing was ever retracted.
     */
   private def readTombstones(spark: SparkSession,
-                             stores: Stores): Option[DataFrame] = {
-    val dir = tombstonesDir(stores)
-    if (guardedExists(spark, dir, Seq(""), "tombstone registry"))
-      Some(spark.read.parquet(dir).dropDuplicates("doc_id"))
-    else None
-  }
+                             stores: Stores): Option[DataFrame] =
+    readTombstoneRows(spark, stores)
+      .map(_.select("doc_id").dropDuplicates("doc_id"))
 
   /** Commit one tranche: guards → probe → ledger append → store
     * appends → id registry → init markers. Returns the multimodal
@@ -426,7 +513,7 @@ object Curation {
     if (imgUp && imgHashes.nonEmpty) hashGeomGuard(stores.image, "image")
     if (audUp && audHashes.nonEmpty) hashGeomGuard(stores.audio, "audio")
     val ids = docs.select(col("doc_id")).localCheckpoint()
-    val tombs = readTombstones(spark, stores)
+    val tombRows = readTombstoneRows(spark, stores)
     // the remaining guards are independent tranche-bounded jobs — run
     // them concurrently (all must pass before any write; none writes)
     StoreSwap.concurrently(
@@ -438,10 +525,20 @@ object Curation {
       // registry's re-use check (it stays registered forever), but the
       // operator must hear "retracted", not "re-used" — settled-failure
       // rethrow surfaces the first listed failure
-      () => tombs.foreach { t =>
+      () => tombRows.foreach { t =>
         // a retracted id is burned: recommitting it would resurrect
-        // content under an id whose history the ledger already recorded
-        val hit = t.join(ids, Seq("doc_id"), "left_semi").limit(1).collect()
+        // content under an id whose history the ledger already
+        // recorded. This guard must see every retracted id EVER, but
+        // never the whole table: the v2 layout is partitioned by id
+        // bucket, so the tranche's touched buckets (≤ StoreLayout
+        // .Parts literals) prune the scan
+        val side =
+          if (t.columns.contains("idp"))
+            t.filter(col("idp")
+              .isin(StoreLayout.partsOf(ids, col("doc_id")): _*))
+          else t
+        val hit = side.join(ids, Seq("doc_id"), "left_semi")
+          .limit(1).collect()
         if (hit.nonEmpty)
           throw new IllegalArgumentException(
             s"tranche $trancheId carries retracted doc_id " +
@@ -450,11 +547,26 @@ object Curation {
       },
       () => idRegistryGuard(spark, ids, trancheId, stores.ledger))
     // the standing-side exclusion set: the tranche's own ids (the
-    // failed-commit re-run self-exclusion) ∪ every retracted id (their
-    // rows remain physical until the next maintain but must never
-    // influence a verdict again)
-    val excl = tombs.fold(ids)(t =>
-      ids.unionByName(t.select("doc_id")).localCheckpoint())
+    // failed-commit re-run self-exclusion) ∪ the UNAPPLIED tombstone
+    // slice — retracted ids whose rows may remain physical in SOME
+    // probed store until its next maintenance. Epochs at or below
+    // every probed store's applied watermark were erased everywhere
+    // (the maintenance passes advance the watermark only after the
+    // physical rewrite), so the slice is bounded by takedown traffic
+    // since the last maintenance, not by lifetime takedowns; its read
+    // prunes applied files at the parquet footer (each retraction
+    // batch lands as fresh constant-epoch files).
+    val exclApplied = {
+      val probed = maintenanceUnits(spark, stores)
+        .filter(u => u.erasable && u.name != "ledger")
+      if (probed.isEmpty) 0L
+      else probed.map(u => appliedEpoch(spark, u.root)).min
+    }
+    val excl = tombRows.fold(ids)(t =>
+      ids.unionByName(
+        t.filter(col("epoch") > exclApplied)
+          .select("doc_id").dropDuplicates("doc_id"))
+        .localCheckpoint())
     // ---- verdict derivation ------------------------------------------
     // materialize TRANCHE-side inputs once: the verdict plan references
     // the tranche's MinHash pipeline several times, and the tranche
@@ -655,10 +767,27 @@ object Curation {
       // the table (dedup + single file) — the table itself is permanent
       units += MaintUnit("tombstones", tomb, Seq(tomb), erasable = false,
         _ => {
+          // collapse re-run duplicates to each doc's EARLIEST epoch
+          // (the retraction that actually suppressed it — later
+          // duplicate epochs are vacuous) and rewrite under the v2
+          // id-bucket layout. Compacted files mix epochs, which is
+          // fine: by the time this runs the pass has applied every
+          // epoch present, so slice reads (`epoch > applied`) skip
+          // the whole compacted file on its footer max.
+          val raw = spark.read.parquet(tomb)
+          val rows =
+            if (raw.schema.fieldNames.contains("epoch"))
+              raw.groupBy("doc_id")
+                .agg(org.apache.spark.sql.functions.min("epoch")
+                  .as("epoch"))
+            else raw.select(col("doc_id"), lit(1L).as("epoch"))
+              .dropDuplicates("doc_id")
           val tmp = StoreSwap.prepareTmp(spark, s"$tomb.compact")
-          spark.read.parquet(tomb).dropDuplicates("doc_id")
-            .coalesce(1).write.parquet(tmp)
+          rows.withColumn("idp", StoreLayout.part(col("doc_id")))
+            .coalesce(1).write.partitionBy("idp").parquet(tmp)
           StoreSwap.swap(spark, tomb, tmp)
+          if (readEpochMark(spark, tomb) < 1L)
+            writeEpochMark(spark, tomb, 1L)
         })
     units.result()
   }
@@ -684,13 +813,17 @@ object Curation {
     (files, math.max(1L, buckets.size.toLong))
   }
 
-  // tombstones-applied watermark: the distinct tombstone count a
-  // store's last compaction physically applied, in a sidecar the store
-  // swaps never touch. pending = current count - watermark; tombstones
-  // are append-only (retracted ids are permanent), so the count is a
-  // monotone clock.
+  // tombstones-applied watermark: the max tombstone EPOCH a store's
+  // last compaction physically applied, in a sidecar the store swaps
+  // never touch ("epoch:<N>"). pending = tombstone rows with epoch >
+  // watermark; epochs are monotone (the retraction counter), so the
+  // watermark is a clock. A legacy count-format marker (pre-epoch
+  // deployments wrote the applied distinct-id count) reads as 0 —
+  // "nothing provably applied in epoch terms" — which is conservative:
+  // commits over-exclude (a no-op against erased rows) and the next
+  // maintenance pass re-applies once and writes the epoch format.
   private def appliedMark(root: String) = s"$root.gcmark"
-  private def appliedCount(spark: SparkSession, root: String): Long = {
+  private def appliedEpoch(spark: SparkSession, root: String): Long = {
     val p = new org.apache.hadoop.fs.Path(appliedMark(root))
     val fs = StoreSwap.fsOf(spark, root)
     if (!fs.exists(p)) 0L
@@ -698,44 +831,55 @@ object Curation {
       val in = fs.open(p)
       val buf = new Array[Byte](64)
       val n = math.max(0, in.read(buf)); in.close()
-      try new String(buf, 0, n, "UTF-8").trim.toLong
-      catch { case _: NumberFormatException => 0L }
+      val s = new String(buf, 0, n, "UTF-8").trim
+      if (!s.startsWith("epoch:")) 0L
+      else
+        try s.stripPrefix("epoch:").toLong
+        catch { case _: NumberFormatException => 0L }
     }
   }
   private def markApplied(spark: SparkSession, root: String,
-                          n: Long): Unit = {
+                          e: Long): Unit = {
     val fs = StoreSwap.fsOf(spark, root)
     val out = fs.create(new org.apache.hadoop.fs.Path(appliedMark(root)),
       true)
-    out.write(n.toString.getBytes("UTF-8")); out.close()
+    out.write(s"epoch:$e".getBytes("UTF-8")); out.close()
   }
 
-  /** Per-store maintenance due-ness, decided from METADATA only — file
-    * counts per bucket (append amplification: every commit lands ~one
-    * file per touched partition) and the tombstones-applied watermark
-    * (erasure backlog) — so the report is free to run at any cadence
-    * against a 100 TB deployment; no data file is ever opened. One row
-    * per existing store: (store, files, buckets, files_per_bucket,
-    * tombstones_pending, due). The scan-based deep health view stays
-    * [[storeCensus]].
+  /** Per-store maintenance due-ness, decided from METADATA plus one
+    * tiny scan — file counts per bucket (append amplification: every
+    * commit lands ~one file per touched partition), the per-store
+    * applied-epoch watermarks, and a single epoch histogram of the
+    * id-sized tombstone table (one column, a handful of groups; files
+    * at or below every watermark prune at the footer) — so the report
+    * is free to run at any cadence against a 100 TB deployment; no
+    * corpus-sized file is ever opened. One row per existing store:
+    * (store, files, buckets, files_per_bucket, tombstones_pending,
+    * due), where `tombstones_pending` counts the tombstone rows whose
+    * epoch the store's watermark has not covered. The scan-based deep
+    * health view stays [[storeCensus]].
     */
   def maintenanceReport(spark: SparkSession, stores: Stores,
                         maxFilesPerBucket: Int = 8): DataFrame = {
     import spark.implicits._
     require(maxFilesPerBucket >= 1,
       s"maxFilesPerBucket must be >= 1, got $maxFilesPerBucket")
-    val nTombs = if (exists(spark, tombstonesDir(stores)))
-      spark.read.parquet(tombstonesDir(stores))
-        .select("doc_id").distinct().count()
-    else 0L
+    // epoch -> row count; group count is bounded by lifetime retract
+    // calls, so the collect is counter-sized, never corpus-sized
+    val hist: Seq[(Long, Long)] = readTombstoneRows(spark, stores)
+      .map(_.groupBy("epoch").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+      .getOrElse(Seq.empty)
     val rows = maintenanceUnits(spark, stores).map { u =>
       val stats = u.tables.map(fileStats(spark, _))
       val files = stats.map(_._1).sum
       val buckets = math.max(1L, stats.map(_._2).max)
       val perBucket = stats.map(s => s._1.toDouble / math.max(1L, s._2)).max
       val pending =
-        if (u.erasable) math.max(0L, nTombs - appliedCount(spark, u.root))
-        else 0L
+        if (u.erasable) {
+          val w = appliedEpoch(spark, u.root)
+          hist.filter(_._1 > w).map(_._2).sum
+        } else 0L
       (u.name, files, buckets, perBucket, pending,
         perBucket > maxFilesPerBucket || pending > 0)
     }
@@ -756,14 +900,15 @@ object Curation {
   def maintainDue(spark: SparkSession, stores: Stores,
                   maxFilesPerBucket: Int = 8): Seq[String] =
     withWriterLock(spark, stores, "maintainDue") {
-      val ts = readTombstones(spark, stores).map(_.localCheckpoint())
-      val nTombs = ts.fold(0L)(_.count())
+      val rows = readTombstoneRows(spark, stores).map(_.localCheckpoint())
+      val ts = rows.map(_.select("doc_id").dropDuplicates("doc_id"))
+      val applied = maxEpochOf(rows)
       val due = maintenanceReport(spark, stores, maxFilesPerBucket)
         .filter(col("due")).select("store").collect()
         .map(_.getString(0)).toSet
       maintenanceUnits(spark, stores).filter(u => due(u.name)).map { u =>
         u.compact(ts)
-        if (u.erasable) markApplied(spark, u.root, nTombs)
+        if (u.erasable) markApplied(spark, u.root, applied)
         u.name
       }
     }
@@ -786,12 +931,25 @@ object Curation {
     // rewritten, scattered doc-level ledger rows scrubbed. The
     // tombstone table itself is permanent (recommit refusal + re-run
     // safety); after this pass its probe-time anti-joins are no-ops.
-    val ts = readTombstones(spark, stores).map(_.localCheckpoint())
-    val nTombs = ts.fold(0L)(_.count())
+    val rows = readTombstoneRows(spark, stores).map(_.localCheckpoint())
+    val ts = rows.map(_.select("doc_id").dropDuplicates("doc_id"))
+    val applied = maxEpochOf(rows)
     maintenanceUnits(spark, stores).foreach { u =>
       u.compact(ts)
-      if (u.erasable) markApplied(spark, u.root, nTombs)
+      if (u.erasable) markApplied(spark, u.root, applied)
     }
+    }
+
+  /** The max epoch present in a checkpointed tombstone-row frame — the
+    * applied-watermark value a maintenance pass that consumed exactly
+    * this frame may record. Computed from the rows the pass ACTUALLY
+    * applied (not the sidecar counter, which may run ahead after a
+    * crashed retraction that claimed an epoch but wrote no rows).
+    */
+  private def maxEpochOf(rows: Option[DataFrame]): Long =
+    rows.fold(0L) { r =>
+      val m = r.agg(org.apache.spark.sql.functions.max("epoch")).collect()
+      if (m.isEmpty || m(0).isNullAt(0)) 0L else m(0).getLong(0)
     }
 
   /** Drop the rollback generations every swapping maintenance pass
@@ -976,18 +1134,22 @@ object Curation {
       if (exists(spark, reg))
         Some(spark.read.parquet(reg).select("doc_id"))
       else None
-    val tomb =
-      if (exists(spark, tombstonesDir(stores)))
-        Some(spark.read.parquet(tombstonesDir(stores))
-          .select("doc_id").dropDuplicates())
-      else None
-    val nTombs = tomb.fold(0L)(_.count())
+    val tombRows =
+      if (exists(spark, tombstonesDir(stores))) {
+        val raw = spark.read.parquet(tombstonesDir(stores))
+        Some(
+          if (raw.schema.fieldNames.contains("epoch"))
+            raw.select("doc_id", "epoch")
+          else raw.select(col("doc_id"), lit(1L).as("epoch")))
+      } else None
+    val tomb = tombRows.map(_.select("doc_id").dropDuplicates())
+    val tombMaxEpoch = maxEpochOf(tombRows)
     // tombstoned rows found physical: scheduled work if the store's
-    // watermark says erasure is still owed, corruption if it claims
-    // the erasure already ran
+    // applied-epoch watermark says erasure is still owed, corruption
+    // if it claims every epoch was already applied
     def tombStatus(n: Long, root: String): String =
       if (n == 0) "ok"
-      else if (appliedCount(spark, root) >= nTombs) "violation"
+      else if (appliedEpoch(spark, root) >= tombMaxEpoch) "violation"
       else "pending"
     var checks = Seq.empty[() => Option[(String, String, Long, String)]]
     def add(t: => Option[(String, String, Long, String)]): Unit =
@@ -1043,11 +1205,13 @@ object Curation {
     }
     maintenanceUnits(spark, stores).filter(_.erasable).foreach { u =>
       add(Some {
-        val a = appliedCount(spark, u.root)
+        // a watermark AHEAD of the newest tombstone epoch means the
+        // table lost rows the store already claims to have applied
+        val a = appliedEpoch(spark, u.root)
         (s"${u.name}_watermark",
-          if (a <= nTombs) "ok" else "violation",
-          math.max(0L, a - nTombs),
-          "tombstones-applied watermark vs the tombstone count")
+          if (a <= tombMaxEpoch) "ok" else "violation",
+          math.max(0L, a - tombMaxEpoch),
+          "tombstones-applied watermark vs the newest tombstone epoch")
       })
     }
     if (exists(spark, lockPath(stores)))

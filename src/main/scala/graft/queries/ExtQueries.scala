@@ -7812,13 +7812,13 @@ object ExtQueries {
       |    'ledger rows carrying retracted ids'
       |  UNION ALL
       |  SELECT 'ledger_watermark', 'ok', 0,
-      |    'tombstones-applied watermark vs the tombstone count'
+      |    'tombstones-applied watermark vs the newest tombstone epoch'
       |  UNION ALL
       |  SELECT 'text_contents_in_sets', 'ok', 0,
       |    'member contents absent from the sets table'
       |  UNION ALL
       |  SELECT 'text_index_watermark', 'ok', 0,
-      |    'tombstones-applied watermark vs the tombstone count'
+      |    'tombstones-applied watermark vs the newest tombstone epoch'
       |  UNION ALL
       |  SELECT 'text_members_registered', 'ok', 0,
       |    'text member ids missing from the id registry'

@@ -439,13 +439,20 @@ class CurationSpec extends SparkSpec {
     Curation.retract(spark, Seq(0L).toDF("doc_id"), stores)
     Curation.retract(spark, Seq(2L).toDF("doc_id"), stores)
     val tombDir = s"${stores.ledger}.tombstones"
-    def parquetFiles(d: String) = new java.io.File(d).listFiles()
-      .count(_.getName.endsWith(".parquet"))
-    assert(parquetFiles(tombDir) == 2)
+    // v2 layout: files live under idp= bucket partitions
+    def parquetFiles(d: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(d))
+    }
+    assert(parquetFiles(tombDir).size == 2)
     Curation.maintain(spark, stores)
-    assert(parquetFiles(tombDir) == 1,
+    // compaction leaves ONE file per touched bucket
+    assert(parquetFiles(tombDir)
+      .groupBy(_.getParentFile.getName).values.forall(_.size == 1),
       "maintain did not compact the tombstone table")
-    assert(spark.read.parquet(tombDir).collect()
+    assert(spark.read.parquet(tombDir).select("doc_id").collect()
       .map(_.getLong(0)).toSet == Set(0L, 2L),
       "tombstone compaction changed the retracted set")
     // maintain's swaps left rollback generations; gc reclaims them and
@@ -598,6 +605,54 @@ class CurationSpec extends SparkSpec {
       s"unregistered ledger id not a violation: $corrupt")
     assert(corrupt("text_members_registered")._1 == "ok",
       s"text checks disturbed: $corrupt")
+  }
+
+  test("tombstone epochs: applied takedowns leave the per-commit slice, the recommit guard sees them forever") {
+    import spark.implicits._
+    val stores = freshStores()
+    val t0 = Seq(
+      (1L, "aq bq cq dq"), (2L, "eq fq gq hq"),
+      (3L, "iq jq kq lq"), (4L, "mq nq oq pq")).toDF("doc_id", "text")
+    Curation.commitTranche(t0, 0L, stores)
+    Curation.retract(spark, Seq(1L, 2L).toDF("doc_id"), stores) // epoch 1
+    Curation.maintain(spark, stores)                  // applied = 1
+    Curation.retract(spark, Seq(3L).toDF("doc_id"), stores)     // epoch 2
+    // the table carries both epochs under id buckets; the counter is
+    // at the newest epoch
+    val tombDir = s"${stores.ledger}.tombstones"
+    val rows = spark.read.parquet(tombDir)
+    assert(rows.columns.contains("epoch") && rows.columns.contains("idp"),
+      s"tombstone layout not v2: ${rows.columns.mkString(",")}")
+    assert(rows.groupBy("epoch").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 2L, 2L -> 1L), "epoch stamping wrong")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tombDir.epoch")), "UTF-8").trim == "2")
+    // pending is the UNAPPLIED slice only — epoch 1 was applied by the
+    // maintain, so only epoch 2's single row is owed anywhere
+    val rep = Curation.maintenanceReport(spark, stores).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(rep("text_index") == 1L && rep("ledger") == 1L,
+      s"pending not sliced by applied epoch: $rep")
+    // a commit sees: erased content (epoch 1) gone, unapplied content
+    // (epoch 2) excluded, live content still standing
+    val v = Curation.commitTranche(Seq(
+        (11L, "aq bq cq dq"),   // copy of erased doc 1 -> kept
+        (13L, "iq jq kq lq"),   // copy of excluded doc 3 -> kept
+        (14L, "mq nq oq pq")    // copy of LIVE doc 4 -> exact_dup
+      ).toDF("doc_id", "text"), 1L, stores)
+      .select("doc_id", "decision").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v == Map(11L -> "kept", 13L -> "kept", 14L -> "exact_dup"),
+      s"epoch-sliced exclusion judged wrong: $v")
+    // the recommit guard reads EVERY epoch (only the exclusion set is
+    // sliced): an id retracted in the applied epoch still refuses
+    val e = intercept[IllegalArgumentException] {
+      Curation.commitTranche(
+        Seq((1L, "zz recommit probe")).toDF("doc_id", "text"), 2L, stores)
+    }
+    assert(e.getMessage.contains("retracted"),
+      s"recommit refusal unclear: ${e.getMessage}")
   }
 
   test("model check: a random commit/retract/maintain sequence matches first-seen-over-live") {
