@@ -894,20 +894,38 @@ object Curation {
     * tracked by a per-store watermark both passes advance). The
     * scheduled form of [[maintain]] — same per-store rewrites, same
     * single-writer window, but per-pass work is bounded by the stores
-    * that drifted, not the deployment. Returns the compacted stores'
-    * names.
+    * that drifted, not the deployment, and each store's erasure
+    * anti-join carries only ITS unapplied epoch slice (the
+    * already-applied lifetime never rides along). Returns the
+    * compacted stores' names.
     */
   def maintainDue(spark: SparkSession, stores: Stores,
                   maxFilesPerBucket: Int = 8): Seq[String] =
     withWriterLock(spark, stores, "maintainDue") {
       val rows = readTombstoneRows(spark, stores).map(_.localCheckpoint())
-      val ts = rows.map(_.select("doc_id").dropDuplicates("doc_id"))
       val applied = maxEpochOf(rows)
       val due = maintenanceReport(spark, stores, maxFilesPerBucket)
         .filter(col("due")).select("store").collect()
         .map(_.getString(0)).toSet
       maintenanceUnits(spark, stores).filter(u => due(u.name)).map { u =>
-        u.compact(ts)
+        // the SCHEDULED pass erases with the store's own unapplied
+        // slice: epochs at or below its watermark were physically
+        // erased by the pass that advanced it, so re-anti-joining them
+        // is dead weight that grows with lifetime takedowns (for the
+        // surgical IVF erasure it would re-touch every cell any
+        // retracted vector EVER routed to). The price: a store mutated
+        // OUTSIDE the API (e.g. rolled back to its .old generation
+        // across an erasure) is NOT silently re-healed here — fsck
+        // reports it as a violation and the unconditional [[maintain]]
+        // remains the deep pass that re-applies every epoch.
+        val slice =
+          if (!u.erasable) None
+          else rows.map { r =>
+            val w = appliedEpoch(spark, u.root)
+            r.filter(col("epoch") > w)
+              .select("doc_id").dropDuplicates("doc_id")
+          }
+        u.compact(slice)
         if (u.erasable) markApplied(spark, u.root, applied)
         u.name
       }

@@ -655,6 +655,40 @@ class CurationSpec extends SparkSpec {
       s"recommit refusal unclear: ${e.getMessage}")
   }
 
+  test("maintainDue erases with the unapplied slice; maintain stays the deep heal") {
+    import spark.implicits._
+    val stores = freshStores()
+    Curation.commitTranche(Seq(
+        (1L, "ra rb rc rd"), (2L, "re rf rg rh"), (3L, "ri rj rk rl")
+      ).toDF("doc_id", "text"), 0L, stores)
+    Curation.retract(spark, Seq(1L).toDF("doc_id"), stores)   // epoch 1
+    assert(Curation.maintainDue(spark, stores).nonEmpty)      // applies 1
+    // a store mutated OUTSIDE the API: a ledger row resurrects the
+    // applied-epoch id (e.g. a rollback across the erasure)
+    Ledger.append(Seq(1L -> "kept").toDF("doc_id", "decision"),
+      99L, "text", stores.ledger)
+    Curation.retract(spark, Seq(2L).toDF("doc_id"), stores)   // epoch 2
+    assert(Curation.maintainDue(spark, stores).contains("ledger"))
+    val afterDue = graft.ext.Ledger.read(spark, stores.ledger)
+      .filter(col("doc_id").isin(1L, 2L)).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    // the SCHEDULED pass erased epoch 2's id but did NOT re-pay epoch
+    // 1 — the resurrected row survives it by design...
+    assert(afterDue == Set(1L),
+      s"sliced due pass erased the wrong rows: $afterDue")
+    // ...fsck names it a violation (watermark claims epoch 1 applied)...
+    val viol = Curation.fsck(spark, stores)
+      .filter(col("status") === "violation").select("check").collect()
+      .map(_.getString(0))
+    assert(viol.contains("ledger_tombstoned_rows"),
+      s"resurrected applied-epoch row not flagged: ${viol.mkString(",")}")
+    // ...and the unconditional deep pass heals it
+    Curation.maintain(spark, stores)
+    assert(graft.ext.Ledger.read(spark, stores.ledger)
+      .filter(col("doc_id").isin(1L, 2L)).count() == 0,
+      "maintain did not re-apply the full epoch range")
+  }
+
   test("model check: a random commit/retract/maintain sequence matches first-seen-over-live") {
     import spark.implicits._
     // seeded, so the sequence is deterministic run to run. Contents use
