@@ -991,6 +991,34 @@ object Dedup {
     StoreSwap.swap(spark, dir, tmp)
   }
 
+  /** Bucket-local compaction (VERDICT r11 #1): collapse duplicate rows
+    * and per-append small files in ONLY the named leaf partition
+    * directories (`<dir>/bands/bkp=N`, `<dir>/sets/chp=N`,
+    * `<dir>/members/chp=N`) — the scheduled-maintenance rewrite whose
+    * write work is bounded by the buckets that drifted, never the
+    * store. Correct bucket-locally BY CONSTRUCTION: every table's
+    * partition value is a function of its collapse key (bk → bkp,
+    * ch → chp), so a key's duplicates can never live in an untouched
+    * bucket and the per-bucket collapse equals [[compactNearDupIndex]]
+    * restricted to those buckets. Erasure (tombstones) stays with the
+    * store-wide pass — a retracted doc's band rows spread across many
+    * band-key buckets, so its anti-join is not bucket-boundable here.
+    */
+  def compactNearDupIndexBuckets(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String,
+                                 leafDirs: Seq[String]): Unit = {
+    requirePrunedLayout(spark, dir)
+    StoreSwap.rewriteLeafDirs(spark, leafDirs.map { d =>
+      val keys =
+        if (d.startsWith(s"$dir/bands/")) Seq("ch", "bk")
+        else if (d.startsWith(s"$dir/sets/")) Seq("ch")
+        else if (d.startsWith(s"$dir/members/")) Seq("id", "ch")
+        else throw new IllegalArgumentException(
+          s"$d is not a leaf bucket of the near-dup index at $dir")
+      (d, (df: DataFrame) => df.dropDuplicates(keys))
+    })
+  }
+
   /** Store-FS existence check (local path or URI — java.io.File would
     * silently report every hdfs://-style store absent).
     */

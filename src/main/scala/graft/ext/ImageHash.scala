@@ -438,6 +438,26 @@ object ImageHash {
     StoreSwap.swap(spark, dir, tmp)
   }
 
+  /** Bucket-local compaction (VERDICT r11 #1): collapse duplicate rows
+    * and per-append small files in ONLY the named leaf partition
+    * directories (`<dir>/bands/bkp=N`, `<dir>/members/hp=N`) — write
+    * work bounded by the drifted buckets, never the store. Correct
+    * bucket-locally because each partition value is a function of the
+    * collapse key (bk → bkp, hsh → hp); erasure stays with the
+    * store-wide [[compactHashIndex]] (a retracted id's band rows
+    * spread across band-key buckets).
+    */
+  def compactHashIndexBuckets(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, leafDirs: Seq[String]): Unit =
+    StoreSwap.rewriteLeafDirs(spark, leafDirs.map { d =>
+      val keys =
+        if (d.startsWith(s"$dir/bands/")) Seq("hsh", "bk")
+        else if (d.startsWith(s"$dir/members/")) Seq("id", "hsh")
+        else throw new IllegalArgumentException(
+          s"$d is not a leaf bucket of the hash index at $dir")
+      (d, (df: DataFrame) => df.dropDuplicates(keys))
+    })
+
   /** One-time upgrade of a pre-index FLAT fingerprint store — plain
     * (id, hash) parquet rows at the directory root, the layout older
     * deployments appended per tranche — into the persisted banded

@@ -462,6 +462,22 @@ object IvfIndex {
     StoreSwap.swap(spark, vecDir, tmp)
   }
 
+  /** Bucket-local compaction (VERDICT r11 #1): collapse duplicate rows
+    * and per-append small files in ONLY the named cell partition
+    * directories (`<dir>/vectors/cell=N`) — the scheduled form of
+    * [[compactCells]], write work bounded by the cells that drifted.
+    * Correct cell-locally because appends route against the FROZEN
+    * codebook, so every copy of a vec_id lands in the same cell.
+    */
+  def compactCellDirs(spark: SparkSession, dir: String,
+                      leafDirs: Seq[String]): Unit = {
+    requireNoSplitInFlight(spark, dir)
+    leafDirs.foreach(d => require(d.startsWith(s"$dir/vectors/cell="),
+      s"$d is not a cell partition of the IVF index at $dir"))
+    StoreSwap.rewriteLeafDirs(spark,
+      leafDirs.map(d => (d, (df: DataFrame) => df.dropDuplicates("vec_id"))))
+  }
+
   /** Physically erase retracted vectors ([[Curation.retract]] applies
     * tombstones here): one column-pruned scan of (vec_id, cell) finds
     * the AFFECTED cells, then each is surgically rewritten without the

@@ -121,6 +121,18 @@ object Ledger {
     StoreSwap.swap(spark, dir, tmp)
   }
 
+  /** Bucket-local compaction (VERDICT r11 #1): collapse small files in
+    * ONLY the named leaf partition directories
+    * (`<dir>/tranche=N/modality=M`) — the scheduled form of
+    * [[compact]]. Rows are unchanged (appends land through dynamic
+    * partition overwrite, so a partition never holds duplicates); the
+    * rewrite just re-packs a drifted partition's files.
+    */
+  def compactBuckets(spark: SparkSession, leafDirs: Seq[String]): Unit =
+    StoreSwap.rewriteLeafDirs(spark,
+      leafDirs.map(d =>
+        (d, (df: org.apache.spark.sql.DataFrame) => df.coalesce(1))))
+
   /** Drop ONE tranche's verdict rows — a partition-pruned delete of the
     * `tranche=<id>` directory (all modalities), the ledger side of
     * [[Curation.retractTranche]]. Nothing outside the named tranche is

@@ -61,6 +61,35 @@ private[ext] object StoreSwap {
     results.map(_.get)
   }
 
+  /** Rewrite the named leaf partition directories IN PLACE — the
+    * bucket-local maintenance discipline (VERDICT r11 #1): each dir's
+    * rows are read, passed through its `transform` (duplicate collapse,
+    * erasure), fully written to a hidden sibling tmp, then swapped in
+    * by delete + rename — [[IvfIndex.removeIds]]'s per-partition
+    * rewrite generalized to any probe-key-partitioned table. Write
+    * work is bounded by the NAMED buckets, never the store, and the
+    * writer-lock window shrinks with it. Dirs rewrite concurrently
+    * (each owns its directory, so committers never share staging
+    * paths). Unlike [[swap]], no `.old` generation is kept: every
+    * caller's transform is an idempotent collapse, so a crashed pass
+    * re-runs to the same rows (the removeIds contract).
+    */
+  def rewriteLeafDirs(spark: SparkSession,
+                      dirs: Seq[(String,
+                        org.apache.spark.sql.DataFrame =>
+                          org.apache.spark.sql.DataFrame)]): Unit =
+    concurrently(dirs.map { case (d, transform) => () => {
+      val p = new Path(d)
+      val f = fs(spark, p)
+      val tmp = new Path(p.getParent, s".compact_${p.getName}")
+      f.delete(tmp, true)
+      transform(spark.read.parquet(d)).write.parquet(tmp.toString)
+      f.delete(p, true)
+      if (!f.rename(tmp, p))
+        throw new java.io.IOException(
+          s"bucket compaction: cannot promote $tmp to $p")
+    }}: _*)
+
   /** Delete any stale tmp left by a crashed pass and return the path to
     * write the new store to.
     */

@@ -345,6 +345,26 @@ object VideoHash {
     StoreSwap.swap(spark, dir, tmp)
   }
 
+  /** Bucket-local compaction (VERDICT r11 #1): collapse duplicate rows
+    * and per-append small files in ONLY the named leaf partition
+    * directories (`<dir>/shingles/kp=N`, `<dir>/seqs/sqp=N`) — write
+    * work bounded by the drifted buckets. Correct bucket-locally
+    * because each partition value is a function of the collapse key
+    * (k → kp, sq → sqp); erasure stays with the store-wide
+    * [[compactSeqIndex]] (a retracted video's shingles spread across
+    * shingle-key buckets).
+    */
+  def compactSeqIndexBuckets(spark: SparkSession, dir: String,
+                             leafDirs: Seq[String]): Unit =
+    StoreSwap.rewriteLeafDirs(spark, leafDirs.map { d =>
+      val keys =
+        if (d.startsWith(s"$dir/shingles/")) Seq("doc_id", "k")
+        else if (d.startsWith(s"$dir/seqs/")) Seq("doc_id", "sq")
+        else throw new IllegalArgumentException(
+          s"$d is not a leaf bucket of the sequence index at $dir")
+      (d, (df: org.apache.spark.sql.DataFrame) => df.dropDuplicates(keys))
+    })
+
   /** Collapse re-appended duplicate rows and small files; same swap
     * discipline as [[graft.ext.Dedup.compactNearDupIndex]].
     */
