@@ -65,6 +65,15 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_SKIP_BUILDS=1 skips every one-shot build line item
+    // (their seconds report 0) — an ADJUDICATION/ITERATION knob, never
+    // set by the driver: it isolates whether declared-query times are
+    // inflated by the builds' shared-session residue (temp-dir
+    // deployments, shuffle files, JVM/GC pressure) rather than by the
+    // queries themselves. Queries that consume a build's memoized
+    // artifact pay its construction inline on first touch, so only
+    // build-independent queries are comparable under this flag.
+    val skipBuilds = sys.env.get("SPARK_GRAFT_SKIP_BUILDS").contains("1")
     // Untimed warmup: touch every table (parquet footers, codegen, JIT)
     // so per-query timings measure the queries, not JVM start.
     Seq("region", "nation", "customer", "supplier", "part", "orders",
@@ -83,125 +92,83 @@ object Bench {
       graft.model.Tables.documents(spark, sfDir).limit(2048),
       "doc_id", "text").count()
     catch { case _: Throwable => }
-    // Build the shared persisted SynthLinks intermediate up front and
-    // time it as its own line item: ~16 queries start from it, and
-    // whichever ran first used to absorb the whole build cost (±2 s of
-    // per-query attribution noise between rounds, VERDICT r2).
-    val tLinks0 = System.nanoTime()
-    try graft.queries.SynthLinks.links(spark, sfDir).count()
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] synthlinks warm failed: ${e.getMessage}")
+    // One-shot build line items: each shared persisted/memoized
+    // artifact is constructed up front and timed as its own visible
+    // line (VERDICT r2/r7: whichever query ran first used to absorb
+    // the build cost, and untimed builds escaped the regression gate).
+    def build(label: String)(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      if (!skipBuilds)
+        try body
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $label failed: ${e.getMessage}")
+        }
+      (System.nanoTime() - t0) / 1e9
     }
-    val linksSec = (System.nanoTime() - tLinks0) / 1e9
-    // Same move for the shared MinHash-LSH pair intermediate (x2/x17/
-    // x38/x58/x61): build once up front and time it as its own line
-    // item, so per-query numbers are cache-hit times for all five
-    // consumers regardless of Map iteration order, and the generation
-    // cost is attributed to exactly one visible line.
-    val tPairs0 = System.nanoTime()
-    try graft.queries.ExtQueries.warmPairs(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] pairs warm failed: ${e.getMessage}")
+    // the shared persisted SynthLinks intermediate: ~16 queries start
+    // from it
+    val linksSec = build("synthlinks warm") {
+      graft.queries.SynthLinks.links(spark, sfDir).count(); ()
     }
-    val pairsSec = (System.nanoTime() - tPairs0) / 1e9
-    // PQ + coarse-k-means training pre-warmed and timed as their own
-    // line items (VERDICT r7 #5): x27/x51/x52/x53 all start from the
-    // same memoized codebooks, so per-query times should measure QUERY
-    // cost; training cost is attributed to exactly one visible line
-    // each, gated like any query. The caches are NOT cleared between
-    // passes anymore — that clearing (ADVICE r4) predates these build
-    // line items and made x51's time 80% training.
-    val tPq0 = System.nanoTime()
-    try graft.queries.ExtQueries.warmPqTraining(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] pq warm failed: ${e.getMessage}")
+    // the shared MinHash-LSH pair intermediate (x2/x17/x38/x58/x61):
+    // per-query numbers are cache-hit times for all five consumers
+    // regardless of Map iteration order
+    val pairsSec = build("pairs warm") {
+      graft.queries.ExtQueries.warmPairs(spark, sfDir)
     }
-    val pqSec = (System.nanoTime() - tPq0) / 1e9
-    val tKm0 = System.nanoTime()
-    try graft.queries.ExtQueries.warmKmeansTraining(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] kmeans warm failed: ${e.getMessage}")
+    // PQ + coarse-k-means training (VERDICT r7 #5): x27/x51/x52/x53
+    // start from the same memoized codebooks. The caches are NOT
+    // cleared between passes — that clearing (ADVICE r4) predates
+    // these build line items and made x51's time 80% training.
+    val pqSec = build("pq warm") {
+      graft.queries.ExtQueries.warmPqTraining(spark, sfDir)
     }
-    val kmSec = (System.nanoTime() - tKm0) / 1e9
-    // perceptron-trained quality weights (x93 + x102 share them): same
-    // pre-warm-and-time treatment as PQ/k-means training
-    val tQw0 = System.nanoTime()
-    try graft.queries.ExtQueries.warmQualityTraining(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] quality-train warm failed: ${e.getMessage}")
+    val kmSec = build("kmeans warm") {
+      graft.queries.ExtQueries.warmKmeansTraining(spark, sfDir)
     }
-    val qwSec = (System.nanoTime() - tQw0) / 1e9
+    // perceptron-trained quality weights (x93 + x102 share them)
+    val qwSec = build("quality-train warm") {
+      graft.queries.ExtQueries.warmQualityTraining(spark, sfDir)
+    }
     // x87's STANDING near-dup index: built once per corpus commit in
-    // production (the persisted writeNearDupIndex artifact), so it is
-    // pre-warmed and timed as its own line item and the declared x87
-    // measures the recurring per-tranche probe (VERDICT r8 #1)
-    val tNi0 = System.nanoTime()
-    try graft.queries.ExtQueries.warmNearDupIndex(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] neardup-index warm failed: ${e.getMessage}")
+    // production (the persisted writeNearDupIndex artifact), so the
+    // declared x87 measures the recurring per-tranche probe
+    // (VERDICT r8 #1)
+    val niSec = build("neardup-index warm") {
+      graft.queries.ExtQueries.warmNearDupIndex(spark, sfDir)
     }
-    val niSec = (System.nanoTime() - tNi0) / 1e9
-    // x112's kernel frames (per-modality cluster/canonical assignments,
-    // removal masses, contamination set): the standing pipeline's own
-    // materialized outputs in production — built once per corpus
-    // commit, timed as one line item; the declared x112 measures the
-    // ledger composition join over them
-    val tLk0 = System.nanoTime()
-    try graft.queries.ExtQueries.warmLedgerKernels(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] ledger-kernels warm failed: ${e.getMessage}")
+    // x112's kernel frames (per-modality cluster/canonical
+    // assignments, removal masses, contamination set): the standing
+    // pipeline's own once-per-corpus-commit outputs
+    val lkSec = build("ledger-kernels warm") {
+      graft.queries.ExtQueries.warmLedgerKernels(spark, sfDir)
     }
-    val lkSec = (System.nanoTime() - tLk0) / 1e9
-    // unigram-LM tokenizer training (x113's model, also x106's
-    // fertility column): memoized per corpus, timed as its own line
-    val tUt0 = System.nanoTime()
-    try graft.queries.ExtQueries.warmUnigramTraining(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] unigram warm failed: ${e.getMessage}")
+    // unigram-LM tokenizer training (x113's model, x106's fertility)
+    val utSec = build("unigram warm") {
+      graft.queries.ExtQueries.warmUnigramTraining(spark, sfDir)
     }
-    val utSec = (System.nanoTime() - tUt0) / 1e9
-    // the r11 persisted standing stores: the banded image-hash index
-    // (x117's standing side), the video sequence index (x121's), and
-    // the two-tranche commitTranche sequence whose on-disk ledger x124
-    // reads back — each a once-per-corpus-commit artifact, pre-warmed
-    // and timed as its own line item so the declared rows measure the
-    // recurring partition-pruned probes
-    val tPi0 = System.nanoTime()
-    try graft.queries.ExtQueries.warmPhashIndex(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] phash-index warm failed: ${e.getMessage}")
+    // the r11 persisted standing stores: banded image-hash index
+    // (x117's standing side), video sequence index (x121's), the
+    // two-tranche commit sequence whose on-disk ledger x124 reads
+    // back, the retraction arc (x125: commit → retract → tombstoned
+    // commit → maintain → post-GC commit, priced end-to-end), and the
+    // fsck deployment (x127: frozen BEFORE maintenance, mixed
+    // ok/pending report)
+    val piSec = build("phash-index warm") {
+      graft.queries.ExtQueries.warmPhashIndex(spark, sfDir)
     }
-    val piSec = (System.nanoTime() - tPi0) / 1e9
-    val tVi0 = System.nanoTime()
-    try graft.queries.ExtQueries.warmSeqIndex(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] videoseq-index warm failed: ${e.getMessage}")
+    val viSec = build("videoseq-index warm") {
+      graft.queries.ExtQueries.warmSeqIndex(spark, sfDir)
     }
-    val viSec = (System.nanoTime() - tVi0) / 1e9
-    val tCs0 = System.nanoTime()
-    try graft.queries.ExtQueries.warmCommitSequence(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] commit-sequence warm failed: ${e.getMessage}")
+    val csSec = build("commit-sequence warm") {
+      graft.queries.ExtQueries.warmCommitSequence(spark, sfDir)
     }
-    val csSec = (System.nanoTime() - tCs0) / 1e9
-    // the retraction arc (x125): commit → retract → tombstoned commit →
-    // maintain (physical GC) → post-GC commit, priced end-to-end — the
-    // takedown path a production deployment pays per erasure batch
-    val tRt0 = System.nanoTime()
-    try graft.queries.ExtQueries.warmRetraction(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] retraction warm failed: ${e.getMessage}")
+    val rtSec = build("retraction warm") {
+      graft.queries.ExtQueries.warmRetraction(spark, sfDir)
     }
-    val rtSec = (System.nanoTime() - tRt0) / 1e9
-    // the fsck deployment (x127): two commits + a retraction frozen
-    // BEFORE maintenance, so the declared audit row reads a mixed
-    // ok/pending report
-    val tFa0 = System.nanoTime()
-    try graft.queries.ExtQueries.warmFsck(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] fsck-audit warm failed: ${e.getMessage}")
+    val faSec = build("fsck-audit warm") {
+      graft.queries.ExtQueries.warmFsck(spark, sfDir)
     }
-    val faSec = (System.nanoTime() - tFa0) / 1e9
     // the production ingestion loop itself (Curation.commitTranche),
     // timed end-to-end in two line items following the x87 discipline:
     // the one-time deployment bootstrap (IVF codebook training on the
@@ -233,8 +200,8 @@ object Bench {
       ()
     }
     val tCb0 = System.nanoTime()
-    val cbOk =
-      try {
+    val cbOk = !skipBuilds &&
+      (try {
         // codebook trained on the bootstrap slice's embeddings; the
         // bootstrap tranche itself commits without the embedding
         // modality (its vectors ARE the trained store — re-appending
@@ -250,7 +217,7 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] curation bootstrap failed: ${e.getMessage}")
         false
-      }
+      })
     val cbSec = (System.nanoTime() - tCb0) / 1e9
     // a steady-state commit against half-bootstrapped stores would
     // record a misleadingly cheap minimum that poisons the regression
@@ -261,7 +228,8 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] curation commit failed: ${e.getMessage}")
       }
-    else System.err.println("[bench] curation commit skipped: bootstrap failed")
+    else if (!skipBuilds)
+      System.err.println("[bench] curation commit skipped: bootstrap failed")
     val ccSec = (System.nanoTime() - tCc0) / 1e9
     // Two timed passes, report the per-query MINIMUM. A single pass is
     // hostage to whatever else the container is doing (the r3 driver run
@@ -338,7 +306,11 @@ object Bench {
     // file — the driver's BENCH_r{N}.json keeps only the last 2000 chars
     // of stdout, which truncated every line since r3. Next round's gate
     // reads this file, not a tail.
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+    // a skip-builds experiment must never overwrite the committed
+    // artifact: its zero build seconds would poison the next round's
+    // regression baseline as phantom minima
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      if (skipBuilds) "bench_skipbuilds.json" else "bench_full.json")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","compared":$compared,"queries":${jmap(results)},"pass1":${jmap(p1)},"pass2":${jmap(p2)},"regressions":$regs,"failed":$fs}"""
     try {

@@ -917,7 +917,8 @@ object Curation {
     */
   private final case class UnitStats(unit: MaintUnit, files: Long,
                                      buckets: Long, perBucket: Double,
-                                     pending: Long, drifted: Seq[String]) {
+                                     pending: Long,
+                                     drifted: Seq[(String, Long)]) {
     def due(maxFilesPerBucket: Int): Boolean =
       perBucket > maxFilesPerBucket || pending > 0
   }
@@ -945,7 +946,7 @@ object Curation {
         } else 0L
       val drifted = per.flatMap(_.collect {
         case (d, n) if n > maxFilesPerBucket &&
-          new org.apache.hadoop.fs.Path(d).getName.contains("=") => d
+          new org.apache.hadoop.fs.Path(d).getName.contains("=") => (d, n)
       })
       UnitStats(u, files, buckets, perBucket, pending, drifted)
     }
@@ -1033,47 +1034,77 @@ object Curation {
     *    erasure of band-spread text/image/video rows) keep the
     *    store-wide rewrite.
     *
+    * `maxBucketsPerPass` caps one pass's file compaction at the k
+    * most-drifted buckets across the deployment (the ONLINE form
+    * [[sink]]'s `maintainBudget` schedules): deferred drift stays due
+    * and the next pass continues where the ranking left off, so drift
+    * converges across bounded windows. Erasure is never budgeted — a
+    * takedown is an obligation, not hygiene.
+    *
     * The price of the epoch slice: a store mutated OUTSIDE the API
     * (e.g. rolled back to its .old generation across an erasure) is
     * NOT silently re-healed here — [[fsck]] reports it as a violation
     * and the unconditional [[maintain]] remains the deep pass that
-    * re-applies every epoch. Returns the compacted stores' names.
+    * re-applies every epoch. Returns the names of the stores the pass
+    * actually touched (a store whose drift was wholly deferred past
+    * the budget is not listed).
     */
   def maintainDue(spark: SparkSession, stores: Stores,
-                  maxFilesPerBucket: Int = 8): Seq[String] =
+                  maxFilesPerBucket: Int = 8,
+                  maxBucketsPerPass: Int = Int.MaxValue): Seq[String] =
     withWriterLock(spark, stores, "maintainDue") {
       require(maxFilesPerBucket >= 1,
         s"maxFilesPerBucket must be >= 1, got $maxFilesPerBucket")
+      require(maxBucketsPerPass >= 1,
+        s"maxBucketsPerPass must be >= 1, got $maxBucketsPerPass")
       val rows = readTombstoneRows(spark, stores).map(_.localCheckpoint())
       val applied = maxEpochOf(rows)
       val stats = unitStatsOf(spark, stores, maxFilesPerBucket)
-      stats.filter(_.due(maxFilesPerBucket)).map { s =>
+      val dueStats = stats.filter(_.due(maxFilesPerBucket))
+      // the per-window bucket budget ([[sink]]'s online-maintenance
+      // knob): rank every bucket-compactable drifted dir by file count
+      // and grant the worst `maxBucketsPerPass` across the deployment —
+      // a long-running stream converges drift a bounded window at a
+      // time instead of stalling ingestion behind one big pass.
+      // Erasure is NEVER budgeted (a takedown is an obligation, not
+      // hygiene), and store-wide rewrites are all-or-nothing.
+      val granted: Map[String, Seq[String]] =
+        dueStats.filter(_.unit.compactBuckets.nonEmpty)
+          .flatMap(s => s.drifted.map { case (d, n) => (s.unit.name, d, n) })
+          .sortBy(t => (-t._3, t._2)).take(maxBucketsPerPass)
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      dueStats.flatMap { s =>
         val u = s.unit
         val w = if (u.erasable) appliedEpoch(spark, u.root) else 0L
         val slice =
           if (!u.erasable || s.pending == 0) None
           else rows.map(_.filter(col("epoch") > w)
             .select("doc_id").dropDuplicates("doc_id"))
-        (slice, u.erase) match {
+        val mine = granted.getOrElse(u.name, Seq.empty)
+        val acted = (slice, u.erase) match {
           case (Some(sl), Some(er)) =>
             // surgical erasure + bucket-local file compaction: the
             // whole pass is bounded by affected + drifted partitions
             er(sl)
-            if (s.drifted.nonEmpty) u.compactBuckets.foreach(_(s.drifted))
+            if (mine.nonEmpty) u.compactBuckets.foreach(_(mine))
+            true
           case (Some(sl), None) =>
-            u.compact(Some(sl))
+            u.compact(Some(sl)); true
           case (None, _) if s.drifted.nonEmpty && u.compactBuckets.nonEmpty =>
-            u.compactBuckets.foreach(_(s.drifted))
+            if (mine.nonEmpty) u.compactBuckets.foreach(_(mine))
+            // drift deferred past this window's budget stays due; the
+            // next pass picks it up where the ranking left off
+            mine.nonEmpty
           case _ =>
-            u.compact(None)
+            u.compact(None); true
         }
-        if (u.erasable)
+        if (acted && u.erasable)
           // clamped monotone (ADVICE r11): after a min-epoch tombstone
           // compaction the table max can sit below the standing
           // watermark — a file-pressure-only pass must never regress
           // the clock fsck's violation detection relies on
           markApplied(spark, u.root, math.max(w, applied))
-        u.name
+        if (acted) Some(u.name) else None
       }
     }
 
@@ -1262,7 +1293,12 @@ object Curation {
     * never contend with the stream's own next commit. On a restart
     * replay the batch re-commits first (the idempotent contract
     * above); re-running a due check after it is harmless — a pass
-    * that already ran leaves nothing due.
+    * that already ran leaves nothing due. `maintainBudget = k` (> 0)
+    * additionally caps each window at the k most-drifted buckets
+    * (maintainDue's `maxBucketsPerPass`), so a stream under heavy
+    * append amplification compacts ONLINE — bounded pause per window,
+    * drift converging across windows — instead of stalling one batch
+    * behind a deployment-wide pass.
     *
     * {{{
     * stream.writeStream
@@ -1276,7 +1312,8 @@ object Curation {
            jThresh: Double = 0.6, cosThresh: Double = 0.35,
            k: Int = 2, bands: Int = 8, rows: Int = 2,
            hashBands: Int = 8, hashMaxDist: Int = 6,
-           maintainEvery: Int = 0, maxFilesPerBucket: Int = 8)
+           maintainEvery: Int = 0, maxFilesPerBucket: Int = 8,
+           maintainBudget: Int = 0)
       : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
     (batch, batchId) => {
       val b = batch.toDF()
@@ -1285,7 +1322,12 @@ object Curation {
         m.vidFrames, m.embeddings, jThresh, cosThresh, k, bands, rows,
         hashBands, hashMaxDist)
       if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
-        maintainDue(b.sparkSession, stores, maxFilesPerBucket)
+        // maintainBudget > 0 bounds each scheduled window to the k
+        // most-drifted buckets (ONLINE maintenance: ingestion latency
+        // between batches stays bounded while drift converges across
+        // windows); 0 = compact everything due in one window
+        maintainDue(b.sparkSession, stores, maxFilesPerBucket,
+          if (maintainBudget > 0) maintainBudget else Int.MaxValue)
       ()
     }
 

@@ -867,6 +867,56 @@ class CurationSpec extends SparkSpec {
       2L, stores)
   }
 
+  test("a budgeted scheduled pass converges drift in bounded windows") {
+    import spark.implicits._
+    // the ONLINE maintenance knob (sink's maintainBudget): each window
+    // rewrites at most maxBucketsPerPass buckets — the worst first —
+    // and repeated windows drain the drift completely.
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 600)
+    val stores = freshStores()
+    (0L to 2L).foreach(t =>
+      Curation.commitTranche(docs.filter(col("doc_id") % 3 === t), t,
+        stores))
+    def files(): Map[String, Set[(String, Long)]] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      (Seq("bands", "sets", "members").map(t => s"${stores.textIndex}/$t")
+        :+ s"${stores.ledger}.ids")
+        .flatMap(d => walk(new java.io.File(d)))
+        .groupBy(_.getParentFile.toString)
+        .map { case (d, fs) =>
+          d -> fs.map(f => (f.getName, f.lastModified)).toSet }
+    }
+    var prev = files()
+    val totalDrift = prev.count(_._2.size > 2)
+    assert(totalDrift > 50, s"fixture broken: only $totalDrift drifted buckets")
+    var windows = 0
+    var done = false
+    while (!done && windows < 40) {
+      val touched = Curation.maintainDue(spark, stores,
+        maxFilesPerBucket = 2, maxBucketsPerPass = 50)
+      val cur = files()
+      val rewritten = prev.keySet.count(d => cur.get(d) != prev.get(d))
+      assert(rewritten <= 50,
+        s"window $windows rewrote $rewritten buckets past the budget of 50")
+      prev = cur
+      windows += 1
+      done = touched.isEmpty
+    }
+    assert(done, "budgeted windows did not converge")
+    assert(windows > 2,
+      s"fixture broken: drift drained in $windows windows — too few to " +
+        "prove the budget bounds each one")
+    assert(Curation.maintenanceReport(spark, stores, maxFilesPerBucket = 2)
+      .filter(col("due")).count() == 0, "drift left after convergence")
+    // rows intact and the deployment still commits
+    Curation.commitTranche(
+      Seq((920001L, "zz budget window probe")).toDF("doc_id", "text"),
+      3L, stores)
+  }
+
   test("a flat embedding store past the commit bound refuses, naming the upgrade") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")

@@ -997,6 +997,49 @@ class StreamingSpec extends SparkSpec {
       "4-batch append amplification should trip the aggressive threshold")
   }
 
+  test("Curation.sink maintainBudget: online windows keep verdicts, drift converges") {
+    import graft.ext.{Curation, Ledger}
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 120)
+    val srcDir = Files.createTempDirectory("bsinkdocs").toString
+    (0 until 4).foreach { i =>
+      docs.filter(col("doc_id") % 4 === i)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    def run(maintainEvery: Int, budget: Int): Curation.Stores = {
+      val root = Files.createTempDirectory("bsinkstores").toString
+      val stores = Curation.Stores(s"$root/text", s"$root/img",
+        s"$root/aud", s"$root/vid", s"$root/emb", s"$root/led")
+      val q = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("bsinkckpt").toString)
+        .foreachBatch(Curation.sink(stores, maintainEvery = maintainEvery,
+          maxFilesPerBucket = 1, maintainBudget = budget))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      stores
+    }
+    // tightly budgeted online windows (8 buckets per window, every
+    // batch) change NOTHING observable in the verdicts
+    val online = run(maintainEvery = 1, budget = 8)
+    val plain = run(maintainEvery = 0, budget = 0)
+    assert(Ledger.read(spark, online.ledger).orderBy("doc_id").collect()
+      .toSeq == Ledger.read(spark, plain.ledger).orderBy("doc_id")
+      .collect().toSeq, "budgeted online maintenance changed the ledger")
+    // post-stream, the remaining (deferred) drift drains window by
+    // window and converges
+    var rounds = 0
+    while (Curation.maintainDue(spark, online, maxFilesPerBucket = 1,
+        maxBucketsPerPass = 8).nonEmpty && rounds < 60) rounds += 1
+    assert(rounds < 60, "budgeted windows did not converge post-stream")
+    assert(Curation.maintenanceReport(spark, online, maxFilesPerBucket = 1)
+      .filter(col("due")).count() == 0,
+      "drift left after budgeted convergence")
+  }
+
   test("streaming perceptual dedup: hash-layer probe per microbatch equals monolithic") {
     // the x115 contract under a real stream — the multimodal twin of
     // the LSH maintenance test above: each microbatch of images (their
