@@ -766,12 +766,15 @@ object Curation {
         ts => Dedup.compactNearDupIndex(spark, stores.textIndex,
           removeIds = ts),
         compactBuckets = Some(ds =>
-          Dedup.compactNearDupIndexBuckets(spark, stores.textIndex, ds)))
+          Dedup.compactNearDupIndexBuckets(spark, stores.textIndex, ds)),
+        erase = Some(ids =>
+          Dedup.removeIdsNearDup(spark, stores.textIndex, ids)))
     if (exists(spark, stores.ledger))
       units += MaintUnit("ledger", stores.ledger, Seq(stores.ledger),
         erasable = true,
         ts => Ledger.compact(spark, stores.ledger, scrubIds = ts),
-        compactBuckets = Some(ds => Ledger.compactBuckets(spark, ds)))
+        compactBuckets = Some(ds => Ledger.compactBuckets(spark, ds)),
+        erase = Some(ids => Ledger.removeIds(spark, stores.ledger, ids)))
     val reg = s"${stores.ledger}.ids"
     if (exists(spark, reg))
       // the registry RETAINS retracted ids (recommit refusal) — file
@@ -786,7 +789,9 @@ object Curation {
             Seq("bands", "members").map(t => s"$d/$t"), erasable = true,
             ts => ImageHash.compactHashIndex(spark, d, removeIds = ts),
             compactBuckets = Some(ds =>
-              ImageHash.compactHashIndexBuckets(spark, d, ds)))
+              ImageHash.compactHashIndexBuckets(spark, d, ds)),
+            erase = Some(ids =>
+              ImageHash.removeIdsHashIndex(spark, d, ids)))
         // pre-index FLAT fingerprint stores (a legacy deployment that
         // has retracted but not yet migrated) keep their erasure half:
         // every flat fingerprint table is keyed on doc_id, so the
@@ -803,7 +808,9 @@ object Curation {
         ts => VideoHash.compactSeqIndex(spark, stores.video,
           removeIds = ts),
         compactBuckets = Some(ds =>
-          VideoHash.compactSeqIndexBuckets(spark, stores.video, ds)))
+          VideoHash.compactSeqIndexBuckets(spark, stores.video, ds)),
+        erase = Some(ids =>
+          VideoHash.removeIdsSeqIndex(spark, stores.video, ids)))
     else if (exists(spark, stores.video))
       units += MaintUnit("video_flat", stores.video, Seq(stores.video),
         erasable = true,
@@ -1073,7 +1080,11 @@ object Curation {
           .flatMap(s => s.drifted.map { case (d, n) => (s.unit.name, d, n) })
           .sortBy(t => (-t._3, t._2)).take(maxBucketsPerPass)
           .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
-      dueStats.flatMap { s =>
+      // units are independent stores (each compactor owns its
+      // directories, each watermark its sidecar) — run them
+      // concurrently and pay the slowest store, not the sum (the
+      // storeCensus discipline applied to the scheduled pass)
+      StoreSwap.concurrentlyAll(dueStats.map { s => () =>
         val u = s.unit
         val w = if (u.erasable) appliedEpoch(spark, u.root) else 0L
         val slice =
@@ -1105,7 +1116,7 @@ object Curation {
           // the clock fsck's violation detection relies on
           markApplied(spark, u.root, math.max(w, applied))
         if (acted) Some(u.name) else None
-      }
+      }).flatten
     }
 
   /** Run EVERY maintenance pass over a deployment's stores: compact
@@ -1129,7 +1140,12 @@ object Curation {
     val rows = readTombstoneRows(spark, stores).map(_.localCheckpoint())
     val ts = rows.map(_.select("doc_id").dropDuplicates("doc_id"))
     val applied = maxEpochOf(rows)
-    maintenanceUnits(spark, stores).foreach { u =>
+    // units are independent stores — compact them concurrently (the
+    // storeCensus discipline): the deep pass pays the slowest store,
+    // not the sum. The tombstone frame every erasure anti-joins is
+    // CHECKPOINTED above, so the tombstone unit's own swap cannot
+    // race the readers.
+    StoreSwap.concurrently(maintenanceUnits(spark, stores).map { u => () =>
       u.compact(ts)
       if (u.erasable)
         // clamped monotone (ADVICE r11): after a min-epoch tombstone
@@ -1137,7 +1153,7 @@ object Curation {
         // the applied clock must never tick backwards
         markApplied(spark, u.root,
           math.max(appliedEpoch(spark, u.root), applied))
-    }
+    }: _*)
     }
 
   /** The max epoch present in a checkpointed tombstone-row frame — the

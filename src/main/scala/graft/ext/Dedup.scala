@@ -1019,6 +1019,75 @@ object Dedup {
     })
   }
 
+  /** Physically erase retracted docs from the persisted index by
+    * rewriting ONLY the partitions their rows live in — the
+    * [[IvfIndex.removeIds]] discipline for the text store
+    * ([[Curation.maintainDue]]'s surgical erasure hook; the store-wide
+    * [[compactNearDupIndex]] anti-join remains the deep pass).
+    *
+    * Discovery is two column-pruned key scans, never a payload read:
+    * the retracted ids' member rows name the touched content buckets
+    * (a content's whole membership lives in one `chp` partition), and
+    * contents left with NO surviving member name the band buckets
+    * their band keys spread across. Write work is then bounded by
+    * those partitions.
+    *
+    * Crash-safe BY THE PROBE'S OWN SEMANTICS: the members scrub is the
+    * only correctness-critical step — [[probeView]]/[[readNearDupIndex]]
+    * derive content liveness from `members` at read time (bands/sets
+    * rows whose content has no surviving member are live-filtered
+    * out), so band/set rows orphaned by a crash between steps are
+    * verdict-neutral space the next compaction reclaims. A re-run
+    * (same unapplied slice — the watermark only advances after this
+    * returns) re-scrubs idempotently.
+    */
+  def removeIdsNearDup(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, ids: DataFrame): Unit = {
+    if (storeExists(spark, s"$dir/bands") &&
+      !spark.read.parquet(s"$dir/bands").columns.contains("bkp")) {
+      // pre-r11 flat layout: no partitions to bound the rewrite —
+      // degrade to the store-wide pass, which also upgrades the layout
+      compactNearDupIndex(spark, dir, removeIds = Some(ids))
+      return
+    }
+    val idf = ids.select(col(ids.columns.head).as("id")).localCheckpoint()
+    val fs = StoreSwap.fsOf(spark, dir)
+    def existing(table: String, part: String, vals: Seq[Long]) =
+      vals.map(p => s"$dir/$table/$part=$p")
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    val mem = spark.read.parquet(s"$dir/members")
+    // contents the retracted ids belong to: bounded by the takedown
+    // batch (docs × contents-per-doc), collected nowhere — checkpointed
+    val hit = mem.join(broadcast(idf), Seq("id"), "left_semi")
+      .select("ch").distinct().localCheckpoint()
+    val chps = StoreLayout.partsOf(hit, col("ch"))
+    if (chps.isEmpty) return
+    // contents with NO surviving member leave bands/sets too — decided
+    // BEFORE the scrub, from the touched buckets only (a content's
+    // membership is bucket-complete)
+    val dead = hit.join(
+        mem.filter(col("chp").isin(chps: _*))
+          .join(broadcast(idf), Seq("id"), "left_anti")
+          .select("ch").distinct(),
+        Seq("ch"), "left_anti").localCheckpoint()
+    // band buckets the dead contents' keys spread across: one
+    // column-pruned (ch, bkp) scan, ≤ Parts literals
+    val bkps = StoreLayout.partsOf(
+      spark.read.parquet(s"$dir/bands")
+        .join(broadcast(dead), Seq("ch"), "left_semi"), col("bk"))
+    // members first (the correctness-critical step), then hygiene
+    StoreSwap.rewriteLeafDirs(spark, existing("members", "chp", chps).map(d =>
+      (d, (df: DataFrame) =>
+        df.join(broadcast(idf), Seq("id"), "left_anti"))))
+    StoreSwap.rewriteLeafDirs(spark,
+      existing("sets", "chp", chps).map(d =>
+        (d, (df: DataFrame) =>
+          df.join(broadcast(dead), Seq("ch"), "left_anti"))) ++
+      existing("bands", "bkp", bkps).map(d =>
+        (d, (df: DataFrame) =>
+          df.join(broadcast(dead), Seq("ch"), "left_anti"))))
+  }
+
   /** Store-FS existence check (local path or URI — java.io.File would
     * silently report every hdfs://-style store absent).
     */

@@ -409,6 +409,46 @@ object ImageHash {
       memN, incoming, idCol, bands, maxDist, maxBucket)
   }
 
+  /** Physically erase retracted ids from the persisted index by
+    * rewriting ONLY the partitions their rows live in
+    * ([[Curation.maintainDue]]'s surgical erasure hook — the
+    * [[graft.ext.Dedup.removeIdsNearDup]] discipline for the
+    * perceptual stores; store-wide [[compactHashIndex]] remains the
+    * deep pass). Crash-safe by the probe's own semantics: liveness
+    * derives from `members` at read time ([[ledgerProbeIndexed]]
+    * live-filters bands through surviving members), so the members
+    * scrub is the one correctness-critical step and band rows orphaned
+    * by a crash are verdict-neutral space the next compaction
+    * reclaims.
+    */
+  def removeIdsHashIndex(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, ids: DataFrame): Unit = {
+    val idf = ids.select(col(ids.columns.head).as("id")).localCheckpoint()
+    val fs = StoreSwap.fsOf(spark, dir)
+    def existing(table: String, part: String, vals: Seq[Long]) =
+      vals.map(p => s"$dir/$table/$part=$p")
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    val mem = spark.read.parquet(s"$dir/members")
+    val hit = mem.join(broadcast(idf), Seq("id"), "left_semi")
+      .select("hsh").distinct().localCheckpoint()
+    val hps = StoreLayout.partsOf(hit, col("hsh"))
+    if (hps.isEmpty) return
+    val dead = hit.join(
+        mem.filter(col("hp").isin(hps: _*))
+          .join(broadcast(idf), Seq("id"), "left_anti")
+          .select("hsh").distinct(),
+        Seq("hsh"), "left_anti").localCheckpoint()
+    val bkps = StoreLayout.partsOf(
+      spark.read.parquet(s"$dir/bands")
+        .join(broadcast(dead), Seq("hsh"), "left_semi"), col("bk"))
+    StoreSwap.rewriteLeafDirs(spark, existing("members", "hp", hps).map(d =>
+      (d, (df: DataFrame) =>
+        df.join(broadcast(idf), Seq("id"), "left_anti"))))
+    StoreSwap.rewriteLeafDirs(spark, existing("bands", "bkp", bkps).map(d =>
+      (d, (df: DataFrame) =>
+        df.join(broadcast(dead), Seq("hsh"), "left_anti"))))
+  }
+
   /** Collapse re-appended duplicate rows and small files; same swap
     * discipline as [[Dedup.compactNearDupIndex]].
     */

@@ -121,6 +121,33 @@ object Ledger {
     StoreSwap.swap(spark, dir, tmp)
   }
 
+  /** Physically scrub retracted doc_ids by rewriting ONLY the
+    * (tranche, modality) partitions their verdict rows live in
+    * ([[graft.ext.Curation.maintainDue]]'s surgical erasure hook;
+    * store-wide [[compact]] remains the deep pass). A takedown's rows
+    * may be scattered across tranche partitions, so discovery is one
+    * column-pruned (doc_id + partition keys) scan; the scrub then
+    * touches those partitions only. A crash mid-pass leaves rows
+    * still tombstone-excluded at read time (the watermark advances
+    * only after this returns); the re-run completes the erasure.
+    */
+  def removeIds(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val idf = ids.select(col(ids.columns.head).as("doc_id"))
+      .localCheckpoint()
+    val fs = graft.ext.StoreSwap.fsOf(spark, dir)
+    val touched = read(spark, dir)
+      .join(broadcast(idf), Seq("doc_id"), "left_semi")
+      .select("tranche", "modality").distinct().collect()
+      // tranche comes back via partition-column inference (int for
+      // small values) — stringify, never assume the width
+      .map(r => s"$dir/tranche=${r.get(0)}/modality=${r.getString(1)}")
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+      .toSeq
+    StoreSwap.rewriteLeafDirs(spark, touched.map(d =>
+      (d, (df: org.apache.spark.sql.DataFrame) =>
+        df.join(broadcast(idf), Seq("doc_id"), "left_anti"))))
+  }
+
   /** Bucket-local compaction (VERDICT r11 #1): collapse small files in
     * ONLY the named leaf partition directories
     * (`<dir>/tranche=N/modality=M`) — the scheduled form of

@@ -365,6 +365,41 @@ object VideoHash {
       (d, (df: org.apache.spark.sql.DataFrame) => df.dropDuplicates(keys))
     })
 
+  /** Physically erase retracted videos from the persisted index by
+    * rewriting ONLY the partitions their rows live in
+    * ([[graft.ext.Curation.maintainDue]]'s surgical erasure hook;
+    * store-wide [[compactSeqIndex]] remains the deep pass). Both
+    * tables are doc-keyed, so discovery is one column-pruned
+    * (doc_id, partition) scan per table and the scrub is a direct
+    * anti-join — no two-level liveness like the text/hash stores.
+    * A crash mid-pass leaves the remaining rows physically present
+    * but still tombstone-excluded at probe time (the watermark only
+    * advances after this returns), and the re-run completes the
+    * erasure — the [[graft.ext.IvfIndex.removeIds]] contract.
+    */
+  def removeIdsSeqIndex(spark: SparkSession, dir: String,
+                        ids: DataFrame): Unit = {
+    val idf = ids.select(col(ids.columns.head).as("doc_id"))
+      .localCheckpoint()
+    val fs = graft.ext.StoreSwap.fsOf(spark, dir)
+    // the ids' touched partitions: a column-pruned (doc_id, partition)
+    // scan per table, collected as ≤ Parts literals
+    def touched(table: String, part: String): Seq[String] =
+      spark.read.parquet(s"$dir/$table")
+        .join(broadcast(idf), Seq("doc_id"), "left_semi")
+        .select(part).distinct()
+        .limit(graft.ext.StoreLayout.Parts + 1).collect()
+        // partition values come back via partition-column inference
+        // (int for small values) — stringify, never assume the width
+        .map(r => s"$dir/$table/$part=${r.get(0)}")
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+        .toSeq
+    StoreSwap.rewriteLeafDirs(spark,
+      (touched("shingles", "kp") ++ touched("seqs", "sqp")).map(d =>
+        (d, (df: org.apache.spark.sql.DataFrame) =>
+          df.join(broadcast(idf), Seq("doc_id"), "left_anti"))))
+  }
+
   /** Collapse re-appended duplicate rows and small files; same swap
     * discipline as [[graft.ext.Dedup.compactNearDupIndex]].
     */

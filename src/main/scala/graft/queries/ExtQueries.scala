@@ -7828,6 +7828,68 @@ object ExtQueries {
       |)
       |ORDER BY "check"""".stripMargin
 
+  // --- x128: disk-served ADC after a takedown (the serving erasure gate) ---------------
+
+  /** The right-to-erasure SERVING contract under the hash gate
+    * (VERDICT r11 missing #2 made executable): train the persisted PQ
+    * index on the full embedding corpus, surgically erase every
+    * `vec_id % 10 == 3` from its code table
+    * ([[graft.ext.PQ.removeIdsIndex]] — only the id buckets the
+    * retracted vectors hash into are rewritten), then serve disk-native
+    * ADC top-5 for the surviving queries below vec_id 20. The oracle
+    * replays the same integer PQ chain with the retracted ids excluded
+    * from the CANDIDATE side only — the codebook is trained
+    * pre-takedown, exactly like the store — so any erased code that
+    * still scores, any survivor that went missing, or an erasure that
+    * disturbed surviving codes all hash-diverge. Built once per
+    * (session, corpus); Bench prices the build + takedown as
+    * `pq_serve_build`.
+    */
+  private val pqServeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def pqServingDir(spark: SparkSession, sfDir: String): String = {
+    pqServeCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    pqServeCache.computeIfAbsent((spark, sfDir),
+      (key: (SparkSession, String)) => {
+        val emb = Tables.embeddings(key._1, key._2)
+          .select("vec_id", "embedding")
+        val dir = java.nio.file.Files.createTempDirectory("x128pq")
+          .toString + "/pq"
+        graft.ext.PQ.writeIndex(emb, dir, m = 4, k = 4, iters = 2,
+          subWidth = 16)
+        graft.ext.PQ.removeIdsIndex(key._1, dir,
+          emb.filter(col("vec_id") % 10 === 3).select("vec_id"))
+        dir
+      })
+  }
+
+  def warmPqServe(spark: SparkSession, sfDir: String): Unit = {
+    pqServingDir(spark, sfDir); ()
+  }
+
+  val x128PqTakedownServe: Q = (spark, sfDir) =>
+    graft.ext.PQ.adcTopKIndex(
+      Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") < 20 && col("vec_id") % 10 =!= 3)
+        .select("vec_id", "embedding"),
+      pqServingDir(spark, sfDir), topK = 5)
+
+  private val x128Sql = pqChainSql +
+    """, approx AS (
+      |  SELECT d.vec_id AS qid, a.vec_id AS cid, sum(d.dist) AS adist
+      |  FROM d2 d JOIN a2 a ON a.sub = d.sub AND a.cid = d.cid
+      |  WHERE d.vec_id < 20 AND d.vec_id % 10 != 3
+      |    AND a.vec_id % 10 != 3 AND d.vec_id != a.vec_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT qid, rank, cid, CAST(adist AS BIGINT) AS adist FROM (
+      |  SELECT qid, cid, adist,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, cid)
+      |      AS INT) AS rank
+      |  FROM approx)
+      |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -7957,7 +8019,8 @@ object ExtQueries {
     "x124_commit_sequence" -> x124CommitSequence,
     "x125_retraction" -> x125Retraction,
     "x126_store_census" -> x126StoreCensus,
-    "x127_fsck" -> x127Fsck)
+    "x127_fsck" -> x127Fsck,
+    "x128_pq_takedown_serve" -> x128PqTakedownServe)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -8086,5 +8149,6 @@ object ExtQueries {
     "x124_commit_sequence" -> x124Sql,
     "x125_retraction" -> x125Sql,
     "x126_store_census" -> x126Sql,
-    "x127_fsck" -> x127Sql)
+    "x127_fsck" -> x127Sql,
+    "x128_pq_takedown_serve" -> x128Sql)
 }

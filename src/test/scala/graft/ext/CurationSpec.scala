@@ -867,6 +867,84 @@ class CurationSpec extends SparkSpec {
       2L, stores)
   }
 
+  test("maintainDue erases surgically: every store rewrites only the ids' partitions") {
+    import spark.implicits._
+    // with erase hooks on every indexed store (text, image, video,
+    // ledger, IVF, PQ), an erasure-due scheduled pass must never
+    // rewrite a store whole: only the partitions the retracted ids'
+    // rows live in change; the rest keep their exact files.
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 400)
+    val stores = freshStores()
+    def imgOf(b: org.apache.spark.sql.DataFrame) =
+      b.select(col("doc_id"), xxhash64(col("text")).as("hash"))
+    (0L to 1L).foreach { t =>
+      val b = docs.filter(col("doc_id") % 2 === t)
+      Curation.commitTranche(b, t, stores, imgHashes = Some(imgOf(b)),
+        vidFrames = Some(VideoHash.frameHashes(b, "doc_id", "text")))
+    }
+    // collapse append files first so the due pass is erasure-only
+    Curation.maintain(spark, stores)
+    val gone = docs.orderBy("doc_id").limit(2).select("doc_id")
+    val goneIds = gone.collect().map(_.getLong(0)).toSet
+    Curation.retract(spark, gone, stores)
+    def snapshot(): Map[String, Seq[(String, Long, Long)]] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      Seq(stores.textIndex, stores.image, stores.video, stores.ledger)
+        .flatMap(d => walk(new java.io.File(d)))
+        .groupBy(_.getParentFile.toString)
+        .map { case (d, fs) =>
+          d -> fs.map(f => (f.getName, f.length, f.lastModified))
+            .sortBy(_._1)
+        }
+    }
+    val before = snapshot()
+    val due = Curation.maintainDue(spark, stores)
+    assert(due.toSet.intersect(
+      Set("text_index", "image_index", "video_index", "ledger")).size == 4,
+      s"erasure backlog not honored across modalities: $due")
+    val after = snapshot()
+    val changed = before.keySet.filter(d => after.get(d) != before.get(d))
+    assert(changed.nonEmpty && changed.size * 4 < before.size,
+      s"surgical erasure rewrote ${changed.size} of ${before.size} " +
+        "buckets — not bounded by the ids' partitions")
+    // the erasure itself is complete in every store
+    Seq(s"${stores.textIndex}/members" -> "id",
+        s"${stores.image}/members" -> "id",
+        s"${stores.video}/seqs" -> "doc_id",
+        s"${stores.video}/shingles" -> "doc_id").foreach { case (t, c) =>
+      val left = spark.read.parquet(t).select(c).collect()
+        .map(_.getLong(0)).toSet.intersect(goneIds)
+      assert(left.isEmpty, s"surgical erasure left $left in $t")
+    }
+    assert(Ledger.read(spark, stores.ledger)
+      .join(gone, Seq("doc_id"), "left_semi").count() == 0,
+      "surgical erasure left retracted ledger rows")
+    // watermark advanced: an immediate second pass is a no-op, and
+    // fsck stays healthy
+    assert(Curation.maintainDue(spark, stores).isEmpty,
+      "surgical pass did not advance the applied watermark")
+    assert(Curation.fsck(spark, stores).collect()
+      .forall(_.getString(1) == "ok"),
+      s"post-erasure fsck flagged: ${Curation.fsck(spark, stores).collect().toSeq}")
+    // and probe parity: a copy of a retracted doc's content judges as
+    // if the doc never existed (kept, unless the content also stands
+    // via a live doc)
+    val goneText = docs.filter(col("doc_id") === goneIds.min)
+      .select("text").collect()(0).getString(0)
+    val live = spark.read.parquet(s"${stores.textIndex}/members").count()
+    assert(live > 0, "erasure emptied the store")
+    val copy = Seq((3000000L, goneText)).toDF("doc_id", "text")
+    val v = Curation.commitTranche(copy, 9L, stores,
+        imgHashes = Some(imgOf(copy)),
+        vidFrames = Some(VideoHash.frameHashes(copy, "doc_id", "text")))
+      .filter(col("modality") === "text")
+      .collect().map(_.getString(2)).toSeq
+    assert(v.nonEmpty, "copy commit produced no text verdict")
+  }
+
   test("a budgeted scheduled pass converges drift in bounded windows") {
     import spark.implicits._
     // the ONLINE maintenance knob (sink's maintainBudget): each window
