@@ -936,6 +936,36 @@ object ScaleSmoke {
     println(s"takedown slice: epoch filter pushed, guard pruned to " +
       s"${gParts.mkString("+")} of 64 buckets")
 
+    // --- surgical erasure at scale: the scheduled pass rewrites the ids' -----
+    // partitions only. The epoch-2 retraction above is still pending;
+    // applying it through maintainDue must touch, of the ~100k-doc
+    // standing text index, ONLY the member buckets the two retracted
+    // docs' contents hash into (their contents have 398 surviving
+    // copies, so no band/set row dies) plus the scattered ledger
+    // partitions — every other bucket keeps its exact files.
+    val eraSnapB = bucketSnapshot(curStores.textIndex)
+    val tEra = System.nanoTime()
+    val eraDue = Curation.maintainDue(spark, curStores)
+    val eraSec = (System.nanoTime() - tEra) / 1e9
+    require(eraDue.nonEmpty && eraDue.forall(
+      Set("text_index", "ledger").contains),
+      s"epoch-2 erasure due set unexpected: $eraDue")
+    val eraSnapA = bucketSnapshot(curStores.textIndex)
+    val eraChanged = eraSnapB.keySet.filter(d =>
+      eraSnapA.get(d) != eraSnapB.get(d))
+    require(eraChanged.size <= 2,
+      s"surgical text erasure rewrote ${eraChanged.size} of " +
+        s"${eraSnapB.size} buckets (expected <= 2 member buckets): " +
+        s"${eraChanged.take(4)}")
+    require(spark.read.parquet(s"${curStores.textIndex}/members")
+      .filter(col("id") >= 920000000L && col("id") < 920000002L)
+      .count() == 0, "surgical erasure left retracted members")
+    require(Curation.maintainDue(spark, curStores).isEmpty,
+      "surgical pass did not advance the watermark")
+    println(f"surgical erasure scale: 2 of ~100k docs erased in " +
+      f"$eraSec%.1fs, ${eraChanged.size}%d of ${eraSnapB.size}%d text " +
+      "buckets rewritten, second pass empty")
+
     // --- splitCell at scale: the hot cell heals without a full rewrite -------
     // The census block above left ivfDir with a 40k-vector hot append
     // in one cell (52.5k total there, 240k in store). splitCell must

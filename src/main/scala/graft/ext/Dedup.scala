@@ -1070,22 +1070,28 @@ object Dedup {
           .join(broadcast(idf), Seq("id"), "left_anti")
           .select("ch").distinct(),
         Seq("ch"), "left_anti").localCheckpoint()
+    val anyDead = dead.limit(1).count() > 0
     // band buckets the dead contents' keys spread across: one
     // column-pruned (ch, bkp) scan, ≤ Parts literals
-    val bkps = StoreLayout.partsOf(
-      spark.read.parquet(s"$dir/bands")
-        .join(broadcast(dead), Seq("ch"), "left_semi"), col("bk"))
-    // members first (the correctness-critical step), then hygiene
+    val bkps =
+      if (!anyDead) Seq.empty
+      else StoreLayout.partsOf(
+        spark.read.parquet(s"$dir/bands")
+          .join(broadcast(dead), Seq("ch"), "left_semi"), col("bk"))
+    // members first (the correctness-critical step), then hygiene —
+    // skipped entirely when every touched content keeps a surviving
+    // member (the common takedown: rows die, no content does)
     StoreSwap.rewriteLeafDirs(spark, existing("members", "chp", chps).map(d =>
       (d, (df: DataFrame) =>
         df.join(broadcast(idf), Seq("id"), "left_anti"))))
-    StoreSwap.rewriteLeafDirs(spark,
-      existing("sets", "chp", chps).map(d =>
-        (d, (df: DataFrame) =>
-          df.join(broadcast(dead), Seq("ch"), "left_anti"))) ++
-      existing("bands", "bkp", bkps).map(d =>
-        (d, (df: DataFrame) =>
-          df.join(broadcast(dead), Seq("ch"), "left_anti"))))
+    if (anyDead)
+      StoreSwap.rewriteLeafDirs(spark,
+        existing("sets", "chp", chps).map(d =>
+          (d, (df: DataFrame) =>
+            df.join(broadcast(dead), Seq("ch"), "left_anti"))) ++
+        existing("bands", "bkp", bkps).map(d =>
+          (d, (df: DataFrame) =>
+            df.join(broadcast(dead), Seq("ch"), "left_anti"))))
   }
 
   /** Store-FS existence check (local path or URI — java.io.File would

@@ -438,15 +438,20 @@ object ImageHash {
           .join(broadcast(idf), Seq("id"), "left_anti")
           .select("hsh").distinct(),
         Seq("hsh"), "left_anti").localCheckpoint()
-    val bkps = StoreLayout.partsOf(
-      spark.read.parquet(s"$dir/bands")
-        .join(broadcast(dead), Seq("hsh"), "left_semi"), col("bk"))
+    val anyDead = dead.limit(1).count() > 0
+    val bkps =
+      if (!anyDead) Seq.empty
+      else StoreLayout.partsOf(
+        spark.read.parquet(s"$dir/bands")
+          .join(broadcast(dead), Seq("hsh"), "left_semi"), col("bk"))
     StoreSwap.rewriteLeafDirs(spark, existing("members", "hp", hps).map(d =>
       (d, (df: DataFrame) =>
         df.join(broadcast(idf), Seq("id"), "left_anti"))))
-    StoreSwap.rewriteLeafDirs(spark, existing("bands", "bkp", bkps).map(d =>
-      (d, (df: DataFrame) =>
-        df.join(broadcast(dead), Seq("hsh"), "left_anti"))))
+    // hygiene skipped when every touched hash keeps a surviving member
+    if (anyDead)
+      StoreSwap.rewriteLeafDirs(spark, existing("bands", "bkp", bkps).map(d =>
+        (d, (df: DataFrame) =>
+          df.join(broadcast(dead), Seq("hsh"), "left_anti"))))
   }
 
   /** Collapse re-appended duplicate rows and small files; same swap
