@@ -732,8 +732,12 @@ class CurationSpec extends SparkSpec {
       }
       rnd.nextInt(3) match {
         case 0 => Curation.maintain(spark, stores)
-        case 1 => Curation.maintainDue(spark, stores,
-          maxFilesPerBucket = 2); ()
+        case 1 =>
+          // random per-window budget: deferred drift must change
+          // nothing observable either (erasure is never budgeted)
+          Curation.maintainDue(spark, stores, maxFilesPerBucket = 2,
+            maxBucketsPerPass =
+              Seq(1, 4, Int.MaxValue)(rnd.nextInt(3))); ()
         case _ =>
       }
       val viol = Curation.fsck(spark, stores)
