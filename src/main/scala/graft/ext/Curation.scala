@@ -1435,6 +1435,36 @@ object Curation {
           "member contents absent from the sets table")
       })
     }
+    // the takedown contract audited in EVERY erasable modality store —
+    // a tombstoned row surviving past its store's applied watermark is
+    // the silent right-to-erasure failure fsck exists to surface
+    Seq("image" -> stores.image, "audio" -> stores.audio).foreach {
+      case (name, d) =>
+        if (exists(spark, s"$d/members"))
+          add(tomb.map { t =>
+            val n = spark.read.parquet(s"$d/members")
+              .select(col("id").as("doc_id")).dropDuplicates("doc_id")
+              .join(t, Seq("doc_id"), "left_semi").count()
+            (s"${name}_tombstoned_members", tombStatus(n, d), n,
+              s"$name member rows carrying retracted ids")
+          })
+    }
+    if (exists(spark, s"${stores.video}/seqs"))
+      add(tomb.map { t =>
+        val n = spark.read.parquet(s"${stores.video}/seqs")
+          .select("doc_id").dropDuplicates("doc_id")
+          .join(t, Seq("doc_id"), "left_semi").count()
+        ("video_tombstoned_seqs", tombStatus(n, stores.video), n,
+          "video sequence rows carrying retracted ids")
+      })
+    if (exists(spark, s"${stores.embedding}/vectors"))
+      add(tomb.map { t =>
+        val n = spark.read.parquet(s"${stores.embedding}/vectors")
+          .select(col("vec_id").as("doc_id")).dropDuplicates("doc_id")
+          .join(t, Seq("doc_id"), "left_semi").count()
+        ("embedding_tombstoned_vectors", tombStatus(n, stores.embedding), n,
+          "IVF vector rows carrying retracted ids")
+      })
     if (exists(spark, s"${stores.embedding}/centroids")) {
       if (IvfIndex.splitInFlight(spark, stores.embedding))
         add(Some(("ivf_split_inflight", "pending", 1L,
