@@ -1486,6 +1486,40 @@ object Curation {
         ("pq_tombstoned_codes", tombStatus(n, stores.pqIndex), n,
           "pq code rows carrying retracted ids")
       })
+    // a bucket rewrite that crashed between its delete and its rename
+    // leaves the partition directory MISSING with the complete
+    // replacement in a hidden `.compact_*` / `.retract_*` tmp — the
+    // one state the in-place discipline cannot re-run out of (the
+    // next pass sees no files, so nothing is due). Surface it with
+    // the recovery: rename the tmp to its sibling name.
+    maintenanceUnits(spark, stores).foreach { u =>
+      add(Some {
+        val orphans = u.tables.flatMap { t =>
+          val fs = StoreSwap.fsOf(spark, t)
+          def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+            if (!fs.exists(p)) Seq.empty
+            else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { s =>
+              val n = s.getPath.getName
+              if (n.startsWith(".compact_") || n.startsWith(".retract_")) {
+                val target = new org.apache.hadoop.fs.Path(p,
+                  n.replaceFirst("^\\.(compact|retract)_", ""))
+                if (fs.exists(target)) Seq.empty // stale tmp: harmless
+                else Seq(s.getPath.toString)
+              } else if (n.startsWith(".") || n.startsWith("_")) Seq.empty
+              else walk(s.getPath) // nested partitions (ledger tranche=)
+            }
+          walk(new org.apache.hadoop.fs.Path(t))
+        }
+        (s"${u.name}_crashed_rewrite",
+          if (orphans.isEmpty) "ok" else "violation",
+          orphans.size.toLong,
+          if (orphans.isEmpty)
+            "no bucket rewrite crashed mid-swap"
+          else
+            s"bucket dirs missing with complete tmps standing — rename " +
+              s"each tmp to its sibling name: ${orphans.take(3).mkString(", ")}")
+      })
+    }
     maintenanceUnits(spark, stores).filter(_.erasable).foreach { u =>
       add(Some {
         // a watermark AHEAD of the newest tombstone epoch means the

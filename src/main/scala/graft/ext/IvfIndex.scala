@@ -499,7 +499,9 @@ object IvfIndex {
     val fs = StoreSwap.fsOf(spark, dir)
     cells.foreach { c =>
       val pdir = new org.apache.hadoop.fs.Path(s"$vecDir/cell=$c")
-      val tmp = new org.apache.hadoop.fs.Path(s"$vecDir/.retract_$c")
+      // tmp name derives the target by prefix-strip ([[Curation.fsck]]
+      // surfaces a crash between the delete and the rename that way)
+      val tmp = new org.apache.hadoop.fs.Path(s"$vecDir/.retract_cell=$c")
       fs.delete(tmp, true)
       spark.read.parquet(pdir.toString)
         .join(broadcast(idf), Seq("vec_id"), "left_anti")

@@ -7825,6 +7825,18 @@ object ExtQueries {
       |  UNION ALL
       |  SELECT 'text_tombstoned_members', 'pending', (SELECT n FROM pend),
       |    'text member rows carrying retracted ids'
+      |  UNION ALL
+      |  SELECT 'text_index_crashed_rewrite', 'ok', 0,
+      |    'no bucket rewrite crashed mid-swap'
+      |  UNION ALL
+      |  SELECT 'ledger_crashed_rewrite', 'ok', 0,
+      |    'no bucket rewrite crashed mid-swap'
+      |  UNION ALL
+      |  SELECT 'id_registry_crashed_rewrite', 'ok', 0,
+      |    'no bucket rewrite crashed mid-swap'
+      |  UNION ALL
+      |  SELECT 'tombstones_crashed_rewrite', 'ok', 0,
+      |    'no bucket rewrite crashed mid-swap'
       |)
       |ORDER BY "check"""".stripMargin
 

@@ -949,6 +949,39 @@ class CurationSpec extends SparkSpec {
     assert(v.nonEmpty, "copy commit produced no text verdict")
   }
 
+  test("fsck surfaces a bucket rewrite crashed between delete and rename") {
+    import spark.implicits._
+    // the one state the in-place bucket discipline cannot re-run out
+    // of: the partition dir is gone, the complete replacement stands
+    // in its hidden tmp — no file pressure, nothing due, rows
+    // invisible. fsck must name it and the recovery.
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 200)
+    val stores = freshStores()
+    Curation.commitTranche(docs, 0L, stores)
+    def crashed() = Curation.fsck(spark, stores).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(3))))
+      .filter(_._1 == "text_index_crashed_rewrite")
+    assert(crashed().toSeq.map(_._2._1) == Seq("ok"), s"${crashed().toSeq}")
+    val bands = new java.io.File(s"${stores.textIndex}/bands")
+    val victim = bands.listFiles().filter(_.getName.startsWith("bkp=")).head
+    val tmp = new java.io.File(bands, s".compact_${victim.getName}")
+    // a STALE tmp next to its live target is harmless residue
+    assert(tmp.mkdir())
+    assert(crashed().toSeq.map(_._2._1) == Seq("ok"),
+      s"stale tmp misread as a crash: ${crashed().toSeq}")
+    assert(tmp.delete())
+    // the crash state: target gone, tmp standing
+    assert(victim.renameTo(tmp))
+    val c = crashed().toSeq
+    assert(c.map(_._2._1) == Seq("violation") &&
+      c.head._2._2.contains(tmp.getName),
+      s"crashed rewrite not surfaced: $c")
+    // the documented recovery restores health
+    assert(tmp.renameTo(victim))
+    assert(crashed().toSeq.map(_._2._1) == Seq("ok"))
+  }
+
   test("a budgeted scheduled pass converges drift in bounded windows") {
     import spark.implicits._
     // the ONLINE maintenance knob (sink's maintainBudget): each window
