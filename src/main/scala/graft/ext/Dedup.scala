@@ -1000,9 +1000,11 @@ object Dedup {
     * partition value is a function of its collapse key (bk → bkp,
     * ch → chp), so a key's duplicates can never live in an untouched
     * bucket and the per-bucket collapse equals [[compactNearDupIndex]]
-    * restricted to those buckets. Erasure (tombstones) stays with the
-    * store-wide pass — a retracted doc's band rows spread across many
-    * band-key buckets, so its anti-join is not bucket-boundable here.
+    * restricted to those buckets. Erasure (tombstones) is bucket-
+    * bounded too, but lives in [[removeIdsNearDup]]: members-first
+    * discovery turns the retracted ids into the exact content/band
+    * buckets their rows spread across. Only the pre-r11 FLAT layout
+    * falls back to the store-wide anti-join.
     */
   def compactNearDupIndexBuckets(spark: org.apache.spark.sql.SparkSession,
                                  dir: String,

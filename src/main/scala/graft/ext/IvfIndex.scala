@@ -496,21 +496,14 @@ object IvfIndex {
       .localCheckpoint()
     val cells = spark.read.parquet(vecDir).select("vec_id", "cell")
       .join(idf, "vec_id").select("cell").distinct().collect().map(_.get(0))
-    val fs = StoreSwap.fsOf(spark, dir)
-    cells.foreach { c =>
-      val pdir = new org.apache.hadoop.fs.Path(s"$vecDir/cell=$c")
-      // tmp name derives the target by prefix-strip ([[Curation.fsck]]
-      // surfaces a crash between the delete and the rename that way)
-      val tmp = new org.apache.hadoop.fs.Path(s"$vecDir/.retract_cell=$c")
-      fs.delete(tmp, true)
-      spark.read.parquet(pdir.toString)
-        .join(broadcast(idf), Seq("vec_id"), "left_anti")
-        .write.parquet(tmp.toString)
-      fs.delete(pdir, true)
-      if (!fs.rename(tmp, pdir))
-        throw new java.io.IOException(
-          s"removeIds: cannot promote $tmp to $pdir")
-    }
+    // the shared in-place rewrite discipline: size-capped output files,
+    // retire-by-rename (never delete-before-promote), concurrent cells.
+    // The `.retract_` tmp prefix derives the target by prefix-strip
+    // ([[Curation.fsck]] surfaces a crashed swap that way).
+    StoreSwap.rewriteLeafDirs(spark, cells.toSeq.map(c =>
+      (s"$vecDir/cell=$c", (df: DataFrame) =>
+        df.join(broadcast(idf), Seq("vec_id"), "left_anti"))),
+      tmpPrefix = ".retract_")
   }
 
   /** Post-append cell occupancy census (VERDICT r9 #6): (cell,

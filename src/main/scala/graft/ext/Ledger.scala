@@ -156,9 +156,12 @@ object Ledger {
     * rewrite just re-packs a drifted partition's files.
     */
   def compactBuckets(spark: SparkSession, leafDirs: Seq[String]): Unit =
+    // identity transform: rewriteLeafDirs itself sizes the output file
+    // count off the bucket's bytes, so a small partition re-packs to
+    // one file while an over-target one keeps ~target-sized files
     StoreSwap.rewriteLeafDirs(spark,
       leafDirs.map(d =>
-        (d, (df: org.apache.spark.sql.DataFrame) => df.coalesce(1))))
+        (d, (df: org.apache.spark.sql.DataFrame) => df)))
 
   /** Drop ONE tranche's verdict rows — a partition-pruned delete of the
     * `tranche=<id>` directory (all modalities), the ledger side of

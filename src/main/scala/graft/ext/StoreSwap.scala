@@ -61,33 +61,77 @@ private[ext] object StoreSwap {
     results.map(_.get)
   }
 
+  /** Target on-disk bytes per output file of a bucket rewrite. A
+    * compacted bucket lands at ~this size per file, and due-ness
+    * ([[Curation.maintainDue]]'s drift detection) tolerates double the
+    * resulting file count (i.e. half this size per file) before calling
+    * the bucket drifted — the 2× gap is what makes compaction CONVERGE
+    * (a just-compacted bucket whose rewrite shrank its bytes can never
+    * re-qualify on encoding noise alone).
+    */
+  private[ext] val TargetFileBytes: Long = 128L * 1024 * 1024
+
   /** Rewrite the named leaf partition directories IN PLACE — the
     * bucket-local maintenance discipline (VERDICT r11 #1): each dir's
     * rows are read, passed through its `transform` (duplicate collapse,
-    * erasure), fully written to a hidden sibling tmp, then swapped in
-    * by delete + rename — [[IvfIndex.removeIds]]'s per-partition
-    * rewrite generalized to any probe-key-partitioned table. Write
-    * work is bounded by the NAMED buckets, never the store, and the
-    * writer-lock window shrinks with it. Dirs rewrite concurrently
-    * (each owns its directory, so committers never share staging
-    * paths). Unlike [[swap]], no `.old` generation is kept: every
-    * caller's transform is an idempotent collapse, so a crashed pass
-    * re-runs to the same rows (the removeIds contract).
+    * erasure), fully written to a hidden sibling tmp
+    * (`<tmpPrefix><name>`), then swapped in by two renames —
+    * [[IvfIndex.removeIds]]'s per-partition rewrite generalized to any
+    * probe-key-partitioned table. Write work is bounded by the NAMED
+    * buckets, never the store, and the writer-lock window shrinks with
+    * it. Dirs rewrite concurrently (each owns its directory, so
+    * committers never share staging paths).
+    *
+    * Output file count is CAPPED by the bucket's input size
+    * (ADVICE r12): every caller's transform only drops rows, so input
+    * bytes bound output bytes, and the rewrite coalesces to
+    * ceil(bytes / [[TargetFileBytes]]) files. Without the cap the
+    * transform's shuffle would write `spark.sql.shuffle.partitions`
+    * files and a bucket over ~threshold × partition-size could compact
+    * to MORE files than the due threshold — staying "drifted" forever
+    * and burning a full rewrite every scheduled window with zero
+    * progress.
+    *
+    * The swap RETIRES the live dir by rename (`.old_<name>` aside)
+    * before promoting the tmp, then drops the aside (ADVICE r12) —
+    * read-visible rows are never deleted before their replacement is
+    * promoted, so every crash state holds at least one complete copy
+    * with a mechanical recovery: live standing (re-run the pass), or
+    * live missing with the complete tmp + aside standing (promote the
+    * tmp — [[Curation.fsck]] surfaces it, [[Curation.repair]] applies
+    * it). Unlike [[swap]], no rollback generation is kept past the
+    * pass: every caller's transform is an idempotent collapse, so a
+    * crashed pass re-runs to the same rows (the removeIds contract).
     */
   def rewriteLeafDirs(spark: SparkSession,
                       dirs: Seq[(String,
                         org.apache.spark.sql.DataFrame =>
-                          org.apache.spark.sql.DataFrame)]): Unit =
+                          org.apache.spark.sql.DataFrame)],
+                      tmpPrefix: String = ".compact_"): Unit =
     concurrently(dirs.map { case (d, transform) => () => {
       val p = new Path(d)
       val f = fs(spark, p)
-      val tmp = new Path(p.getParent, s".compact_${p.getName}")
+      val tmp = new Path(p.getParent, s"$tmpPrefix${p.getName}")
+      val aside = new Path(p.getParent, s".old_${p.getName}")
       f.delete(tmp, true)
-      transform(spark.read.parquet(d)).write.parquet(tmp.toString)
-      f.delete(p, true)
-      if (!f.rename(tmp, p))
+      f.delete(aside, true) // stale aside: a prior pass crashed after promoting
+      val bytes = f.getContentSummary(p).getLength
+      val nOut = math.min(Int.MaxValue.toLong,
+        math.max(1L, (bytes + TargetFileBytes - 1) / TargetFileBytes)).toInt
+      transform(spark.read.parquet(d)).coalesce(nOut)
+        .write.parquet(tmp.toString)
+      if (!f.rename(p, aside))
+        throw new java.io.IOException(
+          s"bucket compaction: cannot retire $p to $aside")
+      if (!f.rename(tmp, p)) {
+        // close the live-missing window as tightly as the rename pair
+        // allows: put the old generation back before surfacing
+        f.rename(aside, p)
         throw new java.io.IOException(
           s"bucket compaction: cannot promote $tmp to $p")
+      }
+      f.delete(aside, true)
+      ()
     }}: _*)
 
   /** Delete any stale tmp left by a crashed pass and return the path to
