@@ -52,7 +52,8 @@ object Bench {
     "ledger_kernels_build", "unigram_train_build",
     "curation_bootstrap_build", "curation_commit_build",
     "phash_index_build", "videoseq_index_build", "commit_sequence_build",
-    "retraction_build", "fsck_audit_build", "pq_serve_build")
+    "retraction_build", "fsck_audit_build", "pq_serve_build",
+    "pq_commit_build")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -175,6 +176,13 @@ object Bench {
     val psSec = build("pq-serve warm") {
       graft.queries.ExtQueries.warmPqServe(spark, sfDir)
     }
+    // x129's full serving lifecycle: two commits (the second feeding
+    // the PQ serving store from inside the commit window) + takedown +
+    // scheduled maintenance — the declared row measures the recurring
+    // disk-ADC serve over the store the commits fed
+    val pcSec = build("pq-commit warm") {
+      graft.queries.ExtQueries.warmPqCommitServe(spark, sfDir)
+    }
     // the production ingestion loop itself (Curation.commitTranche),
     // timed end-to-end in two line items following the x87 discipline:
     // the one-time deployment bootstrap (IVF codebook training on the
@@ -279,7 +287,8 @@ object Bench {
       ("curation_bootstrap_build" -> cbSec) + ("curation_commit_build" -> ccSec) +
       ("phash_index_build" -> piSec) + ("videoseq_index_build" -> viSec) +
       ("commit_sequence_build" -> csSec) + ("retraction_build" -> rtSec) +
-      ("fsck_audit_build" -> faSec) + ("pq_serve_build" -> psSec)
+      ("fsck_audit_build" -> faSec) + ("pq_serve_build" -> psSec) +
+      ("pq_commit_build" -> pcSec)
     // Regression gate vs the previous round's bench (VERDICT r4 #9,
     // repaired per VERDICT r5 #1): any query >2x its prior min is flagged
     // loudly NOW, in-round. Prev defaults to the committed bench_full.json

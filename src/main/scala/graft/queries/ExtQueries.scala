@@ -7902,6 +7902,146 @@ object ExtQueries {
       |  FROM approx)
       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  // --- x129: commits feed PQ serving (ingest -> dedup -> takedown -> serve) ------------
+
+  /** The full serving lifecycle under the hash gate (VERDICT r12
+    * missing #1 made executable): tranche A commits (serving store not
+    * yet trained), [[graft.ext.PQ.writeIndex]] trains the codebook on
+    * A's vectors, tranche B — carrying byte-identical copies of five A
+    * vectors under fresh ids — commits and its KEPT vectors append
+    * through the frozen codebook inside [[graft.ext.Curation
+    * .commitTranche]]'s own write phase, a takedown retracts every
+    * `vec_id % 20 == 13` and the next [[graft.ext.Curation
+    * .maintainDue]] erases them from the code table, then disk-native
+    * ADC top-5 serves the surviving queries below vec_id 40. The
+    * oracle replays the whole arc independently: tranche-B kept = raw
+    * float-array equality dedup against A and first-occurrence within
+    * B (`cosThresh = 2` disables the near-dup path, so kept-ness is
+    * exactly replayable), the integer PQ chain trains on A alone,
+    * codes cover A ∪ kept(B) minus the retraction, and queries score
+    * through the same lookup tables. A commit that stops feeding
+    * serving, a duplicate that leaks in, a re-run that double-codes,
+    * or a takedown that misses the code table all hash-diverge. Built
+    * once per (session, corpus); Bench prices the two commits +
+    * takedown + maintenance as `pq_commit_build`.
+    */
+  private val pqCommitCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.ext.Curation.Stores]()
+
+  private def pqCommitStores(spark: SparkSession,
+                             sfDir: String): graft.ext.Curation.Stores = {
+    pqCommitCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    pqCommitCache.computeIfAbsent((spark, sfDir),
+      (key: (SparkSession, String)) => {
+        val docs = Tables.documents(key._1, key._2).select("doc_id", "text")
+        val emb = Tables.embeddings(key._1, key._2)
+        val root = java.nio.file.Files.createTempDirectory("x129pq").toString
+        val stores = graft.ext.Curation.Stores(s"$root/text", s"$root/img",
+          s"$root/aud", s"$root/vid", s"$root/emb", s"$root/led",
+          pqIndex = s"$root/pq")
+        val da = docs.filter(col("doc_id") % 4 === 1)
+        val ea = emb.filter(col("vec_id") % 4 === 1)
+        graft.ext.Curation.commitTranche(da, 0L, stores,
+          embeddings = Some(ea), cosThresh = 2.0)
+        graft.ext.PQ.writeIndex(ea.select("vec_id", "embedding"),
+          stores.pqIndex)
+        val db = docs.filter(col("doc_id") % 4 === 2).unionByName(
+          docs.filter(col("doc_id") % 4 === 1 && col("doc_id") % 25 === 3)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        val eb = emb.filter(col("vec_id") % 4 === 2).unionByName(
+          emb.filter(col("vec_id") % 4 === 1 && col("vec_id") % 25 === 3)
+            .select((col("vec_id") + 1000000L).as("vec_id"),
+              col("embedding"), col("label")))
+        graft.ext.Curation.commitTranche(db, 1L, stores,
+          embeddings = Some(eb), cosThresh = 2.0)
+        graft.ext.Curation.retract(key._1,
+          emb.filter(col("vec_id") % 20 === 13).select("vec_id"), stores)
+        graft.ext.Curation.maintainDue(key._1, stores)
+        stores
+      })
+  }
+
+  def warmPqCommitServe(spark: SparkSession, sfDir: String): Unit = {
+    pqCommitStores(spark, sfDir); ()
+  }
+
+  val x129PqCommitServe: Q = (spark, sfDir) =>
+    graft.ext.PQ.adcTopKIndex(
+      Tables.embeddings(spark, sfDir)
+        .filter((col("vec_id") % 4 === 1 || col("vec_id") % 4 === 2) &&
+          col("vec_id") < 40 && col("vec_id") % 20 =!= 13)
+        .select("vec_id", "embedding"),
+      pqCommitStores(spark, sfDir).pqIndex, topK = 5)
+
+  private val x129Sql =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 10000000) AS e
+      |  FROM embeddings WHERE vec_id % 4 IN (1, 2)
+      |), ta AS (
+      |  SELECT vec_id, embedding, e FROM base WHERE vec_id % 4 = 1
+      |), tb AS (
+      |  SELECT vec_id, embedding, e FROM base WHERE vec_id % 4 = 2
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id, embedding, e FROM base
+      |  WHERE vec_id % 4 = 1 AND vec_id % 25 = 3
+      |), tbkept AS (
+      |  SELECT vec_id, e FROM tb r
+      |  WHERE NOT EXISTS (SELECT 1 FROM ta WHERE ta.embedding = r.embedding)
+      |    AND vec_id = (SELECT min(b.vec_id) FROM tb b
+      |                  WHERE b.embedding = r.embedding)
+      |), live AS (
+      |  SELECT vec_id FROM ta WHERE vec_id % 20 != 13
+      |  UNION ALL
+      |  SELECT vec_id FROM tbkept WHERE vec_id % 20 != 13
+      |), qsa AS (
+      |  SELECT vec_id, CAST((i - 1) // 16 AS INT) AS sub, i, v FROM (
+      |    SELECT vec_id, generate_subscripts(e, 1) AS i, unnest(e) AS v FROM ta)
+      |), seeds AS (
+      |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      |  FROM (SELECT vec_id FROM ta ORDER BY vec_id LIMIT 4)
+      |), c0 AS (
+      |  SELECT qsa.sub, s.cid, qsa.i, qsa.v FROM qsa JOIN seeds s USING (vec_id)
+      |), d1 AS (
+      |  SELECT qsa.vec_id, qsa.sub, c.cid, sum((qsa.v - c.v) * (qsa.v - c.v)) AS dist
+      |  FROM qsa JOIN c0 c USING (i) GROUP BY qsa.vec_id, qsa.sub, c.cid
+      |), a1 AS (
+      |  SELECT vec_id, sub, cid FROM (
+      |    SELECT vec_id, sub, cid,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+      |    FROM d1) WHERE rn = 1
+      |), c1 AS (
+      |  SELECT qsa.sub, a1.cid, qsa.i, CAST(sum(qsa.v) // count(*) AS BIGINT) AS v
+      |  FROM qsa JOIN a1 USING (vec_id, sub) GROUP BY qsa.sub, a1.cid, qsa.i
+      |), allv AS (
+      |  SELECT vec_id, e FROM ta
+      |  UNION ALL
+      |  SELECT vec_id, e FROM tb
+      |), qsall AS (
+      |  SELECT vec_id, CAST((i - 1) // 16 AS INT) AS sub, i, v FROM (
+      |    SELECT vec_id, generate_subscripts(e, 1) AS i, unnest(e) AS v FROM allv)
+      |), d2 AS (
+      |  SELECT qs.vec_id, qs.sub, c.cid, sum((qs.v - c.v) * (qs.v - c.v)) AS dist
+      |  FROM qsall qs JOIN c1 c USING (i) GROUP BY qs.vec_id, qs.sub, c.cid
+      |), a2 AS (
+      |  SELECT vec_id, sub, cid FROM (
+      |    SELECT vec_id, sub, cid,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+      |    FROM d2 WHERE vec_id IN (SELECT vec_id FROM live)) WHERE rn = 1
+      |), approx AS (
+      |  SELECT d.vec_id AS qid, a.vec_id AS cid, sum(d.dist) AS adist
+      |  FROM d2 d JOIN a2 a ON a.sub = d.sub AND a.cid = d.cid
+      |  WHERE d.vec_id < 40 AND d.vec_id % 20 != 13
+      |    AND d.vec_id != a.vec_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT qid, rank, cid, CAST(adist AS BIGINT) AS adist FROM (
+      |  SELECT qid, cid, adist,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS INT) AS rank
+      |  FROM approx)
+      |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -8032,7 +8172,8 @@ object ExtQueries {
     "x125_retraction" -> x125Retraction,
     "x126_store_census" -> x126StoreCensus,
     "x127_fsck" -> x127Fsck,
-    "x128_pq_takedown_serve" -> x128PqTakedownServe)
+    "x128_pq_takedown_serve" -> x128PqTakedownServe,
+    "x129_pq_commit_serve" -> x129PqCommitServe)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -8162,5 +8303,6 @@ object ExtQueries {
     "x125_retraction" -> x125Sql,
     "x126_store_census" -> x126Sql,
     "x127_fsck" -> x127Sql,
-    "x128_pq_takedown_serve" -> x128Sql)
+    "x128_pq_takedown_serve" -> x128Sql,
+    "x129_pq_commit_serve" -> x129Sql)
 }
