@@ -620,6 +620,40 @@ object ScaleSmoke {
     println(f"pq takedown: 3 of 220k vectors erased in $pqESec%.1fs, " +
       f"${touchedPq.size}%d of 64 id buckets rewritten, serving clean")
 
+    // --- commit-path PQ append: bucket-local, re-run idempotent ---------------
+    // x129's ingestion half at scale: appending a tranche through the
+    // frozen codebook ([[PQ.appendIndexOnce]], what commitTranche
+    // wires) touches ONLY the tranche ids' id buckets — every other
+    // bucket keeps its exact files — and a REPLAYED append (the
+    // failed-commit re-run) leaves the whole 220k-vector store
+    // byte-identical: the bucket-pruned (vec_id, sub) probe writes
+    // nothing the first attempt already coded.
+    val apSnapB = bucketSnapshot(s"$pqDir/codes")
+    val apBatch = vecs.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 40000000L).as("vec_id"), col("embedding"))
+    val apTouched = apBatch
+      .select(pmod(xxhash64(col("vec_id")), lit(64L)).as("p"))
+      .distinct().collect().map(r => s"idp=${r.getLong(0)}").toSet
+    val tAp = System.nanoTime()
+    graft.ext.PQ.appendIndexOnce(apBatch, pqDir)
+    val apSec = (System.nanoTime() - tAp) / 1e9
+    val apSnapM = bucketSnapshot(s"$pqDir/codes")
+    apSnapB.foreach { case (d2, files) =>
+      if (!apTouched(new java.io.File(d2).getName))
+        require(apSnapM.get(d2).contains(files),
+          s"commit-path append touched a bucket outside the tranche: $d2")
+    }
+    require(graft.ext.PQ.readCodes(spark, pqDir)
+      .filter(col("vec_id") >= 40000000L).count() == 5L * 4,
+      "commit-path append did not code the tranche")
+    graft.ext.PQ.appendIndexOnce(apBatch, pqDir)
+    val apSnapA = bucketSnapshot(s"$pqDir/codes")
+    require(apSnapA == apSnapM,
+      "replayed append mutated the serving store (double-coded rows " +
+        "would corrupt ADC ranking)")
+    println(f"pq commit append: 5-vector tranche coded in $apSec%.1fs " +
+      f"touching ${apTouched.size}%d of 64 buckets, replay byte-identical")
+
     // --- image perceptual dedup: exact-dup flood stays collapsed -------------
     // 15k images but only 50 distinct pixel contents (the boilerplate
     // shape): the banded Hamming join must see 50 representatives, and
@@ -966,34 +1000,121 @@ object ScaleSmoke {
       f"$eraSec%.1fs, ${eraChanged.size}%d of ${eraSnapB.size}%d text " +
       "buckets rewritten, second pass empty")
 
-    // --- splitCell at scale: the hot cell heals without a full rewrite -------
-    // The census block above left ivfDir with a 40k-vector hot append
-    // in one cell (52.5k total there, 240k in store). splitCell must
-    // re-cluster THAT slice only, keep the population exact, retire
-    // the hot cell from the codebook, and preserve vector identity
-    // (an identical copy still judges exact_dup through the spliced
-    // codebook) — remediation bounded by the skewed slice, not the
-    // store ([[IvfIndex.rewrite]]'s cost).
+    // --- fsck audit listings are traffic-bounded, not lifetime-bounded -------
+    // VERDICT r12 missing #4: the crashed-rewrite walk descends a
+    // directory only if it changed since the last CLEAN audit (every
+    // rewrite artifact is a direct-child mutation, so the crash states
+    // bump the walked dir's mtime). After a quiet period a repeat audit
+    // lists ~only the table roots, and — the lifetime half — committing
+    // MORE tranches then auditing twice returns to the same near-root
+    // cost: the ledger's accumulated tranche partitions are never
+    // re-walked, so scheduled audits stay flat as the deployment ages.
+    def fsckListings(): Long = {
+      Curation.fsckDirsListed.set(0L)
+      Curation.fsck(spark, curStores).collect()
+      Curation.fsckDirsListed.get()
+    }
+    Thread.sleep(5000) // quiet period: the cursor prunes past 2x slack
+    val fsckCold = fsckListings() // full walk; deployment clean -> cursor set
+    val fsckWarm = fsckListings()
+    require(fsckWarm * 4 <= fsckCold,
+      s"audit cursor did not prune a quiet deployment: $fsckWarm of $fsckCold")
+    (0 until 4).foreach(i => Curation.commitTranche(
+      microTranche(930000000L + i * 1000L, s"fk$i"), 6L + i, curStores))
+    Thread.sleep(5000)
+    fsckListings() // absorbs the new tranches' traffic, re-advances the cursor
+    val fsckWarm2 = fsckListings()
+    require(fsckWarm2 <= fsckWarm + 4,
+      s"quiet-audit cost grew with tranche count: $fsckWarm2 vs $fsckWarm")
+    println(s"fsck cursor: cold $fsckCold listings, quiet $fsckWarm, " +
+      s"quiet after 4 more tranches $fsckWarm2 - flat in deployment age")
+
+    // --- codebook skew heals through the SCHEDULED pass (VERDICT r12 #2) -----
+    // A 300k-vector deployment with 4 well-separated planted
+    // directions takes a 100k hot append into one cell (150k there —
+    // skew 2.0). Wrapped in a deployment, that skew is a DUE signal:
+    // maintenanceReport carries it and maintainDue splits the hot
+    // cell — write work bounded by the skewed slice (cold cell
+    // partitions byte-identical), the population exact, vector
+    // identity preserved (an identical copy still judges exact_dup
+    // through the spliced codebook) — instead of waiting for an
+    // operator to read the census and act by hand. (The 16-direction
+    // ivfDir fixture above is deliberately NOT used here: its
+    // direction-to-cell entanglement under k=8 makes split outcomes a
+    // k-means redistribution exercise, not a scheduling contract.)
     val tSplit = System.nanoTime()
-    val hotCellScale = graft.ext.IvfIndex.cellCensus(spark, ivfDir).collect()
+    val ivfCurRoot = java.nio.file.Files.createTempDirectory("ivfcur").toString
+    val healDir = s"$ivfCurRoot/emb"
+    val healBase = spark.range(200000L).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        when(i === (col("id") % 4).cast("int") * 16, lit(1.0f))
+          .when(i === 60, (lit(1) + col("id") % 7).cast("float") / 10000)
+          .otherwise(lit(0.001f))).as("embedding"))
+    graft.ext.IvfIndex.write(healBase, healDir, k = 4, iters = 2)
+    val healHot = spark.range(100000L).select(
+      (col("id") + 20000000L).as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        when(i === 0, lit(1.0f))
+          .when(i === 60, (lit(1) + col("id") % 7).cast("float") / 10000)
+          .otherwise(lit(0.001f))).as("embedding"))
+    graft.ext.IvfIndex.append(healHot, healDir)
+    val ivfStores = graft.ext.Curation.Stores(s"$ivfCurRoot/text",
+      s"$ivfCurRoot/img", s"$ivfCurRoot/aud", s"$ivfCurRoot/vid", healDir,
+      s"$ivfCurRoot/led")
+    val hotCellScale = graft.ext.IvfIndex.cellCensus(spark, healDir).collect()
       .maxBy(_.getAs[Long]("n_vectors")).getAs[Any]("cell").toString.toLong
-    graft.ext.IvfIndex.splitCell(spark, ivfDir, hotCellScale, kSplit = 2,
-      iters = 1)
+    // file pressure is NOT the due signal here (threshold 64 swallows
+    // the write/append amplification) — only the census skew is
+    val skewRep = graft.ext.Curation.maintenanceReport(spark, ivfStores,
+        maxFilesPerBucket = 64, maxSkew = 1.8).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(5), r.getDouble(6)))).toMap
+    require(skewRep("embedding_ivf")._1 && skewRep("embedding_ivf")._2 > 1.8,
+      s"hot-append skew not a due signal: $skewRep")
+    val cellSnapB = bucketSnapshot(s"$healDir/vectors")
+    val healed = graft.ext.Curation.maintainDue(spark, ivfStores,
+      maxFilesPerBucket = 64, maxSkew = 1.8)
     val splitSec = (System.nanoTime() - tSplit) / 1e9
-    val censusPost = graft.ext.IvfIndex.cellCensus(spark, ivfDir).collect()
-    require(censusPost.length == 9, s"codebook not spliced: ${censusPost.length}")
-    require(censusPost.map(_.getAs[Long]("n_vectors")).sum == nIvf + 40000L,
-      "splitCell lost or duplicated vectors")
-    val splitProbe = graft.ext.IvfIndex.ledgerProbe(spark, ivfDir,
-        vecs.filter(col("vec_id") === 7L)
+    require(healed == Seq("embedding_ivf"),
+      s"scheduled pass did not heal the skewed store: $healed")
+    val cellSnapA = bucketSnapshot(s"$healDir/vectors")
+    // a heal touches the hot slice, the grafted sub-cells, and the
+    // SOURCE partitions of boundary rows whose argmin flipped under the
+    // spliced codebook — but never the whole store: untouched original
+    // partitions must survive byte-identical (the [[IvfIndex.rewrite]]
+    // full re-release swaps every partition; that cost is what the due
+    // signal exists to avoid)
+    val coldChanged = cellSnapB.keySet
+      .filter(d => !d.endsWith(s"cell=$hotCellScale"))
+      .filter(d => cellSnapA.get(d) != cellSnapB.get(d))
+    val coldUntouched = cellSnapB.keySet
+      .filter(d => !d.endsWith(s"cell=$hotCellScale")) -- coldChanged
+    require(coldUntouched.nonEmpty,
+      s"scheduled heal rewrote EVERY original partition (a full " +
+        s"rewrite, not a cell-local heal): changed ${coldChanged.size}")
+    val censusPost = graft.ext.IvfIndex.cellCensus(spark, healDir).collect()
+    // heal splits until the census clears the threshold — at least one
+    // split (4 -> 5+ cells), re-censusing between passes
+    require(censusPost.length >= 5, s"codebook not spliced: ${censusPost.length}")
+    require(censusPost.map(_.getAs[Long]("n_vectors")).sum == 300000L,
+      "scheduled splitCell lost or duplicated vectors")
+    require(censusPost.map(_.getAs[Double]("skew")).max <= 1.8,
+      s"heal left the census over threshold: ${censusPost.map(_.getAs[Double]("skew")).max}")
+    require(graft.ext.Curation.maintainDue(spark, ivfStores,
+        maxFilesPerBucket = 64, maxSkew = 1.8).isEmpty,
+      "healed store still due")
+    val splitProbe = graft.ext.IvfIndex.ledgerProbe(spark, healDir,
+        healBase.filter(col("vec_id") === 7L)
           .select((col("vec_id") + 990000000L).as("vec_id"), col("embedding")),
         "vec_id", "embedding", threshold = 0.9)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     require(splitProbe.values.toSeq == Seq("exact_dup"),
-      s"identity lost across splitCell: $splitProbe")
-    println(f"splitCell scale: 52.5k-vector hot cell split in $splitSec%.1fs, " +
-      f"9 cells, population exact, identity preserved")
-    require(splitSec < 120, f"splitCell blew the 120s budget: $splitSec%.1fs")
+      s"identity lost across the scheduled split: $splitProbe")
+    println(f"scheduled heal: 150k-vector hot cell split in $splitSec%.1fs " +
+      f"(due on census skew), ${censusPost.length}%d cells, " +
+      f"${coldUntouched.size}%d cold partitions byte-identical / " +
+      f"${coldChanged.size}%d flipped-source rewrites, population exact, " +
+      "identity preserved")
+    require(splitSec < 240, f"scheduled heal blew the 240s budget: $splitSec%.1fs")
   }
 
   private def tier100x(spark: SparkSession): Unit = {

@@ -1674,9 +1674,11 @@ object Curation {
   // the crashed-rewrite audit cursor: the last CLEAN walk's start time
   // (minus slack), in a sidecar next to the unit root. Mutations are
   // only trusted to be visible through a directory's mtime within this
-  // slack of each other.
+  // slack of each other — a dir is pruned only when its mtime predates
+  // the clean scan by more than 2x this (conservative: anything newer
+  // re-walks).
   private def fsckMarkPath(root: String) = s"$root.fsckmark"
-  private val FsckMarkSlackMs = 10000L
+  private val FsckMarkSlackMs = 2000L
   private def readFsckMark(spark: SparkSession, root: String): Long = {
     val p = new org.apache.hadoop.fs.Path(fsckMarkPath(root))
     val fs = StoreSwap.fsOf(spark, root)

@@ -426,7 +426,14 @@ object IvfIndex {
           r.getAs[Long]("n_vectors"), r.getAs[Double]("skew")))
       lastSplit.foreach { case (subs, n0) =>
         val counts = census.map(c => c._1 -> c._2).toMap
-        stuck ++= subs.filter(s => counts.getOrElse(s, 0L) >= n0)
+        // degenerate iff one sub inherited at least the parent's whole
+        // mass AND a sibling came out EMPTY. A sub can legitimately
+        // exceed its parent when the verification pass flips OTHER
+        // cells' boundary rows into it (mass influx on entangled
+        // geometry) — its siblings then carry real mass and a further
+        // split still makes progress, so it must stay selectable.
+        stuck ++= subs.filter(s => counts.getOrElse(s, 0L) >= n0 &&
+          subs.exists(o => o != s && counts.getOrElse(o, 0L) == 0L))
       }
       lastSplit = None
       val hot = census

@@ -439,6 +439,53 @@ object PQ {
     StoreSwap.rewriteLeafDirs(spark, leafDirs.map(d =>
       (d, (df: DataFrame) => df.dropDuplicates("vec_id", "sub"))))
 
+  /** Post-append code-occupancy census of the persisted index: one row
+    * per (sub, cell) of the codebook with its code count and skew
+    * (count / mean-per-cell within the subspace). [[appendIndex]]
+    * routes into a FROZEN codebook, so ingest drift piles codes onto
+    * few centroids per subspace and ADC's discrimination degrades
+    * silently — the serving-store analog of [[IvfIndex.cellCensus]]
+    * (the x89 codebook-drift story applied to the index a deployment
+    * actually serves from). Key-only scan of the codes table; a
+    * scheduler alerts on max(skew) and re-releases via
+    * [[rewriteIndex]].
+    */
+  def codesCensus(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): DataFrame = {
+    val cb = readCentroids(spark, dir)
+      .select(col("sub"), col("cid").as("cell")).distinct()
+    val counts = readCodes(spark, dir)
+      .groupBy("sub", "cell").agg(count(lit(1)).as("n_codes"))
+    val full = cb.join(counts, Seq("sub", "cell"), "left")
+      .select(col("sub"), col("cell"),
+        coalesce(col("n_codes"), lit(0L)).as("n_codes"))
+    val means = full.groupBy("sub").agg(avg(col("n_codes")).as("mean_n"))
+    full.join(broadcast(means), "sub")
+      .select(col("sub"), col("cell"), col("n_codes"),
+        round(col("n_codes") / col("mean_n"), 6).as("skew"))
+      .orderBy("sub", "cell")
+  }
+
+  /** Census-driven codebook re-release ([[IvfIndex.rewrite]]'s atomic
+    * swap for the serving store): retrain on the CURRENT raw corpus —
+    * the code table holds no floats, so the caller supplies the
+    * vectors (a deployment's embedding store) — under the persisted
+    * training geometry, write the full new index to a sibling tmp, and
+    * swap it in; the previous generation is retained under `<dir>.old`
+    * for the caller's retention policy ([[Curation.gc]] reclaims it).
+    * On an undrifted corpus the deterministic integer training
+    * reproduces the same codebook, so ADC top-k is preserved exactly
+    * (PQSpec pins it); on a drifted one the re-release is the fix the
+    * [[codesCensus]] skew pointed at.
+    */
+  def rewriteIndex(spark: org.apache.spark.sql.SparkSession,
+                   dir: String, emb: DataFrame): Unit = {
+    val (m, k, iters, subWidth) = readIndexParams(spark, dir)
+    val tmp = StoreSwap.prepareTmp(spark, s"$dir.rewrite")
+    writeIndex(emb, tmp, m, k, iters, subWidth)
+    StoreSwap.swap(spark, dir, tmp)
+  }
+
   /** Disk-native ADC top-k: score the persisted code table against
     * per-query lookup tables built from `queryEmb`'s raw vectors and
     * the persisted centroids. The corpus side touches ONLY

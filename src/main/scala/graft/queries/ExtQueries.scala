@@ -8042,6 +8042,42 @@ object ExtQueries {
       |  FROM approx)
       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** x129's oracle chain up to the live code assignment `a2` under the
+    * tranche-A-trained codebook `c1` — x130 re-tails it into the
+    * census.
+    */
+  private val x129ChainSql = x129Sql.substring(0, x129Sql.indexOf("), approx AS ("))
+
+  // --- x130: serving-store codebook-drift census (the re-release signal) ---------------
+
+  /** [[graft.ext.PQ.codesCensus]] over the x129 deployment's served
+    * store, hash-gated: one row per (sub, cell) of the frozen codebook
+    * with its post-commit, post-takedown code occupancy and
+    * within-subspace skew — the drift signal a scheduler alerts on
+    * before re-releasing the codebook ([[graft.ext.PQ.rewriteIndex]]).
+    * The oracle recomputes the occupancy from the independently
+    * replayed integer chain (codes of A ∪ kept(B) minus the
+    * retraction), so a census that miscounts, drops an empty cell, or
+    * reads through erased codes diverges.
+    */
+  val x130PqCodesCensus: Q = (spark, sfDir) =>
+    graft.ext.PQ.codesCensus(spark, pqCommitStores(spark, sfDir).pqIndex)
+
+  private val x130Sql = x129ChainSql +
+    """), cb AS (
+      |  SELECT DISTINCT sub, cid AS cell FROM c1
+      |), cnt AS (
+      |  SELECT sub, cid AS cell, count(*) AS n_codes FROM a2 GROUP BY 1, 2
+      |), fullc AS (
+      |  SELECT cb.sub, cb.cell, COALESCE(cnt.n_codes, 0) AS n_codes
+      |  FROM cb LEFT JOIN cnt USING (sub, cell)
+      |), mn AS (
+      |  SELECT sub, avg(n_codes) AS mean_n FROM fullc GROUP BY 1
+      |)
+      |SELECT f.sub, f.cell, CAST(f.n_codes AS BIGINT) AS n_codes,
+      |  round(f.n_codes / m.mean_n, 6) AS skew
+      |FROM fullc f JOIN mn m USING (sub) ORDER BY sub, cell""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -8173,7 +8209,8 @@ object ExtQueries {
     "x126_store_census" -> x126StoreCensus,
     "x127_fsck" -> x127Fsck,
     "x128_pq_takedown_serve" -> x128PqTakedownServe,
-    "x129_pq_commit_serve" -> x129PqCommitServe)
+    "x129_pq_commit_serve" -> x129PqCommitServe,
+    "x130_pq_codes_census" -> x130PqCodesCensus)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -8304,5 +8341,6 @@ object ExtQueries {
     "x126_store_census" -> x126Sql,
     "x127_fsck" -> x127Sql,
     "x128_pq_takedown_serve" -> x128Sql,
-    "x129_pq_commit_serve" -> x129Sql)
+    "x129_pq_commit_serve" -> x129Sql,
+    "x130_pq_codes_census" -> x130Sql)
 }

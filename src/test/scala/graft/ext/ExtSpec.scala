@@ -545,6 +545,61 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("PQ codes census surfaces ingest drift; rewriteIndex re-releases with ADC parity") {
+    // the serving-store codebook-drift story (VERDICT r12 stretch):
+    // appends route into a frozen codebook forever, so drift must be
+    // visible (codesCensus) and fixable (rewriteIndex's atomic swap)
+    val base = spark.read.parquet(sf() + "/embeddings.parquet")
+    val standing = base.filter(col("vec_id") % 4 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("pqcen")
+      .toString + "/pq"
+    PQ.writeIndex(standing, dir, m = 4, k = 4, iters = 2, subWidth = 16)
+    def top(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    // re-release on the UNDRIFTED corpus: the deterministic integer
+    // training reproduces the codebook, so disk ADC is preserved
+    // exactly and the old generation is retained for rollback
+    val t1 = top(PQ.adcTopKIndex(standing.filter(col("vec_id") < 20),
+      dir, topK = 3))
+    PQ.rewriteIndex(spark, dir, standing)
+    assert(new java.io.File(s"$dir.old").exists(),
+      "re-release must retain the previous generation")
+    val t2 = top(PQ.adcTopKIndex(standing.filter(col("vec_id") < 20),
+      dir, topK = 3))
+    assert(t1 == t2, "re-release on undrifted data changed ADC top-k")
+    // census: one row per codebook (sub, cell), totals exact
+    def census() = PQ.codesCensus(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val before = census()
+    assert(before.size.toLong == PQ.readCentroids(spark, dir)
+      .select("sub", "cid").distinct().count(),
+      "census must cover every codebook entry")
+    val n = standing.count()
+    assert(before.groupBy(_._1._1).values
+      .forall(_.map(_._2._1).sum == n),
+      "per-subspace code counts must total the corpus")
+    // a drifted hot batch: 40 copies of ONE trained vector pile onto
+    // its exact code in every subspace — that cell's skew must rise
+    val hotId = standing.orderBy("vec_id").limit(1)
+      .collect()(0).getLong(0)
+    val hot = standing.filter(col("vec_id") === hotId)
+      .crossJoin(spark.range(40).select((col("id") + 1L).as("cp")))
+      .select((col("vec_id") + col("cp") * 1000000L).as("vec_id"),
+        col("embedding"), col("label"))
+    PQ.appendIndex(hot, dir)
+    val hotCells = PQ.readCodes(spark, dir)
+      .filter(col("vec_id") === hotId).collect()
+      .map(r => r.getAs[Int]("sub") -> r.getAs[Long]("cell")).toMap
+    val after = census()
+    hotCells.foreach { case (sub, cell) =>
+      assert(after((sub, cell))._2 > before((sub, cell))._2,
+        s"hot drift invisible in the census at (sub=$sub, cell=$cell): " +
+          s"${before((sub, cell))} -> ${after((sub, cell))}")
+    }
+  }
+
   test("salted join equals the plain join on a skewed key distribution") {
     import spark.implicits._
     // 90% of the big side shares one hot key

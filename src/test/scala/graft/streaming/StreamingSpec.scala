@@ -997,6 +997,95 @@ class StreamingSpec extends SparkSpec {
       "4-batch append amplification should trip the aggressive threshold")
   }
 
+  test("Curation.sink: PQ serving stays fresh — commits feed it, a takedown leaves it at the next window") {
+    import graft.ext.{Curation, Ledger, PQ}
+    // VERDICT r12 next #5: the serving lifecycle under a live stream.
+    // A committed tranche's kept vectors become ANN-searchable after
+    // its own batch (commitTranche feeds the registered PQ store), and
+    // a mid-stream retraction leaves serving at the next scheduled
+    // maintenance window (erasure is never budgeted).
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 150)
+    val emb = Tables.embeddings(spark, sf())
+    def embOf(p: org.apache.spark.sql.Column) = emb.join(
+      docs.filter(p).select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val srcDir = Files.createTempDirectory("pqsinkdocs").toString
+    val root = Files.createTempDirectory("pqsinkstores").toString
+    val stores = Curation.Stores(s"$root/text", s"$root/img", s"$root/aud",
+      s"$root/vid", s"$root/emb", s"$root/led", pqIndex = s"$root/pq")
+    val modalities = (b: org.apache.spark.sql.DataFrame) =>
+      Curation.ModalityFrames(embeddings = Some(emb.join(
+        b.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")))
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("pqsinkckpt").toString)
+      .foreachBatch(Curation.sink(stores, modalities,
+        maintainEvery = 1, maxFilesPerBucket = 8, maintainBudget = 4))
+      .start()
+    def codesIds() = PQ.readCodes(spark, stores.pqIndex)
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    def keptEmb() = Ledger.read(spark, stores.ledger)
+      .filter(col("modality") === "embedding" && col("decision") === "kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch 0 bootstraps the corpus; the serving store is not trained
+    // yet, so the commit cannot (and does not) feed it
+    docs.filter(col("doc_id") % 3 === 0)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    q.processAllAvailable()
+    assert(!new java.io.File(stores.pqIndex).exists(),
+      "commit bootstrapped a PQ store without a trained codebook")
+    // train ONCE on the bootstrapped corpus while the stream is idle —
+    // the deployment lifecycle (PQ.writeIndex, then commits append)
+    PQ.writeIndex(embOf(col("doc_id") % 3 === 0).select("vec_id", "embedding"),
+      stores.pqIndex, m = 4, k = 4, iters = 1, subWidth = 16)
+    val trained = codesIds()
+    // batch 1: its kept vectors are searchable after its own batch
+    docs.filter(col("doc_id") % 3 === 1)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    q.processAllAvailable()
+    val batch1Ids = embOf(col("doc_id") % 3 === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val expect1 = trained ++ keptEmb().intersect(batch1Ids)
+    assert(codesIds() == expect1,
+      s"serving stale after batch 1: missing ${expect1.diff(codesIds())}, " +
+        s"extra ${codesIds().diff(expect1)}")
+    // mid-stream takedown: logically gone at once, physically owed to
+    // the next scheduled window
+    val gone = trained.toSeq.sorted.take(2)
+    import spark.implicits._
+    Curation.retract(spark, gone.toDF("doc_id"), stores)
+    assert(gone.forall(codesIds().contains),
+      "takedown rewrote the serving store on the retract path")
+    // batch 2 commits; its scheduled window applies the erasure
+    // (never budgeted) AND the new tranche keeps serving fresh
+    docs.filter(col("doc_id") % 3 === 2)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    q.processAllAvailable()
+    q.stop()
+    val finalIds = codesIds()
+    assert(gone.forall(id => !finalIds.contains(id)),
+      "retracted vectors still searchable after the scheduled window")
+    val batch2Ids = embOf(col("doc_id") % 3 === 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val expect2 = (expect1 ++ keptEmb().intersect(batch2Ids)) -- gone
+    assert(finalIds == expect2,
+      s"post-window serving set wrong: missing ${expect2.diff(finalIds)}, " +
+        s"extra ${finalIds.diff(expect2)}")
+    // disk ADC never returns a retracted id again
+    val served = PQ.adcTopKIndex(
+      embOf(col("doc_id") % 3 === 2).select("vec_id", "embedding").limit(3),
+      stores.pqIndex, topK = 5).select("cid").collect()
+      .map(_.getLong(0)).toSet
+    assert(served.intersect(gone.toSet).isEmpty,
+      s"ADC served a retracted id: ${served.intersect(gone.toSet)}")
+    // and the deployment audits clean end to end
+    assert(Curation.fsck(spark, stores).filter(col("status") === "violation")
+      .count() == 0, "stream left the deployment in violation")
+  }
+
   test("Curation.sink maintainBudget: online windows keep verdicts, drift converges") {
     import graft.ext.{Curation, Ledger}
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
