@@ -754,6 +754,85 @@ class CurationSpec extends SparkSpec {
         s"${diff.take(5).map(k => k -> ((led.get(k), expected.get(k))))}")
   }
 
+  test("model check: the PQ serving set tracks commits, retractions, maintenance exactly") {
+    import spark.implicits._
+    // seeded like the verdict model check, extended to the SERVING
+    // side: contents map to one-hot embedding directions (cosine 0
+    // across contents, 1 on copies), so the embedding verdicts follow
+    // the same first-seen-over-live model, and the PQ code table must
+    // equal: tranche-0 training set ∪ every later tranche's KEPT
+    // vectors, minus retractions once (and only once) a maintenance
+    // pass has applied them. Any divergence — a commit that stops
+    // feeding, a re-run double-code, an erasure that fires early or
+    // never — breaks the set equality at that step.
+    val rnd = new scala.util.Random(1337)
+    val base = freshStores()
+    val stores = base.copy(pqIndex = s"${base.ledger}_pq")
+    def embOf(c: Int): Seq[Float] =
+      (0 until 64).map(i => if (i == c) 1.0f else 0.0f)
+    var nextId = 0L
+    val committedTr =
+      scala.collection.mutable.Map[Long, Seq[(Long, Int)]]()
+    val retractedTr = scala.collection.mutable.Set[Long]()
+    var pendingRetracted = Set.empty[Long]
+    var serving = Set.empty[Long]
+    def codesIds() = PQ.readCodes(spark, stores.pqIndex)
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    for (t <- 0L until 6L) {
+      val docs = (0 until 20).map { _ =>
+        nextId += 1
+        (nextId, rnd.nextInt(12))
+      }
+      val live: Set[Int] = committedTr.filterNot(kv => retractedTr(kv._1))
+        .values.flatten.map(_._2).toSet
+      val minOf = docs.groupBy(_._2).map { case (c, g) =>
+        c -> g.map(_._1).min }
+      val kept = docs.collect { case (id, c)
+        if !live(c) && id == minOf(c) => id }
+      val ddf = docs.map { case (id, c) =>
+        (id, s"w${c}a w${c}b w${c}c w${c}d") }.toDF("doc_id", "text")
+      val edf = docs.map { case (id, c) => (id, embOf(c), 0) }
+        .toDF("vec_id", "embedding", "label")
+      Curation.commitTranche(ddf, t, stores, embeddings = Some(edf))
+      committedTr(t) = docs
+      if (t == 0L) {
+        // the lifecycle: tranche 0 commits un-fed (no codebook yet),
+        // then training on the bootstrap corpus codes ALL of it
+        PQ.writeIndex(edf.select("vec_id", "embedding"), stores.pqIndex)
+        serving = docs.map(_._1).toSet
+      } else serving ++= kept
+      if (rnd.nextDouble() < 0.4) {
+        val victims = committedTr.keys.filterNot(retractedTr).filter(_ < t)
+          .toSeq.sorted
+        if (victims.nonEmpty) {
+          val v = victims(rnd.nextInt(victims.size))
+          Curation.retractTranche(spark, v, stores)
+          retractedTr += v
+          pendingRetracted ++= committedTr(v).map(_._1)
+        }
+      }
+      rnd.nextInt(3) match {
+        case 0 =>
+          Curation.maintain(spark, stores)
+          serving --= pendingRetracted; pendingRetracted = Set.empty
+        case 1 =>
+          Curation.maintainDue(spark, stores, maxFilesPerBucket = 2,
+            maxBucketsPerPass = Seq(1, 4, Int.MaxValue)(rnd.nextInt(3)))
+          // erasure is never budgeted: applied in full either way
+          serving --= pendingRetracted; pendingRetracted = Set.empty
+        case _ =>
+      }
+      assert(codesIds() == serving,
+        s"serving set diverged from the model at step $t: missing " +
+          s"${(serving -- codesIds()).take(5)}, extra " +
+          s"${(codesIds() -- serving).take(5)}")
+      val viol = Curation.fsck(spark, stores)
+        .filter(col("status") === "violation").collect()
+      assert(viol.isEmpty,
+        s"fsck violation after step $t: ${viol.mkString(", ")}")
+    }
+  }
+
   test("the writer lock refuses a concurrent mutating pass until broken") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
