@@ -1628,6 +1628,17 @@ object Curation {
           "tombstones-applied watermark vs the newest tombstone epoch")
       })
     }
+    // a STORE-WIDE swap crashed between its two renames: the live dir
+    // is gone and the store vanishes from the existence-gated unit
+    // catalogue — nothing above would ever mention it. Emitted only
+    // when the state exists (a healthy deployment's report is stable);
+    // the recovery is mechanical and [[repair]] applies it.
+    add(Some(crashedSwaps(spark, stores)).filter(_.nonEmpty).map { cs =>
+      ("crashed_store_swap", "violation", cs.size.toLong,
+        "store dirs missing with complete hidden generations — run " +
+          "Curation.repair, or rename: " +
+          cs.take(3).map(c => s"${c._2} -> ${c._3}").mkString(", "))
+    })
     if (exists(spark, lockPath(stores)))
       add(Some(("writer_lock", "pending", 1L,
         "a mutating pass holds (or crashed holding) the writer lock")))
@@ -1640,6 +1651,50 @@ object Curation {
     */
   private[ext] final case class Orphan(hidden: String, target: String,
                                        isAside: Boolean)
+
+  /** Every directory a STORE-WIDE [[StoreSwap.swap]] may replace, by
+    * declared deployment paths — NOT existence-gated like
+    * [[maintenanceUnits]], because the crashed-swap state is exactly
+    * "the directory is gone": mid-swap the live dir does not exist
+    * (complete old generation under `<dir>.old`, complete new one
+    * under the pass's sibling tmp), so an existence-gated catalogue
+    * silently drops the store and no per-table check ever runs.
+    */
+  private def swapScopes(stores: Stores): Seq[(String, String)] =
+    Seq(
+      "text_index" -> stores.textIndex,
+      "image" -> stores.image,
+      "audio" -> stores.audio,
+      "video" -> stores.video,
+      "embedding" -> stores.embedding,
+      "embedding_vectors" -> s"${stores.embedding}/vectors",
+      "ledger" -> stores.ledger,
+      "id_registry" -> s"${stores.ledger}.ids",
+      "tombstones" -> tombstonesDir(stores)) ++
+      (if (stores.pqIndex.nonEmpty)
+        Seq("pq_index" -> stores.pqIndex,
+          "pq_codes" -> s"${stores.pqIndex}/codes")
+      else Seq.empty)
+
+  // a swap tmp is fully written BEFORE the two renames begin, so when
+  // the live dir is missing the tmp (preferred: the post-transform
+  // generation) or the .old aside is a complete store. `.split` tmps
+  // are deliberately NOT here: a crashed splitCell is owned by its
+  // in-flight marker (ivf_split_inflight; IvfIndex.rewrite recovers) —
+  // blind promotion could pair inconsistent integer/double codebooks.
+  private val SwapTmpSuffixes = Seq(".compact", ".rewrite", ".migrate")
+
+  /** Crashed store-wide swaps: scopes whose live dir is MISSING with a
+    * complete hidden generation standing. Returns (what, promote-from,
+    * target) — promote-from prefers the sibling tmp over `.old`.
+    */
+  private def crashedSwaps(spark: SparkSession,
+                           stores: Stores): Seq[(String, String, String)] =
+    swapScopes(stores).flatMap { case (what, p) =>
+      if (exists(spark, p)) None
+      else (SwapTmpSuffixes.map(s => s"$p$s") :+ s"$p.old")
+        .find(exists(spark, _)).map(src => (what, src, p))
+    }
 
   /** Resolve a hidden rewrite artifact's promotion target, or None if
     * the name is not one. Handles the legacy pre-r12
@@ -1751,6 +1806,12 @@ object Curation {
     * for the crash states the audit REPORTS instead of silently
     * healing (the epoch-slice price documented on [[maintainDue]]):
     *
+    *  - a crashed STORE-WIDE swap (live store dir missing, the
+    *    complete generations hidden in the pass's sibling tmp and/or
+    *    `<dir>.old`): promote the tmp (post-transform generation,
+    *    fully written before the swap's renames began), else restore
+    *    the `.old` aside — the state the existence-gated unit
+    *    catalogue cannot even see ([[fsck]]'s `crashed_store_swap`);
     *  - a crashed bucket rewrite (live dir missing, complete copies
     *    hidden): promote the newest complete copy — the post-transform
     *    `.compact_*`/`.retract_*` tmp when it stands (it was fully
@@ -1771,7 +1832,21 @@ object Curation {
              force: Boolean = false): Seq[String] = {
     if (force) breakLock(spark, stores)
     withWriterLock(spark, stores, "repair") {
-      maintenanceUnits(spark, stores).flatMap { u =>
+      // crashed STORE-WIDE swaps first: promoting the hidden complete
+      // generation puts the store back in the existence-gated unit
+      // catalogue, so the bucket-level walk below audits it too
+      val swapActions = crashedSwaps(spark, stores).map {
+        case (what, src, target) =>
+          val fs = StoreSwap.fsOf(spark, target)
+          if (!fs.rename(new org.apache.hadoop.fs.Path(src),
+            new org.apache.hadoop.fs.Path(target)))
+            throw new java.io.IOException(
+              s"repair: cannot promote $src to $target")
+          // a superseded generation left behind (tmp promoted while
+          // .old stands) is the normal rollback state; gc reclaims it
+          s"promoted $src to $target ($what store-wide swap crash)"
+      }
+      swapActions ++ maintenanceUnits(spark, stores).flatMap { u =>
         u.tables.flatMap { t =>
           val fs = StoreSwap.fsOf(spark, t)
           def walk(p: org.apache.hadoop.fs.Path): Seq[String] =

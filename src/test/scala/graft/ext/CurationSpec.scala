@@ -1264,6 +1264,62 @@ class CurationSpec extends SparkSpec {
     assert(Curation.repair(spark, stores).isEmpty)
   }
 
+  test("fsck surfaces a crashed store-wide swap; repair promotes the hidden generation") {
+    import spark.implicits._
+    // StoreSwap.swap's crash window: between its two renames the live
+    // store does not exist — and because the maintenance-unit
+    // catalogue is existence-gated, the store silently VANISHES from
+    // every per-unit fsck check. The dedicated crashed_store_swap
+    // check must name it with its recovery, and repair must apply it.
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 200)
+    val stores = freshStores()
+    Curation.commitTranche(docs, 0L, stores)
+    def swapRows() = Curation.fsck(spark, stores).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(3))))
+      .filter(_._1 == "crashed_store_swap")
+    assert(swapRows().isEmpty,
+      "healthy deployment reported a crashed swap (the row must only " +
+        "exist when the state does — x127's pinned report relies on it)")
+    // the crash state: a compaction retired the live text index to
+    // .old and fully wrote the replacement tmp, then died between the
+    // renames
+    val live = new java.io.File(stores.textIndex)
+    val old = new java.io.File(s"${stores.textIndex}.old")
+    val tmp = new java.io.File(s"${stores.textIndex}.compact")
+    assert(live.renameTo(tmp))
+    assert(old.mkdir()) // stale old generation (contents irrelevant)
+    val rows = swapRows()
+    assert(rows.nonEmpty && rows.head._2._1 == "violation" &&
+      rows.head._2._2.contains(s"${stores.textIndex}.compact") &&
+      rows.head._2._2.contains("Curation.repair"),
+      s"crashed swap not surfaced with its recovery: $rows")
+    // a commit against the half-swapped deployment refuses (init
+    // marker present, store missing) instead of bootstrapping empty
+    intercept[IllegalStateException] {
+      Curation.commitTranche(
+        docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
+        1L, stores)
+    }
+    val actions = Curation.repair(spark, stores)
+    assert(actions.exists(a => a.contains("store-wide swap crash") &&
+      a.contains(s"${stores.textIndex}.compact")),
+      s"repair did not promote the tmp generation: $actions")
+    assert(live.exists() && !tmp.exists(),
+      "repair left the store missing or the tmp standing")
+    assert(swapRows().isEmpty &&
+      Curation.fsck(spark, stores).filter(col("status") === "violation")
+        .count() == 0, "repair did not restore a clean audit")
+    // the recovered store serves verdicts again: a copy of a committed
+    // doc judges exact_dup against the promoted standing side
+    val copy = docs.orderBy("doc_id").limit(1)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val v = Curation.commitTranche(copy, 2L, stores)
+      .filter(col("modality") === "text").collect()
+    assert(v.length == 1 && v(0).getString(2) == "exact_dup",
+      s"recovered store lost its standing side: ${v.mkString(",")}")
+  }
+
   test("fsck resolves legacy .retract_<digits> tmps to their cell partition") {
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
       .filter(col("doc_id") < 200)
