@@ -755,6 +755,60 @@ object Curation {
     }
   }
 
+  /** Train the registered PQ serving index ONCE from the deployment's
+    * own curated corpus — the bootstrap step between "commits skip an
+    * untrained store" and "commits feed it" ([[Stores.pqIndex]]'s
+    * lifecycle). Reads the standing embedding vectors (IVF or flat
+    * layout), keeps only ids the ledger judged `kept` in the embedding
+    * modality (a duplicate's vector must not become a searchable
+    * candidate) minus retracted ids, trains under the persisted-PQ
+    * defaults (or the caller's geometry), and writes the index —
+    * all inside the writer lock like every mutating pass. Returns the
+    * number of vectors trained. REFUSES an already-present serving
+    * store: re-releasing a live codebook re-encodes every code and
+    * changes serving corpus-wide — that is [[PQ.rewriteIndex]], an
+    * explicit operator action, never an accidental re-bootstrap.
+    */
+  def trainServing(spark: SparkSession, stores: Stores,
+                   m: Int = 4, k: Int = 4, iters: Int = 2,
+                   subWidth: Int = 16): Long =
+    withWriterLock(spark, stores, "trainServing") {
+      require(stores.pqIndex.nonEmpty,
+        "no serving index registered (Stores.pqIndex is empty)")
+      if (exists(spark, stores.pqIndex) || exists(spark, s"${stores.pqIndex}.init"))
+        throw new IllegalStateException(
+          s"serving index at ${stores.pqIndex} already exists — " +
+            "commits feed it from here on; re-release the codebook " +
+            "explicitly with PQ.rewriteIndex(spark, dir, corpus) if " +
+            "codesCensus says it drifted")
+      require(exists(spark, stores.ledger),
+        s"no ledger at ${stores.ledger} — commit a bootstrap corpus first")
+      val embIvf = exists(spark, s"${stores.embedding}/centroids")
+      require(embIvf || exists(spark, stores.embedding),
+        s"no embedding store at ${stores.embedding} — nothing to train on")
+      val standing =
+        (if (embIvf)
+          spark.read.parquet(s"${stores.embedding}/vectors").drop("cell")
+        else spark.read.parquet(stores.embedding))
+          .select("vec_id", "embedding").dropDuplicates("vec_id")
+      val kept = Ledger.read(spark, stores.ledger)
+        .filter(col("modality") === "embedding" &&
+          col("decision") === "kept")
+        .select(col("doc_id").as("vec_id"))
+      val corpus0 = standing.join(kept, Seq("vec_id"), "left_semi")
+      val corpus = readTombstones(spark, stores).fold(corpus0)(t =>
+        corpus0.join(t.withColumnRenamed("doc_id", "vec_id"),
+          Seq("vec_id"), "left_anti"))
+        .localCheckpoint()
+      val n = corpus.count()
+      require(n >= k.toLong,
+        s"curated corpus holds $n kept embedding vectors — too few to " +
+          s"train k=$k subspace centroids")
+      PQ.writeIndex(corpus, stores.pqIndex, m, k, iters, subWidth)
+      markInit(spark, stores.pqIndex)
+      n
+    }
+
   /** One compactable slice of a deployment: `tables` are the parquet
     * table paths whose small-file pressure gates file-driven due-ness,
     * `erasable` says tombstones physically land here (so a pending
@@ -888,6 +942,12 @@ object Curation {
       // it (its codes are derived from retracted content); erasure is
       // surgical over the id-bucket partitions the ids live in, file
       // compaction per drifted bucket
+      // Codebook drift stays OPERATOR-cadenced here on purpose
+      // ([[PQ.codesCensus]] is the signal, [[PQ.rewriteIndex]] the
+      // action): unlike an IVF cell split — which preserves every
+      // vector's search semantics — a PQ re-release re-encodes EVERY
+      // code, changing serving results corpus-wide; that is a release
+      // decision, not hygiene a scheduled window should take silently.
       units += MaintUnit("pq_index", stores.pqIndex,
         Seq(s"${stores.pqIndex}/codes"), erasable = true,
         ts => {
@@ -1433,7 +1493,7 @@ object Curation {
            k: Int = 2, bands: Int = 8, rows: Int = 2,
            hashBands: Int = 8, hashMaxDist: Int = 6,
            maintainEvery: Int = 0, maxFilesPerBucket: Int = 8,
-           maintainBudget: Int = 0)
+           maintainBudget: Int = 0, maxSkew: Double = 4.0)
       : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
     (batch, batchId) => {
       val b = batch.toDF()
@@ -1445,9 +1505,11 @@ object Curation {
         // maintainBudget > 0 bounds each scheduled window to the k
         // most-drifted buckets (ONLINE maintenance: ingestion latency
         // between batches stays bounded while drift converges across
-        // windows); 0 = compact everything due in one window
+        // windows); 0 = compact everything due in one window. maxSkew
+        // is the stream's codebook-health policy knob (see maintainDue)
         maintainDue(b.sparkSession, stores, maxFilesPerBucket,
-          if (maintainBudget > 0) maintainBudget else Int.MaxValue)
+          if (maintainBudget > 0) maintainBudget else Int.MaxValue,
+          maxSkew)
       ()
     }
 

@@ -1435,6 +1435,59 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("pq serving index"), e.getMessage)
   }
 
+  test("trainServing bootstraps the PQ store from the curated corpus, once") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 200)
+    val emb = Tables.embeddings(spark, sf())
+    val base = freshStores()
+    val stores = base.copy(pqIndex = s"${base.ledger}_pq")
+    def embOf(b: org.apache.spark.sql.DataFrame) = emb.join(
+      b.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    // tranche 0 carries an exact embedding copy under a fresh id: the
+    // duplicate must be excluded from the trained serving set
+    val copySrc = docs.orderBy("doc_id").limit(1)
+    val copyId = copySrc.collect()(0).getLong(0)
+    val t0 = docs.unionAll(copySrc
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val t0emb = embOf(docs).unionAll(
+      emb.filter(col("vec_id") === copyId)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+          col("label")))
+    Curation.commitTranche(t0, 0L, stores, embeddings = Some(t0emb))
+    // a retraction BEFORE training: the burned id must not serve either
+    val gone = docs.orderBy(org.apache.spark.sql.functions.desc("doc_id"))
+      .limit(1).select("doc_id")
+    val goneId = gone.collect()(0).getLong(0)
+    Curation.retract(spark, gone, stores)
+    val n = Curation.trainServing(spark, stores)
+    val keptIds = Ledger.read(spark, stores.ledger)
+      .filter(col("modality") === "embedding" && col("decision") === "kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val served = PQ.readCodes(spark, stores.pqIndex)
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(served == keptIds - goneId && n == served.size.toLong,
+      s"trained serving set != curated corpus: missing " +
+        s"${(keptIds - goneId).diff(served)}, extra " +
+        s"${served.diff(keptIds - goneId)}")
+    assert(!served.contains(copyId + 1000000L) && !served.contains(goneId))
+    // from here on commits feed it (the lifecycle) — and a second
+    // bootstrap must refuse, naming the explicit re-release
+    val e = intercept[IllegalStateException] {
+      Curation.trainServing(spark, stores)
+    }
+    assert(e.getMessage.contains("PQ.rewriteIndex"), e.getMessage)
+    val t1 = docs.select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    // negated vectors: genuinely new to the store (cosine -1 to their
+    // sources), so the tranche's embedding verdicts are kept and feed
+    val t1emb = embOf(docs).select((col("vec_id") + 5000000L).as("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"), col("label"))
+    Curation.commitTranche(t1, 1L, stores, embeddings = Some(t1emb))
+    assert(PQ.readCodes(spark, stores.pqIndex)
+      .filter(col("vec_id") >= 5000000L).select("vec_id").distinct()
+      .count() > 0, "post-bootstrap commit did not feed serving")
+  }
+
   test("codebook skew is a due signal: maintainDue heals the hot cell") {
     // VERDICT r12 missing #2: appends route into a frozen codebook, so
     // a drifted ingest distribution piles into hot cells and probe cost

@@ -1037,10 +1037,11 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     assert(!new java.io.File(stores.pqIndex).exists(),
       "commit bootstrapped a PQ store without a trained codebook")
-    // train ONCE on the bootstrapped corpus while the stream is idle —
-    // the deployment lifecycle (PQ.writeIndex, then commits append)
-    PQ.writeIndex(embOf(col("doc_id") % 3 === 0).select("vec_id", "embedding"),
-      stores.pqIndex, m = 4, k = 4, iters = 1, subWidth = 16)
+    // train ONCE on the bootstrapped CURATED corpus while the stream is
+    // idle — the deployment lifecycle (Curation.trainServing derives
+    // the kept vectors from the deployment's own stores, then commits
+    // append)
+    Curation.trainServing(spark, stores)
     val trained = codesIds()
     // batch 1: its kept vectors are searchable after its own batch
     docs.filter(col("doc_id") % 3 === 1)
