@@ -564,10 +564,13 @@ object ScaleSmoke {
       .toString + "/pq"
     graft.ext.PQ.writeIndex(vecs, pqDir, m = 4, k = 4, iters = 1,
       subWidth = 16)
+    // the store is generational: structural file assertions address the
+    // LIVE generation's code table (in-place mutations stay inside it)
+    val pqLiveCodes = s"${graft.ext.PQ.liveDir(spark, pqDir)}/codes"
     val pqCopies = vecs.filter(col("vec_id") < 20000)
       .select((col("vec_id") + 20000000L).as("vec_id"), col("embedding"))
     graft.ext.PQ.appendIndex(pqCopies, pqDir)
-    val pqCodes = spark.read.parquet(s"$pqDir/codes")
+    val pqCodes = spark.read.parquet(pqLiveCodes)
     require(pqCodes.count() == (nIvf + 20000L) * 4,
       "one code row per (vector, subspace)")
     val pqMismatch = pqCodes.as("a").join(pqCodes.as("b"),
@@ -596,7 +599,7 @@ object ScaleSmoke {
     // id buckets the retracted vectors hash into are rewritten — every
     // other bucket keeps its exact files — and the retracted codes are
     // gone while serving keeps answering.
-    val pqSnapB = bucketSnapshot(s"$pqDir/codes")
+    val pqSnapB = bucketSnapshot(pqLiveCodes)
     val eraseIds = spark.range(3).select((col("id") + 5L).as("vec_id"))
     val touchedPq = eraseIds
       .select(pmod(xxhash64(col("vec_id")), lit(64L)).as("p"))
@@ -604,7 +607,7 @@ object ScaleSmoke {
     val tPqE = System.nanoTime()
     graft.ext.PQ.removeIdsIndex(spark, pqDir, eraseIds)
     val pqESec = (System.nanoTime() - tPqE) / 1e9
-    val pqSnapA = bucketSnapshot(s"$pqDir/codes")
+    val pqSnapA = bucketSnapshot(pqLiveCodes)
     pqSnapB.foreach { case (d2, files) =>
       if (!touchedPq(new java.io.File(d2).getName))
         require(pqSnapA.get(d2).contains(files),
@@ -628,7 +631,7 @@ object ScaleSmoke {
     // failed-commit re-run) leaves the whole 220k-vector store
     // byte-identical: the bucket-pruned (vec_id, sub) probe writes
     // nothing the first attempt already coded.
-    val apSnapB = bucketSnapshot(s"$pqDir/codes")
+    val apSnapB = bucketSnapshot(pqLiveCodes)
     val apBatch = vecs.filter(col("vec_id") < 5)
       .select((col("vec_id") + 40000000L).as("vec_id"), col("embedding"))
     val apTouched = apBatch
@@ -637,7 +640,7 @@ object ScaleSmoke {
     val tAp = System.nanoTime()
     graft.ext.PQ.appendIndexOnce(apBatch, pqDir)
     val apSec = (System.nanoTime() - tAp) / 1e9
-    val apSnapM = bucketSnapshot(s"$pqDir/codes")
+    val apSnapM = bucketSnapshot(pqLiveCodes)
     apSnapB.foreach { case (d2, files) =>
       if (!apTouched(new java.io.File(d2).getName))
         require(apSnapM.get(d2).contains(files),
@@ -647,7 +650,7 @@ object ScaleSmoke {
       .filter(col("vec_id") >= 40000000L).count() == 5L * 4,
       "commit-path append did not code the tranche")
     graft.ext.PQ.appendIndexOnce(apBatch, pqDir)
-    val apSnapA = bucketSnapshot(s"$pqDir/codes")
+    val apSnapA = bucketSnapshot(pqLiveCodes)
     require(apSnapA == apSnapM,
       "replayed append mutated the serving store (double-coded rows " +
         "would corrupt ADC ranking)")
@@ -970,6 +973,43 @@ object ScaleSmoke {
     println(s"takedown slice: epoch filter pushed, guard pruned to " +
       s"${gParts.mkString("+")} of 64 buckets")
 
+    // --- corpusAsOf: the release read is partition-pruned and retroactive ----
+    // The reproducible release manifest must (a) scan only the
+    // cutoff's ledger partitions — re-cutting an early release reads
+    // that release's slice, never the table (tranches 0..5 stand, 1
+    // dropped by its retraction, so 5 leaf dirs; cutoff 2 may read at
+    // most the two that exist at or below it) — and (b) exclude every
+    // retracted id at every cutoff WHILE the takedown is still
+    // tombstone-only: the epoch-2 retraction above is unapplied, its
+    // two ids (tranche 5's only keeps) still physical in the ledger,
+    // and the anti-join alone must hide them.
+    val tAsOf = System.nanoTime()
+    val asof2 = Curation.corpusAsOf(spark, curStores, 2L)
+    val asof2n = asof2.count()
+    val asofParts = fileScans(asof2.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(l =>
+        l.contains("/led") && !l.contains("tombstones")))
+      .map(_.selectedPartitions.partitionCount)
+    require(asofParts.nonEmpty && asofParts.forall(_ <= 2),
+      s"corpusAsOf(2) ledger scan not partition-pruned: $asofParts of 5")
+    val asof5 = Curation.corpusAsOf(spark, curStores, 5L)
+      .localCheckpoint()
+    val asof5n = asof5.count()
+    require(asof5.filter(col("tranche") === 1L).count() == 0,
+      "the retracted tranche re-entered a release manifest")
+    require(asof5.filter(col("doc_id") >= 920000000L).count() == 0,
+      "pending-takedown ids leaked into the release (anti-join missed)")
+    require(asof5.filter(col("doc_id") >= 800000000L &&
+      col("doc_id") < 900000000L).count() == 4,
+      "tranche 3/4 keeps missing from the cutoff-5 release")
+    require(asof2n < asof5n && asof2n > 0,
+      s"release growth not monotone: asof(2)=$asof2n asof(5)=$asof5n")
+    val asOfSec = (System.nanoTime() - tAsOf) / 1e9
+    println(f"corpusAsOf scale: asof(2)=$asof2n%d rows reading " +
+      f"${asofParts.mkString("+")} of 5 ledger partitions, " +
+      f"asof(5)=$asof5n%d (pending takedown excluded) in $asOfSec%.1fs")
+    require(asOfSec < 60, f"release reads blew the 60s budget: $asOfSec%.1fs")
+
     // --- surgical erasure at scale: the scheduled pass rewrites the ids' -----
     // partitions only. The epoch-2 retraction above is still pending;
     // applying it through maintainDue must touch, of the ~100k-doc
@@ -996,6 +1036,11 @@ object ScaleSmoke {
       .count() == 0, "surgical erasure left retracted members")
     require(Curation.maintainDue(spark, curStores).isEmpty,
       "surgical pass did not advance the watermark")
+    // physical erasure must not move a release: the manifest is a
+    // function of logical history, and the pass above only made the
+    // anti-join's exclusion physical
+    require(Curation.corpusAsOf(spark, curStores, 5L).count() == asof5n,
+      "surgical erasure changed the cutoff-5 release manifest")
     println(f"surgical erasure scale: 2 of ~100k docs erased in " +
       f"$eraSec%.1fs, ${eraChanged.size}%d of ${eraSnapB.size}%d text " +
       "buckets rewritten, second pass empty")

@@ -525,8 +525,29 @@ object Curation {
     // missing → refused like every standing store
     val pqUp =
       if (stores.pqIndex.isEmpty) false
-      else guardedExists(spark, stores.pqIndex,
-        Seq("params", "centroids", "codes"), "pq serving index")
+      else {
+        val live = PQ.liveDir(spark, stores.pqIndex)
+        if (live == stores.pqIndex)
+          // flat pre-generational layout (or nothing yet): the shared
+          // marker/partial-store/foreign-dir guard applies as-is
+          guardedExists(spark, stores.pqIndex,
+            Seq("params", "centroids", "codes"), "pq serving index")
+        else {
+          // generational: the pointer resolved to a complete live
+          // generation (liveDir only returns one whose params exist);
+          // verify its full table set, marker semantics unchanged
+          val missing = Seq("params", "centroids", "codes")
+            .filterNot(p => exists(spark, s"$live/$p"))
+          if (missing.nonEmpty)
+            throw new IllegalStateException(
+              s"pq serving index at ${stores.pqIndex} resolved its live " +
+                s"generation to $live but it is missing " +
+                s"${missing.mkString(", ")} — a crashed re-release; run " +
+                "Curation.fsck/repair before committing")
+          markInit(spark, stores.pqIndex)
+          true
+        }
+      }
     guardedExists(spark, stores.ledger, Seq(""), "ledger")
     // geometry guards: a standing index built under different shingle/
     // band params must refuse the commit before any verdict is derived
@@ -809,6 +830,63 @@ object Curation {
       n
     }
 
+  /** The REPRODUCIBLE RELEASE read: the curated training corpus as it
+    * ships at tranche `cutoff` — every (doc_id, modality) the ledger
+    * judged `kept` in tranches 0..cutoff, MINUS every retracted id
+    * (takedowns are retroactive and permanent: a release re-cut today
+    * must not contain a doc retracted after it originally shipped, so
+    * the exclusion applies to ALL tombstones regardless of when the
+    * retraction landed relative to the cutoff). One row per kept
+    * (doc_id, modality) with the tranche it arrived in.
+    *
+    * The result is a pure function of the deployment's logical history
+    * — maintenance never changes it (physical erasure only removes
+    * rows the anti-join already excluded; compaction only rewrites
+    * files), which is what makes a release RE-CUTTABLE months later:
+    * CurationSpec pins asOf-before-maintain == asOf-after-maintain
+    * byte-for-byte. Monotone in `cutoff` over the kept set (a later
+    * cutoff only adds tranches), and a tranche retracted via
+    * [[retractTranche]] is absent at EVERY cutoff (its ledger
+    * partitions were dropped eagerly and its ids tombstoned).
+    *
+    * Scale shape: the ledger is partitioned by (tranche, modality), so
+    * the cutoff bound prunes partitions at the scan — a re-cut of an
+    * early release reads that release's slice, not the table — and the
+    * tombstone side is an id-projection anti-join (broadcast when the
+    * takedown history is small, shuffle-hash over the same id space
+    * otherwise). Nothing here touches content stores: the manifest is
+    * metadata-only, and the caller joins it back to content by doc_id.
+    */
+  def corpusAsOf(spark: SparkSession, stores: Stores,
+                 cutoff: Long): DataFrame = {
+    require(exists(spark, stores.ledger),
+      s"no ledger at ${stores.ledger} — nothing was ever committed")
+    val kept = Ledger.readRange(spark, stores.ledger, 0L, cutoff)
+      .filter(col("decision") === "kept")
+      .select("doc_id", "tranche", "modality")
+    readTombstones(spark, stores).fold(kept)(t =>
+      kept.join(t, Seq("doc_id"), "left_anti"))
+  }
+
+  /** What changed between two releases: rows of [[corpusAsOf]]`(b)`
+    * absent from [[corpusAsOf]]`(a)` tagged `added`, and rows of the
+    * earlier release absent from the later one tagged `removed` —
+    * additions are later-tranche keeps, removals are takedowns that
+    * landed between the cuts (the only way a release ever shrinks).
+    * The operator-facing diff an audit reads before shipping a re-cut.
+    */
+  def corpusDiff(spark: SparkSession, stores: Stores,
+                 a: Long, b: Long): DataFrame = {
+    val ca = corpusAsOf(spark, stores, a)
+    val cb = corpusAsOf(spark, stores, b)
+    val key = Seq("doc_id", "modality")
+    cb.join(ca.select(key.map(col): _*), key, "left_anti")
+      .withColumn("change", lit("added"))
+      .unionByName(
+        ca.join(cb.select(key.map(col): _*), key, "left_anti")
+          .withColumn("change", lit("removed")))
+  }
+
   /** One compactable slice of a deployment: `tables` are the parquet
     * table paths whose small-file pressure gates file-driven due-ness,
     * `erasable` says tombstones physically land here (so a pending
@@ -936,12 +1014,17 @@ object Curation {
       units += MaintUnit("embedding_flat", stores.embedding,
         Seq(stores.embedding), erasable = true,
         ts => compactFlat(spark, stores.embedding, removeIds = ts))
-    if (stores.pqIndex.nonEmpty && exists(spark, s"${stores.pqIndex}/codes"))
+    val pqLive =
+      if (stores.pqIndex.isEmpty) ""
+      else PQ.liveDir(spark, stores.pqIndex)
+    if (stores.pqIndex.nonEmpty && exists(spark, s"$pqLive/codes"))
       // serving-side ANN store: commits append each tranche's kept
       // vectors through the frozen codebook, and takedowns MUST reach
       // it (its codes are derived from retracted content); erasure is
       // surgical over the id-bucket partitions the ids live in, file
-      // compaction per drifted bucket
+      // compaction per drifted bucket. The unit's table path is the
+      // LIVE generation's code table (resolved per pass, so a
+      // re-release between windows redirects the next window).
       // Codebook drift stays OPERATOR-cadenced here on purpose
       // ([[PQ.codesCensus]] is the signal, [[PQ.rewriteIndex]] the
       // action): unlike an IVF cell split — which preserves every
@@ -949,7 +1032,7 @@ object Curation {
       // code, changing serving results corpus-wide; that is a release
       // decision, not hygiene a scheduled window should take silently.
       units += MaintUnit("pq_index", stores.pqIndex,
-        Seq(s"${stores.pqIndex}/codes"), erasable = true,
+        Seq(s"$pqLive/codes"), erasable = true,
         ts => {
           ts.foreach(PQ.removeIdsIndex(spark, stores.pqIndex, _))
           PQ.compactCodesIndex(spark, stores.pqIndex)
@@ -1356,6 +1439,18 @@ object Curation {
             StoreSwap.fsOf(spark, d)
               .delete(new org.apache.hadoop.fs.Path(d), true)
         }
+      // retired PQ serving generations: a re-release keeps the previous
+      // generation on disk for in-flight readers and rollback — gc is
+      // the retention boundary (everything but the live one goes)
+      if (stores.pqIndex.nonEmpty && exists(spark, stores.pqIndex)) {
+        val live = PQ.liveDir(spark, stores.pqIndex)
+        PQ.completeGens(spark, stores.pqIndex)
+          .map(g => s"${stores.pqIndex}/$g").filterNot(_ == live)
+          .foreach { d =>
+            StoreSwap.fsOf(spark, d)
+              .delete(new org.apache.hadoop.fs.Path(d), true)
+          }
+      }
     }
 
   /** Deployment-wide store census — the operator's single health view,
@@ -1425,11 +1520,14 @@ object Curation {
     if (exists(spark, s"${stores.ledger}.ids"))
       add("id_registry", "ids")(
         spark.read.parquet(s"${stores.ledger}.ids").count())
-    if (stores.pqIndex.nonEmpty && exists(spark, s"${stores.pqIndex}/codes")) {
+    val pqCensusLive =
+      if (stores.pqIndex.isEmpty) ""
+      else PQ.liveDir(spark, stores.pqIndex)
+    if (stores.pqIndex.nonEmpty && exists(spark, s"$pqCensusLive/codes")) {
       add("pq_index", "code_rows")(
-        spark.read.parquet(s"${stores.pqIndex}/codes").count())
+        spark.read.parquet(s"$pqCensusLive/codes").count())
       add("pq_index", "vectors")(
-        spark.read.parquet(s"${stores.pqIndex}/codes")
+        spark.read.parquet(s"$pqCensusLive/codes")
           .select("vec_id").distinct().count())
     }
     if (exists(spark, tombstonesDir(stores)))
@@ -1649,13 +1747,50 @@ object Curation {
           "vector cells absent from the codebook")
       })
     }
-    if (stores.pqIndex.nonEmpty && exists(spark, s"${stores.pqIndex}/codes"))
+    val pqFsckLive =
+      if (stores.pqIndex.isEmpty) ""
+      else PQ.liveDir(spark, stores.pqIndex)
+    if (stores.pqIndex.nonEmpty && exists(spark, s"$pqFsckLive/codes"))
       add(tomb.map { t =>
-        val n = spark.read.parquet(s"${stores.pqIndex}/codes")
+        val n = spark.read.parquet(s"$pqFsckLive/codes")
           .select(col("vec_id").as("doc_id")).dropDuplicates("doc_id")
           .join(t, Seq("doc_id"), "left_semi").count()
         ("pq_tombstoned_codes", tombStatus(n, stores.pqIndex), n,
           "pq code rows carrying retracted ids")
+      })
+    // publish-state audit of the generational serving store: the
+    // pointer and the generation set must describe one healthy live
+    // index; every crash state of writeIndex/rewriteIndex is visible
+    // here with its named recovery ([[repair]] applies them)
+    if (stores.pqIndex.nonEmpty && exists(spark, stores.pqIndex) &&
+      PQ.listGens(spark, stores.pqIndex).nonEmpty)
+      add(Some {
+        val dir = stores.pqIndex
+        val ptr = PQ.readPointer(spark, dir)
+        val complete = PQ.completeGens(spark, dir)
+        val partial = PQ.listGens(spark, dir).diff(complete)
+        val tmpStanding = exists(spark, s"$dir/_current.tmp")
+        val ptrLost = ptr.isEmpty && !tmpStanding
+        val ptrDangling = ptr.exists(!complete.contains(_))
+        if (ptrDangling)
+          ("pq_publish", "violation", 1L,
+            s"pointer names a lost generation (${ptr.get}); reads fall " +
+              "back to the newest complete one — repair re-points at it")
+        else if (tmpStanding)
+          ("pq_publish", "pending", 1L,
+            "a publish crashed mid-flip (_current.tmp standing); " +
+              "repair promotes it")
+        else if (ptrLost)
+          ("pq_publish", "pending", 1L,
+            "pointer lost; reads fall back to the newest complete " +
+              "generation — repair rewrites the pointer")
+        else if (partial.nonEmpty)
+          ("pq_publish", "pending", partial.size.toLong,
+            "a crashed re-release left partial generation(s); repair " +
+              "deletes them")
+        else
+          ("pq_publish", "ok", (complete.size - 1).toLong,
+            "retired generations awaiting gc")
       })
     // a bucket rewrite that crashed mid-swap leaves the partition
     // directory MISSING with a complete copy standing hidden — the
@@ -1722,7 +1857,8 @@ object Curation {
     * under the pass's sibling tmp), so an existence-gated catalogue
     * silently drops the store and no per-table check ever runs.
     */
-  private def swapScopes(stores: Stores): Seq[(String, String)] =
+  private def swapScopes(spark: SparkSession,
+                         stores: Stores): Seq[(String, String)] =
     Seq(
       "text_index" -> stores.textIndex,
       "image" -> stores.image,
@@ -1734,8 +1870,14 @@ object Curation {
       "id_registry" -> s"${stores.ledger}.ids",
       "tombstones" -> tombstonesDir(stores)) ++
       (if (stores.pqIndex.nonEmpty)
+        // the PQ root is generational now (re-release is a pointer
+        // flip, never a dir swap — pq_publish audits its crash states);
+        // the root scope stays for a PRE-generational deployment whose
+        // old whole-dir swap crashed, and the LIVE generation's code
+        // table still swap-rewrites on legacy upgrades and store-wide
+        // compaction
         Seq("pq_index" -> stores.pqIndex,
-          "pq_codes" -> s"${stores.pqIndex}/codes")
+          "pq_codes" -> s"${PQ.liveDir(spark, stores.pqIndex)}/codes")
       else Seq.empty)
 
   // a swap tmp is fully written BEFORE the two renames begin, so when
@@ -1752,7 +1894,7 @@ object Curation {
     */
   private def crashedSwaps(spark: SparkSession,
                            stores: Stores): Seq[(String, String, String)] =
-    swapScopes(stores).flatMap { case (what, p) =>
+    swapScopes(spark, stores).flatMap { case (what, p) =>
       if (exists(spark, p)) None
       else (SwapTmpSuffixes.map(s => s"$p$s") :+ s"$p.old")
         .find(exists(spark, _)).map(src => (what, src, p))
@@ -1908,7 +2050,49 @@ object Curation {
           // .old stands) is the normal rollback state; gc reclaims it
           s"promoted $src to $target ($what store-wide swap crash)"
       }
-      swapActions ++ maintenanceUnits(spark, stores).flatMap { u =>
+      // crashed PQ publishes next (the pq_publish fsck states): promote
+      // a standing pointer tmp, re-point a lost/dangling pointer at the
+      // newest complete generation, drop partial generations — each
+      // mechanical, each leaving serving on a complete consistent index
+      val pqActions =
+        if (stores.pqIndex.isEmpty ||
+          PQ.listGens(spark, stores.pqIndex).isEmpty) Seq.empty[String]
+        else {
+          val dir = stores.pqIndex
+          val fs = StoreSwap.fsOf(spark, dir)
+          val complete = PQ.completeGens(spark, dir)
+          val tmpP = new org.apache.hadoop.fs.Path(s"$dir/_current.tmp")
+          val ptrP = new org.apache.hadoop.fs.Path(s"$dir/_current")
+          val a1 =
+            if (fs.exists(tmpP)) {
+              fs.delete(ptrP, false)
+              if (!fs.rename(tmpP, ptrP))
+                throw new java.io.IOException(
+                  s"repair: cannot promote $tmpP to $ptrP")
+              Seq(s"promoted $tmpP to $ptrP (crashed pq publish)")
+            } else Seq.empty
+          val ptr = PQ.readPointer(spark, dir)
+          val a2 =
+            if (complete.nonEmpty &&
+              !ptr.exists(complete.contains(_))) {
+              val tgt = complete.last
+              val out = fs.create(tmpP, true)
+              try out.write(tgt.getBytes("UTF-8")) finally out.close()
+              fs.delete(ptrP, false)
+              if (!fs.rename(tmpP, ptrP))
+                throw new java.io.IOException(
+                  s"repair: cannot rewrite $ptrP")
+              Seq(s"re-pointed $ptrP at $tgt (" +
+                (if (ptr.isEmpty) "pointer lost" else "pointer dangling") +
+                ")")
+            } else Seq.empty
+          val a3 = PQ.listGens(spark, dir).diff(complete).map { g =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$g"), true)
+            s"dropped partial pq generation $dir/$g (crashed re-release)"
+          }
+          a1 ++ a2 ++ a3
+        }
+      swapActions ++ pqActions ++ maintenanceUnits(spark, stores).flatMap { u =>
         u.tables.flatMap { t =>
           val fs = StoreSwap.fsOf(spark, t)
           def walk(p: org.apache.hadoop.fs.Path): Seq[String] =

@@ -249,58 +249,193 @@ object PQ {
 
   // --- persisted PQ index -------------------------------------------------------------
   // The deployment artifact (the [[IvfIndex]] story for codes): train
-  // once, ship `dir/centroids` (m·k integer subspace centroids — a few
-  // KB) and `dir/codes` (one narrow row per (vector, subspace) — the
+  // once, ship `centroids` (m·k integer subspace centroids — a few
+  // KB) and `codes` (one narrow row per (vector, subspace) — the
   // ONLY per-vector state a search node holds; raw floats never travel
   // to serving). New tranches append through the FROZEN persisted
   // codebook via the same integer assignment training used, so a fresh
   // session encodes bit-identically to the training session.
+  //
+  // The store is GENERATIONAL: `dir/_current` (a one-line pointer
+  // file) names the live generation subdir `dir/gen-NNNNNN/{params,
+  // centroids, codes}`. The point is SERVING AVAILABILITY through a
+  // re-release: unlike the deployment-internal stores — whose every
+  // mutation runs under the Curation writer lock, so no internal
+  // reader ever observes a swap window — the ADC serve path is
+  // lock-free and external, and the old whole-dir swap left a window
+  // where `dir` itself was missing and every in-flight query crashed.
+  // A re-release now writes the next generation COMPLETELY beside the
+  // live one and then flips the pointer; a reader resolves the pointer
+  // once per query, so it reads params/centroids/codes from ONE
+  // consistent generation, never a torn mix. The pointer flip itself
+  // (write `_current.tmp`, delete, rename) has a metadata-only window
+  // in which readers deterministically fall back to the NEWEST
+  // COMPLETE generation — which is exactly the one being published
+  // (generations are complete before the flip starts; `params` is the
+  // last table written, so "params exists" == complete). In-place
+  // mutation passes (append, surgical erasure, bucket compaction) work
+  // INSIDE the live generation and keep their bucket-local blast
+  // radius. Pre-generational FLAT stores (tables at `dir` root) stay
+  // fully readable and mutable; their first re-release upgrades them.
 
-  /** Train on `emb` and materialize the PQ index under `dir`
-    * (overwrite): `dir/centroids` (sub, cid, i, v) and `dir/codes`
-    * (vec_id, sub, cell) PARTITIONED BY an id bucket
+  private val GenPrefix = "gen-"
+  private val PointerName = "_current"
+
+  private def genSeq(name: String): Option[Int] =
+    if (name.startsWith(GenPrefix) &&
+      name.drop(GenPrefix.length).forall(_.isDigit))
+      Some(name.drop(GenPrefix.length).toInt)
+    else None
+
+  private[ext] def listGens(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Seq[String] = {
+    val fs = StoreSwap.fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).filter(genSeq(_).nonEmpty)
+      .sortBy(genSeq(_).get)
+  }
+
+  private def isComplete(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, gen: String): Boolean =
+    StoreSwap.fsOf(spark, dir)
+      .exists(new org.apache.hadoop.fs.Path(s"$dir/$gen/params"))
+
+  private[ext] def completeGens(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): Seq[String] =
+    listGens(spark, dir).filter(isComplete(spark, dir, _))
+
+  private[ext] def readPointer(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): Option[String] = {
+    val fs = StoreSwap.fsOf(spark, dir)
+    val ptr = new org.apache.hadoop.fs.Path(s"$dir/$PointerName")
+    try {
+      if (!fs.exists(ptr)) None
+      else {
+        val in = fs.open(ptr)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        Some(s).filter(_.nonEmpty)
+      }
+    } catch {
+      // racing a pointer flip: the deterministic fallback below serves
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** The LIVE root of the index at `dir` — the one path a consistent
+    * read of params/centroids/codes must prefix. Resolution order:
+    * the generation `dir/_current` names (if complete on disk), else
+    * the newest complete generation (covers the pointer-flip window
+    * and every publish crash state — the newest complete generation
+    * is always a correct, consistent index), else `dir` itself (the
+    * pre-generational flat layout). Callers inside one logical
+    * operation resolve ONCE and reuse the path, so the operation
+    * never spans generations.
+    */
+  def liveDir(spark: org.apache.spark.sql.SparkSession,
+              dir: String): String =
+    readPointer(spark, dir).filter(isComplete(spark, dir, _))
+      .orElse(completeGens(spark, dir).lastOption)
+      .map(g => s"$dir/$g")
+      .getOrElse(dir)
+
+  /** Atomically point serving at `gen`: write the new pointer beside
+    * the live one, then delete+rename — the only reader-visible window
+    * is the metadata flip, during which [[liveDir]]'s newest-complete
+    * fallback resolves to exactly the generation being published.
+    */
+  private def publishGen(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, gen: String): Unit = {
+    val fs = StoreSwap.fsOf(spark, dir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/$PointerName.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(gen.getBytes("UTF-8")) finally out.close()
+    val ptr = new org.apache.hadoop.fs.Path(s"$dir/$PointerName")
+    fs.delete(ptr, false)
+    if (!fs.rename(tmp, ptr))
+      throw new java.io.IOException(
+        s"PQ publish: cannot promote $tmp to $ptr")
+  }
+
+  /** Train on `emb` and materialize the PQ index under `dir` as a
+    * fresh PUBLISHED generation: `centroids` (sub, cid, i, v) and
+    * `codes` (vec_id, sub, cell) PARTITIONED BY an id bucket
     * (`idp = StoreLayout.part(vec_id)`) — the serving store must be
     * surgically erasable ([[removeIdsIndex]]: a takedown rewrites only
     * the id buckets the retracted vectors live in, never the corpus's
-    * codes) and bucket-locally compactable ([[compactCodesBuckets]]).
+    * codes) and bucket-locally compactable ([[compactCodesBuckets]]) —
+    * plus `params` (the training geometry, written LAST: its presence
+    * marks the generation complete). On a store that already holds
+    * generations this IS the re-release: the previous generation stays
+    * on disk for in-flight readers until [[Curation.gc]] reclaims it.
+    * On a pre-generational flat store the legacy root tables are
+    * dropped after the publish (the upgrade).
     */
   def writeIndex(emb: DataFrame, dir: String, m: Int = 4, k: Int = 4,
                  iters: Int = 2, subWidth: Int = 16): Unit = {
+    val spark = emb.sparkSession
+    val next = f"$GenPrefix${listGens(spark, dir)
+      .flatMap(genSeq).maxOption.getOrElse(0) + 1}%06d"
+    val g = s"$dir/$next"
     val (assign, centE) = run(emb, m, k, iters, subWidth)
-    centE.write.mode("overwrite").parquet(s"$dir/centroids")
+    centE.write.mode("overwrite").parquet(s"$g/centroids")
     assign.select(col("vec_id"), col("sub"), col("cid").as("cell"))
       .withColumn("idp", StoreLayout.part(col("vec_id")))
       .repartition(col("idp"))
-      .write.mode("overwrite").partitionBy("idp").parquet(s"$dir/codes")
-    val spark = emb.sparkSession
+      .write.mode("overwrite").partitionBy("idp").parquet(s"$g/codes")
     import spark.implicits._
     // the store is self-describing: encode/search read the training
-    // geometry from here, so they can never disagree with it
+    // geometry from here, so they can never disagree with it — and
+    // params lands last, marking the generation complete
     Seq((m, k, iters, subWidth)).toDF("m", "k", "iters", "sub_width")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+      .coalesce(1).write.mode("overwrite").parquet(s"$g/params")
+    publishGen(spark, dir, next)
+    // legacy flat tables (pre-generational layout) are dead the moment
+    // a generation is published — drop them so the store has one shape
+    val fs = StoreSwap.fsOf(spark, dir)
+    Seq("params", "centroids", "codes").foreach { t =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$t"), true)
+    }
+  }
+
+  // raw accessors over an ALREADY-RESOLVED generation root — every
+  // multi-table operation resolves liveDir once and reads through
+  // these, so no operation can span a concurrent re-release
+  private def paramsAt(spark: org.apache.spark.sql.SparkSession,
+                       root: String): (Int, Int, Int, Int) = {
+    val p = spark.read.parquet(s"$root/params").collect()(0)
+    (p.getInt(0), p.getInt(1), p.getInt(2), p.getInt(3))
+  }
+
+  private def centroidsAt(spark: org.apache.spark.sql.SparkSession,
+                          root: String): DataFrame =
+    spark.read.parquet(s"$root/centroids")
+
+  private def codesAt(spark: org.apache.spark.sql.SparkSession,
+                      root: String): DataFrame = {
+    val raw = spark.read.parquet(s"$root/codes")
+    if (raw.columns.contains("idp")) raw.drop("idp") else raw
   }
 
   /** The persisted training geometry: (m, k, iters, sub_width). */
   def readIndexParams(spark: org.apache.spark.sql.SparkSession,
-                      dir: String): (Int, Int, Int, Int) = {
-    val p = spark.read.parquet(s"$dir/params").collect()(0)
-    (p.getInt(0), p.getInt(1), p.getInt(2), p.getInt(3))
-  }
+                      dir: String): (Int, Int, Int, Int) =
+    paramsAt(spark, liveDir(spark, dir))
 
   /** The persisted integer codebook: (sub, cid, i, v). */
   def readCentroids(spark: org.apache.spark.sql.SparkSession,
                     dir: String): DataFrame =
-    spark.read.parquet(s"$dir/centroids")
+    centroidsAt(spark, liveDir(spark, dir))
 
   /** The persisted code table: (vec_id, sub, cell). Reads both layouts
     * (id-bucket partitioned and pre-r12 flat); the partition column
     * never surfaces to callers.
     */
   def readCodes(spark: org.apache.spark.sql.SparkSession,
-                dir: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/codes")
-    if (raw.columns.contains("idp")) raw.drop("idp") else raw
-  }
+                dir: String): DataFrame =
+    codesAt(spark, liveDir(spark, dir))
 
   /** Refuse an append into a pre-r12 FLAT code table (no `idp`
     * partition column): mixing partitioned appends into a flat store
@@ -308,14 +443,14 @@ object PQ {
     * stay fully readable; one [[compactCodesIndex]] upgrades them.
     */
   private def requirePrunedCodes(
-      spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
-    if (graft.ext.Dedup.storeExists(spark, s"$dir/codes") &&
-      !spark.read.parquet(s"$dir/codes").columns.contains("idp"))
+      spark: org.apache.spark.sql.SparkSession, root: String): Unit =
+    if (graft.ext.Dedup.storeExists(spark, s"$root/codes") &&
+      !spark.read.parquet(s"$root/codes").columns.contains("idp"))
       throw new IllegalStateException(
-        s"PQ index at $dir has the pre-id-bucketed FLAT code layout; " +
+        s"PQ index at $root has the pre-id-bucketed FLAT code layout; " +
           "appending partitioned tranches into it would corrupt " +
           s"partition discovery — run PQ.compactCodesIndex(spark, " +
-          s""""$dir") once to upgrade it, then retry""")
+          s""""$root") once to upgrade it, then retry""")
 
   /** Encode a new tranche through the frozen persisted codebook and
     * append its codes — the index grows without retraining (re-release
@@ -326,14 +461,15 @@ object PQ {
     */
   def appendIndex(newEmb: DataFrame, dir: String): Unit = {
     val spark = newEmb.sparkSession
-    requirePrunedCodes(spark, dir)
-    val subWidth = readIndexParams(spark, dir)._4
-    val centE = readCentroids(spark, dir).localCheckpoint()
+    val live = liveDir(spark, dir)
+    requirePrunedCodes(spark, live)
+    val subWidth = paramsAt(spark, live)._4
+    val centE = centroidsAt(spark, live).localCheckpoint()
     assignTo(explodedSub(newEmb, subWidth), centE)
       .select(col("vec_id"), col("sub"), col("cid").as("cell"))
       .withColumn("idp", StoreLayout.part(col("vec_id")))
       .repartition(col("idp"))
-      .write.mode("append").partitionBy("idp").parquet(s"$dir/codes")
+      .write.mode("append").partitionBy("idp").parquet(s"$live/codes")
   }
 
   /** [[appendIndex]] with RE-RUN idempotency — the ingestion-path form
@@ -351,13 +487,14 @@ object PQ {
     */
   def appendIndexOnce(newEmb: DataFrame, dir: String): Unit = {
     val spark = newEmb.sparkSession
-    requirePrunedCodes(spark, dir)
-    val subWidth = readIndexParams(spark, dir)._4
-    val centE = readCentroids(spark, dir).localCheckpoint()
+    val live = liveDir(spark, dir)
+    requirePrunedCodes(spark, live)
+    val subWidth = paramsAt(spark, live)._4
+    val centE = centroidsAt(spark, live).localCheckpoint()
     val ids = newEmb.select("vec_id").dropDuplicates("vec_id")
       .localCheckpoint()
     val ps = StoreLayout.partsOf(ids, col("vec_id"))
-    val existing = spark.read.parquet(s"$dir/codes")
+    val existing = spark.read.parquet(s"$live/codes")
       .filter(col("idp").isin(ps: _*))
       .join(broadcast(ids), Seq("vec_id"), "left_semi")
       .select("vec_id", "sub")
@@ -366,7 +503,7 @@ object PQ {
       .join(broadcast(existing), Seq("vec_id", "sub"), "left_anti")
       .withColumn("idp", StoreLayout.part(col("vec_id")))
       .repartition(col("idp"))
-      .write.mode("append").partitionBy("idp").parquet(s"$dir/codes")
+      .write.mode("append").partitionBy("idp").parquet(s"$live/codes")
   }
 
   /** Physically erase retracted vectors from the SERVING store
@@ -387,7 +524,7 @@ object PQ {
     */
   def removeIdsIndex(spark: org.apache.spark.sql.SparkSession,
                      dir: String, ids: DataFrame): Unit = {
-    val codesDir = s"$dir/codes"
+    val codesDir = s"${liveDir(spark, dir)}/codes"
     val idf = ids.select(col(ids.columns.head).as("vec_id"))
       .localCheckpoint()
     if (!spark.read.parquet(codesDir).columns.contains("idp")) {
@@ -419,9 +556,10 @@ object PQ {
     */
   def compactCodesIndex(spark: org.apache.spark.sql.SparkSession,
                         dir: String): Unit = {
-    val codesDir = s"$dir/codes"
+    val live = liveDir(spark, dir)
+    val codesDir = s"$live/codes"
     val tmp = StoreSwap.prepareTmp(spark, s"$codesDir.compact")
-    readCodes(spark, dir)
+    codesAt(spark, live)
       .dropDuplicates("vec_id", "sub")
       .withColumn("idp", StoreLayout.part(col("vec_id")))
       .repartition(col("idp"))
@@ -452,9 +590,10 @@ object PQ {
     */
   def codesCensus(spark: org.apache.spark.sql.SparkSession,
                   dir: String): DataFrame = {
-    val cb = readCentroids(spark, dir)
+    val live = liveDir(spark, dir)
+    val cb = centroidsAt(spark, live)
       .select(col("sub"), col("cid").as("cell")).distinct()
-    val counts = readCodes(spark, dir)
+    val counts = codesAt(spark, live)
       .groupBy("sub", "cell").agg(count(lit(1)).as("n_codes"))
     val full = cb.join(counts, Seq("sub", "cell"), "left")
       .select(col("sub"), col("cell"),
@@ -466,24 +605,26 @@ object PQ {
       .orderBy("sub", "cell")
   }
 
-  /** Census-driven codebook re-release ([[IvfIndex.rewrite]]'s atomic
-    * swap for the serving store): retrain on the CURRENT raw corpus —
-    * the code table holds no floats, so the caller supplies the
-    * vectors (a deployment's embedding store) — under the persisted
-    * training geometry, write the full new index to a sibling tmp, and
-    * swap it in; the previous generation is retained under `<dir>.old`
-    * for the caller's retention policy ([[Curation.gc]] reclaims it).
-    * On an undrifted corpus the deterministic integer training
-    * reproduces the same codebook, so ADC top-k is preserved exactly
-    * (PQSpec pins it); on a drifted one the re-release is the fix the
-    * [[codesCensus]] skew pointed at.
+  /** Census-driven codebook re-release (the serving store's
+    * [[IvfIndex.rewrite]]): retrain on the CURRENT raw corpus — the
+    * code table holds no floats, so the caller supplies the vectors (a
+    * deployment's embedding store) — under the persisted training
+    * geometry, write the result as the NEXT generation, and flip the
+    * pointer. Serving never blinks: queries in flight keep reading the
+    * previous generation (retained on disk until [[Curation.gc]]
+    * reclaims it), queries after the flip read the new one, and no
+    * query ever sees a torn mix or a missing store — the availability
+    * the old whole-dir swap could not give a lock-free reader. On an
+    * undrifted corpus the deterministic integer training reproduces
+    * the same codebook, so ADC top-k is preserved exactly (ExtSpec
+    * pins it); on a drifted one the re-release is the fix the
+    * [[codesCensus]] skew pointed at. Upgrades a pre-generational
+    * flat store in the same motion.
     */
   def rewriteIndex(spark: org.apache.spark.sql.SparkSession,
                    dir: String, emb: DataFrame): Unit = {
     val (m, k, iters, subWidth) = readIndexParams(spark, dir)
-    val tmp = StoreSwap.prepareTmp(spark, s"$dir.rewrite")
-    writeIndex(emb, tmp, m, k, iters, subWidth)
-    StoreSwap.swap(spark, dir, tmp)
+    writeIndex(emb, dir, m, k, iters, subWidth)
   }
 
   /** Disk-native ADC top-k: score the persisted code table against
@@ -493,11 +634,40 @@ object PQ {
     * is the whole PQ memory bargain at serving scale.
     */
   def adcTopKIndex(queryEmb: DataFrame, dir: String,
-                   topK: Int): DataFrame = {
+                   topK: Int): DataFrame =
+    adcTopKIndexScored(queryEmb, dir, topK, identity)
+
+  /** FILTERED disk-native ADC top-k: [[adcTopKIndex]] with the
+    * candidate side restricted to `allowed` (a one-column `vec_id`
+    * relation — "search only the English docs", "only this license
+    * tier", any metadata predicate the caller evaluated on its
+    * attribute table). The restriction is a semi-join applied to the
+    * code-table scan BEFORE any lookup-table join or distance
+    * aggregation, so a selective filter prunes the scoring work
+    * proportionally instead of post-filtering a full-corpus top-k —
+    * the difference between "top-k among the allowed" (correct: a
+    * query whose global top-k is all disallowed still returns its best
+    * allowed candidates) and "allowed among the top-k" (wrong, and
+    * what a naive WHERE over [[adcTopKIndex]]'s output would compute).
+    * At serving scale the allowed set is usually small relative to the
+    * corpus (Catalyst broadcasts the semi-join side under AQE);
+    * queries pay lookup-table construction as usual.
+    */
+  def adcTopKIndexWhere(queryEmb: DataFrame, dir: String, topK: Int,
+                        allowed: DataFrame): DataFrame =
+    adcTopKIndexScored(queryEmb, dir, topK,
+      _.join(allowed.select("vec_id"), Seq("vec_id"), "left_semi"))
+
+  private def adcTopKIndexScored(queryEmb: DataFrame, dir: String,
+                                 topK: Int,
+                                 restrict: DataFrame => DataFrame): DataFrame = {
     val spark = queryEmb.sparkSession
-    val subWidth = readIndexParams(spark, dir)._4
-    val centE = readCentroids(spark, dir)
-    val codesDf = readCodes(spark, dir)
+    // one resolution for the whole query: params, centroids and codes
+    // come from the SAME generation even while a re-release publishes
+    val live = liveDir(spark, dir)
+    val subWidth = paramsAt(spark, live)._4
+    val centE = centroidsAt(spark, live)
+    val codesDf = restrict(codesAt(spark, live))
       .select(col("vec_id").as("cid_vec"), col("sub"), col("cell"))
     val qe = explodedSub(queryEmb, subWidth)
     val qdt = qe

@@ -8078,6 +8078,91 @@ object ExtQueries {
       |  round(f.n_codes / m.mean_n, 6) AS skew
       |FROM fullc f JOIN mn m USING (sub) ORDER BY sub, cell""".stripMargin
 
+  // --- x131: the reproducible release read (corpus-as-of under the hash gate) ----------
+
+  /** [[graft.ext.Curation.corpusAsOf]] over the x125 retraction
+    * deployment at every cutoff — the release manifest a training run
+    * is re-cut from, as a declared row. Cutoff 0 must come back EMPTY
+    * (the only tranche at or below it was retracted: takedowns are
+    * retroactive, so the release that once shipped is gone at every
+    * re-cut), cutoff 1 is tranche 1's kept set, cutoff 2 adds tranche
+    * 2's — monotone growth over kept rows, never a revision. The
+    * oracle replays the ledger verdicts over a corpus in which the
+    * retracted tranche never existed (x125's replay) and re-derives
+    * each cutoff's manifest by the same tranche bound + kept filter,
+    * so an as-of read that leaks a retracted doc, misses a tranche
+    * bound, or picks up a non-kept verdict hash-diverges. Zero new
+    * build: the deployment is `retraction_build`'s, and the read is
+    * the recurring operation (partition-pruned ledger scan + tombstone
+    * anti-join) an operator pays per re-cut.
+    */
+  val x131CorpusAsOf: Q = (spark, sfDir) => {
+    val stores = retractionStores(spark, sfDir)
+    Seq(0L, 1L, 2L).map(c =>
+      graft.ext.Curation.corpusAsOf(spark, stores, c)
+        .select(lit(c).as("cutoff"), col("doc_id"), col("tranche"),
+          col("modality")))
+      .reduce(_.unionByName(_))
+      .orderBy("cutoff", "doc_id")
+  }
+
+  private val x131Sql =
+    s"""SELECT c.cutoff, l.doc_id, l.tranche, l.modality
+       |FROM ($x125Sql) l
+       |JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)),
+       |             (CAST(2 AS BIGINT))) AS c(cutoff)
+       |  ON l.tranche <= c.cutoff
+       |WHERE l.decision = 'kept'
+       |ORDER BY c.cutoff, l.doc_id""".stripMargin
+
+  // --- x132: metadata-filtered ANN serving (top-k among the allowed) -------------------
+
+  /** [[graft.ext.PQ.adcTopKIndexWhere]] over the x129 deployment's
+    * commit-fed serving store: disk-native ADC top-5 with the
+    * candidate side restricted to an attribute predicate (`label <= 3`
+    * on the embeddings table — "search only this slice of the corpus",
+    * the filtered-retrieval shape every production ANN service exposes
+    * next to its unfiltered one). The semantics gated are "top-k AMONG
+    * the allowed": the oracle replays the full integer ADC chain with
+    * the same allowed-id set injected into the candidate side before
+    * ranking, so a post-filtered global top-k (which drops answers for
+    * queries whose best candidates are disallowed), a filter applied
+    * to the query side, or a leak of a disallowed candidate all
+    * hash-diverge. The allowed set carries the planted tranche-B copy
+    * ids too (copies inherit their original's label), exercising the
+    * semi-join against ids born inside the deployment rather than in
+    * the base table.
+    */
+  val x132PqFilteredServe: Q = (spark, sfDir) => {
+    val emb = Tables.embeddings(spark, sfDir)
+    val allowed = emb.filter(col("label") <= 3).select("vec_id")
+      .unionByName(emb.filter(col("label") <= 3)
+        .select((col("vec_id") + 1000000L).as("vec_id")))
+    graft.ext.PQ.adcTopKIndexWhere(
+      emb.filter((col("vec_id") % 4 === 1 || col("vec_id") % 4 === 2) &&
+          col("vec_id") < 40 && col("vec_id") % 20 =!= 13)
+        .select("vec_id", "embedding"),
+      pqCommitStores(spark, sfDir).pqIndex, topK = 5, allowed = allowed)
+  }
+
+  private val x132Sql = x129ChainSql +
+    """), approx AS (
+      |  SELECT d.vec_id AS qid, a.vec_id AS cid, sum(d.dist) AS adist
+      |  FROM d2 d JOIN a2 a ON a.sub = d.sub AND a.cid = d.cid
+      |  WHERE d.vec_id < 40 AND d.vec_id % 20 != 13
+      |    AND d.vec_id != a.vec_id
+      |    AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE label <= 3
+      |                     UNION ALL
+      |                     SELECT vec_id + 1000000 FROM embeddings
+      |                     WHERE label <= 3)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT qid, rank, cid, CAST(adist AS BIGINT) AS adist FROM (
+      |  SELECT qid, cid, adist,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS INT) AS rank
+      |  FROM approx)
+      |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -8210,7 +8295,9 @@ object ExtQueries {
     "x127_fsck" -> x127Fsck,
     "x128_pq_takedown_serve" -> x128PqTakedownServe,
     "x129_pq_commit_serve" -> x129PqCommitServe,
-    "x130_pq_codes_census" -> x130PqCodesCensus)
+    "x130_pq_codes_census" -> x130PqCodesCensus,
+    "x131_corpus_asof" -> x131CorpusAsOf,
+    "x132_pq_filtered_serve" -> x132PqFilteredServe)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -8342,5 +8429,7 @@ object ExtQueries {
     "x127_fsck" -> x127Sql,
     "x128_pq_takedown_serve" -> x128Sql,
     "x129_pq_commit_serve" -> x129Sql,
-    "x130_pq_codes_census" -> x130Sql)
+    "x130_pq_codes_census" -> x130Sql,
+    "x131_corpus_asof" -> x131Sql,
+    "x132_pq_filtered_serve" -> x132Sql)
 }

@@ -1137,6 +1137,75 @@ class CurationSpec extends SparkSpec {
     Curation.commitTranche(t1, 1L, stores, embeddings = Some(embOf(t1)))
   }
 
+  test("pq publish crash states: serving falls back, fsck names the recovery, repair applies it") {
+    // every crash state of the generational publish leaves serving on
+    // a complete, consistent index (liveDir's newest-complete
+    // fallback), and each is visible in fsck's pq_publish row with the
+    // recovery repair performs
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 120)
+    val emb = Tables.embeddings(spark, sf())
+    val base = freshStores()
+    val stores = base.copy(pqIndex = s"${base.ledger}_pq")
+    def embOf(b: org.apache.spark.sql.DataFrame) = emb.join(
+      b.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    Curation.commitTranche(docs, 0L, stores, embeddings = Some(embOf(docs)))
+    PQ.writeIndex(embOf(docs).drop("label"), stores.pqIndex,
+      m = 4, k = 4, iters = 1, subWidth = 16)
+    PQ.rewriteIndex(spark, stores.pqIndex,
+      embOf(docs).select("vec_id", "embedding"))
+    val dir = stores.pqIndex
+    def pub() = Curation.fsck(spark, stores).collect()
+      .find(_.getString(0) == "pq_publish")
+      .map(r => (r.getString(1), r.getString(3))).get
+    def serveIds() = PQ.adcTopKIndex(
+      embOf(docs.orderBy("doc_id").limit(2)).drop("label"), dir, topK = 3)
+      .select("cid").collect().map(_.getLong(0)).toSet
+    val healthy = serveIds()
+    assert(pub()._1 == "ok", s"healthy publish state not ok: ${pub()}")
+    val fsys = StoreSwap.fsOf(spark, dir)
+    def writeFile(p: String, s: String): Unit = {
+      val out = fsys.create(new org.apache.hadoop.fs.Path(p), true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    // crash mid-flip: tmp written, pointer deleted, rename never ran
+    writeFile(s"$dir/_current.tmp", "gen-000002")
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$dir/_current"), false)
+    assert(serveIds() == healthy, "mid-flip crash state broke serving")
+    assert(pub() == (("pending",
+      "a publish crashed mid-flip (_current.tmp standing); repair " +
+        "promotes it")), pub())
+    assert(Curation.repair(spark, stores)
+      .exists(_.contains("promoted")), "repair did not promote the tmp")
+    assert(pub()._1 == "ok" && serveIds() == healthy)
+    // pointer lost entirely
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$dir/_current"), false)
+    assert(serveIds() == healthy, "lost pointer broke serving")
+    assert(pub()._1 == "pending" && pub()._2.contains("pointer lost"))
+    assert(Curation.repair(spark, stores)
+      .exists(_.contains("re-pointed")), "repair did not rewrite the pointer")
+    assert(pub()._1 == "ok" && serveIds() == healthy)
+    // pointer dangling at a lost generation
+    writeFile(s"$dir/_current", "gen-000099")
+    assert(serveIds() == healthy, "dangling pointer broke serving")
+    assert(pub()._1 == "violation" && pub()._2.contains("lost generation"))
+    Curation.repair(spark, stores)
+    assert(pub()._1 == "ok" && serveIds() == healthy)
+    // crashed re-release: a partial generation (no params) on disk
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/gen-000007/codes"))
+    assert(serveIds() == healthy, "partial generation broke serving")
+    assert(pub()._1 == "pending" && pub()._2.contains("partial"))
+    assert(Curation.repair(spark, stores)
+      .exists(_.contains("dropped partial")), "repair kept the partial gen")
+    assert(pub()._1 == "ok" && serveIds() == healthy)
+    // gc retention: the retired generation goes, the live one serves
+    assert(PQ.completeGens(spark, dir).size == 2)
+    Curation.gc(spark, stores)
+    assert(PQ.completeGens(spark, dir) == Seq("gen-000002"),
+      s"gc retention wrong: ${PQ.completeGens(spark, dir)}")
+    assert(serveIds() == healthy)
+  }
+
   test("takedown reaches the serving-side PQ index surgically") {
     import spark.implicits._
     // VERDICT r11 missing #2: a real right-to-erasure pipeline serves
@@ -1164,7 +1233,8 @@ class CurationSpec extends SparkSpec {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
       else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-    val byBucket = walk(new java.io.File(s"${stores.pqIndex}/codes"))
+    val pqLiveCodes = s"${PQ.liveDir(spark, stores.pqIndex)}/codes"
+    val byBucket = walk(new java.io.File(pqLiveCodes))
       .groupBy(_.getParentFile.toString)
     val touched = StoreLayout.partsOf(
       gone.toDF("vec_id"), col("vec_id")).map(p => s"idp=$p").toSet
@@ -1187,7 +1257,7 @@ class CurationSpec extends SparkSpec {
     assert(served.intersect(goneIds).isEmpty,
       s"ADC serving returned a retracted id: ${served.intersect(goneIds)}")
     // surgical: the untouched id buckets were not rewritten
-    val untouchedAfter = walk(new java.io.File(s"${stores.pqIndex}/codes"))
+    val untouchedAfter = walk(new java.io.File(pqLiveCodes))
       .groupBy(_.getParentFile.toString)
       .filter { case (d, _) => untouchedBefore.contains(d) }
       .map { case (d, fs) =>
@@ -1558,5 +1628,62 @@ class CurationSpec extends SparkSpec {
     // marker with the old store, and the commit proceeds
     IvfIndex.rewrite(spark, stores.embedding, k = 4)
     Curation.commitTranche(t1, 1L, stores, embeddings = Some(embOf(t1)))
+  }
+
+  test("corpusAsOf is the reproducible release: cutoff-bounded, kept-only, " +
+    "takedown-retroactive, maintenance-stable") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val stores = freshStores()
+    val t0 = docs.filter(col("doc_id") % 4 === 1)
+    // tranche 1 plants exact copies of tranche-0 docs: their exact_dup
+    // verdicts must never enter a release manifest
+    val t1 = docs.filter(col("doc_id") % 4 === 2)
+      .unionAll(t0.filter(col("doc_id") % 25 === 3)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Curation.commitTranche(t0, 0L, stores)
+    Curation.commitTranche(t1, 1L, stores)
+    def manifest(cutoff: Long) =
+      Curation.corpusAsOf(spark, stores, cutoff).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    def keptOf(tranche: Long) =
+      Ledger.read(spark, stores.ledger)
+        .filter(col("tranche") === tranche && col("decision") === "kept")
+        .collect().map(r => (r.getLong(0), tranche, "text")).toSet
+    val m0 = manifest(0L)
+    val m1 = manifest(1L)
+    assert(m0 == keptOf(0L), "cutoff 0 must be exactly tranche 0's kept set")
+    assert(m1 == keptOf(0L) ++ keptOf(1L),
+      "cutoff 1 must add tranche 1's kept set — monotone growth")
+    assert(m1.forall(_._3 == "text") && m0.subsetOf(m1))
+    // a takedown lands AFTER both releases shipped: every re-cut —
+    // including the cutoff that predates the retraction — must exclude
+    // the retracted ids, tombstone-only (no maintenance yet)
+    val gone = m0.map(_._1).toSeq.sorted.take(3) ++
+      keptOf(1L).map(_._1).toSeq.sorted.take(2)
+    Curation.retract(spark,
+      docs.filter(col("doc_id").isin(gone: _*)).select("doc_id"), stores)
+    val r0 = manifest(0L)
+    val r1 = manifest(1L)
+    assert(r0 == m0.filterNot(r => gone.contains(r._1)),
+      "cutoff-0 re-cut must drop the retracted ids (retroactive takedown)")
+    assert(r1 == m1.filterNot(r => gone.contains(r._1)),
+      "cutoff-1 re-cut must drop the retracted ids")
+    // the diff between releases reads as pure addition (takedowns gone
+    // from BOTH sides by retroactivity, so they never appear)
+    val diff = Curation.corpusDiff(spark, stores, 0L, 1L).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(diff == (r1 -- r0).map(r => (r._1, "added")),
+      "corpusDiff(0,1) must be exactly the later release's additions")
+    // physical erasure must not move the manifest: the release is a
+    // function of logical history, not of file layout
+    Curation.maintain(spark, stores)
+    assert(manifest(0L) == r0 && manifest(1L) == r1,
+      "maintenance changed a release manifest")
+    // and a whole-tranche retraction erases that release at every cutoff
+    Curation.retractTranche(spark, 0L, stores)
+    assert(manifest(0L).isEmpty,
+      "a retracted tranche's release must re-cut EMPTY")
+    assert(manifest(1L) == r1.filter(_._2 == 1L),
+      "cutoff 1 after tranche-0 retraction must hold only tranche-1 keeps")
   }
 }

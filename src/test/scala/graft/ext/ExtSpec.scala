@@ -563,8 +563,9 @@ class ExtSpec extends SparkSpec {
     val t1 = top(PQ.adcTopKIndex(standing.filter(col("vec_id") < 20),
       dir, topK = 3))
     PQ.rewriteIndex(spark, dir, standing)
-    assert(new java.io.File(s"$dir.old").exists(),
-      "re-release must retain the previous generation")
+    assert(PQ.completeGens(spark, dir).size == 2,
+      "re-release must retain the previous generation for in-flight " +
+        "readers (gc is the retention boundary)")
     val t2 = top(PQ.adcTopKIndex(standing.filter(col("vec_id") < 20),
       dir, topK = 3))
     assert(t1 == t2, "re-release on undrifted data changed ADC top-k")
@@ -597,6 +598,88 @@ class ExtSpec extends SparkSpec {
       assert(after((sub, cell))._2 > before((sub, cell))._2,
         s"hot drift invisible in the census at (sub=$sub, cell=$cell): " +
           s"${before((sub, cell))} -> ${after((sub, cell))}")
+    }
+  }
+
+  test("serving never blinks: disk ADC stays correct through concurrent re-releases") {
+    // the generational-pointer contract: a re-release writes the next
+    // generation beside the live one and flips a pointer, so a
+    // lock-free reader NEVER observes a missing store or a torn
+    // params/centroids/codes mix — on an undrifted corpus every read,
+    // before/during/after the flips, returns the identical top-k
+    val base = spark.read.parquet(sf() + "/embeddings.parquet")
+    val standing = base.filter(col("vec_id") % 4 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("pqgen")
+      .toString + "/pq"
+    PQ.writeIndex(standing, dir, m = 4, k = 4, iters = 2, subWidth = 16)
+    def top(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val queries = standing.filter(col("vec_id") < 8)
+    val expected = top(PQ.adcTopKIndex(queries, dir, topK = 3))
+    @volatile var stop = false
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val reads = new java.util.concurrent.atomic.AtomicInteger
+    val reader = new Thread(() => {
+      while (!stop)
+        try {
+          val got = top(PQ.adcTopKIndex(queries, dir, topK = 3))
+          if (got != expected)
+            throw new AssertionError(s"torn read: $got")
+          reads.incrementAndGet()
+        } catch { case t: Throwable => failures.add(t); stop = true }
+    })
+    reader.start()
+    try {
+      PQ.rewriteIndex(spark, dir, standing)
+      PQ.rewriteIndex(spark, dir, standing)
+    } finally { stop = true; reader.join(120000) }
+    assert(failures.isEmpty,
+      s"serving blinked during a re-release: ${failures.peek()}")
+    assert(reads.get() > 0, "reader never completed a read")
+    // every generation is still on disk (gc is the retention boundary)
+    // and the pointer names the newest
+    assert(PQ.completeGens(spark, dir).size == 3,
+      s"expected 3 retained generations: ${PQ.completeGens(spark, dir)}")
+    assert(top(PQ.adcTopKIndex(queries, dir, topK = 3)) == expected)
+  }
+
+  test("filtered disk ADC is top-k AMONG the allowed, not allowed among top-k") {
+    val base = spark.read.parquet(sf() + "/embeddings.parquet")
+    val standing = base.filter(col("vec_id") % 4 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("pqflt")
+      .toString + "/pq"
+    PQ.writeIndex(standing, dir, m = 4, k = 4, iters = 2, subWidth = 16)
+    def top(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val queries = standing.filter(col("vec_id") < 20)
+    // an all-permissive filter is the unfiltered search exactly
+    val unfiltered = top(PQ.adcTopKIndex(queries, dir, topK = 3))
+    assert(top(PQ.adcTopKIndexWhere(queries, dir, topK = 3,
+      allowed = standing.select("vec_id"))) == unfiltered,
+      "allowed=everything diverged from the unfiltered search")
+    // restrict to an attribute slice: every returned candidate obeys it
+    val allowed = standing.filter(col("label") <= 3).select("vec_id")
+    val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+    val filtered = top(PQ.adcTopKIndexWhere(queries, dir, topK = 3,
+      allowed = allowed))
+    assert(filtered.nonEmpty, "attribute slice served nothing")
+    assert(filtered.forall { case (_, _, cid, _) => allowedIds(cid) },
+      "a disallowed candidate leaked through the filter")
+    // the load-bearing semantics: for a query whose GLOBAL top-1 is
+    // disallowed, the filtered search must still return its best
+    // allowed candidates (a post-filter of the global top-k would
+    // return fewer than k, or none)
+    val evicted = unfiltered.filter { case (_, rank, cid, _) =>
+      rank == 1 && !allowedIds(cid) }
+    assert(evicted.nonEmpty,
+      "fixture too permissive: every global top-1 is already allowed")
+    val byQ = filtered.groupBy(_._1)
+    evicted.foreach { case (qid, _, _, _) =>
+      val got = byQ.getOrElse(qid, Seq.empty)
+      assert(got.size == 3 && got.forall(r => allowedIds(r._3)),
+        s"query $qid (global best disallowed) lost candidates: $got")
     }
   }
 
