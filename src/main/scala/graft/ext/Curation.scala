@@ -887,6 +887,43 @@ object Curation {
           .withColumn("change", lit("removed")))
   }
 
+  /** Serve ANN from the registered PQ store with the deployment's
+    * takedown contract applied AT READ TIME: disk-native ADC top-k
+    * over the live generation, with every tombstoned id excluded from
+    * the candidate side BEFORE ranking — a retraction is invisible to
+    * serving the moment [[retract]] returns, not at the next scheduled
+    * maintenance window. Physical erasure stays maintenance's job
+    * ([[PQ.removeIdsIndex]] via [[maintainDue]]); this is the read-side
+    * exclusion every deployment-INTERNAL probe already applies
+    * (probeView's tombstone anti-join), extended to the one read path
+    * that is lock-free and external. A raw [[PQ.adcTopKIndex]] against
+    * the same store answers from whatever is physical — correct only
+    * after the window runs; a compliance deployment serves through
+    * here. `allowed` optionally restricts candidates to a metadata
+    * slice first ([[PQ.adcTopKIndexWhere]]'s top-k-among-the-allowed
+    * semantics — the filters compose: allowed ∩ not-retracted).
+    *
+    * Scale shape: the tombstone side is an id-projection anti-join
+    * over the id-bucketed registry (broadcast when takedown history is
+    * small); already-erased ids cost nothing extra (their code rows
+    * are gone), so the anti-join's working set is ~the unapplied
+    * slice. Lock-free like the raw serve path: no writer-lock wait,
+    * consistent-generation resolution inside PQ.
+    */
+  def serveAnn(spark: SparkSession, stores: Stores, queryEmb: DataFrame,
+               topK: Int, allowed: Option[DataFrame] = None): DataFrame = {
+    require(stores.pqIndex.nonEmpty,
+      "no serving index registered (Stores.pqIndex is empty)")
+    val tomb = readTombstones(spark, stores)
+      .map(_.withColumnRenamed("doc_id", "vec_id"))
+    PQ.adcTopKIndexScored(queryEmb, stores.pqIndex, topK, { codes =>
+      val sliced = allowed.fold(codes)(a =>
+        codes.join(a.select("vec_id"), Seq("vec_id"), "left_semi"))
+      tomb.fold(sliced)(t =>
+        sliced.join(broadcast(t), Seq("vec_id"), "left_anti"))
+    })
+  }
+
   /** One compactable slice of a deployment: `tables` are the parquet
     * table paths whose small-file pressure gates file-driven due-ness,
     * `erasable` says tombstones physically land here (so a pending

@@ -658,9 +658,9 @@ object PQ {
     adcTopKIndexScored(queryEmb, dir, topK,
       _.join(allowed.select("vec_id"), Seq("vec_id"), "left_semi"))
 
-  private def adcTopKIndexScored(queryEmb: DataFrame, dir: String,
-                                 topK: Int,
-                                 restrict: DataFrame => DataFrame): DataFrame = {
+  private[ext] def adcTopKIndexScored(queryEmb: DataFrame, dir: String,
+                                      topK: Int,
+                                      restrict: DataFrame => DataFrame): DataFrame = {
     val spark = queryEmb.sparkSession
     // one resolution for the whole query: params, centroids and codes
     // come from the SAME generation even while a re-release publishes

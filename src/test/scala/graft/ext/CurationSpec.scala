@@ -826,6 +826,18 @@ class CurationSpec extends SparkSpec {
         s"serving set diverged from the model at step $t: missing " +
           s"${(serving -- codesIds()).take(5)}, extra " +
           s"${(codesIds() -- serving).take(5)}")
+      // the READ contract on top of the physical one: serveAnn's
+      // candidate universe is the physical set minus every tombstone
+      // not yet erased — a takedown is unservable from the step it
+      // lands, whether or not this step's maintenance ran
+      val servable = Curation.serveAnn(spark, stores,
+        Seq((-1L, embOf(0))).toDF("vec_id", "embedding"),
+        topK = Int.MaxValue).select("cid").collect()
+        .map(_.getLong(0)).toSet
+      assert(servable == serving -- pendingRetracted,
+        s"servable set diverged from the model at step $t: missing " +
+          s"${(serving -- pendingRetracted -- servable).take(5)}, extra " +
+          s"${(servable -- (serving -- pendingRetracted)).take(5)}")
       val viol = Curation.fsck(spark, stores)
         .filter(col("status") === "violation").collect()
       assert(viol.isEmpty,
@@ -1135,6 +1147,61 @@ class CurationSpec extends SparkSpec {
       == Seq(0L), "a refused commit wrote ledger rows")
     // under the default bound the same commit proceeds
     Curation.commitTranche(t1, 1L, stores, embeddings = Some(embOf(t1)))
+  }
+
+  test("serveAnn: a takedown is invisible to serving the moment retract returns") {
+    // the read-side takedown contract for the one lock-free external
+    // path: between retract and the next scheduled maintenance window
+    // the retracted codes are still PHYSICAL in the store (the raw
+    // disk serve proves it), but serveAnn's tombstone anti-join hides
+    // them immediately — and after the window applies the erasure the
+    // two paths answer identically again
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 200)
+    val emb = Tables.embeddings(spark, sf())
+    val base = freshStores()
+    val stores = base.copy(pqIndex = s"${base.ledger}_pq")
+    def embOf(b: org.apache.spark.sql.DataFrame) = emb.join(
+      b.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    Curation.commitTranche(docs, 0L, stores, embeddings = Some(embOf(docs)))
+    PQ.writeIndex(embOf(docs).drop("label"), stores.pqIndex,
+      m = 4, k = 4, iters = 1, subWidth = 16)
+    val q = embOf(docs.orderBy("doc_id").limit(3)).drop("label")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("cid").collect().map(_.getLong(0)).toSet
+    // retract the raw path's current top answers so the exclusion is
+    // load-bearing, not vacuous
+    val gone = ids(PQ.adcTopKIndex(q, stores.pqIndex, topK = 1))
+    import spark.implicits._
+    Curation.retract(spark, gone.toSeq.toDF("doc_id"), stores)
+    val raw = ids(PQ.adcTopKIndex(q, stores.pqIndex, topK = 5))
+    assert(raw.intersect(gone).nonEmpty,
+      "fixture broken: retracted codes already gone from the raw path")
+    val served = Curation.serveAnn(spark, stores, q, topK = 5)
+    assert(ids(served).intersect(gone).isEmpty,
+      s"serveAnn returned a retracted id before maintenance: " +
+        s"${ids(served).intersect(gone)}")
+    // the exclusion is top-k-over-survivors, not a post-filter: every
+    // query still gets its full k
+    assert(served.groupBy("qid").count().collect()
+      .forall(_.getLong(1) == 5), "read-side exclusion lost candidates")
+    // the metadata filter composes: allowed ∩ not-retracted
+    val allowed = emb.filter(col("label") <= 4).select("vec_id")
+    val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+    val both = ids(Curation.serveAnn(spark, stores, q, topK = 5,
+      allowed = Some(allowed)))
+    assert(both.nonEmpty && both.forall(allowedIds) &&
+      both.intersect(gone).isEmpty,
+      "allowed+tombstone composition leaked")
+    // after the scheduled window the erasure is physical and the two
+    // paths agree row-for-row
+    Curation.maintainDue(spark, stores)
+    val rawAfter = PQ.adcTopKIndex(q, stores.pqIndex, topK = 5).collect()
+    val servedAfter = Curation.serveAnn(spark, stores, q, topK = 5).collect()
+    assert(rawAfter.map(_.toString).toSeq ==
+      servedAfter.map(_.toString).toSeq,
+      "post-erasure serveAnn diverged from the raw disk serve")
+    assert(rawAfter.nonEmpty)
   }
 
   test("pq publish crash states: serving falls back, fsck names the recovery, repair applies it") {

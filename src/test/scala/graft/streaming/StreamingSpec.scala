@@ -1060,6 +1060,15 @@ class StreamingSpec extends SparkSpec {
     Curation.retract(spark, gone.toDF("doc_id"), stores)
     assert(gone.forall(codesIds().contains),
       "takedown rewrote the serving store on the retract path")
+    // the takedown is invisible to SERVING immediately — the read-side
+    // exclusion (Curation.serveAnn), not the store rewrite, carries
+    // the contract until the next scheduled window erases physically
+    val servedMidStream = Curation.serveAnn(spark, stores,
+      embOf(col("doc_id") % 3 === 1).select("vec_id", "embedding").limit(3),
+      topK = 5).select("cid").collect().map(_.getLong(0)).toSet
+    assert(servedMidStream.intersect(gone.toSet).isEmpty,
+      s"serveAnn returned a mid-stream takedown before its window: " +
+        s"${servedMidStream.intersect(gone.toSet)}")
     // batch 2 commits; its scheduled window applies the erasure
     // (never budgeted) AND the new tranche keeps serving fresh
     docs.filter(col("doc_id") % 3 === 2)
