@@ -1566,6 +1566,9 @@ object Curation {
       add("pq_index", "vectors")(
         spark.read.parquet(s"$pqCensusLive/codes")
           .select("vec_id").distinct().count())
+      // retired generations awaiting gc (0 on a flat legacy store)
+      add("pq_index", "retired_generations")(
+        math.max(0, PQ.completeGens(spark, stores.pqIndex).size - 1).toLong)
     }
     if (exists(spark, tombstonesDir(stores)))
       add("tombstones", "ids")(

@@ -7957,6 +7957,13 @@ object ExtQueries {
         graft.ext.Curation.retract(key._1,
           emb.filter(col("vec_id") % 20 === 13).select("vec_id"), stores)
         graft.ext.Curation.maintainDue(key._1, stores)
+        // a SECOND takedown with NO maintenance window after it: its
+        // ids (% 20 == 17, all ≡1 mod 4 ⇒ all tranche-A committed)
+        // stay PHYSICAL in the code table — invisible to the raw-serve
+        // rows x129/x130/x132 read (codes unchanged), load-bearing for
+        // x133's read-side exclusion
+        graft.ext.Curation.retract(key._1,
+          emb.filter(col("vec_id") % 20 === 17).select("vec_id"), stores)
         stores
       })
   }
@@ -8163,6 +8170,44 @@ object ExtQueries {
       |  FROM approx)
       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  // --- x133: read-side takedown exclusion at serve time --------------------------------
+
+  /** [[graft.ext.Curation.serveAnn]] under the hash gate: the x129
+    * deployment carries a SECOND retraction (`vec_id % 20 == 17`)
+    * with no maintenance window after it, so those codes are still
+    * physical — raw disk ADC (x129's own row) keeps returning them,
+    * while serveAnn's read-time tombstone anti-join must exclude them
+    * immediately. The oracle replays the same integer ADC chain with
+    * the unapplied takedown's ids removed from the candidate side
+    * only (queries unchanged), so a read path that serves from
+    * physical truth alone, applies tombstones to the wrong side, or
+    * misses the epoch-2 batch hash-diverges. Zero new build beyond
+    * one retract call in `pq_commit_build`.
+    */
+  val x133ServeReadside: Q = (spark, sfDir) =>
+    graft.ext.Curation.serveAnn(spark, pqCommitStores(spark, sfDir),
+      Tables.embeddings(spark, sfDir)
+        .filter((col("vec_id") % 4 === 1 || col("vec_id") % 4 === 2) &&
+          col("vec_id") < 40 && col("vec_id") % 20 =!= 13)
+        .select("vec_id", "embedding"),
+      topK = 5)
+
+  private val x133Sql = x129ChainSql +
+    """), approx AS (
+      |  SELECT d.vec_id AS qid, a.vec_id AS cid, sum(d.dist) AS adist
+      |  FROM d2 d JOIN a2 a ON a.sub = d.sub AND a.cid = d.cid
+      |  WHERE d.vec_id < 40 AND d.vec_id % 20 != 13
+      |    AND d.vec_id != a.vec_id
+      |    AND a.vec_id NOT IN (SELECT vec_id FROM embeddings
+      |                         WHERE vec_id % 20 = 17)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT qid, rank, cid, CAST(adist AS BIGINT) AS adist FROM (
+      |  SELECT qid, cid, adist,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS INT) AS rank
+      |  FROM approx)
+      |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -8297,7 +8342,8 @@ object ExtQueries {
     "x129_pq_commit_serve" -> x129PqCommitServe,
     "x130_pq_codes_census" -> x130PqCodesCensus,
     "x131_corpus_asof" -> x131CorpusAsOf,
-    "x132_pq_filtered_serve" -> x132PqFilteredServe)
+    "x132_pq_filtered_serve" -> x132PqFilteredServe,
+    "x133_serve_readside" -> x133ServeReadside)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -8431,5 +8477,6 @@ object ExtQueries {
     "x129_pq_commit_serve" -> x129Sql,
     "x130_pq_codes_census" -> x130Sql,
     "x131_corpus_asof" -> x131Sql,
-    "x132_pq_filtered_serve" -> x132Sql)
+    "x132_pq_filtered_serve" -> x132Sql,
+    "x133_serve_readside" -> x133Sql)
 }
