@@ -787,7 +787,7 @@ object Curation {
     * all inside the writer lock like every mutating pass. Returns the
     * number of vectors trained. REFUSES an already-present serving
     * store: re-releasing a live codebook re-encodes every code and
-    * changes serving corpus-wide — that is [[PQ.rewriteIndex]], an
+    * changes serving corpus-wide — that is [[rereleaseServing]], an
     * explicit operator action, never an accidental re-bootstrap.
     */
   def trainServing(spark: SparkSession, stores: Stores,
@@ -800,33 +800,81 @@ object Curation {
         throw new IllegalStateException(
           s"serving index at ${stores.pqIndex} already exists — " +
             "commits feed it from here on; re-release the codebook " +
-            "explicitly with PQ.rewriteIndex(spark, dir, corpus) if " +
+            "explicitly with Curation.rereleaseServing(spark, stores) if " +
             "codesCensus says it drifted")
-      require(exists(spark, stores.ledger),
-        s"no ledger at ${stores.ledger} — commit a bootstrap corpus first")
-      val embIvf = exists(spark, s"${stores.embedding}/centroids")
-      require(embIvf || exists(spark, stores.embedding),
-        s"no embedding store at ${stores.embedding} — nothing to train on")
-      val standing =
-        (if (embIvf)
-          spark.read.parquet(s"${stores.embedding}/vectors").drop("cell")
-        else spark.read.parquet(stores.embedding))
-          .select("vec_id", "embedding").dropDuplicates("vec_id")
-      val kept = Ledger.read(spark, stores.ledger)
-        .filter(col("modality") === "embedding" &&
-          col("decision") === "kept")
-        .select(col("doc_id").as("vec_id"))
-      val corpus0 = standing.join(kept, Seq("vec_id"), "left_semi")
-      val corpus = readTombstones(spark, stores).fold(corpus0)(t =>
-        corpus0.join(t.withColumnRenamed("doc_id", "vec_id"),
-          Seq("vec_id"), "left_anti"))
-        .localCheckpoint()
+      val corpus = servingCorpus(spark, stores)
       val n = corpus.count()
       require(n >= k.toLong,
         s"curated corpus holds $n kept embedding vectors — too few to " +
           s"train k=$k subspace centroids")
       PQ.writeIndex(corpus, stores.pqIndex, m, k, iters, subWidth)
       markInit(spark, stores.pqIndex)
+      n
+    }
+
+  /** The deployment's CURRENT curated serving corpus: standing
+    * embedding vectors (IVF or flat layout) restricted to ids the
+    * ledger judged `kept` in the embedding modality (a duplicate's
+    * vector must never become a searchable candidate) minus every
+    * retracted id — what [[trainServing]] trains on and
+    * [[rereleaseServing]] re-encodes.
+    */
+  private def servingCorpus(spark: SparkSession,
+                            stores: Stores): DataFrame = {
+    require(exists(spark, stores.ledger),
+      s"no ledger at ${stores.ledger} — commit a bootstrap corpus first")
+    val embIvf = exists(spark, s"${stores.embedding}/centroids")
+    require(embIvf || exists(spark, stores.embedding),
+      s"no embedding store at ${stores.embedding} — nothing to train on")
+    val standing =
+      (if (embIvf)
+        spark.read.parquet(s"${stores.embedding}/vectors").drop("cell")
+      else spark.read.parquet(stores.embedding))
+        .select("vec_id", "embedding").dropDuplicates("vec_id")
+    val kept = Ledger.read(spark, stores.ledger)
+      .filter(col("modality") === "embedding" &&
+        col("decision") === "kept")
+      .select(col("doc_id").as("vec_id"))
+    val corpus0 = standing.join(kept, Seq("vec_id"), "left_semi")
+    readTombstones(spark, stores).fold(corpus0)(t =>
+      corpus0.join(t.withColumnRenamed("doc_id", "vec_id"),
+        Seq("vec_id"), "left_anti"))
+      .localCheckpoint()
+  }
+
+  /** Re-release the serving codebook from the deployment's OWN curated
+    * corpus, under the writer lock — the operator action
+    * [[PQ.codesCensus]]'s skew points at, in its deployment-safe form.
+    * A bare [[PQ.rewriteIndex]] call is not serialized against the
+    * deployment: racing a concurrent commit, the commit's append can
+    * land in the generation being retired while the retrain read
+    * misses the tranche's vectors — the tranche would vanish from
+    * serving. This form takes the same writer lock every mutating pass
+    * takes (commits, retractions, maintenance), re-derives the curated
+    * corpus ([[servingCorpus]]: standing kept vectors minus
+    * retractions), and publishes the next generation; serving reads
+    * never blink (the generational pointer contract). Because the
+    * corpus derivation excludes tombstoned ids, a re-release also
+    * applies every PENDING takedown physically — the new generation is
+    * born clean, whether or not a maintenance window ever ran.
+    * Returns the number of vectors encoded. Refuses an untrained
+    * store ([[trainServing]] is the bootstrap).
+    */
+  def rereleaseServing(spark: SparkSession, stores: Stores): Long =
+    withWriterLock(spark, stores, "rereleaseServing") {
+      require(stores.pqIndex.nonEmpty,
+        "no serving index registered (Stores.pqIndex is empty)")
+      val live = PQ.liveDir(spark, stores.pqIndex)
+      require(exists(spark, s"$live/params"),
+        s"no trained serving index at ${stores.pqIndex} — bootstrap " +
+          "with Curation.trainServing first")
+      val k = PQ.readIndexParams(spark, stores.pqIndex)._2
+      val corpus = servingCorpus(spark, stores)
+      val n = corpus.count()
+      require(n >= k.toLong,
+        s"curated corpus holds $n kept embedding vectors — too few to " +
+          s"retrain k=$k subspace centroids")
+      PQ.rewriteIndex(spark, stores.pqIndex, corpus)
       n
     }
 
@@ -1063,7 +1111,7 @@ object Curation {
       // LIVE generation's code table (resolved per pass, so a
       // re-release between windows redirects the next window).
       // Codebook drift stays OPERATOR-cadenced here on purpose
-      // ([[PQ.codesCensus]] is the signal, [[PQ.rewriteIndex]] the
+      // ([[PQ.codesCensus]] is the signal, [[rereleaseServing]] the
       // action): unlike an IVF cell split — which preserves every
       // vector's search semantics — a PQ re-release re-encodes EVERY
       // code, changing serving results corpus-wide; that is a release

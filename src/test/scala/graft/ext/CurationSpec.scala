@@ -866,6 +866,8 @@ class CurationSpec extends SparkSpec {
     refused(Curation.maintain(spark, stores))
     refused(Curation.retract(spark, Seq(0L).toDF("doc_id"), stores))
     refused(Curation.gc(spark, stores))
+    refused(Curation.rereleaseServing(spark,
+      stores.copy(pqIndex = s"${stores.ledger}_pq")))
     assert(Ledger.read(spark, stores.ledger)
       .select("tranche").distinct().collect().map(_.getLong(0)).toSeq
       == Seq(0L), "a refused pass wrote something")
@@ -1202,6 +1204,56 @@ class CurationSpec extends SparkSpec {
       servedAfter.map(_.toString).toSeq,
       "post-erasure serveAnn diverged from the raw disk serve")
     assert(rawAfter.nonEmpty)
+  }
+
+  test("rereleaseServing: locked re-release from the curated corpus applies pending takedowns") {
+    // the deployment-safe form of the codebook re-release: under the
+    // writer lock, corpus re-derived from the deployment's own stores
+    // (kept embedding ids minus retractions) — so a re-release born
+    // after a takedown is CLEAN even though no maintenance window ever
+    // ran, and the commit-fed tranches survive it
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 160)
+    val emb = Tables.embeddings(spark, sf())
+    val base = freshStores()
+    val stores = base.copy(pqIndex = s"${base.ledger}_pq")
+    def embOf(b: org.apache.spark.sql.DataFrame) = emb.join(
+      b.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    // refuses before bootstrap, naming it
+    val e0 = intercept[IllegalArgumentException] {
+      Curation.rereleaseServing(spark, stores)
+    }
+    assert(e0.getMessage.contains("trainServing"), e0.getMessage)
+    val t0 = docs.filter(col("doc_id") % 2 === 0)
+    Curation.commitTranche(t0, 0L, stores, embeddings = Some(embOf(t0)))
+    Curation.trainServing(spark, stores)
+    val t1 = docs.filter(col("doc_id") % 2 === 1)
+    Curation.commitTranche(t1, 1L, stores, embeddings = Some(embOf(t1)))
+    def codesIds() = PQ.readCodes(spark, stores.pqIndex)
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    val fedSet = codesIds()
+    // a takedown with NO maintenance window: physically still coded
+    val gone = fedSet.toSeq.sorted.take(3)
+    import spark.implicits._
+    Curation.retract(spark, gone.toDF("doc_id"), stores)
+    assert(gone.forall(codesIds().contains), "fixture: erasure ran early")
+    val n = Curation.rereleaseServing(spark, stores)
+    // the new generation is born clean: commit-fed tranches survive,
+    // every pending takedown is gone, and the count reported matches
+    val after = codesIds()
+    assert(after == fedSet -- gone,
+      s"re-released serving set wrong: missing ${(fedSet -- gone -- after).take(5)}, " +
+        s"extra ${(after -- (fedSet -- gone)).take(5)}")
+    assert(n == after.size.toLong, s"reported $n, serving ${after.size}")
+    // published as a retired+live generation pair, audit clean
+    assert(PQ.completeGens(spark, stores.pqIndex).size == 2)
+    assert(Curation.fsck(spark, stores)
+      .filter(col("status") === "violation").count() == 0)
+    // and serving answers from the clean generation
+    val served = Curation.serveAnn(spark, stores,
+      embOf(t1.orderBy("doc_id").limit(2)).drop("label"), topK = 5)
+      .select("cid").collect().map(_.getLong(0)).toSet
+    assert(served.nonEmpty && served.intersect(gone.toSet).isEmpty)
   }
 
   test("pq publish crash states: serving falls back, fsck names the recovery, repair applies it") {
@@ -1613,7 +1665,7 @@ class CurationSpec extends SparkSpec {
     val e = intercept[IllegalStateException] {
       Curation.trainServing(spark, stores)
     }
-    assert(e.getMessage.contains("PQ.rewriteIndex"), e.getMessage)
+    assert(e.getMessage.contains("rereleaseServing"), e.getMessage)
     val t1 = docs.select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
     // negated vectors: genuinely new to the store (cosine -1 to their
     // sources), so the tranche's embedding verdicts are kept and feed
