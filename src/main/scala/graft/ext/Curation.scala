@@ -967,8 +967,11 @@ object Curation {
     PQ.adcTopKIndexScored(queryEmb, stores.pqIndex, topK, { codes =>
       val sliced = allowed.fold(codes)(a =>
         codes.join(a.select("vec_id"), Seq("vec_id"), "left_semi"))
+      // no broadcast hint: under the threshold Catalyst broadcasts on
+      // its own, and a lifetime-scale takedown history must be free to
+      // shuffle-hash instead of being forced through the driver
       tomb.fold(sliced)(t =>
-        sliced.join(broadcast(t), Seq("vec_id"), "left_anti"))
+        sliced.join(t, Seq("vec_id"), "left_anti"))
     })
   }
 
