@@ -53,7 +53,7 @@ object Bench {
     "curation_bootstrap_build", "curation_commit_build",
     "phash_index_build", "videoseq_index_build", "commit_sequence_build",
     "retraction_build", "fsck_audit_build", "pq_serve_build",
-    "pq_commit_build")
+    "pq_commit_build", "release_publish_build")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -183,6 +183,12 @@ object Bench {
     val pcSec = build("pq-commit warm") {
       graft.queries.ExtQueries.warmPqCommitServe(spark, sfDir)
     }
+    // x134's release publishes over the retraction deployment (already
+    // warmed above, so this line prices the three publishRelease calls
+    // + their post-publish verification, not the deployment build)
+    val rpSec = build("release-publish warm") {
+      graft.queries.ExtQueries.warmReleases(spark, sfDir)
+    }
     // the production ingestion loop itself (Curation.commitTranche),
     // timed end-to-end in two line items following the x87 discipline:
     // the one-time deployment bootstrap (IVF codebook training on the
@@ -288,7 +294,7 @@ object Bench {
       ("phash_index_build" -> piSec) + ("videoseq_index_build" -> viSec) +
       ("commit_sequence_build" -> csSec) + ("retraction_build" -> rtSec) +
       ("fsck_audit_build" -> faSec) + ("pq_serve_build" -> psSec) +
-      ("pq_commit_build" -> pcSec)
+      ("pq_commit_build" -> pcSec) + ("release_publish_build" -> rpSec)
     // Regression gate vs the previous round's bench (VERDICT r4 #9,
     // repaired per VERDICT r5 #1): any query >2x its prior min is flagged
     // loudly NOW, in-round. Prev defaults to the committed bench_full.json

@@ -657,6 +657,81 @@ object ScaleSmoke {
     println(f"pq commit append: 5-vector tranche coded in $apSec%.1fs " +
       f"touching ${apTouched.size}%d of 64 buckets, replay byte-identical")
 
+    // --- serve-side takedown slice + generation retention (VERDICT r13 #1/#3) -
+    // serveAnn's tombstone anti-join must read the UNAPPLIED slice, not
+    // the lifetime registry — the same `epoch >` pushed-filter shape the
+    // commit-side exclusion proves above — and scheduled maintenance
+    // must keep the retired-generation count BOUNDED across re-releases
+    // (each one retires a full store copy).
+    val tSv = System.nanoTime()
+    val svN = 10000L
+    val svDocs = spark.range(svN).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("sv"), col("id"), lit("doc"),
+        (col("id") % 97)).as("text"))
+    val svEmb = spark.range(svN).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        when(i === (col("id") % 16).cast("int"), lit(1.0f))
+          .when(i === 60, (col("id") + 1).cast("float") / 1000000)
+          .otherwise(lit(0.001f))).as("embedding"),
+      (col("id") % 50).cast("int").as("label"))
+    val svRoot = java.nio.file.Files.createTempDirectory("svscale").toString
+    val svStores = graft.ext.Curation.Stores(s"$svRoot/text", s"$svRoot/img",
+      s"$svRoot/aud", s"$svRoot/vid", s"$svRoot/emb", s"$svRoot/led",
+      pqIndex = s"$svRoot/pq")
+    graft.ext.Curation.commitTranche(svDocs, 0L, svStores,
+      embeddings = Some(svEmb), cosThresh = 2.0)
+    require(graft.ext.Curation.trainServing(spark, svStores) == svN,
+      "serving bootstrap lost vectors")
+    // takedown #1 (epoch 1) is applied by the scheduled window — its
+    // ids leave the code table and the pq watermark advances past it
+    graft.ext.Curation.retract(spark,
+      spark.range(3).select((col("id") * 7 + 100).as("doc_id")), svStores)
+    graft.ext.Curation.maintainDue(spark, svStores)
+    // takedown #2 (epoch 2) has NO window after it — the live backlog
+    graft.ext.Curation.retract(spark,
+      spark.range(3).select((col("id") * 11 + 1000).as("doc_id")), svStores)
+    val svQ = svEmb.filter(col("vec_id") < 3).select("vec_id", "embedding")
+    val svServed = graft.ext.Curation.serveAnn(spark, svStores, svQ, topK = 5)
+    val svRows = svServed.collect()
+    require(svRows.length == 3 * 5, "serve-from-slice lost candidates")
+    val svGone = Set(100L, 107L, 114L, 1000L, 1011L, 1022L)
+    require(!svRows.exists(r => svGone(r.getAs[Long]("cid"))),
+      "serveAnn leaked a retracted id")
+    val svPushed = fileScans(svServed.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("tombstones")))
+      .flatMap(_.metadata.get("PushedFilters"))
+    require(svPushed.exists(_.contains("GreaterThan(epoch,1)")),
+      s"serve-side tombstone read not sliced past the applied epoch: " +
+        s"$svPushed")
+    require(spark.read.parquet(s"${svStores.ledger}.tombstones")
+      .filter(col("epoch") > 1L).count() == 3,
+      "the unapplied slice is not the pending batch alone")
+    // retention: k re-releases under the scheduled pass never grow the
+    // store past live + keepRetiredGens generations
+    (1 to 2).foreach { round =>
+      graft.ext.Curation.rereleaseServing(spark, svStores)
+      graft.ext.Curation.rereleaseServing(spark, svStores)
+      graft.ext.Curation.maintainDue(spark, svStores)
+      val gens = graft.ext.PQ.completeGens(spark, svStores.pqIndex)
+      require(gens.size <= 2,
+        s"round $round: retention left ${gens.size} generations: $gens")
+    }
+    // the live generation is never reclaimable: after a FULL gc exactly
+    // it remains and serving still answers (takedowns still excluded)
+    graft.ext.Curation.gc(spark, svStores)
+    require(graft.ext.PQ.completeGens(spark, svStores.pqIndex).size == 1,
+      "full gc retention wrong")
+    val svAfter = graft.ext.Curation.serveAnn(spark, svStores, svQ, topK = 5)
+      .collect()
+    require(svAfter.length == 3 * 5 &&
+      !svAfter.exists(r => svGone(r.getAs[Long]("cid"))),
+      "serving broke after retention + gc")
+    val svSec = (System.nanoTime() - tSv) / 1e9
+    println(f"serve slice + retention: $svN%d-vector deployment, epoch " +
+      f"slice pushed, 4 re-releases bounded at <=2 generations, " +
+      f"in $svSec%.1fs")
+    require(svSec < 600, f"serve-slice section blew the 600s budget: $svSec%.1fs")
+
     // --- image perceptual dedup: exact-dup flood stays collapsed -------------
     // 15k images but only 50 distinct pixel contents (the boilerplate
     // shape): the banded Hamming join must see 50 representatives, and

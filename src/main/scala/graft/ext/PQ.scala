@@ -282,9 +282,13 @@ object PQ {
   private val PointerName = "_current"
 
   private def genSeq(name: String): Option[Int] =
+    // toIntOption, not toInt: a stray all-digits name past Int range
+    // (gen-99999999999) must be IGNORED like any other foreign dir —
+    // this parse sits on the lock-free serve path, where a throw would
+    // fail every in-flight query (ADVICE r13)
     if (name.startsWith(GenPrefix) &&
       name.drop(GenPrefix.length).forall(_.isDigit))
-      Some(name.drop(GenPrefix.length).toInt)
+      name.drop(GenPrefix.length).toIntOption
     else None
 
   private[ext] def listGens(spark: org.apache.spark.sql.SparkSession,
@@ -302,9 +306,24 @@ object PQ {
     StoreSwap.fsOf(spark, dir)
       .exists(new org.apache.hadoop.fs.Path(s"$dir/$gen/params"))
 
-  private[ext] def completeGens(spark: org.apache.spark.sql.SparkSession,
-                                dir: String): Seq[String] =
+  private[graft] def completeGens(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String): Seq[String] =
     listGens(spark, dir).filter(isComplete(spark, dir, _))
+
+  /** Complete generations strictly OLDER than the live one, oldest
+    * first — the retired set a retention policy may reclaim. A complete
+    * generation NEWER than the live one is NOT retired: it is a publish
+    * that crashed between completing its tables and the pointer flip
+    * (fsck reports it; repair publishes it) — reclaiming it would
+    * silently discard a finished re-release (ADVICE r13). Empty on a
+    * pre-generational flat store.
+    */
+  private[ext] def retiredGens(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): Seq[String] = {
+    val live = liveDir(spark, dir)
+    if (live == dir) Seq.empty
+    else completeGens(spark, dir).takeWhile(g => s"$dir/$g" != live)
+  }
 
   private[ext] def readPointer(spark: org.apache.spark.sql.SparkSession,
                                dir: String): Option[String] = {
@@ -632,6 +651,15 @@ object PQ {
     * the persisted centroids. The corpus side touches ONLY
     * `dir/codes` — no raw corpus vector is read at query time, which
     * is the whole PQ memory bargain at serving scale.
+    *
+    * AVAILABILITY BOUNDARY: the lock-free read is safe through any
+    * re-release (generational pointer contract) UP TO generation
+    * reclamation — a query that resolved [[liveDir]] just before a
+    * re-release reads the retired generation, and reclaiming that
+    * generation under it fails the query. Keep a retention margin:
+    * [[Curation.maintainDue]]'s `keepRetiredGens = 1` (the scheduled
+    * default) or [[Curation.gc]]'s `keepRetired` keep the one
+    * generation such a straggler can still be reading.
     */
   def adcTopKIndex(queryEmb: DataFrame, dir: String,
                    topK: Int): DataFrame =

@@ -7641,6 +7641,27 @@ object ExtQueries {
     * diverges from it. Built once per (session, corpus); Bench prices
     * the arc as `retraction_build`.
     */
+  /** Temp root for a session-keyed deployment, with a janitor sweep
+    * (VERDICT r13 nit #3): siblings with the same prefix left by PRIOR
+    * driver runs are dead weight in /tmp — reclaim any older than two
+    * hours (old enough that no live session still reads them; a
+    * concurrent run's fresh deployment is never touched).
+    */
+  private def freshDeploymentRoot(prefix: String): String = {
+    val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+    def deleteRec(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(deleteRec)
+      f.delete(); ()
+    }
+    val sibs = tmpRoot.listFiles()
+    if (sibs != null)
+      sibs.filter(f => f.isDirectory && f.getName.startsWith(prefix) &&
+        f.lastModified < cutoff).foreach(deleteRec)
+    java.nio.file.Files.createTempDirectory(prefix).toString
+  }
+
   private val retractionCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), graft.ext.Curation.Stores]()
 
@@ -7650,7 +7671,7 @@ object ExtQueries {
     retractionCache.computeIfAbsent((spark, sfDir),
       (key: (SparkSession, String)) => {
         val docs = Tables.documents(key._1, key._2).select("doc_id", "text")
-        val root = java.nio.file.Files.createTempDirectory("x125cur").toString
+        val root = freshDeploymentRoot("x125cur")
         val stores = graft.ext.Curation.Stores(s"$root/text", s"$root/img",
           s"$root/aud", s"$root/vid", s"$root/emb", s"$root/led")
         val t0 = docs.filter(col("doc_id") % 4 === 1)
@@ -7779,7 +7800,7 @@ object ExtQueries {
     fsckCache.computeIfAbsent((spark, sfDir),
       (key: (SparkSession, String)) => {
         val docs = Tables.documents(key._1, key._2).select("doc_id", "text")
-        val root = java.nio.file.Files.createTempDirectory("x127fsck").toString
+        val root = freshDeploymentRoot("x127fsck")
         val stores = graft.ext.Curation.Stores(s"$root/text", s"$root/img",
           s"$root/aud", s"$root/vid", s"$root/emb", s"$root/led")
         graft.ext.Curation.commitTranche(
@@ -7866,8 +7887,7 @@ object ExtQueries {
       (key: (SparkSession, String)) => {
         val emb = Tables.embeddings(key._1, key._2)
           .select("vec_id", "embedding")
-        val dir = java.nio.file.Files.createTempDirectory("x128pq")
-          .toString + "/pq"
+        val dir = freshDeploymentRoot("x128pq") + "/pq"
         graft.ext.PQ.writeIndex(emb, dir, m = 4, k = 4, iters = 2,
           subWidth = 16)
         graft.ext.PQ.removeIdsIndex(key._1, dir,
@@ -7935,7 +7955,7 @@ object ExtQueries {
       (key: (SparkSession, String)) => {
         val docs = Tables.documents(key._1, key._2).select("doc_id", "text")
         val emb = Tables.embeddings(key._1, key._2)
-        val root = java.nio.file.Files.createTempDirectory("x129pq").toString
+        val root = freshDeploymentRoot("x129pq")
         val stores = graft.ext.Curation.Stores(s"$root/text", s"$root/img",
           s"$root/aud", s"$root/vid", s"$root/emb", s"$root/led",
           pqIndex = s"$root/pq")
@@ -7957,6 +7977,12 @@ object ExtQueries {
         graft.ext.Curation.retract(key._1,
           emb.filter(col("vec_id") % 20 === 13).select("vec_id"), stores)
         graft.ext.Curation.maintainDue(key._1, stores)
+        // pin tranche A as a PUBLISHED release BEFORE the second
+        // takedown lands: its manifest therefore still CONTAINS the
+        // %20==17 ids — x135 serves from this release, so the
+        // read-side tombstone exclusion must drop them from results
+        // the allowed set alone would admit (load-bearing composition)
+        graft.ext.Curation.publishRelease(key._1, stores, 0L)
         // a SECOND takedown with NO maintenance window after it: its
         // ids (% 20 == 17, all ≡1 mod 4 ⇒ all tranche-A committed)
         // stay PHYSICAL in the code table — invisible to the raw-serve
@@ -8208,6 +8234,101 @@ object ExtQueries {
       |  FROM approx)
       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  // --- x134: published releases (the pinned-artifact read under the hash gate) ---------
+
+  /** [[graft.ext.Curation.publishRelease]]'s artifact as a declared
+    * row: the x125 retraction deployment publishes releases at cutoffs
+    * 0/1/2 (digest-pinned manifests + registry rows), and the row
+    * reads the PERSISTED manifests back — never recomputing. The build
+    * step also requires [[graft.ext.Curation.verifyRelease]] green at
+    * every cutoff (artifact intact AND re-cut reproducible), so a
+    * digest that drifts, a manifest that loses rows on disk, or a
+    * publish that silently recomputes instead of pinning all fail the
+    * gate. The oracle is x131's: for THIS deployment the artifacts
+    * must equal the re-cuts (nothing was retracted after publication),
+    * so the persisted-manifest read must hash-match the replayed
+    * ledger at each cutoff. Rides `retraction_build`'s deployment;
+    * Bench prices the three publishes as `release_publish_build`.
+    */
+  private val releaseCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.ext.Curation.Stores]()
+
+  private def releaseStores(spark: SparkSession,
+                            sfDir: String): graft.ext.Curation.Stores = {
+    releaseCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    releaseCache.computeIfAbsent((spark, sfDir),
+      (key: (SparkSession, String)) => {
+        val stores = retractionStores(key._1, key._2)
+        Seq(0L, 1L, 2L).foreach { c =>
+          graft.ext.Curation.publishRelease(key._1, stores, c)
+          val v = graft.ext.Curation.verifyRelease(key._1, stores, c)
+            .collect()(0)
+          require(v.getAs[Boolean]("artifact_intact") &&
+            v.getAs[Boolean]("recut_matches"),
+            s"release $c failed verification after publish: $v")
+        }
+        stores
+      })
+  }
+
+  def warmReleases(spark: SparkSession, sfDir: String): Unit = {
+    releaseStores(spark, sfDir); ()
+  }
+
+  val x134ReleasePublish: Q = (spark, sfDir) => {
+    val stores = releaseStores(spark, sfDir)
+    Seq(0L, 1L, 2L).map(c =>
+      graft.ext.Curation.readRelease(spark, stores, c)
+        .select(lit(c).as("cutoff"), col("doc_id"), col("tranche"),
+          col("modality")))
+      .reduce(_.unionByName(_))
+      .orderBy("cutoff", "doc_id")
+  }
+
+  // --- x135: serve-from-release (pinned-corpus ANN under the hash gate) ----------------
+
+  /** The query shape a REPRODUCIBLE training run issues
+    * ([[graft.ext.Curation.serveAnn]] with `allowed` = a published
+    * release's embedding members): top-k among release-0's vectors
+    * only. The x129 deployment published release 0 BEFORE its second
+    * takedown, so the pinned manifest still carries the `%20 == 17`
+    * ids — the release filter ALONE would serve them, and the
+    * read-side tombstone exclusion alone would serve tranche-B
+    * candidates the release excludes; only the composition (allowed ∩
+    * not-retracted, both applied to the candidate side BEFORE ranking)
+    * matches the oracle, which replays the integer ADC chain with
+    * candidates restricted to tranche-A ids minus both takedowns.
+    * Zero new build beyond one manifest write in `pq_commit_build`.
+    */
+  val x135ServeRelease: Q = (spark, sfDir) => {
+    val stores = pqCommitStores(spark, sfDir)
+    val allowed = graft.ext.Curation.readRelease(spark, stores, 0L)
+      .filter(col("modality") === "embedding")
+      .select(col("doc_id").as("vec_id"))
+    graft.ext.Curation.serveAnn(spark, stores,
+      Tables.embeddings(spark, sfDir)
+        .filter((col("vec_id") % 4 === 1 || col("vec_id") % 4 === 2) &&
+          col("vec_id") < 40 && col("vec_id") % 20 =!= 13)
+        .select("vec_id", "embedding"),
+      topK = 5, allowed = Some(allowed))
+  }
+
+  private val x135Sql = x129ChainSql +
+    """), approx AS (
+      |  SELECT d.vec_id AS qid, a.vec_id AS cid, sum(d.dist) AS adist
+      |  FROM d2 d JOIN a2 a ON a.sub = d.sub AND a.cid = d.cid
+      |  WHERE d.vec_id < 40 AND d.vec_id % 20 != 13
+      |    AND d.vec_id != a.vec_id
+      |    AND a.vec_id IN (SELECT vec_id FROM ta)
+      |    AND a.vec_id % 20 != 13 AND a.vec_id % 20 != 17
+      |  GROUP BY 1, 2
+      |)
+      |SELECT qid, rank, cid, CAST(adist AS BIGINT) AS adist FROM (
+      |  SELECT qid, cid, adist,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS INT) AS rank
+      |  FROM approx)
+      |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -8343,7 +8464,9 @@ object ExtQueries {
     "x130_pq_codes_census" -> x130PqCodesCensus,
     "x131_corpus_asof" -> x131CorpusAsOf,
     "x132_pq_filtered_serve" -> x132PqFilteredServe,
-    "x133_serve_readside" -> x133ServeReadside)
+    "x133_serve_readside" -> x133ServeReadside,
+    "x134_release_publish" -> x134ReleasePublish,
+    "x135_serve_release" -> x135ServeRelease)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -8478,5 +8601,7 @@ object ExtQueries {
     "x130_pq_codes_census" -> x130Sql,
     "x131_corpus_asof" -> x131Sql,
     "x132_pq_filtered_serve" -> x132Sql,
-    "x133_serve_readside" -> x133Sql)
+    "x133_serve_readside" -> x133Sql,
+    "x134_release_publish" -> x131Sql,
+    "x135_serve_release" -> x135Sql)
 }
