@@ -74,11 +74,13 @@ object IvfIndex {
       emb.sparkSession.read.parquet(s"$dir/centroids_q"))
 
   /** The (vec_id, cell) routing of a batch under the persisted integer
-    * codebook — public so a caller running probe AND append on the same
-    * tranche ([[Curation.commitTranche]]) computes the routing pass
-    * once (checkpoint it) instead of once per consumer.
+    * codebook — exposed so a caller running probe AND append on the
+    * same tranche ([[Curation.commitTranche]]) computes the routing
+    * pass once (checkpoint it) instead of once per consumer.
+    * `private[graft]` like every read here (object doc's READ BOUNDARY).
     */
-  def routing(spark: SparkSession, dir: String, emb: DataFrame): DataFrame =
+  private[graft] def routing(spark: SparkSession, dir: String,
+                             emb: DataFrame): DataFrame =
     routeCells(emb, dir)
 
   def append(emb: DataFrame, dir: String,
@@ -196,7 +198,8 @@ object IvfIndex {
     * never missed. The incoming batch is bounded (`maxBatch`) and
     * broadcast, mirroring [[topK]].
     */
-  def ledgerProbe(spark: SparkSession, dir: String, incoming: DataFrame,
+  private[graft] def ledgerProbe(spark: SparkSession, dir: String,
+                  incoming: DataFrame,
                   idCol: String, embCol: String, threshold: Double,
                   probes: Int = 1, maxCells: Int = 4096,
                   maxBatch: Int = 1 << 16,
@@ -546,7 +549,8 @@ object IvfIndex {
     * column — it never touches embedding payloads (the scan reads the
     * partition key and vec_id only).
     */
-  def cellCensus(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def cellCensus(spark: SparkSession,
+                                dir: String): DataFrame = {
     val counts = spark.read.parquet(s"$dir/vectors")
       .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
     val cells = spark.read.parquet(s"$dir/centroids").select("cell")

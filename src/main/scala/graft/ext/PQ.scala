@@ -686,10 +686,19 @@ object PQ {
     adcTopKIndexScored(queryEmb, dir, topK,
       _.join(allowed.select("vec_id"), Seq("vec_id"), "left_semi"))
 
+  // per-query ADC lookup tables (m·k rows each) ride a broadcast below;
+  // guard the batch size like [[IvfIndex.topK]]'s maxQueries so an
+  // oversized serve fails actionably instead of blowing the broadcast
+  // limit mid-join — batches beyond the cap should loop
+  private val MaxServeQueries = 1 << 16
+
   private[ext] def adcTopKIndexScored(queryEmb: DataFrame, dir: String,
                                       topK: Int,
                                       restrict: DataFrame => DataFrame): DataFrame = {
     val spark = queryEmb.sparkSession
+    require(queryEmb.limit(MaxServeQueries + 1).count() <= MaxServeQueries,
+      s"query batch exceeds $MaxServeQueries — the per-query ADC lookup " +
+        "tables are broadcast; split the serve into bounded batches")
     // one resolution for the whole query: params, centroids and codes
     // come from the SAME generation even while a re-release publishes
     val live = liveDir(spark, dir)
