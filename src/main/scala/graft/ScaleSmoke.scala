@@ -1067,6 +1067,17 @@ object ScaleSmoke {
       .map(_.selectedPartitions.partitionCount)
     require(asofParts.nonEmpty && asofParts.forall(_ <= 2),
       s"corpusAsOf(2) ledger scan not partition-pruned: $asofParts of 5")
+    // the tombstone side of the release read is the UNAPPLIED slice,
+    // never the lifetime registry (the serve/commit discipline): the
+    // maintain above applied epoch 1 to the ledger, so the re-cut's
+    // anti-join reads only the pending epoch-2 batch — `epoch >` pushed
+    // to the scan, applied batches dead at the parquet footer
+    val asofTombPushed = fileScans(asof2.queryExecution.sparkPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("tombstones")))
+      .flatMap(_.metadata.get("PushedFilters"))
+    require(asofTombPushed.exists(_.contains("GreaterThan(epoch,1)")),
+      s"release-read tombstone side not sliced past the ledger " +
+        s"watermark: $asofTombPushed")
     val asof5 = Curation.corpusAsOf(spark, curStores, 5L)
       .localCheckpoint()
     val asof5n = asof5.count()

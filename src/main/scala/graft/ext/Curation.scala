@@ -455,14 +455,6 @@ object Curation {
     } else None
   }
 
-  /** The standing tombstones as distinct retracted doc_ids, or None if
-    * nothing was ever retracted.
-    */
-  private def readTombstones(spark: SparkSession,
-                             stores: Stores): Option[DataFrame] =
-    readTombstoneRows(spark, stores)
-      .map(_.select("doc_id").dropDuplicates("doc_id"))
-
   /** Commit one tranche: guards → probe → ledger append → store
     * appends → id registry → init markers. Returns the multimodal
     * verdict frame that was appended, one row per (doc_id, modality)
@@ -823,7 +815,12 @@ object Curation {
     * ledger judged `kept` in the embedding modality (a duplicate's
     * vector must never become a searchable candidate) minus every
     * retracted id — what [[trainServing]] trains on and
-    * [[rereleaseServing]] re-encodes.
+    * [[rereleaseServing]] re-encodes. The tombstone side is the
+    * UNAPPLIED slice past the LEDGER's applied watermark (the
+    * [[corpusAsOf]] discipline): the corpus filters through kept
+    * ledger rows, and an applied takedown's ledger rows were
+    * physically scrubbed by the pass that advanced that watermark, so
+    * the semi-join already excludes it.
     */
   private def servingCorpus(spark: SparkSession,
                             stores: Stores): DataFrame = {
@@ -842,8 +839,10 @@ object Curation {
         col("decision") === "kept")
       .select(col("doc_id").as("vec_id"))
     val corpus0 = standing.join(kept, Seq("vec_id"), "left_semi")
-    readTombstones(spark, stores).fold(corpus0)(t =>
-      corpus0.join(t.withColumnRenamed("doc_id", "vec_id"),
+    val applied = appliedEpoch(spark, stores.ledger)
+    readTombstoneRows(spark, stores).fold(corpus0)(t =>
+      corpus0.join(t.filter(col("epoch") > applied)
+        .select(col("doc_id").as("vec_id")).dropDuplicates("vec_id"),
         Seq("vec_id"), "left_anti"))
       .localCheckpoint()
   }
@@ -913,9 +912,17 @@ object Curation {
     * Scale shape: the ledger is partitioned by (tranche, modality), so
     * the cutoff bound prunes partitions at the scan — a re-cut of an
     * early release reads that release's slice, not the table — and the
-    * tombstone side is an id-projection anti-join (broadcast when the
-    * takedown history is small, shuffle-hash over the same id space
-    * otherwise). Nothing here touches content stores: the manifest is
+    * tombstone side is the UNAPPLIED slice, not the lifetime registry
+    * (the [[serveAnn]]/commit discipline applied to the release read):
+    * the exclusion is retroactive over ALL takedowns, but a takedown
+    * the LEDGER's maintenance already applied has no surviving kept
+    * row to exclude — its ledger rows were physically scrubbed by the
+    * pass that advanced the ledger watermark — so anti-joining epochs
+    * at or below that watermark is dead weight that grows with
+    * takedown history. The `epoch >` read prunes applied retraction
+    * batches at the parquet footer; per-re-cut takedown cost tracks
+    * backlog since the last maintenance, with results provably
+    * unchanged. Nothing here touches content stores: the manifest is
     * metadata-only, and the caller joins it back to content by doc_id.
     */
   def corpusAsOf(spark: SparkSession, stores: Stores,
@@ -925,8 +932,11 @@ object Curation {
     val kept = Ledger.readRange(spark, stores.ledger, 0L, cutoff)
       .filter(col("decision") === "kept")
       .select("doc_id", "tranche", "modality")
-    readTombstones(spark, stores).fold(kept)(t =>
-      kept.join(t, Seq("doc_id"), "left_anti"))
+    val applied = appliedEpoch(spark, stores.ledger)
+    readTombstoneRows(spark, stores).fold(kept)(t =>
+      kept.join(t.filter(col("epoch") > applied)
+        .select("doc_id").dropDuplicates("doc_id"),
+        Seq("doc_id"), "left_anti"))
   }
 
   /** What changed between two releases: rows of [[corpusAsOf]]`(b)`
@@ -1916,9 +1926,12 @@ object Curation {
       add("pq_index", "vectors")(
         spark.read.parquet(s"$pqCensusLive/codes")
           .select("vec_id").distinct().count())
-      // retired generations awaiting gc (0 on a flat legacy store)
+      // retired generations awaiting gc (0 on a flat legacy store);
+      // counts generations OLDER than live — a complete generation
+      // NEWER than the pointer is a crashed publish (fsck pq_publish
+      // pending, repair publishes it), not reclaimable backlog
       add("pq_index", "retired_generations")(
-        math.max(0, PQ.completeGens(spark, stores.pqIndex).size - 1).toLong)
+        PQ.retiredGens(spark, stores.pqIndex).size.toLong)
     }
     if (exists(spark, tombstonesDir(stores)))
       add("tombstones", "ids")(

@@ -8329,6 +8329,53 @@ object ExtQueries {
       |  FROM approx)
       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  // --- x136: release diff (the between-cuts audit under the hash gate) -----------------
+
+  /** [[graft.ext.Curation.corpusDiff]] over the x125 retraction
+    * deployment, BOTH directions: `fwd` = diff(1, 2) — tranche-2 keeps
+    * read as `added`, nothing removed (the deployment's takedowns all
+    * predate cutoff 1, and retroactivity removes them from BOTH cuts
+    * so they never surface) — and `rev` = diff(2, 1), where the same
+    * rows read as `removed`. Running both makes each anti-join branch
+    * load-bearing (a diff that tags the wrong side, leaks a retracted
+    * id, or loses the tranche bound diverges in one direction even if
+    * the other half is vacuous). Zero new build: two partition-pruned
+    * re-cuts per direction over `retraction_build`'s ledger.
+    */
+  val x136CorpusDiff: Q = (spark, sfDir) => {
+    val stores = retractionStores(spark, sfDir)
+    Seq(("fwd", 1L, 2L), ("rev", 2L, 1L)).map { case (d, a, b) =>
+      graft.ext.Curation.corpusDiff(spark, stores, a, b)
+        .select(lit(d).as("dir"), col("doc_id"), col("tranche"),
+          col("modality"), col("change"))
+    }.reduce(_.unionByName(_))
+      .orderBy("dir", "doc_id", "modality")
+  }
+
+  private val x136Sql =
+    s"""WITH led AS (SELECT * FROM ($x125Sql) WHERE decision = 'kept'),
+       |a1 AS (SELECT doc_id, tranche, modality FROM led WHERE tranche <= 1),
+       |a2 AS (SELECT doc_id, tranche, modality FROM led WHERE tranche <= 2)
+       |SELECT * FROM (
+       |  SELECT 'fwd' AS dir, b.doc_id, b.tranche, b.modality,
+       |    'added' AS change
+       |  FROM a2 b LEFT JOIN a1 a USING (doc_id, modality)
+       |  WHERE a.doc_id IS NULL
+       |  UNION ALL
+       |  SELECT 'fwd', a.doc_id, a.tranche, a.modality, 'removed'
+       |  FROM a1 a LEFT JOIN a2 b USING (doc_id, modality)
+       |  WHERE b.doc_id IS NULL
+       |  UNION ALL
+       |  SELECT 'rev', b.doc_id, b.tranche, b.modality, 'added'
+       |  FROM a1 b LEFT JOIN a2 a USING (doc_id, modality)
+       |  WHERE a.doc_id IS NULL
+       |  UNION ALL
+       |  SELECT 'rev', a.doc_id, a.tranche, a.modality, 'removed'
+       |  FROM a2 a LEFT JOIN a1 b USING (doc_id, modality)
+       |  WHERE b.doc_id IS NULL
+       |)
+       |ORDER BY dir, doc_id, modality""".stripMargin
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -8466,7 +8513,8 @@ object ExtQueries {
     "x132_pq_filtered_serve" -> x132PqFilteredServe,
     "x133_serve_readside" -> x133ServeReadside,
     "x134_release_publish" -> x134ReleasePublish,
-    "x135_serve_release" -> x135ServeRelease)
+    "x135_serve_release" -> x135ServeRelease,
+    "x136_corpus_diff" -> x136CorpusDiff)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -8603,5 +8651,6 @@ object ExtQueries {
     "x132_pq_filtered_serve" -> x132Sql,
     "x133_serve_readside" -> x133Sql,
     "x134_release_publish" -> x131Sql,
-    "x135_serve_release" -> x135Sql)
+    "x135_serve_release" -> x135Sql,
+    "x136_corpus_diff" -> x136Sql)
 }
