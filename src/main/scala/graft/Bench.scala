@@ -203,7 +203,9 @@ object Bench {
     // Text + embedding modalities — the video/perceptual verdict
     // kernels are gated by their own declared rows (x117/x118/x121).
     import org.apache.spark.sql.functions.col
-    val curRoot = java.nio.file.Files.createTempDirectory("benchcur").toString
+    // janitored like the x125/x127/x128/x129 deployments: stale
+    // benchcur roots from prior driver rounds are swept before creating
+    val curRoot = graft.queries.ExtQueries.freshDeploymentRoot("benchcur")
     val curStores = graft.ext.Curation.Stores(s"$curRoot/text",
       s"$curRoot/img", s"$curRoot/aud", s"$curRoot/vid", s"$curRoot/emb",
       s"$curRoot/led")

@@ -7645,9 +7645,10 @@ object ExtQueries {
     * (VERDICT r13 nit #3): siblings with the same prefix left by PRIOR
     * driver runs are dead weight in /tmp — reclaim any older than two
     * hours (old enough that no live session still reads them; a
-    * concurrent run's fresh deployment is never touched).
+    * concurrent run's fresh deployment is never touched). Shared with
+    * [[graft.Bench]]'s per-round curation deployment.
     */
-  private def freshDeploymentRoot(prefix: String): String = {
+  private[graft] def freshDeploymentRoot(prefix: String): String = {
     val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
     val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
     def deleteRec(f: java.io.File): Unit = {
