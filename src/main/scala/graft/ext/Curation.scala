@@ -2178,7 +2178,11 @@ object Curation {
         val complete = PQ.completeGens(spark, dir)
         val partial = PQ.listGens(spark, dir).diff(complete)
         val tmpStanding = exists(spark, s"$dir/_current.tmp")
-        val ptrLost = ptr.isEmpty && !tmpStanding
+        // a pointer only ever exists after a complete-generation
+        // publish — on a flat store whose first generational write
+        // crashed partial (ADVICE r14), "pointer lost" would be a
+        // wrong diagnosis; the partial row below names that state
+        val ptrLost = ptr.isEmpty && !tmpStanding && complete.nonEmpty
         val ptrDangling = ptr.exists(!complete.contains(_))
         // a COMPLETE generation newer than the published one: a publish
         // crashed between finishing its tables and the pointer flip.
@@ -2215,13 +2219,17 @@ object Curation {
       })
       // legacy flat root tables surviving the generational upgrade's
       // post-publish cleanup crash (ADVICE r13): dead the moment a
-      // generation was published, invisible to readers (liveDir
-      // resolves into the generation), but standing bytes no pass
-      // reclaims — repair deletes them (idempotent with writeIndex's
-      // own cleanup). Emitted only when the state exists, so a healthy
-      // report is stable.
+      // COMPLETE generation was published, invisible to readers
+      // (liveDir resolves into the generation), but standing bytes no
+      // pass reclaims — repair deletes them (idempotent with
+      // writeIndex's own cleanup). With no complete generation on disk
+      // (only partials from a crashed first generational write) the
+      // root tables are the LIVE index, not residue (ADVICE r14) —
+      // gated out, like repair's matching action. Emitted only when
+      // the state exists, so a healthy report is stable.
       add(Some {
-        Seq("params", "centroids", "codes")
+        if (PQ.completeGens(spark, stores.pqIndex).isEmpty) Seq.empty
+        else Seq("params", "centroids", "codes")
           .filter(t => exists(spark, s"${stores.pqIndex}/$t"))
       }.filter(_.nonEmpty).map(res =>
         ("pq_root_residue", "pending", res.size.toLong,
@@ -2626,14 +2634,21 @@ object Curation {
             }
           }
           // flat root tables a generational upgrade's post-publish
-          // cleanup crash left behind: dead (readers resolve into the
-          // generation), idempotent with writeIndex's own cleanup
-          val a4 = Seq("params", "centroids", "codes")
-            .filter(t => exists(spark, s"$dir/$t")).map { t =>
-              fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$t"), true)
-              s"deleted stale pre-generational root table $dir/$t " +
-                "(crashed upgrade cleanup)"
-            }
+          // cleanup crash left behind: dead ONLY once a COMPLETE
+          // generation exists (readers resolve into it) — with nothing
+          // but partial generations on disk (first generational
+          // writeIndex crashed before params landed), liveDir still
+          // resolves to the flat root and these tables ARE the live
+          // serving index, so deleting them would destroy it
+          // (ADVICE r14). Idempotent with writeIndex's own cleanup.
+          val a4 =
+            if (complete.isEmpty) Seq.empty[String]
+            else Seq("params", "centroids", "codes")
+              .filter(t => exists(spark, s"$dir/$t")).map { t =>
+                fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$t"), true)
+                s"deleted stale pre-generational root table $dir/$t " +
+                  "(crashed upgrade cleanup)"
+              }
           a1 ++ a2 ++ a3 ++ a4
         }
       swapActions ++ pqActions ++ maintenanceUnits(spark, stores).flatMap { u =>

@@ -1364,6 +1364,64 @@ class CurationSpec extends SparkSpec {
     assert(serveIds() == healthy)
   }
 
+  test("flat pq store with only a partial generation: root tables are live, not residue") {
+    // ADVICE r14: a legacy flat store whose FIRST generational
+    // writeIndex crashed before params landed has partial gen(s) but
+    // NO complete one — PQ.liveDir still resolves to the flat root,
+    // so the root tables ARE the serving index. fsck must not call
+    // them residue and repair must not delete them.
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 80)
+    val emb = Tables.embeddings(spark, sf())
+    val base = freshStores()
+    val stores = base.copy(pqIndex = s"${base.ledger}_pqflat")
+    def embOf(b: org.apache.spark.sql.DataFrame) = emb.join(
+      b.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    Curation.commitTranche(docs, 0L, stores, embeddings = Some(embOf(docs)))
+    PQ.writeIndex(embOf(docs).drop("label"), stores.pqIndex,
+      m = 4, k = 4, iters = 1, subWidth = 16)
+    val dir = stores.pqIndex
+    val fsys = StoreSwap.fsOf(spark, dir)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // devolve to the legacy flat layout: tables at the root, no
+    // generation, no pointer
+    Seq("params", "centroids", "codes").foreach { t =>
+      assert(fsys.rename(p(s"$dir/gen-000001/$t"), p(s"$dir/$t")),
+        s"fixture: cannot flatten $t")
+    }
+    fsys.delete(p(s"$dir/gen-000001"), true)
+    fsys.delete(p(s"$dir/_current"), false)
+    assert(PQ.liveDir(spark, dir) == dir,
+      "flat store did not resolve to its root")
+    def serveIds() = PQ.adcTopKIndex(
+      embOf(docs.orderBy("doc_id").limit(2)).drop("label"), dir, topK = 3)
+      .select("cid").collect().map(_.getLong(0)).toSet
+    val healthy = serveIds()
+    assert(healthy.nonEmpty, "fixture: flat store does not serve")
+    // the first generational upgrade crashes before params lands:
+    // a partial generation, aged past the in-flight grace window
+    fsys.mkdirs(p(s"$dir/gen-000001/codes"))
+    val aged = System.currentTimeMillis() - 20L * 60 * 1000
+    Seq(s"$dir/gen-000001", s"$dir/gen-000001/codes").foreach(g =>
+      fsys.setTimes(p(g), aged, aged))
+    val rep = Curation.fsck(spark, stores).collect()
+    assert(!rep.exists(_.getString(0) == "pq_root_residue"),
+      "live flat tables mislabeled as residue")
+    val pubRow = rep.find(_.getString(0) == "pq_publish")
+      .map(r => (r.getString(1), r.getString(3)))
+    assert(pubRow.exists(r => r._1 == "pending" && r._2.contains("partial")),
+      s"partial-over-flat state misdiagnosed: $pubRow")
+    val acts = Curation.repair(spark, stores)
+    assert(acts.exists(_.contains("dropped partial")), acts.mkString("; "))
+    assert(!acts.exists(_.contains("root table")),
+      s"repair deleted the live flat index: ${acts.mkString("; ")}")
+    Seq("params", "centroids", "codes").foreach(t =>
+      assert(fsys.exists(p(s"$dir/$t")), s"live flat table $t destroyed"))
+    assert(serveIds() == healthy, "repair broke flat-store serving")
+    assert(Curation.fsck(spark, stores).collect()
+      .forall(_.getString(1) != "violation"))
+  }
+
   test("takedown reaches the serving-side PQ index surgically") {
     import spark.implicits._
     // VERDICT r11 missing #2: a real right-to-erasure pipeline serves
