@@ -1300,6 +1300,46 @@ object Curation {
       }
     }
 
+  /** The TRAIN-READY payload read of a published release: the
+    * embedding vectors a training run actually consumes — the pinned
+    * manifest's embedding rows joined back to the deployment's vector
+    * store, with takedown holes EXCLUDED ([[exportRelease]]'s hole
+    * contract applied to the payload: a tombstoned id never ships,
+    * physically erased or not). Returns (vec_id, embedding, tranche);
+    * refuses a withdrawn release (via [[readRelease]]).
+    *
+    * The id set (manifest ∩ corpusAsOf) is resolved and PINNED under
+    * the writer lock — metadata-sized, so the checkpoint is cheap —
+    * and the vector payload joins against the pinned ids lazily: the
+    * bulk read never holds the lock (a training job may take hours),
+    * and because the pinned ids already exclude every tombstone, a
+    * maintenance erasure landing mid-read cannot remove a row the
+    * export still references — only a physical compaction swap can
+    * race the read, the same class as any standing-store scan.
+    */
+  def exportReleaseEmbeddings(spark: SparkSession, stores: Stores,
+                              cutoff: Long): DataFrame = {
+    val src =
+      if (exists(spark, s"${stores.embedding}/vectors"))
+        s"${stores.embedding}/vectors"
+      else stores.embedding
+    require(exists(spark, src),
+      s"no embedding store at ${stores.embedding} — nothing to export")
+    val ids = withWriterLock(spark, stores,
+      s"exportReleaseEmbeddings($cutoff)") {
+      val art = readRelease(spark, stores, cutoff)
+        .filter(col("modality") === "embedding")
+        .select("doc_id", "tranche")
+      art.join(corpusAsOf(spark, stores, cutoff)
+        .filter(col("modality") === "embedding").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+    }
+    spark.read.parquet(src).select(col("vec_id"), col("embedding"))
+      .join(ids.select(col("doc_id").as("vec_id"), col("tranche")),
+        Seq("vec_id"))
+  }
+
   /** Per-modality accounting of [[exportRelease]]: one row per
     * modality in the manifest — (modality, exported, holes,
     * content_rows) — the summary an auditor reads before shipping the
@@ -2488,7 +2528,7 @@ object Curation {
            hashBands: Int = 8, hashMaxDist: Int = 6,
            maintainEvery: Int = 0, maxFilesPerBucket: Int = 8,
            maintainBudget: Int = 0, maxSkew: Double = 4.0,
-           keepRetiredGens: Int = 1)
+           keepRetiredGens: Int = 1, minRecall: Double = 0.0)
       : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
     (batch, batchId) => {
       val b = batch.toDF()
@@ -2502,13 +2542,16 @@ object Curation {
         // between batches stays bounded while drift converges across
         // windows); 0 = compact everything due in one window. maxSkew
         // is the stream's codebook-health policy knob, keepRetiredGens
-        // its serving-generation retention policy (see maintainDue) —
-        // a stream that re-releases its codebook under this sink keeps
-        // a BOUNDED number of generations on disk instead of one per
-        // re-release forever
+        // its serving-generation retention policy, and minRecall its
+        // codebook-QUALITY policy (sampled self-recall below the
+        // threshold re-releases the serving codebook inside the same
+        // scheduled window; 0 disables the probe) — see maintainDue.
+        // A stream that re-releases under this sink keeps a BOUNDED
+        // number of generations on disk instead of one per re-release
+        // forever
         maintainDue(b.sparkSession, stores, maxFilesPerBucket,
           if (maintainBudget > 0) maintainBudget else Int.MaxValue,
-          maxSkew, keepRetiredGens)
+          maxSkew, keepRetiredGens, minRecall)
       ()
     }
 

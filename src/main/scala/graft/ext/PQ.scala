@@ -732,14 +732,18 @@ object PQ {
         (a, b) => (a - b) * (a - b)), lit(0.0), _ + _))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
-      .select("qid", "cid").localCheckpoint()
+      .select("qid", "cid")
     val approx = adcTopKIndexScored(sv, dir, topK, c => {
       val cs = if (bucketed) c.filter(col("idp") < probeBuckets.toLong)
                else c
       cs.join(broadcast(ids), Seq("vec_id"), "left_semi")
-    }).select(col("qid"), col("cid"))
-    val hits = approx.join(exact, Seq("qid", "cid"), "left_semi").count()
-    val total = exact.count()
+    }).select(col("qid"), col("cid"), lit(1L).as("hit"))
+    // hits and total in ONE action (both sides are unique per
+    // (qid, cid), so the left join cannot inflate the denominator)
+    val agg = exact.join(approx, Seq("qid", "cid"), "left")
+      .agg(count(lit(1)).as("total"), sum("hit").as("hits")).collect()(0)
+    val total = agg.getLong(0)
+    val hits = if (agg.isNullAt(1)) 0L else agg.getLong(1)
     if (total == 0) 1.0 else hits.toDouble / total
   }
 

@@ -2031,6 +2031,57 @@ class CurationSpec extends SparkSpec {
     assert(relCheck() == (("violation", 1L)), s"lost artifact: ${relCheck()}")
   }
 
+  test("exportRelease covers multimodal refs; exportReleaseEmbeddings ships train-ready vectors") {
+    // the consumer loop end-to-end: a release's export carries content
+    // references from EVERY modality store it spans, and the payload
+    // read hands a training run exactly the release's vectors minus
+    // every takedown — identical before and after physical erasure.
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 160)
+    val emb = Tables.embeddings(spark, sf())
+    val stores = freshStores()
+    def embOf(b: org.apache.spark.sql.DataFrame) = emb.join(
+      b.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    def imgOf(b: org.apache.spark.sql.DataFrame) =
+      b.select(col("doc_id"), xxhash64(col("text")).as("hash"))
+    Curation.commitTranche(docs, 0L, stores,
+      imgHashes = Some(imgOf(docs)), embeddings = Some(embOf(docs)))
+    Curation.publishRelease(spark, stores, 0L)
+    val byModality = Curation.exportRelease(spark, stores, 0L).collect()
+      .groupBy(_.getAs[String]("modality"))
+    assert(byModality.keySet == Set("text", "image", "embedding"),
+      s"modalities: ${byModality.keySet}")
+    Seq("text", "image", "embedding").foreach(m =>
+      assert(byModality(m).forall(r => r.getAs[String]("status") ==
+        "exported" && r.getAs[Long]("content_rows") == 1L),
+        s"$m rows not backed by store content"))
+    // text refs are the store's content hash; image/embedding presence
+    assert(byModality("text").forall(_.getAs[String]("content_ref") != null))
+    val manifest = byModality("embedding").map(_.getAs[Long]("doc_id")).toSet
+    def vecs() = Curation.exportReleaseEmbeddings(spark, stores, 0L)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("tranche"))).toSet
+    assert(vecs() == manifest.map(id => (id, 0L)),
+      "payload read diverges from the manifest's embedding rows")
+    // a takedown after publication: the payload drops exactly those
+    // ids immediately, and physical erasure changes nothing
+    import spark.implicits._
+    val gone = manifest.toSeq.sorted.take(3)
+    Curation.retract(spark, gone.toDF("doc_id"), stores)
+    val afterTakedown = vecs()
+    assert(afterTakedown == (manifest -- gone).map(id => (id, 0L)),
+      "a tombstoned id shipped in the training payload")
+    Curation.maintain(spark, stores)
+    assert(vecs() == afterTakedown, "erasure moved the payload read")
+    // and the export now names those ids as embedding holes
+    val holes = Curation.exportRelease(spark, stores, 0L).collect()
+      .filter(r => r.getAs[String]("status") == "hole")
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("modality")))
+      .toSet
+    assert(holes == gone.flatMap(id => Seq((id, "text"), (id, "image"),
+      (id, "embedding"))).toSet, s"holes: $holes")
+  }
+
   test("unpublishRelease withdraws with an audit trail; releases stay protected otherwise") {
     // VERDICT r14 missing #4: manifests accrete forever BY DESIGN —
     // the only reclaim is the deliberate, audited withdrawal. fsck
