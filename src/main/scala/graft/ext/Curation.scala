@@ -1485,7 +1485,8 @@ object Curation {
         .filter(r => exists(spark, r._2)).map { case (role, src) =>
           val (files, bytes) = copyLive(spark, src, s"$dest/$role")
           copySidecars(spark, src, s"$dest/$role")
-          (role, src, s"copied $role ($files files, $bytes bytes)")
+          (role, src, files, bytes,
+            s"copied $role ($files files, $bytes bytes)")
         }
       val pqActions =
         if (stores.pqIndex.isEmpty || !exists(spark, stores.pqIndex))
@@ -1504,13 +1505,14 @@ object Curation {
             .foldLeft((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
           // src records the LIVE path; restore re-derives the pinned
           // generation from its basename
-          Seq(("pq", live,
+          Seq(("pq", live, files, bytes,
             s"copied pq live generation ${if (gen.isEmpty) "(flat)" else gen} " +
               s"($files files, $bytes bytes)"))
         }
       val all = roleActions ++ pqActions
-      all.map { case (role, src, _) => (role, src) }
-        .toDF("role", "src")
+      all.map { case (role, src, files, bytes, _) =>
+        (role, src, files, bytes) }
+        .toDF("role", "src", "n_files", "n_bytes")
         .withColumn("stamp", lit(stamp))
         .withColumn("created_at", lit(java.time.Instant.now().toString))
         .coalesce(1).write.mode("overwrite").parquet(s"$dest/_meta")
@@ -1518,8 +1520,50 @@ object Curation {
         .toDF("dest", "stamp", "created_at")
         .coalesce(1).write.mode("append")
         .parquet(snapshotsRegistry(stores))
-      all.map(_._3)
+      all.map(_._5)
     }
+
+  /** Audit a [[snapshot]]'s own integrity: per role, the file count
+    * and byte total the snapshot recorded in `_meta` at copy time
+    * against what its directory holds NOW — the backup-side analog of
+    * [[verifyRelease]] (a backup that rotted is only discovered when
+    * the restore it existed for silently plants a broken store).
+    * Returns (role, files_expected, files_found, bytes_expected,
+    * bytes_found, intact). [[restore]] refuses to re-seat from a role
+    * that fails this check.
+    */
+  def verifySnapshot(spark: SparkSession, src: String): DataFrame = {
+    import spark.implicits._
+    require(exists(spark, s"$src/_meta"),
+      s"no snapshot _meta at $src — not a snapshot, or its write " +
+        "crashed before the meta landed")
+    spark.read.parquet(s"$src/_meta")
+      .select("role", "n_files", "n_bytes").collect()
+      .map { r =>
+        val role = r.getString(0)
+        val (files, bytes) = snapshotStats(spark, s"$src/$role")
+        (role, r.getLong(1), files, r.getLong(2), bytes,
+          files == r.getLong(1) && bytes == r.getLong(2))
+      }.toSeq.sortBy(_._1)
+      .toDF("role", "files_expected", "files_found",
+        "bytes_expected", "bytes_found", "intact")
+  }
+
+  // file/byte totals of a snapshot role directory — the same
+  // listStatus walk [[copyLive]] counted with, so a healthy snapshot
+  // matches its _meta exactly
+  private def snapshotStats(spark: SparkSession,
+                            path: String): (Long, Long) = {
+    val fs = StoreSwap.fsOf(spark, path)
+    def walk(p: org.apache.hadoop.fs.Path): (Long, Long) = {
+      val st = fs.getFileStatus(p)
+      if (st.isFile) (1L, st.getLen)
+      else fs.listStatus(p).toSeq.map(k => walk(k.getPath))
+        .foldLeft((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
+    }
+    if (!exists(spark, path)) (0L, 0L)
+    else walk(new org.apache.hadoop.fs.Path(path))
+  }
 
   /** RESTORE from a [[snapshot]]: re-seat, from the backup at `src`,
     * exactly the state the deployment LOST — a role whose path is gone
@@ -1543,6 +1587,15 @@ object Curation {
       val meta = spark.read.parquet(s"$src/_meta")
         .select("role", "src").collect()
         .map(r => (r.getString(0), r.getString(1))).toMap
+      // a rotted backup must refuse, not silently plant a broken
+      // store that passes the layout guards with data files missing
+      val intact = verifySnapshot(spark, src).collect()
+        .map(r => r.getString(0) -> r.getBoolean(5)).toMap
+      def requireIntact(role: String): Unit =
+        require(intact.getOrElse(role, false),
+          s"snapshot role $role at $src fails its _meta integrity pin " +
+            "(files/bytes diverge from copy time) — refusing to restore " +
+            "from a rotted backup; audit with Curation.verifySnapshot")
       val roleActions = snapshotRoles(stores)
         .filter(r => meta.contains(r._1)).flatMap { case (role, target) =>
           if (!exists(spark, s"$src/$role"))
@@ -1551,19 +1604,22 @@ object Curation {
             // per-cutoff merge: a lost manifest restores beside the
             // standing ones (the releases_publish violation recovery)
             val sFs = StoreSwap.fsOf(spark, s"$src/$role")
-            sFs.listStatus(
+            val missing = sFs.listStatus(
               new org.apache.hadoop.fs.Path(s"$src/$role")).toSeq
               .map(_.getPath.getName).filter(_.startsWith("cutoff="))
-              .filterNot(c => exists(spark, s"$target/$c")).map { c =>
+              .filterNot(c => exists(spark, s"$target/$c"))
+            if (missing.isEmpty) Seq(s"skipped $role (live state stands)")
+            else {
+              requireIntact(role)
+              missing.map { c =>
                 copyLive(spark, s"$src/$role/$c", s"$target/$c")
                 s"restored $role/$c"
-              } match {
-              case Seq() => Seq(s"skipped $role (live state stands)")
-              case acts => acts
+              }
             }
           } else if (exists(spark, target))
             Seq(s"skipped $role (live state stands)")
           else {
+            requireIntact(role)
             copyLive(spark, s"$src/$role", target)
             copySidecars(spark, s"$src/$role", target)
             Seq(s"restored $role to $target")
@@ -1575,6 +1631,7 @@ object Curation {
         else if (exists(spark, stores.pqIndex))
           Seq("skipped pq (live state stands)")
         else {
+          requireIntact("pq")
           val base = pqSrc.split('/').last
           val gen = if (base.startsWith("gen-")) base else ""
           val target =

@@ -2319,6 +2319,30 @@ class CurationSpec extends SparkSpec {
     Curation.maintain(spark, stores)
     assert(snapRow().exists(_._1 == "ok"),
       "physical maintenance staled a logical snapshot")
+    // backup-side integrity: verifySnapshot pins each role's file/byte
+    // totals against _meta; a rotted role refuses to restore
+    assert(Curation.verifySnapshot(spark, dest2).collect()
+      .forall(_.getAs[Boolean]("intact")), "fresh snapshot not intact")
+    def firstParquet(p: org.apache.hadoop.fs.Path)
+      : Option[org.apache.hadoop.fs.Path] =
+      dFs.listStatus(p).toSeq.flatMap(s =>
+        if (s.isDirectory) firstParquet(s.getPath)
+        else if (s.getPath.getName.endsWith(".parquet")) Some(s.getPath)
+        else None).headOption
+    dFs.delete(firstParquet(
+      new org.apache.hadoop.fs.Path(s"$dest2/ledger")).get, false)
+    val vs = Curation.verifySnapshot(spark, dest2).collect()
+      .map(r => r.getString(0) -> r.getAs[Boolean]("intact")).toMap
+    assert(!vs("ledger") && vs("text"), s"rot not localized: $vs")
+    fs.delete(new org.apache.hadoop.fs.Path(stores.ledger), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${stores.ledger}.init"), true)
+    val eRot = intercept[IllegalArgumentException] {
+      Curation.restore(spark, stores, dest2)
+    }
+    assert(eRot.getMessage.contains("rotted"), eRot.getMessage)
+    // the older (intact) snapshot still restores the lost ledger
+    assert(Curation.restore(spark, stores, dest)
+      .exists(_.contains("restored ledger")))
     // guards: non-empty dest refused; a snapshot without _meta refused
     val eDest = intercept[IllegalArgumentException] {
       Curation.snapshot(spark, stores, dest)
