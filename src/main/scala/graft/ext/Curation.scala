@@ -1260,11 +1260,11 @@ object Curation {
       // per-modality physical content rows, existence-aware; pruned to
       // the manifest's ids before the per-doc aggregation
       def refsOf(modality: String, path: String, idc: String,
-                 refc: Option[String]): Option[DataFrame] =
+                 refc: Option[org.apache.spark.sql.Column]): Option[DataFrame] =
         if (!exists(spark, path)) None
         else Some(spark.read.parquet(path)
           .select(col(idc).as("doc_id"),
-            refc.map(c => col(c).cast("string"))
+            refc.map(_.cast("string"))
               .getOrElse(lit(null).cast("string")).as("ref"))
           .join(art.filter(col("modality") === modality)
             .select("doc_id"), Seq("doc_id"), "left_semi")
@@ -1273,10 +1273,14 @@ object Curation {
           .select(lit(modality).as("modality"), col("doc_id"),
             col("n_rows"), col("ref")))
       val refs = Seq(
-        refsOf("text", s"${stores.textIndex}/members", "id", Some("ch")),
+        refsOf("text", s"${stores.textIndex}/members", "id",
+          Some(col("ch"))),
         refsOf("image", s"${stores.image}/members", "id", None),
         refsOf("audio", s"${stores.audio}/members", "id", None),
-        refsOf("video", s"${stores.video}/seqs", "doc_id", Some("sq")),
+        // sq is a binary sequence id — hex it (a raw binary→string
+        // cast reads as mojibake)
+        refsOf("video", s"${stores.video}/seqs", "doc_id",
+          Some(hex(col("sq")))),
         if (exists(spark, s"${stores.embedding}/vectors"))
           refsOf("embedding", s"${stores.embedding}/vectors", "vec_id", None)
         else refsOf("embedding", stores.embedding, "vec_id", None)
@@ -1481,13 +1485,15 @@ object Curation {
         s"snapshot dest $dest is non-empty — snapshots are immutable; " +
           "write each to a fresh directory")
       val stamp = deploymentStamp(spark, stores)
-      val roleActions = snapshotRoles(stores)
-        .filter(r => exists(spark, r._2)).map { case (role, src) =>
+      // roles are disjoint directory trees — copy them concurrently
+      // (wall-clock pays the largest store, not the sum)
+      val roleActions = StoreSwap.concurrentlyAll(snapshotRoles(stores)
+        .filter(r => exists(spark, r._2)).map { case (role, src) => () =>
           val (files, bytes) = copyLive(spark, src, s"$dest/$role")
           copySidecars(spark, src, s"$dest/$role")
           (role, src, files, bytes,
             s"copied $role ($files files, $bytes bytes)")
-        }
+        })
       val pqActions =
         if (stores.pqIndex.isEmpty || !exists(spark, stores.pqIndex))
           Seq.empty
@@ -1598,9 +1604,7 @@ object Curation {
             "from a rotted backup; audit with Curation.verifySnapshot")
       val roleActions = snapshotRoles(stores)
         .filter(r => meta.contains(r._1)).flatMap { case (role, target) =>
-          if (!exists(spark, s"$src/$role"))
-            Seq(s"skipped $role (absent from snapshot)")
-          else if (role == "releases" && exists(spark, target)) {
+          if (role == "releases" && exists(spark, target)) {
             // per-cutoff merge: a lost manifest restores beside the
             // standing ones (the releases_publish violation recovery)
             val sFs = StoreSwap.fsOf(spark, s"$src/$role")
