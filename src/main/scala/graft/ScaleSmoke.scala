@@ -1286,6 +1286,70 @@ object ScaleSmoke {
         s"($srcLive) — copying more than a restore can re-seat")
     println(f"snapshot: $snapLive%d live bytes copied in $snapSec%.1fs " +
       f"($srcHidden%d aside bytes excluded), restore surface intact")
+
+    // --- scheduled snapshots + disaster drill (r16) ---------------------------
+    // Scheduled-backup cost tracks DRIFT, not cadence: the deployment's
+    // logical stamp has not moved since the snapshot above, so the
+    // scheduled form must take NO copy at all — a stream snapshotting
+    // every n batches pays a metadata stamp check per undrifted window.
+    val schedRoot = java.nio.file.Files
+      .createTempDirectory("snapsched").toString
+    require(Curation.snapshotDue(spark, curStores, schedRoot).isEmpty,
+      "undrifted scheduled window copied snapshot bytes")
+    require(Option(new java.io.File(schedRoot).listFiles())
+      .forall(_.isEmpty), "undrifted scheduled window wrote to disk")
+    // The drill: TOTAL loss of every live role, then restore — recovery
+    // re-seats exactly the backup (cost tracks snapshot bytes, never
+    // deployment lifetime), fsck reads no violation, and the ledger
+    // answers byte-identically.
+    val ledgerPinB = graft.ext.Ledger.read(spark, curStores.ledger)
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.expr(
+            "bit_xor(xxhash64(doc_id, modality, decision, tranche))"),
+          org.apache.spark.sql.functions.lit(0L))).collect()(0)
+    val drillFs = new org.apache.hadoop.fs.Path(curStores.ledger)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rmRole(p: String): Unit = {
+      drillFs.delete(new org.apache.hadoop.fs.Path(p), true); ()
+    }
+    val tDrill = System.nanoTime()
+    Seq(curStores.textIndex, curStores.ledger, s"${curStores.ledger}.ids",
+      s"${curStores.ledger}.tombstones").foreach { r =>
+      rmRole(r); rmRole(s"$r.init"); rmRole(s"$r.epoch"); rmRole(s"$r.gcmark")
+    }
+    val racts = Curation.restore(spark, curStores, snapDest)
+    val drillSec = (System.nanoTime() - tDrill) / 1e9
+    require(racts.count(_.startsWith("restored")) >= 4,
+      s"drill restore actions: $racts")
+    val (restLive, restHidden) = treeBytes(new java.io.File(curRoot))
+    require(restHidden == 0,
+      s"restore re-planted rollback asides ($restHidden bytes)")
+    // recovery cost tracks snapshot bytes: what stands after the drill
+    // is the backup's live bytes (small slack for the surviving
+    // snapshot registry + sidecar artifacts)
+    require(restLive <= snapLive * 5 / 4 && restLive >= snapLive * 3 / 4,
+      s"drill restored $restLive bytes against a $snapLive-byte backup " +
+        "— recovery cost is not tracking snapshot bytes")
+    val ledgerPinA = graft.ext.Ledger.read(spark, curStores.ledger)
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.expr(
+            "bit_xor(xxhash64(doc_id, modality, decision, tranche))"),
+          org.apache.spark.sql.functions.lit(0L))).collect()(0)
+    require(ledgerPinA == ledgerPinB,
+      s"ledger diverged across the drill: $ledgerPinB -> $ledgerPinA")
+    val drillFsck = Curation.fsck(spark, curStores).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    require(!drillFsck.values.exists(_ == "violation"),
+      s"post-drill fsck: $drillFsck")
+    require(drillFsck.get("snapshot_stale").contains("ok"),
+      s"restored deployment reads stale against its own backup: " +
+        s"$drillFsck")
+    println(f"disaster drill: total loss -> $restLive%d bytes re-seated " +
+      f"in $drillSec%.1fs, ledger byte-identical, fsck clean")
   }
 
   private def tier100x(spark: SparkSession): Unit = {

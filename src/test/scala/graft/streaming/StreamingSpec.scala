@@ -1191,6 +1191,76 @@ class StreamingSpec extends SparkSpec {
       "drift left after budgeted convergence")
   }
 
+  test("Curation.sink snapshotEvery: streamed backups act on drift; restore revives serving") {
+    // VERDICT r15 #2 under a LIVE stream: the sink schedules its own
+    // backups — every n-th batch takes a writer-locked snapshot iff
+    // the deployment drifted past the newest standing one, with
+    // keep-last-N retention — so an operator who never calls snapshot
+    // still has a recovery path whose cost tracks drift. Then the
+    // drill: wipe the serving store, restore from the newest scheduled
+    // backup, serve identical.
+    import graft.ext.{Curation, PQ}
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 120)
+    val emb = Tables.embeddings(spark, sf())
+    val srcDir = Files.createTempDirectory("snapsinkdocs").toString
+    val root = Files.createTempDirectory("snapsinkstores").toString
+    val snapRoot = Files.createTempDirectory("snapsinkdest").toString
+    val stores = Curation.Stores(s"$root/text", s"$root/img", s"$root/aud",
+      s"$root/vid", s"$root/emb", s"$root/led", pqIndex = s"$root/pq")
+    val modalities = (b: org.apache.spark.sql.DataFrame) =>
+      Curation.ModalityFrames(embeddings = Some(emb.join(
+        b.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")))
+    def snaps(): Seq[String] =
+      Option(new java.io.File(snapRoot).listFiles())
+        .fold(Seq.empty[String])(
+          _.toSeq.map(_.getName).filter(_.startsWith("snap-")).sorted)
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("snapsinkckpt").toString)
+      .foreachBatch(Curation.sink(stores, modalities,
+        snapshotEvery = 1, snapshotDest = snapRoot, keepSnapshots = 2))
+      .start()
+    docs.filter(col("doc_id") % 4 === 0)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    q.processAllAvailable()
+    assert(snaps() == Seq("snap-000000"),
+      s"first batch took no scheduled backup: ${snaps()}")
+    Curation.trainServing(spark, stores)
+    (1 to 2).foreach { i =>
+      docs.filter(col("doc_id") % 4 === i)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // three drift windows, keep-last-2: the oldest backup was reclaimed
+    assert(snaps().size == 2, s"retention under the stream: ${snaps()}")
+    // no drift since the last batch -> the due form takes nothing
+    assert(Curation.snapshotDue(spark, stores, snapRoot).isEmpty,
+      "undrifted snapshotDue copied bytes")
+    assert(snaps().size == 2)
+    // the drill: lose the serving store, restore from the newest
+    // scheduled backup, serving answers byte-identically
+    val query = emb.join(docs.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      .select("vec_id", "embedding").orderBy("vec_id").limit(3)
+    val served = Curation.serveAnn(spark, stores, query, topK = 5)
+      .orderBy("qid", "rank").collect().toSeq
+    val fs = new org.apache.hadoop.fs.Path(stores.pqIndex)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stores.pqIndex), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${stores.pqIndex}.init"), true)
+    val racts = Curation.restore(spark, stores,
+      s"$snapRoot/${snaps().last}")
+    assert(racts.exists(_.contains("restored pq live generation")),
+      s"drill restore: $racts")
+    assert(Curation.serveAnn(spark, stores, query, topK = 5)
+      .orderBy("qid", "rank").collect().toSeq == served,
+      "restored serving diverges from pre-loss serving")
+  }
+
   test("streaming perceptual dedup: hash-layer probe per microbatch equals monolithic") {
     // the x115 contract under a real stream — the multimodal twin of
     // the LSH maintenance test above: each microbatch of images (their
