@@ -444,6 +444,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.analyzed
       }))
 
+    e.injectTableFunction((
+      new FunctionIdentifier("export_release_payload"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null,
+        "export_release_payload",
+        "export_release_payload(ledgerPath, cutoff, modality, storePath)" +
+          " - table function: the train-ready payload of a published " +
+          "release for one modality — the pinned manifest's rows joined " +
+          "back to the modality's store content with takedown holes " +
+          "EXCLUDED (Curation.exportReleasePayload). modality one of " +
+          "text/image/audio/video/embedding; storePath that modality's " +
+          "store root. Paths/modality string literals, cutoff an " +
+          "integer literal; refuses a withdrawn release.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 4,
+          "export_release_payload takes (ledgerPath, cutoff, modality, " +
+            "storePath)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val ledger = strLit(exprs(0), "export_release_payload ledgerPath")
+        val modality = strLit(exprs(2), "export_release_payload modality")
+        val store = strLit(exprs(3), "export_release_payload storePath")
+        val stores = modality match {
+          case "text" =>
+            graft.ext.Curation.Stores(store, "", "", "", "", ledger)
+          case "image" =>
+            graft.ext.Curation.Stores("", store, "", "", "", ledger)
+          case "audio" =>
+            graft.ext.Curation.Stores("", "", store, "", "", ledger)
+          case "video" =>
+            graft.ext.Curation.Stores("", "", "", store, "", ledger)
+          case "embedding" =>
+            graft.ext.Curation.Stores("", "", "", "", store, ledger)
+          case other => throw new IllegalArgumentException(
+            s"unknown payload modality '$other' — one of text, image, " +
+              "audio, video, embedding")
+        }
+        graft.ext.Curation.exportReleasePayload(spark, stores,
+          longLit(exprs(1), "export_release_payload cutoff"), modality)
+          .queryExecution.analyzed
+      }))
+
     def dblLit(ex: Expression, what: String): Double = ex match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: java.math.BigDecimal, _) =>
         v.doubleValue

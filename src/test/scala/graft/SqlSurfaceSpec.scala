@@ -582,6 +582,16 @@ class SqlSurfaceSpec extends SparkSpec {
       "ledger-only export statuses diverge from the full-store form")
     assert(sqlExp2.forall(_.isNullAt(3)),
       "ledger-only export fabricated content refs")
+    // the train-ready payload read, from the catalog
+    val sqlPay = spark.sql(
+      s"""SELECT * FROM export_release_payload('$led', 0, 'text',
+         |'${stores.textIndex}') ORDER BY doc_id""".stripMargin)
+      .collect().toSeq
+    assert(sqlPay == Curation.exportReleasePayload(spark, stores, 0L, "text")
+      .orderBy("doc_id").collect().toSeq,
+      "export_release_payload diverges from the Scala API")
+    assert(!sqlPay.exists(r => gone.contains(r.getLong(0))),
+      "export_release_payload shipped a retracted id")
     // a withdrawn release refuses through SQL, actionably
     Curation.unpublishRelease(spark, stores, 0L,
       "manifest metadata subject to takedown (spec)")

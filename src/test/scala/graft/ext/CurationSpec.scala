@@ -2473,8 +2473,12 @@ class CurationSpec extends SparkSpec {
       b.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
     def imgOf(b: org.apache.spark.sql.DataFrame) =
       b.select(col("doc_id"), xxhash64(col("text")).as("hash"))
+    def audOf(b: org.apache.spark.sql.DataFrame) =
+      b.select(col("doc_id"), xxhash64(reverse(col("text"))).as("hash"))
     Curation.commitTranche(docs, 0L, stores,
-      embeddings = Some(embOf(docs)), imgHashes = Some(imgOf(docs)))
+      embeddings = Some(embOf(docs)), imgHashes = Some(imgOf(docs)),
+      audHashes = Some(audOf(docs)),
+      vidFrames = Some(VideoHash.frameHashes(docs, "doc_id", "text")))
     Curation.publishRelease(spark, stores, 0L)
     // a takedown AFTER publication: the manifest pins the id forever,
     // the payload must never ship it
@@ -2484,12 +2488,18 @@ class CurationSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq
     Curation.retract(spark, gone.toDF("doc_id"), stores)
     def payload(m: String) = Curation.exportReleasePayload(
-      spark, stores, 0L, m).orderBy("doc_id").collect().toSeq
+        spark, stores, 0L, m)
+      .orderBy("doc_id",
+        if (m == "video") "sq" else "tranche") // seqs: >1 row per doc
+      .collect().toSeq
     val textBefore = payload("text")
     val imgBefore = payload("image")
+    val audBefore = payload("audio")
+    val vidBefore = payload("video")
     val embBefore = payload("embedding")
-    assert(textBefore.nonEmpty && imgBefore.nonEmpty && embBefore.nonEmpty)
-    Seq(textBefore, imgBefore, embBefore).foreach(p =>
+    assert(textBefore.nonEmpty && imgBefore.nonEmpty &&
+      audBefore.nonEmpty && vidBefore.nonEmpty && embBefore.nonEmpty)
+    Seq(textBefore, imgBefore, audBefore, vidBefore, embBefore).foreach(p =>
       assert(!p.exists(r => gone.contains(r.getLong(0))),
         s"published-then-retracted id shipped in a payload"))
     // uniform contract: (doc_id, tranche, <payload>)
@@ -2497,12 +2507,18 @@ class CurationSpec extends SparkSpec {
       Seq("doc_id", "tranche", "ch"))
     assert(imgBefore.head.schema.fieldNames.toSeq ==
       Seq("doc_id", "tranche", "hsh"))
+    assert(audBefore.head.schema.fieldNames.toSeq ==
+      Seq("doc_id", "tranche", "hsh"))
+    assert(vidBefore.head.schema.fieldNames.toSeq ==
+      Seq("doc_id", "tranche", "sq"))
     assert(embBefore.head.schema.fieldNames.toSeq ==
       Seq("doc_id", "tranche", "embedding"))
     // physical erasure changes NOTHING the payload ships
     Curation.maintain(spark, stores)
     assert(payload("text") == textBefore, "text payload not erasure-invariant")
     assert(payload("image") == imgBefore, "image payload not erasure-invariant")
+    assert(payload("audio") == audBefore, "audio payload not erasure-invariant")
+    assert(payload("video") == vidBefore, "video payload not erasure-invariant")
     assert(payload("embedding").map(r => (r.getLong(0),
         r.getAs[Seq[Float]]("embedding"))) ==
       embBefore.map(r => (r.getLong(0), r.getAs[Seq[Float]]("embedding"))),
