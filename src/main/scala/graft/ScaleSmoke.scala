@@ -1298,10 +1298,33 @@ object ScaleSmoke {
       "undrifted scheduled window copied snapshot bytes")
     require(Option(new java.io.File(schedRoot).listFiles())
       .forall(_.isEmpty), "undrifted scheduled window wrote to disk")
-    // The drill: TOTAL loss of every live role, then restore — recovery
-    // re-seats exactly the backup (cost tracks snapshot bytes, never
-    // deployment lifetime), fsck reads no violation, and the ledger
-    // answers byte-identically.
+    // ...and a DRIFTED window copies the drift, not the deployment
+    // (VERDICT r16 #1): one micro-tranche commit stales the stamp; the
+    // scheduled window diffs against the standing full backup and
+    // re-seats the unchanged ~100k-doc majority by reference — the new
+    // snapshot dir physically holds ~tranche bytes.
+    val tDiff = System.nanoTime()
+    Curation.commitTranche(microTranche(930000000L, "sdiff"), 6L, curStores)
+    val diffActs = Curation.snapshotDue(spark, curStores, schedRoot)
+    val diffSec = (System.nanoTime() - tDiff) / 1e9
+    val chainedSnap = s"$schedRoot/snap-000000"
+    require(diffActs.exists(_.contains("re-seated by reference")),
+      s"drift window did not copy differentially: $diffActs")
+    val (diffLive, _) = treeBytes(new java.io.File(chainedSnap))
+    require(diffLive * 10 < srcLive,
+      s"one-tranche-drift window copied $diffLive bytes against a " +
+        s"$srcLive-byte live deployment — differential cost is not " +
+        "tracking drift")
+    require(Curation.verifySnapshot(spark, chainedSnap).collect()
+      .forall(_.getAs[Boolean]("intact")),
+      "chained backup fails its own integrity audit")
+    println(f"scheduled diff snapshot: one micro-tranche drift -> " +
+      f"$diffLive%d bytes copied (vs $srcLive%d live) in $diffSec%.1fs, " +
+      "unchanged majority re-seated by reference")
+    // The drill: TOTAL loss of every live role, then restore FROM THE
+    // CHAINED BACKUP — recovery resolves references across the chain,
+    // re-seats ~snapshot bytes (never deployment lifetime), fsck reads
+    // no violation, and the ledger answers byte-identically.
     val ledgerPinB = graft.ext.Ledger.read(spark, curStores.ledger)
       .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)),
@@ -1319,7 +1342,7 @@ object ScaleSmoke {
       s"${curStores.ledger}.tombstones").foreach { r =>
       rmRole(r); rmRole(s"$r.init"); rmRole(s"$r.epoch"); rmRole(s"$r.gcmark")
     }
-    val racts = Curation.restore(spark, curStores, snapDest)
+    val racts = Curation.restore(spark, curStores, chainedSnap)
     val drillSec = (System.nanoTime() - tDrill) / 1e9
     require(racts.count(_.startsWith("restored")) >= 4,
       s"drill restore actions: $racts")

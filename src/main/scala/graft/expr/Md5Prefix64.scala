@@ -484,6 +484,104 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.analyzed
       }))
 
+    // the curation OPERATOR CONSOLE as table functions (VERDICT r16
+    // #5): the read/serve side was SQL-reachable but the compliance
+    // actions an operator console needs — the deployment audit, the
+    // scheduled-maintenance report, the release/backup integrity
+    // verifies — still required Scala. All read-only; none takes the
+    // writer lock. Two addressing forms where stores matter: the
+    // ledger path alone audits the ledger-side state (ledger, id
+    // registry, tombstones, releases — unregistered stores simply
+    // contribute no rows), and the full 6/7-path form audits the whole
+    // deployment including modality stores and the PQ serving index.
+    def storesOf(exprs: Seq[Expression], what: String)
+        : graft.ext.Curation.Stores = exprs.size match {
+      case 1 => ledgerStores(strLit(exprs(0), s"$what ledgerPath"))
+      case 6 | 7 => graft.ext.Curation.Stores(
+        strLit(exprs(0), s"$what textPath"),
+        strLit(exprs(1), s"$what imagePath"),
+        strLit(exprs(2), s"$what audioPath"),
+        strLit(exprs(3), s"$what videoPath"),
+        strLit(exprs(4), s"$what embeddingPath"),
+        strLit(exprs(5), s"$what ledgerPath"),
+        pqIndex =
+          if (exprs.size == 7) strLit(exprs(6), s"$what pqPath") else "")
+      case n => throw new IllegalArgumentException(
+        s"$what takes (ledgerPath) or (textPath, imagePath, audioPath, " +
+          s"videoPath, embeddingPath, ledgerPath[, pqPath]); got $n args")
+    }
+    e.injectTableFunction((
+      new FunctionIdentifier("curation_fsck"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null,
+        "curation_fsck",
+        "curation_fsck(ledgerPath | textPath, imagePath, audioPath, " +
+          "videoPath, embeddingPath, ledgerPath[, pqPath]) - table " +
+          "function: the deployment audit (Curation.fsck) — one row per " +
+          "check, (check, status ok/pending/violation, n, detail); " +
+          "`pending` resolves at the next scheduled pass by design, " +
+          "`violation` names lost state with its recovery. Read-only, " +
+          "lock-free. Paths string literals.", ""),
+      (exprs: Seq[Expression]) =>
+        graft.ext.Curation.consoleRead(
+          graft.ext.Curation.fsck(
+            org.apache.spark.sql.SparkSession.active,
+            storesOf(exprs, "curation_fsck"))
+            .queryExecution.analyzed)))
+    e.injectTableFunction((
+      new FunctionIdentifier("maintenance_report"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null,
+        "maintenance_report",
+        "maintenance_report(ledgerPath | textPath, imagePath, audioPath, " +
+          "videoPath, embeddingPath, ledgerPath[, pqPath]) - table " +
+          "function: the scheduled-maintenance due report " +
+          "(Curation.maintenanceReport at default thresholds) — one row " +
+          "per existing store: (store, files, buckets, files_per_bucket, " +
+          "tombstones_pending, due, skew, retired). Metadata-bounded, " +
+          "read-only. Paths string literals.", ""),
+      (exprs: Seq[Expression]) =>
+        graft.ext.Curation.consoleRead(
+          graft.ext.Curation.maintenanceReport(
+            org.apache.spark.sql.SparkSession.active,
+            storesOf(exprs, "maintenance_report"))
+            .queryExecution.analyzed)))
+    e.injectTableFunction((
+      new FunctionIdentifier("verify_release"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null,
+        "verify_release",
+        "verify_release(ledgerPath, cutoff) - table function: audit one " +
+          "published release against its registry pin " +
+          "(Curation.verifyRelease) — one row: (cutoff, pinned_rows, " +
+          "pinned_digest, artifact_intact, recut_matches). " +
+          "recut_matches flips false the moment a takedown lands after " +
+          "publication, by design. ledgerPath a string literal, cutoff " +
+          "an integer literal.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "verify_release takes (ledgerPath, cutoff)")
+        graft.ext.Curation.consoleRead(
+          graft.ext.Curation.verifyRelease(
+            org.apache.spark.sql.SparkSession.active,
+            ledgerStores(strLit(exprs(0), "verify_release ledgerPath")),
+            longLit(exprs(1), "verify_release cutoff"))
+            .queryExecution.analyzed)
+      }))
+    e.injectTableFunction((
+      new FunctionIdentifier("verify_snapshot"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null,
+        "verify_snapshot",
+        "verify_snapshot(srcPath) - table function: audit one backup's " +
+          "integrity against its copy-time manifest, chain-resolved " +
+          "(Curation.verifySnapshot) — one row per role: (role, " +
+          "files_expected, files_found, bytes_expected, bytes_found, " +
+          "intact). srcPath a string literal naming the snapshot dir.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 1, "verify_snapshot takes (srcPath)")
+        graft.ext.Curation.consoleRead(
+          graft.ext.Curation.verifySnapshot(
+            org.apache.spark.sql.SparkSession.active,
+            strLit(exprs(0), "verify_snapshot srcPath"))
+            .queryExecution.analyzed)
+      }))
+
     def dblLit(ex: Expression, what: String): Double = ex match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: java.math.BigDecimal, _) =>
         v.doubleValue

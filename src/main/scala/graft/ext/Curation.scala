@@ -90,10 +90,36 @@ object Curation {
                           video: String, embedding: String, ledger: String,
                           pqIndex: String = "")
 
+  /** Run a read-only audit `f` with the deployment's driver-side check
+    * fan-out executing INLINE on the calling thread. The SQL console's
+    * table functions ([[fsck]]/[[maintenanceReport]]/[[verifyRelease]]/
+    * [[verifySnapshot]] as `curation_fsck` etc.) must use it: a table-
+    * function builder runs inside `SessionCatalog.lookupFunction`,
+    * which holds the session-catalog monitor — a check task building a
+    * Dataset on a worker thread re-enters the catalog and deadlocks
+    * against the builder awaiting it. Inline, the monitor stays
+    * reentrant; the audit pays the sum of its checks instead of the
+    * slowest — the right trade for a console read.
+    */
+  def consoleRead[A](f: => A): A = StoreSwap.inline(f)
+
+  /** The curated corpus holds fewer kept embedding vectors than the
+    * codebook's k — thrown by [[trainServing]]/[[rereleaseServing]].
+    * A dedicated TYPE (ADVICE r16): [[rereleaseOrSkip]] turns exactly
+    * this refusal into a scheduled-window skip, and matching message
+    * text would silently re-enable the fail-after-committed-erasure
+    * mode the skip exists to prevent if the wording ever changed.
+    */
+  final class CorpusTooSmallException(msg: String)
+    extends IllegalArgumentException(msg)
+
   // store-FS existence (java.io.File would report every hdfs://-style
-  // store absent and silently bootstrap empty standing sides forever)
+  // store absent and silently bootstrap empty standing sides forever).
+  // A BLANK path reads as absent: a ledger-only Stores (the SQL
+  // console's read/audit forms) flows through every existence-gated
+  // catalogue without `new Path("")` throwing.
   private def exists(spark: SparkSession, dir: String): Boolean =
-    Dedup.storeExists(spark, dir)
+    dir.trim.nonEmpty && Dedup.storeExists(spark, dir)
 
   /** Marker + completeness guard for one standing store. Returns true
     * iff the store is fully present (probe it), false iff it is fully
@@ -796,9 +822,10 @@ object Curation {
             "codesCensus says it drifted")
       val corpus = servingCorpus(spark, stores)
       val n = corpus.count()
-      require(n >= k.toLong,
-        s"curated corpus holds $n kept embedding vectors — too few to " +
-          s"train k=$k subspace centroids")
+      if (n < k.toLong)
+        throw new CorpusTooSmallException(
+          s"curated corpus holds $n kept embedding vectors — too few to " +
+            s"train k=$k subspace centroids")
       PQ.writeIndex(corpus, stores.pqIndex, m, k, iters, subWidth)
       markInit(spark, stores.pqIndex)
       // the corpus derivation excluded every standing tombstone, so the
@@ -883,8 +910,9 @@ object Curation {
                                    stores: Stores): String =
     try { rerelease0(spark, stores); "pq_index" }
     catch {
-      case e: IllegalArgumentException
-        if e.getMessage != null && e.getMessage.contains("too few") =>
+      // the dedicated TYPE, not message text (ADVICE r16): rewording
+      // the refusal must never silently re-enable the failure mode
+      case _: CorpusTooSmallException =>
         "pq_index recall low but corpus too small to retrain — " +
           "re-release skipped"
     }
@@ -901,9 +929,10 @@ object Curation {
     val k = PQ.readIndexParams(spark, stores.pqIndex)._2
     val corpus = servingCorpus(spark, stores)
     val n = corpus.count()
-    require(n >= k.toLong,
-      s"curated corpus holds $n kept embedding vectors — too few to " +
-        s"retrain k=$k subspace centroids")
+    if (n < k.toLong)
+      throw new CorpusTooSmallException(
+        s"curated corpus holds $n kept embedding vectors — too few to " +
+          s"retrain k=$k subspace centroids")
     PQ.rewriteIndex(spark, stores.pqIndex, corpus)
     // the new generation is born clean of every standing tombstone
     // (the corpus derivation anti-joined them all), so the re-release
@@ -1524,36 +1553,74 @@ object Curation {
       s"withdrawn=$nWithdrawn|pq=$pqGen"
   }
 
-  // live-state recursive copy: hidden aside/tmp dirs (`.old_*`,
-  // `.compact_*`, `.retract_*`, …) are rollback artifacts gc reclaims
-  // — backing them up would make snapshot cost grow with maintenance
-  // history instead of store bytes (ScaleSmoke asserts the exclusion)
-  private def copyLive(spark: SparkSession, src: String,
-                       dst: String): (Long, Long) = {
+  // the live-file pruning rule shared by every snapshot-side walk:
+  // hidden aside/tmp dirs (`.old_*`, `.compact_*`, `.retract_*`, …)
+  // are rollback artifacts gc reclaims — backing them up would make
+  // snapshot cost grow with maintenance history instead of store
+  // bytes (ScaleSmoke asserts the exclusion)
+  private def liveName(n: String): Boolean =
+    !n.startsWith(".") && !n.endsWith(".old") && n != "_current.tmp"
+
+  /** Every LIVE file under `src`, as (relpath, length, mtime) — the
+    * one walker [[snapshot0]] diffs and copies from, so the pruning
+    * rule cannot diverge between the manifest and the copy. One
+    * listing RPC per directory, never one per file.
+    */
+  private def listLive(spark: SparkSession,
+                       src: String): Seq[(String, Long, Long)] = {
+    val fs = StoreSwap.fsOf(spark, src)
+    def walk(p: org.apache.hadoop.fs.Path,
+             rel: String): Seq[(String, Long, Long)] =
+      fs.listStatus(p).toSeq.filter(s => liveName(s.getPath.getName))
+        .flatMap { s =>
+          val r = if (rel.isEmpty) s.getPath.getName
+                  else s"$rel/${s.getPath.getName}"
+          if (s.isFile) Seq((r, s.getLen, s.getModificationTime))
+          else walk(s.getPath, r)
+        }
+    val root = new org.apache.hadoop.fs.Path(src)
+    if (fs.getFileStatus(root).isFile) {
+      val st = fs.getFileStatus(root)
+      Seq(("", st.getLen, st.getModificationTime))
+    } else walk(root, "")
+  }
+
+  // one-file copy (parents created by FileSystem.create)
+  private def copyFile(spark: SparkSession, src: String,
+                       dst: String): Unit = {
     val sFs = StoreSwap.fsOf(spark, src)
     val dFs = StoreSwap.fsOf(spark, dst)
-    def walk(s: org.apache.hadoop.fs.Path,
-             d: org.apache.hadoop.fs.Path): (Long, Long) = {
-      val st = sFs.getFileStatus(s)
-      if (st.isFile) {
-        if (!org.apache.hadoop.fs.FileUtil.copy(sFs, s, dFs, d,
-          false, sFs.getConf))
-          throw new java.io.IOException(s"snapshot: cannot copy $s to $d")
-        (1L, st.getLen)
-      } else {
-        dFs.mkdirs(d)
-        sFs.listStatus(s).toSeq
-          .filterNot(k => k.getPath.getName.startsWith(".") ||
-            k.getPath.getName.endsWith(".old") || // per-table rollback asides
-            k.getPath.getName == "_current.tmp")
-          .map(k => walk(k.getPath,
-            new org.apache.hadoop.fs.Path(d, k.getPath.getName)))
-          .foldLeft((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
-      }
-    }
-    walk(new org.apache.hadoop.fs.Path(src),
-      new org.apache.hadoop.fs.Path(dst))
+    if (!org.apache.hadoop.fs.FileUtil.copy(sFs,
+      new org.apache.hadoop.fs.Path(src), dFs,
+      new org.apache.hadoop.fs.Path(dst), false, sFs.getConf))
+      throw new java.io.IOException(s"snapshot: cannot copy $src to $dst")
   }
+
+  // live-state recursive FULL copy (sidecars, legacy-snapshot restore).
+  // The dst ROOT dir is always created — an `.init` marker is an empty
+  // directory, and dropping it would make every restored store read as
+  // never-initialized.
+  private def copyLive(spark: SparkSession, src: String,
+                       dst: String): (Long, Long) = {
+    val fs = StoreSwap.fsOf(spark, src)
+    val root = new org.apache.hadoop.fs.Path(src)
+    if (fs.getFileStatus(root).isFile) {
+      copyFile(spark, src, dst)
+      (1L, fs.getFileStatus(root).getLen)
+    } else {
+      StoreSwap.fsOf(spark, dst)
+        .mkdirs(new org.apache.hadoop.fs.Path(dst))
+      listLive(spark, src).map { case (rel, len, _) =>
+        copyFile(spark, s"$src/$rel", s"$dst/$rel")
+        (1L, len)
+      }.foldLeft((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
+    }
+  }
+
+  // physical location of one manifested snapshot file: `relpath` ""
+  // means the role path itself is a single file
+  private def physPath(loc: String, role: String, relpath: String): String =
+    if (relpath.isEmpty) s"$loc/$role" else s"$loc/$role/$relpath"
 
   // the sidecars a role's tables depend on: the init marker (a dir),
   // the epoch counter, and the applied-epoch watermark
@@ -1588,15 +1655,29 @@ object Curation {
     * commit tears the copy. Rollback asides, tmp dirs, and retired
     * serving generations are EXCLUDED: snapshot cost is proportional
     * to live store bytes, never to maintenance or re-release history
-    * (ScaleSmoke asserts it structurally). The snapshot's `_meta`
-    * table lands LAST (the params-last discipline — a crashed
-    * snapshot has no `_meta` and [[restore]] refuses it), then the
-    * deployment's snapshot registry records (dest, stamp) so [[fsck]]
-    * can report `snapshot_stale` the moment a later commit/retraction/
-    * publish makes the backup incomplete. Returns one action line per
-    * role copied. On a real cluster, swap the per-file copy for
-    * DistCp — the contract (lock, live-only pruning, meta-last) is
-    * what this primitive defines.
+    * (ScaleSmoke asserts it structurally). The snapshot's per-file
+    * manifest (`_files`) and `_meta` table land LAST in that order
+    * (the params-last discipline — a crashed snapshot has no `_meta`
+    * and [[restore]] refuses it), then the deployment's snapshot
+    * registry records (dest, stamp) so [[fsck]] can report
+    * `snapshot_stale` the moment a later commit/retraction/publish
+    * makes the backup incomplete. Returns one action line per role
+    * copied. On a real cluster, swap the per-file copy for DistCp
+    * `-update` — the contract (lock, live-only pruning, manifest+
+    * meta-last) is what this primitive defines.
+    *
+    * This form is always FULL and self-contained. The scheduled form
+    * ([[snapshotDue]]) passes the newest standing backup as `base`
+    * and copies DIFFERENTIALLY (VERDICT r16 #1): a live file whose
+    * (length, mtime) match the base manifest's record is re-seated BY
+    * REFERENCE to the chain member that physically holds it — its
+    * `_files` row carries that member's path — so a one-tranche-drift
+    * window copies ~tranche bytes, never deployment bytes. Stores
+    * append fresh immutably-named parquet parts per commit and
+    * rewrites mint new names, so (length, mtime) equality at a stable
+    * relpath is an exact unchanged signal, and a reference made once
+    * resolves DIRECTLY (base rows already carry their original
+    * holder, so lookup never walks the chain).
     */
   def snapshot(spark: SparkSession, stores: Stores,
                dest: String): Seq[String] =
@@ -1604,10 +1685,43 @@ object Curation {
       snapshot0(spark, stores, dest)
     }
 
+  // diff-copy one role: walk the live tree once, copy files the base
+  // manifest does not hold unchanged, reference the rest. `parts`
+  // maps a relpath prefix to its live source dir (the pq role stitches
+  // params/centroids/codes under one role tree). Returns the role's
+  // full logical manifest plus (logicalFiles, logicalBytes,
+  // copiedFiles, copiedBytes).
+  private def diffCopyRole(spark: SparkSession, role: String,
+                           parts: Seq[(String, String)], dest: String,
+                           baseFiles: Map[(String, String), (Long, Long, String)])
+      : (Seq[(String, Long, Long, String)], Long, Long, Long, Long) = {
+    var (cf, cb) = (0L, 0L)
+    val manifest = parts.flatMap { case (prefix, dir) =>
+      listLive(spark, dir).map { case (rel, len, mt) =>
+        val relpath =
+          if (prefix.isEmpty) rel
+          else if (rel.isEmpty) prefix
+          else s"$prefix/$rel"
+        baseFiles.get((role, relpath)) match {
+          case Some((blen, bmt, bloc)) if blen == len && bmt == mt =>
+            (relpath, len, mt, bloc) // unchanged: re-seat by reference
+          case _ =>
+            copyFile(spark, if (rel.isEmpty) dir else s"$dir/$rel",
+              physPath(dest, role, relpath))
+            cf += 1; cb += len
+            (relpath, len, mt, dest)
+        }
+      }
+    }
+    (manifest, manifest.size.toLong, manifest.map(_._2).sum, cf, cb)
+  }
+
   // the snapshot body, for callers that ALREADY hold the writer lock
-  // ([[maintainDue]]'s scheduled snapshot window)
+  // ([[maintainDue]]'s scheduled snapshot window). `base` = a standing
+  // VERIFIED snapshot to diff against (None = full copy).
   private def snapshot0(spark: SparkSession, stores: Stores,
-                        dest: String): Seq[String] = {
+                        dest: String,
+                        base: Option[String] = None): Seq[String] = {
       import spark.implicits._
       val dFs = StoreSwap.fsOf(spark, dest)
       val destP = new org.apache.hadoop.fs.Path(dest)
@@ -1615,14 +1729,27 @@ object Curation {
         s"snapshot dest $dest is non-empty — snapshots are immutable; " +
           "write each to a fresh directory")
       val stamp = deploymentStamp(spark, stores)
+      // the base manifest, keyed (role, relpath) — metadata-sized
+      val baseFiles: Map[(String, String), (Long, Long, String)] =
+        base.filter(b => exists(spark, s"$b/_files")).map { b =>
+          spark.read.parquet(s"$b/_files")
+            .select("role", "relpath", "length", "mtime", "loc")
+            .collect().map(r => (r.getString(0), r.getString(1)) ->
+              ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+        }.getOrElse(Map.empty)
+      def line(role: String, nf: Long, nb: Long, cf: Long,
+               cb: Long): String =
+        if (cf == nf) s"copied $role ($cf files, $cb bytes)"
+        else s"copied $role ($cf of $nf files, $cb of $nb bytes; " +
+          "rest re-seated by reference to the chain)"
       // roles are disjoint directory trees — copy them concurrently
       // (wall-clock pays the largest store, not the sum)
       val roleActions = StoreSwap.concurrentlyAll(snapshotRoles(stores)
         .filter(r => exists(spark, r._2)).map { case (role, src) => () =>
-          val (files, bytes) = copyLive(spark, src, s"$dest/$role")
+          val (man, nf, nb, cf, cb) =
+            diffCopyRole(spark, role, Seq("" -> src), dest, baseFiles)
           copySidecars(spark, src, s"$dest/$role")
-          (role, src, files, bytes,
-            s"copied $role ($files files, $bytes bytes)")
+          (role, src, man, nf, nb, cf, cb, line(role, nf, nb, cf, cb))
         })
       val pqActions =
         if (stores.pqIndex.isEmpty || !exists(spark, stores.pqIndex))
@@ -1632,49 +1759,85 @@ object Curation {
           val gen =
             if (live == stores.pqIndex) "" // flat pre-generational store
             else live.stripPrefix(s"${stores.pqIndex}/")
-          val tables = Seq("params", "centroids", "codes")
+          val parts = Seq("params", "centroids", "codes")
             .filter(t => exists(spark, s"$live/$t"))
-          val copied = tables.map(t =>
-            copyLive(spark, s"$live/$t", s"$dest/pq/$t"))
+            .map(t => t -> s"$live/$t")
+          val (man, nf, nb, cf, cb) =
+            diffCopyRole(spark, "pq", parts, dest, baseFiles)
           copySidecars(spark, stores.pqIndex, s"$dest/pq")
-          val (files, bytes) = copied
-            .foldLeft((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
           // src records the LIVE path; restore re-derives the pinned
           // generation from its basename
-          Seq(("pq", live, files, bytes,
-            s"copied pq live generation ${if (gen.isEmpty) "(flat)" else gen} " +
-              s"($files files, $bytes bytes)"))
+          Seq(("pq", live, man, nf, nb, cf, cb,
+            s"copied pq live generation " +
+              s"${if (gen.isEmpty) "(flat)" else gen} " +
+              s"($cf of $nf files, $cb of $nb bytes)"))
         }
       val all = roleActions ++ pqActions
-      all.map { case (role, src, files, bytes, _) =>
-        (role, src, files, bytes) }
-        .toDF("role", "src", "n_files", "n_bytes")
+      val depth: Long = base.map(b =>
+        try spark.read.parquet(s"$b/_meta").select("depth")
+          .limit(1).collect().headOption.map(_.getLong(0) + 1L)
+          .getOrElse(1L)
+        catch { case _: org.apache.spark.sql.AnalysisException => 1L })
+        .getOrElse(0L)
+      // the per-file manifest FIRST, `_meta` last: a snapshot whose
+      // write crashed between them has no `_meta` and restore refuses
+      all.flatMap { case (role, _, man, _, _, _, _, _) =>
+        man.map(m => (role, m._1, m._2, m._3, m._4)) }
+        .toDF("role", "relpath", "length", "mtime", "loc")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dest/_files")
+      all.map { case (role, src, _, nf, nb, cf, cb, _) =>
+        (role, src, nf, nb, cf, cb) }
+        .toDF("role", "src", "n_files", "n_bytes",
+          "copied_files", "copied_bytes")
         .withColumn("stamp", lit(stamp))
+        .withColumn("base", lit(base.getOrElse("")))
+        .withColumn("depth", lit(depth))
         .withColumn("created_at", lit(java.time.Instant.now().toString))
         .coalesce(1).write.mode("overwrite").parquet(s"$dest/_meta")
-      Seq((dest, stamp, java.time.Instant.now().toString))
-        .toDF("dest", "stamp", "created_at")
+      // created_ms: epoch millis, the registry's ORDER AUTHORITY
+      // (ADVICE r16: Instant.now().toString is variable-precision
+      // ISO-8601 — lexicographic order diverges from chronological
+      // when one stamp is a truncation-prefix of another)
+      Seq((dest, stamp, java.time.Instant.now().toString,
+        System.currentTimeMillis(), depth))
+        .toDF("dest", "stamp", "created_at", "created_ms", "depth")
         .coalesce(1).write.mode("append")
         .parquet(snapshotsRegistry(stores))
-      all.map(_._5)
+      all.map(_._8)
     }
 
   /** The SCHEDULED form of [[snapshot]] (VERDICT r15 #2: backup was
     * the one lifecycle arc with a due signal — [[fsck]]'s
     * `snapshot_stale` — that nobody acted on): take a writer-locked
     * snapshot into `destRoot/snap-NNNNNN` iff the deployment CHANGED
-    * since the newest registered snapshot (the same logical-stamp
-    * staleness test fsck reports, including the deleted/rotted-backup
-    * case — a registry row whose `_meta` is gone is not coverage),
-    * then apply keep-last-`keep` retention over destRoot's registered
-    * snapshots, reclaiming the oldest beyond the policy. A window
-    * where nothing drifted takes NO copy at all — scheduled-backup
-    * cost tracks drift since the last snapshot, never deployment
-    * lifetime (ScaleSmoke asserts it structurally). Reclaimed
+    * since the newest registered snapshot, then apply
+    * keep-last-`keep` retention over destRoot's standing snapshots.
+    * A window where nothing drifted takes NO copy at all, and a
+    * window where SOMETHING drifted copies only the files that moved
+    * (VERDICT r16 #1): the snapshot diffs against the newest standing
+    * backup and re-seats unchanged content by reference to the chain
+    * member that physically holds it, so scheduled-backup cost tracks
+    * drift since the last snapshot — a one-tranche window copies
+    * ~tranche bytes, never deployment bytes (ScaleSmoke asserts it
+    * structurally). Every `maxChain`-th link REBASES to a full
+    * self-contained copy, bounding both chain length and how long a
+    * reclaimed-in-principle old dir can stay pinned by references.
+    *
+    * Coverage is INTEGRITY-GATED (VERDICT r16 #4): the newest backup
+    * counts only if its `_meta` stands AND [[verifySnapshot]] finds
+    * every chain-resolved file at its recorded (path, length) — a
+    * backup that rotted after its registry row landed is not
+    * coverage; the window says so and takes a fresh FULL snapshot
+    * (never chaining onto rot). The audit is one listing per backup
+    * directory, metadata-scale like the diff walk itself.
+    *
+    * Retention reclaims dirs beyond the policy ONLY when no kept
+    * snapshot still references their files; a chain-referenced dir is
+    * retained (and said so) until a rebase unreferences it. Reclaimed
     * snapshots keep their registry rows (the audit trail of what was
-    * taken when); staleness always reads the NEWEST row, which
-    * retention never touches. Returns the actions taken; empty means
-    * covered (nothing due).
+    * taken when); staleness always reads the NEWEST row, a pushed
+    * limit-1 read — never the lifetime registry. Returns the actions
+    * taken; empty means covered (nothing due).
     *
     * [[maintainDue]]`(snapshotDest = …)` runs this inside its own
     * scheduled window (after compaction/erasure — the snapshot covers
@@ -1682,74 +1845,155 @@ object Curation {
     * long-running stream the same cadence per n batches.
     */
   def snapshotDue(spark: SparkSession, stores: Stores, destRoot: String,
-                  keep: Int = 2): Seq[String] =
+                  keep: Int = 2, maxChain: Int = 4): Seq[String] =
     withWriterLock(spark, stores, s"snapshotDue($destRoot)") {
-      snapshotDue0(spark, stores, destRoot, keep)
+      snapshotDue0(spark, stores, destRoot, keep, maxChain)
     }
+
+  // the snap-NNNNNN dirs standing under one scheduled root, numbered,
+  // ascending — O(standing backups), never the lifetime registry
+  private def listSnapDirs(spark: SparkSession,
+                           destRoot: String): Seq[(Long, String)] = {
+    if (!exists(spark, destRoot)) Seq.empty
+    else StoreSwap.fsOf(spark, destRoot)
+      .listStatus(new org.apache.hadoop.fs.Path(destRoot)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("snap-"))
+      .flatMap(n => n.stripPrefix("snap-").toLongOption
+        .map(i => (i, s"$destRoot/$n")))
+      .sortBy(_._1)
+  }
 
   // the body, for callers already holding the writer lock
   // ([[maintainDue]]'s window); empty result = covered, nothing due
   private def snapshotDue0(spark: SparkSession, stores: Stores,
-                           destRoot: String, keep: Int): Seq[String] = {
+                           destRoot: String, keep: Int,
+                           maxChain: Int = 4): Seq[String] = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
+    require(maxChain >= 1, s"maxChain must be >= 1, got $maxChain")
     require(destRoot.trim.nonEmpty, "snapshot destRoot must be non-empty")
     val reg = snapshotsRegistry(stores)
     val stamp = deploymentStamp(spark, stores)
-    val rows =
-      if (!exists(spark, reg)) Array.empty[org.apache.spark.sql.Row]
-      else spark.read.parquet(reg)
-        .orderBy(col("created_at").desc).collect()
-    val covered = rows.headOption.exists(r =>
-      r.getAs[String]("stamp") == stamp &&
-        exists(spark, s"${r.getAs[String]("dest")}/_meta"))
+    // ONE pushed limit-1 row — the registry grows one row per lifetime
+    // snapshot (rows are the audit trail retention never deletes), so
+    // the scheduled check must never collect it whole
+    val newest =
+      if (!exists(spark, reg)) None
+      else spark.read.parquet(reg).orderBy(col("created_ms").desc)
+        .limit(1).collect().headOption
+    val newestDest = newest.map(_.getAs[String]("dest"))
+    val newestStanding =
+      newestDest.exists(d => exists(spark, s"$d/_meta"))
+    // integrity gate: a backup that rots after its _meta landed must
+    // neither count as coverage nor become a chain base
+    val newestIntact = newestStanding &&
+      verifySnapshot(spark, newestDest.get).collect()
+        .forall(_.getAs[Boolean]("intact"))
+    val covered = newestIntact &&
+      newest.exists(_.getAs[String]("stamp") == stamp)
     if (covered) Seq.empty
     else {
-      // monotone name from the registry's lifetime row count, bumped
-      // past any standing dir (a manual snapshot may share the root)
-      var n = rows.length.toLong
-      while (exists(spark, f"$destRoot/snap-$n%06d")) n += 1
-      val dest = f"$destRoot/snap-$n%06d"
-      val acts = snapshot0(spark, stores, dest)
+      val standing = listSnapDirs(spark, destRoot)
+      val dest =
+        f"$destRoot/snap-${standing.map(_._1).foldLeft(-1L)(math.max) + 1}%06d"
+      val newestDepth = newest.map(r =>
+        if (r.schema.fieldNames.contains("depth")) r.getAs[Long]("depth")
+        else 0L).getOrElse(0L)
+      val base =
+        if (newestIntact && newestDepth < maxChain) newestDest else None
+      val rotNote =
+        if (newestStanding && !newestIntact)
+          Seq(s"newest snapshot ${newestDest.get} fails its _meta " +
+            "integrity pin — rotted backups are not coverage; " +
+            "replacing with a full snapshot")
+        else Seq.empty
+      val acts = snapshot0(spark, stores, dest, base)
         .map(a => s"snapshot $dest: $a")
-      // keep-last-N retention over THIS root's registered snapshots:
-      // the one just taken is newest; older dirs beyond the policy are
-      // reclaimed (directory deletes — the generation-retention
-      // pattern applied to backups). Manual snapshots under other
-      // roots are never touched.
-      val mine = (dest +: rows.map(_.getAs[String]("dest")).toSeq)
-        .filter(_.startsWith(s"$destRoot/")).distinct
-      val reclaimed = mine.drop(keep)
-        .filter(d => exists(spark, d)).map { d =>
-          StoreSwap.fsOf(spark, d)
-            .delete(new org.apache.hadoop.fs.Path(d), true)
-          s"reclaimed snapshot $d (keep-last-$keep retention)"
-        }
-      acts ++ reclaimed
+      // keep-last-N retention over THIS root's standing snapshots,
+      // newest first — but a dir a KEPT snapshot still references
+      // through its chain is the only physical copy of those files:
+      // retain it until a rebase unreferences it. Manual snapshots
+      // under other roots are never touched.
+      val dirs = dest +: standing.map(_._2).reverse
+      val referenced: Set[String] = dirs.take(keep).flatMap { d =>
+        d +: (if (!exists(spark, s"$d/_files")) Seq.empty[String]
+        else spark.read.parquet(s"$d/_files").select("loc")
+          .distinct().collect().map(_.getString(0)).toSeq)
+      }.toSet
+      val (held, reclaimable) = dirs.drop(keep)
+        .filter(d => exists(spark, d)).partition(referenced)
+      val reclaimed = reclaimable.map { d =>
+        StoreSwap.fsOf(spark, d)
+          .delete(new org.apache.hadoop.fs.Path(d), true)
+        s"reclaimed snapshot $d (keep-last-$keep retention)"
+      }
+      val retained = held.map(d =>
+        s"retained snapshot $d (chain-referenced by a kept backup; " +
+          "a rebase window reclaims it)")
+      rotNote ++ acts ++ reclaimed ++ retained
     }
   }
 
   /** Audit a [[snapshot]]'s own integrity: per role, the file count
-    * and byte total the snapshot recorded in `_meta` at copy time
-    * against what its directory holds NOW — the backup-side analog of
+    * and byte total the snapshot manifested at copy time against what
+    * its chain-resolved locations hold NOW — the backup-side analog of
     * [[verifyRelease]] (a backup that rotted is only discovered when
-    * the restore it existed for silently plants a broken store).
-    * Returns (role, files_expected, files_found, bytes_expected,
-    * bytes_found, intact). [[restore]] refuses to re-seat from a role
-    * that fails this check.
+    * the restore it existed for silently plants a broken store). A
+    * file counts as found only when it stands at its recorded holder
+    * with its recorded length, so rot ANYWHERE in a differential
+    * chain surfaces on the snapshots that depend on it. One listing
+    * per backup directory (statuses come back from the listing, never
+    * one RPC per file) — metadata-scale at any corpus size. Returns
+    * (role, files_expected, files_found, bytes_expected, bytes_found,
+    * intact). [[restore]] refuses to re-seat from a role that fails
+    * this check; [[snapshotDue]] refuses a failing backup as coverage
+    * and [[fsck]]'s `snapshot_stale` row reports it.
     */
   def verifySnapshot(spark: SparkSession, src: String): DataFrame = {
     import spark.implicits._
     require(exists(spark, s"$src/_meta"),
       s"no snapshot _meta at $src — not a snapshot, or its write " +
         "crashed before the meta landed")
-    spark.read.parquet(s"$src/_meta")
+    val metaRoles = spark.read.parquet(s"$src/_meta")
       .select("role", "n_files", "n_bytes").collect()
-      .map { r =>
-        val role = r.getString(0)
-        val (files, bytes) = snapshotStats(spark, s"$src/$role")
-        (role, r.getLong(1), files, r.getLong(2), bytes,
-          files == r.getLong(1) && bytes == r.getLong(2))
-      }.toSeq.sortBy(_._1)
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val found: Map[String, (Long, Long)] =
+      if (!exists(spark, s"$src/_files"))
+        // legacy (pre-manifest) snapshot: directory-walk totals
+        metaRoles.map(m => m._1 -> snapshotStats(spark, s"$src/${m._1}"))
+          .toMap
+      else {
+        val rows = spark.read.parquet(s"$src/_files")
+          .select("role", "relpath", "length", "loc").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getString(3)))
+        // one listing per physical parent directory
+        val lens = new scala.collection.mutable.HashMap[String,
+          Map[String, Long]]()
+        def dirOf(p: String): (String, String) = {
+          val i = p.lastIndexOf('/')
+          (p.substring(0, i), p.substring(i + 1))
+        }
+        def presentLen(p: String): Option[Long] = {
+          val (dir, name) = dirOf(p)
+          lens.getOrElseUpdate(dir,
+            try StoreSwap.fsOf(spark, dir)
+              .listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+              .filter(_.isFile)
+              .map(s => s.getPath.getName -> s.getLen).toMap
+            catch { case _: java.io.FileNotFoundException => Map.empty })
+            .get(name)
+        }
+        rows.groupBy(_._1).map { case (role, rs) =>
+          val ok = rs.filter(r =>
+            presentLen(physPath(r._4, role, r._2)).contains(r._3))
+          role -> ((ok.length.toLong, ok.map(_._3).sum))
+        }
+      }
+    metaRoles.map { case (role, nf, nb) =>
+      val (ff, fb) = found.getOrElse(role, (0L, 0L))
+      (role, nf, ff, nb, fb, ff == nf && fb == nb)
+    }.toSeq.sortBy(_._1)
       .toDF("role", "files_expected", "files_found",
         "bytes_expected", "bytes_found", "intact")
   }
@@ -1778,10 +2022,15 @@ object Curation {
     * than any backup by definition; restoring over it would roll back
     * commits silently). Surgical by role: the releases dir merges at
     * the per-cutoff level, everything else restores whole-or-not-at-
-    * all. Refuses a snapshot without `_meta` (a crashed [[snapshot]]).
-    * Under the writer lock. Returns one action line per decision;
-    * after a restore, run [[fsck]] — the violation rows the snapshot
-    * covered read ok again (CurationSpec pins the manifest arc).
+    * all. A DIFFERENTIAL snapshot ([[snapshotDue]]'s chained form)
+    * restores through its `_files` manifest: every row names the chain
+    * member physically holding its copy, so the read resolves directly
+    * — and [[verifySnapshot]]'s chain-resolved integrity pin gates
+    * each role before any copy lands. Refuses a snapshot without
+    * `_meta` (a crashed [[snapshot]]). Under the writer lock. Returns
+    * one action line per decision; after a restore, run [[fsck]] — the
+    * violation rows the snapshot covered read ok again (CurationSpec
+    * pins the manifest arc).
     */
   def restore(spark: SparkSession, stores: Stores,
               src: String): Seq[String] =
@@ -1819,17 +2068,40 @@ object Curation {
         else spark.read.parquet(reg).select("cutoff").dropDuplicates()
           .collect().map(r => s"cutoff=${r.getLong(0)}").toSet
       }
+      // chain-resolving per-role file lists: each `_files` row names
+      // the chain member that physically holds its copy, so a restore
+      // from a differential snapshot reads straight from the recorded
+      // holders — no chain walk. Legacy (pre-manifest) snapshots
+      // synthesize the list from their own directory tree.
+      val roleFiles: Map[String, Seq[(String, String)]] =
+        if (exists(spark, s"$src/_files"))
+          spark.read.parquet(s"$src/_files")
+            .select("role", "relpath", "loc").collect()
+            .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+            .groupBy(_._1).map { case (role, rs) =>
+              role -> rs.toSeq.map(r => (r._2, r._3)) }
+        else meta.keys.map { role =>
+          role -> (
+            if (!exists(spark, s"$src/$role")) Seq.empty[(String, String)]
+            else listLive(spark, s"$src/$role").map(f => (f._1, src)))
+        }.toMap
+      def reseat(role: String, target: String,
+                 files: Seq[(String, String)]): Unit =
+        files.foreach { case (rel, loc) =>
+          copyFile(spark, physPath(loc, role, rel),
+            if (rel.isEmpty) target else s"$target/$rel")
+        }
       val roleActions = snapshotRoles(stores)
         .filter(r => meta.contains(r._1)).flatMap { case (role, target) =>
+          val files = roleFiles.getOrElse(role, Seq.empty)
           if (role == "releases") {
             // per-cutoff merge (whether or not the live dir stands): a
             // lost manifest restores beside the standing ones (the
             // releases_publish violation recovery) — EXCEPT withdrawn
             // cutoffs, whose absence is the audited-purge contract
-            val sFs = StoreSwap.fsOf(spark, s"$src/$role")
-            val snapCuts = sFs.listStatus(
-              new org.apache.hadoop.fs.Path(s"$src/$role")).toSeq
-              .map(_.getPath.getName).filter(_.startsWith("cutoff="))
+            val liveWasAbsent = !exists(spark, target)
+            val snapCuts = files.map(_._1.takeWhile(_ != '/'))
+              .filter(_.startsWith("cutoff=")).distinct
             val missing = snapCuts
               .filterNot(c => exists(spark, s"$target/$c"))
             val (purged, restorable) =
@@ -1842,16 +2114,23 @@ object Curation {
             else if (restorable.isEmpty) skips
             else {
               requireIntact(role)
-              restorable.map { c =>
-                copyLive(spark, s"$src/$role/$c", s"$target/$c")
+              val acts = restorable.sorted.map { c =>
+                reseat(role, target,
+                  files.filter(_._1.startsWith(s"$c/")))
                 s"restored $role/$c"
-              } ++ skips
+              }
+              // on TOTAL loss of the live releases dir, the role's
+              // sidecars must come back too (ADVICE r16: snapshot
+              // captures them for every role; the per-cutoff branch
+              // silently never restored them)
+              if (liveWasAbsent) copySidecars(spark, s"$src/$role", target)
+              acts ++ skips
             }
           } else if (exists(spark, target))
             Seq(s"skipped $role (live state stands)")
           else {
             requireIntact(role)
-            copyLive(spark, s"$src/$role", target)
+            reseat(role, target, files)
             copySidecars(spark, s"$src/$role", target)
             Seq(s"restored $role to $target")
           }
@@ -1867,7 +2146,7 @@ object Curation {
           val gen = if (base.startsWith("gen-")) base else ""
           val target =
             if (gen.isEmpty) stores.pqIndex else s"${stores.pqIndex}/$gen"
-          copyLive(spark, s"$src/pq", target)
+          reseat("pq", target, roleFiles.getOrElse("pq", Seq.empty))
           copySidecars(spark, s"$src/pq", stores.pqIndex)
           if (gen.nonEmpty) {
             val fs = StoreSwap.fsOf(spark, stores.pqIndex)
@@ -3228,26 +3507,40 @@ object Curation {
     if (exists(spark, snapshotsRegistry(stores)))
       add(Some {
         val newest = spark.read.parquet(snapshotsRegistry(stores))
-          .orderBy(col("created_at").desc).limit(1).collect()(0)
+          .orderBy(col("created_ms").desc).limit(1).collect()(0)
         val cur = deploymentStamp(spark, stores)
         // the registry row alone is not coverage: a deleted or rotted
         // backup must not read as a standing recovery path (ADVICE
         // r15) — gate the ok on the snapshot's _meta still existing
-        val standing =
-          exists(spark, s"${newest.getAs[String]("dest")}/_meta")
+        // AND on its chain-resolved content audit (VERDICT r16 #4: a
+        // backup that rots AFTER its _meta landed was still "coverage"
+        // until the disaster it existed for; verifySnapshot is one
+        // listing per backup dir, so the ride is metadata-scale)
+        val dest = newest.getAs[String]("dest")
+        val standing = exists(spark, s"$dest/_meta")
+        val rotted = standing &&
+          !verifySnapshot(spark, dest).collect()
+            .forall(_.getAs[Boolean]("intact"))
         if (!standing)
           ("snapshot_stale", "pending", 1L,
-            s"the newest registered snapshot " +
-              s"(${newest.getAs[String]("dest")}) is gone or lost its " +
-              "_meta — no standing recovery path; run Curation.snapshot")
+            s"the newest registered snapshot ($dest) is gone or lost " +
+              "its _meta — no standing recovery path; run " +
+              "Curation.snapshot")
+        else if (rotted)
+          ("snapshot_stale", "pending", 1L,
+            s"the newest registered snapshot ($dest) fails its _meta " +
+              "integrity pin (files missing or resized since copy " +
+              "time) — a rotted backup is not coverage; the next " +
+              "scheduled snapshotDue window replaces it with a full " +
+              "snapshot")
         else if (newest.getAs[String]("stamp") == cur)
           ("snapshot_stale", "ok", 0L,
-            s"newest snapshot (${newest.getAs[String]("dest")}) covers " +
-              "the deployment's current state")
+            s"newest snapshot ($dest) covers the deployment's " +
+              "current state")
         else
           ("snapshot_stale", "pending", 1L,
             "the deployment changed since the newest snapshot " +
-              s"(${newest.getAs[String]("dest")}); run Curation.snapshot " +
+              s"($dest); run Curation.snapshot " +
               "to keep the lost-artifact recovery path current")
       })
     // backup-byte accounting (the releases_retention pattern applied
@@ -3258,15 +3551,18 @@ object Curation {
     if (exists(spark, snapshotsRegistry(stores)))
       add(Some {
         val standing = spark.read.parquet(snapshotsRegistry(stores))
-          .orderBy(col("created_at").desc).collect()
+          .orderBy(col("created_ms").desc).collect()
           .map(_.getAs[String]("dest")).distinct
           .filter(d => exists(spark, s"$d/_meta"))
+        // physical dir bytes: under differential chains a dir holds
+        // exactly the files it copied, so the walk IS the standing-
+        // backup byte accounting (referenced old dirs count once)
         val bytes = standing.map(d => snapshotStats(spark, d)._2)
         ("snapshot_retention", "ok", bytes.drop(1).sum,
           s"${standing.length} standing snapshot(s), " +
             s"${bytes.sum} bytes total; n = bytes older than the " +
             "newest, reclaimable via snapshotDue's keep-last-N " +
-            "retention")
+            "retention as chain references age out")
       })
     // a STORE-WIDE swap crashed between its two renames: the live dir
     // is gone and the store vanishes from the existence-gated unit
@@ -3301,17 +3597,23 @@ object Curation {
     * silently drops the store and no per-table check ever runs.
     */
   private def swapScopes(spark: SparkSession,
-                         stores: Stores): Seq[(String, String)] =
-    Seq(
-      "text_index" -> stores.textIndex,
-      "image" -> stores.image,
-      "audio" -> stores.audio,
-      "video" -> stores.video,
-      "embedding" -> stores.embedding,
-      "embedding_vectors" -> s"${stores.embedding}/vectors",
-      "ledger" -> stores.ledger,
-      "id_registry" -> s"${stores.ledger}.ids",
-      "tombstones" -> tombstonesDir(stores)) ++
+                         stores: Stores): Seq[(String, String)] = {
+    // ledger-only Stores (SQL console audit forms): an unregistered
+    // (blank) store contributes no scope — "$p.old"-style suffix
+    // probes on a blank root would resolve RELATIVE paths
+    def opt(name: String, root: String,
+            scopes: (String, String)*): Seq[(String, String)] =
+      if (root.trim.isEmpty) Seq.empty
+      else (name -> root) +: scopes
+    opt("text_index", stores.textIndex) ++
+      opt("image", stores.image) ++
+      opt("audio", stores.audio) ++
+      opt("video", stores.video) ++
+      opt("embedding", stores.embedding,
+        "embedding_vectors" -> s"${stores.embedding}/vectors") ++
+      opt("ledger", stores.ledger,
+        "id_registry" -> s"${stores.ledger}.ids",
+        "tombstones" -> tombstonesDir(stores)) ++
       (if (stores.pqIndex.nonEmpty)
         // the PQ root is generational now (re-release is a pointer
         // flip, never a dir swap — pq_publish audits its crash states);
@@ -3322,6 +3624,7 @@ object Curation {
         Seq("pq_index" -> stores.pqIndex,
           "pq_codes" -> s"${PQ.liveDir(spark, stores.pqIndex)}/codes")
       else Seq.empty)
+  }
 
   // a swap tmp is fully written BEFORE the two renames begin, so when
   // the live dir is missing the tmp (preferred: the post-transform

@@ -52,6 +52,7 @@ private[ext] object StoreSwap {
     * (or fully-failed) phase, never a half-awaited one.
     */
   def concurrentlyAll[A](thunks: Seq[() => A]): Seq[A] = {
+    if (inlineFlag.get()) return thunks.map(_())
     import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -59,6 +60,26 @@ private[ext] object StoreSwap {
     val results = fs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
     results.collectFirst { case scala.util.Failure(e) => throw e }
     results.map(_.get)
+  }
+
+  private val inlineFlag = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+
+  /** Run `f` with every [[concurrently]]/[[concurrentlyAll]] on THIS
+    * thread executing its thunks inline instead of on worker threads.
+    * The SQL table-function path needs it: a builder runs inside
+    * `SessionCatalog.lookupFunction`, which HOLDS the session-catalog
+    * monitor — a driver-side check task building a Dataset on another
+    * thread re-enters the catalog and deadlocks against the builder
+    * awaiting it. Inline, the monitor is reentrant and the audit just
+    * runs sequentially (wall-clock pays the sum — acceptable for a
+    * console read, fatal to skip).
+    */
+  private[graft] def inline[A](f: => A): A = {
+    val prev = inlineFlag.get()
+    inlineFlag.set(true)
+    try f finally inlineFlag.set(prev)
   }
 
   /** Target on-disk bytes per output file of a bucket rewrite. A

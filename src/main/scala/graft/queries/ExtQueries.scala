@@ -8489,14 +8489,31 @@ object ExtQueries {
         val root = freshDeploymentRoot("x138reg")
         val stores = graft.ext.Curation.Stores(s"$root/text", s"$root/img",
           s"$root/aud", s"$root/vid", s"$root/emb", s"$root/led")
-        graft.ext.Curation.commitTranche(
-          docs.filter(col("doc_id") % 20 === 1), 0L, stores)
-        graft.ext.Curation.commitTranche(
-          docs.filter(col("doc_id") % 20 === 2), 1L, stores)
+        // image modality rides the same tranches (x140): the engine-
+        // portable 60-bit content hash stands in for a perceptual hash
+        // — exactness (identical text ⇒ identical hash, first-seen
+        // precedence) replays in the oracle, and md5-random 60-bit
+        // values leave the Hamming near-dup path deterministically
+        // silent (a ≤6-of-60-bit collision among random hashes is
+        // ~1e-12 per pair)
+        def img(d: DataFrame) = d.select(col("doc_id"),
+          graft.ext.Hashing.h60(col("text")).as("hash"))
+        val t0 = docs.filter(col("doc_id") % 20 === 1)
+        val t1 = docs.filter(col("doc_id") % 20 === 2)
+        graft.ext.Curation.commitTranche(t0, 0L, stores,
+          imgHashes = Some(img(t0)))
+        graft.ext.Curation.commitTranche(t1, 1L, stores,
+          imgHashes = Some(img(t1)))
         graft.ext.Curation.publishRelease(key._1, stores, 0L)
         graft.ext.Curation.publishRelease(key._1, stores, 1L)
         graft.ext.Curation.unpublishRelease(key._1, stores, 0L,
           "manifest metadata subject to takedown (x138)")
+        // a takedown AFTER the last publish (x140's hole contract):
+        // cutoff 1's pinned manifest still carries the %40==21 ids,
+        // and the payload export must exclude every one of them while
+        // x138's registry pins stay what they were at publish time
+        graft.ext.Curation.retract(key._1,
+          docs.filter(col("doc_id") % 40 === 21).select("doc_id"), stores)
         stores
       })
   }
@@ -8511,19 +8528,42 @@ object ExtQueries {
         col("withdrawn_reason"))
       .orderBy("cutoff")
 
+  // the image-kept replay shared by x138 (registry row pins) and x140
+  // (the payload itself): exactness at the 60-bit content hash with
+  // first-seen precedence — tranche-0 keeps the min-id copy per hash,
+  // tranche-1 keeps only hashes tranche 0 never saw (min-id within 1)
+  private val imgKeptSql =
+    s"""hs AS (
+       |  SELECT doc_id, ${graft.ext.Hashing.h60Sql("text")} AS hsh,
+       |    CAST(CASE WHEN doc_id % 20 = 1 THEN 0 ELSE 1 END AS BIGINT)
+       |      AS tranche
+       |  FROM documents WHERE doc_id % 20 IN (1, 2)
+       |), imgk AS (
+       |  SELECT min(doc_id) AS doc_id, CAST(0 AS BIGINT) AS tranche, hsh
+       |  FROM hs WHERE tranche = 0 GROUP BY hsh
+       |  UNION ALL
+       |  SELECT min(doc_id), CAST(1 AS BIGINT), hsh
+       |  FROM hs WHERE tranche = 1
+       |    AND hsh NOT IN (SELECT hsh FROM hs WHERE tranche = 0)
+       |  GROUP BY hsh
+       |)""".stripMargin
+
   private val x138Sql = {
     val led = firstSeenLedgerSql(
       "SELECT doc_id, CAST(doc_id % 20 AS BIGINT) - 1 AS tr, text " +
         "FROM documents WHERE doc_id % 20 IN (1, 2)")
-    s"""WITH led AS (SELECT * FROM ($led))
+    s"""WITH led AS (SELECT * FROM ($led)),
+       |$imgKeptSql
        |SELECT CAST(0 AS BIGINT) AS cutoff,
        |  (SELECT count(*) FROM led
-       |   WHERE decision = 'kept' AND tranche = 0) AS "rows",
+       |   WHERE decision = 'kept' AND tranche = 0) +
+       |  (SELECT count(*) FROM imgk WHERE tranche = 0) AS "rows",
        |  true AS withdrawn,
        |  'manifest metadata subject to takedown (x138)' AS withdrawn_reason
        |UNION ALL
        |SELECT CAST(1 AS BIGINT),
-       |  (SELECT count(*) FROM led WHERE decision = 'kept'),
+       |  (SELECT count(*) FROM led WHERE decision = 'kept') +
+       |  (SELECT count(*) FROM imgk),
        |  false, NULL
        |ORDER BY cutoff""".stripMargin
   }
@@ -8562,6 +8602,35 @@ object ExtQueries {
        |  AND length(string_split(d.text, ' ')) >= 2
        |ORDER BY doc_id""".stripMargin
   }
+
+  // --- x140: train-ready BINARY-modality payload of a published release ----------------
+
+  /** [[graft.ext.Curation.exportReleasePayload]]'s image form under the
+    * hash gate (VERDICT r16 #6: x139 gated text only — the hole
+    * contract was ScalaTest-level exactly where binary payloads are
+    * most fragile): release 1 of the x138 registry deployment, image
+    * modality — the pinned manifest's image rows joined back to the
+    * hash store's members, (doc_id, tranche, hsh). The `%40 == 21`
+    * takedown landed AFTER the publish, so the manifest still carries
+    * those ids and the payload must hole them out even though the
+    * member rows are still physical (no maintenance window ran). The
+    * oracle replays first-seen image verdicts from the 60-bit content
+    * hashes independently: tranche-0 kept = min-id per hash, tranche-1
+    * kept = hashes tranche 0 never saw — a payload that ships a
+    * duplicate's hash row, loses cross-tranche precedence, or leaks a
+    * hole hash-diverges. Zero new build: rides
+    * `release_registry_build`'s deployment.
+    */
+  val x140ReleaseImagePayload: Q = (spark, sfDir) =>
+    graft.ext.Curation.exportReleasePayload(spark,
+      registryStores(spark, sfDir), 1L, "image")
+      .orderBy("doc_id")
+
+  private val x140Sql =
+    s"""WITH $imgKeptSql
+       |SELECT doc_id, tranche, hsh FROM imgk
+       |WHERE doc_id % 40 != 21
+       |ORDER BY doc_id""".stripMargin
 
   // --- assembled maps -----------------------------------------------------------------
 
@@ -8703,6 +8772,7 @@ object ExtQueries {
     "x135_serve_release" -> x135ServeRelease,
     "x136_corpus_diff" -> x136CorpusDiff,
     "x137_release_export" -> x137ReleaseExport,
+    "x140_release_image_payload" -> x140ReleaseImagePayload,
     "x138_release_registry" -> x138ReleaseRegistry,
     "x139_release_payload" -> x139ReleaseTextPayload)
 
@@ -8844,6 +8914,7 @@ object ExtQueries {
     "x135_serve_release" -> x135Sql,
     "x136_corpus_diff" -> x136Sql,
     "x137_release_export" -> x137Sql,
+    "x140_release_image_payload" -> x140Sql,
     "x138_release_registry" -> x138Sql,
     "x139_release_payload" -> x139Sql)
 }

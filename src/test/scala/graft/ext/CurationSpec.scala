@@ -2555,6 +2555,21 @@ class CurationSpec extends SparkSpec {
     Curation.maintain(spark, stores)
     val dest = Files.createTempDirectory("drillsnap").toString + "/s1"
     Curation.snapshot(spark, stores, dest)
+    // one more tranche DRIFTS the deployment, and the scheduled window
+    // backs it up DIFFERENTIALLY against the full snapshot above — the
+    // drill below restores from this CHAINED backup, so a total loss
+    // must come back through chain-resolved references (VERDICT r16 #1)
+    val docs2 = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") >= 120 && col("doc_id") < 150)
+    Curation.commitTranche(docs2, 2L, stores,
+      embeddings = Some(embOf(docs2)))
+    val schedRoot = Files.createTempDirectory("drillsched").toString
+    val sacts = Curation.snapshotDue(spark, stores, schedRoot)
+    val chained = s"$schedRoot/snap-000000"
+    assert(sacts.exists(_.contains("re-seated by reference")),
+      s"drift window did not copy differentially: $sacts")
+    assert(Curation.verifySnapshot(spark, chained).collect()
+      .forall(_.getAs[Boolean]("intact")), "chained backup not intact")
     val q = embOf(docs.orderBy("doc_id").limit(3)).drop("label")
     def serveNow() = Curation.serveAnn(spark, stores, q, topK = 5)
       .orderBy("qid", "rank").collect().toSeq
@@ -2576,11 +2591,11 @@ class CurationSpec extends SparkSpec {
     roots.foreach { r =>
       rm(r); rm(s"$r.init"); rm(s"$r.epoch"); rm(s"$r.gcmark")
     }
-    val racts = Curation.restore(spark, stores, dest)
+    val racts = Curation.restore(spark, stores, chained)
     assert(racts.count(_.startsWith("restored")) >= 6,
       s"drill restore actions: $racts")
     // a second restore is all-skips: everything stands again
-    assert(Curation.restore(spark, stores, dest)
+    assert(Curation.restore(spark, stores, chained)
       .forall(_.startsWith("skipped")), "restore left state missing")
     val rep = Curation.fsck(spark, stores).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
@@ -2606,26 +2621,48 @@ class CurationSpec extends SparkSpec {
       Option(d.listFiles()).fold(Seq.empty[String])(
         _.toSeq.map(_.getName).filter(_.startsWith("snap-")).sorted)
     }
-    Curation.commitTranche(docs.filter(col("doc_id") % 4 === 0), 0L, stores)
-    val a1 = Curation.maintainDue(spark, stores, snapshotDest = snapRoot,
-      keepSnapshots = 2)
+    def window(): Seq[String] =
+      Curation.maintainDue(spark, stores, snapshotDest = snapRoot,
+        keepSnapshots = 2)
+    Curation.commitTranche(docs.filter(col("doc_id") % 8 === 0), 0L, stores)
+    val a1 = window()
     assert(a1.exists(_.contains("snapshot ")), s"first window: $a1")
     assert(snaps() == Seq("snap-000000"), s"snapshots: ${snaps()}")
     // no drift -> no copy: the second window is snapshot-silent
-    val a2 = Curation.maintainDue(spark, stores, snapshotDest = snapRoot,
-      keepSnapshots = 2)
+    val a2 = window()
     assert(!a2.exists(_.contains("snapshot")), s"undrifted window: $a2")
     assert(snaps() == Seq("snap-000000"), "undrifted window copied bytes")
-    // two more drifts: the third snapshot evicts the first
-    Curation.commitTranche(docs.filter(col("doc_id") % 4 === 1), 1L, stores)
-    Curation.maintainDue(spark, stores, snapshotDest = snapRoot,
-      keepSnapshots = 2)
-    Curation.commitTranche(docs.filter(col("doc_id") % 4 === 2), 2L, stores)
-    val a3 = Curation.maintainDue(spark, stores, snapshotDest = snapRoot,
-      keepSnapshots = 2)
-    assert(a3.exists(_.contains("reclaimed snapshot")), s"retention: $a3")
-    assert(snaps() == Seq("snap-000001", "snap-000002"),
-      s"keep-last-2 retention: ${snaps()}")
+    // a drifted window copies DIFFERENTIALLY: the unchanged majority of
+    // the deployment is re-seated by reference, never re-copied
+    Curation.commitTranche(docs.filter(col("doc_id") % 8 === 1), 1L, stores)
+    val a3 = window()
+    assert(a3.exists(_.contains("re-seated by reference")),
+      s"drift window did not diff: $a3")
+    assert(snaps() == Seq("snap-000000", "snap-000001"), s"${snaps()}")
+    // beyond keep-last-2, a chain-referenced dir is RETAINED (it is the
+    // only physical copy of the unchanged files) — never reclaimed
+    // while a kept backup resolves into it
+    Curation.commitTranche(docs.filter(col("doc_id") % 8 === 2), 2L, stores)
+    val a4 = window()
+    assert(a4.exists(_.contains("retained snapshot")) &&
+      !a4.exists(_.contains("reclaimed snapshot")), s"retention: $a4")
+    assert(snaps().size == 3, s"chain member evicted early: ${snaps()}")
+    // drive the chain to its rebase: depth hits maxChain (4) at
+    // snap-000004, so the NEXT drifted window takes a FULL snapshot...
+    (3L to 5L).foreach { t =>
+      Curation.commitTranche(docs.filter(col("doc_id") % 8 === t), t, stores)
+      window()
+    }
+    val full = Curation.verifySnapshot(spark, s"$snapRoot/snap-000005")
+      .collect()
+    assert(full.forall(_.getAs[Boolean]("intact")))
+    // ...and the window after the rebase unreferences the old chain:
+    // keep-last-2 finally reclaims every pre-rebase dir in one sweep
+    Curation.commitTranche(docs.filter(col("doc_id") % 8 === 6), 6L, stores)
+    val a8 = window()
+    assert(a8.exists(_.contains("reclaimed snapshot")), s"retention: $a8")
+    assert(snaps() == Seq("snap-000005", "snap-000006"),
+      s"keep-last-2 retention after rebase: ${snaps()}")
     // fsck agrees end-to-end: covered, with the reclaimable tier named
     val rep = Curation.fsck(spark, stores).collect()
       .map(r => r.getString(0) -> ((r.getString(1), r.getString(3)))).toMap
@@ -2639,6 +2676,59 @@ class CurationSpec extends SparkSpec {
       s"$snapRoot/${snaps().last}")
     assert(racts.exists(_.contains("restored ledger")), s"$racts")
     assert(Curation.corpusAsOf(spark, stores, 2L).count() > 0)
+  }
+
+  test("scheduled snapshots: a rotted backup is detected and replaced") {
+    // VERDICT r16 #4: verifySnapshot existed but only restore-time and
+    // manual calls used it — a backup that rotted AFTER its _meta
+    // landed still read as coverage until the disaster it existed for.
+    // Now fsck's snapshot_stale row rides the chain-resolved audit,
+    // and the scheduled window refuses a failing backup as coverage:
+    // it takes a fresh FULL snapshot (never chaining onto rot) even
+    // when the logical stamp has not moved.
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 120)
+    val stores = freshStores()
+    val snapRoot = Files.createTempDirectory("rotsnap").toString
+    Curation.commitTranche(docs.filter(col("doc_id") % 4 === 0), 0L, stores)
+    val a1 = Curation.snapshotDue(spark, stores, snapRoot)
+    assert(a1.exists(_.contains("snapshot ")), s"first window: $a1")
+    def stale() = Curation.fsck(spark, stores).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(3))))
+      .toMap.apply("snapshot_stale")
+    assert(stale()._1 == "ok", s"fresh backup not coverage: ${stale()}")
+    // plant rot: delete one copied ledger parquet file inside the
+    // standing backup — _meta and the registry row still stand
+    val snapDir = s"$snapRoot/snap-000000"
+    val fs = StoreSwap.fsOf(spark, snapDir)
+    val victim = spark.read.parquet(s"$snapDir/_files")
+      .filter(col("role") === "ledger" &&
+        col("relpath").endsWith(".parquet"))
+      .select("relpath").limit(1).collect().headOption
+      .map(r => s"$snapDir/ledger/${r.getString(0)}")
+      .getOrElse(fail(s"no parquet file to rot under $snapDir/ledger"))
+    fs.delete(new org.apache.hadoop.fs.Path(victim), false)
+    assert(stale()._1 == "pending" && stale()._2.contains("integrity"),
+      s"rot not detected: ${stale()}")
+    assert(Curation.verifySnapshot(spark, snapDir).collect()
+      .exists(r => !r.getAs[Boolean]("intact")))
+    // the UNDRIFTED scheduled window replaces the rotted backup with a
+    // fresh FULL snapshot instead of counting it as coverage
+    val a2 = Curation.snapshotDue(spark, stores, snapRoot)
+    assert(a2.exists(_.contains("fails its _meta integrity pin")),
+      s"rot not named: $a2")
+    assert(a2.exists(_.contains(s"snapshot $snapRoot/snap-000001")),
+      s"no replacement taken: $a2")
+    assert(!a2.exists(_.contains("re-seated by reference")),
+      "replacement chained onto a rotted base")
+    assert(stale()._1 == "ok", s"replacement not coverage: ${stale()}")
+    // the replacement restores: wipe the ledger and recover from it
+    fs.delete(new org.apache.hadoop.fs.Path(stores.ledger), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${stores.ledger}.init"), true)
+    val racts = Curation.restore(spark, stores,
+      s"$snapRoot/snap-000001")
+    assert(racts.exists(_.contains("restored ledger")), s"$racts")
+    assert(Curation.corpusAsOf(spark, stores, 0L).count() > 0)
   }
 
   test("recall drift is a due signal: the scheduled window re-releases the codebook") {

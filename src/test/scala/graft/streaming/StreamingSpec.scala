@@ -1235,12 +1235,17 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
     }
     q.stop()
-    // three drift windows, keep-last-2: the oldest backup was reclaimed
-    assert(snaps().size == 2, s"retention under the stream: ${snaps()}")
+    // three drift windows, keep-last-2 under DIFFERENTIAL chaining:
+    // the beyond-keep dir is the chain's only physical copy of the
+    // unchanged files, so retention RETAINS it (a rebase window
+    // reclaims it later — CurationSpec drives that arc); the later
+    // snapshots copied only their drift
+    assert(snaps() == Seq("snap-000000", "snap-000001", "snap-000002"),
+      s"retention under the stream: ${snaps()}")
     // no drift since the last batch -> the due form takes nothing
     assert(Curation.snapshotDue(spark, stores, snapRoot).isEmpty,
       "undrifted snapshotDue copied bytes")
-    assert(snaps().size == 2)
+    assert(snaps().size == 3)
     // the drill: lose the serving store, restore from the newest
     // scheduled backup, serving answers byte-identically
     val query = emb.join(docs.select(col("doc_id").as("vec_id")),
