@@ -1304,7 +1304,7 @@ object ScaleSmoke {
     // re-seats the unchanged ~100k-doc majority by reference — the new
     // snapshot dir physically holds ~tranche bytes.
     val tDiff = System.nanoTime()
-    Curation.commitTranche(microTranche(930000000L, "sdiff"), 6L, curStores)
+    Curation.commitTranche(microTranche(940000000L, "sdiff"), 10L, curStores)
     val diffActs = Curation.snapshotDue(spark, curStores, schedRoot)
     val diffSec = (System.nanoTime() - tDiff) / 1e9
     val chainedSnap = s"$schedRoot/snap-000000"
@@ -1340,7 +1340,11 @@ object ScaleSmoke {
     val tDrill = System.nanoTime()
     Seq(curStores.textIndex, curStores.ledger, s"${curStores.ledger}.ids",
       s"${curStores.ledger}.tombstones").foreach { r =>
-      rmRole(r); rmRole(s"$r.init"); rmRole(s"$r.epoch"); rmRole(s"$r.gcmark")
+      // total loss takes the store's rollback aside with it — what
+      // remains after restore is then exactly what restore planted,
+      // making the restHidden==0 assert mean "no asides re-planted"
+      rmRole(r); rmRole(s"$r.old")
+      rmRole(s"$r.init"); rmRole(s"$r.epoch"); rmRole(s"$r.gcmark")
     }
     val racts = Curation.restore(spark, curStores, chainedSnap)
     val drillSec = (System.nanoTime() - tDrill) / 1e9

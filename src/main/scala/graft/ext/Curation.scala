@@ -1527,6 +1527,16 @@ object Curation {
     * re-derive — the corpusAsOf invariance argument), so a snapshot
     * only reads stale after a commit, retraction, publish, or
     * re-release actually changed what there is to lose.
+    *
+    * Boundary: the tranche component is the PARTITION SET, so an
+    * append of NEW ids under an already-committed tranche id (or a
+    * re-run completing a failed commit's partial write) is invisible
+    * to the stamp — tranches are immutable-once-committed in this
+    * deployment model (the id-registry guard only tolerates same-
+    * tranche re-runs), and any logical quantity that would catch
+    * in-place tranche growth (id counts, row counts) varies under
+    * compaction, which must NEVER stale a backup. An operator who
+    * extends tranches in place should call [[snapshot]] directly.
     */
   private def deploymentStamp(spark: SparkSession, stores: Stores): String = {
     val tranches =
