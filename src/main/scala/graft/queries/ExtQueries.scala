@@ -8498,12 +8498,21 @@ object ExtQueries {
         // ~1e-12 per pair)
         def img(d: DataFrame) = d.select(col("doc_id"),
           graft.ext.Hashing.h60(col("text")).as("hash"))
+        // video modality too (x141): frame hashes over the first 128
+        // chars — at most TWO frames per doc, so a shared 2-frame
+        // shingle implies an identical sequence id and the containment
+        // near-dup tier collapses into exactness (the oracle replays
+        // kept-ness from sequence identity alone); ≥2-frame docs keep
+        // the shingle table non-empty for the t1 probe
+        def vid(d: DataFrame) = graft.ext.VideoHash.frameHashes(
+          d.withColumn("text", substring(col("text"), 1, 128)),
+          "doc_id", "text")
         val t0 = docs.filter(col("doc_id") % 20 === 1)
         val t1 = docs.filter(col("doc_id") % 20 === 2)
         graft.ext.Curation.commitTranche(t0, 0L, stores,
-          imgHashes = Some(img(t0)))
+          imgHashes = Some(img(t0)), vidFrames = Some(vid(t0)))
         graft.ext.Curation.commitTranche(t1, 1L, stores,
-          imgHashes = Some(img(t1)))
+          imgHashes = Some(img(t1)), vidFrames = Some(vid(t1)))
         graft.ext.Curation.publishRelease(key._1, stores, 0L)
         graft.ext.Curation.publishRelease(key._1, stores, 1L)
         graft.ext.Curation.unpublishRelease(key._1, stores, 0L,
@@ -8548,22 +8557,87 @@ object ExtQueries {
        |  GROUP BY hsh
        |)""".stripMargin
 
+  // the video-kept replay shared by x138 (registry row pins) and x141
+  // (the payload itself): the x121 dHash frame chain over the first
+  // 128 chars (≤2 frames — containment collapses into sequence-id
+  // exactness, see registryStores), sequence id = md5 of the ordered
+  // frame-hash decimals, kept-ness by first-seen sequence identity.
+  // A doc with no frames (empty text) is outside the video domain:
+  // kept in the LEDGER (vnof — it counts toward the registry pins)
+  // but holds no seqs row, so it never ships in the payload.
+  private val vidKeptSql =
+    s"""vft AS (
+       |  SELECT doc_id, substr(text, 1, 128) AS vt,
+       |    CAST(CASE WHEN doc_id % 20 = 1 THEN 0 ELSE 1 END AS BIGINT)
+       |      AS tranche
+       |  FROM documents WHERE doc_id % 20 IN (1, 2)
+       |), vfr AS (
+       |  SELECT doc_id, f.range AS f,
+       |    substr(vt, CAST(f.range * 64 + 1 AS INT), 64) AS ft
+       |  FROM vft, range(0, 2) f
+       |  WHERE length(vt) >= 1 AND f.range * 64 < length(vt)
+       |), vg AS (
+       |  SELECT doc_id, f, ft, length(ft) AS n,
+       |    CAST(ceil(length(ft) / 16.0) AS BIGINT) AS h,
+       |    greatest(1, CAST(ceil(length(ft) / 16.0) AS BIGINT) // 8) AS sy
+       |  FROM vfr
+       |), vpx AS (
+       |  SELECT doc_id, f, r.range AS r, c.range AS c,
+       |    CASE WHEN 16 * least(r.range * sy, h - 1) + c.range < n
+       |         THEN ascii(substr(ft,
+       |           CAST(16 * least(r.range * sy, h - 1) + c.range + 1 AS INT), 1))
+       |         ELSE 0 END AS v
+       |  FROM vg, range(0, 8) r, range(0, 9) c
+       |), vhs AS (
+       |  SELECT a.doc_id, a.f,
+       |    bit_or(CASE WHEN a.v < b.v
+       |           THEN (CASE WHEN a.r * 8 + a.c = 63
+       |                 THEN (-9223372036854775807 - 1)::BIGINT
+       |                 ELSE (1::BIGINT << CAST(a.r * 8 + a.c AS INT)) END)
+       |           ELSE 0::BIGINT END) AS fh
+       |  FROM vpx a JOIN vpx b
+       |    ON a.doc_id = b.doc_id AND a.f = b.f AND a.r = b.r
+       |      AND b.c = a.c + 1
+       |  WHERE a.c < 8
+       |  GROUP BY a.doc_id, a.f
+       |), vsq AS (
+       |  SELECT v.doc_id, t.tranche,
+       |    md5(array_to_string(list(v.fh ORDER BY v.f), ',')) AS vs
+       |  FROM vhs v JOIN vft t USING (doc_id)
+       |  GROUP BY v.doc_id, t.tranche
+       |), vidk AS (
+       |  SELECT min(doc_id) AS doc_id, CAST(0 AS BIGINT) AS tranche, vs
+       |  FROM vsq WHERE tranche = 0 GROUP BY vs
+       |  UNION ALL
+       |  SELECT min(doc_id), CAST(1 AS BIGINT), vs
+       |  FROM vsq WHERE tranche = 1
+       |    AND vs NOT IN (SELECT vs FROM vsq WHERE tranche = 0)
+       |  GROUP BY vs
+       |), vnof AS (
+       |  SELECT doc_id, tranche FROM vft WHERE length(vt) < 1
+       |)""".stripMargin
+
   private val x138Sql = {
     val led = firstSeenLedgerSql(
       "SELECT doc_id, CAST(doc_id % 20 AS BIGINT) - 1 AS tr, text " +
         "FROM documents WHERE doc_id % 20 IN (1, 2)")
     s"""WITH led AS (SELECT * FROM ($led)),
-       |$imgKeptSql
+       |$imgKeptSql,
+       |$vidKeptSql
        |SELECT CAST(0 AS BIGINT) AS cutoff,
        |  (SELECT count(*) FROM led
        |   WHERE decision = 'kept' AND tranche = 0) +
-       |  (SELECT count(*) FROM imgk WHERE tranche = 0) AS "rows",
+       |  (SELECT count(*) FROM imgk WHERE tranche = 0) +
+       |  (SELECT count(*) FROM vidk WHERE tranche = 0) +
+       |  (SELECT count(*) FROM vnof WHERE tranche = 0) AS "rows",
        |  true AS withdrawn,
        |  'manifest metadata subject to takedown (x138)' AS withdrawn_reason
        |UNION ALL
        |SELECT CAST(1 AS BIGINT),
        |  (SELECT count(*) FROM led WHERE decision = 'kept') +
-       |  (SELECT count(*) FROM imgk),
+       |  (SELECT count(*) FROM imgk) +
+       |  (SELECT count(*) FROM vidk) +
+       |  (SELECT count(*) FROM vnof),
        |  false, NULL
        |ORDER BY cutoff""".stripMargin
   }
@@ -8629,6 +8703,32 @@ object ExtQueries {
   private val x140Sql =
     s"""WITH $imgKeptSql
        |SELECT doc_id, tranche, hsh FROM imgk
+       |WHERE doc_id % 40 != 21
+       |ORDER BY doc_id""".stripMargin
+
+  // --- x141: hex-ref video payload of a published release ------------------------------
+
+  /** [[graft.ext.Curation.exportReleasePayload]]'s video form under
+    * the hash gate — the hex-encoded-binary-ref discipline (x137's
+    * `content_ref` rule) on the payload read itself: release 1's
+    * pinned video manifest rows joined back to the sequence store,
+    * (doc_id, tranche, sq = hex of the sequence id), with the
+    * post-publish `%40 == 21` takedown holed out. The oracle replays
+    * the ENTIRE chain independently: 16-wide BMP dHash per 64-char
+    * frame, md5-of-ordered-frame-hashes sequence ids, first-seen
+    * kept-ness with cross-tranche precedence, hole exclusion — a
+    * payload that ships a duplicate's sequence, mangles the hex ref,
+    * or leaks a hole hash-diverges. Zero new build: rides
+    * `release_registry_build`.
+    */
+  val x141ReleaseVideoPayload: Q = (spark, sfDir) =>
+    graft.ext.Curation.exportReleasePayload(spark,
+      registryStores(spark, sfDir), 1L, "video")
+      .orderBy("doc_id")
+
+  private val x141Sql =
+    s"""WITH $vidKeptSql
+       |SELECT doc_id, tranche, hex(vs) AS sq FROM vidk
        |WHERE doc_id % 40 != 21
        |ORDER BY doc_id""".stripMargin
 
@@ -8773,6 +8873,7 @@ object ExtQueries {
     "x136_corpus_diff" -> x136CorpusDiff,
     "x137_release_export" -> x137ReleaseExport,
     "x140_release_image_payload" -> x140ReleaseImagePayload,
+    "x141_release_video_payload" -> x141ReleaseVideoPayload,
     "x138_release_registry" -> x138ReleaseRegistry,
     "x139_release_payload" -> x139ReleaseTextPayload)
 
@@ -8915,6 +9016,7 @@ object ExtQueries {
     "x136_corpus_diff" -> x136Sql,
     "x137_release_export" -> x137Sql,
     "x140_release_image_payload" -> x140Sql,
+    "x141_release_video_payload" -> x141Sql,
     "x138_release_registry" -> x138Sql,
     "x139_release_payload" -> x139Sql)
 }
