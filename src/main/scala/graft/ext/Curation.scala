@@ -3968,8 +3968,8 @@ object Curation {
   // (doc_id → idp is a function), rewrites only the drifted id buckets
   private def compactIdRegistryBuckets(spark: SparkSession,
                                        leafDirs: Seq[String]): Unit =
-    StoreSwap.rewriteLeafDirs(spark, leafDirs.map(d =>
-      (d, (df: DataFrame) => df.dropDuplicates("doc_id", "tranche"))))
+    StoreSwap.rewriteLeafDirsShared(spark, leafDirs,
+      (df: DataFrame) => df.dropDuplicates("doc_id", "tranche"))
 
   private def compactIdRegistry(spark: SparkSession, dir: String): Unit = {
     val tmp = StoreSwap.prepareTmp(spark, s"$dir.compact")

@@ -1010,15 +1010,20 @@ object Dedup {
                                  dir: String,
                                  leafDirs: Seq[String]): Unit = {
     requirePrunedLayout(spark, dir)
-    StoreSwap.rewriteLeafDirs(spark, leafDirs.map { d =>
-      val keys =
-        if (d.startsWith(s"$dir/bands/")) Seq("ch", "bk")
-        else if (d.startsWith(s"$dir/sets/")) Seq("ch")
-        else if (d.startsWith(s"$dir/members/")) Seq("id", "ch")
-        else throw new IllegalArgumentException(
-          s"$d is not a leaf bucket of the near-dup index at $dir")
-      (d, (df: DataFrame) => df.dropDuplicates(keys))
-    })
+    // per-table shared transforms: the batched form writes each table's
+    // touched buckets in one job (exact cross-bucket: every collapse
+    // key's partition value is a function of the key)
+    val byKeys = leafDirs.groupBy { d =>
+      if (d.startsWith(s"$dir/bands/")) Seq("ch", "bk")
+      else if (d.startsWith(s"$dir/sets/")) Seq("ch")
+      else if (d.startsWith(s"$dir/members/")) Seq("id", "ch")
+      else throw new IllegalArgumentException(
+        s"$d is not a leaf bucket of the near-dup index at $dir")
+    }
+    byKeys.foreach { case (keys, ds) =>
+      StoreSwap.rewriteLeafDirsShared(spark, ds,
+        (df: DataFrame) => df.dropDuplicates(keys))
+    }
   }
 
   /** Physically erase retracted docs from the persisted index by
@@ -1083,17 +1088,12 @@ object Dedup {
     // members first (the correctness-critical step), then hygiene —
     // skipped entirely when every touched content keeps a surviving
     // member (the common takedown: rows die, no content does)
-    StoreSwap.rewriteLeafDirs(spark, existing("members", "chp", chps).map(d =>
-      (d, (df: DataFrame) =>
-        df.join(broadcast(idf), Seq("id"), "left_anti"))))
+    StoreSwap.rewriteLeafDirsShared(spark, existing("members", "chp", chps),
+      (df: DataFrame) => df.join(broadcast(idf), Seq("id"), "left_anti"))
     if (anyDead)
-      StoreSwap.rewriteLeafDirs(spark,
-        existing("sets", "chp", chps).map(d =>
-          (d, (df: DataFrame) =>
-            df.join(broadcast(dead), Seq("ch"), "left_anti"))) ++
-        existing("bands", "bkp", bkps).map(d =>
-          (d, (df: DataFrame) =>
-            df.join(broadcast(dead), Seq("ch"), "left_anti"))))
+      StoreSwap.rewriteLeafDirsShared(spark,
+        existing("sets", "chp", chps) ++ existing("bands", "bkp", bkps),
+        (df: DataFrame) => df.join(broadcast(dead), Seq("ch"), "left_anti"))
   }
 
   /** Store-FS existence check (local path or URI — java.io.File would

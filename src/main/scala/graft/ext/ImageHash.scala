@@ -444,14 +444,12 @@ object ImageHash {
       else StoreLayout.partsOf(
         spark.read.parquet(s"$dir/bands")
           .join(broadcast(dead), Seq("hsh"), "left_semi"), col("bk"))
-    StoreSwap.rewriteLeafDirs(spark, existing("members", "hp", hps).map(d =>
-      (d, (df: DataFrame) =>
-        df.join(broadcast(idf), Seq("id"), "left_anti"))))
+    StoreSwap.rewriteLeafDirsShared(spark, existing("members", "hp", hps),
+      (df: DataFrame) => df.join(broadcast(idf), Seq("id"), "left_anti"))
     // hygiene skipped when every touched hash keeps a surviving member
     if (anyDead)
-      StoreSwap.rewriteLeafDirs(spark, existing("bands", "bkp", bkps).map(d =>
-        (d, (df: DataFrame) =>
-          df.join(broadcast(dead), Seq("hsh"), "left_anti"))))
+      StoreSwap.rewriteLeafDirsShared(spark, existing("bands", "bkp", bkps),
+        (df: DataFrame) => df.join(broadcast(dead), Seq("hsh"), "left_anti"))
   }
 
   /** Collapse re-appended duplicate rows and small files; same swap
@@ -494,14 +492,15 @@ object ImageHash {
     */
   def compactHashIndexBuckets(spark: org.apache.spark.sql.SparkSession,
                               dir: String, leafDirs: Seq[String]): Unit =
-    StoreSwap.rewriteLeafDirs(spark, leafDirs.map { d =>
-      val keys =
-        if (d.startsWith(s"$dir/bands/")) Seq("hsh", "bk")
-        else if (d.startsWith(s"$dir/members/")) Seq("id", "hsh")
-        else throw new IllegalArgumentException(
-          s"$d is not a leaf bucket of the hash index at $dir")
-      (d, (df: DataFrame) => df.dropDuplicates(keys))
-    })
+    leafDirs.groupBy { d =>
+      if (d.startsWith(s"$dir/bands/")) Seq("hsh", "bk")
+      else if (d.startsWith(s"$dir/members/")) Seq("id", "hsh")
+      else throw new IllegalArgumentException(
+        s"$d is not a leaf bucket of the hash index at $dir")
+    }.foreach { case (keys, ds) =>
+      StoreSwap.rewriteLeafDirsShared(spark, ds,
+        (df: DataFrame) => df.dropDuplicates(keys))
+    }
 
   /** One-time upgrade of a pre-index FLAT fingerprint store — plain
     * (id, hash) parquet rows at the directory root, the layout older

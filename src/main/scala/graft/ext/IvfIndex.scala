@@ -503,8 +503,8 @@ object IvfIndex {
     requireNoSplitInFlight(spark, dir)
     leafDirs.foreach(d => require(d.startsWith(s"$dir/vectors/cell="),
       s"$d is not a cell partition of the IVF index at $dir"))
-    StoreSwap.rewriteLeafDirs(spark,
-      leafDirs.map(d => (d, (df: DataFrame) => df.dropDuplicates("vec_id"))))
+    StoreSwap.rewriteLeafDirsShared(spark, leafDirs,
+      (df: DataFrame) => df.dropDuplicates("vec_id"))
   }
 
   /** Physically erase retracted vectors ([[Curation.retract]] applies
@@ -529,9 +529,9 @@ object IvfIndex {
     // retire-by-rename (never delete-before-promote), concurrent cells.
     // The `.retract_` tmp prefix derives the target by prefix-strip
     // ([[Curation.fsck]] surfaces a crashed swap that way).
-    StoreSwap.rewriteLeafDirs(spark, cells.toSeq.map(c =>
-      (s"$vecDir/cell=$c", (df: DataFrame) =>
-        df.join(broadcast(idf), Seq("vec_id"), "left_anti"))),
+    StoreSwap.rewriteLeafDirsShared(spark,
+      cells.toSeq.map(c => s"$vecDir/cell=$c"),
+      (df: DataFrame) => df.join(broadcast(idf), Seq("vec_id"), "left_anti"),
       tmpPrefix = ".retract_")
   }
 

@@ -143,9 +143,9 @@ object Ledger {
       .map(r => s"$dir/tranche=${r.get(0)}/modality=${r.getString(1)}")
       .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
       .toSeq
-    StoreSwap.rewriteLeafDirs(spark, touched.map(d =>
-      (d, (df: org.apache.spark.sql.DataFrame) =>
-        df.join(broadcast(idf), Seq("doc_id"), "left_anti"))))
+    StoreSwap.rewriteLeafDirsShared(spark, touched,
+      (df: org.apache.spark.sql.DataFrame) =>
+        df.join(broadcast(idf), Seq("doc_id"), "left_anti"))
   }
 
   /** Bucket-local compaction (VERDICT r11 #1): collapse small files in
@@ -159,9 +159,8 @@ object Ledger {
     // identity transform: rewriteLeafDirs itself sizes the output file
     // count off the bucket's bytes, so a small partition re-packs to
     // one file while an over-target one keeps ~target-sized files
-    StoreSwap.rewriteLeafDirs(spark,
-      leafDirs.map(d =>
-        (d, (df: org.apache.spark.sql.DataFrame) => df)))
+    StoreSwap.rewriteLeafDirsShared(spark, leafDirs,
+      (df: org.apache.spark.sql.DataFrame) => df)
 
   /** Drop ONE tranche's verdict rows — a partition-pruned delete of the
     * `tranche=<id>` directory (all modalities), the ledger side of

@@ -562,9 +562,9 @@ object PQ {
     val touched = StoreLayout.partsOf(idf, col("vec_id"))
       .map(p => s"$codesDir/idp=$p")
       .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
-    StoreSwap.rewriteLeafDirs(spark, touched.map(d =>
-      (d, (df: DataFrame) =>
-        df.join(broadcast(idf), Seq("vec_id"), "left_anti"))))
+    StoreSwap.rewriteLeafDirsShared(spark, touched,
+      (df: DataFrame) =>
+        df.join(broadcast(idf), Seq("vec_id"), "left_anti"))
   }
 
   /** Store-wide code-table compaction: collapse re-appended duplicate
@@ -593,8 +593,8 @@ object PQ {
     */
   def compactCodesBuckets(spark: org.apache.spark.sql.SparkSession,
                           leafDirs: Seq[String]): Unit =
-    StoreSwap.rewriteLeafDirs(spark, leafDirs.map(d =>
-      (d, (df: DataFrame) => df.dropDuplicates("vec_id", "sub"))))
+    StoreSwap.rewriteLeafDirsShared(spark, leafDirs,
+      (df: DataFrame) => df.dropDuplicates("vec_id", "sub"))
 
   /** Post-append code-occupancy census of the persisted index: one row
     * per (sub, cell) of the codebook with its code count and skew

@@ -56,7 +56,33 @@ private[ext] object StoreSwap {
     import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val fs = thunks.map(t => Future(blocking(t())))
+    // jobs submitted from pool threads lose the caller's callsite (the
+    // pool thread's stack has no graft frames), which makes the Spark
+    // UI / listener attribution useless for exactly the concurrent
+    // phases that dominate commit wall-clock (guide §1.5). Carry the
+    // submitting caller's deepest graft frame into each thunk's jobs
+    // via the callSite local properties SparkContext already honors.
+    val caller = Thread.currentThread.getStackTrace
+      .map(_.toString)
+      .find(s => s.startsWith("graft.") &&
+        !s.contains("StoreSwap") && !s.contains("concurrently"))
+      .getOrElse("graft")
+    val sc = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext)
+    val fs = thunks.zipWithIndex.map { case (t, i) =>
+      Future(blocking {
+        sc.foreach { c =>
+          c.setLocalProperty("callSite.short", s"$caller [$i]")
+          c.setLocalProperty("callSite.long", s"$caller [thunk $i]")
+        }
+        try t()
+        finally sc.foreach { c =>
+          c.setLocalProperty("callSite.short", null)
+          c.setLocalProperty("callSite.long", null)
+        }
+      })
+    }
     val results = fs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
     results.collectFirst { case scala.util.Failure(e) => throw e }
     results.map(_.get)
@@ -154,6 +180,128 @@ private[ext] object StoreSwap {
       f.delete(aside, true)
       ()
     }}: _*)
+
+  /** [[rewriteLeafDirs]] for the common caller shape — MANY leaf
+    * buckets of one partitioned table, ONE shared transform — with the
+    * write phase batched into a single Spark job when the buckets are
+    * small (round-17 optimization, guide §2.4/§6: the per-dir form
+    * submits one read-plan-write job per bucket, so a 64-bucket erasure
+    * over a small deployment pays ~64 × fixed job overhead to move a
+    * few MB; at sf0.1 the per-bucket jobs were >70% of
+    * `pq_commit_build`/`retraction_build`).
+    *
+    * Scale-adaptive, not local-tuned: buckets larger than
+    * [[TargetFileBytes]] keep the per-dir path (their rewrite is
+    * data-bound and needs per-bucket output-file sizing — the 100 TB
+    * shape); only sub-target buckets batch, and their batched write
+    * still lands exactly one ≤target file per bucket
+    * (`repartition(n, partCols)` gives every partition value one task).
+    *
+    * The crash discipline is BYTE-IDENTICAL to [[rewriteLeafDirs]]:
+    * the batch job writes to a hidden `.batchrw` sibling invisible to
+    * readers and fsck (pure residue if the pass dies there — the live
+    * dirs are untouched; the next pass deletes it), then each bucket's
+    * output is renamed into the same `<tmpPrefix><name>` position the
+    * per-dir path uses and swapped in by the same retire/promote rename
+    * pair — every crash state an operator (or [[Curation.fsck]]/
+    * [[Curation.repair]]) can observe is one the per-dir path already
+    * produces.
+    *
+    * Buckets whose rows ALL die under the transform fall back to the
+    * per-dir path (the batched dynamic-partition write emits no
+    * directory for them, and the per-dir path's schema-preserving
+    * empty write is the contract readers of a bare bucket rely on).
+    */
+  def rewriteLeafDirsShared(spark: SparkSession,
+                            dirs: Seq[String],
+                            transform: org.apache.spark.sql.DataFrame =>
+                              org.apache.spark.sql.DataFrame,
+                            tmpPrefix: String = ".compact_"): Unit = {
+    if (dirs.isEmpty) return
+    // split a leaf path into (base table path, k=v partition segments)
+    def split(d: String): (String, Seq[String]) = {
+      var cur = new Path(d)
+      var rel = List.empty[String]
+      while (cur != null && cur.getName.contains("=")) {
+        rel = cur.getName :: rel
+        cur = cur.getParent
+      }
+      (if (cur == null) "" else cur.toString, rel)
+    }
+    val parsed = dirs.map(d => d -> split(d))
+    val (flat, ok) = parsed.partition { case (_, (b, rel)) =>
+      b.isEmpty || rel.isEmpty
+    }
+    // unrecognized layout: the per-dir path handles anything
+    rewriteLeafDirs(spark, flat.map { case (d, _) => (d, transform) },
+      tmpPrefix)
+    ok.groupBy { case (_, (b, rel)) =>
+      (b, rel.map(_.takeWhile(_ != '=')))
+    }.foreach { case ((base, partCols), group) =>
+      rewriteGroup(spark, base, partCols,
+        group.map { case (d, (_, rel)) => (d, rel) }, transform, tmpPrefix)
+    }
+  }
+
+  private def rewriteGroup(spark: SparkSession, base: String,
+                           partCols: Seq[String],
+                           dirsRel: Seq[(String, Seq[String])],
+                           transform: org.apache.spark.sql.DataFrame =>
+                             org.apache.spark.sql.DataFrame,
+                           tmpPrefix: String): Unit = {
+    val f = fs(spark, new Path(base))
+    val sized = dirsRel.map { case (d, rel) =>
+      (d, rel, f.getContentSummary(new Path(d)).getLength)
+    }
+    val (big, small) = sized.partition(_._3 > TargetFileBytes)
+    // over-target buckets: data-bound rewrites, per-bucket jobs with
+    // per-bucket output sizing (the at-scale path, unchanged)
+    rewriteLeafDirs(spark, big.map { case (d, _, _) => (d, transform) },
+      tmpPrefix)
+    if (small.isEmpty) return
+    if (small.size == 1) {
+      rewriteLeafDirs(spark,
+        small.map { case (d, _, _) => (d, transform) }, tmpPrefix)
+      return
+    }
+    import org.apache.spark.sql.functions.col
+    val batchTmp = new Path(base, ".batchrw")
+    f.delete(batchTmp, true)
+    val in = spark.read.option("basePath", base)
+      .parquet(small.map(_._1): _*)
+    transform(in)
+      .repartition(small.size, partCols.map(col): _*)
+      .write.partitionBy(partCols: _*).parquet(batchTmp.toString)
+    // move each bucket's batched output into the SAME per-dir tmp
+    // position the per-dir path writes, then the same swap renames
+    val emptied = small.flatMap { case (d, rel, _) =>
+      val leaf = new Path(d)
+      val src = new Path(batchTmp, rel.mkString("/"))
+      val tmp = new Path(leaf.getParent, s"$tmpPrefix${leaf.getName}")
+      val aside = new Path(leaf.getParent, s".old_${leaf.getName}")
+      f.delete(tmp, true)
+      f.delete(aside, true)
+      if (!f.exists(src)) Some(d) // all rows died: per-dir fallback below
+      else {
+        if (!f.rename(src, tmp))
+          throw new java.io.IOException(
+            s"bucket compaction: cannot stage $src as $tmp")
+        if (!f.rename(leaf, aside))
+          throw new java.io.IOException(
+            s"bucket compaction: cannot retire $leaf to $aside")
+        if (!f.rename(tmp, leaf)) {
+          f.rename(aside, leaf)
+          throw new java.io.IOException(
+            s"bucket compaction: cannot promote $tmp to $leaf")
+        }
+        f.delete(aside, true)
+        None
+      }
+    }
+    f.delete(batchTmp, true)
+    rewriteLeafDirs(spark,
+      emptied.map(d => (d, transform)), tmpPrefix)
+  }
 
   /** Delete any stale tmp left by a crashed pass and return the path to
     * write the new store to.

@@ -356,14 +356,15 @@ object VideoHash {
     */
   def compactSeqIndexBuckets(spark: SparkSession, dir: String,
                              leafDirs: Seq[String]): Unit =
-    StoreSwap.rewriteLeafDirs(spark, leafDirs.map { d =>
-      val keys =
-        if (d.startsWith(s"$dir/shingles/")) Seq("doc_id", "k")
-        else if (d.startsWith(s"$dir/seqs/")) Seq("doc_id", "sq")
-        else throw new IllegalArgumentException(
-          s"$d is not a leaf bucket of the sequence index at $dir")
-      (d, (df: org.apache.spark.sql.DataFrame) => df.dropDuplicates(keys))
-    })
+    leafDirs.groupBy { d =>
+      if (d.startsWith(s"$dir/shingles/")) Seq("doc_id", "k")
+      else if (d.startsWith(s"$dir/seqs/")) Seq("doc_id", "sq")
+      else throw new IllegalArgumentException(
+        s"$d is not a leaf bucket of the sequence index at $dir")
+    }.foreach { case (keys, ds) =>
+      StoreSwap.rewriteLeafDirsShared(spark, ds,
+        (df: org.apache.spark.sql.DataFrame) => df.dropDuplicates(keys))
+    }
 
   /** Physically erase retracted videos from the persisted index by
     * rewriting ONLY the partitions their rows live in
@@ -394,10 +395,10 @@ object VideoHash {
         .map(r => s"$dir/$table/$part=${r.get(0)}")
         .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
         .toSeq
-    StoreSwap.rewriteLeafDirs(spark,
-      (touched("shingles", "kp") ++ touched("seqs", "sqp")).map(d =>
-        (d, (df: org.apache.spark.sql.DataFrame) =>
-          df.join(broadcast(idf), Seq("doc_id"), "left_anti"))))
+    StoreSwap.rewriteLeafDirsShared(spark,
+      touched("shingles", "kp") ++ touched("seqs", "sqp"),
+      (df: org.apache.spark.sql.DataFrame) =>
+        df.join(broadcast(idf), Seq("doc_id"), "left_anti"))
   }
 
   /** Collapse re-appended duplicate rows and small files; same swap
