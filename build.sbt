@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Plain `sbt test` excludes tests tagged graft.Slow (long-arc disaster
+// drills / model checks / scheduled-maintenance sweeps) so the suite
+// fits the verification budget; `GRAFT_FULL_TESTS=1 sbt test` runs
+// everything (and works with testOnly for a single suite).
+Test / testOptions ++= (
+  if (sys.env.contains("GRAFT_FULL_TESTS")) Seq.empty
+  else Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.SlowTest")))
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

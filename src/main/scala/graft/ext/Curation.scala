@@ -591,9 +591,24 @@ object Curation {
     if (audUp && audHashes.nonEmpty) hashGeomGuard(stores.audio, "audio")
     val ids = docs.select(col("doc_id")).localCheckpoint()
     val tombRows = readTombstoneRows(spark, stores)
-    // the remaining guards are independent tranche-bounded jobs — run
-    // them concurrently (all must pass before any write; none writes)
-    StoreSwap.concurrently(
+    // round-18 (guide §2.6): the guard phase and the tranche-side
+    // READ-ONLY materializations — the tranche MinHash index frames and
+    // the standing-exclusion set the probes anti-join — are independent
+    // jobs, so they run in ONE concurrent phase. Guards still settle
+    // before ANY write (the first write is the ledger append, two
+    // phases later); a failing guard wastes the tranche derivation but
+    // refuses exactly as before. The index frames were previously
+    // materialized AFTER the guards and the exclusion set between the
+    // two, each a serial driver wait on the commit path.
+    val trancheIdx0 =
+      Dedup.nearDupIndex(docs, "doc_id", "text", k, bands, rows)
+    val exclApplied = {
+      val probed = maintenanceUnits(spark, stores)
+        .filter(u => u.erasable && u.name != "ledger")
+      if (probed.isEmpty) 0L
+      else probed.map(u => appliedEpoch(spark, u.root)).min
+    }
+    val guardAndMat: Seq[() => AnyRef] = Seq[() => Unit](
       () => requireIdSubset(imgHashes, "doc_id", ids, "imgHashes"),
       () => requireIdSubset(audHashes, "doc_id", ids, "audHashes"),
       () => requireIdSubset(vidFrames, "doc_id", ids, "vidFrames"),
@@ -640,112 +655,135 @@ object Curation {
               s"${hit(0).getLong(0)} — a retracted id cannot be " +
               "recommitted; refusing before any write")
       },
-      () => idRegistryGuard(spark, ids, trancheId, stores.ledger))
-    // the standing-side exclusion set: the tranche's own ids (the
-    // failed-commit re-run self-exclusion) ∪ the UNAPPLIED tombstone
-    // slice — retracted ids whose rows may remain physical in SOME
-    // probed store until its next maintenance. Epochs at or below
-    // every probed store's applied watermark were erased everywhere
-    // (the maintenance passes advance the watermark only after the
-    // physical rewrite), so the slice is bounded by takedown traffic
-    // since the last maintenance, not by lifetime takedowns; its read
-    // prunes applied files at the parquet footer (each retraction
-    // batch lands as fresh constant-epoch files).
-    val exclApplied = {
-      val probed = maintenanceUnits(spark, stores)
-        .filter(u => u.erasable && u.name != "ledger")
-      if (probed.isEmpty) 0L
-      else probed.map(u => appliedEpoch(spark, u.root)).min
-    }
-    val excl = tombRows.fold(ids)(t =>
-      ids.unionByName(
-        t.filter(col("epoch") > exclApplied)
-          .select("doc_id").dropDuplicates("doc_id"))
-        .localCheckpoint())
+      () => idRegistryGuard(spark, ids, trancheId, stores.ledger)
+    ).map(t => () => { t(); null: AnyRef }) ++ Seq[() => AnyRef](
+      // tranche MinHash index frames: the verdict plan references them
+      // several times and the text append ships them — materialize once
+      () => trancheIdx0.bands.localCheckpoint(),
+      () => trancheIdx0.sets.localCheckpoint(),
+      () => trancheIdx0.members.localCheckpoint(),
+      // the standing-side exclusion set: the tranche's own ids (the
+      // failed-commit re-run self-exclusion) ∪ the UNAPPLIED tombstone
+      // slice — retracted ids whose rows may remain physical in SOME
+      // probed store until its next maintenance. Epochs at or below
+      // every probed store's applied watermark were erased everywhere
+      // (the maintenance passes advance the watermark only after the
+      // physical rewrite), so the slice is bounded by takedown traffic
+      // since the last maintenance, not by lifetime takedowns; its read
+      // prunes applied files at the parquet footer (each retraction
+      // batch lands as fresh constant-epoch files).
+      () => tombRows.fold(ids)(t =>
+        ids.unionByName(
+          t.filter(col("epoch") > exclApplied)
+            .select("doc_id").dropDuplicates("doc_id"))
+          .localCheckpoint()))
+    val matRes = StoreSwap.concurrentlyAll(guardAndMat).takeRight(4)
+    val trancheIdx = Dedup.NearDupIndexFrames(
+      matRes(0).asInstanceOf[DataFrame], matRes(1).asInstanceOf[DataFrame],
+      matRes(2).asInstanceOf[DataFrame])
+    val excl = matRes(3).asInstanceOf[DataFrame]
     // ---- verdict derivation ------------------------------------------
-    // materialize TRANCHE-side inputs once: the verdict plan references
-    // the tranche's MinHash pipeline several times, and the tranche
-    // index is ALSO what gets appended. Standing sides are NOT
-    // checkpointed — they come back partition-pruned from the stores
-    // (probeView / ledgerProbeIndexed), which is the whole point.
-    def ckpt(i: Dedup.NearDupIndexFrames) = {
-      // three independent materialization jobs — pay the slowest
-      val Seq(b, s, m) = StoreSwap.concurrentlyAll(Seq(
-        () => i.bands.localCheckpoint(),
-        () => i.sets.localCheckpoint(),
-        () => i.members.localCheckpoint()))
-      Dedup.NearDupIndexFrames(b, s, m)
-    }
-    val trancheIdx = ckpt(
-      Dedup.nearDupIndex(docs, "doc_id", "text", k, bands, rows))
-    // self-exclusion everywhere below: the tranche's own ids are
-    // dropped from every standing side (a re-run of a failed commit
-    // probes a store that may already carry this tranche's append)
-    val textIdx =
-      if (textUp) Dedup.probeView(spark, stores.textIndex, trancheIdx,
-        Some(excl))
-      else Dedup.nearDupIndex(docs.filter(lit(false)), "doc_id", "text",
-        k, bands, rows)
-    var verdicts = Map[String, DataFrame](
+    // round-18 (guide §2.6): each modality's verdict is CONSTRUCTED and
+    // MATERIALIZED inside its own concurrent thunk. Construction is not
+    // free — the indexed probes (probeView / ledgerProbeIndexed /
+    // ledgerProbe) run bounded partsOf collects and tranche-frame
+    // localCheckpoints while BUILDING the plan, so the old
+    // construct-sequentially-then-materialize-concurrently split still
+    // serialized one driver wait per modality. Standing sides stay
+    // un-checkpointed — they come back partition-pruned from the
+    // stores, which is the whole point. The modality input frames
+    // (hashes, frames, embeddings) checkpoint inside their thunk too
+    // and are reused by the append phase below.
+    var img: Option[DataFrame] = None
+    var aud: Option[DataFrame] = None
+    var vid: Option[DataFrame] = None
+    var emb: Option[DataFrame] = None
+    var embRouting: Option[DataFrame] = None
+    val verdictThunks = Seq.newBuilder[() => (String, DataFrame)]
+    verdictThunks += (() => {
+      // self-exclusion everywhere below: the tranche's own ids are
+      // dropped from every standing side (a re-run of a failed commit
+      // probes a store that may already carry this tranche's append)
+      val textIdx =
+        if (textUp) Dedup.probeView(spark, stores.textIndex, trancheIdx,
+          Some(excl))
+        else Dedup.nearDupIndex(docs.filter(lit(false)), "doc_id", "text",
+          k, bands, rows)
       "text" -> Dedup.ledgerProbeFrom(textIdx, trancheIdx, docs,
-        "doc_id", jThresh))
-    val img = imgHashes.map(_.localCheckpoint())
-    img.foreach { h =>
-      verdicts += "image" -> (
-        if (imgUp) ImageHash.ledgerProbeIndexed(spark, stores.image, h,
-          "doc_id", "hash", maxDist = hashMaxDist, exclude = Some(excl))
-        else ImageHash.ledgerProbe(h.filter(lit(false)), h, "doc_id", "hash",
-          bands = hashBands, maxDist = hashMaxDist))
+        "doc_id", jThresh).localCheckpoint()
+    })
+    imgHashes.foreach { h0 =>
+      verdictThunks += (() => {
+        val h = h0.localCheckpoint()
+        img = Some(h)
+        "image" -> (
+          if (imgUp) ImageHash.ledgerProbeIndexed(spark, stores.image, h,
+            "doc_id", "hash", maxDist = hashMaxDist, exclude = Some(excl))
+          else ImageHash.ledgerProbe(h.filter(lit(false)), h, "doc_id",
+            "hash", bands = hashBands, maxDist = hashMaxDist))
+          .localCheckpoint()
+      })
     }
-    val aud = audHashes.map(_.localCheckpoint())
-    aud.foreach { h =>
-      verdicts += "audio" -> (
-        if (audUp) ImageHash.ledgerProbeIndexed(spark, stores.audio, h,
-          "doc_id", "hash", maxDist = hashMaxDist, exclude = Some(excl))
-        else ImageHash.ledgerProbe(h.filter(lit(false)), h, "doc_id", "hash",
-          bands = hashBands, maxDist = hashMaxDist))
+    audHashes.foreach { h0 =>
+      verdictThunks += (() => {
+        val h = h0.localCheckpoint()
+        aud = Some(h)
+        "audio" -> (
+          if (audUp) ImageHash.ledgerProbeIndexed(spark, stores.audio, h,
+            "doc_id", "hash", maxDist = hashMaxDist, exclude = Some(excl))
+          else ImageHash.ledgerProbe(h.filter(lit(false)), h, "doc_id",
+            "hash", bands = hashBands, maxDist = hashMaxDist))
+          .localCheckpoint()
+      })
     }
-    val vid = vidFrames.map(_.localCheckpoint())
-    vid.foreach { f =>
-      verdicts += "video" -> (
-        if (vidUp) VideoHash.ledgerProbeIndexed(spark, stores.video, f,
-          docs, "doc_id", exclude = Some(excl))
-        else VideoHash.ledgerProbe(f.filter(lit(false)), f, docs, "doc_id"))
+    vidFrames.foreach { f0 =>
+      verdictThunks += (() => {
+        val f = f0.localCheckpoint()
+        vid = Some(f)
+        "video" -> (
+          if (vidUp) VideoHash.ledgerProbeIndexed(spark, stores.video, f,
+            docs, "doc_id", exclude = Some(excl))
+          else VideoHash.ledgerProbe(f.filter(lit(false)), f, docs,
+            "doc_id")).localCheckpoint()
+      })
     }
     // semantic layer: a persisted IvfIndex (detected by its centroids
     // table) probes cell-pruned — THE 100 TB shape; a flat store is the
     // sub-million-vector option, label-blocked and read whole
-    val emb = embeddings.map(_.localCheckpoint())
-    // one routing pass per tranche, shared by the semantic probe and
-    // the store append (both need the same integer-codebook argmin)
-    val embRouting = emb.filter(_ => embIvf).map(e =>
-      IvfIndex.routing(spark, stores.embedding,
-        e.select("vec_id", "embedding")).localCheckpoint(false))
-    emb.foreach { e =>
-      verdicts += "embedding" -> (
-        if (embIvf) IvfIndex.ledgerProbe(spark, stores.embedding, e,
-          "vec_id", "embedding", cosThresh, exclude = Some(excl),
-          routedIn = embRouting)
-        else {
-          val standing =
-            (if (embUp) spark.read.parquet(stores.embedding)
-             else e.filter(lit(false)))
-              .join(excl.withColumnRenamed("doc_id", "vec_id"),
-                Seq("vec_id"), "left_anti")
-          Similarity.ledgerProbe(standing, e, "vec_id", "embedding",
-            "label", cosThresh)
-        })
+    embeddings.foreach { e0 =>
+      verdictThunks += (() => {
+        val e = e0.localCheckpoint()
+        emb = Some(e)
+        // one routing pass per tranche, shared by the semantic probe
+        // and the store append (both need the same integer-codebook
+        // argmin); lazy checkpoint — first reference materializes it
+        val routed =
+          if (embIvf) Some(IvfIndex.routing(spark, stores.embedding,
+            e.select("vec_id", "embedding")).localCheckpoint(false))
+          else None
+        embRouting = routed
+        "embedding" -> (
+          if (embIvf) IvfIndex.ledgerProbe(spark, stores.embedding, e,
+            "vec_id", "embedding", cosThresh, exclude = Some(excl),
+            routedIn = routed)
+          else {
+            val standing =
+              (if (embUp) spark.read.parquet(stores.embedding)
+               else e.filter(lit(false)))
+                .join(excl.withColumnRenamed("doc_id", "vec_id"),
+                  Seq("vec_id"), "left_anti")
+            Similarity.ledgerProbe(standing, e, "vec_id", "embedding",
+              "label", cosThresh)
+          }).localCheckpoint()
+      })
     }
     // ---- writes: ledger, store appends, id registry, markers ---------
-    // modality verdicts materialize CONCURRENTLY (they are independent
-    // probe plans over tranche-bounded frames — wall-clock pays the
-    // slowest modality, not the sum), then the ledger writes land
-    // sequentially from the checkpointed rows (one output directory —
-    // concurrent committers must not share its staging path)
-    val verdictsC = StoreSwap.concurrentlyAll(
-      verdicts.toSeq.map { case (m, v) =>
-        () => m -> v.localCheckpoint()
-      }).toMap
+    // modality verdicts derive CONCURRENTLY (independent probe plans
+    // over tranche-bounded frames — wall-clock pays the slowest
+    // modality, not the sum), then the ledger write lands from the
+    // checkpointed rows (one output directory — concurrent committers
+    // must not share its staging path)
+    val verdictsC = StoreSwap.concurrentlyAll(verdictThunks.result()).toMap
     Ledger.appendTranche(verdictsC, trancheId, stores.ledger)
     // store appends run concurrently too — each its own directory;
     // the text append ships the SAME checkpointed tranche frames the

@@ -602,9 +602,38 @@ object Dedup {
   def probeNearDupIndex(index: NearDupIndexFrames,
                         incoming: DataFrame, idCol: String, textCol: String,
                         k: Int = 2, bands: Int = 8, rows: Int = 2,
-                        maxBucket: Int = 4096): DataFrame = {
+                        maxBucket: Int = 4096): DataFrame =
+    probeNearDupIndexFrom(index,
+      nearDupIndex(incoming, idCol, textCol, k, bands, rows),
+      incoming, idCol, maxBucket)
+
+  /** Materialize an index's three frames as eager localCheckpoints —
+    * three concurrent jobs, pay the slowest (the
+    * [[Curation.commitTranche]] ckpt discipline, exposed for callers
+    * outside graft.ext like the x87 probe).
+    */
+  def materialize(idx: NearDupIndexFrames): NearDupIndexFrames = {
+    val Seq(b, s, m) = StoreSwap.concurrentlyAll(Seq(
+      () => idx.bands.localCheckpoint(),
+      () => idx.sets.localCheckpoint(),
+      () => idx.members.localCheckpoint()))
+    NearDupIndexFrames(b, s, m)
+  }
+
+  /** [[probeNearDupIndex]] from an already-built (possibly
+    * checkpointed) tranche index — the [[ledgerProbeFrom]] split
+    * applied to the pair probe (round-18, guide §1.2/§5): the probe
+    * plan references the tranche's MinHash pipeline many times (band
+    * keys twice, sets once, members four times), so an
+    * un-materialized tranche index re-derives the shingle/signature
+    * pass per reference — the x87 plan carried 20 scans of the corpus
+    * where 3 materialization jobs + cached reads do.
+    */
+  def probeNearDupIndexFrom(index: NearDupIndexFrames,
+                            idxN: NearDupIndexFrames,
+                            incoming: DataFrame, idCol: String,
+                            maxBucket: Int = 4096): DataFrame = {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
-    val idxN = nearDupIndex(incoming, idCol, textCol, k, bands, rows)
     val verified = verifiedContentPairs(index, idxN, maxBucket)
     // member expansion, new-side-anchored so work ∝ emitted pairs: each
     // verified content pair expands through (all members) × (new

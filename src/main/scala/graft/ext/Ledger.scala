@@ -46,10 +46,19 @@ object Ledger {
 
   /** Append a full multimodal tranche in one call: `byModality` maps
     * modality name → that modality's (doc_id, decision) verdicts.
+    * The modality frames union into ONE dynamic-overwrite write
+    * (round-18, guide §2): the per-modality loop paid one full write
+    * job per modality for rows the writer routes by column value
+    * anyway — same rows, same (tranche, modality) partitions, same
+    * one-file-per-partition layout, one job instead of five.
     */
   def appendTranche(byModality: Map[String, DataFrame], tranche: Long,
                     dir: String): Unit =
-    byModality.foreach { case (m, v) => append(v, tranche, m, dir) }
+    if (byModality.nonEmpty)
+      write(byModality.map { case (m, v) =>
+        v.select(col("doc_id"), col("decision"),
+          lit(tranche).as("tranche"), lit(m).as("modality"))
+      }.reduce(_ unionByName _), dir)
 
   /** Append a frame that already carries its `modality` column — the
     * x112 composition: the batch multimodal ledger IS the artifact

@@ -72,14 +72,20 @@ private[ext] object StoreSwap {
       .map(_.sparkContext)
     val fs = thunks.zipWithIndex.map { case (t, i) =>
       Future(blocking {
+        // restore the PRIOR values, not null (ADVICE r17): nested
+        // concurrently calls must not wipe the outer thunk's
+        // attribution, and a reused pool thread must not leak a stale
+        // callsite into unrelated later tasks
+        val prev = sc.map(c => (c.getLocalProperty("callSite.short"),
+          c.getLocalProperty("callSite.long")))
         sc.foreach { c =>
           c.setLocalProperty("callSite.short", s"$caller [$i]")
           c.setLocalProperty("callSite.long", s"$caller [thunk $i]")
         }
         try t()
-        finally sc.foreach { c =>
-          c.setLocalProperty("callSite.short", null)
-          c.setLocalProperty("callSite.long", null)
+        finally sc.zip(prev).foreach { case (c, (s, l)) =>
+          c.setLocalProperty("callSite.short", s)
+          c.setLocalProperty("callSite.long", l)
         }
       })
     }
@@ -218,6 +224,10 @@ private[ext] object StoreSwap {
                               org.apache.spark.sql.DataFrame,
                             tmpPrefix: String = ".compact_"): Unit = {
     if (dirs.isEmpty) return
+    if (sys.env.contains("GRAFT_EXP_PERDIR")) {
+      rewriteLeafDirs(spark, dirs.map(d => (d, transform)), tmpPrefix)
+      return
+    }
     // split a leaf path into (base table path, k=v partition segments)
     def split(d: String): (String, Seq[String]) = {
       var cur = new Path(d)
@@ -243,13 +253,38 @@ private[ext] object StoreSwap {
     }
   }
 
+  /** A `k=v` partition segment whose VALUE survives the read-and-
+    * re-render round trip of the batched write (ADVICE r17): the
+    * batched read infers the partition value from the dir name and the
+    * dynamic write re-renders it, so a non-canonical name (`idp=07`
+    * inferred as 7, re-rendered `idp=7`) would emit its rows into a
+    * DIFFERENT leaf — and if that leaf is another live bucket in the
+    * same batch, promote one bucket's rows into the other. Canonical
+    * longs and escaping-stable non-numeric tokens round-trip; anything
+    * else keeps the per-dir path, which never re-renders names.
+    */
+  private def roundTrips(seg: String): Boolean = {
+    val v = seg.dropWhile(_ != '=').drop(1)
+    val canonicalLong =
+      v.nonEmpty && v.forall(_.isDigit) &&
+        (try v.toLong.toString == v catch { case _: Throwable => false })
+    val stableToken =
+      v.nonEmpty && !v.forall(_.isDigit) &&
+        v.forall(c => c.isLetterOrDigit || c == '_' || c == '.' || c == '-')
+    canonicalLong || stableToken
+  }
+
   private def rewriteGroup(spark: SparkSession, base: String,
                            partCols: Seq[String],
-                           dirsRel: Seq[(String, Seq[String])],
+                           dirsRel0: Seq[(String, Seq[String])],
                            transform: org.apache.spark.sql.DataFrame =>
                              org.apache.spark.sql.DataFrame,
                            tmpPrefix: String): Unit = {
     val f = fs(spark, new Path(base))
+    // non-round-tripping leaf names cannot batch safely — per-dir path
+    val (dirsRel, unsafe) = dirsRel0.partition(_._2.forall(roundTrips))
+    rewriteLeafDirs(spark, unsafe.map { case (d, _) => (d, transform) },
+      tmpPrefix)
     val sized = dirsRel.map { case (d, rel) =>
       (d, rel, f.getContentSummary(new Path(d)).getLength)
     }
@@ -265,13 +300,41 @@ private[ext] object StoreSwap {
       return
     }
     import org.apache.spark.sql.functions.col
-    val batchTmp = new Path(base, ".batchrw")
+    // staging is per-caller-kind (suffix = the pass's tmpPrefix,
+    // ADVICE r17): concurrent same-base maintenance of DIFFERENT kinds
+    // (a compaction racing a retraction) can no longer clobber each
+    // other's staging, and a crashed pass's residue is reclaimed by the
+    // next pass of the same kind (the delete below) — same lifecycle as
+    // the per-dir `.compact_*` tmps, invisible to readers either way
+    val batchTmp = new Path(base,
+      s".batchrw_${tmpPrefix.filter(c => c.isLetterOrDigit || c == '_')}")
     f.delete(batchTmp, true)
     val in = spark.read.option("basePath", base)
       .parquet(small.map(_._1): _*)
     transform(in)
       .repartition(small.size, partCols.map(col): _*)
       .write.partitionBy(partCols: _*).parquet(batchTmp.toString)
+    // promotion-safety assertion (ADVICE r17): every leaf the batch
+    // write emitted must be one of this batch's expected rel paths —
+    // an unexpected leaf means a partition value did not survive the
+    // read/re-render round trip and promoting ANY bucket could mix
+    // rows across buckets; refuse before any rename
+    val expectedRels = small.map(_._2.mkString("/")).toSet
+    def emittedLeaves(p: Path, depth: Int,
+                      rel: List[String]): Seq[String] =
+      if (depth == 0) Seq(rel.reverse.mkString("/"))
+      else f.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .flatMap(s =>
+          emittedLeaves(s.getPath, depth - 1, s.getPath.getName :: rel))
+    val emitted = emittedLeaves(batchTmp, partCols.size, Nil)
+    val unexpected = emitted.filterNot(expectedRels)
+    if (unexpected.nonEmpty)
+      throw new java.io.IOException(
+        s"bucket compaction: batched write under $batchTmp emitted " +
+          s"unexpected leaf dir(s) ${unexpected.take(3).mkString(", ")} " +
+          s"outside the batch's ${expectedRels.size} expected buckets — " +
+          "refusing to promote (a partition value did not round-trip)")
     // move each bucket's batched output into the SAME per-dir tmp
     // position the per-dir path writes, then the same swap renames
     val emptied = small.flatMap { case (d, rel, _) =>

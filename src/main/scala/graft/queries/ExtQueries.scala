@@ -4235,12 +4235,18 @@ object ExtQueries {
     */
   val x87IncrementalLsh: Q = (spark, sfDir) => {
     val docs = Tables.documents(spark, sfDir)
+    val tranche = docs.filter(col("doc_id") % 4 === 0)
     // probe the MEMOIZED standing index (built once per corpus commit —
     // Bench times it as `neardup_index_build`); the declared query is
     // the recurring per-tranche cost, the shape that actually runs at
-    // 100 TB (VERDICT r8 #1)
-    Dedup.probeNearDupIndex(standingNearDupIndex(spark, sfDir),
-      docs.filter(col("doc_id") % 4 === 0), "doc_id", "text")
+    // 100 TB (VERDICT r8 #1). The tranche index materializes ONCE
+    // (three concurrent checkpoint jobs) instead of re-deriving the
+    // MinHash pipeline per plan reference — round-18, guide §5; plan
+    // evidence in plans/r18/x87_incremental_lsh_{before,after}.txt.
+    val idxN = Dedup.materialize(
+      Dedup.nearDupIndex(tranche, "doc_id", "text"))
+    Dedup.probeNearDupIndexFrom(standingNearDupIndex(spark, sfDir),
+      idxN, tranche, "doc_id")
       .orderBy("a_id", "b_id")
   }
 

@@ -286,7 +286,7 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("no declared query plans an unpartitioned (single-partition) window") {
+  test("no declared query plans an unpartitioned (single-partition) window", graft.Slow) {
     // Window.orderBy with no partitionBy moves EVERY row to one task
     // ("No Partition Defined" warning) — correct, but a scale-killer.
     // Global ranks must go through graft.ext.Ranking or a top-k

@@ -519,7 +519,7 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(bad.getMessage.contains("integer literal"))
   }
 
-  test("the curation serve + export sides are SQL-callable: serve_ann, export_release") {
+  test("the curation serve + export sides are SQL-callable: serve_ann, export_release", graft.Slow) {
     // VERDICT r15 #4: a SQL-only consumer serves ANN under the
     // takedown contract and materializes a published release from the
     // catalog; a withdrawn release refuses through SQL exactly as
@@ -603,7 +603,7 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(msgs(refused).contains("WITHDRAWN"), msgs(refused))
   }
 
-  test("the curation operator console is SQL-callable: fsck, maintenance_report, verify_*") {
+  test("the curation operator console is SQL-callable: fsck, maintenance_report, verify_*", graft.Slow) {
     // VERDICT r16 #5: the read/serve side was SQL-reachable but the
     // compliance actions a console needs — deployment audit, scheduled
     // due report, release/backup integrity — still required Scala.

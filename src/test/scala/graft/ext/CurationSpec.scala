@@ -22,7 +22,7 @@ class CurationSpec extends SparkSpec {
       s"$root/vid", s"$root/emb", s"$root/led")
   }
 
-  test("a failed commit's re-run reproduces the first attempt exactly") {
+  test("a failed commit's re-run reproduces the first attempt exactly", graft.Slow) {
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
     val emb = Tables.embeddings(spark, sf())
     val stores = freshStores()
@@ -80,7 +80,7 @@ class CurationSpec extends SparkSpec {
     assert(ledger() == ledFirst)
   }
 
-  test("a re-used doc_id across tranches is refused before any write") {
+  test("a re-used doc_id across tranches is refused before any write", graft.Slow) {
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
     val stores = freshStores()
     Curation.commitTranche(docs.filter(col("doc_id") % 2 === 0), 0L, stores)
@@ -139,7 +139,7 @@ class CurationSpec extends SparkSpec {
     assert(!new java.io.File(stores.ledger).exists())
   }
 
-  test("an IVF embedding store routes the semantic layer through the index, re-run safe") {
+  test("an IVF embedding store routes the semantic layer through the index, re-run safe", graft.Slow) {
     // the 100 TB semantic shape: the caller pre-trains the IVF store on
     // the initial corpus; commitTranche detects it (centroids table),
     // probes through cell pruning and appends through the frozen
@@ -322,7 +322,7 @@ class CurationSpec extends SparkSpec {
       s"lost-registry refusal unclear: ${e.getMessage}")
   }
 
-  test("retraction: tombstone exclusion, ledger drop, physical GC, recommit refusal") {
+  test("retraction: tombstone exclusion, ledger drop, physical GC, recommit refusal", graft.Slow) {
     import spark.implicits._
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
     val stores = freshStores()
@@ -395,7 +395,7 @@ class CurationSpec extends SparkSpec {
       s"post-GC copy of live standing content not exact_dup: $v2")
   }
 
-  test("retraction erases IVF vectors surgically and keeps probes clean") {
+  test("retraction erases IVF vectors surgically and keeps probes clean", graft.Slow) {
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
       .filter(col("doc_id") < 200)
     val emb = Tables.embeddings(spark, sf())
@@ -429,7 +429,7 @@ class CurationSpec extends SparkSpec {
       "maintain erased a live vector")
   }
 
-  test("gc reclaims rollback generations; maintain compacts the tombstone table") {
+  test("gc reclaims rollback generations; maintain compacts the tombstone table", graft.Slow) {
     import spark.implicits._
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
       .filter(col("doc_id") < 200)
@@ -521,7 +521,7 @@ class CurationSpec extends SparkSpec {
     assert(vidIds.nonEmpty, "maintain over-erased the flat video store")
   }
 
-  test("maintainDue compacts only the stores the metadata says drifted") {
+  test("maintainDue compacts only the stores the metadata says drifted", graft.Slow) {
     import spark.implicits._
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
       .filter(col("doc_id") < 600)
@@ -567,7 +567,7 @@ class CurationSpec extends SparkSpec {
       3L, stores)
   }
 
-  test("fsck: healthy ok, erasure backlog pending, corruption violation") {
+  test("fsck: healthy ok, erasure backlog pending, corruption violation", graft.Slow) {
     import spark.implicits._
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
       .filter(col("doc_id") < 300)
@@ -607,7 +607,7 @@ class CurationSpec extends SparkSpec {
       s"text checks disturbed: $corrupt")
   }
 
-  test("tombstone epochs: applied takedowns leave the per-commit slice, the recommit guard sees them forever") {
+  test("tombstone epochs: applied takedowns leave the per-commit slice, the recommit guard sees them forever", graft.Slow) {
     import spark.implicits._
     val stores = freshStores()
     val t0 = Seq(
@@ -655,7 +655,7 @@ class CurationSpec extends SparkSpec {
       s"recommit refusal unclear: ${e.getMessage}")
   }
 
-  test("maintainDue erases with the unapplied slice; maintain stays the deep heal") {
+  test("maintainDue erases with the unapplied slice; maintain stays the deep heal", graft.Slow) {
     import spark.implicits._
     val stores = freshStores()
     Curation.commitTranche(Seq(
@@ -689,7 +689,7 @@ class CurationSpec extends SparkSpec {
       "maintain did not re-apply the full epoch range")
   }
 
-  test("model check: a random commit/retract/maintain sequence matches first-seen-over-live") {
+  test("model check: a random commit/retract/maintain sequence matches first-seen-over-live", graft.Slow) {
     import spark.implicits._
     // seeded, so the sequence is deterministic run to run. Contents use
     // DISJOINT vocabularies (Jaccard 0 across contents), so the only
@@ -754,7 +754,7 @@ class CurationSpec extends SparkSpec {
         s"${diff.take(5).map(k => k -> ((led.get(k), expected.get(k))))}")
   }
 
-  test("model check: the PQ serving set tracks commits, retractions, maintenance exactly") {
+  test("model check: the PQ serving set tracks commits, retractions, maintenance exactly", graft.Slow) {
     import spark.implicits._
     // seeded like the verdict model check, extended to the SERVING
     // side: contents map to one-hot embedding directions (cosine 0
@@ -877,7 +877,7 @@ class CurationSpec extends SparkSpec {
     assert(!lock.exists())
   }
 
-  test("fsck: a re-run retraction + tombstone compaction stays healthy") {
+  test("fsck: a re-run retraction + tombstone compaction stays healthy", graft.Slow) {
     import spark.implicits._
     // the ADVICE r11 false-positive arc: retract X (epoch 1) → re-run
     // retract X (fresh epoch 2, explicitly supported) → maintain
@@ -907,7 +907,7 @@ class CurationSpec extends SparkSpec {
       s"scheduled pass disturbed the watermarks: ${fsckMap()}")
   }
 
-  test("a file-pressure-only due pass rewrites ONLY the drifted buckets") {
+  test("a file-pressure-only due pass rewrites ONLY the drifted buckets", graft.Slow) {
     import spark.implicits._
     // VERDICT r11 #1: maintainDue's file compaction must be bounded by
     // the buckets that drifted, never the store — the untouched
@@ -964,7 +964,7 @@ class CurationSpec extends SparkSpec {
       2L, stores)
   }
 
-  test("maintainDue erases surgically: every store rewrites only the ids' partitions") {
+  test("maintainDue erases surgically: every store rewrites only the ids' partitions", graft.Slow) {
     import spark.implicits._
     // with erase hooks on every indexed store (text, image, video,
     // ledger, IVF, PQ), an erasure-due scheduled pass must never
@@ -1075,7 +1075,7 @@ class CurationSpec extends SparkSpec {
     assert(crashed().toSeq.map(_._2._1) == Seq("ok"))
   }
 
-  test("a budgeted scheduled pass converges drift in bounded windows") {
+  test("a budgeted scheduled pass converges drift in bounded windows", graft.Slow) {
     import spark.implicits._
     // the ONLINE maintenance knob (sink's maintainBudget): each window
     // rewrites at most maxBucketsPerPass buckets — the worst first —
@@ -1151,7 +1151,7 @@ class CurationSpec extends SparkSpec {
     Curation.commitTranche(t1, 1L, stores, embeddings = Some(embOf(t1)))
   }
 
-  test("serveAnn: a takedown is invisible to serving the moment retract returns") {
+  test("serveAnn: a takedown is invisible to serving the moment retract returns", graft.Slow) {
     // the read-side takedown contract for the one lock-free external
     // path: between retract and the next scheduled maintenance window
     // the retracted codes are still PHYSICAL in the store (the raw
@@ -1206,7 +1206,7 @@ class CurationSpec extends SparkSpec {
     assert(rawAfter.nonEmpty)
   }
 
-  test("rereleaseServing: locked re-release from the curated corpus applies pending takedowns") {
+  test("rereleaseServing: locked re-release from the curated corpus applies pending takedowns", graft.Slow) {
     // the deployment-safe form of the codebook re-release: under the
     // writer lock, corpus re-derived from the deployment's own stores
     // (kept embedding ids minus retractions) — so a re-release born
@@ -1256,7 +1256,7 @@ class CurationSpec extends SparkSpec {
     assert(served.nonEmpty && served.intersect(gone.toSet).isEmpty)
   }
 
-  test("pq publish crash states: serving falls back, fsck names the recovery, repair applies it") {
+  test("pq publish crash states: serving falls back, fsck names the recovery, repair applies it", graft.Slow) {
     // every crash state of the generational publish leaves serving on
     // a complete, consistent index (liveDir's newest-complete
     // fallback), and each is visible in fsck's pq_publish row with the
@@ -1422,7 +1422,7 @@ class CurationSpec extends SparkSpec {
       .forall(_.getString(1) != "violation"))
   }
 
-  test("takedown reaches the serving-side PQ index surgically") {
+  test("takedown reaches the serving-side PQ index surgically", graft.Slow) {
     import spark.implicits._
     // VERDICT r11 missing #2: a real right-to-erasure pipeline serves
     // ANN from the persisted PQ index — tombstones must reach its code
@@ -1635,7 +1635,7 @@ class CurationSpec extends SparkSpec {
       .count() == 0)
   }
 
-  test("commits feed the PQ serving index: kept vectors only, re-run idempotent") {
+  test("commits feed the PQ serving index: kept vectors only, re-run idempotent", graft.Slow) {
     import spark.implicits._
     // VERDICT r12 missing #1: a deployment that serves ANN from
     // stores.pqIndex must see every committed tranche's KEPT vectors
@@ -1721,7 +1721,7 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("pq serving index"), e.getMessage)
   }
 
-  test("trainServing bootstraps the PQ store from the curated corpus, once") {
+  test("trainServing bootstraps the PQ store from the curated corpus, once", graft.Slow) {
     import spark.implicits._
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
       .filter(col("doc_id") < 200)
@@ -1774,7 +1774,7 @@ class CurationSpec extends SparkSpec {
       .count() > 0, "post-bootstrap commit did not feed serving")
   }
 
-  test("codebook skew is a due signal: maintainDue heals the hot cell") {
+  test("codebook skew is a due signal: maintainDue heals the hot cell", graft.Slow) {
     // VERDICT r12 missing #2: appends route into a frozen codebook, so
     // a drifted ingest distribution piles into hot cells and probe cost
     // degrades invisibly unless the scheduler notices the census.
@@ -1822,7 +1822,7 @@ class CurationSpec extends SparkSpec {
       embeddings = Some(more))
   }
 
-  test("a splitCell in flight refuses semantic commits until rewrite recovers") {
+  test("a splitCell in flight refuses semantic commits until rewrite recovers", graft.Slow) {
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
       .filter(col("doc_id") < 200)
     val emb = Tables.embeddings(spark, sf())
@@ -1847,7 +1847,7 @@ class CurationSpec extends SparkSpec {
   }
 
   test("corpusAsOf is the reproducible release: cutoff-bounded, kept-only, " +
-    "takedown-retroactive, maintenance-stable") {
+    "takedown-retroactive, maintenance-stable", graft.Slow) {
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
     val stores = freshStores()
     val t0 = docs.filter(col("doc_id") % 4 === 1)
@@ -1903,7 +1903,7 @@ class CurationSpec extends SparkSpec {
       "cutoff 1 after tranche-0 retraction must hold only tranche-1 keeps")
   }
 
-  test("serveAnn anti-joins the unapplied tombstone slice, not the lifetime registry") {
+  test("serveAnn anti-joins the unapplied tombstone slice, not the lifetime registry", graft.Slow) {
     // VERDICT r13 missing #1: commits pay only the unapplied tombstone
     // slice; serving must too. Tombstones at or below the pq store's
     // applied watermark were physically erased from the code table, so
@@ -1962,7 +1962,7 @@ class CurationSpec extends SparkSpec {
       s"re-release did not advance the serve-side slice: $pushed2")
   }
 
-  test("publishRelease pins an immutable artifact; verify + drift audit re-cuts against it") {
+  test("publishRelease pins an immutable artifact; verify + drift audit re-cuts against it", graft.Slow) {
     // VERDICT r13 missing #3: a training run pins an ARTIFACT, not a
     // recomputation recipe. Maintenance leaves the published manifest
     // byte-identical; a later takedown flips recut_matches while the
@@ -2031,7 +2031,7 @@ class CurationSpec extends SparkSpec {
     assert(relCheck() == (("violation", 1L)), s"lost artifact: ${relCheck()}")
   }
 
-  test("exportRelease covers multimodal refs; exportReleaseEmbeddings ships train-ready vectors") {
+  test("exportRelease covers multimodal refs; exportReleaseEmbeddings ships train-ready vectors", graft.Slow) {
     // the consumer loop end-to-end: a release's export carries content
     // references from EVERY modality store it spans, and the payload
     // read hands a training run exactly the release's vectors minus
@@ -2082,7 +2082,7 @@ class CurationSpec extends SparkSpec {
       (id, "embedding"))).toSet, s"holes: $holes")
   }
 
-  test("unpublishRelease withdraws with an audit trail; releases stay protected otherwise") {
+  test("unpublishRelease withdraws with an audit trail; releases stay protected otherwise", graft.Slow) {
     // VERDICT r14 missing #4: manifests accrete forever BY DESIGN —
     // the only reclaim is the deliberate, audited withdrawal. fsck
     // accounts the protected bytes, a withdrawn release refuses every
@@ -2163,7 +2163,7 @@ class CurationSpec extends SparkSpec {
     assert(v0.getAs[Boolean]("artifact_intact"))
   }
 
-  test("exportRelease materializes a pinned manifest with takedowns as named holes") {
+  test("exportRelease materializes a pinned manifest with takedowns as named holes", graft.Slow) {
     // VERDICT r14 missing #1: publish → retract → maintain → export
     // shows exactly the erased ids as holes, never silent absence —
     // and the export is maintenance-invariant (the hole verdict is the
@@ -2219,7 +2219,7 @@ class CurationSpec extends SparkSpec {
       preErase.size.toLong, "dest export diverged")
   }
 
-  test("snapshot/restore: a consistent live-state backup re-seats lost artifacts") {
+  test("snapshot/restore: a consistent live-state backup re-seats lost artifacts", graft.Slow) {
     // VERDICT r14 missing #2: fsck's "violation no pass recreates"
     // tier (lost manifest, lost store) gets a recovery path. snapshot
     // copies LIVE state only (no asides, no retired generations) under
@@ -2355,7 +2355,7 @@ class CurationSpec extends SparkSpec {
     assert(eMeta.getMessage.contains("_meta"), eMeta.getMessage)
   }
 
-  test("restore never re-plants a withdrawn release's purged manifest") {
+  test("restore never re-plants a withdrawn release's purged manifest", graft.Slow) {
     // ADVICE r15 (medium): a snapshot taken BEFORE an unpublishRelease
     // still carries the since-purged manifest — restoring it would
     // return takedown-subject metadata to disk under a 'restored'
@@ -2405,7 +2405,7 @@ class CurationSpec extends SparkSpec {
     assert(rep("releases_publish") == "ok", s"fsck: $rep")
   }
 
-  test("recall re-release skips when takedowns shrank the corpus below k") {
+  test("recall re-release skips when takedowns shrank the corpus below k", graft.Slow) {
     // ADVICE r15: the scheduled window (and the sink's minRecall
     // plumbing) must not FAIL after its erasure/compaction work
     // committed because the probe wants a retrain the corpus can no
@@ -2460,7 +2460,7 @@ class CurationSpec extends SparkSpec {
         s"${rows()("snapshot_retention")}")
   }
 
-  test("exportReleasePayload: holes excluded, erasure-invariant, uniform ids") {
+  test("exportReleasePayload: holes excluded, erasure-invariant, uniform ids", graft.Slow) {
     // VERDICT r15 #3: the train-ready payload read generalized beyond
     // embeddings — text members and image hashes here; a tombstoned id
     // never ships whether or not its rows are still physical.
@@ -2530,7 +2530,7 @@ class CurationSpec extends SparkSpec {
     }
   }
 
-  test("disaster drill: snapshot, wipe every store, restore, serve identical") {
+  test("disaster drill: snapshot, wipe every store, restore, serve identical", graft.Slow) {
     // VERDICT r15 #5: the full recovery arc in one sequence — after a
     // total loss, restore re-seats exactly the snapshot, fsck reads no
     // violation, and every read surface answers byte-identically.
@@ -2607,7 +2607,7 @@ class CurationSpec extends SparkSpec {
     assert(relNow() == rel, "readRelease diverged across the drill")
   }
 
-  test("scheduled snapshots: maintainDue takes one iff the deployment drifted") {
+  test("scheduled snapshots: maintainDue takes one iff the deployment drifted", graft.Slow) {
     // VERDICT r15 #2: backup was the one lifecycle arc whose due
     // signal (fsck snapshot_stale) nobody acted on. The scheduled
     // window takes a snapshot only when the logical stamp moved, and
@@ -2731,7 +2731,7 @@ class CurationSpec extends SparkSpec {
     assert(Curation.corpusAsOf(spark, stores, 0L).count() > 0)
   }
 
-  test("recall drift is a due signal: the scheduled window re-releases the codebook") {
+  test("recall drift is a due signal: the scheduled window re-releases the codebook", graft.Slow) {
     // VERDICT r14 missing #3: occupancy skew already schedules
     // IvfIndex.heal; QUALITY drift — a codebook gone stale against
     // appends from a distribution it never saw (x89's scenario) — now
@@ -2819,7 +2819,7 @@ class CurationSpec extends SparkSpec {
       "recovered store still re-releasing")
   }
 
-  test("scheduled retention bounds retired serving generations; asides stay gc's") {
+  test("scheduled retention bounds retired serving generations; asides stay gc's", graft.Slow) {
     // VERDICT r13 missing #2: without a policy, every re-release
     // retires a full store copy forever. The scheduled pass keeps the
     // newest retired generation (an in-flight lock-free query may

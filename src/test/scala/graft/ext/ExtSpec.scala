@@ -1334,7 +1334,7 @@ class ExtSpec extends SparkSpec {
     assert(sel.map(_.getAs[Long]("n_features")).sum <= budget)
   }
 
-  test("persisted near-dup index round-trips and probes identically to the direct path") {
+  test("persisted near-dup index round-trips and probes identically to the direct path", graft.Slow) {
     val docs = graft.model.Tables.documents(spark, sf())
     val standing = docs.filter(col("doc_id") % 4 =!= 0)
     val incoming = docs.filter(col("doc_id") % 4 === 0)
@@ -1371,7 +1371,7 @@ class ExtSpec extends SparkSpec {
     }
   }
 
-  test("compactNearDupIndex pays the re-crawl collapse once; probes unchanged") {
+  test("compactNearDupIndex pays the re-crawl collapse once; probes unchanged", graft.Slow) {
     // append-mode tranche commits leave one bands/sets row per
     // (content x tranche it re-entered in); readNearDupIndex collapses
     // the redundancy on every read. Compaction rewrites the store
@@ -1767,7 +1767,7 @@ class ExtSpec extends SparkSpec {
     assert(exactLosers.nonEmpty && nearLosers.nonEmpty)
   }
 
-  test("x112 composes with the persisted ledger: the multimodal frame lands on disk") {
+  test("x112 composes with the persisted ledger: the multimodal frame lands on disk", graft.Slow) {
     import java.nio.file.Files
     val out = graft.queries.ExtQueries.queries("x112_multimodal_ledger")(spark, sf())
     val dir = Files.createTempDirectory("x112led").toString
@@ -2303,7 +2303,7 @@ class ExtSpec extends SparkSpec {
     assert(logw(4L) > 0 && logw(2L) < 0)
   }
 
-  test("a read pinned to a retired pq generation survives scheduled windows; only gc(keepRetired=0) reclaims it") {
+  test("a read pinned to a retired pq generation survives scheduled windows; only gc(keepRetired=0) reclaims it", graft.Slow) {
     // ADVICE r13 #5's accepted risk, pinned now that keepRetired = 1
     // is the scheduled default: a lock-free query that resolved
     // liveDir just before a re-release keeps reading the retired

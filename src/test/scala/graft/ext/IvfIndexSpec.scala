@@ -113,7 +113,7 @@ class IvfIndexSpec extends SparkSpec {
       1002L -> "exact_dup", 1003L -> "kept"), got.toString)
   }
 
-  test("splitCell: a hot cell splits in place — probe parity, identity exact, cold cells untouched") {
+  test("splitCell: a hot cell splits in place — probe parity, identity exact, cold cells untouched", graft.Slow) {
     import spark.implicits._
     val emb = planted(120, 0L)
     val dir = Files.createTempDirectory("ivfsplit").toString
@@ -202,7 +202,7 @@ class IvfIndexSpec extends SparkSpec {
     assert(post(9300L) == "exact_dup", post.toString)
   }
 
-  test("heal: census-driven splits remediate every hot cell, nothing else") {
+  test("heal: census-driven splits remediate every hot cell, nothing else", graft.Slow) {
     import spark.implicits._
     val emb = planted(120, 0L)
     val dir = Files.createTempDirectory("ivfheal").toString

@@ -100,7 +100,7 @@ class PropertySpec extends SparkSpec {
     assert(agree(0L, 3L) < 0.15)                    // disjoint -> near zero
   }
 
-  test("property: incremental LSH == monolithic slice on random tranche splits") {
+  test("property: incremental LSH == monolithic slice on random tranche splits", graft.Slow) {
     import spark.implicits._
     // random corpus with planted structure: words drawn from a tiny
     // alphabet so near-dups arise by chance, plus exact-dup injections;
@@ -369,7 +369,7 @@ class PropertySpec extends SparkSpec {
     assert(Set("exact_dup", "near_dup", "kept").subsetOf(got.values.toSet))
   }
 
-  test("property: the disk curation loop equals the first-seen replay under random tranching") {
+  test("property: the disk curation loop equals the first-seen replay under random tranching", graft.Slow) {
     // Curation.commitTranche end-to-end (disk standing index, ledger
     // appends, index appends between commits) on a random corpus split
     // into three tranches by a RANDOM assignment — the streaming test

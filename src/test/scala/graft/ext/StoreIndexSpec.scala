@@ -22,7 +22,7 @@ class StoreIndexSpec extends SparkSpec {
       s"no $part partition pruning on the standing scan:\n${plan.take(3000)}")
   }
 
-  test("text probeView: pruned disk probe equals the in-memory ledgerProbe") {
+  test("text probeView: pruned disk probe equals the in-memory ledgerProbe", graft.Slow) {
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
     val standing = docs.filter(col("doc_id") % 4 =!= 0)
     // plant a byte-identical copy of a standing doc so the exact_dup
@@ -59,7 +59,7 @@ class StoreIndexSpec extends SparkSpec {
       "self-exclusion did not reproduce the first attempt")
   }
 
-  test("banded hash index: indexed probe equals the in-memory ledgerProbe") {
+  test("banded hash index: indexed probe equals the in-memory ledgerProbe", graft.Slow) {
     import spark.implicits._
     // planted 64-bit hashes: 20 base patterns; standing carries base +
     // a duplicate, the tranche carries exact copies, 1-bit flips
@@ -109,7 +109,7 @@ class StoreIndexSpec extends SparkSpec {
     assert(rows(again) == rows(mem))
   }
 
-  test("video sequence index: indexed probe equals the in-memory ledgerProbe") {
+  test("video sequence index: indexed probe equals the in-memory ledgerProbe", graft.Slow) {
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
     val standing = docs.filter(col("doc_id") % 4 =!= 0)
     val tranche = docs.filter(col("doc_id") % 4 === 0)

@@ -680,7 +680,7 @@ class StreamingSpec extends SparkSpec {
     assert(acc.toSet == expected)
   }
 
-  test("streaming curation ledger: per-tranche probe+append rows equal the batch ledger") {
+  test("streaming curation ledger: per-tranche probe+append rows equal the batch ledger", graft.Slow) {
     // VERDICT r8 #5 — the end-to-end production shape of incremental
     // curation: each arriving tranche (a) probes the persisted near-dup
     // index, (b) emits its x111-style ledger rows (exact_dup/near_dup
@@ -768,7 +768,7 @@ class StreamingSpec extends SparkSpec {
     assert(layered.values.exists(_ == "low_quality"))
   }
 
-  test("streaming multimodal tranche: all five modality probes append one persisted ledger equal to batch") {
+  test("streaming multimodal tranche: all five modality probes append one persisted ledger equal to batch", graft.Slow) {
     // VERDICT r9 #7 — the full production ingestion shape the north
     // star names: each arriving tranche runs the text (x116),
     // perceptual image/audio (x117), video (x118) and semantic
@@ -949,7 +949,7 @@ class StreamingSpec extends SparkSpec {
       s"first-seen inverted across batches: $pair")
   }
 
-  test("Curation.sink maintainEvery: the stream schedules its own compaction without changing verdicts") {
+  test("Curation.sink maintainEvery: the stream schedules its own compaction without changing verdicts", graft.Slow) {
     import graft.ext.{Curation, Ledger}
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
       .filter(col("doc_id") < 120)
@@ -997,7 +997,7 @@ class StreamingSpec extends SparkSpec {
       "4-batch append amplification should trip the aggressive threshold")
   }
 
-  test("Curation.sink: PQ serving stays fresh — commits feed it, a takedown leaves it at the next window") {
+  test("Curation.sink: PQ serving stays fresh — commits feed it, a takedown leaves it at the next window", graft.Slow) {
     import graft.ext.{Curation, Ledger, PQ}
     // VERDICT r12 next #5: the serving lifecycle under a live stream.
     // A committed tranche's kept vectors become ANN-searchable after
@@ -1096,7 +1096,7 @@ class StreamingSpec extends SparkSpec {
       .count() == 0, "stream left the deployment in violation")
   }
 
-  test("Curation.sink: re-releases under a scheduled stream keep generations bounded") {
+  test("Curation.sink: re-releases under a scheduled stream keep generations bounded", graft.Slow) {
     import graft.ext.{Curation, PQ}
     // VERDICT r13 missing #2 under a LIVE stream: every codebook
     // re-release retires a full serving-store generation, and an
@@ -1148,7 +1148,7 @@ class StreamingSpec extends SparkSpec {
     assert(served.count() > 0, "serving broke under streamed retention")
   }
 
-  test("Curation.sink maintainBudget: online windows keep verdicts, drift converges") {
+  test("Curation.sink maintainBudget: online windows keep verdicts, drift converges", graft.Slow) {
     import graft.ext.{Curation, Ledger}
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
       .filter(col("doc_id") < 120)
@@ -1191,7 +1191,7 @@ class StreamingSpec extends SparkSpec {
       "drift left after budgeted convergence")
   }
 
-  test("Curation.sink snapshotEvery: streamed backups act on drift; restore revives serving") {
+  test("Curation.sink snapshotEvery: streamed backups act on drift; restore revives serving", graft.Slow) {
     // VERDICT r15 #2 under a LIVE stream: the sink schedules its own
     // backups — every n-th batch takes a writer-locked snapshot iff
     // the deployment drifted past the newest standing one, with
