@@ -291,6 +291,38 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (names.contains("__bpe")) {
+      // x86 sub-step timing: trigram wf aggregation+collect, the local
+      // training loop, the final segmentation join+rollup
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      (1 to 2).foreach { run =>
+        val docs = graft.model.Tables.documents(spark, sfDir)
+        val trigramsCol = org.apache.spark.sql.GraftColumnBridge.column(
+          graft.expr.WordShingles(
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              col("text").cast("string")), 3))
+        val units = docs.select(col("doc_id"), explode(trigramsCol).as("tg"))
+          .select(col("doc_id"),
+            replace(col("tg"), lit(" "), lit("+")).as("word"))
+        val wf = units.groupBy("word").agg(count(lit(1)).as("n"))
+        var t0 = System.nanoTime()
+        val nwf = wf.count()
+        println(f"SCRATCH __bpe run$run wf_count ${(System.nanoTime() - t0) / 1e9}%.2f s ($nwf words)")
+        t0 = System.nanoTime()
+        val (_, vocab) = graft.ext.TextAnalytics.bpeTrainLocalFast(wf, rounds = 1024)
+        println(f"SCRATCH __bpe run$run train(collect+loop) ${(System.nanoTime() - t0) / 1e9}%.2f s (${vocab.size} vocab)")
+        t0 = System.nanoTime()
+        val seg = vocab.map { case (w, _, rep) => (w, rep.count(_ == ' ') + 1L) }
+          .toDF("word", "n_sub")
+        val n = units.join(broadcast(seg), Seq("word"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_units"), sum("n_sub").as("n_bpe_tokens"))
+          .count()
+        println(f"SCRATCH __bpe run$run segment+rollup ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
+      spark.stop(); return
+    }
     if (names.contains("__qconv")) {
       // quality-perceptron convergence curve at this SF: accuracy on the
       // labeled training split and on the full corpus per round budget

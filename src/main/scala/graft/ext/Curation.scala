@@ -2593,7 +2593,12 @@ object Curation {
       .map(_.groupBy("epoch").count().collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq)
       .getOrElse(Seq.empty)
-    maintenanceUnits(spark, stores).map { u =>
+    // per-unit stats are independent reads (file-census listings, the
+    // IVF unit's census job, generation/aside probes) — run them
+    // concurrently (round-18, guide §2.6); wall pays the slowest unit,
+    // which matters on every scheduled window and read-only report
+    StoreSwap.concurrentlyAll(
+      maintenanceUnits(spark, stores).map { u => () =>
       val per = u.tables.map(t => bucketFiles(spark, t))
       val files = per.map(_.values.map(_._1).sum).sum
       val bucketCounts = per.map(m =>
@@ -2630,7 +2635,7 @@ object Curation {
         skew, u.heal.nonEmpty && skew > maxSkew,
         gens.size.toLong + asides,
         gens.dropRight(keepRetiredGens))
-    }
+    })
   }
 
   // tombstones-applied watermark: the max tombstone EPOCH a store's
@@ -2707,11 +2712,17 @@ object Curation {
     // recall drift as a quality signal (VERDICT r14 missing #3): the
     // sampled self-recall probe runs only when a threshold asks for it
     // (minRecall > 0) — the default report stays metadata-priced
-    val recall =
-      if (minRecall <= 0.0) None
-      else pqSelfRecall(spark, stores, sample = 64, topK = 5,
-        probeBuckets = recallProbeBuckets)
-    unitStatsOf(spark, stores, maxFilesPerBucket, maxSkew, keepRetiredGens)
+    // the probe and the unit censuses are independent reads — overlap
+    // them (round-18, guide §2.6) instead of paying probe + stats
+    val Seq(recallRes, statsRes) = StoreSwap.concurrentlyAll(
+      Seq[() => AnyRef](
+        () => if (minRecall <= 0.0) None
+        else pqSelfRecall(spark, stores, sample = 64, topK = 5,
+          probeBuckets = recallProbeBuckets),
+        () => unitStatsOf(spark, stores, maxFilesPerBucket, maxSkew,
+          keepRetiredGens)))
+    val recall = recallRes.asInstanceOf[Option[Double]]
+    statsRes.asInstanceOf[Seq[UnitStats]]
       .map { s =>
         val r = if (s.unit.name == "pq_index") recall else None
         (s.unit.name, s.files, s.buckets, s.perBucket, s.pending,

@@ -95,37 +95,51 @@ object QualityModel {
                       labels: DataFrame, buckets: Int = 4096,
                       rounds: Int = 3): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = docs.sparkSession
     val feats = featureBuckets(docs, idCol, textCol, buckets)
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
       .join(labels.select(col("doc_id"), col("y").cast("long").as("y")), "doc_id")
       .localCheckpoint()
-    var w: DataFrame = null
+    // round-18 (guide §2/§5): the weight table never exceeds `buckets`
+    // rows, so it lives on the DRIVER between rounds. Each round is ONE
+    // Spark job — the per-bucket delta over misclassified docs,
+    // collected — with the current weights shipped back as a
+    // LocalTableScan broadcast; the old per-round
+    // localCheckpoint-of-w + full_outer-merge chain paid ~8 small jobs
+    // per round (190 jobs for a 24-round training), pure scheduler
+    // overhead at any scale. Arithmetic is the same integer sums in the
+    // same round order, so the learned weights are bit-identical (the
+    // x93 oracle replays all rounds in SQL and still matches).
+    var w: Map[Long, Long] = null
     var converged = false
     for (r <- 1 to rounds if !converged) {
-      val mis0 =
-        if (w == null) feats.select("doc_id", "y").distinct() // y·0 ≤ 0: everyone
-        else feats.join(broadcast(w), Seq("bucket"), "left")
-          .groupBy("doc_id", "y")
-          .agg(sum(col("cnt") * coalesce(col("wt"), lit(0L))).as("score"))
-          .filter(col("y") * col("score") <= 0)
-          .select("doc_id", "y")
-      // round 1 always updates (everyone is misclassified under the
-      // zero model on any doc with features); a probed, converged
-      // round leaves w untouched and exits
-      val probe = w != null && r % 4 == 0
-      val mis = if (probe) mis0.localCheckpoint() else mis0
-      if (probe && mis.isEmpty) converged = true
+      val delta: Array[(Long, Long)] =
+        (if (w == null)
+          // y·0 ≤ 0: everyone is misclassified under the zero model
+          feats.groupBy("bucket").agg(sum(col("y") * col("cnt")).as("d"))
+        else {
+          val wDf = broadcast(
+            spark.createDataFrame(w.toSeq).toDF("bucket", "wt"))
+          val mis = feats.join(wDf, Seq("bucket"), "left")
+            .groupBy("doc_id", "y")
+            .agg(sum(col("cnt") * coalesce(col("wt"), lit(0L))).as("score"))
+            .filter(col("y") * col("score") <= 0)
+            .select("doc_id", "y")
+          // the misclassified set is bounded by the labeled training
+          // split — broadcast it so the delta pass never shuffles
+          // feats by doc_id (guide §3.1)
+          feats.join(broadcast(mis.select("doc_id")), "doc_id")
+            .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("d"))
+        }).collect().map(row => (row.getLong(0), row.getLong(1)))
+      if (delta.isEmpty) converged = true // an empty update is final
       else {
-        val delta = feats.join(mis.select("doc_id"), "doc_id")
-          .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("d"))
-        w = (if (w == null) delta.select(col("bucket"), col("d").as("wt"))
-             else w.join(delta, Seq("bucket"), "full_outer")
-               .select(col("bucket"),
-                 (coalesce(col("wt"), lit(0L)) + coalesce(col("d"), lit(0L))).as("wt")))
-          .localCheckpoint()
+        if (w == null) w = delta.toMap
+        else delta.foreach { case (b, d) =>
+          w += b -> (w.getOrElse(b, 0L) + d)
+        }
       }
     }
-    w
+    spark.createDataFrame(w.toSeq).toDF("bucket", "wt")
   }
 
   /** Score every document against a (bucket, wt) linear model:

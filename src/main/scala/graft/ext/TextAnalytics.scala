@@ -412,40 +412,94 @@ object TextAnalytics {
     val counts = scala.collection.mutable.HashMap.empty[String, Long]
     val index = scala.collection.mutable.HashMap
       .empty[String, scala.collection.mutable.Set[Int]]
+    // ordered count index for the per-round argmax (round-18, guide
+    // §1.2 "per-task work" applied to the DRIVER: the full-map argmax
+    // scan was O(rounds × |pairs|) — ~6 s of the x86 wall at sf0.1,
+    // dwarfing its 1.4 s of Spark jobs). byCount keys are counts; each
+    // value is the ordered set of pairs at that count, so the argmax —
+    // max count, ties to the LEXICOGRAPHICALLY SMALLEST pair, exactly
+    // the old (-count, pair) minBy — is lastEntry().first(), O(log n).
+    // setCount keeps both structures in lockstep; selection order (and
+    // therefore every merge, count and repr) is bit-identical to the
+    // scanning version, which ExtSpec property-pins against
+    // bpeTrainLocal.
+    val byCount = new java.util.TreeMap[Long, java.util.TreeSet[String]]()
+    def setCount(p: String, prev: Long, next: Long): Unit = {
+      if (prev != 0L) {
+        val s = byCount.get(prev)
+        s.remove(p)
+        if (s.isEmpty) byCount.remove(prev)
+      }
+      if (next == 0L) counts.remove(p)
+      else {
+        counts.update(p, next)
+        var s = byCount.get(next)
+        if (s == null) { s = new java.util.TreeSet[String](); byCount.put(next, s) }
+        s.add(p)
+      }
+    }
     var toks = 0L
     for (i <- words.indices) {
       val n = freq(i)
       toks += n * (repr(i).count(_ == ' ') + 1L)
       for (p <- pairsOf(repr(i))) {
-        counts.update(p, counts.getOrElse(p, 0L) + n)
+        setCount(p, counts.getOrElse(p, 0L), counts.getOrElse(p, 0L) + n)
         index.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += i
       }
     }
     val merges = Seq.newBuilder[(Int, String, Long, Long)]
     for (r <- 1 to rounds) {
       require(counts.nonEmpty, s"bpeTrainLocalFast: vocabulary exhausted at round $r")
-      var bestP: String = null
-      var bestC = Long.MinValue
-      for ((p, c) <- counts)
-        if (c > bestC || (c == bestC && p < bestP)) { bestP = p; bestC = c }
+      val top = byCount.lastEntry()
+      val bestP: String = top.getValue.first()
+      val bestC: Long = top.getKey
       val search = " " + bestP + " "
       val merged = " " + bestP.replace(' ', '_') + " "
       // the index may hold stale members (words rewritten since the
-      // entry was added); the padded-containment check filters them
-      for (i <- index.getOrElse(bestP, scala.collection.mutable.Set.empty[Int])
-             if (" " + repr(i) + " ").contains(search)) {
+      // entry was added); the padded-containment check filters them.
+      // The live set is materialized FIRST and the entry pruned to it:
+      // stale members otherwise accumulate forever (sets only grew),
+      // and the rewrite loop below may re-register members (a word
+      // that keeps an alternating-overlap leftover of bestP) — adding
+      // to the set while iterating it is the other hazard this closes.
+      val delta = scala.collection.mutable.HashMap.empty[String, Long]
+      val live = index.get(bestP) match {
+        case None => Array.empty[Int]
+        case Some(s) =>
+          val l = s.toArray.filter(i => (" " + repr(i) + " ").contains(search))
+          s.clear(); s ++= l
+          l
+      }
+      for (i <- live) {
         val n = freq(i)
         val before = repr(i)
-        for (p <- pairsOf(before)) {
-          val c = counts(p) - n
-          if (c == 0L) counts.remove(p) else counts.update(p, c)
-        }
         val after = (" " + before + " ").replace(search, merged).trim
         repr(i) = after
         toks += n * ((after.count(_ == ' ') + 1L) - (before.count(_ == ' ') + 1L))
-        for (p <- pairsOf(after)) {
-          counts.update(p, counts.getOrElse(p, 0L) + n)
-          index.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += i
+        // delta-diff the word's pair multiset (round-18, guide §1.2
+        // driver-side): pairs away from the merge sites subtract and
+        // re-add at the SAME count, so the expensive global updates
+        // (hash + two ordered-structure ops each) collapse to the few
+        // net changes around each occurrence. The cheap local counter
+        // makes the total identical to subtract-all/add-all —
+        // bit-identical counts, selection order, merges (ExtSpec
+        // property-pins this path against bpeTrainLocal).
+        delta.clear()
+        for (p <- pairsOf(before))
+          delta.update(p, delta.getOrElse(p, 0L) - n)
+        for (p <- pairsOf(after))
+          delta.update(p, delta.getOrElse(p, 0L) + n)
+        for ((p, d) <- delta) {
+          if (d != 0L) {
+            val prev = counts.getOrElse(p, 0L)
+            setCount(p, prev, prev + d)
+          }
+          // net-new pairs (all contain the merged token, or re-enter
+          // with higher multiplicity) must register this word; pairs
+          // at unchanged or lower multiplicity were registered when
+          // first added
+          if (d > 0L)
+            index.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += i
         }
       }
       // index[bestP] is NOT removed: the single-pass replace leaves
